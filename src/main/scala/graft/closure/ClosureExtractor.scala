@@ -1,0 +1,133 @@
+package graft.closure
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.meta.{Catalog, FkEdge}
+
+/** Policy knobs for reference-key (reverse-edge) expansion, mirroring the
+  * reference's traversal gating (`/root/reference/etl/extractor.go:40-50`):
+  * ALL reverse edges are followed from depth-0 (seed) rows unless
+  * `omitReferenceKeys`; from deeper rows only edges whose constraint name is
+  * in `referenceKeyAllowlist` (≙ `config.Schema.ReferenceKeys`,
+  * `/root/reference/config/config.go:41-42`).
+  */
+final case class TraversalPolicy(
+    omitReferenceKeys: Boolean = false,
+    referenceKeyAllowlist: Set[String] = Set.empty)
+
+/** Referentially-consistent subgraph extraction — the reference's flagship
+  * operator (`extract`, `/root/reference/etl/extractor.go:142-174`),
+  * re-expressed as a Spark-first driver-side BFS fixpoint.
+  *
+  * The reference walks the FK graph row-at-a-time with per-row point
+  * lookups (`etl/extractor.go:120-123`) and a visited-set of
+  * `"pk = value"` strings (`etl/extractor.go:96-103`). That N+1 pattern
+  * would never scale; here each (edge, iteration) becomes ONE batched
+  * semi-join of the target table against the frontier's distinct key set,
+  * and the visited-set becomes an anti-join against accumulated seen-key
+  * DataFrames. Equivalent to SQL `WITH RECURSIVE` (which Spark lacks) —
+  * same shape as a Pregel/GraphX iteration.
+  *
+  * Scale design (100 TB): frontier/seen sets hold ONLY key columns (never
+  * full rows), are persisted per iteration, and local checkpoints every
+  * `checkpointEvery` iterations cut the growing lineage. No broadcast
+  * hints: frontier key sets are usually tiny and AQE (default-on in
+  * Spark 4) converts these semi-joins to broadcast-hash at runtime, while
+  * a genuinely huge key set is still allowed to shuffle. Full rows are
+  * materialized exactly once per table at the end, one semi-join each.
+  */
+class ClosureExtractor(
+    catalog: Catalog,
+    loadTable: String => DataFrame,
+    policy: TraversalPolicy = TraversalPolicy(),
+    checkpointEvery: Int = 8) {
+
+  /** Runs the closure from a seed DataFrame (rows of `seedTable`).
+    * Returns table name → DataFrame of all rows in the closed subgraph.
+    */
+  def extract(seedTable: String, seed: DataFrame): Map[String, DataFrame] =
+    run(seedTable, seed).map { case (table, keys) =>
+      table -> loadTable(table).join(keys, keys.columns.toSeq, "left_semi")
+    }
+
+  /** Returns table name → DataFrame of the table's PK columns (the key set
+    * of the closure). Exposed for counting without row materialization.
+    * A table entered only as an FK target is keyed by the referenced
+    * column, which must be its PK (the reference assumes FK→PK too).
+    */
+  def run(seedTable: String, seed: DataFrame): Map[String, DataFrame] = {
+    var seen = Map.empty[String, DataFrame] // table -> distinct pk tuples
+    var frontier = Map[String, DataFrame](
+      seedTable -> seed.select(catalog.pkOf(seedTable).map(col): _*).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    var depth = 0
+
+    while (frontier.nonEmpty) {
+      seen = frontier.foldLeft(seen) { case (acc, (t, keys)) =>
+        acc.updated(t, acc.get(t).map(_.union(keys)).getOrElse(keys))
+      }
+
+      val next = scala.collection.mutable.Map.empty[String, DataFrame]
+      def addKeys(table: String, keys: DataFrame): Unit =
+        next.update(table, next.get(table).map(_.union(keys)).getOrElse(keys))
+
+      frontier.foreach { case (table, keys) =>
+        val pk = catalog.pkOf(table)
+        val fks = catalog.foreignKeysOf(table)
+        val rks = if (policy.omitReferenceKeys) Nil
+          else catalog.referenceKeysOf(table).filter(rk =>
+            depth == 0 || policy.referenceKeyAllowlist.contains(rk.name))
+
+        if (fks.nonEmpty) {
+          // one scan of the table, semi-joined down to frontier rows
+          val needed = (pk ++ fks.map(_.childCol)).distinct.map(col)
+          val rows = loadTable(table).select(needed: _*)
+            .join(keys, pk, "left_semi")
+          fks.foreach { fk =>
+            // J1 forward lookup, batched: null FKs skipped as in the
+            // reference (etl/extractor.go:107-109)
+            require(catalog.pkOf(fk.parentTable) == Seq(fk.parentCol),
+              s"FK ${fk.name} must reference the parent PK")
+            addKeys(fk.parentTable,
+              rows.select(col(fk.childCol).as(fk.parentCol))
+                .where(col(fk.parentCol).isNotNull).distinct())
+          }
+        }
+        rks.foreach { rk =>
+          // J2 reverse lookup, batched: child rows whose FK is in our keys
+          val childPk = catalog.pkOf(rk.childTable)
+          addKeys(rk.childTable,
+            loadTable(rk.childTable)
+              .select((childPk :+ rk.childCol).distinct.map(col): _*)
+              .join(keys.withColumnRenamed(rk.parentCol, rk.childCol),
+                Seq(rk.childCol), "left_semi")
+              .select(childPk.map(col): _*).distinct())
+        }
+      }
+
+      // anti-join out already-seen keys; drop empty frontiers (fixpoint)
+      frontier = next.toMap.flatMap { case (t, keys) =>
+        val pk = catalog.pkOf(t)
+        val fresh0 = seen.get(t) match {
+          case Some(s) => keys.distinct().join(s, pk, "left_anti")
+          case None    => keys.distinct()
+        }
+        val fresh =
+          if ((depth + 1) % checkpointEvery == 0) fresh0.localCheckpoint(true)
+          else fresh0.persist(StorageLevel.MEMORY_AND_DISK)
+        if (fresh.isEmpty) { fresh.unpersist(); None } else Some(t -> fresh)
+      }
+      depth += 1
+    }
+    seen.map { case (t, k) => t -> k.distinct() }
+  }
+}
+
+object ClosureExtractor {
+  /** Convenience: closure over the parquet testdata tables in `sfDir`. */
+  def forDir(spark: SparkSession, sfDir: String, catalog: Catalog = Catalog.tpch,
+      policy: TraversalPolicy = TraversalPolicy()): ClosureExtractor =
+    new ClosureExtractor(catalog, t => graft.Tables(spark, sfDir, t), policy)
+}

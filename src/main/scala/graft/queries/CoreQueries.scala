@@ -1,0 +1,346 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.closure.{ClosureExtractor, TraversalPolicy}
+
+/** Core relational operator suite (SURVEY.md §2.2–§2.8).
+  *
+  * Every query is registered in [[graft.SparkEntry]] with a DuckDB oracle.
+  * Determinism rules shared with the oracles:
+  *   - money sums go through DECIMAL (exact, order-independent) and are
+  *     cast to double only at the end — double-sum order nondeterminism
+  *     across partitions would otherwise break hash comparison;
+  *   - `avg` is expressed as exact decimal sum / count in double, because
+  *     Spark's decimal `avg` and DuckDB's differ in rounding;
+  *   - every output is totally ordered by an explicit key.
+  */
+object CoreQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+
+  /** Q1-style scan + filter + group aggregate (A-tier: S1, §2.2, §2.5). */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Q3-style 3-way join + agg + global top-k (J: §2.4, §2.6). The orders
+    * side of the final join is the small side post-filter; AQE broadcasts.
+    */
+  def q3TopRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3TopRevenueSql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Q5-style 6-way star join + group agg. Dims (nation, region, supplier,
+    * customer) are broadcast-sized at any SF where they fit; the two fact
+    * tables shuffle on the join key once.
+    */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val ord = Tables(spark, dir, "orders")
+    val cust = Tables(spark, dir, "customer")
+    val supp = Tables(spark, dir, "supplier")
+    val nat = Tables(spark, dir, "nation")
+    val reg = Tables(spark, dir, "region")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val q5RegionRevenueSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Left-semi join — EXISTS (§2.4; the batched form of the reference's
+    * per-row RK lookups, /root/reference/etl/extractor.go:56-59).
+    */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders")
+    val big = Tables(spark, dir, "lineitem").filter(col("l_quantity") > 49)
+      .select("l_orderkey").distinct()
+    ord.join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  val semiJoinSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Left-anti join — NOT EXISTS (§2.4/§2.7; the closure's seen-set is the
+    * same shape, /root/reference/etl/extractor.go:96-103).
+    */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** UNION / INTERSECT / EXCEPT in one result, tagged (§2.7). */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val cn = Tables(spark, dir, "customer")
+      .select(col("c_nationkey").cast("int").as("nk")).distinct()
+    val sn = Tables(spark, dir, "supplier")
+      .select(col("s_nationkey").cast("int").as("nk")).distinct()
+    cn.intersect(sn).withColumn("op", lit("intersect"))
+      .unionByName(cn.except(sn).withColumn("op", lit("except")))
+      .unionByName(cn.union(sn).distinct().withColumn("op", lit("union")))
+      .orderBy("op", "nk")
+  }
+
+  val setOpsSql: String =
+    """WITH cn AS (SELECT DISTINCT CAST(c_nationkey AS INT) AS nk FROM customer),
+      |     sn AS (SELECT DISTINCT CAST(s_nationkey AS INT) AS nk FROM supplier)
+      |SELECT nk, op FROM (
+      |  SELECT nk, 'intersect' AS op FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+      |  UNION ALL
+      |  SELECT nk, 'except' AS op FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+      |  UNION ALL
+      |  SELECT nk, 'union' AS op FROM (SELECT nk FROM cn UNION SELECT nk FROM sn)
+      |) ORDER BY op, nk""".stripMargin
+
+  /** Running-sum window over a totally ordered partition (§2.6). */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem").filter(col("l_suppkey") <= 3)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"),
+        sum(dec(col("l_quantity"))).over(w).cast("double").as("running_qty"))
+      .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+  }
+
+  val windowRunningSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+      |    PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+      |FROM lineitem WHERE l_suppkey <= 3
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin
+
+  /** Per-group top-k via row_number (§2.6). */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    ord.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  val topkPerGroupSql: String =
+    """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_orderpriority, rn""".stripMargin
+
+  /** JSON extraction from the events.props payload (§2.8 F5). */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    ev.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  val jsonExtractSql: String =
+    """SELECT event_type,
+      |  SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+      |  COUNT(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** String/date/math scalar functions (§2.8 F1/F6/F7/F8). */
+  def scalarFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders").filter(col("o_orderkey") <= 100)
+    ord.select(
+        col("o_orderkey"),
+        concat(lit("order-"), col("o_orderkey").cast("string")).as("tag"),
+        upper(col("o_orderstatus")).as("status_u"),
+        substring(col("o_orderpriority"), 1, 1).cast("int").as("prio_n"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        (col("o_totalprice") * lit(2.0)).as("double_price"),
+        round(col("o_totalprice"), 0).as("rounded"),
+        length(col("o_orderpriority")).as("prio_len"))
+      .orderBy("o_orderkey")
+  }
+
+  val scalarFuncsSql: String =
+    """SELECT o_orderkey,
+      |  'order-' || CAST(o_orderkey AS VARCHAR) AS tag,
+      |  UPPER(o_orderstatus) AS status_u,
+      |  CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS prio_n,
+      |  CAST(YEAR(o_orderdate) AS INT) AS o_year,
+      |  CAST(MONTH(o_orderdate) AS INT) AS o_month,
+      |  o_totalprice * 2.0 AS double_price,
+      |  ROUND(o_totalprice, 0) AS rounded,
+      |  CAST(LENGTH(o_orderpriority) AS INT) AS prio_len
+      |FROM orders WHERE o_orderkey <= 100
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Deterministic first-wins dedup by key (§2.5 A3 — the reference's
+    * sanitize-time PK dedup, /root/reference/etl/sanitizer.go:45-61 — with
+    * a defined order instead of map-iteration nondeterminism).
+    */
+  def dedupFirstEvent(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .orderBy("user_id")
+  }
+
+  val dedupFirstEventSql: String =
+    """SELECT user_id, event_id, ts, event_type FROM (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  /** The flagship: referentially-closed subgraph extraction (J4), counted
+    * per table. Seed: `customer WHERE c_custkey <= 10`; all reverse keys
+    * expand at depth 0 (orders, events), lineitem is allowlisted
+    * (≙ config.Schema.ReferenceKeys), forward FKs always follow.
+    */
+  def closureExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val policy = TraversalPolicy(referenceKeyAllowlist = Set("lineitem_orderkey_fkey"))
+    val ex = ClosureExtractor.forDir(spark, dir, policy = policy)
+    val seed = Tables(spark, dir, "customer").filter(col("c_custkey") <= 10)
+    // count extracted ROWS per table (the reference exports rows, and the
+    // synthetic lineitem has duplicate (orderkey, linenumber) pairs)
+    val rows = ex.extract("customer", seed)
+    val counts = rows.toSeq.map { case (t, df) => (t, df.count()) }
+      .sortBy(_._1)
+    counts.toDF("table_name", "n_rows").orderBy("table_name")
+  }
+
+  val closureExtractSql: String =
+    """WITH seed AS (SELECT * FROM customer WHERE c_custkey <= 10),
+      |ords AS (SELECT * FROM orders WHERE o_custkey IN (SELECT c_custkey FROM seed)),
+      |evts AS (SELECT * FROM events WHERE user_id IN (SELECT c_custkey FROM seed)),
+      |li AS (SELECT * FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM ords)),
+      |prt AS (SELECT * FROM part WHERE p_partkey IN (SELECT l_partkey FROM li)),
+      |sup AS (SELECT * FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM li)),
+      |nat AS (SELECT * FROM nation WHERE n_nationkey IN (SELECT c_nationkey FROM seed)
+      |                                OR n_nationkey IN (SELECT s_nationkey FROM sup)),
+      |reg AS (SELECT * FROM region WHERE r_regionkey IN (SELECT n_regionkey FROM nat))
+      |SELECT table_name, n_rows FROM (
+      |  SELECT 'customer' AS table_name, COUNT(*) AS n_rows FROM seed UNION ALL
+      |  SELECT 'orders', COUNT(*) FROM ords UNION ALL
+      |  SELECT 'events', COUNT(*) FROM evts UNION ALL
+      |  SELECT 'lineitem', COUNT(*) FROM li UNION ALL
+      |  SELECT 'part', COUNT(*) FROM prt UNION ALL
+      |  SELECT 'supplier', COUNT(*) FROM sup UNION ALL
+      |  SELECT 'nation', COUNT(*) FROM nat UNION ALL
+      |  SELECT 'region', COUNT(*) FROM reg
+      |) ORDER BY table_name""".stripMargin
+
+  /** name → (impl, oracle). */
+  val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "q1_agg" -> ((q1Agg _, q1AggSql)),
+    "q3_top_revenue" -> ((q3TopRevenue _, q3TopRevenueSql)),
+    "q5_region_revenue" -> ((q5RegionRevenue _, q5RegionRevenueSql)),
+    "semi_join" -> ((semiJoin _, semiJoinSql)),
+    "anti_join" -> ((antiJoin _, antiJoinSql)),
+    "set_ops" -> ((setOps _, setOpsSql)),
+    "window_running" -> ((windowRunning _, windowRunningSql)),
+    "topk_per_group" -> ((topkPerGroup _, topkPerGroupSql)),
+    "json_extract" -> ((jsonExtract _, jsonExtractSql)),
+    "scalar_funcs" -> ((scalarFuncs _, scalarFuncsSql)),
+    "dedup_first_event" -> ((dedupFirstEvent _, dedupFirstEventSql)),
+    "closure_extract" -> ((closureExtract _, closureExtractSql))
+  )
+}

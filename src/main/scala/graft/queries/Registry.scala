@@ -1,0 +1,19 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Aggregates every operator suite into the driver-facing maps.
+  * Suites register `(name -> (impl, oracleSqlOrNull))`; a null/empty
+  * oracle means the op is not SQL-expressible in DuckDB (driver falls
+  * back to a rows-only check).
+  */
+object Registry {
+  private def suites: Seq[Seq[(String, ((SparkSession, String) => DataFrame, String))]] =
+    Seq(CoreQueries.all)
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    suites.flatten.map { case (n, (f, _)) => n -> f }.toMap
+
+  lazy val oracleSql: Map[String, String] =
+    suites.flatten.collect { case (n, (_, sql)) if sql != null && sql.nonEmpty => n -> sql }.toMap
+}
