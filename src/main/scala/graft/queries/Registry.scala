@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Registry {
   private def suites: Seq[Seq[(String, ((SparkSession, String) => DataFrame, String))]] =
-    Seq(CoreQueries.all)
+    Seq(CoreQueries.all, SanitizeQueries.all)
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     suites.flatten.map { case (n, (f, _)) => n -> f }.toMap

@@ -1,0 +1,113 @@
+package graft.closure
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.meta.{Catalog, FkEdge, TableMeta}
+
+/** Closure semantics on the mover-shaped micro-fixture of
+  * /root/repo/FIXTURES.md §B: user↔project FK cycle, nullable FKs
+  * (null-skip per `/root/reference/etl/extractor.go:107-109`), RK gating
+  * (depth-0 vs allowlist, `etl/extractor.go:40-50`).
+  */
+class ClosureSpec extends SparkSpec {
+  import spark.implicits._
+
+  // user(id, username, best_project_id -> project.id NULLABLE)  [cycle]
+  // project(id, owner_id -> user.id)
+  // comment(id, project_id -> project.id, author_id -> user.id)
+  private lazy val user = Seq(
+    (1L, "alice", Option(10L)),
+    (2L, "bob", Option.empty[Long]),
+    (3L, "carol", Option(30L)),
+    (4L, "dave", Option.empty[Long])
+  ).toDF("id", "username", "best_project_id")
+  private lazy val project = Seq(
+    (10L, 1L, "p-alice"), (20L, 2L, "p-bob"), (30L, 3L, "p-carol"),
+    (40L, 4L, "p-dave")
+  ).toDF("id", "owner_id", "title")
+  private lazy val comment = Seq(
+    (100L, 10L, 2L, "hi"), (101L, 20L, 1L, "yo"), (102L, 40L, 3L, "hm")
+  ).toDF("id", "project_id", "author_id", "body")
+
+  private val catalog = Catalog(
+    tables = Map(
+      "user" -> TableMeta("user", Seq("id")),
+      "project" -> TableMeta("project", Seq("id")),
+      "comment" -> TableMeta("comment", Seq("id"))),
+    edges = Seq(
+      FkEdge("user_best_project_fkey", "user", "best_project_id", "project", "id"),
+      FkEdge("project_owner_fkey", "project", "owner_id", "user", "id"),
+      FkEdge("comment_project_fkey", "comment", "project_id", "project", "id"),
+      FkEdge("comment_author_fkey", "comment", "author_id", "user", "id")))
+
+  private def tables: Map[String, DataFrame] =
+    Map("user" -> user, "project" -> project, "comment" -> comment)
+
+  private def extractor(policy: TraversalPolicy) =
+    new ClosureExtractor(catalog, tables(_), policy)
+
+  private def ids(df: DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  test("cycle-safe fixpoint terminates; forward FKs + null-skip") {
+    // seed user 1: best_project 10 -> project 10 -> owner 1 (cycle, seen)
+    val out = extractor(TraversalPolicy(omitReferenceKeys = true))
+      .extract("user", user.filter(col("id") === 1))
+    assert(ids(out("user")) == Set(1L))
+    assert(ids(out("project")) == Set(10L))
+    assert(!out.contains("comment"))
+  }
+
+  test("null FK values are skipped (ref extractor.go:107-109)") {
+    val out = extractor(TraversalPolicy(omitReferenceKeys = true))
+      .extract("user", user.filter(col("id") === 2))
+    assert(ids(out("user")) == Set(2L))
+    assert(!out.contains("project")) // best_project_id is null
+  }
+
+  test("depth-0 seed rows expand ALL reference keys") {
+    // seed user 1: RKs at depth 0 = project.owner_id, comment.author_id
+    val out = extractor(TraversalPolicy())
+      .extract("user", user.filter(col("id") === 1))
+    // project 10 via FK+RK(owner), comment 101 via RK(author_id=1)
+    assert(ids(out("project")) == Set(10L, 20L)) // 20 via comment 101 FK
+    assert(ids(out("comment")) == Set(101L))
+    // comment 101 -> project 20 -> owner bob(2); bob's RKs NOT expanded (depth>0)
+    assert(ids(out("user")) == Set(1L, 2L))
+  }
+
+  test("allowlisted reference keys expand at any depth (ref extractor.go:44-50)") {
+    val out = extractor(TraversalPolicy(
+        referenceKeyAllowlist = Set("comment_author_fkey")))
+      .extract("user", user.filter(col("id") === 1))
+    // bob (reached at depth>0) now also pulls his comments
+    assert(ids(out("comment")) == Set(100L, 101L))
+  }
+
+  test("omitReferenceKeys suppresses all reverse expansion") {
+    val out = extractor(TraversalPolicy(omitReferenceKeys = true))
+      .extract("user", user.filter(col("id") === 3))
+    assert(!out.contains("comment"))
+    assert(ids(out("project")) == Set(30L))
+  }
+
+  test("closure output is FK-closed (no dangling FK)") {
+    val out = extractor(TraversalPolicy(
+        referenceKeyAllowlist = Set("comment_project_fkey", "comment_author_fkey")))
+      .extract("user", user.filter(col("id") <= 2))
+    for (edge <- catalog.edges if out.contains(edge.childTable)) {
+      val dangling = out(edge.childTable)
+        .select(col(edge.childCol).as("k")).where(col("k").isNotNull)
+        .join(out.getOrElse(edge.parentTable, spark.emptyDataFrame.withColumn(edge.parentCol, lit(null)))
+          .select(col(edge.parentCol).as("k")), Seq("k"), "left_anti")
+      assert(dangling.isEmpty, s"dangling FK via ${edge.name}")
+    }
+  }
+
+  test("seed with multiple rows unions frontiers") {
+    val out = extractor(TraversalPolicy(omitReferenceKeys = true))
+      .extract("user", user.filter(col("id").isin(1, 3)))
+    assert(ids(out("project")) == Set(10L, 30L))
+  }
+}
