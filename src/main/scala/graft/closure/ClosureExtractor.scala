@@ -107,8 +107,10 @@ class ClosureExtractor(
         }
       }
 
-      // anti-join out already-seen keys; drop empty frontiers (fixpoint)
-      frontier = next.toMap.flatMap { case (t, keys) =>
+      // anti-join out already-seen keys, then drop empty frontiers.
+      // Emptiness is decided with ONE union-of-counts job for all tables
+      // instead of a driver-serial isEmpty() per table.
+      val candidates = next.toMap.map { case (t, keys) =>
         val pk = catalog.pkOf(t)
         val fresh0 = seen.get(t) match {
           case Some(s) => keys.distinct().join(s, pk, "left_anti")
@@ -117,7 +119,17 @@ class ClosureExtractor(
         val fresh =
           if ((depth + 1) % checkpointEvery == 0) fresh0.localCheckpoint(true)
           else fresh0.persist(StorageLevel.MEMORY_AND_DISK)
-        if (fresh.isEmpty) { fresh.unpersist(); None } else Some(t -> fresh)
+        t -> fresh
+      }
+      val sizes: Map[String, Long] =
+        if (candidates.isEmpty) Map.empty
+        else candidates.map { case (t, df) =>
+            df.groupBy().count().select(lit(t).as("t"), col("count"))
+          }.reduce(_.union(_))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      frontier = candidates.flatMap { case (t, df) =>
+        if (sizes.getOrElse(t, 0L) > 0L) Some(t -> df)
+        else { df.unpersist(); None }
       }
       depth += 1
     }

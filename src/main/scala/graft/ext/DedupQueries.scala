@@ -1,0 +1,254 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators over `documents` / `embeddings` (SURVEY.md §2
+  * ext tier). Scale notes per operator:
+  *
+  *  - exact: one hash-shuffle on the content hash — the canonical 100 TB
+  *    dedup (map-side partial agg, AQE-coalesced).
+  *  - minhash: per-doc signatures are a narrow projection; the LSH band
+  *    bucket JOIN is an equi-join on (band, bucket) — candidate pairs only,
+  *    never O(n²). Skew guard: enormous buckets mean enormous near-dup
+  *    clusters; production adds a bucket-size cap.
+  *  - simhash: narrow projection to a 60-bit signature (cross-engine
+  *    md5-hex → int hash), Hamming-ball candidate join via prefix bands.
+  *  - jaccard: candidate blocking on distinct-word-count (±2) as an
+  *    equi-join over exploded size buckets, exact Jaccard verify after.
+  *  - embedding: cosine near-dup blocked by the `label` column (stand-in
+  *    for an IVF cell id; see SimilarityQueries for the real assignment).
+  *
+  * Cross-engine hashing: every hash is an md5 hex STRING — identical in
+  * Spark and DuckDB, min/ordering lexicographic. xxhash64 would be faster
+  * but is Spark-only; at 100 TB swap `md5(...)` for `xxhash64(...)` and
+  * drop the oracle.
+  */
+object DedupQueries {
+
+  /** Exact dedup: group by content hash, keep the smallest doc_id
+    * (deterministic first-wins, ≙ ref A3 with a defined order).
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "documents")
+      .groupBy(md5(lower(trim(col("text")))).as("content_fp"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_doc_id")
+  }
+
+  val dedupExactSql: String =
+    """SELECT md5(lower(trim(text))) AS content_fp,
+      |  MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY keep_doc_id""".stripMargin
+
+  /** MinHash signatures (k=8) over word 3-gram shingles + LSH banding
+    * (4 bands × 2 rows): pairs sharing ≥1 band bucket, with the estimated
+    * Jaccard (matching signature fraction).
+    *
+    * One md5 per shingle, then k affine rehashes `(a_i·h + b_i) mod p`
+    * (classic universal-hash family) — 8× fewer digests than salting the
+    * digest per hash function, and numeric mins instead of string mins.
+    */
+  private val K = 8
+  private val P = 2147483647L // 2^31 − 1
+  private def affine(i: Int): (Long, Long) = (2 * i + 3L, 104729L * (i + 1))
+  private def sigExpr(i: Int): String = {
+    val (a, b) = affine(i)
+    s"array_min(transform(hs, h -> ($a * h + $b) % $P))"
+  }
+
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    // repartition BEFORE the signature stage: the parquet scan is 1–2
+    // partitions and the md5-per-shingle projection is the hot loop
+    val docs = Tables(spark, dir, "documents")
+      .repartition(col("doc_id"))
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .withColumn("hs", expr(
+        """transform(sequence(1, size(words) - 2),
+             i -> cast(conv(substring(md5(concat_ws(' ', slice(words, i, 3))), 1, 15), 16, 10) AS bigint) % 2147483647)"""))
+      .withColumn("sig", expr(s"array(${(0 until K).map(sigExpr).mkString(", ")})"))
+      .select("doc_id", "sig")
+    val banded = docs.select(
+      col("doc_id"), col("sig"),
+      explode(expr(s"transform(sequence(0, ${K / 2 - 1}), " +
+        "b -> struct(b AS band, concat(cast(sig[b*2] AS string), '|', cast(sig[b*2+1] AS string)) AS bucket))")).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+      col("band"), col("bucket"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      col("band"), col("bucket"))
+    // band buckets are hash-valued (high cardinality): the shuffle join
+    // parallelizes well, and Spark's ReuseExchange dedups the identical
+    // signature subplan on both sides
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("size(filter(sequence(0, 7), i -> sig_a[i] = sig_b[i])) / 8.0").as("est_jaccard"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val minhashPairsSql: String = {
+    val sigs = (0 until K).map { i =>
+      val (a, b) = affine(i)
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % $P))"
+    }.mkString(", ")
+    s"""WITH docs AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |      i -> CAST(('0x' || substr(md5(array_to_string(string_split(text, ' ')[i:i+2], ' ')), 1, 15)) AS BIGINT) % $P) AS hs
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sigs AS (SELECT doc_id, [$sigs] AS sig FROM docs),
+      |banded AS (
+      |  SELECT doc_id, sig, b.band,
+      |    CAST(sig[b.band*2 + 1] AS VARCHAR) || '|' || CAST(sig[b.band*2 + 2] AS VARCHAR) AS bucket
+      |  FROM sigs CROSS JOIN (SELECT unnest(range(0, ${K / 2})) AS band) b)
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  len(list_filter(range(1, ${K + 1}), i -> a.sig[i] = b.sig[i])) / 8.0 AS est_jaccard
+      |FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+      |  AND a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** SimHash: 60-bit signature per document (bitwise majority vote over
+    * per-word 60-bit hashes, words with multiplicity).
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "documents")
+      .withColumn("hs", expr(
+        "transform(split(text, ' '), w -> cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint))"))
+      .withColumn("bits", expr(
+        """transform(sequence(0, 59), i ->
+             CASE WHEN aggregate(hs, 0L, (acc, h) -> acc + shiftright(h, i) % 2 * 2 - 1) > 0
+             THEN 1L ELSE 0L END)"""))
+      .select(col("doc_id"),
+        expr("aggregate(sequence(0, 59), 0L, (acc, i) -> acc + shiftleft(bits[i], i))")
+          .as("simhash60"))
+      .orderBy("doc_id")
+  }
+
+  val simhashSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    list_transform(string_split(text, ' '),
+      |      w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)) AS hs
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 60), i ->
+      |      CASE WHEN list_sum(list_transform(hs, h -> ((h >> i) & 1) * 2 - 1)) > 0
+      |      THEN 1 ELSE 0 END) AS bits
+      |  FROM h)
+      |SELECT doc_id,
+      |  CAST(list_sum(list_transform(range(0, 60),
+      |    i -> bits[i + 1] * (CAST(1 AS BIGINT) << i))) AS BIGINT) AS simhash60
+      |FROM b
+      |ORDER BY doc_id""".stripMargin
+
+  /** Word-set Jaccard near-dup pairs (threshold 0.8), candidates blocked
+    * by distinct-word-count within ±2 (equi-join over exploded buckets —
+    * no O(n²) cross join; a true Jaccard ≥ 0.8 pair with ~50-word sets
+    * has set sizes within ~±6, so ±2 is a recall-bounded demo knob).
+    */
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    // words → 60-bit hashes: long-array intersections are ~an order of
+    // magnitude cheaper than string-array ones, and the md5-based hash is
+    // engine-portable so the oracle sees identical sets (a collision
+    // would merge the same words in both engines — result still equal)
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(split(text, ' '),
+             w -> cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint)))""").as("w"))
+      .withColumn("nw", size(col("w")))
+    val a = docs.select(col("doc_id").as("doc_a"), col("w").as("w_a"), col("nw").as("nw_a"))
+      .withColumn("bucket", explode(expr("sequence(nw_a - 2, nw_a + 2)")))
+    val b = docs.select(col("doc_id").as("doc_b"), col("w").as("w_b"),
+      col("nw").as("bucket"))
+    // broadcast the un-exploded side: the bucket key has only ~90 distinct
+    // values, so a shuffle join would be skew-bound; broadcast keeps the
+    // probe side's partitioning and full core utilization. (At 100 TB the
+    // doc-sketch table no longer broadcasts — shuffle on bucket with AQE
+    // skew splitting, or salt the bucket key.)
+    // The probe side is a few parquet row-groups (1–2 partitions), while
+    // the pair-verification work downstream is O(candidates): spread it
+    // over all cores before the join fan-out.
+    a.repartition(col("doc_a"))
+      .join(broadcast(b), Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      // |A∪B| = |A| + |B| − |A∩B|: one array op per pair, not two.
+      // The threshold filter is fused into a generator (explode of a 0/1-
+      // element array): a plain .filter(jaccard >= 0.8) would be pushed
+      // below the projection and re-evaluate array_intersect per row.
+      .withColumn("ni", size(array_intersect(col("w_a"), col("w_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        explode(expr(
+          """filter(array(round(cast(ni AS double) / (nw_a + size(w_b) - ni), 6)),
+               j -> j >= 0.8)""")).as("jaccard"))
+      // no distinct: each candidate pair arises from exactly one bucket
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val jaccardPairsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(string_split(text, ' '),
+      |      w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT))) AS w,
+      |    len(list_distinct(string_split(text, ' '))) AS nw
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.w, b.w)) AS ni, a.nw AS nw_a, b.nw AS nw_b
+      |  FROM d a JOIN d b
+      |    ON b.nw BETWEEN a.nw - 2 AND a.nw + 2 AND a.doc_id < b.doc_id)
+      |SELECT DISTINCT doc_a, doc_b,
+      |  ROUND(CAST(ni AS DOUBLE) / (nw_a + nw_b - ni), 6) AS jaccard
+      |FROM p
+      |WHERE ROUND(CAST(ni AS DOUBLE) / (nw_a + nw_b - ni), 6) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Embedding cosine near-dup pairs within a blocking cell (`label`),
+    * threshold 0.35 (data-dependent demo knob; max pairwise cosine in the
+    * synthetic set is ~0.44).
+    */
+  def embedDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("v").as("v_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"), col("v").as("v_b"))
+    // label has ~10 distinct values — broadcast to avoid a skew-bound
+    // 10-key shuffle join, and spread the probe rows over all cores
+    // first (see jaccardPairs note for the 100 TB variant)
+    a.repartition(col("vec_a"))
+      .join(broadcast(b), Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      // explode-fused threshold: keeps the cosine evaluated once per pair
+      // (a pushed-down filter would compute it twice; see jaccardPairs)
+      .withColumn("cos0", SimilarityQueries.cosineExpr("v_a", "v_b"))
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        explode(expr("filter(array(round(cos0, 6)), c -> c >= 0.35)")).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val embedDupPairsSql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "dedup_exact" -> ((dedupExact _, dedupExactSql)),
+    "minhash_pairs" -> ((minhashPairs _, minhashPairsSql)),
+    "simhash" -> ((simhash _, simhashSql)),
+    "jaccard_pairs" -> ((jaccardPairs _, jaccardPairsSql)),
+    "embed_dup_pairs" -> ((embedDupPairs _, embedDupPairsSql))
+  )
+}

@@ -1,0 +1,125 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-time windowing over the `events` stream table (SURVEY.md §2.11).
+  * These are the BATCH forms — the DuckDB oracle can check them; the
+  * streaming forms (same expressions over `readStream` + watermark) live
+  * in [[graft.streaming.StreamingOps]] and are covered by StreamingSpec.
+  *
+  * Scale: tumbling/sliding aggs are one hash-shuffle on (window, key)
+  * with map-side partial aggregation; session windows shuffle once on
+  * user_id and sort within partition — both the standard Structured
+  * Streaming state layouts.
+  */
+object EventQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+
+  /** Tumbling 1-day windows per event_type. */
+  def eventsTumbling(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"), col("n_users"))
+      .orderBy("window_start", "event_type")
+  }
+
+  val eventsTumblingSql: String =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
+  /** Sliding 6-hour windows advancing hourly (each event lands in 6
+    * windows). Oracle replays the window expansion with a generate_series
+    * cross join.
+    */
+  def eventsSliding(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "6 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n"), col("sum_value"))
+      .orderBy("window_start")
+  }
+
+  val eventsSlidingSql: String =
+    """SELECT date_trunc('hour', ts) - (k.k * INTERVAL 1 HOUR) AS window_start,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events CROSS JOIN (SELECT unnest(range(0, 6)) AS k) k
+      |GROUP BY 1
+      |ORDER BY window_start""".stripMargin
+
+  /** Session windows per user (30-minute inactivity gap). Session end is
+    * last-event-ts + gap, matching Spark's session_window semantics.
+    */
+  def eventsSession(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  val eventsSessionSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |           > INTERVAL 30 MINUTE
+      |         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** Daily exact distinct users per event type (the HLL-shaped query; the
+    * oracle needs the exact form — swap count_distinct for
+    * approx_count_distinct at 100 TB and drop the oracle).
+    */
+  def eventsDailyUsers(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("user_id"), col("event_type")).as("n_user_type"))
+      .select(col("w.start").as("window_start"), col("n_users"), col("n_user_type"))
+      .orderBy("window_start")
+  }
+
+  val eventsDailyUsersSql: String =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  COUNT(DISTINCT (user_id, event_type)) AS n_user_type
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY window_start""".stripMargin
+
+  val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "events_tumbling" -> ((eventsTumbling _, eventsTumblingSql)),
+    "events_sliding" -> ((eventsSliding _, eventsSlidingSql)),
+    "events_session" -> ((eventsSession _, eventsSessionSql)),
+    "events_daily_users" -> ((eventsDailyUsers _, eventsDailyUsersSql))
+  )
+}

@@ -1,0 +1,153 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §2 ext
+  * tier): token counting, quality scoring, language-ID heuristic, document
+  * fingerprinting. All are single-pass narrow projections (no shuffle
+  * except the final presentation sort) built from codegen'd built-ins and
+  * higher-order functions — at 100 TB this pipeline is embarrassingly
+  * parallel and bounded by parquet scan throughput.
+  *
+  * Shared determinism tricks (see oracle strings): cross-engine word
+  * hashes via `md5` hex strings (lexicographic min works identically in
+  * Spark and DuckDB), explicit double casts before division.
+  */
+object TextQueries {
+
+  private[ext] val stopEn = Seq("the", "a", "of", "to", "and", "in", "is", "for")
+  private[ext] val stopEnSql = stopEn.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Token counting + quality scoring (whitespace tokens, BPE-ish regex
+    * tokens, stopword/char ratios, type-token ratio, composite score).
+    */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "documents")
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("words")))
+      .withColumn("n_bpe_tokens",
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
+      .withColumn("n_stop", expr(
+        s"size(filter(words, w -> array_contains(array(${stopEn.map(w => s"'$w'").mkString(",")}), w)))"))
+      .withColumn("n_distinct", size(array_distinct(col("words"))))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_bpe_tokens"),
+        (col("n_chars").cast("double") / col("n_tokens")).as("avg_token_len"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+        (col("n_distinct").cast("double") / col("n_tokens")).as("type_token_ratio"),
+        round(
+          least(lit(1.0), col("n_tokens") / lit(50.0)) *
+            (lit(1.0) - abs(col("n_stop").cast("double") / col("n_tokens") - lit(0.4))),
+          6).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  val textStatsSql: String =
+    s"""SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe_tokens,
+      |  CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+      |  CAST(len(list_filter(string_split(text, ' '), w -> list_contains($stopEnSql, w))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS stop_ratio,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS type_token_ratio,
+      |  ROUND(LEAST(1.0, len(string_split(text, ' ')) / 50.0) *
+      |    (1.0 - ABS(CAST(len(list_filter(string_split(text, ' '), w -> list_contains($stopEnSql, w))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) - 0.4)), 6) AS quality_score
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Language-ID n-gram/stopword heuristic: score each language by its
+    * stopword hit-rate, argmax with a fixed tie-break order. (The testdata
+    * vocabulary is English-ish, so `en` dominates — the operator's value
+    * is the deterministic scoring scaffold.)
+    */
+  private val stopLists: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein"),
+    "en" -> stopEn,
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est"))
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables(spark, dir, "documents")
+      .withColumn("words", split(col("text"), " "))
+    val scored = stopLists.foldLeft(df) { case (d, (lang, stops)) =>
+      d.withColumn(s"hits_$lang", expr(
+        s"size(filter(words, w -> array_contains(array(${stops.map(w => s"'$w'").mkString(",")}), w)))"))
+    }
+    // argmax with ties broken by language-code order (de < en < es < fr)
+    val pred = stopLists.map(_._1).foldRight(lit("und")) { case (lang, els) =>
+      val isMax = stopLists.map(_._1).filter(_ != lang)
+        .map(o => col(s"hits_$lang") >= col(s"hits_$o"))
+        .reduce(_ && _)
+      val beatsEarlier = stopLists.map(_._1).takeWhile(_ != lang)
+        .map(o => col(s"hits_$lang") > col(s"hits_$o"))
+        .foldLeft(lit(true))(_ && _)
+      when(isMax && beatsEarlier && col(s"hits_$lang") > 0, lit(lang)).otherwise(els)
+    }
+    scored.select(
+        (col("doc_id") +: col("lang").as("lang_actual") +:
+          stopLists.map { case (l, _) => col(s"hits_$l") } :+
+          pred.as("lang_pred")): _*)
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String = {
+    val hits = stopLists.map { case (lang, stops) =>
+      s"CAST(len(list_filter(string_split(text, ' '), w -> list_contains(" +
+        stops.map(w => s"'$w'").mkString("[", ", ", "]") + s", w))) AS INT) AS hits_$lang"
+    }.mkString(",\n      |  ")
+    val langs = stopLists.map(_._1)
+    val pred = langs.foldRight("'und'") { case (lang, els) =>
+      val isMax = langs.filter(_ != lang).map(o => s"hits_$lang >= hits_$o").mkString(" AND ")
+      val beats = langs.takeWhile(_ != lang).map(o => s"hits_$lang > hits_$o")
+      val cond = (Seq(isMax) ++ beats ++ Seq(s"hits_$lang > 0")).mkString(" AND ")
+      s"CASE WHEN $cond THEN '$lang' ELSE $els END"
+    }
+    s"""SELECT doc_id, lang_actual, hits_de, hits_en, hits_es, hits_fr,
+      |  $pred AS lang_pred
+      |FROM (
+      |  SELECT doc_id, lang AS lang_actual,
+      |  $hits
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprinting: whole-text content hash + a shingle
+    * fingerprint (min md5 over word 5-grams — the rolling-hash idea with a
+    * cross-engine hash).
+    */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "documents")
+      .withColumn("words", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        md5(lower(trim(col("text")))).as("content_fp"),
+        expr("""CASE WHEN size(words) >= 5 THEN
+                 array_min(transform(sequence(1, size(words) - 4),
+                   i -> md5(concat_ws(' ', slice(words, i, 5)))))
+               ELSE md5(text) END""").as("shingle_fp"))
+      .orderBy("doc_id")
+  }
+
+  val docFingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(lower(trim(text))) AS content_fp,
+      |  CASE WHEN len(string_split(text, ' ')) >= 5 THEN
+      |    list_min(list_transform(range(1, len(string_split(text, ' ')) - 3),
+      |      i -> md5(array_to_string(string_split(text, ' ')[i:i+4], ' '))))
+      |  ELSE md5(text) END AS shingle_fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "text_stats" -> ((textStats _, textStatsSql)),
+    "lang_id" -> ((langId _, langIdSql)),
+    "doc_fingerprint" -> ((docFingerprint _, docFingerprintSql))
+  )
+}

@@ -295,16 +295,19 @@ object CoreQueries {
     * (≙ config.Schema.ReferenceKeys), forward FKs always follow.
     */
   def closureExtract(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val policy = TraversalPolicy(referenceKeyAllowlist = Set("lineitem_orderkey_fkey"))
     val ex = ClosureExtractor.forDir(spark, dir, policy = policy)
     val seed = Tables(spark, dir, "customer").filter(col("c_custkey") <= 10)
     // count extracted ROWS per table (the reference exports rows, and the
-    // synthetic lineitem has duplicate (orderkey, linenumber) pairs)
+    // synthetic lineitem has duplicate (orderkey, linenumber) pairs);
+    // one union-of-aggregates plan = ONE job for all per-table counts
     val rows = ex.extract("customer", seed)
-    val counts = rows.toSeq.map { case (t, df) => (t, df.count()) }
-      .sortBy(_._1)
-    counts.toDF("table_name", "n_rows").orderBy("table_name")
+    rows.toSeq.sortBy(_._1)
+      .map { case (t, df) =>
+        df.agg(count(lit(1)).as("n_rows")).select(lit(t).as("table_name"), col("n_rows"))
+      }
+      .reduce(_.unionByName(_))
+      .orderBy("table_name")
   }
 
   val closureExtractSql: String =

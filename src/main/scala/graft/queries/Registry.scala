@@ -9,7 +9,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Registry {
   private def suites: Seq[Seq[(String, ((SparkSession, String) => DataFrame, String))]] =
-    Seq(CoreQueries.all, SanitizeQueries.all)
+    Seq(CoreQueries.all, SanitizeQueries.all,
+      graft.ext.TextQueries.all, graft.ext.DedupQueries.all,
+      graft.ext.SimilarityQueries.all, graft.ext.EventQueries.all,
+      graft.ext.Multimodal.all)
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     suites.flatten.map { case (n, (f, _)) => n -> f }.toMap
