@@ -1,0 +1,103 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.closure.{ClosureExtractor, TraversalPolicy}
+import graft.conf.ExtractConfig
+import graft.io.JsonTableIO
+import graft.meta.Catalog
+import graft.sanitize.Sanitizer
+import graft.sqlparse.SeedQuery
+
+/** Engine facade — the reference's three verbs
+  * (`/root/reference/cmd/mover/main.go:70-93`,
+  * `etl/engine.go:99-178`) on Spark:
+  *
+  *  - [[extract]]: seed query → driving table → FK/RK closure →
+  *    per-table sanitize → per-table JSON artifact (+ media download,
+  *    wired by the caller via [[graft.io.MediaDownloader]]);
+  *  - [[load]]: JSON artifact dir → DataFrames (upsert into a DB via
+  *    [[graft.io.UpsertJdbcSink]] when a JDBC URL is in play);
+  *  - [[describe]]: catalog metadata for one table.
+  *
+  * `loadTable` abstracts the source (parquet harness or JDBC), exactly
+  * where the reference's `Dialect` interface sits
+  * (`/root/reference/dialect/dialect.go:110-120`).
+  */
+class Engine(
+    spark: SparkSession,
+    catalog: Catalog,
+    loadTable: String => DataFrame,
+    config: ExtractConfig = ExtractConfig()) {
+
+  /** The traversal policy induced by the config (reference gating,
+    * `/root/reference/etl/extractor.go:40-50`).
+    */
+  def policy(seedTable: String): TraversalPolicy = TraversalPolicy(
+    omitReferenceKeys = config.schemaFor(seedTable).exists(_.omitReferenceKeys),
+    referenceKeyAllowlist = config.rkAllowlist)
+
+  /** Extract the referentially-closed subgraph seeded by `seedQuery`
+    * (a filter over the driving table), sanitize per config, and return
+    * table → DataFrame. `seedQuery` accepts either SQL (driving table
+    * parsed as the reference does) or is replaced by an explicit
+    * (table, DataFrame) seed via [[extractFrom]].
+    */
+  def extract(seedQuery: String): Map[String, DataFrame] = {
+    val table = SeedQuery.drivingTable(seedQuery).getOrElse(
+      throw new IllegalArgumentException(s"cannot parse driving table: $seedQuery"))
+    // delegate the seed SELECT itself to the engine's SQL layer, as the
+    // reference delegates it to Postgres (S1)
+    loadTable(table).createOrReplaceTempView(table)
+    extractFrom(table, spark.sql(seedQuery))
+  }
+
+  def extractFrom(seedTable: String, seed: DataFrame): Map[String, DataFrame] = {
+    val extractor = new ClosureExtractor(catalog, loadTable, policy(seedTable))
+    val closed = extractor.extract(seedTable, seed)
+    // extra full-table pulls (`etl/engine.go:117-125`)
+    val extras = config.extra.map(_.tableName).filter(_.nonEmpty)
+      .map(t => t -> loadTable(t)).toMap
+    (closed ++ extras).map { case (t, df) => t -> sanitized(t, df) }
+  }
+
+  /** Apply the config's sanitize rules for `table` (no-op without rules). */
+  def sanitized(table: String, df: DataFrame): DataFrame =
+    config.schemaFor(table).map(_.columns.map(_.toRule)).filter(_.nonEmpty) match {
+      case Some(rules) =>
+        val pk = catalog.tables.get(table).flatMap(_.primaryKey.headOption)
+          .getOrElse(df.columns.head)
+        Sanitizer(df, rules, pk, config.locale)
+      case None => df
+    }
+
+  /** Extract and write per-table JSON artifacts; returns table → count
+    * (the reference's export loop, `etl/engine.go:127-178`).
+    */
+  def extractTo(seedQuery: String, outDir: String): Map[String, Long] =
+    extract(seedQuery).map { case (t, df) =>
+      t -> JsonTableIO.write(df, outDir, t)
+    }
+
+  /** Read back an export dir: table → DataFrame
+    * (`etl/loader.go:25-72`; pair with UpsertJdbcSink to load into a DB).
+    */
+  def load(outDir: String): Map[String, DataFrame] =
+    JsonTableIO.listTables(outDir).map { t =>
+      val schema = catalog.tables.get(t).map(_ => loadTable(t).schema)
+      t -> JsonTableIO.read(spark, outDir, t, schema)
+    }.toMap
+
+  /** Table metadata (`describe`, `etl/engine.go:89-96`). */
+  def describe(table: String): String = {
+    val meta = catalog.tables.getOrElse(table,
+      throw new NoSuchElementException(s"unknown table: $table"))
+    val fks = catalog.foreignKeysOf(table)
+      .map(f => s"  FK ${f.childCol} -> ${f.parentTable}(${f.parentCol})")
+    val rks = catalog.referenceKeysOf(table)
+      .map(r => s"  RK ${r.childTable}(${r.childCol}) -> ${r.parentCol}")
+    val schema = loadTable(table).schema.treeString
+    (s"table: ${meta.name}" +: s"primary key: ${meta.primaryKey.mkString(", ")}" +:
+      (fks ++ rks :+ schema)).mkString("\n")
+  }
+}

@@ -1,0 +1,80 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Per-table JSON artifact I/O — Spark-native form of the reference's
+  * export format (`jsonPayload{TableName, Count, Data}`,
+  * `/root/reference/etl/engine.go:60-64,141-164`; read back by
+  * `loader.loadFile`, `etl/loader.go:54-72`).
+  *
+  * The reference holds a whole table in memory and pretty-prints one JSON
+  * file. At 100 TB that is impossible, so the layout here is:
+  * `<out>/<table>/data/` — JSON Lines part files written in parallel —
+  * plus `<out>/<table>/manifest.json` holding `{table_name, count}` (the
+  * envelope metadata, written once on the driver). A reader of the
+  * reference's format gets the same information; a 1000-executor writer
+  * never funnels rows through one node.
+  */
+object JsonTableIO {
+
+  final case class Manifest(tableName: String, count: Long)
+
+  /** Write `df` as the per-table artifact; returns the row count. */
+  def write(df: DataFrame, outDir: String, tableName: String): Long = {
+    val tableDir = s"$outDir/$tableName"
+    df.write.mode(SaveMode.Overwrite).json(s"$tableDir/data")
+    // count from the written files (one cheap scan of the JSON we just
+    // produced — avoids double-computing a possibly expensive `df`)
+    val count = df.sparkSession.read.schema(df.schema)
+      .json(s"$tableDir/data").count()
+    val manifest =
+      s"""{"table_name": ${quote(tableName)}, "count": $count}"""
+    Files.createDirectories(Paths.get(tableDir))
+    Files.writeString(Paths.get(s"$tableDir/manifest.json"), manifest)
+    count
+  }
+
+  /** Read one table back (schema recommended — JSON inference is a full
+    * extra pass, exactly the kind of hidden 100 TB cost to avoid).
+    */
+  def read(spark: SparkSession, outDir: String, tableName: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.foreach(r.schema)
+    r.json(s"$outDir/$tableName/data")
+  }
+
+  def readManifest(outDir: String, tableName: String): Manifest = {
+    val txt = Files.readString(Paths.get(s"$outDir/$tableName/manifest.json"))
+    val name = raw""""table_name"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      .findFirstMatchIn(txt).map(_.group(1)).getOrElse(tableName)
+    val count = raw""""count"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L)
+    Manifest(name, count)
+  }
+
+  /** Tables present under an export dir (≙ the loader's dir walk,
+    * `/root/reference/etl/loader.go:25-52`).
+    */
+  def listTables(outDir: String): Seq[String] = {
+    val d = Paths.get(outDir)
+    if (!Files.isDirectory(d)) Nil
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala.toSeq
+        .filter(p => Files.isRegularFile(p.resolve("manifest.json")))
+        .map(_.getFileName.toString).sorted
+      finally s.close()
+    }
+  }
+
+  private def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}

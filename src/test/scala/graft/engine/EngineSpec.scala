@@ -1,0 +1,106 @@
+package graft.engine
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.conf.ExtractConfig
+import graft.meta.{Catalog, FkEdge, TableMeta}
+
+/** End-to-end engine flow on the mover-shaped micro-fixture
+  * (FIXTURES.md §B): seed SQL → closure → sanitize → JSON artifacts →
+  * load-back.
+  */
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val user = Seq(
+    (1L, "alice", "Alice A", "alice@real.com", "pw1", Option(10L)),
+    (2L, "bob", "Bob B", "bob@real.com", "pw2", Option.empty[Long]),
+    (3L, "carol", "Carol C", "carol@real.com", "pw3", Option(30L))
+  ).toDF("id", "username", "name", "email", "password", "best_project_id")
+  private lazy val project = Seq(
+    (10L, 1L, "p-alice"), (20L, 2L, "p-bob"), (30L, 3L, "p-carol")
+  ).toDF("id", "owner_id", "title")
+  private lazy val comment = Seq(
+    (100L, 10L, 2L, "hi"), (101L, 20L, 1L, "yo")
+  ).toDF("id", "project_id", "author_id", "body")
+  private lazy val region = Seq((1, "EXTRA")).toDF("r_id", "r_name")
+
+  private val catalog = Catalog(
+    tables = Map(
+      "user" -> TableMeta("user", Seq("id")),
+      "project" -> TableMeta("project", Seq("id")),
+      "comment" -> TableMeta("comment", Seq("id")),
+      "region" -> TableMeta("region", Seq("r_id"))),
+    edges = Seq(
+      FkEdge("user_best_project_fkey", "user", "best_project_id", "project", "id"),
+      FkEdge("project_owner_fkey", "project", "owner_id", "user", "id"),
+      FkEdge("comment_project_fkey", "comment", "project_id", "project", "id"),
+      FkEdge("comment_author_fkey", "comment", "author_id", "user", "id")))
+
+  private def tables(name: String): DataFrame = name match {
+    case "user" => user; case "project" => project
+    case "comment" => comment; case "region" => region
+  }
+
+  private val config = ExtractConfig.fromJson(
+    """{
+      |  "locale": "fr",
+      |  "schema": [{
+      |    "table_name": "user",
+      |    "columns": [
+      |      {"name": "name",  "replace": "{username}"},
+      |      {"name": "email", "replace": "ulule-{id}@ulule.com"},
+      |      {"name": "password", "sanitize": true}
+      |    ]
+      |  }],
+      |  "extra": [{"table_name": "region"}]
+      |}""".stripMargin)
+
+  private def engine = new Engine(spark, catalog, tables, config)
+
+  test("extract: seed SQL drives closure + sanitize + extras") {
+    val out = engine.extract("SELECT * FROM user WHERE id = 1")
+    // user 1 -> project 10 (FK) -> owner 1 (seen); RKs from seed: project
+    // 10 (owner), comments by author 1 -> comment 101 -> project 20 -> user 2
+    assert(out.keySet == Set("user", "project", "comment", "region"))
+    val u = out("user").orderBy("id").collect()
+    assert(u.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // sanitize applied: name replaced by username, email templated, pw null
+    assert(u(0).getAs[String]("name") == "alice")
+    assert(u(0).getAs[String]("email") == "ulule-1@ulule.com")
+    assert(u.forall(_.isNullAt(u(0).fieldIndex("password"))))
+    // extra table pulled wholesale, unsanitized
+    assert(out("region").count() == 1L)
+  }
+
+  test("extractTo + load round-trip through JSON artifacts") {
+    val dir = Files.createTempDirectory("engine-e2e").toString
+    val counts = engine.extractTo("SELECT * FROM user WHERE id = 1", dir)
+    assert(counts("user") == 2L && counts.contains("region"))
+    val back = engine.load(dir)
+    assert(back.keySet == counts.keySet)
+    assert(back("user").count() == 2L)
+    // sanitized values survived the round trip
+    val u = back("user").orderBy("id").collect()(0)
+    assert(u.getAs[String]("email") == "ulule-1@ulule.com")
+  }
+
+  test("describe prints keys and edges (ref engine.go:89-96)") {
+    val d = engine.describe("user")
+    assert(d.contains("primary key: id"))
+    assert(d.contains("FK best_project_id -> project(id)"))
+    assert(d.contains("RK comment(author_id) -> id"))
+    intercept[NoSuchElementException](engine.describe("nope"))
+  }
+
+  test("omit_reference_keys config suppresses reverse expansion") {
+    val cfg = ExtractConfig.fromJson(
+      """{"schema": [{"table_name": "user", "omit_reference_keys": true}]}""")
+    val out = new Engine(spark, catalog, tables, cfg)
+      .extract("SELECT * FROM user WHERE id = 1")
+    assert(!out.contains("comment"))
+    assert(out("user").count() == 1L)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.io
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class JsonTableIOSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("write/read round-trip with manifest (ref engine.go:141-164 format)") {
+    val out = Files.createTempDirectory("jsonio").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, null, 3.5))
+      .toDF("id", "name", "score")
+    val n = JsonTableIO.write(df, out, "user")
+    assert(n == 3L)
+    val m = JsonTableIO.readManifest(out, "user")
+    assert(m.tableName == "user" && m.count == 3L)
+    val back = JsonTableIO.read(spark, out, "user", Some(df.schema))
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq ==
+      df.orderBy("id").collect().map(_.toSeq).toSeq)
+    assert(JsonTableIO.listTables(out) == Seq("user"))
+  }
+}
+
+class MediaDownloaderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("downloads distinct non-empty file:// urls preserving paths (ref util.go:48-151)") {
+    val srcDir = Files.createTempDirectory("mediasrc")
+    Files.createDirectories(srcDir.resolve("avatars"))
+    Files.writeString(srcDir.resolve("avatars/a.png"), "AAA")
+    Files.writeString(srcDir.resolve("avatars/b.png"), "BBB")
+    val out = Files.createTempDirectory("mediaout").toString
+
+    val df = Seq(
+      Some("/avatars/a.png"), Some("/avatars/b.png"), Some("/avatars/a.png"),
+      Some(""), None
+    ).toDF("avatar_path")
+    val res = MediaDownloader.download(df, "avatar_path",
+      s"file://$srcDir", out, parallelism = 2)
+    assert(res.attempted == 2L && res.failed == 0L) // distinct, null/empty dropped
+    // layout is <out>/media/<full-url-path>, as in the reference
+    // (etl/util.go:119-141); with a file:// base the source dir is part
+    // of the url path
+    assert(Files.readString(Paths.get(s"$out/media$srcDir/avatars/a.png")) == "AAA")
+    assert(Files.readString(Paths.get(s"$out/media$srcDir/avatars/b.png")) == "BBB")
+  }
+
+  test("failed downloads are counted, not fatal") {
+    val out = Files.createTempDirectory("mediaout2").toString
+    val df = Seq("/nope/missing.png").toDF("p")
+    val res = MediaDownloader.download(df, "p", "file:///tmp/definitely-absent", out)
+    assert(res.attempted == 1L && res.failed == 1L)
+  }
+}
+
+class UpsertSqlSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("insert SQL has ON CONFLICT DO NOTHING (ref postgres.go:472-475)") {
+    assert(UpsertJdbcSink.insertSql("user", Seq("id", "name"), "id") ==
+      """INSERT INTO "user" ("id", "name") VALUES (?, ?) ON CONFLICT ("id") DO NOTHING""")
+  }
+  test("trigger toggling SQL (ref postgres.go:483-497)") {
+    assert(UpsertJdbcSink.triggerSql("t", enable = false) ==
+      """ALTER TABLE "t" DISABLE TRIGGER ALL""")
+    assert(UpsertJdbcSink.triggerSql("t", enable = true) ==
+      """ALTER TABLE "t" ENABLE TRIGGER ALL""")
+  }
+  test("sequence repair SQL (ref postgres.go:499-523)") {
+    assert(UpsertJdbcSink.setvalSql("user_id_seq", "user", "id") ==
+      """SELECT setval('user_id_seq', COALESCE((SELECT MAX("id") FROM "user") + 1, 1), false)""")
+  }
+}
+
+class PgIntrospectSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("catalog SQL targets pg_catalog with single-column FK edges") {
+    assert(PgIntrospect.tablesSql.contains("pg_class"))
+    assert(PgIntrospect.columnsSql.contains("pg_attribute"))
+    assert(PgIntrospect.primaryKeysSql.contains("indisprimary"))
+    assert(PgIntrospect.foreignKeysSql.contains("contype = 'f'"))
+    assert(PgIntrospect.foreignKeysSql.contains("array_length(con.conkey, 1) = 1"))
+  }
+}
