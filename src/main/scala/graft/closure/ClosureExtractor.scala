@@ -17,6 +17,14 @@ final case class TraversalPolicy(
     omitReferenceKeys: Boolean = false,
     referenceKeyAllowlist: Set[String] = Set.empty)
 
+/** A config-driven templated query (ref J3: `config.Query`,
+  * `/root/reference/config/config.go:11-15`, executed per row with
+  * `{attr}` substitution at `etl/extractor.go:70-79`): when a row of
+  * `sourceTable` enters the closure, run `template` (attrs filled from
+  * that row) and fold the results into `targetTable`'s frontier.
+  */
+final case class ConfigQuery(sourceTable: String, targetTable: String, template: String)
+
 /** Referentially-consistent subgraph extraction — the reference's flagship
   * operator (`extract`, `/root/reference/etl/extractor.go:142-174`),
   * re-expressed as a Spark-first driver-side BFS fixpoint.
@@ -42,6 +50,8 @@ class ClosureExtractor(
     catalog: Catalog,
     loadTable: String => DataFrame,
     policy: TraversalPolicy = TraversalPolicy(),
+    configQueries: Seq[ConfigQuery] = Nil,
+    runQuery: String => DataFrame = null,
     checkpointEvery: Int = 8) {
 
   /** Runs the closure from a seed DataFrame (rows of `seedTable`).
@@ -104,6 +114,30 @@ class ClosureExtractor(
               .join(keys.withColumnRenamed(rk.parentCol, rk.childCol),
                 Seq(rk.childCol), "left_semi")
               .select(childPk.map(col): _*).distinct())
+        }
+
+        // J3 templated config queries: collect this frontier's DISTINCT
+        // parameter tuples to the driver (bounded: human-written config
+        // predicates, SURVEY.md §7.4), substitute, run, fold the target
+        // table's pk values back into the BFS.
+        configQueries.filter(_.sourceTable == table).foreach { cq =>
+          require(runQuery != null, "configQueries need a runQuery function")
+          val attrs = raw"\{(\w+)\}".r.findAllMatchIn(cq.template)
+            .map(_.group(1)).toSeq.distinct
+          val targetPk = catalog.pkOf(cq.targetTable)
+          val params: Array[Map[String, Any]] =
+            if (attrs.isEmpty) Array(Map.empty[String, Any])
+            else loadTable(table)
+              .select((pk ++ attrs).distinct.map(col): _*)
+              .join(keys, pk, "left_semi")
+              .select(attrs.map(col): _*).distinct()
+              .collect()
+              .map(r => attrs.map(a => a -> r.getAs[Any](a)).toMap)
+          params.foreach { row =>
+            val sql = graft.sqlparse.SeedQuery.substitute(cq.template, row)
+            addKeys(cq.targetTable,
+              runQuery(sql).select(targetPk.map(col): _*).distinct())
+          }
         }
       }
 

@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.closure.{ClosureExtractor, TraversalPolicy}
+import graft.closure.{ClosureExtractor, ConfigQuery, TraversalPolicy}
 import graft.conf.ExtractConfig
 import graft.io.JsonTableIO
 import graft.meta.Catalog
@@ -52,8 +52,22 @@ class Engine(
     extractFrom(table, spark.sql(seedQuery))
   }
 
+  /** Config queries as closure edges (J3). */
+  private def configQueries: Seq[ConfigQuery] =
+    for {
+      s <- config.schema
+      q <- s.queries if q.tableName.nonEmpty && q.query.nonEmpty
+    } yield ConfigQuery(s.tableName, q.tableName, q.query)
+
   def extractFrom(seedTable: String, seed: DataFrame): Map[String, DataFrame] = {
-    val extractor = new ClosureExtractor(catalog, loadTable, policy(seedTable))
+    val cqs = configQueries
+    // templated queries run through Spark SQL over the source tables
+    // (the reference delegates them to Postgres, etl/extractor.go:72)
+    if (cqs.nonEmpty) catalog.tables.keys.foreach { t =>
+      loadTable(t).createOrReplaceTempView(t)
+    }
+    val extractor = new ClosureExtractor(catalog, loadTable, policy(seedTable),
+      cqs, sql => spark.sql(sql))
     val closed = extractor.extract(seedTable, seed)
     // extra full-table pulls (`etl/engine.go:117-125`)
     val extras = config.extra.map(_.tableName).filter(_.nonEmpty)

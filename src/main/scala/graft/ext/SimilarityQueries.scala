@@ -26,13 +26,12 @@ import graft.Tables
   */
 object SimilarityQueries {
 
-  /** Cosine similarity between two double-array columns via HOFs —
-    * codegen'd, no UDF.
+  /** Cosine similarity — native Catalyst expression with codegen
+    * ([[graft.functions.CosineSimilarity]]): one fused loop, bitwise-equal
+    * to the HOF formulation it replaced (CosineSimilaritySpec proves it).
     */
-  def cosineExpr(a: String, b: String): Column = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
-       / (sqrt(aggregate($a, 0D, (acc, x) -> acc + x * x))
-        * sqrt(aggregate($b, 0D, (acc, x) -> acc + x * x)))""")
+  def cosineExpr(a: String, b: String): Column =
+    graft.functions.CosineSimilarity.cosine_sim(col(a), col(b))
 
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")

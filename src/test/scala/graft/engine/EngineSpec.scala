@@ -95,6 +95,29 @@ class EngineSpec extends SparkSpec {
     intercept[NoSuchElementException](engine.describe("nope"))
   }
 
+  test("config queries (J3) pull correlated rows without an RK edge") {
+    // comments by the seed user, via templated query instead of the
+    // comment_author_fkey reverse edge (ref etl/extractor.go:70-79)
+    val cfg = ExtractConfig.fromJson(
+      """{
+        |  "schema": [{
+        |    "table_name": "user",
+        |    "omit_reference_keys": true,
+        |    "queries": [{"table_name": "comment",
+        |      "query": "SELECT * FROM comment WHERE author_id = {id}"}]
+        |  }]
+        |}""".stripMargin)
+    val out = new Engine(spark, catalog, tables, cfg)
+      .extract("SELECT * FROM user WHERE id = 1")
+    // user 1 wrote comment 101 (on project 20) -> project 20 -> owner
+    // bob(2); queries run for EVERY user entering the extract (the
+    // reference gates only RKs by depth), so bob's comment 100 follows
+    assert(out("comment").orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(100L, 101L))
+    assert(out("project").orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(10L, 20L))
+  }
+
   test("omit_reference_keys config suppresses reverse expansion") {
     val cfg = ExtractConfig.fromJson(
       """{"schema": [{"table_name": "user", "omit_reference_keys": true}]}""")
