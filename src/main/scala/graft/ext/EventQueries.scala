@@ -116,7 +116,24 @@ object EventQueries {
       |GROUP BY 1
       |ORDER BY window_start""".stripMargin
 
+  /** HLL sketch counting (the 100 TB form of distinct-users). The
+    * estimate is engine-specific, so no DuckDB oracle (rows-only check);
+    * HLL++ merges are commutative, so the result is stable across
+    * partitionings. The exact count rides along to expose the error.
+    */
+  def eventsApproxUsers(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(col("w.start").as("window_start"),
+        col("approx_users"), col("exact_users"))
+      .orderBy("window_start")
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "events_approx_users" -> ((eventsApproxUsers _, null)),
     "events_tumbling" -> ((eventsTumbling _, eventsTumblingSql)),
     "events_sliding" -> ((eventsSliding _, eventsSlidingSql)),
     "events_session" -> ((eventsSession _, eventsSessionSql)),

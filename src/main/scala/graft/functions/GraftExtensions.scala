@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point — the library's functions become
+  * first-class SQL functions on any session built with
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)           // programmatic, or
+  *   .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  * }}}
+  *
+  * This is the supported injection surface for custom Catalyst pieces
+  * (functions today; optimizer rules / planner strategies would register
+  * here too). See SURVEY.md §7.3: the engine needs no custom Rule or
+  * Strategy — the one native piece is the codegen'd expression tier.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+  }
+}
