@@ -133,7 +133,35 @@ object OlapQueries {
       |WHERE event_type = 'click'
       |ORDER BY event_id""".stripMargin
 
+  /** Top-k per group via the custom [[graft.functions.TopKByScore]]
+    * TypedImperativeAggregate: one agg pass, k pairs shuffled per
+    * (task, group) instead of the window's full-shuffle sort. The oracle
+    * is the window formulation — the two algorithms must agree exactly.
+    */
+  def topkCustomAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKByScore.topk_by
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(topk_by(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")))
+      .select(col("o_orderpriority"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("o_orderkey"),
+        col("col.score").as("o_totalprice"))
+      .orderBy("o_orderpriority", "rank")
+  }
+
+  val topkCustomAggSql: String =
+    """SELECT o_orderpriority, CAST(rank AS INT) AS rank, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      |  FROM orders)
+      |WHERE rank <= 3
+      |ORDER BY o_orderpriority, rank""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "topk_custom_agg" -> ((topkCustomAgg _, topkCustomAggSql)),
     "rollup_agg" -> ((rollupAgg _, rollupAggSql)),
     "pivot_agg" -> ((pivotAgg _, pivotAggSql)),
     "unpivot_metrics" -> ((unpivotMetrics _, unpivotMetricsSql)),

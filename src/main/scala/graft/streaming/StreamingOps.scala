@@ -53,4 +53,36 @@ object StreamingOps {
   def dedupeWithinWatermark(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  final case class UserActivity(user_id: Long, n_events: Long,
+      total_value: Double, last_ts: java.sql.Timestamp)
+
+  /** Custom keyed state via mapGroupsWithState (SURVEY.md §2.11): a
+    * running per-user activity profile that survives across micro-batches
+    * — the KeyValueGroupedDataset state tier for semantics windows can't
+    * express. State per key is O(1); at 100 TB keys shard across the
+    * cluster's state stores.
+    */
+  def userActivity(events: DataFrame): org.apache.spark.sql.Dataset[UserActivity] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "ts", "value")
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[UserActivity]) =>
+          val prev = state.getOption.getOrElse(UserActivity(user, 0L, 0.0, null))
+          val batch = rows.toSeq
+          val next = UserActivity(
+            user,
+            prev.n_events + batch.size,
+            prev.total_value + batch.map(_._3).sum,
+            batch.map(_._2).maxByOption(_.getTime)
+              .orElse(Option(prev.last_ts)).orNull)
+          state.update(next)
+          next
+      }
+  }
 }

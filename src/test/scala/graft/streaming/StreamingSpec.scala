@@ -71,6 +71,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState accumulates per-user state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.userActivity(mem.toDF())
+      .writeStream.format("memory").queryName("activity")
+      .outputMode("update").start()
+    try {
+      mem.addData(Ev(1, ts(0), 1, "click", 1.0, "{}"),
+        Ev(2, ts(5), 1, "click", 2.0, "{}"))
+      q.processAllAvailable()
+      mem.addData(Ev(3, ts(10), 1, "view", 4.0, "{}"),
+        Ev(4, ts(11), 2, "click", 8.0, "{}"))
+      q.processAllAvailable()
+      // memory sink in update mode appends updated rows; take the latest per user
+      val latest = spark.table("activity")
+        .orderBy(col("user_id"), desc("n_events"))
+        .collect().groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.head }
+      assert(latest(1L).getLong(1) == 3L)          // state carried: 2 + 1 events
+      assert(latest(1L).getDouble(2) == 7.0)       // 1 + 2 + 4
+      assert(latest(2L).getLong(1) == 1L && latest(2L).getDouble(2) == 8.0)
+    } finally q.stop()
+  }
+
   test("file-source stream over real events parquet produces batch-equal counts") {
     // copy a real slice to a temp dir (stream sources need a directory)
     val dir = java.nio.file.Files.createTempDirectory("evstream").toString
