@@ -70,6 +70,29 @@ object Multimodal {
       }
   }
 
+  /** STUB resize: deterministic byte subsampling to `targetW` columns —
+    * stands in for an image resize kernel; the Spark-side contract
+    * (binary in, binary out, metadata updated in the same projection) is
+    * the real thing.
+    */
+  def resize(media: DataFrame, targetW: Int): DataFrame = {
+    val w = col("meta.width")
+    media.withColumn("data",
+        expr(s"""CASE WHEN meta.width <= $targetW THEN data ELSE
+                  cast(concat_ws('', transform(sequence(0, $targetW - 1),
+                    i -> substring(cast(data AS string),
+                           cast(i * meta.width / $targetW AS int) + 1, 1))) AS binary)
+                END"""))
+      .withColumn("meta", struct(col("meta.format").as("format"),
+        least(w, lit(targetW)).as("width"), col("meta.height").as("height")))
+  }
+
+  /** STUB frame sampling: every `stride`-th record per source partition —
+    * the video-frame-sample shape (keyed subsample, no shuffle).
+    */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+    media.filter(pmod(col("doc_id"), lit(stride)) === 0)
+
   /** Registered query: byte-level features with an oracle (histogram
     * buckets 2/6/7 are expressible as regex char-class counts in DuckDB —
     * ASCII space is 0x20, lowercase letters span 0x60–0x7a).

@@ -105,6 +105,12 @@ class ClosureSpec extends SparkSpec {
     }
   }
 
+  test("empty seed yields empty closure (no crash)") {
+    val out = extractor(TraversalPolicy())
+      .extract("user", user.filter(col("id") === 999))
+    assert(out.size == 1 && out("user").isEmpty)
+  }
+
   test("seed with multiple rows unions frontiers") {
     val out = extractor(TraversalPolicy(omitReferenceKeys = true))
       .extract("user", user.filter(col("id").isin(1, 3)))
