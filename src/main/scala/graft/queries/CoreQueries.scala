@@ -331,8 +331,61 @@ object CoreQueries {
       |  SELECT 'region', COUNT(*) FROM reg
       |) ORDER BY table_name""".stripMargin
 
+  /** String-function breadth (§2.8): regexp, padding, trim, split. */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "customer").filter(col("c_custkey") <= 100)
+      .select(
+        col("c_custkey"),
+        regexp_replace(col("c_name"), "[0-9]+", "#").as("name_masked"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        rtrim(concat(col("c_mktsegment"), lit("  "))).as("trimmed"),
+        expr("split_part(c_name, '#', 1)").as("name_head"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("lowered_vowels"),
+        initcap(lower(col("c_mktsegment"))).as("title"),
+        reverse(col("c_mktsegment")).as("rev"),
+        substring_index(col("c_name"), "#", 1).as("before_hash"))
+      .orderBy("c_custkey")
+  }
+
+  val stringFuncsSql: String =
+    """SELECT c_custkey,
+      |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
+      |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+      |  rtrim(c_mktsegment || '  ') AS trimmed,
+      |  split_part(c_name, '#', 1) AS name_head,
+      |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS lowered_vowels,
+      |  concat(upper(substr(lower(c_mktsegment), 1, 1)), substr(lower(c_mktsegment), 2)) AS title,
+      |  reverse(c_mktsegment) AS rev,
+      |  split_part(c_name, '#', 1) AS before_hash
+      |FROM customer WHERE c_custkey <= 100
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Scalar subquery (§2.4 breadth): customers above the global average
+    * balance, with the average inlined as a broadcast scalar.
+    */
+  def aboveAvg(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+    val avgBal = cust.agg(
+      (sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("a"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("a"))
+      .select(col("c_custkey"), col("c_acctbal"), round(col("a"), 6).as("avg_bal"))
+      .orderBy("c_custkey")
+  }
+
+  val aboveAvgSql: String =
+    """SELECT c_custkey, c_acctbal,
+      |  ROUND((SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+      |         FROM customer), 6) AS avg_bal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+      |                   FROM customer)
+      |ORDER BY c_custkey""".stripMargin
+
   /** name → (impl, oracle). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "string_funcs" -> ((stringFuncs _, stringFuncsSql)),
+    "above_avg" -> ((aboveAvg _, aboveAvgSql)),
     "q1_agg" -> ((q1Agg _, q1AggSql)),
     "q3_top_revenue" -> ((q3TopRevenue _, q3TopRevenueSql)),
     "q5_region_revenue" -> ((q5RegionRevenue _, q5RegionRevenueSql)),
