@@ -15,7 +15,15 @@ import graft.meta.{Catalog, FkEdge}
   */
 final case class TraversalPolicy(
     omitReferenceKeys: Boolean = false,
-    referenceKeyAllowlist: Set[String] = Set.empty)
+    referenceKeyAllowlist: Set[String] = Set.empty,
+    omitReferenceKeysFor: Set[String] = Set.empty) {
+  /** Is depth-0 full reverse expansion suppressed for `table`? The
+    * reference gates per the ROW's table, not the seed
+    * (`etl/extractor.go:40-42`: `schema = e.schema[table.Name]`).
+    */
+  def omitsFor(table: String): Boolean =
+    omitReferenceKeys || omitReferenceKeysFor.contains(table)
+}
 
 /** A config-driven templated query (ref J3: `config.Query`,
   * `/root/reference/config/config.go:11-15`, executed per row with
@@ -58,7 +66,17 @@ class ClosureExtractor(
     * Returns table name → DataFrame of all rows in the closed subgraph.
     */
   def extract(seedTable: String, seed: DataFrame): Map[String, DataFrame] =
-    run(seedTable, seed).map { case (table, keys) =>
+    extractAll(Seq(seedTable -> seed))
+
+  /** Multi-seed closure: every seed starts at depth 0 and shares one
+    * seen-set/BFS, so overlapping closures do no duplicate work and each
+    * table's rows materialize exactly once. This is how config `extra`
+    * tables join the traversal (the reference runs one `extractor.Handle`
+    * per extra against the same cache, `/root/reference/etl/engine.go:117-125`;
+    * a joint frontier is the order-independent batch equivalent).
+    */
+  def extractAll(seeds: Seq[(String, DataFrame)]): Map[String, DataFrame] =
+    runAll(seeds).map { case (table, keys) =>
       table -> loadTable(table).join(keys, keys.columns.toSeq, "left_semi")
     }
 
@@ -67,11 +85,22 @@ class ClosureExtractor(
     * A table entered only as an FK target is keyed by the referenced
     * column, which must be its PK (the reference assumes FK→PK too).
     */
-  def run(seedTable: String, seed: DataFrame): Map[String, DataFrame] = {
+  def run(seedTable: String, seed: DataFrame): Map[String, DataFrame] =
+    runAll(Seq(seedTable -> seed))
+
+  def runAll(seeds: Seq[(String, DataFrame)]): Map[String, DataFrame] = {
     var seen = Map.empty[String, DataFrame] // table -> distinct pk tuples
-    var frontier = Map[String, DataFrame](
-      seedTable -> seed.select(catalog.pkOf(seedTable).map(col): _*).distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    // Every intermediate persist is tracked and released after the final
+    // key sets are eagerly checkpointed — a long-lived session must not
+    // accumulate BFS state in the block manager across extract calls.
+    val retained = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def track(df: DataFrame): DataFrame = { retained += df; df }
+    var frontier: Map[String, DataFrame] = seeds.groupBy(_._1).map {
+      case (t, ss) =>
+        val pk = catalog.pkOf(t).map(col)
+        t -> track(ss.map(_._2.select(pk: _*)).reduce(_.union(_)).distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    }
     var depth = 0
 
     // Run-scoped cache of each table's key projection (pk + edge
@@ -97,9 +126,13 @@ class ClosureExtractor(
       frontier.foreach { case (table, keys) =>
         val pk = catalog.pkOf(table)
         val fks = catalog.foreignKeysOf(table)
-        val rks = if (policy.omitReferenceKeys) Nil
-          else catalog.referenceKeysOf(table).filter(rk =>
-            depth == 0 || policy.referenceKeyAllowlist.contains(rk.name))
+        // depth-0 rows follow ALL reverse edges unless omitted for this
+        // row's table; allowlisted edges are followed at every depth even
+        // under omit (the reference appends `schema.ReferenceKeys`
+        // unconditionally, `etl/extractor.go:44-50`).
+        val rks = catalog.referenceKeysOf(table).filter(rk =>
+          (depth == 0 && !policy.omitsFor(table)) ||
+            policy.referenceKeyAllowlist.contains(rk.name))
 
         if (fks.nonEmpty) {
           // one scan of the table, semi-joined down to frontier rows
@@ -161,7 +194,7 @@ class ClosureExtractor(
         }
         val fresh =
           if ((depth + 1) % checkpointEvery == 0) fresh0.localCheckpoint(true)
-          else fresh0.persist(StorageLevel.MEMORY_AND_DISK)
+          else track(fresh0.persist(StorageLevel.MEMORY_AND_DISK))
         t -> fresh
       }
       val sizes: Map[String, Long] =
@@ -176,8 +209,14 @@ class ClosureExtractor(
       }
       depth += 1
     }
+    // Materialize the final per-table key sets (small: key columns only),
+    // cutting lineage to the persisted intermediates, THEN release every
+    // intermediate persist. Without this, frontier/seen persists survive
+    // the fixpoint and bloat the block manager for the session's lifetime.
+    val result = seen.map { case (t, k) => t -> k.distinct().localCheckpoint(true) }
+    retained.foreach(_.unpersist(false))
     projCache.values.foreach(_.unpersist(false))
-    seen.map { case (t, k) => t -> k.distinct() }
+    result
   }
 }
 

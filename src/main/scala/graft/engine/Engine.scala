@@ -31,10 +31,13 @@ class Engine(
     config: ExtractConfig = ExtractConfig()) {
 
   /** The traversal policy induced by the config (reference gating,
-    * `/root/reference/etl/extractor.go:40-50`).
+    * `/root/reference/etl/extractor.go:40-50`): depth-0 reverse expansion
+    * is suppressed per the ROW's table (`schema = e.schema[table.Name]`),
+    * not per the seed, so the omit set carries every omitting table.
     */
-  def policy(seedTable: String): TraversalPolicy = TraversalPolicy(
-    omitReferenceKeys = config.schemaFor(seedTable).exists(_.omitReferenceKeys),
+  def policy: TraversalPolicy = TraversalPolicy(
+    omitReferenceKeysFor =
+      config.schema.filter(_.omitReferenceKeys).map(_.tableName).toSet,
     referenceKeyAllowlist = config.rkAllowlist)
 
   /** Extract the referentially-closed subgraph seeded by `seedQuery`
@@ -66,13 +69,16 @@ class Engine(
     if (cqs.nonEmpty) catalog.tables.keys.foreach { t =>
       loadTable(t).createOrReplaceTempView(t)
     }
-    val extractor = new ClosureExtractor(catalog, loadTable, policy(seedTable),
+    val extractor = new ClosureExtractor(catalog, loadTable, policy,
       cqs, sql => spark.sql(sql))
-    val closed = extractor.extract(seedTable, seed)
-    // extra full-table pulls (`etl/engine.go:117-125`)
-    val extras = config.extra.map(_.tableName).filter(_.nonEmpty)
-      .map(t => t -> loadTable(t)).toMap
-    (closed ++ extras).map { case (t, df) => t -> sanitized(t, df) }
+    // extra tables are full-table SEEDS of the same traversal, not bare
+    // pulls: the reference runs one `extractor.Handle` per extra against
+    // the shared cache (`etl/engine.go:117-125`), so an extra's FK targets
+    // and depth-0 reverse rows join the closure too.
+    val extraSeeds = config.extra.map(_.tableName).filter(_.nonEmpty)
+      .filterNot(_ == seedTable).map(t => t -> loadTable(t))
+    val closed = extractor.extractAll((seedTable -> seed) +: extraSeeds)
+    closed.map { case (t, df) => t -> sanitized(t, df) }
   }
 
   /** Apply the config's sanitize rules for `table` (no-op without rules). */
@@ -86,11 +92,20 @@ class Engine(
     }
 
   /** Extract and write per-table JSON artifacts; returns table → count
-    * (the reference's export loop, `etl/engine.go:127-178`).
+    * (the reference's export loop, `etl/engine.go:127-178`). Columns with
+    * a `download` config trigger a media fetch of every non-empty value
+    * into `<outDir>/media` (`etl/engine.go:166-175`, `etl/util.go:48-72`);
+    * download failures are logged-not-fatal like the reference's.
     */
   def extractTo(seedQuery: String, outDir: String): Map[String, Long] =
     extract(seedQuery).map { case (t, df) =>
-      t -> JsonTableIO.write(df, outDir, t)
+      val n = JsonTableIO.write(df, outDir, t)
+      for {
+        sc <- config.schemaFor(t).toSeq
+        c <- sc.columns if c.download != null && df.columns.contains(c.name)
+      } graft.io.MediaDownloader.download(
+        df, c.name, c.download.http.baseUrl, outDir)
+      t -> n
     }
 
   /** Read back an export dir: table → DataFrame

@@ -88,7 +88,7 @@ object DedupQueries {
     a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        expr("size(filter(sequence(0, 7), i -> sig_a[i] = sig_b[i])) / 8.0").as("est_jaccard"))
+        expr("cast(size(filter(sequence(0, 7), i -> sig_a[i] = sig_b[i])) as double) / 8.0").as("est_jaccard"))
       .distinct()
       .orderBy("doc_a", "doc_b")
   }

@@ -78,7 +78,7 @@ object EventQueries {
     """WITH marked AS (
       |  SELECT user_id, ts, value,
       |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-      |           > INTERVAL 30 MINUTE
+      |           >= INTERVAL 30 MINUTE
       |         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
       |    THEN 1 ELSE 0 END AS new_session
       |  FROM events),

@@ -61,7 +61,11 @@ object MediaDownloader {
     val uri = new URI(url)
     val rel = Option(uri.getPath).getOrElse("").stripPrefix("/")
     if (rel.isEmpty) throw new IllegalArgumentException(s"no path in $url")
-    val target = Paths.get(mediaRoot, rel)
+    // a column value like `../../x` must not escape the media root
+    val root = Paths.get(mediaRoot).toAbsolutePath.normalize
+    val target = root.resolve(rel).normalize
+    if (!target.startsWith(root))
+      throw new IllegalArgumentException(s"path escapes media root: $url")
     Files.createDirectories(target.getParent)
     val in: InputStream = uri.getScheme match {
       case "file" => Files.newInputStream(Paths.get(uri.getPath))

@@ -233,7 +233,7 @@ object CoreQueries {
 
   val jsonExtractSql: String =
     """SELECT event_type,
-      |  SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
       |  COUNT(*) AS n
       |FROM events
       |GROUP BY event_type

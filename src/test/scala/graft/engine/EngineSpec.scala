@@ -26,22 +26,26 @@ class EngineSpec extends SparkSpec {
     (100L, 10L, 2L, "hi"), (101L, 20L, 1L, "yo")
   ).toDF("id", "project_id", "author_id", "body")
   private lazy val region = Seq((1, "EXTRA")).toDF("r_id", "r_name")
+  private lazy val badge = Seq((500L, 3L, "gold")).toDF("id", "user_id", "label")
 
   private val catalog = Catalog(
     tables = Map(
       "user" -> TableMeta("user", Seq("id")),
       "project" -> TableMeta("project", Seq("id")),
       "comment" -> TableMeta("comment", Seq("id")),
-      "region" -> TableMeta("region", Seq("r_id"))),
+      "region" -> TableMeta("region", Seq("r_id")),
+      "badge" -> TableMeta("badge", Seq("id"))),
     edges = Seq(
       FkEdge("user_best_project_fkey", "user", "best_project_id", "project", "id"),
       FkEdge("project_owner_fkey", "project", "owner_id", "user", "id"),
       FkEdge("comment_project_fkey", "comment", "project_id", "project", "id"),
-      FkEdge("comment_author_fkey", "comment", "author_id", "user", "id")))
+      FkEdge("comment_author_fkey", "comment", "author_id", "user", "id"),
+      FkEdge("badge_user_fkey", "badge", "user_id", "user", "id")))
 
   private def tables(name: String): DataFrame = name match {
     case "user" => user; case "project" => project
     case "comment" => comment; case "region" => region
+    case "badge" => badge
   }
 
   private val config = ExtractConfig.fromJson(
@@ -85,6 +89,37 @@ class EngineSpec extends SparkSpec {
     // sanitized values survived the round trip
     val u = back("user").orderBy("id").collect()(0)
     assert(u.getAs[String]("email") == "ulule-1@ulule.com")
+  }
+
+  test("extras expand their own closure (ref etl/engine.go:117-125)") {
+    val cfg = ExtractConfig.fromJson("""{"extra": [{"table_name": "badge"}]}""")
+    val out = new Engine(spark, catalog, tables, cfg)
+      .extract("SELECT * FROM user WHERE id = 2")
+    // badge 500 belongs to user 3, reachable ONLY via the extra's FK edge:
+    // a bare full-table pull would leave user 3 out of the export and the
+    // artifact referentially broken
+    assert(out("badge").count() == 1L)
+    assert(out("user").collect().map(_.getLong(0)).toSet.contains(3L))
+  }
+
+  test("config-driven media download during extractTo (ref etl/engine.go:166-175)") {
+    val src = Files.createTempDirectory("media-src")
+    Files.writeString(src.resolve("a.bin"), "IMG")
+    val cfg = ExtractConfig.fromJson(
+      s"""{"schema": [{"table_name": "user",
+         |  "columns": [{"name": "avatar",
+         |    "download": {"type": "http", "http": {"base_url": "file://$src/"}}}]}]}""".stripMargin)
+    val withAvatar: String => DataFrame = {
+      case "user" => user.withColumn("avatar",
+        when($"id" === 1L, lit("a.bin")).otherwise(lit(null: String)))
+      case n => tables(n)
+    }
+    val out = Files.createTempDirectory("engine-dl").toString
+    new Engine(spark, catalog, withAvatar, cfg)
+      .extractTo("SELECT * FROM user WHERE id = 1", out)
+    // layout mirrors MediaDownloader: <out>/media/<full-url-path>
+    assert(Files.readString(
+      java.nio.file.Paths.get(s"$out/media$src/a.bin")) == "IMG")
   }
 
   test("describe prints keys and edges (ref engine.go:89-96)") {

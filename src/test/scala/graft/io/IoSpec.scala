@@ -46,6 +46,12 @@ class MediaDownloaderSpec extends SparkSpec {
     assert(Files.readString(Paths.get(s"$out/media$srcDir/avatars/b.png")) == "BBB")
   }
 
+  test("path traversal in url path is rejected") {
+    val out = Files.createTempDirectory("mediaout3").toString
+    intercept[IllegalArgumentException](
+      MediaDownloader.fetchOne("file:///a/../../../escape.png", s"$out/media"))
+  }
+
   test("failed downloads are counted, not fatal") {
     val out = Files.createTempDirectory("mediaout2").toString
     val df = Seq("/nope/missing.png").toDF("p")
