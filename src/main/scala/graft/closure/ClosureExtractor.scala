@@ -74,6 +74,14 @@ class ClosureExtractor(
     * tables join the traversal (the reference runs one `extractor.Handle`
     * per extra against the same cache, `/root/reference/etl/engine.go:117-125`;
     * a joint frontier is the order-independent batch equivalent).
+    *
+    * DOCUMENTED DEVIATION: every seed row gets depth-0 reverse expansion
+    * here, while the reference skips extra rows its main traversal already
+    * visited at depth>0 (`processedRelations`, `etl/extractor.go:96-103`).
+    * When closures overlap, this output is therefore an order-INDEPENDENT
+    * superset of the reference's order-DEPENDENT export — a byte-for-byte
+    * comparison against the reference on overlapping extras is not
+    * expected to match (ClosureSpec pins the policy).
     */
   def extractAll(seeds: Seq[(String, DataFrame)]): Map[String, DataFrame] =
     runAll(seeds).map { case (table, keys) =>
@@ -192,8 +200,10 @@ class ClosureExtractor(
           case Some(s) => keys.distinct().join(s, pk, "left_anti")
           case None    => keys.distinct()
         }
+        // checkpointed intermediates are tracked too: only the RESULT
+        // checkpoints (below) may outlive the fixpoint
         val fresh =
-          if ((depth + 1) % checkpointEvery == 0) fresh0.localCheckpoint(true)
+          if ((depth + 1) % checkpointEvery == 0) track(fresh0.localCheckpoint(true))
           else track(fresh0.persist(StorageLevel.MEMORY_AND_DISK))
         t -> fresh
       }

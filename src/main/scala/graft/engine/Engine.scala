@@ -74,9 +74,12 @@ class Engine(
     // extra tables are full-table SEEDS of the same traversal, not bare
     // pulls: the reference runs one `extractor.Handle` per extra against
     // the shared cache (`etl/engine.go:117-125`), so an extra's FK targets
-    // and depth-0 reverse rows join the closure too.
+    // and depth-0 reverse rows join the closure too. An extra equal to the
+    // seed table keeps its full-table seed — the reference handles every
+    // extra unconditionally, so the whole table is exported in that case
+    // (extractAll unions the seed key sets per table).
     val extraSeeds = config.extra.map(_.tableName).filter(_.nonEmpty)
-      .filterNot(_ == seedTable).map(t => t -> loadTable(t))
+      .map(t => t -> loadTable(t))
     val closed = extractor.extractAll((seedTable -> seed) +: extraSeeds)
     closed.map { case (t, df) => t -> sanitized(t, df) }
   }
@@ -102,9 +105,12 @@ class Engine(
       val n = JsonTableIO.write(df, outDir, t)
       for {
         sc <- config.schemaFor(t).toSeq
-        c <- sc.columns if c.download != null && df.columns.contains(c.name)
-      } graft.io.MediaDownloader.download(
-        df, c.name, c.download.http.baseUrl, outDir)
+        c <- sc.columns if df.columns.contains(c.name)
+        // non-fatal like the reference: a config with a null/non-http
+        // download block is skipped, not an NPE
+        d <- Option(c.download)
+        h <- Option(d.http)
+      } graft.io.MediaDownloader.download(df, c.name, h.baseUrl, outDir)
       t -> n
     }
 

@@ -102,6 +102,24 @@ class EngineSpec extends SparkSpec {
     assert(out("user").collect().map(_.getLong(0)).toSet.contains(3L))
   }
 
+  test("extra equal to the seed table exports the WHOLE table (ref runs Handle per extra unconditionally)") {
+    val cfg = ExtractConfig.fromJson("""{"extra": [{"table_name": "user"}]}""")
+    val out = new Engine(spark, catalog, tables, cfg)
+      .extract("SELECT * FROM user WHERE id = 1")
+    assert(out("user").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("null/non-http download config is skipped, not fatal") {
+    val cfg = ExtractConfig.fromJson(
+      """{"schema": [{"table_name": "user",
+        |  "columns": [{"name": "name", "download": {"type": "s3", "http": null}}]}]}""".stripMargin)
+    val out = Files.createTempDirectory("engine-nodl").toString
+    // must not NPE; no media dir materializes
+    new Engine(spark, catalog, tables, cfg)
+      .extractTo("SELECT * FROM user WHERE id = 1", out)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$out/media")))
+  }
+
   test("config-driven media download during extractTo (ref etl/engine.go:166-175)") {
     val src = Files.createTempDirectory("media-src")
     Files.writeString(src.resolve("a.bin"), "IMG")
