@@ -151,36 +151,61 @@ object DedupQueries {
       |FROM b
       |ORDER BY doc_id""".stripMargin
 
-  /** Word-set Jaccard near-dup pairs (threshold 0.8), candidates blocked
-    * by distinct-word-count within ±2 (equi-join over exploded buckets —
-    * no O(n²) cross join; a true Jaccard ≥ 0.8 pair with ~50-word sets
-    * has set sizes within ~±6, so ±2 is a recall-bounded demo knob).
+  /** Word-set Jaccard near-dup pairs (threshold 0.8): MinHash band
+    * buckets generate the candidates, an exact word-set Jaccard verifies
+    * them. This is the 100 TB shape, in two respects:
+    *
+    *  - candidates come from LSH band buckets, never from an all-pairs or
+    *    size-blocked join (the r1 variant blocked on word-count ±2: ~90
+    *    distinct bucket values → O(n²/90) candidates, quadratic in corpus
+    *    size);
+    *  - WITHIN a bucket, each member pairs only with the bucket
+    *    REPRESENTATIVE (min doc_id) — star edges, O(bucket) not
+    *    O(bucket²). This testdata is the cautionary tale: one near-dup
+    *    cluster holds ~63% of the corpus, so all-pairs banding emits
+    *    ~2.9M verified pairs (~2 min in BOTH Spark and DuckDB, measured);
+    *    star edges emit ~4k in ~2 s. Union-find over star edges across
+    *    bands still recovers the dedup clusters, which is what pairs are
+    *    for; members similar to the cluster but not to its representative
+    *    are the documented recall tradeoff, on top of banding recall
+    *    1 − (1 − 0.8²)⁴ ≈ 0.983 at J = 0.8.
+    *
+    * MinHash here runs over the WORD set itself (not 3-gram shingles as
+    * in [[minhashPairs]]) so band-collision probability tracks the word
+    * Jaccard being verified. The oracle replays the identical candidate
+    * generation, so the gate stays exact.
     */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // words → 60-bit hashes: long-array intersections are ~an order of
     // magnitude cheaper than string-array ones, and the md5-based hash is
     // engine-portable so the oracle sees identical sets (a collision
     // would merge the same words in both engines — result still equal)
     val docs = Tables(spark, dir, "documents")
+      .repartition(col("doc_id"))
       .select(col("doc_id"), expr(
         """array_distinct(transform(split(text, ' '),
              w -> cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint)))""").as("w"))
-      .withColumn("nw", size(col("w")))
-    val a = docs.select(col("doc_id").as("doc_a"), col("w").as("w_a"), col("nw").as("nw_a"))
-      .withColumn("bucket", explode(expr("sequence(nw_a - 2, nw_a + 2)")))
-    val b = docs.select(col("doc_id").as("doc_b"), col("w").as("w_b"),
-      col("nw").as("bucket"))
-    // broadcast the un-exploded side: the bucket key has only ~90 distinct
-    // values, so a shuffle join would be skew-bound; broadcast keeps the
-    // probe side's partitioning and full core utilization. (At 100 TB the
-    // doc-sketch table no longer broadcasts — shuffle on bucket with AQE
-    // skew splitting, or salt the bucket key.)
-    // The probe side is a few parquet row-groups (1–2 partitions), while
-    // the pair-verification work downstream is O(candidates): spread it
-    // over all cores before the join fan-out.
-    a.repartition(col("doc_a"))
-      .join(broadcast(b), Seq("bucket"))
+    val sketch = docs
+      .withColumn("hs", expr(s"transform(w, h -> h % $P)"))
+      .withColumn("sig", expr(s"array(${(0 until K).map(sigExpr).mkString(", ")})"))
+    val banded = sketch.select(col("doc_id"),
+      explode(expr(s"transform(sequence(0, ${K / 2 - 1}), " +
+        "b -> struct(b AS band, concat(cast(sig[b*2] AS string), '|', cast(sig[b*2+1] AS string)) AS bucket))")).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    // star edges: min-per-bucket window (one shuffle on the
+    // high-cardinality bucket key), then dedup pairs across bands BEFORE
+    // the array-verify so each pair is verified once; two hash joins pull
+    // the word sets back in (doc-id keys — skew-safe).
+    val cand = banded
+      .withColumn("doc_a", min(col("doc_id"))
+        .over(Window.partitionBy(col("band"), col("bucket"))))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("w").as("w_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("w").as("w_b")), Seq("doc_b"))
       // |A∪B| = |A| + |B| − |A∩B|: one array op per pair, not two.
       // The threshold filter is fused into a generator (explode of a 0/1-
       // element array): a plain .filter(jaccard >= 0.8) would be pushed
@@ -188,29 +213,45 @@ object DedupQueries {
       .withColumn("ni", size(array_intersect(col("w_a"), col("w_b"))))
       .select(col("doc_a"), col("doc_b"),
         explode(expr(
-          """filter(array(round(cast(ni AS double) / (nw_a + size(w_b) - ni), 6)),
+          """filter(array(round(cast(ni AS double) / (size(w_a) + size(w_b) - ni), 6)),
                j -> j >= 0.8)""")).as("jaccard"))
-      // no distinct: each candidate pair arises from exactly one bucket
       .orderBy("doc_a", "doc_b")
   }
 
-  val jaccardPairsSql: String =
-    """WITH d AS (
+  val jaccardPairsSql: String = {
+    val sigs = (0 until K).map { i =>
+      val (a, b) = affine(i)
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % $P))"
+    }.mkString(", ")
+    s"""WITH d AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(string_split(text, ' '),
-      |      w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT))) AS w,
-      |    len(list_distinct(string_split(text, ' '))) AS nw
+      |      w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT))) AS w
       |  FROM documents),
+      |sigs AS (
+      |  SELECT doc_id, [$sigs] AS sig
+      |  FROM (SELECT doc_id, list_transform(w, h -> h % $P) AS hs FROM d)),
+      |banded AS (
+      |  SELECT doc_id, b.band,
+      |    CAST(sig[b.band*2 + 1] AS VARCHAR) || '|' || CAST(sig[b.band*2 + 2] AS VARCHAR) AS bucket
+      |  FROM sigs CROSS JOIN (SELECT unnest(range(0, ${K / 2})) AS band) b),
+      |star AS (
+      |  SELECT MIN(doc_id) OVER (PARTITION BY band, bucket) AS doc_a,
+      |    doc_id AS doc_b
+      |  FROM banded),
+      |cand AS (SELECT DISTINCT doc_a, doc_b FROM star WHERE doc_a < doc_b),
       |p AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    len(list_intersect(a.w, b.w)) AS ni, a.nw AS nw_a, b.nw AS nw_b
-      |  FROM d a JOIN d b
-      |    ON b.nw BETWEEN a.nw - 2 AND a.nw + 2 AND a.doc_id < b.doc_id)
-      |SELECT DISTINCT doc_a, doc_b,
+      |  SELECT doc_a, doc_b, len(list_intersect(da.w, db.w)) AS ni,
+      |    len(da.w) AS nw_a, len(db.w) AS nw_b
+      |  FROM cand
+      |  JOIN d da ON da.doc_id = cand.doc_a
+      |  JOIN d db ON db.doc_id = cand.doc_b)
+      |SELECT doc_a, doc_b,
       |  ROUND(CAST(ni AS DOUBLE) / (nw_a + nw_b - ni), 6) AS jaccard
       |FROM p
       |WHERE ROUND(CAST(ni AS DOUBLE) / (nw_a + nw_b - ni), 6) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** Embedding cosine near-dup pairs within a blocking cell (`label`),
     * threshold 0.35 (data-dependent demo knob; max pairwise cosine in the
