@@ -44,7 +44,52 @@ object EngineQueries {
       |WHERE c_custkey <= 10
       |ORDER BY c_custkey""".stripMargin
 
+  /** J3 — templated config queries as closure edges
+    * (`/root/reference/etl/extractor.go:70-79`): reverse expansion is
+    * suppressed (`omit_reference_keys`), so the ONLY way orders enter the
+    * closure is the per-row `{c_custkey}` query — which also restricts to
+    * status 'F', something no FK/RK edge can express. The pulled orders
+    * then expand their own forward FKs as usual. Counted per table like
+    * `closure_extract`.
+    */
+  private val j3Config = ExtractConfig.fromJson(
+    """{
+      |  "schema": [{
+      |    "table_name": "customer",
+      |    "omit_reference_keys": true,
+      |    "queries": [{"table_name": "orders",
+      |      "query": "SELECT * FROM orders WHERE o_custkey = {c_custkey} AND o_orderstatus = 'F'"}]
+      |  }]
+      |}""".stripMargin)
+
+  def closureConfigQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val engine = new Engine(spark, Catalog.tpch,
+      t => Tables(spark, dir, t), j3Config)
+    val out = engine.extract("SELECT * FROM customer WHERE c_custkey <= 5")
+    out.toSeq.sortBy(_._1)
+      .map { case (t, df) =>
+        df.agg(count(lit(1)).as("n_rows")).select(lit(t).as("table_name"), col("n_rows"))
+      }
+      .reduce(_.unionByName(_))
+      .orderBy("table_name")
+  }
+
+  val closureConfigQuerySql: String =
+    """WITH seed AS (SELECT * FROM customer WHERE c_custkey <= 5),
+      |ords AS (SELECT * FROM orders
+      |         WHERE o_custkey IN (SELECT c_custkey FROM seed) AND o_orderstatus = 'F'),
+      |nat AS (SELECT * FROM nation WHERE n_nationkey IN (SELECT c_nationkey FROM seed)),
+      |reg AS (SELECT * FROM region WHERE r_regionkey IN (SELECT n_regionkey FROM nat))
+      |SELECT table_name, n_rows FROM (
+      |  SELECT 'customer' AS table_name, COUNT(*) AS n_rows FROM seed UNION ALL
+      |  SELECT 'orders', COUNT(*) FROM ords UNION ALL
+      |  SELECT 'nation', COUNT(*) FROM nat UNION ALL
+      |  SELECT 'region', COUNT(*) FROM reg
+      |) ORDER BY table_name""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
-    "engine_extract" -> ((engineExtract _, engineExtractSql))
+    "engine_extract" -> ((engineExtract _, engineExtractSql)),
+    "closure_config_query" -> ((closureConfigQuery _, closureConfigQuerySql))
   )
 }
