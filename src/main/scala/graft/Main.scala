@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.conf.ExtractConfig
+import graft.engine.Engine
+import graft.io.{DerbyUpsert, PostgresUpsert, UpsertDialect, UpsertJdbcSink}
+import graft.meta.Catalog
+
+/** CLI — the reference's verb dispatch
+  * (`/root/reference/cmd/mover/main.go:70-93`) on Spark:
+  *
+  * {{{
+  * graft.Main -action extract  -dsn <tableDir> -query "SELECT ..." -path <outDir>
+  * graft.Main -action load     -dsn <tableDir | jdbc:...> -path <artifactDir>
+  * graft.Main -action describe -dsn <tableDir> -table <name>
+  * }}}
+  *
+  * Flags mirror the reference (`-query -table -path -dsn -action
+  * -verbose -version`); the sanitize/traversal config comes from `-conf`
+  * or the `GRAFT_CONF` env var (≙ `MOVER_CONF`, `main.go:52-57`). The
+  * `-dsn` is a parquet table directory on this harness (a `jdbc:` DSN
+  * routes `load` through [[graft.io.UpsertJdbcSink]], the reference's
+  * Postgres bulk-insert path).
+  */
+object Main {
+
+  final case class Cli(
+      action: String = "",
+      query: String = "",
+      table: String = "",
+      path: String = "",
+      dsn: String = "",
+      conf: String = "",
+      verbose: Boolean = false,
+      version: Boolean = false)
+
+  val usage: String =
+    """usage: graft.Main -action extract|load|describe
+      |  -dsn <parquet table dir>   source tables (or jdbc: target for load)
+      |  -query <sql>               seed query (extract)
+      |  -path <dir>                artifact dir (extract out / load in)
+      |  -table <name>              table to describe
+      |  -conf <config.json>        sanitize/traversal config (or $GRAFT_CONF)
+      |  -verbose -version""".stripMargin
+
+  def parse(args: Array[String]): Cli =
+    args.foldLeft((Cli(), Option.empty[String])) {
+      case ((cli, Some(flag)), v) =>
+        (flag match {
+          case "-action" => cli.copy(action = v)
+          case "-query"  => cli.copy(query = v)
+          case "-table"  => cli.copy(table = v)
+          case "-path"   => cli.copy(path = v)
+          case "-dsn"    => cli.copy(dsn = v)
+          case "-conf"   => cli.copy(conf = v)
+          case other => throw new IllegalArgumentException(s"unknown flag: $other")
+        }, None)
+      case ((cli, None), "-verbose") => (cli.copy(verbose = true), None)
+      case ((cli, None), "-version") => (cli.copy(version = true), None)
+      case ((cli, None), flag) if flag.startsWith("-") => (cli, Some(flag))
+      case (_, _) => throw new IllegalArgumentException(usage)
+    }._1
+
+  /** Verb dispatch; returns a process exit code (testable without exit). */
+  def run(spark: SparkSession, cli: Cli, out: String => Unit = println): Int = {
+    if (cli.version) { out(s"graft version ${BuildInfo.version}"); return 0 }
+    val config = Option(cli.conf).filter(_.nonEmpty)
+      .orElse(sys.env.get("GRAFT_CONF"))
+      .map(p => ExtractConfig.fromJson(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(p))))
+      .getOrElse(ExtractConfig())
+    val engine = new Engine(spark, Catalog.tpch,
+      t => Tables(spark, cli.dsn, t), config)
+
+    cli.action match {
+      case "extract" =>
+        if (cli.query.isEmpty || cli.path.isEmpty) { out(usage); 2 }
+        else {
+          val counts = engine.extractTo(cli.query, cli.path)
+          counts.toSeq.sortBy(_._1).foreach { case (t, n) => out(s"$t: $n rows") }
+          0
+        }
+      case "load" =>
+        if (cli.path.isEmpty) { out(usage); 2 }
+        else {
+          val tables = engine.load(cli.path)
+          if (cli.dsn.startsWith("jdbc:")) {
+            val dialect: UpsertDialect =
+              if (cli.dsn.startsWith("jdbc:derby")) DerbyUpsert else PostgresUpsert
+            tables.toSeq.sortBy(_._1).foreach { case (t, df) =>
+              val pk = Catalog.tpch.tables.get(t).flatMap(_.primaryKey.headOption)
+                .getOrElse(df.columns.head)
+              UpsertJdbcSink.write(df, cli.dsn, new java.util.Properties, t, pk,
+                dialect = dialect)
+              out(s"$t: loaded")
+            }
+          } else tables.toSeq.sortBy(_._1).foreach { case (t, df) =>
+            out(s"$t: ${df.count()} rows")
+          }
+          0
+        }
+      case "describe" =>
+        if (cli.table.isEmpty) { out(usage); 2 }
+        else { out(engine.describe(cli.table)); 0 }
+      case _ => out(usage); 2
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cli = parse(args)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(if (cli.verbose) "INFO" else "WARN")
+    try sys.exit(run(spark, cli)) finally spark.stop()
+  }
+}
+
+object BuildInfo { val version = "0.1.0" }

@@ -119,7 +119,11 @@ class Engine(
     */
   def load(outDir: String): Map[String, DataFrame] =
     JsonTableIO.listTables(outDir).map { t =>
-      val schema = catalog.tables.get(t).map(_ => loadTable(t).schema)
+      // source schema is a best-effort optimization (skips JSON
+      // inference); absent a readable source — e.g. loading into a JDBC
+      // target with no parquet dir — fall back to inference
+      val schema = catalog.tables.get(t)
+        .flatMap(_ => scala.util.Try(loadTable(t).schema).toOption)
       t -> JsonTableIO.read(spark, outDir, t, schema)
     }.toMap
 

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.DriverManager
+import graft.SparkSpec
+
+/** Drives each CLI verb (`/root/reference/cmd/mover/main.go:70-93`
+  * parity) against the sf0.001 testdata and a temp artifact dir,
+  * including the jdbc load path into embedded Derby.
+  */
+class MainSpec extends SparkSpec {
+
+  private val dsn = "/root/testdata/sf0.001"
+  private def capture(cli: Main.Cli): (Int, Seq[String]) = {
+    val buf = scala.collection.mutable.ListBuffer.empty[String]
+    val rc = Main.run(spark, cli, buf += _)
+    (rc, buf.toList)
+  }
+
+  test("flag parsing mirrors the reference surface") {
+    val cli = Main.parse(Array("-action", "extract", "-query", "SELECT 1",
+      "-path", "/tmp/x", "-dsn", dsn, "-verbose"))
+    assert(cli == Main.Cli(action = "extract", query = "SELECT 1",
+      path = "/tmp/x", dsn = dsn, verbose = true))
+    intercept[IllegalArgumentException](Main.parse(Array("-nope", "x")))
+  }
+
+  test("-version short-circuits") {
+    val (rc, out) = capture(Main.Cli(version = true))
+    assert(rc == 0 && out.head.startsWith("graft version"))
+  }
+
+  test("missing args print usage with exit 2") {
+    assert(capture(Main.Cli(action = "extract", dsn = dsn))._1 == 2)
+    assert(capture(Main.Cli(action = "load", dsn = dsn))._1 == 2)
+    assert(capture(Main.Cli(action = "describe", dsn = dsn))._1 == 2)
+    assert(capture(Main.Cli(action = "wat", dsn = dsn))._1 == 2)
+  }
+
+  test("extract -> artifacts -> load round-trip (dir target)") {
+    val conf = Files.createTempFile("graft-conf", ".json")
+    Files.writeString(conf,
+      """{"schema": [{"table_name": "customer", "omit_reference_keys": true,
+        |  "columns": [{"name": "c_name", "replace": "Customer#{c_custkey}"}]}]}""".stripMargin)
+    val outDir = Files.createTempDirectory("graft-cli").toString
+    val (rc, out) = capture(Main.Cli(action = "extract", dsn = dsn,
+      query = "SELECT * FROM customer WHERE c_custkey <= 3",
+      path = outDir, conf = conf.toString))
+    assert(rc == 0)
+    // closure without reverse keys: customer + nation + region (custkeys
+    // are not 1..N in the synthetic data — compute the expected count)
+    val nSeed = Tables(spark, dsn, "customer").filter("c_custkey <= 3").count()
+    assert(out.contains(s"customer: $nSeed rows"))
+    assert(out.exists(_.startsWith("nation:")) && out.exists(_.startsWith("region:")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$outDir/customer/manifest.json")))
+
+    val (rc2, out2) = capture(Main.Cli(action = "load", dsn = dsn, path = outDir))
+    assert(rc2 == 0 && out2.contains(s"customer: $nSeed rows"))
+  }
+
+  test("load with jdbc: dsn upserts into embedded Derby") {
+    val conf = Files.createTempFile("graft-conf", ".json")
+    Files.writeString(conf,
+      """{"schema": [{"table_name": "customer", "omit_reference_keys": true}]}""")
+    val outDir = Files.createTempDirectory("graft-cli-jdbc").toString
+    assert(capture(Main.Cli(action = "extract", dsn = dsn,
+      query = "SELECT * FROM customer WHERE c_custkey <= 3",
+      path = outDir, conf = conf.toString))._1 == 0)
+
+    val url = "jdbc:derby:memory:clidb;create=true"
+    val c = DriverManager.getConnection(url)
+    c.createStatement().execute(
+      """CREATE TABLE "customer" ("c_custkey" BIGINT PRIMARY KEY,
+        | "c_name" VARCHAR(64), "c_nationkey" INT, "c_acctbal" DOUBLE,
+        | "c_mktsegment" VARCHAR(16))""".stripMargin)
+    c.createStatement().execute(
+      """CREATE TABLE "nation" ("n_nationkey" INT PRIMARY KEY,
+        | "n_name" VARCHAR(32), "n_regionkey" INT)""".stripMargin)
+    c.createStatement().execute(
+      """CREATE TABLE "region" ("r_regionkey" INT PRIMARY KEY,
+        | "r_name" VARCHAR(32))""".stripMargin)
+    c.close()
+
+    val (rc, out) = capture(Main.Cli(action = "load", dsn = url, path = outDir))
+    assert(rc == 0 && out.count(_.endsWith("loaded")) == 3)
+    val nSeed = Tables(spark, dsn, "customer").filter("c_custkey <= 3").count()
+    val c2 = DriverManager.getConnection(url)
+    val rs = c2.createStatement().executeQuery("""SELECT COUNT(*) FROM "customer"""")
+    rs.next(); assert(rs.getLong(1) == nSeed)
+    c2.close()
+  }
+
+  test("describe prints keys, edges, and schema") {
+    val (rc, out) = capture(Main.Cli(action = "describe", dsn = dsn, table = "customer"))
+    assert(rc == 0)
+    val text = out.mkString("\n")
+    assert(text.contains("primary key: c_custkey"))
+    assert(text.contains("FK c_nationkey -> nation(n_nationkey)"))
+  }
+}
