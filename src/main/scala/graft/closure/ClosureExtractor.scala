@@ -223,7 +223,15 @@ class ClosureExtractor(
     // cutting lineage to the persisted intermediates, THEN release every
     // intermediate persist. Without this, frontier/seen persists survive
     // the fixpoint and bloat the block manager for the session's lifetime.
-    val result = seen.map { case (t, k) => t -> k.distinct().localCheckpoint(true) }
+    // No distinct: each iteration's fresh keys are distinct and anti-joined
+    // against all prior ones, so the per-table union is distinct by
+    // construction — a final dedup would be one wasted shuffle per table.
+    // Checkpoints are LAZY and forced by a single union-of-counts job
+    // (one job materializes all tables, vs. one eager-checkpoint job each).
+    val result = seen.map { case (t, k) => t -> k.localCheckpoint(false) }
+    if (result.nonEmpty)
+      result.values.map(_.groupBy().count().select(col("count")))
+        .reduce(_.union(_)).collect()
     retained.foreach(_.unpersist(false))
     projCache.values.foreach(_.unpersist(false))
     result
