@@ -119,7 +119,10 @@ object EventQueries {
   /** HLL sketch counting (the 100 TB form of distinct-users). The
     * estimate is engine-specific, so no DuckDB oracle (rows-only check);
     * HLL++ merges are commutative, so the result is stable across
-    * partitionings. The exact count rides along to expose the error.
+    * partitionings. The exact count rides along, and the query is
+    * SELF-VALIDATING: `assert_true` aborts it (driver sees a failure,
+    * not silently-wrong rows) if the estimate drifts beyond 5× the
+    * configured 2% rsd.
     */
   def eventsApproxUsers(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir, "events")
@@ -128,15 +131,86 @@ object EventQueries {
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
       .select(col("w.start").as("window_start"),
-        col("approx_users"), col("exact_users"))
+        col("approx_users"), col("exact_users"),
+        round(abs(col("approx_users") - col("exact_users"))
+          / col("exact_users"), 6).as("rel_err"))
+      .filter(expr(
+        "assert_true(rel_err <= 0.1, 'HLL drifted >10% from exact') IS NULL"))
       .orderBy("window_start")
   }
+
+  /** Range join (§2.4 breadth): click-to-purchase attribution — for each
+    * purchase, the same user's clicks in the preceding hour. The equi key
+    * (user_id) carries the join; the time range is a residual predicate
+    * on matched pairs, so this stays a hash/sort-merge join on a
+    * high-cardinality key at any scale, never a cross product. LEFT join
+    * keeps zero-click purchases. The oracle truncates ts to microseconds
+    * in the predicates — events carry nanosecond timestamps that Spark
+    * reads µs-truncated (see [[graft.Tables]]).
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("cts"), col("value"))
+    p.join(c,
+        p("user_id") === c("c_user")
+          && c("cts") <= p("pts")
+          && c("cts") > p("pts") - expr("INTERVAL 1 HOUR"), "left")
+      .groupBy(col("purchase_id"))
+      .agg(count(col("cts")).as("n_clicks"),
+        coalesce(sum(dec(col("value"))).cast("double"), lit(0.0)).as("click_value"))
+      .orderBy("purchase_id")
+  }
+
+  val rangeJoinSql: String =
+    """SELECT p.event_id AS purchase_id, COUNT(c.cts) AS n_clicks,
+      |  COALESCE(CAST(SUM(CAST(c.value AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS click_value
+      |FROM (SELECT event_id, user_id, date_trunc('microseconds', ts) AS pts
+      |      FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT user_id, date_trunc('microseconds', ts) AS cts, value
+      |           FROM events WHERE event_type = 'click') c
+      |  ON c.user_id = p.user_id
+      | AND c.cts <= p.pts
+      | AND c.cts > p.pts - INTERVAL 1 HOUR
+      |GROUP BY p.event_id
+      |ORDER BY purchase_id""".stripMargin
+
+  /** Interval-range window frame (§2.6 breadth): per-user trailing-7-day
+    * value sum. Ordered by epoch SECONDS with a numeric range frame —
+    * identical frame semantics in Spark and DuckDB (interval-typed RANGE
+    * frames differ subtly between engines; integer range frames do not).
+    * Ties on the sort key share a frame, so the result is deterministic
+    * with or without a unique tiebreaker.
+    */
+  def windowRange7d(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-604800, 0)
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_timestamp(col("ts")).as("sec"), dec(col("value")).as("v"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        sum(col("v")).over(w).cast("double").as("sum_7d"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  val windowRange7dSql: String =
+    """SELECT event_id, user_id, ts,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+      |    PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+      |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_7d
+      |FROM events
+      |ORDER BY user_id, ts, event_id""".stripMargin
 
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "events_approx_users" -> ((eventsApproxUsers _, null)),
     "events_tumbling" -> ((eventsTumbling _, eventsTumblingSql)),
     "events_sliding" -> ((eventsSliding _, eventsSlidingSql)),
     "events_session" -> ((eventsSession _, eventsSessionSql)),
-    "events_daily_users" -> ((eventsDailyUsers _, eventsDailyUsersSql))
+    "events_daily_users" -> ((eventsDailyUsers _, eventsDailyUsersSql)),
+    "range_join" -> ((rangeJoin _, rangeJoinSql)),
+    "window_range_7d" -> ((windowRange7d _, windowRange7dSql))
   )
 }

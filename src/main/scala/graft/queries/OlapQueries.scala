@@ -160,12 +160,141 @@ object OlapQueries {
       |WHERE rank <= 3
       |ORDER BY o_orderpriority, rank""".stripMargin
 
+  /** CUBE over (status, year) with GROUPING() markers — all 4 grouping
+    * sets in one shuffle (Spark expands the sets map-side, same as
+    * ROLLUP).
+    */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders")
+      .select(col("o_orderstatus").as("status"),
+        year(col("o_orderdate")).as("o_year"), col("o_totalprice"))
+      .cube(col("status"), col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"),
+        grouping(col("status")).cast("int").as("g_status"),
+        grouping(col("o_year")).cast("int").as("g_year"))
+      .orderBy("g_status", "g_year", "status", "o_year")
+  }
+
+  val cubeAggSql: String =
+    """SELECT o_orderstatus AS status, YEAR(o_orderdate) AS o_year,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+      |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |  CAST(GROUPING(YEAR(o_orderdate)) AS INT) AS g_year
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, YEAR(o_orderdate))
+      |ORDER BY g_status, g_year, status, o_year""".stripMargin
+
+  /** Statistical aggregates per event type — mean / variance / stddev /
+    * correlation computed from EXACT decimal moment sums, then one
+    * double-precision expression at the end. Native stddev/corr stream
+    * doubles in partition order and drift at the last ulp between
+    * engines; exact moments keep the oracle hash-stable (the same
+    * discipline as the decimal-sum rule, see CoreQueries).
+    */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("value"))).as("sx"),
+        sum((dec(col("value")) * dec(col("value"))).cast("decimal(38,8)")).as("sxx"),
+        sum(col("user_id")).as("sy"),
+        sum((col("user_id") * col("user_id")).cast("decimal(38,0)")).as("syy"),
+        sum((dec(col("value")) * col("user_id")).cast("decimal(38,4)")).as("sxy"))
+    m.select(
+        col("event_type"), col("n"),
+        round(col("sx").cast("double") / col("n"), 6).as("mean_value"),
+        round((col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+          / (col("n") - 1), 6).as("var_value"),
+        round(sqrt((col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+          / (col("n") - 1)), 6).as("std_value"),
+        round((col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double") / col("n"))
+          / sqrt((col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+            * (col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double") / col("n"))), 6)
+          .as("corr_value_user"))
+      .orderBy("event_type")
+  }
+
+  val statsAggSql: String =
+    """WITH m AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(CAST(value AS DECIMAL(18,4))) AS sx,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS sxx,
+      |    SUM(user_id) AS sy,
+      |    SUM(CAST(user_id * user_id AS DECIMAL(38,0))) AS syy,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,4)) * user_id AS DECIMAL(38,4))) AS sxy
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, n,
+      |  ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean_value,
+      |  ROUND((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1), 6) AS var_value,
+      |  ROUND(SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)), 6) AS std_value,
+      |  ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+      |    / SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+      |      * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)), 6) AS corr_value_user
+      |FROM m
+      |ORDER BY event_type""".stripMargin
+
+  /** List aggregation with a deterministic order: per-customer sorted
+    * status string (collect_list is order-nondeterministic, so sort the
+    * array before joining — the only hash-stable form of list agg).
+    */
+  def listAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        array_join(array_sort(collect_list(col("o_orderstatus"))), "").as("statuses"))
+      .orderBy("o_custkey")
+  }
+
+  val listAggSql: String =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  array_to_string(list_sort(list(o_orderstatus)), '') AS statuses
+      |FROM orders
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
+  /** Date/time function breadth (§2.8 extension): add days/months,
+    * month-end clamping, day diffs, calendar fields, week truncation.
+    */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") <= 100)
+      .select(
+        col("o_orderkey"),
+        date_add(col("o_orderdate"), 30).as("plus_30d"),
+        add_months(col("o_orderdate"), 2).as("plus_2m"),
+        last_day(col("o_orderdate")).as("month_end"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).cast("int").as("days_since_95"),
+        quarter(col("o_orderdate")).cast("int").as("q"),
+        (dayofweek(col("o_orderdate")) - 1).cast("int").as("dow_sun0"),
+        date_trunc("week", col("o_orderdate")).cast("date").as("week_start"))
+      .orderBy("o_orderkey")
+  }
+
+  val dateFuncsSql: String =
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+      |  CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus_2m,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_95,
+      |  CAST(quarter(o_orderdate) AS INT) AS q,
+      |  CAST(dayofweek(o_orderdate) AS INT) AS dow_sun0,
+      |  CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start
+      |FROM orders WHERE o_orderkey <= 100
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "topk_custom_agg" -> ((topkCustomAgg _, topkCustomAggSql)),
     "rollup_agg" -> ((rollupAgg _, rollupAggSql)),
     "pivot_agg" -> ((pivotAgg _, pivotAggSql)),
     "unpivot_metrics" -> ((unpivotMetrics _, unpivotMetricsSql)),
     "percentiles" -> ((percentiles _, percentilesSql)),
-    "asof_join" -> ((asofJoin _, asofJoinSql))
+    "asof_join" -> ((asofJoin _, asofJoinSql)),
+    "cube_agg" -> ((cubeAgg _, cubeAggSql)),
+    "stats_agg" -> ((statsAgg _, statsAggSql)),
+    "list_agg" -> ((listAgg _, listAggSql)),
+    "date_funcs" -> ((dateFuncs _, dateFuncsSql))
   )
 }
