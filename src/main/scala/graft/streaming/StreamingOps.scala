@@ -54,6 +54,82 @@ object StreamingOps {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval self-join (SURVEY.md §2.11): purchases joined
+    * to the same user's clicks in the preceding hour — the streaming dual
+    * of the batch `range_join` oracle query. Both sides carry watermarks
+    * and the interval condition is two-sided, so Spark can bound the
+    * buffered join state: clicks older than (watermark − 1 hour) are
+    * dropped from state.
+    */
+  def clickAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("cts"),
+        col("value").as("click_value"))
+      .withWatermark("cts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("pts"))
+      .withWatermark("pts", "10 minutes")
+    purchases.join(clicks, expr(
+      "c_user = user_id AND cts <= pts AND cts > pts - INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("user_id"), col("pts"), col("cts"),
+        col("click_value"))
+  }
+
+  final case class SessionAcc(start: java.sql.Timestamp,
+      end: java.sql.Timestamp, n: Long)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Custom sessionization via flatMapGroupsWithState (0..n emitted rows
+    * per group per batch — the shape mapGroupsWithState can't express):
+    * a session closes and is EMITTED either when a same-batch event
+    * arrives past the gap, or when the event-time timeout fires after the
+    * watermark passes `end + gap`. This is what `session_window` compiles
+    * to under the hood; the explicit form is the extension point for
+    * non-standard session semantics (caps, value-dependent gaps, ...).
+    */
+  def completedSessions(events: DataFrame, gapMinutes: Int = 30):
+      org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.withWatermark("ts", "10 minutes")
+      .selectExpr("user_id", "ts")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.start, s.end, s.n))
+          } else {
+            val sorted = rows.map(_._2).toVector.sortBy(_.getTime)
+            var emitted = Vector.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t.getTime - s.end.getTime <= gapMs =>
+                  cur = Some(s.copy(end = t, n = s.n + 1))
+                case Some(s) =>
+                  emitted :+= SessionOut(user, s.start, s.end, s.n)
+                  cur = Some(SessionAcc(t, t, 1L))
+                case None =>
+                  cur = Some(SessionAcc(t, t, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end.getTime + gapMs)
+            }
+            emitted.iterator
+          }
+      }
+  }
+
   final case class UserActivity(user_id: Long, n_events: Long,
       total_value: Double, last_ts: java.sql.Timestamp)
 

@@ -94,6 +94,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks to purchases") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.clickAttribution(mem.toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(1, ts(0), 1, "click", 1.0, "{}"),     // within the hour
+        Ev(2, ts(20), 1, "click", 2.0, "{}"),    // within the hour
+        Ev(3, ts(25), 2, "click", 4.0, "{}"),    // other user
+        Ev(4, ts(30), 1, "purchase", 99.0, "{}"),
+        Ev(5, ts(31), 1, "click", 8.0, "{}"))    // AFTER the purchase
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+        .orderBy("cts")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+      assert(got.toSeq == Seq((4L, 1L, 1.0), (4L, 1L, 2.0)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState emits completed sessions on gap or timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.completedSessions(mem.toDF())
+      .writeStream.format("memory").queryName("closed_sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(1, ts(0), 1, "click", 1.0, "{}"),
+        Ev(2, ts(5), 1, "click", 2.0, "{}"))
+      q.processAllAvailable()
+      assert(spark.table("closed_sessions").isEmpty) // session still open
+      // 50 min later: past the 30-min gap -> closes [10:00,10:05] (2 events)
+      mem.addData(Ev(3, ts(50), 1, "view", 3.0, "{}"))
+      q.processAllAvailable()
+      val got = spark.table("closed_sessions").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      assert(got.toSeq == Seq((1L, ts(0), ts(5), 2L)))
+    } finally q.stop()
+  }
+
   test("file-source stream over real events parquet produces batch-equal counts") {
     // copy a real slice to a temp dir (stream sources need a directory)
     val dir = java.nio.file.Files.createTempDirectory("evstream").toString
