@@ -15,6 +15,9 @@ object Bench {
     try SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // each query pays its own reads: no cached tables/views leak from
+      // one measurement into the next
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
