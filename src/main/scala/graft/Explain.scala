@@ -1,0 +1,14 @@
+package graft
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4").config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    for (q <- args) {
+      println(s"===== $q =====")
+      SparkEntry.queries(q)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
