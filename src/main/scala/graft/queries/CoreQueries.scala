@@ -382,8 +382,47 @@ object CoreQueries {
       |                   FROM customer)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Array-function breadth (§2.8 F9 beyond element-wise transforms):
+    * slice, membership, position, extremes, fold, flatten, reverse,
+    * join — each paired with its DuckDB list_* equivalent. Position is
+    * normalized (Spark returns 0 for absent, DuckDB NULL).
+    */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "customer")
+      .filter(col("c_custkey") <= 100)
+      .withColumn("arr", sequence(lit(1), (col("c_custkey") % 5 + 2).cast("int")))
+      .select(
+        col("c_custkey"),
+        size(col("arr")).as("n"),
+        array_join(slice(col("arr"), 2, 2), "-").as("mid2"),
+        array_contains(col("arr"), 3).as("has3"),
+        array_position(col("arr"), 3).cast("int").as("pos3"),
+        array_max(col("arr")).cast("int").as("mx"),
+        expr("aggregate(arr, 0L, (acc, x) -> acc + x)").as("total"),
+        size(flatten(array(col("arr"), col("arr")))).as("flat_n"),
+        array_join(reverse(col("arr")), ",").as("rev"))
+      .orderBy("c_custkey")
+  }
+
+  val arrayFuncsSql: String =
+    """WITH t AS (
+      |  SELECT c_custkey, range(1, CAST(c_custkey % 5 + 2 AS INT) + 1) AS arr
+      |  FROM customer WHERE c_custkey <= 100)
+      |SELECT c_custkey,
+      |  CAST(len(arr) AS INT) AS n,
+      |  array_to_string(arr[2:3], '-') AS mid2,
+      |  list_contains(arr, 3) AS has3,
+      |  CAST(COALESCE(list_position(arr, 3), 0) AS INT) AS pos3,
+      |  CAST(list_max(arr) AS INT) AS mx,
+      |  CAST(list_sum(arr) AS BIGINT) AS total,
+      |  CAST(len(flatten([arr, arr])) AS INT) AS flat_n,
+      |  array_to_string(list_reverse(arr), ',') AS rev
+      |FROM t
+      |ORDER BY c_custkey""".stripMargin
+
   /** name → (impl, oracle). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "array_funcs" -> ((arrayFuncs _, arrayFuncsSql)),
     "string_funcs" -> ((stringFuncs _, stringFuncsSql)),
     "above_avg" -> ((aboveAvg _, aboveAvgSql)),
     "q1_agg" -> ((q1Agg _, q1AggSql)),
