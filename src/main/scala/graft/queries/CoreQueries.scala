@@ -420,9 +420,43 @@ object CoreQueries {
       |FROM t
       |ORDER BY c_custkey""".stripMargin
 
+  /** Map-function breadth (§2.8 F5/F9): construction, key/value
+    * projection, element access, cardinality. Output is projected to
+    * scalars — map COLUMNS don't hash-compare across engines (parquet
+    * map encodings differ), map FUNCTIONS do.
+    */
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "customer")
+      .filter(col("c_custkey") <= 100)
+      .withColumn("m", map_from_arrays(
+        array(lit("seg"), lit("key")),
+        array(col("c_mktsegment"), col("c_custkey").cast("string"))))
+      .select(
+        col("c_custkey"),
+        array_join(map_keys(col("m")), ",").as("ks"),
+        array_join(map_values(col("m")), ",").as("vs"),
+        element_at(col("m"), "seg").as("seg"),
+        size(col("m")).as("n_entries"))
+      .orderBy("c_custkey")
+  }
+
+  val mapFuncsSql: String =
+    """WITH t AS (
+      |  SELECT c_custkey,
+      |    MAP {'seg': c_mktsegment, 'key': CAST(c_custkey AS VARCHAR)} AS m
+      |  FROM customer WHERE c_custkey <= 100)
+      |SELECT c_custkey,
+      |  array_to_string(map_keys(m), ',') AS ks,
+      |  array_to_string(map_values(m), ',') AS vs,
+      |  m['seg'][1] AS seg,
+      |  CAST(cardinality(m) AS INT) AS n_entries
+      |FROM t
+      |ORDER BY c_custkey""".stripMargin
+
   /** name → (impl, oracle). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "array_funcs" -> ((arrayFuncs _, arrayFuncsSql)),
+    "map_funcs" -> ((mapFuncs _, mapFuncsSql)),
     "string_funcs" -> ((stringFuncs _, stringFuncsSql)),
     "above_avg" -> ((aboveAvg _, aboveAvgSql)),
     "q1_agg" -> ((q1Agg _, q1AggSql)),
