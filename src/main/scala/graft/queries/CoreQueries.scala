@@ -453,10 +453,32 @@ object CoreQueries {
       |FROM t
       |ORDER BY c_custkey""".stripMargin
 
+  /** Generator / lateral-explode shape (§2.8): explode words, aggregate,
+    * deterministic global top-20 (count desc, word asc tiebreak). The
+    * explode feeds a map-side partial agg — the flatten-then-aggregate
+    * pattern every corpus statistic at 100 TB reduces to.
+    */
+  def wordCounts(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("word"))
+      .limit(20)
+  }
+
+  val wordCountsSql: String =
+    """SELECT word, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY word
+      |ORDER BY n DESC, word
+      |LIMIT 20""".stripMargin
+
   /** name → (impl, oracle). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "array_funcs" -> ((arrayFuncs _, arrayFuncsSql)),
     "map_funcs" -> ((mapFuncs _, mapFuncsSql)),
+    "word_counts" -> ((wordCounts _, wordCountsSql)),
     "string_funcs" -> ((stringFuncs _, stringFuncsSql)),
     "above_avg" -> ((aboveAvg _, aboveAvgSql)),
     "q1_agg" -> ((q1Agg _, q1AggSql)),
