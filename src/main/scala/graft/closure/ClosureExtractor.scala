@@ -169,7 +169,11 @@ class ClosureExtractor(
         // J3 templated config queries: collect this frontier's DISTINCT
         // parameter tuples to the driver (bounded: human-written config
         // predicates, SURVEY.md §7.4), substitute, run, fold the target
-        // table's pk values back into the BFS.
+        // table's pk values back into the BFS. The common template shape
+        // `... WHERE col = {attr}` batches to ONE IN-list query per
+        // iteration — the reference runs it once per row
+        // (etl/extractor.go:70-79), the surviving N+1 we refuse to copy;
+        // any other shape falls back to per-tuple execution.
         configQueries.filter(_.sourceTable == table).foreach { cq =>
           require(runQuery != null, "configQueries need a runQuery function")
           val attrs = raw"\{(\w+)\}".r.findAllMatchIn(cq.template)
@@ -183,10 +187,23 @@ class ClosureExtractor(
               .select(attrs.map(col): _*).distinct()
               .collect()
               .map(r => attrs.map(a => a -> r.getAs[Any](a)).toMap)
-          params.foreach { row =>
-            val sql = graft.sqlparse.SeedQuery.substitute(cq.template, row)
-            addKeys(cq.targetTable,
-              runQuery(sql).select(targetPk.map(col): _*).distinct())
+          val eqTail = raw"(?is)^(.*\bWHERE\s+)(\w+)\s*=\s*\{(\w+)\}\s*$$".r
+          cq.template match {
+            case eqTail(prefix, colName, attr)
+                if attrs == Seq(attr) &&
+                  params.forall(_.get(attr).exists(_.isInstanceOf[Number])) =>
+              if (params.nonEmpty) {
+                val inList = params.map(_(attr).toString).distinct.mkString(", ")
+                addKeys(cq.targetTable,
+                  runQuery(s"$prefix$colName IN ($inList)")
+                    .select(targetPk.map(col): _*).distinct())
+              }
+            case _ =>
+              params.foreach { row =>
+                val sql = graft.sqlparse.SeedQuery.substitute(cq.template, row)
+                addKeys(cq.targetTable,
+                  runQuery(sql).select(targetPk.map(col): _*).distinct())
+              }
           }
         }
       }
