@@ -65,10 +65,15 @@ class Engine(
   def extractFrom(seedTable: String, seed: DataFrame): Map[String, DataFrame] = {
     val cqs = configQueries
     // templated queries run through Spark SQL over the source tables
-    // (the reference delegates them to Postgres, etl/extractor.go:72)
-    if (cqs.nonEmpty) catalog.tables.keys.foreach { t =>
-      loadTable(t).createOrReplaceTempView(t)
-    }
+    // (the reference delegates them to Postgres, etl/extractor.go:72);
+    // only the tables a template actually references get a view — not
+    // the whole catalog ({attr} placeholders parse as a dummy literal)
+    if (cqs.nonEmpty) cqs
+      .flatMap(cq => scala.util.Try(SeedQuery.relations(spark,
+          cq.template.replaceAll(raw"\{\w+\}", "0")))
+        .getOrElse(Seq(cq.targetTable)))
+      .distinct.filter(catalog.tables.contains)
+      .foreach(t => loadTable(t).createOrReplaceTempView(t))
     val extractor = new ClosureExtractor(catalog, loadTable, policy,
       cqs, sql => spark.sql(sql))
     // extra tables are full-table SEEDS of the same traversal, not bare
