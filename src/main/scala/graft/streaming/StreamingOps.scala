@@ -76,6 +76,18 @@ object StreamingOps {
         col("click_value"))
   }
 
+  /** Stream-static dimension join (§2.11): enrich the event stream with
+    * the customer dimension. The static side is re-planned per
+    * micro-batch (picking up dimension updates) and broadcast when small
+    * — no streaming state at all, unlike stream-stream joins.
+    */
+  def enrichWithCustomers(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      customers.select(col("c_custkey"), col("c_mktsegment")),
+      events("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("c_mktsegment"))
+
   final case class SessionAcc(start: java.sql.Timestamp,
       end: java.sql.Timestamp, n: Long)
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,

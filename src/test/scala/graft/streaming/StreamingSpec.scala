@@ -135,6 +135,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events with the customer dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val customers = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.enrichWithCustomers(mem.toDF(), customers)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(1, ts(0), 1, "click", 1.0, "{}"),
+        Ev(2, ts(1), 9, "click", 2.0, "{}")) // user 9: no dimension row
+      q.processAllAvailable()
+      val got = spark.table("enriched").orderBy("event_id")
+        .collect().map(r => (r.getLong(0), Option(r.getString(5))))
+      assert(got.toSeq == Seq((1L, Some("BUILDING")), (2L, None)))
+    } finally q.stop()
+  }
+
   test("file-source stream over real events parquet produces batch-equal counts") {
     // copy a real slice to a temp dir (stream sources need a directory)
     val dir = java.nio.file.Files.createTempDirectory("evstream").toString
