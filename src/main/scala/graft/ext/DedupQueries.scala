@@ -73,11 +73,21 @@ object DedupQueries {
              i -> cast(conv(substring(md5(concat_ws(' ', slice(words, i, 3))), 1, 15), 16, 10) AS bigint) % 2147483647)"""))
       .withColumn("sig", expr(s"array(${(0 until K).map(sigExpr).mkString(", ")})"))
       .select("doc_id", "sig")
+    // bucket-size cap: the LSH skew guard. A bucket of n docs emits
+    // O(n²) pairs — one giant near-dup cluster would quadratically
+    // dominate the whole job (measured on jaccard_pairs: 2.9M pairs from
+    // one cluster). Capped buckets are dropped whole; max observed
+    // bucket here is 11, so the cap is invisible at test scale and load-
+    // bearing at 100 TB. (jaccard_pairs shows the complementary guard:
+    // star-edge pairing that keeps big clusters at O(n).)
     val banded = docs.select(
       col("doc_id"), col("sig"),
       explode(expr(s"transform(sequence(0, ${K / 2 - 1}), " +
         "b -> struct(b AS band, concat(cast(sig[b*2] AS string), '|', cast(sig[b*2+1] AS string)) AS bucket))")).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsz") <= 64)
     val a = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
       col("band"), col("bucket"))
     val b = banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
@@ -105,10 +115,14 @@ object DedupQueries {
       |  FROM documents
       |  WHERE len(string_split(text, ' ')) >= 3),
       |sigs AS (SELECT doc_id, [$sigs] AS sig FROM docs),
-      |banded AS (
+      |banded0 AS (
       |  SELECT doc_id, sig, b.band,
       |    CAST(sig[b.band*2 + 1] AS VARCHAR) || '|' || CAST(sig[b.band*2 + 2] AS VARCHAR) AS bucket
-      |  FROM sigs CROSS JOIN (SELECT unnest(range(0, ${K / 2})) AS band) b)
+      |  FROM sigs CROSS JOIN (SELECT unnest(range(0, ${K / 2})) AS band) b),
+      |banded AS (
+      |  SELECT * FROM (SELECT doc_id, sig, band, bucket,
+      |    COUNT(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded0)
+      |  WHERE bsz <= 64)
       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  len(list_filter(range(1, ${K + 1}), i -> a.sig[i] = b.sig[i])) / 8.0 AS est_jaccard
       |FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
