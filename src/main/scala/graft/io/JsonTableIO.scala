@@ -25,11 +25,14 @@ object JsonTableIO {
   /** Write `df` as the per-table artifact; returns the row count. */
   def write(df: DataFrame, outDir: String, tableName: String): Long = {
     val tableDir = s"$outDir/$tableName"
-    df.write.mode(SaveMode.Overwrite).json(s"$tableDir/data")
-    // count from the written files (one cheap scan of the JSON we just
-    // produced — avoids double-computing a possibly expensive `df`)
-    val count = df.sparkSession.read.schema(df.schema)
-      .json(s"$tableDir/data").count()
+    // the manifest count rides on the write itself via an Observation —
+    // no second computation of `df` and no re-scan of the written files
+    // (both full extra passes at scale)
+    val obs = org.apache.spark.sql.Observation(s"graft_write_$tableName")
+    df.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).json(s"$tableDir/data")
+    val count = obs.get("n").asInstanceOf[Long]
     val manifest =
       s"""{"table_name": ${quote(tableName)}, "count": $count}"""
     Files.createDirectories(Paths.get(tableDir))
