@@ -15,6 +15,11 @@ object Tables {
     * type for. Read it as raw long nanos and truncate to a microsecond
     * timestamp — the same floor-division DuckDB applies when reading
     * TIMESTAMP_NS, so oracle comparisons see identical instants.
+    *
+    * The `nanosAsLong` conf is set at session BUILD by every graft main
+    * and the test harness; the set below is only a fallback for foreign
+    * sessions (it is a session-wide legacy flag, not a per-read option —
+    * mutating shared-session conf mid-read is otherwise a hazard).
     */
   private def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
