@@ -382,6 +382,51 @@ object CoreQueries {
       |                   FROM customer)
       |ORDER BY c_custkey""".stripMargin
 
+  /** TPC-H Q7-shaped shipping volume: a six-way join touching nation
+    * TWICE (supplier's and customer's, self-aliased broadcast dims) with
+    * a cross-nation filter and per-(nation-pair, year) revenue. The
+    * join-graph stress test: two fact shuffles (lineitem⋈orders on
+    * orderkey, ⋈customer on custkey), every dimension broadcast.
+    */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val ord = Tables(spark, dir, "orders")
+    val cust = Tables(spark, dir, "customer")
+    val supp = Tables(spark, dir, "supplier")
+    val n1 = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .cast("double").as("revenue"))
+      .filter(col("revenue") > 50000.0)
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7NationVolumeSql: String =
+    """SELECT supp_nation, cust_nation, l_year, revenue FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    YEAR(l_shipdate) AS l_year,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE n1.n_name <> n2.n_name
+      |  GROUP BY 1, 2, 3)
+      |WHERE revenue > 50000.0
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
   /** Array-function breadth (§2.8 F9 beyond element-wise transforms):
     * slice, membership, position, extremes, fold, flatten, reverse,
     * join — each paired with its DuckDB list_* equivalent. Position is
@@ -484,6 +529,7 @@ object CoreQueries {
     "q1_agg" -> ((q1Agg _, q1AggSql)),
     "q3_top_revenue" -> ((q3TopRevenue _, q3TopRevenueSql)),
     "q5_region_revenue" -> ((q5RegionRevenue _, q5RegionRevenueSql)),
+    "q7_nation_volume" -> ((q7NationVolume _, q7NationVolumeSql)),
     "semi_join" -> ((semiJoin _, semiJoinSql)),
     "anti_join" -> ((antiJoin _, antiJoinSql)),
     "set_ops" -> ((setOps _, setOpsSql)),
