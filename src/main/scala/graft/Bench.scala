@@ -22,18 +22,35 @@ object Bench {
         .foreach(_(spark, "/root/testdata/sf0.001").count())
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated query filter for local iteration; the
+    // driver sets no filter and measures the full suite
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // each query pays its own reads: no cached tables/views leak from
       // one measurement into the next
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val err = try { fn(spark, sfDir).count(); None }
+                catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
+    }
+    // a failed query must NOT masquerade as a near-zero timing: it goes
+    // into "errors" and is excluded from "queries" and the total
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
+    val ok = results.filter(_._3.isEmpty)
+    val qs = ok.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = ok.map(_._2).sum
+    val errsJson =
+      if (results.exists(_._3.nonEmpty))
+        results.collect { case (k, _, Some(m)) => s"\"" + k + "\":\"" + esc(m) + "\"" }
+          .mkString(""","errors":{""", ",", "}")
+      else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

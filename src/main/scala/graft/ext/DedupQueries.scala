@@ -73,33 +73,38 @@ object DedupQueries {
              i -> cast(conv(substring(md5(concat_ws(' ', slice(words, i, 3))), 1, 15), 16, 10) AS bigint) % 2147483647)"""))
       .withColumn("sig", expr(s"array(${(0 until K).map(sigExpr).mkString(", ")})"))
       .select("doc_id", "sig")
-    // bucket-size cap: the LSH skew guard. A bucket of n docs emits
-    // O(n²) pairs — one giant near-dup cluster would quadratically
-    // dominate the whole job (measured on jaccard_pairs: 2.9M pairs from
-    // one cluster). Capped buckets are dropped whole; max observed
+    // ONE groupBy(band, bucket) shuffle gathers each bucket's members and
+    // the pairs are generated inside the bucket — no self-join, so the
+    // expensive md5-per-shingle signature pipeline above is computed
+    // exactly once (a banded-vs-banded self-join plans the whole subtree
+    // twice; ReuseExchange does NOT fire when one copy hides under a
+    // BroadcastExchange, measured at 2× the bench cost in r3).
+    //
+    // The size cap doubles as the LSH skew guard AND the memory bound for
+    // collect_list: a bucket of n docs emits O(n²) pairs — one giant
+    // near-dup cluster would quadratically dominate the whole job. Capped
+    // buckets (>64 members, ≤2016 pairs) are dropped whole; max observed
     // bucket here is 11, so the cap is invisible at test scale and load-
     // bearing at 100 TB. (jaccard_pairs shows the complementary guard:
     // star-edge pairing that keeps big clusters at O(n).)
-    val banded = docs.select(
+    docs.select(
       col("doc_id"), col("sig"),
       explode(expr(s"transform(sequence(0, ${K / 2 - 1}), " +
         "b -> struct(b AS band, concat(cast(sig[b*2] AS string), '|', cast(sig[b*2+1] AS string)) AS bucket))")).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("bsz") <= 64)
-    val a = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-      col("band"), col("bucket"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-      col("band"), col("bucket"))
-    // band buckets are hash-valued (high cardinality): the shuffle join
-    // parallelizes well, and Spark's ReuseExchange dedups the identical
-    // signature subplan on both sides
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("cast(size(filter(sequence(0, 7), i -> sig_a[i] = sig_b[i])) as double) / 8.0").as("est_jaccard"))
-      .distinct()
+      .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      // array_sort on struct<doc_id, sig> orders by doc_id, so i < j
+      // combinations give doc_a < doc_b by construction
+      .agg(expr("array_sort(collect_list(struct(doc_id, sig)))").as("ds"))
+      .filter(size(col("ds")).between(2, 64))
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+             transform(slice(ds, i + 2, size(ds)), b ->
+               named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id,
+                 'est_jaccard',
+                 cast(size(filter(sequence(0, 7), k -> a.sig[k] = b.sig[k])) AS double) / 8.0))))""")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.est_jaccard").as("est_jaccard"))
+      .distinct() // the same pair can collide in several bands
       .orderBy("doc_a", "doc_b")
   }
 
@@ -195,11 +200,20 @@ object DedupQueries {
     // magnitude cheaper than string-array ones, and the md5-based hash is
     // engine-portable so the oracle sees identical sets (a collision
     // would merge the same words in both engines — result still equal)
+    // persist: `docs` feeds three plan branches (the sketch/banding
+    // pipeline and both verify joins) — without it the scan + md5-per-word
+    // projection is computed 3×, linear waste in corpus size. The eager
+    // count materializes the cache in one deterministic pass before the
+    // three reader stages race; (doc_id, array<long>) is narrow, and
+    // MEMORY_AND_DISK spills rather than OOMs at scale. Bench/Verify
+    // release it via clearCache after the query.
     val docs = Tables(spark, dir, "documents")
       .repartition(col("doc_id"))
       .select(col("doc_id"), expr(
         """array_distinct(transform(split(text, ' '),
              w -> cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint)))""").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count()
     val sketch = docs
       .withColumn("hs", expr(s"transform(w, h -> h % $P)"))
       .withColumn("sig", expr(s"array(${(0 until K).map(sigExpr).mkString(", ")})"))
