@@ -1,8 +1,9 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.types.StructType
-import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions.{col, explode}
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructType}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 /** Per-table JSON artifact I/O — Spark-native form of the reference's
@@ -40,18 +41,44 @@ object JsonTableIO {
     count
   }
 
+  private def singleFilePath(outDir: String, tableName: String): Path =
+    Paths.get(s"$outDir/$tableName.json")
+
   /** Read one table back (schema recommended — JSON inference is a full
     * extra pass, exactly the kind of hidden 100 TB cost to avoid).
+    *
+    * Accepts BOTH layouts: the partitioned `<table>/data/` artifact this
+    * library writes, and the reference's single-file `<table>.json`
+    * envelope `{table_name, count, data: [rows]}`
+    * (`/root/reference/etl/engine.go:143-158`, read back by
+    * `etl/loader.go:54-72`) — the one file a migrating mover user is
+    * guaranteed to have. The envelope is a single JSON document, hence
+    * `multiLine`; mover exports are single-node-sized by construction, so
+    * the one-task read is not a scale concern.
     */
   def read(spark: SparkSession, outDir: String, tableName: String,
       schema: Option[StructType] = None): DataFrame = {
-    val r = spark.read
-    schema.foreach(r.schema)
-    r.json(s"$outDir/$tableName/data")
+    val sf = singleFilePath(outDir, tableName)
+    if (Files.isRegularFile(sf)) {
+      val r = spark.read.option("multiLine", "true")
+      schema.foreach(s => r.schema(new StructType()
+        .add("table_name", StringType).add("count", LongType)
+        .add("data", ArrayType(s))))
+      r.json(sf.toString)
+        .select(explode(col("data")).as("row"))
+        .select("row.*")
+    } else {
+      val r = spark.read
+      schema.foreach(r.schema)
+      r.json(s"$outDir/$tableName/data")
+    }
   }
 
   def readManifest(outDir: String, tableName: String): Manifest = {
-    val txt = Files.readString(Paths.get(s"$outDir/$tableName/manifest.json"))
+    val sf = singleFilePath(outDir, tableName)
+    val txt =
+      if (Files.isRegularFile(sf)) Files.readString(sf)
+      else Files.readString(Paths.get(s"$outDir/$tableName/manifest.json"))
     val name = raw""""table_name"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
       .findFirstMatchIn(txt).map(_.group(1)).getOrElse(tableName)
     val count = raw""""count"\s*:\s*(\d+)""".r
@@ -60,18 +87,46 @@ object JsonTableIO {
   }
 
   /** Tables present under an export dir (≙ the loader's dir walk,
-    * `/root/reference/etl/loader.go:25-52`).
+    * `/root/reference/etl/loader.go:25-52`): both partitioned artifacts
+    * (`<table>/manifest.json`) and reference-style single files
+    * (`<table>.json`).
     */
   def listTables(outDir: String): Seq[String] = {
     val d = Paths.get(outDir)
     if (!Files.isDirectory(d)) Nil
     else {
       val s = Files.list(d)
-      try s.iterator().asScala.toSeq
-        .filter(p => Files.isRegularFile(p.resolve("manifest.json")))
-        .map(_.getFileName.toString).sorted
-      finally s.close()
+      try {
+        val entries = s.iterator().asScala.toSeq
+        val partitioned = entries
+          .filter(p => Files.isRegularFile(p.resolve("manifest.json")))
+          .map(_.getFileName.toString)
+        val singles = entries
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".json"))
+          .map(_.getFileName.toString.stripSuffix(".json"))
+        (partitioned ++ singles).distinct.sorted
+      } finally s.close()
     }
+  }
+
+  /** Opt-in single-file export — byte-layout parity with the reference's
+    * `json.MarshalIndent(payload, "", "\t")` envelope
+    * (`/root/reference/etl/engine.go:152-158`): ONE pretty-printed
+    * `<table>.json` that mover's own loader can ingest. This funnels the
+    * table through the driver by design — use it only for small tables
+    * (config dims, lookup tables); [[write]] is the scale path.
+    */
+  def writeSingleFile(df: DataFrame, outDir: String, tableName: String): Long = {
+    val rows = df.toJSON.collect()
+    val data =
+      if (rows.isEmpty) "[]"
+      else rows.map("\t\t" + _).mkString("[\n", ",\n", "\n\t]")
+    val out = s"{\n\t\"table_name\": ${quote(tableName)}," +
+      s"\n\t\"count\": ${rows.length},\n\t\"data\": $data\n}"
+    Files.createDirectories(Paths.get(outDir))
+    Files.writeString(singleFilePath(outDir, tableName), out)
+    rows.length.toLong
   }
 
   private def quote(s: String): String =

@@ -91,6 +91,27 @@ class EngineSpec extends SparkSpec {
     assert(u.getAs[String]("email") == "ulule-1@ulule.com")
   }
 
+  test("load ingests a mover-authored export dir (single-file envelopes, ref loader.go:25-72)") {
+    // the artifact a migrating mover user actually has: one pretty-printed
+    // <table>.json per table, no manifest subdirs
+    val dir = Files.createTempDirectory("mover-export").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/user.json"),
+      "{\n\t\"table_name\": \"user\",\n\t\"count\": 1,\n\t\"data\": [\n" +
+        "\t\t{\n\t\t\t\"id\": 1,\n\t\t\t\"username\": \"alice\",\n" +
+        "\t\t\t\"name\": \"Alice A\",\n\t\t\t\"email\": \"a@x.com\",\n" +
+        "\t\t\t\"password\": null,\n\t\t\t\"best_project_id\": 10\n\t\t}\n\t]\n}")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/project.json"),
+      "{\n\t\"table_name\": \"project\",\n\t\"count\": 1,\n\t\"data\": [\n" +
+        "\t\t{\n\t\t\t\"id\": 10,\n\t\t\t\"owner_id\": 1,\n" +
+        "\t\t\t\"title\": \"p-alice\"\n\t\t}\n\t]\n}")
+    val back = engine.load(dir)
+    assert(back.keySet == Set("user", "project"))
+    val u = back("user").collect()(0)
+    assert(u.getAs[Long]("id") == 1L && u.getAs[String]("username") == "alice")
+    assert(u.isNullAt(u.fieldIndex("password")))
+    assert(back("project").collect()(0).getAs[Long]("owner_id") == 1L)
+  }
+
   test("extras expand their own closure (ref etl/engine.go:117-125)") {
     val cfg = ExtractConfig.fromJson("""{"extra": [{"table_name": "badge"}]}""")
     val out = new Engine(spark, catalog, tables, cfg)

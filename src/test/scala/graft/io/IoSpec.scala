@@ -20,6 +20,44 @@ class JsonTableIOSpec extends SparkSpec {
       df.orderBy("id").collect().map(_.toSeq).toSeq)
     assert(JsonTableIO.listTables(out) == Seq("user"))
   }
+
+  test("reads a mover-authored single-file envelope (ref loader.go:54-72)") {
+    // fixture byte-shaped like json.MarshalIndent(payload, "", "\t")
+    // (ref engine.go:152-158): tab-indented {table_name, count, data}
+    val out = Files.createTempDirectory("jsonio-sf").toString
+    Files.writeString(Paths.get(s"$out/project.json"),
+      "{\n\t\"table_name\": \"project\",\n\t\"count\": 2,\n\t\"data\": [\n" +
+        "\t\t{\n\t\t\t\"id\": 10,\n\t\t\t\"title\": \"p-a\"\n\t\t},\n" +
+        "\t\t{\n\t\t\t\"id\": 20,\n\t\t\t\"title\": \"p-b\"\n\t\t}\n\t]\n}")
+    assert(JsonTableIO.listTables(out) == Seq("project"))
+    val m = JsonTableIO.readManifest(out, "project")
+    assert(m.tableName == "project" && m.count == 2L)
+    val back = JsonTableIO.read(spark, out, "project")
+    assert(back.orderBy("id").collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("title"))).toSeq ==
+      Seq((10L, "p-a"), (20L, "p-b")))
+    // with an explicit schema too (the no-inference scale path)
+    val typed = JsonTableIO.read(spark, out, "project",
+      Some(Seq((0L, "")).toDF("id", "title").schema))
+    assert(typed.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(10L, 20L))
+  }
+
+  test("writeSingleFile emits the reference envelope and round-trips") {
+    val out = Files.createTempDirectory("jsonio-wsf").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    assert(JsonTableIO.writeSingleFile(df, out, "user") == 2L)
+    val txt = Files.readString(Paths.get(s"$out/user.json"))
+    // envelope keys as the reference's jsonPayload tags (engine.go:60-64)
+    assert(txt.contains("\"table_name\": \"user\""))
+    assert(txt.contains("\"count\": 2"))
+    assert(txt.contains("\"data\": ["))
+    val back = JsonTableIO.read(spark, out, "user", Some(df.schema))
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq ==
+      df.orderBy("id").collect().map(_.toSeq).toSeq)
+    // mixed layouts list together
+    JsonTableIO.write(Seq((1L, 1.0)).toDF("id", "v"), out, "score")
+    assert(JsonTableIO.listTables(out) == Seq("score", "user"))
+  }
 }
 
 class MediaDownloaderSpec extends SparkSpec {
