@@ -107,7 +107,7 @@ class Engine(
     */
   def extractTo(seedQuery: String, outDir: String): Map[String, Long] =
     extract(seedQuery).map { case (t, df) =>
-      val n = JsonTableIO.write(df, outDir, t)
+      val n = JsonTableIO.write(pgEncoded(t, df), outDir, t)
       for {
         sc <- config.schemaFor(t).toSeq
         c <- sc.columns if df.columns.contains(c.name)
@@ -119,17 +119,43 @@ class Engine(
       t -> n
     }
 
+  /** Artifact-encode pg-typed columns (timestamp arrays → RFC3339,
+    * decoded range structs / jsonb maps → their literals) when the
+    * catalog carries pg type strings; identity otherwise.
+    */
+  private def pgEncoded(table: String, df: DataFrame): DataFrame =
+    catalog.tables.get(table).filter(_.columns.nonEmpty).fold(df) { meta =>
+      val pgType = meta.columns.map(c => c.name -> c.dataType).toMap
+      df.select(df.schema.fields.toIndexedSeq.map { f =>
+        pgType.get(f.name)
+          .map(pg => graft.io.PgTypeCodecs
+            .encodeForArtifact(pg, f.dataType, df(f.name)).as(f.name))
+          .getOrElse(df(f.name))
+      }: _*)
+    }
+
   /** Read back an export dir: table → DataFrame
     * (`etl/loader.go:25-72`; pair with UpsertJdbcSink to load into a DB).
     */
   def load(outDir: String): Map[String, DataFrame] =
     JsonTableIO.listTables(outDir).map { t =>
-      // source schema is a best-effort optimization (skips JSON
-      // inference); absent a readable source — e.g. loading into a JDBC
-      // target with no parquet dir — fall back to inference
-      val schema = catalog.tables.get(t)
-        .flatMap(_ => scala.util.Try(loadTable(t).schema).toOption)
-      t -> JsonTableIO.read(spark, outDir, t, schema)
+      catalog.tables.get(t).filter(_.columns.nonEmpty) match {
+        // a catalog with pg type strings (static or introspected via
+        // JdbcIntrospect/PgIntrospect) gives the artifact an EXPLICIT
+        // schema — no JSON inference pass — and re-parses the columns
+        // whose artifact representation is a literal (timestamp arrays)
+        case Some(meta) =>
+          val df = JsonTableIO.read(spark, outDir, t,
+            Some(graft.io.PgTypeCodecs.artifactSchemaFor(meta)))
+          t -> df.select(meta.columns.map(c => graft.io.PgTypeCodecs
+            .decodeFromArtifact(c.dataType, df(c.name)).as(c.name)): _*)
+        case None =>
+          // source schema is a best-effort optimization (skips JSON
+          // inference); absent a readable source — e.g. loading into a
+          // JDBC target with no parquet dir — fall back to inference
+          val schema = scala.util.Try(loadTable(t).schema).toOption
+          t -> JsonTableIO.read(spark, outDir, t, schema)
+      }
     }.toMap
 
   /** Table metadata (`describe`, `etl/engine.go:89-96`). */

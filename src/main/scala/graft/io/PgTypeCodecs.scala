@@ -56,6 +56,48 @@ object PgTypeCodecs {
     StructType(meta.columns.map(c =>
       StructField(c.name, sparkTypeFor(c.dataType), c.nullable)))
 
+  /** How a pg-typed column is REPRESENTED inside the JSON artifact
+    * (matching the reference's marshalled export, `util.go:29-187`):
+    * timestamp arrays are RFC3339 strings, ranges/inet/jsonb are their
+    * literal text, everything else is its Spark type.
+    */
+  def artifactTypeFor(pgType: String): DataType = pgType.toLowerCase match {
+    case "timestamp without time zone[]" => ArrayType(StringType)
+    case t => sparkTypeFor(t)
+  }
+
+  /** Explicit read schema for a table's artifact — hands the JSON reader
+    * the representation types so no inference pass runs.
+    */
+  def artifactSchemaFor(meta: TableMeta): StructType =
+    StructType(meta.columns.map(c =>
+      StructField(c.name, artifactTypeFor(c.dataType), c.nullable)))
+
+  /** Extract-side: bring a query-shaped column (decoded struct/map/typed
+    * array) back to its pg-literal artifact representation. Dispatch is on
+    * the ACTUAL Spark type — a column already carried as its literal
+    * string passes through unchanged.
+    */
+  def encodeForArtifact(pgType: String, dt: DataType, c: Column): Column =
+    (pgType.toLowerCase, dt) match {
+      case ("int4range", _: StructType) => structToInt4Range(c)
+      case ("jsonb" | "json", _: MapType) => mapToJsonb(c)
+      case ("timestamp without time zone[]", ArrayType(TimestampType, _)) =>
+        timestampArrayToJson(c)
+      case _ => c
+    }
+
+  /** Load-side: artifact representation → loadable column. Timestamp
+    * arrays re-parse to timestamps (`util.go:77-90`); jsonb and range
+    * literals stay raw text — that is the value BulkInsert feeds back to
+    * Postgres (`etl/loader.go:74-76`).
+    */
+  def decodeFromArtifact(pgType: String, c: Column): Column =
+    pgType.toLowerCase match {
+      case "timestamp without time zone[]" => toTimestampArray(c)
+      case _ => c
+    }
+
   val int4RangeType: StructType = StructType(Seq(
     StructField("lower", IntegerType), StructField("upper", IntegerType)))
 

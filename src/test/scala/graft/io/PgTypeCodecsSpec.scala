@@ -67,6 +67,46 @@ class PgTypeCodecsSpec extends SparkSpec {
     assert(m2 == m) // re-encoded document parses back to the same map
   }
 
+  test("pg-typed table round-trips through the artifact path (extractTo -> load)") {
+    import graft.conf.ExtractConfig
+    import graft.engine.Engine
+    import graft.meta.Catalog
+    val src = Seq(1L, 2L).toDF("id")
+      .withColumn("num", expr("cast(id AS decimal(38,18)) / 4"))
+      .withColumn("rng", PgTypeCodecs.int4RangeToStruct(lit("[3,7)")))
+      .withColumn("doc", map(lit("a"), lit("1")))
+      .withColumn("ts_arr", array(to_timestamp(lit("2024-01-01 10:00:00"))))
+      .withColumn("tags", array(lit("x"), lit("y")))
+    val catalog = Catalog(Map("typed" -> TableMeta("typed", Seq("id"), Seq(
+      ColumnMeta("id", "bigint", nullable = false, 1),
+      ColumnMeta("num", "numeric", nullable = true, 2),
+      ColumnMeta("rng", "int4range", nullable = true, 3),
+      ColumnMeta("doc", "jsonb", nullable = true, 4),
+      ColumnMeta("ts_arr", "timestamp without time zone[]", nullable = true, 5),
+      ColumnMeta("tags", "text[]", nullable = true, 6)))), Nil)
+    val engine = new Engine(spark, catalog, { case "typed" => src }, ExtractConfig())
+    val dir = java.nio.file.Files.createTempDirectory("pg-artifact").toString
+    engine.extractTo("SELECT * FROM typed WHERE id >= 1", dir)
+    val back = engine.load(dir)("typed")
+    // explicit schema from the catalog — typed read, zero inference
+    assert(back.schema("num").dataType == DecimalType(38, 18))
+    assert(back.schema("rng").dataType == StringType)
+    assert(back.schema("ts_arr").dataType == ArrayType(TimestampType))
+    val r = back.orderBy("id").collect()(0)
+    assert(r.getAs[java.math.BigDecimal]("num")
+      .compareTo(new java.math.BigDecimal("0.25")) == 0)
+    // decoded struct was re-encoded to the pg literal for the artifact
+    assert(r.getAs[String]("rng") == "[3,7)")
+    // jsonb map re-encoded to its raw document (what BulkInsert feeds pg)
+    val m = Seq(r.getAs[String]("doc")).toDF("j")
+      .select(PgTypeCodecs.jsonbToMap(col("j"))).collect()(0).getMap[String, String](0)
+    assert(m == Map("a" -> "1"))
+    // timestamp array re-parsed from RFC3339 back to timestamps
+    assert(r.getSeq[java.sql.Timestamp](r.fieldIndex("ts_arr")) ==
+      Seq(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+    assert(r.getSeq[String](r.fieldIndex("tags")) == Seq("x", "y"))
+  }
+
   test("array codecs narrow JSON doubles and parse RFC3339 (ref util.go:46-90)") {
     val df = Seq((Seq(1.0, 2.0, 300.0), Seq("2024-01-01T10:00:00Z", "2024-06-30T23:59:59+02:00")))
       .toDF("nums", "tss")
