@@ -191,9 +191,16 @@ class ClosureExtractor(
           cq.template match {
             case eqTail(prefix, colName, attr)
                 if attrs == Seq(attr) &&
-                  params.forall(_.get(attr).exists(_.isInstanceOf[Number])) =>
+                  params.forall(_.get(attr).exists(v =>
+                    v.isInstanceOf[Number] || v.isInstanceOf[String])) =>
               if (params.nonEmpty) {
-                val inList = params.map(_(attr).toString).distinct.mkString(", ")
+                // numbers render bare; strings single-quote with '' escape
+                // (the only escape ANSI SQL needs) — either way ONE query
+                // per iteration, never one per row
+                val inList = params.map(_(attr)).distinct.map {
+                  case n: Number => n.toString
+                  case s: String => "'" + s.replace("'", "''") + "'"
+                }.mkString(", ")
                 addKeys(cq.targetTable,
                   runQuery(s"$prefix$colName IN ($inList)")
                     .select(targetPk.map(col): _*).distinct())
@@ -249,9 +256,23 @@ class ClosureExtractor(
     if (result.nonEmpty)
       result.values.map(_.groupBy().count().select(col("count")))
         .reduce(_.union(_)).collect()
-    retained.foreach(_.unpersist(false))
+    retained.foreach(release)
     projCache.values.foreach(_.unpersist(false))
     result
+  }
+
+  /** Release an intermediate's storage. `Dataset.unpersist` only clears
+    * CacheManager entries; a locally-checkpointed intermediate stores its
+    * blocks on the UNDERLYING RDD (reachable through the `LogicalRDD`
+    * leaf), which would otherwise linger until ContextCleaner GC. Only the
+    * returned result checkpoints may outlive the fixpoint.
+    */
+  private def release(df: DataFrame): Unit = {
+    df.unpersist(false)
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
   }
 }
 

@@ -131,6 +131,35 @@ object Faker {
     streetTypes = Seq("rue", "avenue", "boulevard", "place", "impasse"),
     phonePrefix = "+3361")
 
+  private val es = Locale(
+    firstNames = Seq("José", "María", "Antonio", "Carmen", "Manuel", "Ana",
+      "Francisco", "Isabel", "Juan", "Laura", "Carlos", "Marta", "Javier",
+      "Lucía", "Miguel", "Elena", "Pablo", "Sara", "Diego", "Paula"),
+    lastNames = Seq("García", "Martínez", "López", "Sánchez", "González",
+      "Rodríguez", "Fernández", "Pérez", "Gómez", "Martín", "Jiménez",
+      "Ruiz", "Hernández", "Díaz", "Moreno", "Álvarez", "Romero", "Alonso",
+      "Gutiérrez", "Navarro"),
+    emailDomains = Seq("ejemplo.es", "correo.es", "example.es"),
+    streetNames = Seq("Mayor", "de la Constitución", "Gran Vía", "del Sol",
+      "de Cervantes", "de Goya", "Real", "de la Iglesia", "del Carmen",
+      "de América"),
+    streetTypes = Seq("calle", "avenida", "plaza", "paseo", "camino"),
+    phonePrefix = "+3466")
+
+  private val de = Locale(
+    firstNames = Seq("Hans", "Anna", "Peter", "Ursula", "Klaus", "Monika",
+      "Wolfgang", "Petra", "Jürgen", "Sabine", "Thomas", "Karin", "Michael",
+      "Susanne", "Andreas", "Claudia", "Stefan", "Julia", "Markus", "Laura"),
+    lastNames = Seq("Müller", "Schmidt", "Schneider", "Fischer", "Weber",
+      "Meyer", "Wagner", "Becker", "Schulz", "Hoffmann", "Schäfer", "Koch",
+      "Bauer", "Richter", "Klein", "Wolf", "Schröder", "Neumann", "Schwarz",
+      "Zimmermann"),
+    emailDomains = Seq("beispiel.de", "example.de", "mail.de"),
+    streetNames = Seq("Goethe", "Schiller", "Mozart", "Beethoven", "Lessing",
+      "Kant", "Humboldt", "Linden", "Rosen", "Dürer"),
+    streetTypes = Seq("Straße", "Weg", "Allee", "Platz", "Gasse"),
+    phonePrefix = "+4915")
+
   private val en = fr.copy(
     firstNames = Seq("James", "Mary", "John", "Patricia", "Robert",
       "Jennifer", "Michael", "Linda", "William", "Elizabeth", "David",
@@ -146,8 +175,17 @@ object Faker {
     streetTypes = Seq("St", "Ave", "Blvd", "Dr", "Ln"),
     phonePrefix = "+1555")
 
+  /** The reference accepts any syreclabs locale string from config
+    * (`/root/reference/etl/sanitizer.go:22-30`); we ship four pools and
+    * FAIL LOUDLY on anything else — a silent en fallback would ship
+    * wrong-locale fakes into an export nobody re-reads.
+    */
   def tables(locale: String): Locale = locale match {
     case "fr" => fr
-    case _    => en
+    case "en" => en
+    case "es" => es
+    case "de" => de
+    case other => throw new IllegalArgumentException(
+      s"unknown faker locale '$other' (supported: fr, en, es, de)")
   }
 }

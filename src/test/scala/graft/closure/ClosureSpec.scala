@@ -131,6 +131,29 @@ class ClosureSpec extends SparkSpec {
     assert(out.values.map(_.count()).toSeq == Seq.fill(n)(1L))
   }
 
+  test("J3 string-typed {attr} batches to ONE quote-escaped IN-list query per iteration") {
+    val users = Seq((1L, "alice"), (2L, "bo'b")).toDF("id", "username")
+    val notes = Seq((500L, "alice"), (501L, "bo'b"), (502L, "carol"))
+      .toDF("id", "author_name")
+    notes.createOrReplaceTempView("note")
+    val cat = Catalog(Map(
+      "user" -> TableMeta("user", Seq("id")),
+      "note" -> TableMeta("note", Seq("id"))), Nil)
+    val sqls = scala.collection.mutable.ListBuffer.empty[String]
+    val ex = new ClosureExtractor(cat,
+      Map("user" -> users, "note" -> notes)(_), TraversalPolicy(),
+      configQueries = Seq(ConfigQuery("user", "note",
+        "SELECT * FROM note WHERE author_name = {username}")),
+      runQuery = { sql => sqls += sql; spark.sql(sql) })
+    val out = ex.extract("user", users)
+    assert(ids(out("note")) == Set(500L, 501L))
+    // the whole 2-user frontier ran as ONE query, the embedded quote
+    // doubled (never one query per row — the reference's N+1)
+    assert(sqls.toList.length == 1)
+    assert(sqls.head.contains(" IN ("))
+    assert(sqls.head.contains("'bo''b'"))
+  }
+
   test("seed with multiple rows unions frontiers") {
     val out = extractor(TraversalPolicy(omitReferenceKeys = true))
       .extract("user", user.filter(col("id").isin(1, 3)))

@@ -74,6 +74,19 @@ class SanitizerSpec extends SparkSpec {
     assert(r.getAs[String]("email").contains("@"))
   }
 
+  test("es/de locales draw from their own pools; unknown locale fails loudly") {
+    val es = Sanitizer(users, Seq(ColumnRule("name", fake = Some("first_name"))),
+      "id", locale = "es").select("name").collect().map(_.getString(0))
+    assert(es.forall(Faker.tables("es").firstNames.contains))
+    val de = Sanitizer(users, Seq(ColumnRule("name", fake = Some("last_name"))),
+      "id", locale = "de").select("name").collect().map(_.getString(0))
+    assert(de.forall(Faker.tables("de").lastNames.contains))
+    // the reference takes any syreclabs locale from config; we refuse
+    // rather than silently anglicize (ref etl/sanitizer.go:22-30)
+    val e = intercept[IllegalArgumentException](Faker.tables("xx"))
+    assert(e.getMessage.contains("unknown faker locale"))
+  }
+
   test("template compiler handles literal-only and multi-attr templates") {
     val df = users.select(col("id"), col("username"),
       Sanitizer.template("static").as("s"),

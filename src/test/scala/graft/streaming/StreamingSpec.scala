@@ -5,14 +5,18 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
+/** Top-level so the generated encoder is Janino-visible — a local case
+  * class forces interpreter fallback and noisy codegen warnings in the
+  * test log.
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
 /** Drives the streaming operators with a MemoryStream and checks they
   * agree with their batch duals (the oracle-checked EventQueries forms).
   */
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
-
-  private case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
-      event_type: String, value: Double, props: String)
 
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
