@@ -256,23 +256,12 @@ class ClosureExtractor(
     if (result.nonEmpty)
       result.values.map(_.groupBy().count().select(col("count")))
         .reduce(_.union(_)).collect()
-    retained.foreach(release)
+    // release every intermediate, including locally-checkpointed ones
+    // (RDD-level blocks, see SparkUtil.release) — only the returned result
+    // checkpoints may outlive the fixpoint
+    retained.foreach(graft.SparkUtil.release)
     projCache.values.foreach(_.unpersist(false))
     result
-  }
-
-  /** Release an intermediate's storage. `Dataset.unpersist` only clears
-    * CacheManager entries; a locally-checkpointed intermediate stores its
-    * blocks on the UNDERLYING RDD (reachable through the `LogicalRDD`
-    * leaf), which would otherwise linger until ContextCleaner GC. Only the
-    * returned result checkpoints may outlive the fixpoint.
-    */
-  private def release(df: DataFrame): Unit = {
-    df.unpersist(false)
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    }
   }
 }
 

@@ -61,7 +61,13 @@ object DedupQueries {
     s"array_min(transform(hs, h -> ($a * h + $b) % $P))"
   }
 
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsCore(spark, dir).orderBy("doc_a", "doc_b")
+
+  /** The distinct candidate pairs without the presentation sort —
+    * [[dedupClusters]] consumes these as graph edges.
+    */
+  private def minhashPairsCore(spark: SparkSession, dir: String): DataFrame = {
     // repartition BEFORE the signature stage: the parquet scan is 1–2
     // partitions and the md5-per-shingle projection is the hot loop
     val docs = Tables(spark, dir, "documents")
@@ -105,15 +111,15 @@ object DedupQueries {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.est_jaccard").as("est_jaccard"))
       .distinct() // the same pair can collide in several bands
-      .orderBy("doc_a", "doc_b")
   }
 
-  val minhashPairsSql: String = {
+  /** Shared CTE chain (docs → sigs → banded) for the minhash oracles. */
+  private val minhashSqlCtes: String = {
     val sigs = (0 until K).map { i =>
       val (a, b) = affine(i)
       s"list_min(list_transform(hs, h -> ($a * h + $b) % $P))"
     }.mkString(", ")
-    s"""WITH docs AS (
+    s"""docs AS (
       |  SELECT doc_id,
       |    list_transform(range(1, len(string_split(text, ' ')) - 1),
       |      i -> CAST(('0x' || substr(md5(array_to_string(string_split(text, ' ')[i:i+2], ' ')), 1, 15)) AS BIGINT) % $P) AS hs
@@ -127,13 +133,93 @@ object DedupQueries {
       |banded AS (
       |  SELECT * FROM (SELECT doc_id, sig, band, bucket,
       |    COUNT(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded0)
-      |  WHERE bsz <= 64)
+      |  WHERE bsz <= 64)""".stripMargin
+  }
+
+  val minhashPairsSql: String =
+    s"""WITH $minhashSqlCtes
       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  len(list_filter(range(1, ${K + 1}), i -> a.sig[i] = b.sig[i])) / 8.0 AS est_jaccard
       |FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
       |  AND a.doc_id < b.doc_id
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Near-dup CLUSTERS: connected components over the LSH candidate-pair
+    * graph — the union-find step that turns pairs into dedup decisions
+    * (keep cluster_id, drop the rest). Distributed min-label propagation:
+    * every node starts labelled with itself; each round every node takes
+    * the min label among itself and its neighbours; fixpoint when the
+    * label sum stops falling (labels are monotone non-increasing, so the
+    * sum is a correct and cheap convergence test — no per-row diff join).
+    *
+    * 100 TB shape: rounds = graph diameter, and the star-edge candidate
+    * generation keeps components star-like (diameter ≤ ~2×bands), so the
+    * loop converges in a handful of label-shuffles regardless of corpus
+    * size — the same reason Kiveris et al.'s large-star/small-star CC
+    * terminates fast on short graphs. Labels are (id, lab) longs only.
+    *
+    * Every round's labels are EAGERLY localCheckpoint'ed, and the edge set
+    * once up front: an iterative loop that merely persists leaves the
+    * LOGICAL plan growing ~3× per round (persist substitutes the cache at
+    * physical planning, but analysis still walks the whole accumulated
+    * tree — measured 7s of pure Catalyst time by round 4 on a 1k-row label
+    * table). Checkpointing makes each round's plan a leaf; previous
+    * rounds' blocks are released immediately via [[graft.SparkUtil]].
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairsCore(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id"))
+      .localCheckpoint(true)
+    var labSum = labels.agg(sum("lab")).collect()(0).getLong(0)
+    var converged = false
+    while (!converged) {
+      // two hops per round, both against the previous round's CHECKPOINT
+      // (a self-join on the un-materialized neighbor-min would compute
+      // that subtree twice — the duplicate-subplan trap minhashPairs
+      // had): lab'(x) = lab_old(min over closed neighborhood of lab_old).
+      // Every label is itself a node id of the same component, so the
+      // composition join always hits and stays within the component;
+      // monotone because lab_old(y) <= y.
+      val next = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("lab"))
+        .union(labels)
+        .groupBy("id").agg(min("lab").as("lab1"))
+        .join(labels.select(col("id").as("lab1"), col("lab").as("lab2")), Seq("lab1"))
+        .select(col("id"), col("lab2").as("lab"))
+        .localCheckpoint(true)
+      val nextSum = next.agg(sum("lab")).collect()(0).getLong(0)
+      graft.SparkUtil.release(labels)
+      labels = next
+      converged = nextSum == labSum
+      labSum = nextSum
+    }
+    graft.SparkUtil.release(edges)
+    labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"))
+      .orderBy("doc_id")
   }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $minhashSqlCtes,
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+      |    AND a.doc_id < b.doc_id),
+      |und AS (
+      |  SELECT doc_a AS s, doc_b AS t FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(s, t) AS (
+      |  SELECT s, t FROM und
+      |  UNION
+      |  SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s)
+      |SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id
+      |FROM reach GROUP BY s
+      |ORDER BY doc_id""".stripMargin
 
   /** SimHash: 60-bit signature per document (bitwise majority vote over
     * per-word 60-bit hashes, words with multiplicity).
@@ -316,6 +402,7 @@ object DedupQueries {
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "dedup_exact" -> ((dedupExact _, dedupExactSql)),
     "minhash_pairs" -> ((minhashPairs _, minhashPairsSql)),
+    "dedup_clusters" -> ((dedupClusters _, dedupClustersSql)),
     "simhash" -> ((simhash _, simhashSql)),
     "jaccard_pairs" -> ((jaccardPairs _, jaccardPairsSql)),
     "embed_dup_pairs" -> ((embedDupPairs _, embedDupPairsSql))

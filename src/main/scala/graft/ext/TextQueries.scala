@@ -145,9 +145,66 @@ object TextQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic train/valid/test split (80/10/10): bucket = content-
+    * independent hash of the doc_id, so the assignment is stable across
+    * runs, engines, and (critically, at 100 TB) re-partitions — a random()
+    * split re-deals the held-out set every run and leaks test into train.
+    * One narrow projection, no shuffle except the presentation sort.
+    */
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "documents")
+      .withColumn("bucket",
+        expr("cast(conv(substring(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint) % 100").cast("int"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  val trainTestSplitSql: String =
+    """SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'valid'
+      |       ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS INT) AS bucket
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Corpus bigram counts: n-gram extraction as a higher-order transform,
+    * explode → map-side partial agg → top-20 (deterministic tiebreak).
+    * The generator-then-partial-agg shape is the one that scales: the
+    * shuffle carries (bigram, partial count), never raw bigram instances.
+    */
+  def ngramCounts(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "documents")
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(words) - 1), i -> concat(words[i - 1], ' ', words[i]))"))
+        .as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
+
+  val ngramCountsSql: String =
+    """SELECT bigram, COUNT(*) AS n
+      |FROM (
+      |  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+      |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bigram
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2)
+      |GROUP BY bigram
+      |ORDER BY n DESC, bigram
+      |LIMIT 20""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "text_stats" -> ((textStats _, textStatsSql)),
     "lang_id" -> ((langId _, langIdSql)),
-    "doc_fingerprint" -> ((docFingerprint _, docFingerprintSql))
+    "doc_fingerprint" -> ((docFingerprint _, docFingerprintSql)),
+    "train_test_split" -> ((trainTestSplit _, trainTestSplitSql)),
+    "ngram_counts" -> ((ngramCounts _, ngramCountsSql))
   )
 }
