@@ -47,8 +47,9 @@ final case class ConfigQuery(sourceTable: String, targetTable: String, template:
   * same shape as a Pregel/GraphX iteration.
   *
   * Scale design (100 TB): frontier/seen sets hold ONLY key columns (never
-  * full rows), are persisted per iteration, and local checkpoints every
-  * `checkpointEvery` iterations cut the growing lineage. No broadcast
+  * full rows), and every iteration's frontier becomes a lazy local
+  * checkpoint — a leaf plan, so neither lineage nor Catalyst analysis
+  * cost grows with depth. No broadcast
   * hints: frontier key sets are usually tiny and AQE (default-on in
   * Spark 4) converts these semi-joins to broadcast-hash at runtime, while
   * a genuinely huge key set is still allowed to shuffle. Full rows are
@@ -59,8 +60,7 @@ class ClosureExtractor(
     loadTable: String => DataFrame,
     policy: TraversalPolicy = TraversalPolicy(),
     configQueries: Seq[ConfigQuery] = Nil,
-    runQuery: String => DataFrame = null,
-    checkpointEvery: Int = 8) {
+    runQuery: String => DataFrame = null) {
 
   /** Runs the closure from a seed DataFrame (rows of `seedTable`).
     * Returns table name → DataFrame of all rows in the closed subgraph.
@@ -106,8 +106,10 @@ class ClosureExtractor(
     var frontier: Map[String, DataFrame] = seeds.groupBy(_._1).map {
       case (t, ss) =>
         val pk = catalog.pkOf(t).map(col)
+        // lazy leaf like every later frontier; forced by the first
+        // union-of-counts job
         t -> track(ss.map(_._2.select(pk: _*)).reduce(_.union(_)).distinct()
-          .persist(StorageLevel.MEMORY_AND_DISK))
+          .localCheckpoint(false))
     }
     var depth = 0
 
@@ -218,18 +220,24 @@ class ClosureExtractor(
       // anti-join out already-seen keys, then drop empty frontiers.
       // Emptiness is decided with ONE union-of-counts job for all tables
       // instead of a driver-serial isEmpty() per table.
+      //
+      // EVERY frontier becomes a LAZY localCheckpoint (a LogicalRDD leaf,
+      // forced by that same union-of-counts job — no extra job per
+      // table): a persisted-but-not-checkpointed frontier keeps its full
+      // logical plan, and since `seen` unions every prior frontier while
+      // each frontier anti-joins `seen`, analysis cost then compounds
+      // per depth — Catalyst re-walks the whole accumulated tree even
+      // when the cache serves the data (measured ~25% of closure wall
+      // time at sf0.1, and unbounded growth with depth). Leaf plans make
+      // iteration cost pure job cost. Tracked for release after the
+      // fixpoint; only the RESULT checkpoints (below) may outlive it.
       val candidates = next.toMap.map { case (t, keys) =>
         val pk = catalog.pkOf(t)
         val fresh0 = seen.get(t) match {
           case Some(s) => keys.distinct().join(s, pk, "left_anti")
           case None    => keys.distinct()
         }
-        // checkpointed intermediates are tracked too: only the RESULT
-        // checkpoints (below) may outlive the fixpoint
-        val fresh =
-          if ((depth + 1) % checkpointEvery == 0) track(fresh0.localCheckpoint(true))
-          else track(fresh0.persist(StorageLevel.MEMORY_AND_DISK))
-        t -> fresh
+        t -> track(fresh0.localCheckpoint(false))
       }
       val sizes: Map[String, Long] =
         if (candidates.isEmpty) Map.empty

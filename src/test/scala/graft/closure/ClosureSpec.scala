@@ -112,10 +112,11 @@ class ClosureSpec extends SparkSpec {
   }
 
   test("deep chain crosses localCheckpoint boundaries and stays correct") {
-    // 12-table FK chain t0 -> t1 -> ... -> t11 with checkpointEvery = 3:
-    // the BFS hits the lineage-cut branch 3 times; every table must still
-    // materialize exactly its one reachable row, and the tracked
-    // checkpoint intermediates must release cleanly after the fixpoint
+    // 12-table FK chain t0 -> t1 -> ... -> t11: every iteration's frontier
+    // is a lazy localCheckpoint leaf, so this drives 12 consecutive
+    // checkpoint/force/release cycles; every table must still materialize
+    // exactly its one reachable row, and the tracked checkpoint
+    // intermediates must release cleanly after the fixpoint
     val n = 12
     val metas = (0 until n).map(i => s"t$i" -> TableMeta(s"t$i", Seq("id"))).toMap
     val edges = (0 until n - 1).map(i =>
@@ -125,7 +126,7 @@ class ClosureSpec extends SparkSpec {
       val next = if (i < n - 1) Option(100L + i + 1) else Option.empty[Long]
       Seq((100L + i, next)).toDF("id", "next_id")
     }
-    val ex = new ClosureExtractor(Catalog(metas, edges), dfs, checkpointEvery = 3)
+    val ex = new ClosureExtractor(Catalog(metas, edges), dfs)
     val out = ex.extract("t0", dfs("t0"))
     assert(out.keySet == (0 until n).map(i => s"t$i").toSet)
     assert(out.values.map(_.count()).toSeq == Seq.fill(n)(1L))
