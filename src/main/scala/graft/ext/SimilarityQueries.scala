@@ -140,8 +140,36 @@ object SimilarityQueries {
       |WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Symmetric int8 quantization per vector (max-abs scale — the storage
+    * form a 100 TB embedding corpus actually ships: 4× smaller than fp32,
+    * dequantize = q * scale / 127). One narrow projection, no shuffle
+    * except the presentation sort; the scale survives as a column so the
+    * quantization is invertible to within rounding.
+    */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("scale",
+        expr("greatest(array_max(transform(v, x -> abs(x))), cast(1e-12 AS double))"))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        expr("transform(v, x -> cast(round(x / scale * 127.0, 0) AS int))").as("q"))
+      .orderBy("vec_id")
+  }
+
+  val embedQuantizeSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |  GREATEST(list_max(list_transform(v, x -> ABS(x))), 1e-12) AS scale
+      |  FROM e)
+      |SELECT vec_id, ROUND(scale, 6) AS scale,
+      |  list_transform(v, x -> CAST(ROUND(x / scale * 127.0, 0) AS INT)) AS q
+      |FROM s
+      |ORDER BY vec_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "knn_brute" -> ((knnBrute _, knnBruteSql)),
-    "ann_ivf" -> ((annIvf _, annIvfSql))
+    "ann_ivf" -> ((annIvf _, annIvfSql)),
+    "embed_quantize" -> ((embedQuantize _, embedQuantizeSql))
   )
 }

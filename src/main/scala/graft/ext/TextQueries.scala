@@ -200,11 +200,52 @@ object TextQueries {
       |ORDER BY n DESC, bigram
       |LIMIT 20""".stripMargin
 
+  /** Concat-and-chunk token packing (GPT-style pretraining sharding):
+    * documents are concatenated in doc_id order within a shard and cut
+    * into fixed `budget`-token chunks; each doc records the chunk its
+    * first token lands in. The global sequential cumsum a single ordering
+    * would need is the scale trap — instead docs hash into `nShards`
+    * independent shards (content-independent md5, deterministic), and the
+    * running offset is a window per shard: embarrassingly parallel, one
+    * sort per shard, no single-partition window at any corpus size.
+    */
+  def packChunks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2048
+    val nShards = 8
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        expr(s"cast(conv(substring(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint) % $nShards")
+          .cast("int").as("shard"))
+      .withColumn("tok_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("chunk_id",
+        (col("shard").cast("long") * 1000000L + floor(col("tok_offset") / budget)).cast("long"))
+      .select("doc_id", "shard", "n_tokens", "tok_offset", "chunk_id")
+      .orderBy("doc_id")
+  }
+
+  val packChunksSql: String =
+    """SELECT doc_id, shard, n_tokens,
+      |  SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS tok_offset,
+      |  CAST(shard AS BIGINT) * 1000000 + CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 2048) AS BIGINT) AS chunk_id
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS INT) AS shard
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "text_stats" -> ((textStats _, textStatsSql)),
     "lang_id" -> ((langId _, langIdSql)),
     "doc_fingerprint" -> ((docFingerprint _, docFingerprintSql)),
     "train_test_split" -> ((trainTestSplit _, trainTestSplitSql)),
-    "ngram_counts" -> ((ngramCounts _, ngramCountsSql))
+    "ngram_counts" -> ((ngramCounts _, ngramCountsSql)),
+    "pack_chunks" -> ((packChunks _, packChunksSql))
   )
 }
