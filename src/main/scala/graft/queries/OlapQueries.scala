@@ -285,8 +285,38 @@ object OlapQueries {
       |FROM orders WHERE o_orderkey <= 100
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Navigation + distribution window breadth (lag/lead/ntile/
+    * percent_rank) over each customer's order history. One shuffle on
+    * o_custkey serves all four functions (same window spec); the ordering
+    * key (o_orderdate, o_orderkey) is unique, so every function is
+    * deterministic cross-engine.
+    */
+  def windowNav(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val windowNavSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  LAG(o_totalprice, 1) OVER w AS prev_price,
+      |  LEAD(o_totalprice, 1) OVER w AS next_price,
+      |  NTILE(4) OVER w AS quartile,
+      |  ROUND(PERCENT_RANK() OVER w, 6) AS pr
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "topk_custom_agg" -> ((topkCustomAgg _, topkCustomAggSql)),
+    "window_nav" -> ((windowNav _, windowNavSql)),
     "rollup_agg" -> ((rollupAgg _, rollupAggSql)),
     "pivot_agg" -> ((pivotAgg _, pivotAggSql)),
     "unpivot_metrics" -> ((unpivotMetrics _, unpivotMetricsSql)),
