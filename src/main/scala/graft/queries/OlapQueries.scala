@@ -102,6 +102,29 @@ object OlapQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Approximate percentiles — the 100 TB form of [[percentiles]]
+    * (exact percentile needs all values of a group collected; the
+    * approx sketch is mergeable, bounded-memory, one pass). The sketch is
+    * engine-specific so there is no DuckDB oracle (rows-only check), but
+    * the query is SELF-VALIDATING like the HLL one: the exact value rides
+    * along and `assert_true` aborts — a driver-visible failure, not
+    * silently-wrong rows — if the approximation leaves its accuracy
+    * envelope (1e4 yields ~0.01% rank error; 1% value tolerance is wide).
+    */
+  def percentilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("approx_percentile(o_totalprice, 0.5, 10000)"), 4).as("p50_approx"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_exact"),
+        count(lit(1)).as("n"))
+      .withColumn("rel_err",
+        round(abs(col("p50_approx") - col("p50_exact")) / col("p50_exact"), 6))
+      .filter(expr(
+        "assert_true(rel_err <= 0.01, 'approx percentile outside envelope') IS NULL"))
+      .orderBy("o_orderpriority")
+  }
+
   /** As-of join: for every click event, the most recent purchase at or
     * before it by the same user. Spark-first formulation: ONE sort per
     * user (window last-ignoring-nulls over the unioned stream) instead of
@@ -321,6 +344,7 @@ object OlapQueries {
     "pivot_agg" -> ((pivotAgg _, pivotAggSql)),
     "unpivot_metrics" -> ((unpivotMetrics _, unpivotMetricsSql)),
     "percentiles" -> ((percentiles _, percentilesSql)),
+    "percentiles_approx" -> ((percentilesApprox _, null)),
     "asof_join" -> ((asofJoin _, asofJoinSql)),
     "cube_agg" -> ((cubeAgg _, cubeAggSql)),
     "stats_agg" -> ((statsAgg _, statsAggSql)),
