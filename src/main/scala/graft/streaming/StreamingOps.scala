@@ -173,4 +173,25 @@ object StreamingOps {
           next
       }
   }
+
+  /** Stream → JDBC upsert sink: every micro-batch runs through
+    * [[graft.io.UpsertJdbcSink]] inside `foreachBatch` — the streaming
+    * form of the reference's load verb. The conflict-skip insert makes
+    * redelivered rows idempotent, which upgrades Structured Streaming's
+    * at-least-once `foreachBatch` delivery to effectively-once in the
+    * target table (the same reason the reference's ON CONFLICT DO NOTHING
+    * load is safely re-runnable). Returns the started query; the caller
+    * owns its lifecycle.
+    */
+  def upsertStream(
+      events: DataFrame, url: String, props: java.util.Properties,
+      table: String, pk: String,
+      dialect: graft.io.UpsertDialect,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.io.UpsertJdbcSink.write(batch, url, props, table, pk, dialect = dialect)
+      }
+      .start()
 }
