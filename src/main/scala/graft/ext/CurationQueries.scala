@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** End-to-end corpus curation — the decision a training-data pipeline
+  * actually ships: for every document, keep it or drop it WITH the
+  * reason, composing the text-quality tier and the near-dup cluster tier:
+  *
+  *  1. `low_quality`: composite quality score (the [[TextQueries]]
+  *     formula) below threshold — cheap narrow projection, evaluated
+  *     first so junk never reaches the expensive stages;
+  *  2. `near_dup`: the document belongs to an LSH near-dup cluster
+  *     ([[DedupQueries.dedupClusters]]) and is not its representative
+  *     (min doc_id) — one doc survives per cluster;
+  *  3. `keep` otherwise.
+  *
+  * At 100 TB this composition is the whole point of the operator tier:
+  * the quality projection is scan-bound, the cluster side is the bounded
+  * LSH pipeline, and the final decision is one left join on doc_id. The
+  * DuckDB oracle replays the identical pipeline (recursive-CTE connected
+  * components included), so the END-TO-END decision is hash-checked, not
+  * just the stages.
+  */
+object CurationQueries {
+
+  private val threshold = 0.5
+
+  /** The exact [[TextQueries.textStats]] quality score as a projection. */
+  private def qualityCol = {
+    val words = split(col("text"), " ")
+    val nTokens = size(words)
+    val nStop = expr(
+      s"size(filter(split(text, ' '), w -> array_contains(array(${TextQueries.stopEn.map(w => s"'$w'").mkString(",")}), w)))")
+    round(
+      least(lit(1.0), nTokens / lit(50.0)) *
+        (lit(1.0) - abs(nStop.cast("double") / nTokens - lit(0.4))),
+      6)
+  }
+
+  def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    val quality = Tables(spark, dir, "documents")
+      .select(col("doc_id"), qualityCol.as("q"))
+    val clusters = DedupQueries.dedupClusters(spark, dir)
+    quality
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("q").as("quality_score"),
+        when(col("q") < threshold, "low_quality")
+          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"),
+            "near_dup")
+          .otherwise("keep").as("decision"))
+      .orderBy("doc_id")
+  }
+
+  val corpusCurationSql: String =
+    s"""WITH RECURSIVE ${DedupQueries.minhashSqlCtes},
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+      |    AND a.doc_id < b.doc_id),
+      |und AS (
+      |  SELECT doc_a AS s, doc_b AS t FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(s, t) AS (
+      |  SELECT s, t FROM und
+      |  UNION
+      |  SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s),
+      |clusters AS (
+      |  SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id
+      |  FROM reach GROUP BY s),
+      |quality AS (
+      |  SELECT doc_id,
+      |    ROUND(LEAST(1.0, len(string_split(text, ' ')) / 50.0) *
+      |      (1.0 - ABS(CAST(len(list_filter(string_split(text, ' '), w -> list_contains(${TextQueries.stopEnSql}, w))) AS DOUBLE)
+      |        / len(string_split(text, ' ')) - 0.4)), 6) AS q
+      |  FROM documents)
+      |SELECT d.doc_id, d.q AS quality_score,
+      |  CASE WHEN d.q < $threshold THEN 'low_quality'
+      |       WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> d.doc_id THEN 'near_dup'
+      |       ELSE 'keep' END AS decision
+      |FROM quality d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "corpus_curation" -> ((corpusCuration _, corpusCurationSql))
+  )
+}

@@ -113,8 +113,9 @@ object DedupQueries {
       .distinct() // the same pair can collide in several bands
   }
 
-  /** Shared CTE chain (docs → sigs → banded) for the minhash oracles. */
-  private val minhashSqlCtes: String = {
+  /** Shared CTE chain (docs → sigs → banded) for the minhash oracles
+    * (also composed into the corpus-curation oracle). */
+  private[ext] val minhashSqlCtes: String = {
     val sigs = (0 until K).map { i =>
       val (a, b) = affine(i)
       s"list_min(list_transform(hs, h -> ($a * h + $b) % $P))"

@@ -12,7 +12,7 @@ object Registry {
     Seq(CoreQueries.all, SanitizeQueries.all, EngineQueries.all, OlapQueries.all,
       graft.ext.TextQueries.all, graft.ext.DedupQueries.all,
       graft.ext.SimilarityQueries.all, graft.ext.EventQueries.all,
-      graft.ext.Multimodal.all)
+      graft.ext.Multimodal.all, graft.ext.CurationQueries.all)
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     suites.flatten.map { case (n, (f, _)) => n -> f }.toMap
