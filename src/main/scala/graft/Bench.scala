@@ -37,8 +37,15 @@ object Bench {
                 catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    // a failed query must NOT masquerade as a near-zero timing: it goes
-    // into "errors" and is excluded from "queries" and the total
+    println(renderJson(results, sfDir))
+    spark.stop()
+  }
+
+  /** One JSON result line. A failed query must NOT masquerade as a
+    * near-zero timing: it goes into "errors" and is excluded from
+    * "queries" and the total (BenchJsonSpec pins this).
+    */
+  def renderJson(results: Seq[(String, Double, Option[String])], sfDir: String): String = {
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
     val ok = results.filter(_._3.isEmpty)
@@ -50,7 +57,6 @@ object Bench {
         results.collect { case (k, _, Some(m)) => s"\"" + k + "\":\"" + esc(m) + "\"" }
           .mkString(""","errors":{""", ",", "}")
       else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errsJson,"sf":"$sfDir"}""")
-    spark.stop()
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errsJson,"sf":"$sfDir"}"""
   }
 }

@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A broken bench query must surface as an "errors" entry — never as a
+  * silently-recorded near-zero timing.
+  */
+class BenchJsonSpec extends AnyFunSuite {
+
+  test("failed query lands in errors, not queries/total") {
+    val json = Bench.renderJson(Seq(
+      ("good", 1.5, None),
+      ("broken", 0.01, Some("""java.lang.RuntimeException: boom "quoted"""")),
+      ("fine", 0.5, None)), "/sf")
+    assert(json.contains(""""good":1.5"""))
+    assert(json.contains(""""value":2.0""")) // broken's 0.01 excluded
+    assert(!json.contains(""""broken":0.01"""))
+    assert(json.contains(""""errors":{"broken":"java.lang.RuntimeException: boom \"quoted\""}"""))
+  }
+
+  test("all-green run emits no errors field") {
+    val json = Bench.renderJson(Seq(("q", 1.0, None)), "/sf")
+    assert(!json.contains("errors"))
+    assert(json.contains(""""q":1.0"""))
+  }
+
+  test("rendered line is parseable JSON (driver ingests it verbatim)") {
+    // minimal structural check without a JSON lib: balanced braces and the
+    // escape rules keep quotes paired
+    val json = Bench.renderJson(Seq(
+      ("a", 0.1, None), ("b", 0.2, Some("msg with \"quote\" and \\slash"))), "/sf")
+    assert(json.count(_ == '{') == json.count(_ == '}'))
+    assert(json.count(_ == '"') % 2 == 0)
+  }
+}
