@@ -168,11 +168,16 @@ object DedupQueries {
     * rounds' blocks are released immediately via [[graft.SparkUtil]].
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // checkpoint the pairs BEFORE mirroring them: both union branches
+    // below read the pair set, and an un-materialized subtree would run
+    // the whole signature pipeline once per branch. The mirrored union
+    // over the leaf is narrow (no shuffle), so edges needs no checkpoint
+    // of its own.
     val pairs = minhashPairsCore(spark, dir).select("doc_a", "doc_b")
+      .localCheckpoint(true)
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
-      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lab", col("id"))
       .localCheckpoint(true)
@@ -200,7 +205,7 @@ object DedupQueries {
       converged = nextSum == labSum
       labSum = nextSum
     }
-    graft.SparkUtil.release(edges)
+    graft.SparkUtil.release(pairs)
     labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"))
       .orderBy("doc_id")
   }
