@@ -83,7 +83,50 @@ object CurationQueries {
       |FROM quality d LEFT JOIN clusters c ON c.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Benchmark decontamination — flag training documents that share any
+    * word 5-gram with the eval set (the overlap check every serious
+    * pretraining pipeline runs before training; 13-grams in the GPT-3
+    * writeup, 5 here because the synthetic docs are short). Here the
+    * "eval set" is doc_id < 10; in production it is the benchmark suite.
+    *
+    * Scale shape: the eval side is SMALL BY CONSTRUCTION (benchmarks are
+    * thousands of docs, the corpus is billions), so its distinct shingle
+    * hashes broadcast and the corpus never shuffles — one scan, a
+    * broadcast semi-ish join on the exploded shingles, then a partial-agg
+    * groupBy on doc_id. Cross-engine md5 shingle hashes as everywhere.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    def shingles(df: DataFrame) = df
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, size(words) - 4),
+             i -> md5(concat_ws(' ', slice(words, i, 5)))))""")).as("sh"))
+    val docs = Tables(spark, dir, "documents")
+    val eval5 = shingles(docs.filter(col("doc_id") < 10)).select("sh").distinct()
+    shingles(docs.filter(col("doc_id") >= 10))
+      .join(broadcast(eval5), Seq("sh"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("sh")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 3),
+      |      i -> md5(array_to_string(string_split(text, ' ')[i:i+4], ' '))))) AS sh
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 5),
+      |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10)
+      |SELECT s.doc_id, COUNT(DISTINCT s.sh) AS n_shared
+      |FROM sh s JOIN ev ON s.sh = ev.sh
+      |WHERE s.doc_id >= 10
+      |GROUP BY s.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
-    "corpus_curation" -> ((corpusCuration _, corpusCurationSql))
+    "corpus_curation" -> ((corpusCuration _, corpusCurationSql)),
+    "decontaminate" -> ((decontaminate _, decontaminateSql))
   )
 }
