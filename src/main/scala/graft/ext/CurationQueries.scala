@@ -125,8 +125,39 @@ object CurationQueries {
       |GROUP BY s.doc_id
       |ORDER BY s.doc_id""".stripMargin
 
+  /** Deterministic stratified sample — k docs per language, selected by
+    * hash rank (training-mix construction: equal per-stratum quotas from
+    * a skewed corpus). The hash rank makes the sample a pure function of
+    * the data: re-runs, engines, and partitionings agree, and growing the
+    * corpus only displaces rows at the quota boundary. One shuffle on the
+    * stratum key; k bounds per-group state in the rank window.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 25
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("rnd"), col("doc_id"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(concat(lit("sample:"), col("doc_id").cast("string"))).as("rnd"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("doc_id"))
+      .orderBy("lang", "rank")
+  }
+
+  val sampleStratifiedSql: String =
+    """SELECT lang, rank, doc_id FROM (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)), doc_id) AS rank
+      |  FROM documents)
+      |WHERE rank <= 25
+      |ORDER BY lang, rank""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "corpus_curation" -> ((corpusCuration _, corpusCurationSql)),
-    "decontaminate" -> ((decontaminate _, decontaminateSql))
+    "decontaminate" -> ((decontaminate _, decontaminateSql)),
+    "sample_stratified" -> ((sampleStratified _, sampleStratifiedSql))
   )
 }
