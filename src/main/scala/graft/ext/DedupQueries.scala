@@ -172,15 +172,17 @@ object DedupQueries {
     // below read the pair set, and an un-materialized subtree would run
     // the whole signature pipeline once per branch. The mirrored union
     // over the leaf is narrow (no shuffle), so edges needs no checkpoint
-    // of its own.
+    // of its own. Checkpoints are LAZY: the label-sum action below forces
+    // pairs AND the initial labels in ONE job (an eager checkpoint would
+    // be its own job — two jobs per round instead of one).
     val pairs = minhashPairsCore(spark, dir).select("doc_a", "doc_b")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lab", col("id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var labSum = labels.agg(sum("lab")).collect()(0).getLong(0)
     var converged = false
     while (!converged) {
@@ -198,7 +200,7 @@ object DedupQueries {
         .groupBy("id").agg(min("lab").as("lab1"))
         .join(labels.select(col("id").as("lab1"), col("lab").as("lab2")), Seq("lab1"))
         .select(col("id"), col("lab2").as("lab"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // forced by the sum — one job per round
       val nextSum = next.agg(sum("lab")).collect()(0).getLong(0)
       graft.SparkUtil.release(labels)
       labels = next
