@@ -155,9 +155,65 @@ object CurationQueries {
       |WHERE rank <= 25
       |ORDER BY lang, rank""".stripMargin
 
+  /** PII detection + redaction — count and mask emails, IPv4 addresses,
+    * and phone numbers (the scrub every released training corpus runs).
+    * One narrow regex projection, scan-bound; the output carries counts
+    * and a fingerprint of the redacted text (not the text itself) so the
+    * result row stays small at any document size.
+    *
+    * The synthetic corpus contains no PII, so the query deterministically
+    * plants one email/IP/phone on every 7th doc_id BEFORE redacting —
+    * a pure function of doc_id replayed identically by the oracle, so the
+    * redaction machinery (not just a zero-match pass) is what's verified.
+    * Patterns are kept in the Java∩RE2 common subset (no backrefs or
+    * lookaround) so Spark and DuckDB agree byte-for-byte.
+    */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val phoneRe = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables(spark, dir, "documents")
+      .withColumn("t", when(col("doc_id") % 7 === 0,
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10."), (col("doc_id") % 200).cast("string"),
+          lit(".0.1 call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(col("text")))
+    planted.select(col("doc_id"),
+        regexp_count(col("t"), lit(emailRe)).cast("int").as("n_emails"),
+        regexp_count(col("t"), lit(ipRe)).cast("int").as("n_ips"),
+        regexp_count(col("t"), lit(phoneRe)).cast("int").as("n_phones"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
+          emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>"))
+          .as("redacted_fp"))
+      .orderBy("doc_id")
+  }
+
+  val piiRedactSql: String =
+    s"""WITH p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN
+      |      text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |        || '@example.com from 10.' || CAST(doc_id % 200 AS VARCHAR)
+      |        || '.0.1 call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |    ELSE text END AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '$emailRe')) AS INT) AS n_emails,
+      |  CAST(len(regexp_extract_all(t, '$ipRe')) AS INT) AS n_ips,
+      |  CAST(len(regexp_extract_all(t, '$phoneRe')) AS INT) AS n_phones,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+      |    '$emailRe', '<EMAIL>', 'g'), '$ipRe', '<IP>', 'g'),
+      |    '$phoneRe', '<PHONE>', 'g')) AS redacted_fp
+      |FROM p
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "corpus_curation" -> ((corpusCuration _, corpusCurationSql)),
     "decontaminate" -> ((decontaminate _, decontaminateSql)),
-    "sample_stratified" -> ((sampleStratified _, sampleStratifiedSql))
+    "sample_stratified" -> ((sampleStratified _, sampleStratifiedSql)),
+    "pii_redact" -> ((piiRedact _, piiRedactSql))
   )
 }

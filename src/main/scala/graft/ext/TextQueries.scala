@@ -240,12 +240,61 @@ object TextQueries {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Repetition-based quality signals (the Gopher-report family of
+    * filters): duplicate-word fraction, most-frequent-word fraction, and
+    * duplicate-bigram fraction, with a keep/repetitive verdict. Natural
+    * text under ~0.5 dup-word; templated/spammy text spikes all three.
+    *
+    * All three are per-document HOF projections — no shuffle, scan-bound
+    * at any corpus size. The top-word count is O(distinct·words) per doc
+    * (documents are bounded; the alternative — explode + per-doc groupBy —
+    * would shuffle the full token stream corpus-wide). The verdict
+    * compares ROUNDED values so both engines branch on identical doubles.
+    */
+  def qualityRepetition(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "documents")
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 2)
+      .withColumn("n", size(col("words")))
+      .withColumn("top_word_n", expr(
+        "array_max(transform(array_distinct(words), w -> size(filter(words, x -> x = w))))"))
+      .withColumn("bigrams", expr(
+        "transform(sequence(1, size(words) - 1), i -> concat(words[i - 1], ' ', words[i]))"))
+      .withColumn("dup_word_frac",
+        round(lit(1.0) - size(array_distinct(col("words"))).cast("double") / col("n"), 6))
+      .withColumn("top_word_frac", round(col("top_word_n").cast("double") / col("n"), 6))
+      .withColumn("dup_bigram_frac",
+        round(lit(1.0) - size(array_distinct(col("bigrams"))).cast("double") / size(col("bigrams")), 6))
+      .select(col("doc_id"), col("dup_word_frac"), col("top_word_frac"),
+        col("dup_bigram_frac"),
+        when(col("dup_word_frac") > 0.75 || col("top_word_frac") > 0.2
+          || col("dup_bigram_frac") > 0.3, "repetitive")
+          .otherwise("keep").as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  val qualityRepetitionSql: String =
+    """SELECT doc_id, dup_word_frac, top_word_frac, dup_bigram_frac,
+      |  CASE WHEN dup_word_frac > 0.75 OR top_word_frac > 0.2
+      |    OR dup_bigram_frac > 0.3 THEN 'repetitive' ELSE 'keep' END AS verdict
+      |FROM (
+      |  SELECT doc_id,
+      |    ROUND(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS dup_word_frac,
+      |    ROUND(CAST(list_max(list_transform(list_distinct(ws),
+      |      w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / len(ws), 6) AS top_word_frac,
+      |    ROUND(1.0 - CAST(len(list_distinct(list_transform(range(1, len(ws)),
+      |      i -> ws[i] || ' ' || ws[i + 1]))) AS DOUBLE) / (len(ws) - 1), 6) AS dup_bigram_frac
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 2)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "text_stats" -> ((textStats _, textStatsSql)),
     "lang_id" -> ((langId _, langIdSql)),
     "doc_fingerprint" -> ((docFingerprint _, docFingerprintSql)),
     "train_test_split" -> ((trainTestSplit _, trainTestSplitSql)),
     "ngram_counts" -> ((ngramCounts _, ngramCountsSql)),
-    "pack_chunks" -> ((packChunks _, packChunksSql))
+    "pack_chunks" -> ((packChunks _, packChunksSql)),
+    "quality_repetition" -> ((qualityRepetition _, qualityRepetitionSql))
   )
 }

