@@ -230,24 +230,42 @@ object DedupQueries {
       |ORDER BY doc_id""".stripMargin
 
   /** SimHash: 60-bit signature per document (bitwise majority vote over
-    * per-word 60-bit hashes, words with multiplicity).
+    * per-word 60-bit hashes, words with multiplicity). The signature
+    * projection is shared with [[simhashPairs]].
+    *
+    * Written as ONE nested expression where every expensive subtree (the
+    * md5-per-word array, the vote fold) appears only as an ARRAY ARGUMENT
+    * — evaluated once — never referenced from inside an N-invocation
+    * lambda. The previous hs → bits → simhash60 column chain had each
+    * column referenced exactly once, so CollapseProject inlined the whole
+    * pipeline and `bits[i]` inside the final fold re-evaluated the full
+    * md5 pipeline per bit: ~360k md5/row, ~180 s for 500 docs (bench's
+    * `count()` prunes projections, so only Verify's write exposed it).
+    * Single-pass form: one md5 per word, one 60-wide vote fold, linear.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  private def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir, "documents")
-      .withColumn("hs", expr(
-        "transform(split(text, ' '), w -> cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint))"))
-      .withColumn("bits", expr(
-        """transform(sequence(0, 59), i ->
-             CASE WHEN aggregate(hs, 0L, (acc, h) -> acc + shiftright(h, i) % 2 * 2 - 1) > 0
-             THEN 1L ELSE 0L END)"""))
-      .select(col("doc_id"),
-        expr("aggregate(sequence(0, 59), 0L, (acc, i) -> acc + shiftleft(bits[i], i))")
-          .as("simhash60"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), expr(
+        """aggregate(
+             zip_with(
+               aggregate(
+                 transform(split(text, ' '),
+                   w -> cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint)),
+                 transform(sequence(0, 59), i -> 0L),
+                 (acc, h) -> zip_with(acc, sequence(0, 59),
+                   (a, i) -> a + shiftright(h, i) % 2 * 2 - 1)),
+               sequence(0, 59),
+               (v, i) -> shiftleft(CASE WHEN v > 0 THEN 1L ELSE 0L END, i)),
+             0L, (acc, x) -> acc + x)""").as("simhash60"))
   }
 
-  val simhashSql: String =
-    """WITH h AS (
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashSigs(spark, dir).orderBy("doc_id")
+
+  /** Shared CTE chain producing `sh(doc_id, simhash60)` for the simhash
+    * oracles. */
+  private[ext] val simhashSqlCtes: String =
+    """h AS (
       |  SELECT doc_id,
       |    list_transform(string_split(text, ' '),
       |      w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)) AS hs
@@ -257,12 +275,76 @@ object DedupQueries {
       |    list_transform(range(0, 60), i ->
       |      CASE WHEN list_sum(list_transform(hs, h -> ((h >> i) & 1) * 2 - 1)) > 0
       |      THEN 1 ELSE 0 END) AS bits
-      |  FROM h)
-      |SELECT doc_id,
-      |  CAST(list_sum(list_transform(range(0, 60),
-      |    i -> bits[i + 1] * (CAST(1 AS BIGINT) << i))) AS BIGINT) AS simhash60
-      |FROM b
+      |  FROM h),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(0, 60),
+      |      i -> bits[i + 1] * (CAST(1 AS BIGINT) << i))) AS BIGINT) AS simhash60
+      |  FROM b)""".stripMargin
+
+  val simhashSql: String =
+    s"""WITH $simhashSqlCtes
+      |SELECT doc_id, simhash60 FROM sh
       |ORDER BY doc_id""".stripMargin
+
+  /** SimHash near-dup pairs: Hamming distance ≤ 3 over the 60-bit
+    * signatures. Candidates come from banding by PIGEONHOLE: split the 60
+    * bits into 4 bands of 15 — any two signatures within Hamming 3 agree
+    * exactly on at least one band, so a band-key equi-join has perfect
+    * recall (unlike MinHash banding's probabilistic recall). Within a
+    * bucket each member pairs only with the bucket representative (the
+    * [[jaccardPairs]] star-edge guard): exact-duplicate clusters share
+    * whole signatures, so an all-pairs bucket join would be quadratic in
+    * the largest cluster — star edges keep it linear and union-find
+    * downstream recovers the clusters. The verify is one xor+popcount per
+    * candidate — cheap enough that no explode-fusing is needed.
+    */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // persist: the signature projection (md5 per word) feeds banding AND
+    // both verify joins — same 3×-recompute trap jaccardPairs had.
+    // (doc_id, long) is as narrow as a cache gets.
+    val sigs = simhashSigs(spark, dir)
+      .repartition(col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
+    val banded = sigs.select(col("doc_id"),
+      explode(expr("transform(sequence(0, 3), " +
+        "b -> struct(b AS band, shiftright(simhash60, b * 15) & 32767 AS key))")).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.key"))
+    val cand = banded
+      .withColumn("doc_a", min(col("doc_id"))
+        .over(Window.partitionBy(col("band"), col("key"))))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("simhash60").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("simhash60").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(bit_count(sig_a ^ sig_b) AS int)").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val simhashPairsSql: String =
+    s"""WITH $simhashSqlCtes,
+      |banded AS (
+      |  SELECT doc_id, bd.band,
+      |    (simhash60 >> (bd.band * 15)) & 32767 AS key
+      |  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bd),
+      |star AS (
+      |  SELECT MIN(doc_id) OVER (PARTITION BY band, key) AS doc_a,
+      |    doc_id AS doc_b
+      |  FROM banded),
+      |cand AS (SELECT DISTINCT doc_a, doc_b FROM star WHERE doc_a < doc_b)
+      |SELECT c.doc_a, c.doc_b,
+      |  CAST(bit_count(xor(a.simhash60, b.simhash60)) AS INT) AS hamming
+      |FROM cand c
+      |JOIN sh a ON a.doc_id = c.doc_a
+      |JOIN sh b ON b.doc_id = c.doc_b
+      |WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Word-set Jaccard near-dup pairs (threshold 0.8): MinHash band
     * buckets generate the candidates, an exact word-set Jaccard verifies
@@ -412,6 +494,7 @@ object DedupQueries {
     "minhash_pairs" -> ((minhashPairs _, minhashPairsSql)),
     "dedup_clusters" -> ((dedupClusters _, dedupClustersSql)),
     "simhash" -> ((simhash _, simhashSql)),
+    "simhash_pairs" -> ((simhashPairs _, simhashPairsSql)),
     "jaccard_pairs" -> ((jaccardPairs _, jaccardPairsSql)),
     "embed_dup_pairs" -> ((embedDupPairs _, embedDupPairsSql))
   )
