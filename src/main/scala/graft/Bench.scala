@@ -16,10 +16,15 @@ object Bench {
     // query, plus the closure at the smallest sf (the BFS compiles many
     // unique plan shapes; first-run codegen otherwise lands on whichever
     // closure query sorts first)
+    // noop sink executes the FULL physical plan — count() lets Catalyst
+    // prune every projection, so a narrow scan→project query would be
+    // timed as scan-only (this hid a 100× projection bug in simhash)
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     try {
-      SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
+      SparkEntry.queries.get("q1_agg").foreach(f => run(f(spark, sfDir)))
       SparkEntry.queries.get("closure_extract")
-        .foreach(_(spark, "/root/testdata/sf0.001").count())
+        .foreach(f => run(f(spark, "/root/testdata/sf0.001")))
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
     // optional comma-separated query filter for local iteration; the
@@ -33,7 +38,7 @@ object Bench {
       // one measurement into the next
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None }
+      val err = try { run(fn(spark, sfDir)); None }
                 catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }

@@ -244,19 +244,24 @@ object DedupQueries {
     * Single-pass form: one md5 per word, one 60-wide vote fold, linear.
     */
   private def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
+    // two projections with the repartition exchange BETWEEN them: the
+    // exchange spreads the fold over all cores (the local parquet scan is
+    // 1–2 partitions; at cluster scale it degenerates to a narrow
+    // (id, hashes) shuffle) AND it is a CollapseProject barrier, so `hs`
+    // is materialized once per row. Referencing `hs` from inside the
+    // 60-invocation bit lambda is then an attribute index, not a
+    // re-evaluation of the md5 pipeline (the trap documented above).
+    // Scalar accumulators per bit beat a single zip_with fold here: the
+    // fold allocates a 60-long array per WORD in interpreted HOF eval.
     Tables(spark, dir, "documents")
       .select(col("doc_id"), expr(
-        """aggregate(
-             zip_with(
-               aggregate(
-                 transform(split(text, ' '),
-                   w -> cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint)),
-                 transform(sequence(0, 59), i -> 0L),
-                 (acc, h) -> zip_with(acc, sequence(0, 59),
-                   (a, i) -> a + shiftright(h, i) % 2 * 2 - 1)),
-               sequence(0, 59),
-               (v, i) -> shiftleft(CASE WHEN v > 0 THEN 1L ELSE 0L END, i)),
-             0L, (acc, x) -> acc + x)""").as("simhash60"))
+        """transform(split(text, ' '),
+             w -> cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint))""").as("hs"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 59), 0L, (acc, i) -> acc + shiftleft(
+             CASE WHEN aggregate(hs, 0L, (a, h) -> a + shiftright(h, i) % 2 * 2 - 1) > 0
+             THEN 1L ELSE 0L END, i))""").as("simhash60"))
   }
 
   def simhash(spark: SparkSession, dir: String): DataFrame =
@@ -305,7 +310,6 @@ object DedupQueries {
     // both verify joins — same 3×-recompute trap jaccardPairs had.
     // (doc_id, long) is as narrow as a cache gets.
     val sigs = simhashSigs(spark, dir)
-      .repartition(col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.count()
     val banded = sigs.select(col("doc_id"),
