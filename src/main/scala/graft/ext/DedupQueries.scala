@@ -244,24 +244,18 @@ object DedupQueries {
     * Single-pass form: one md5 per word, one 60-wide vote fold, linear.
     */
   private def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
-    // two projections with the repartition exchange BETWEEN them: the
-    // exchange spreads the fold over all cores (the local parquet scan is
-    // 1–2 partitions; at cluster scale it degenerates to a narrow
-    // (id, hashes) shuffle) AND it is a CollapseProject barrier, so `hs`
-    // is materialized once per row. Referencing `hs` from inside the
-    // 60-invocation bit lambda is then an attribute index, not a
-    // re-evaluation of the md5 pipeline (the trap documented above).
-    // Scalar accumulators per bit beat a single zip_with fold here: the
-    // fold allocates a 60-long array per WORD in interpreted HOF eval.
+    // native codegen'd expression (graft.functions.SimHash60): one md5 +
+    // one fused vote loop per word inside whole-stage codegen. The HOF
+    // formulation (kept verbatim in the DuckDB oracle) evaluates one
+    // interpreted lambda per word per bit — ~10× slower, and an earlier
+    // variant tripped the CollapseProject single-reference trap (see
+    // graft memory / commit f617c62). repartition first: the local scan
+    // is 1–2 partitions and the hash loop is the hot path; on a cluster
+    // the scan is already wide and this is a cheap narrow shuffle.
     Tables(spark, dir, "documents")
-      .select(col("doc_id"), expr(
-        """transform(split(text, ' '),
-             w -> cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint))""").as("hs"))
       .repartition(col("doc_id"))
-      .select(col("doc_id"), expr(
-        """aggregate(sequence(0, 59), 0L, (acc, i) -> acc + shiftleft(
-             CASE WHEN aggregate(hs, 0L, (a, h) -> a + shiftright(h, i) % 2 * 2 - 1) > 0
-             THEN 1L ELSE 0L END, i))""").as("simhash60"))
+      .select(col("doc_id"),
+        graft.functions.SimHash60.simhash60(col("text")).as("simhash60"))
   }
 
   def simhash(spark: SparkSession, dir: String): DataFrame =

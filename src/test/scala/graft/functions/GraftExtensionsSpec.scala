@@ -21,6 +21,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
         .collect()(0).getDouble(0)
       assert(v == 1.0)
+      val s = spark.sql("SELECT simhash60('a b c') AS s").collect()(0).getLong(0)
+      assert(s >= 0L && s < (1L << 60))
     } finally spark.stop()
   }
 }
