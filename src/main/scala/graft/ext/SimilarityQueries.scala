@@ -167,9 +167,107 @@ object SimilarityQueries {
       |FROM s
       |ORDER BY vec_id""".stripMargin
 
+  /** Sign-random-projection LSH near-dup pairs — the second ANN scale
+    * path next to IVF: 16 deterministic Rademacher hyperplanes give every
+    * vector a 16-bit sign signature; candidates share one of 4 bands of
+    * 4 bits; exact cosine ≥ 0.35 verifies. Star-edge pairing per bucket
+    * (the [[DedupQueries.jaccardPairs]] guard) keeps dense buckets linear.
+    *
+    * Candidate recall is the SRP collision curve: per-bit agreement
+    * 1 − θ/π, so at this corpus's demo threshold (0.35 ≈ 69°, agreement
+    * 0.62) a 4-bit band collides ~14% and any of 4 bands ~46%; at a TRUE
+    * near-dup threshold (cos ≥ 0.9 ≈ 26°, agreement 0.86) the same
+    * geometry gives ~55%/band and ~96% overall — production SRP dedup
+    * runs tight thresholds with wider bands. As in [[DedupQueries]], the
+    * emitted pairs are UNION-FIND EDGES (each member ↔ its bucket
+    * representative), not an exhaustive enumeration — exhaustive
+    * in-bucket pairing would need the minhash collect_list+cap form, and
+    * 4-bit keys grow buckets ~n/16 with the corpus (production widens
+    * keys as it widens thresholds).
+    *
+    * The plane matrix is a PURE FUNCTION of (plane, dim) via md5, so the
+    * oracle rebuilds the identical ±1 entries in SQL; the Spark side bakes
+    * them in as literals (computed once at plan build, zero per-row
+    * hashing). Dot products fold left-to-right in both engines (Spark
+    * `aggregate`, DuckDB `list_sum(list_transform(...))`) — the same
+    * float-determinism contract as the cosine path.
+    */
+  private val nPlanes = 16
+  private val dims = 64
+  private[ext] def lshSign(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"lsh:$p:$d".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    if (hex.charAt(0) <= '7') 1.0 else -1.0
+  }
+  private def planesLit: String =
+    (0 until nPlanes).map { p =>
+      (0 until dims).map(d => s"${lshSign(p, d)}D").mkString("array(", ", ", ")")
+    }.mkString("array(", ", ", ")")
+
+  def embedLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // persist: (vec_id, v, sig) feeds banding and both verify joins once
+    val e = vecs(spark, dir)
+      .repartition(col("vec_id"))
+      .withColumn("sig", expr(
+        s"""aggregate(sequence(0, ${nPlanes - 1}), 0L, (acc, p) -> acc + shiftleft(
+             CASE WHEN aggregate(zip_with(v, $planesLit[p], (x, r) -> x * r),
+               0D, (a, x) -> a + x) > 0
+             THEN 1L ELSE 0L END, p))"""))
+      .select("vec_id", "v", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    val banded = e.select(col("vec_id"),
+      explode(expr("transform(sequence(0, 3), " +
+        "b -> struct(b AS band, shiftright(sig, b * 4) & 15 AS key))")).as("bb"))
+      .select(col("vec_id"), col("bb.band"), col("bb.key"))
+    val cand = banded
+      .withColumn("vec_a", min(col("vec_id"))
+        .over(Window.partitionBy(col("band"), col("key"))))
+      .select(col("vec_a"), col("vec_id").as("vec_b"))
+      .filter(col("vec_a") < col("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("v_a")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("v_b")), Seq("vec_b"))
+      .withColumn("cos0", cosineExpr("v_a", "v_b"))
+      .select(col("vec_a"), col("vec_b"),
+        explode(expr("filter(array(round(cos0, 6)), c -> c >= 0.35)")).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val embedLshPairsSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sg AS (
+      |  SELECT vec_id, v,
+      |    CAST(list_sum(list_transform(range(0, $nPlanes), p ->
+      |      CASE WHEN list_sum(list_transform(range(1, ${dims + 1}), d ->
+      |          v[d] * (CASE WHEN substr(md5('lsh:' || CAST(p AS VARCHAR) || ':'
+      |            || CAST(d - 1 AS VARCHAR)), 1, 1) <= '7'
+      |            THEN 1.0 ELSE -1.0 END))) > 0
+      |      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT) AS sig
+      |  FROM e),
+      |banded AS (
+      |  SELECT vec_id, b.band, (sig >> (b.band * 4)) & 15 AS key
+      |  FROM sg CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+      |star AS (
+      |  SELECT MIN(vec_id) OVER (PARTITION BY band, key) AS vec_a,
+      |    vec_id AS vec_b
+      |  FROM banded),
+      |cand AS (SELECT DISTINCT vec_a, vec_b FROM star WHERE vec_a < vec_b)
+      |SELECT c.vec_a, c.vec_b,
+      |  ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+      |FROM cand c
+      |JOIN e a ON a.vec_id = c.vec_a
+      |JOIN e b ON b.vec_id = c.vec_b
+      |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+      |ORDER BY vec_a, vec_b""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "knn_brute" -> ((knnBrute _, knnBruteSql)),
     "ann_ivf" -> ((annIvf _, annIvfSql)),
-    "embed_quantize" -> ((embedQuantize _, embedQuantizeSql))
+    "embed_quantize" -> ((embedQuantize _, embedQuantizeSql)),
+    "embed_lsh_pairs" -> ((embedLshPairs _, embedLshPairsSql))
   )
 }

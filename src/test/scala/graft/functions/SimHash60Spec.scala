@@ -52,6 +52,24 @@ class SimHash60Spec extends SparkSpec {
     assert(inRange.count() == 0L)
   }
 
+  test("property: native equals HOF on generated texts (unicode, repeats, empties)") {
+    import org.scalacheck.{Gen, rng}
+    val word = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("", "a", "naïve", "日本語", "x-y_z", "0042", "%+@"),
+      Gen.listOfN(3, Gen.choose('!', '~')).map(_.mkString))
+    val text = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val seed0 = rng.Seed(7L)
+    val texts = Iterator.iterate((text.pureApply(Gen.Parameters.default, seed0), seed0.next)) {
+      case (_, s) => (text.pureApply(Gen.Parameters.default, s), s.next)
+    }.map(_._1).take(60).toSeq
+    val diff = texts.toDF("text")
+      .select(simhash60(col("text")).as("native"), hof.as("hofv"))
+      .filter(col("native") =!= col("hofv"))
+      .count()
+    assert(diff == 0L)
+  }
+
   test("SQL registration works") {
     SimHash60.register(spark)
     val n = spark.sql(
