@@ -196,12 +196,16 @@ class ClosureExtractor(
                   params.forall(_.get(attr).exists(v =>
                     v.isInstanceOf[Number] || v.isInstanceOf[String])) =>
               if (params.nonEmpty) {
-                // numbers render bare; strings single-quote with '' escape
-                // (the only escape ANSI SQL needs) — either way ONE query
-                // per iteration, never one per row
+                // numbers render bare; strings single-quote with ''-escape
+                // AND backslash-escape: Spark SQL's default parser (what
+                // runQuery wires to) treats \ as an escape inside string
+                // literals, so a raw backslash would corrupt or unbalance
+                // the literal — either way ONE query per iteration, never
+                // one per row
                 val inList = params.map(_(attr)).distinct.map {
                   case n: Number => n.toString
-                  case s: String => "'" + s.replace("'", "''") + "'"
+                  case s: String =>
+                    "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
                 }.mkString(", ")
                 addKeys(cq.targetTable,
                   runQuery(s"$prefix$colName IN ($inList)")

@@ -28,21 +28,9 @@ object CurationQueries {
 
   private val threshold = 0.5
 
-  /** The exact [[TextQueries.textStats]] quality score as a projection. */
-  private def qualityCol = {
-    val words = split(col("text"), " ")
-    val nTokens = size(words)
-    val nStop = expr(
-      s"size(filter(split(text, ' '), w -> array_contains(array(${TextQueries.stopEn.map(w => s"'$w'").mkString(",")}), w)))")
-    round(
-      least(lit(1.0), nTokens / lit(50.0)) *
-        (lit(1.0) - abs(nStop.cast("double") / nTokens - lit(0.4))),
-      6)
-  }
-
   def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
     val quality = Tables(spark, dir, "documents")
-      .select(col("doc_id"), qualityCol.as("q"))
+      .select(col("doc_id"), TextQueries.qualityScore.as("q"))
     val clusters = DedupQueries.dedupClusters(spark, dir)
     quality
       .join(clusters, Seq("doc_id"), "left")
@@ -55,26 +43,9 @@ object CurationQueries {
   }
 
   val corpusCurationSql: String =
-    s"""WITH RECURSIVE ${DedupQueries.minhashSqlCtes},
-      |pairs AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
-      |    AND a.doc_id < b.doc_id),
-      |und AS (
-      |  SELECT doc_a AS s, doc_b AS t FROM pairs
-      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-      |reach(s, t) AS (
-      |  SELECT s, t FROM und
-      |  UNION
-      |  SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s),
-      |clusters AS (
-      |  SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id
-      |  FROM reach GROUP BY s),
+    s"""WITH RECURSIVE ${DedupQueries.ccSqlCtes},
       |quality AS (
-      |  SELECT doc_id,
-      |    ROUND(LEAST(1.0, len(string_split(text, ' ')) / 50.0) *
-      |      (1.0 - ABS(CAST(len(list_filter(string_split(text, ' '), w -> list_contains(${TextQueries.stopEnSql}, w))) AS DOUBLE)
-      |        / len(string_split(text, ' ')) - 0.4)), 6) AS q
+      |  SELECT doc_id, ${TextQueries.qualityScoreSql} AS q
       |  FROM documents)
       |SELECT d.doc_id, d.q AS quality_score,
       |  CASE WHEN d.q < $threshold THEN 'low_quality'
@@ -91,9 +62,13 @@ object CurationQueries {
     *
     * Scale shape: the eval side is SMALL BY CONSTRUCTION (benchmarks are
     * thousands of docs, the corpus is billions), so its distinct shingle
-    * hashes broadcast and the corpus never shuffles — one scan, a
+    * hashes broadcast and the corpus never shuffles — one corpus scan, a
     * broadcast semi-ish join on the exploded shingles, then a partial-agg
-    * groupBy on doc_id. Cross-engine md5 shingle hashes as everywhere.
+    * groupBy on doc_id. The eval branch is a second, separately-FILTERED
+    * scan of the same table: its predicate pushes into the parquet reader
+    * (row-group pruning), which beats caching corpus-sized shingles just
+    * to carve out the tiny eval side. Cross-engine md5 hashes as
+    * everywhere.
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     def shingles(df: DataFrame) = df

@@ -183,7 +183,12 @@ object DedupQueries {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lab", col("id"))
       .localCheckpoint(false)
-    var labSum = labels.agg(sum("lab")).collect()(0).getLong(0)
+    // coalesce: sum over an EMPTY label set is null (no candidate pairs
+    // at all — every doc unique or every bucket capped), and the loop
+    // must return an empty cluster set, not NPE
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("lab"), lit(0L))).collect()(0).getLong(0)
+    var labSum = labelSum(labels)
     var converged = false
     while (!converged) {
       // two hops per round, both against the previous round's CHECKPOINT
@@ -201,7 +206,7 @@ object DedupQueries {
         .join(labels.select(col("id").as("lab1"), col("lab").as("lab2")), Seq("lab1"))
         .select(col("id"), col("lab2").as("lab"))
         .localCheckpoint(false) // forced by the sum — one job per round
-      val nextSum = next.agg(sum("lab")).collect()(0).getLong(0)
+      val nextSum = labelSum(next)
       graft.SparkUtil.release(labels)
       labels = next
       converged = nextSum == labSum
@@ -212,8 +217,12 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE $minhashSqlCtes,
+  /** Connected-components-over-LSH-candidates CTE chain ending in
+    * `clusters(doc_id, cluster_id)` — shared by the dedup_clusters and
+    * corpus_curation oracles so the cluster definition cannot drift.
+    */
+  private[ext] val ccSqlCtes: String =
+    s"""$minhashSqlCtes,
       |pairs AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
@@ -224,9 +233,14 @@ object DedupQueries {
       |reach(s, t) AS (
       |  SELECT s, t FROM und
       |  UNION
-      |  SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s)
-      |SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id
-      |FROM reach GROUP BY s
+      |  SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s),
+      |clusters AS (
+      |  SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id
+      |  FROM reach GROUP BY s)""".stripMargin
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $ccSqlCtes
+      |SELECT doc_id, cluster_id FROM clusters
       |ORDER BY doc_id""".stripMargin
 
   /** SimHash: 60-bit signature per document (bitwise majority vote over
@@ -289,13 +303,17 @@ object DedupQueries {
   /** SimHash near-dup pairs: Hamming distance ≤ 3 over the 60-bit
     * signatures. Candidates come from banding by PIGEONHOLE: split the 60
     * bits into 4 bands of 15 — any two signatures within Hamming 3 agree
-    * exactly on at least one band, so a band-key equi-join has perfect
-    * recall (unlike MinHash banding's probabilistic recall). Within a
-    * bucket each member pairs only with the bucket representative (the
-    * [[jaccardPairs]] star-edge guard): exact-duplicate clusters share
-    * whole signatures, so an all-pairs bucket join would be quadratic in
-    * the largest cluster — star edges keep it linear and union-find
-    * downstream recovers the clusters. The verify is one xor+popcount per
+    * exactly on at least one band, so CANDIDATE recall is 1.0 by
+    * construction (unlike MinHash banding's probabilistic recall). Within
+    * a bucket each member then pairs only with the bucket representative
+    * (the [[jaccardPairs]] star-edge guard): exact-duplicate clusters
+    * share whole signatures, so an all-pairs bucket join would be
+    * quadratic in the largest cluster — star edges keep it linear. The
+    * EMITTED pairs are therefore union-find edges, not an exhaustive
+    * enumeration: a qualifying pair whose shared bucket has a distant
+    * representative yields two failing representative edges instead (the
+    * same documented tradeoff as [[jaccardPairs]]; exhaustive needs the
+    * minhash collect_list+cap form). The verify is one xor+popcount per
     * candidate — cheap enough that no explode-fusing is needed.
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {

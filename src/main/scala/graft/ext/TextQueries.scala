@@ -21,6 +21,27 @@ object TextQueries {
   private[ext] val stopEn = Seq("the", "a", "of", "to", "and", "in", "is", "for")
   private[ext] val stopEnSql = stopEn.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** The composite quality score over a `text` column — ONE definition
+    * shared by [[textStats]] and [[CurationQueries.corpusCuration]] so the
+    * curation gate can never drift from the stats it claims to apply.
+    */
+  private[ext] def qualityScore: org.apache.spark.sql.Column = {
+    val words = split(col("text"), " ")
+    val nTokens = size(words)
+    val nStop = expr(
+      s"size(filter(split(text, ' '), w -> array_contains(array(${stopEn.map(w => s"'$w'").mkString(",")}), w)))")
+    round(
+      least(lit(1.0), nTokens / lit(50.0)) *
+        (lit(1.0) - abs(nStop.cast("double") / nTokens - lit(0.4))),
+      6)
+  }
+
+  /** DuckDB rendering of [[qualityScore]] (same sharing contract). */
+  private[ext] val qualityScoreSql: String =
+    s"""ROUND(LEAST(1.0, len(string_split(text, ' ')) / 50.0) *
+      |    (1.0 - ABS(CAST(len(list_filter(string_split(text, ' '), w -> list_contains($stopEnSql, w))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) - 0.4)), 6)""".stripMargin
+
   /** Token counting + quality scoring (whitespace tokens, BPE-ish regex
     * tokens, stopword/char ratios, type-token ratio, composite score).
     */
@@ -40,10 +61,7 @@ object TextQueries {
         (col("n_chars").cast("double") / col("n_tokens")).as("avg_token_len"),
         (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
         (col("n_distinct").cast("double") / col("n_tokens")).as("type_token_ratio"),
-        round(
-          least(lit(1.0), col("n_tokens") / lit(50.0)) *
-            (lit(1.0) - abs(col("n_stop").cast("double") / col("n_tokens") - lit(0.4))),
-          6).as("quality_score"))
+        qualityScore.as("quality_score"))
       .orderBy("doc_id")
   }
 
@@ -56,9 +74,7 @@ object TextQueries {
       |    / len(string_split(text, ' ')) AS stop_ratio,
       |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
       |    / len(string_split(text, ' ')) AS type_token_ratio,
-      |  ROUND(LEAST(1.0, len(string_split(text, ' ')) / 50.0) *
-      |    (1.0 - ABS(CAST(len(list_filter(string_split(text, ' '), w -> list_contains($stopEnSql, w))) AS DOUBLE)
-      |      / len(string_split(text, ' ')) - 0.4)), 6) AS quality_score
+      |  $qualityScoreSql AS quality_score
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 

@@ -38,6 +38,10 @@ object JsonTableIO {
       s"""{"table_name": ${quote(tableName)}, "count": $count}"""
     Files.createDirectories(Paths.get(tableDir))
     Files.writeString(Paths.get(s"$tableDir/manifest.json"), manifest)
+    // overwrite semantics across BOTH layouts: readers prefer the
+    // single-file envelope, so a stale `<table>.json` from an earlier
+    // writeSingleFile would shadow this fresh partitioned artifact
+    Files.deleteIfExists(singleFilePath(outDir, tableName))
     count
   }
 
@@ -126,6 +130,15 @@ object JsonTableIO {
       s"\n\t\"count\": ${rows.length},\n\t\"data\": $data\n}"
     Files.createDirectories(Paths.get(outDir))
     Files.writeString(singleFilePath(outDir, tableName), out)
+    // mirror of write(): drop any partitioned artifact for this table so
+    // the layouts can never disagree about its contents
+    val tableDir = Paths.get(s"$outDir/$tableName")
+    if (Files.isDirectory(tableDir)) {
+      val walk = Files.walk(tableDir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
     rows.length.toLong
   }
 

@@ -145,7 +145,12 @@ object PgTypeCodecs {
   def toTimestampArray(c: Column): Column =
     transform(c, x => to_timestamp(x, "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XXX"))
 
-  /** Extract-side: timestamp array → RFC3339 strings for the artifact. */
+  /** Extract-side: timestamp array → RFC3339 strings for the artifact.
+    * Fractional seconds are always written (RFC3339 permits them, the
+    * load-side pattern above accepts them optionally) — a whole-second
+    * format here would silently truncate sub-second precision on the
+    * extract→load round trip.
+    */
   def timestampArrayToJson(c: Column): Column =
-    transform(c, x => date_format(x, "yyyy-MM-dd'T'HH:mm:ssXXX"))
+    transform(c, x => date_format(x, "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"))
 }

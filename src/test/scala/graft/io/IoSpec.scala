@@ -63,6 +63,23 @@ class JsonTableIOSpec extends SparkSpec {
 class MediaDownloaderSpec extends SparkSpec {
   import spark.implicits._
 
+  test("each layout's write overwrites the other — no stale shadowing") {
+    val out = Files.createTempDirectory("jsonio-ow").toString
+    val v1 = Seq((1L, "old")).toDF("id", "name")
+    val v2 = Seq((1L, "new"), (2L, "newer")).toDF("id", "name")
+    // single-file then partitioned: the fresh partitioned artifact must
+    // win (readers prefer the envelope, so write() deletes it)
+    JsonTableIO.writeSingleFile(v1, out, "user")
+    JsonTableIO.write(v2, out, "user")
+    assert(JsonTableIO.readManifest(out, "user").count == 2L)
+    assert(JsonTableIO.read(spark, out, "user", Some(v2.schema)).count() == 2L)
+    // partitioned then single-file: the envelope must be the only artifact
+    JsonTableIO.writeSingleFile(v1, out, "user")
+    assert(JsonTableIO.readManifest(out, "user").count == 1L)
+    assert(!Files.isDirectory(Paths.get(s"$out/user")))
+    assert(JsonTableIO.listTables(out) == Seq("user"))
+  }
+
   test("downloads distinct non-empty file:// urls preserving paths (ref util.go:48-151)") {
     val srcDir = Files.createTempDirectory("mediasrc")
     Files.createDirectories(srcDir.resolve("avatars"))

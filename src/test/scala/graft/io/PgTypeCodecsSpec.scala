@@ -75,7 +75,7 @@ class PgTypeCodecsSpec extends SparkSpec {
       .withColumn("num", expr("cast(id AS decimal(38,18)) / 4"))
       .withColumn("rng", PgTypeCodecs.int4RangeToStruct(lit("[3,7)")))
       .withColumn("doc", map(lit("a"), lit("1")))
-      .withColumn("ts_arr", array(to_timestamp(lit("2024-01-01 10:00:00"))))
+      .withColumn("ts_arr", array(to_timestamp(lit("2024-01-01 10:00:00.123456"))))
       .withColumn("tags", array(lit("x"), lit("y")))
     val catalog = Catalog(Map("typed" -> TableMeta("typed", Seq("id"), Seq(
       ColumnMeta("id", "bigint", nullable = false, 1),
@@ -101,9 +101,10 @@ class PgTypeCodecsSpec extends SparkSpec {
     val m = Seq(r.getAs[String]("doc")).toDF("j")
       .select(PgTypeCodecs.jsonbToMap(col("j"))).collect()(0).getMap[String, String](0)
     assert(m == Map("a" -> "1"))
-    // timestamp array re-parsed from RFC3339 back to timestamps
+    // timestamp array re-parsed from RFC3339 back to timestamps,
+    // sub-second precision intact across the round trip
     assert(r.getSeq[java.sql.Timestamp](r.fieldIndex("ts_arr")) ==
-      Seq(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      Seq(java.sql.Timestamp.valueOf("2024-01-01 10:00:00.123456")))
     assert(r.getSeq[String](r.fieldIndex("tags")) == Seq("x", "y"))
   }
 
@@ -124,6 +125,6 @@ class PgTypeCodecsSpec extends SparkSpec {
     // round-trip back to RFC3339 for the artifact
     val enc = out.select(PgTypeCodecs.timestampArrayToJson(col("ts"))).collect()(0)
       .getSeq[String](0)
-    assert(enc.head == "2024-01-01T10:00:00Z")
+    assert(enc.head == "2024-01-01T10:00:00.000000Z")
   }
 }
