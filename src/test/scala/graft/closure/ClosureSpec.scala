@@ -133,8 +133,11 @@ class ClosureSpec extends SparkSpec {
   }
 
   test("J3 string-typed {attr} batches to ONE quote-escaped IN-list query per iteration") {
-    val users = Seq((1L, "alice"), (2L, "bo'b")).toDF("id", "username")
-    val notes = Seq((500L, "alice"), (501L, "bo'b"), (502L, "carol"))
+    // bo'b exercises the ''-escape; c\arol the backslash escape (Spark
+    // SQL's default parser treats \ as an escape inside string literals,
+    // so an unescaped backslash corrupts or unbalances the literal)
+    val users = Seq((1L, "alice"), (2L, "bo'b"), (3L, "c\\arol")).toDF("id", "username")
+    val notes = Seq((500L, "alice"), (501L, "bo'b"), (502L, "c\\arol"), (503L, "dan"))
       .toDF("id", "author_name")
     notes.createOrReplaceTempView("note")
     val cat = Catalog(Map(
@@ -147,12 +150,14 @@ class ClosureSpec extends SparkSpec {
         "SELECT * FROM note WHERE author_name = {username}")),
       runQuery = { sql => sqls += sql; spark.sql(sql) })
     val out = ex.extract("user", users)
-    assert(ids(out("note")) == Set(500L, 501L))
-    // the whole 2-user frontier ran as ONE query, the embedded quote
-    // doubled (never one query per row — the reference's N+1)
+    assert(ids(out("note")) == Set(500L, 501L, 502L))
+    // the whole 3-user frontier ran as ONE query, the embedded quote
+    // doubled and the backslash doubled (never one query per row — the
+    // reference's N+1)
     assert(sqls.toList.length == 1)
     assert(sqls.head.contains(" IN ("))
     assert(sqls.head.contains("'bo''b'"))
+    assert(sqls.head.contains("'c\\\\arol'"))
   }
 
   test("seed with multiple rows unions frontiers") {
