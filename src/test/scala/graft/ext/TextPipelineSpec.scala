@@ -51,6 +51,18 @@ class TextPipelineSpec extends SparkSpec {
     q.unpersist()
   }
 
+  test("corpus_curation applies exactly the text_stats quality score") {
+    // the score is one shared definition (TextQueries.qualityScore) —
+    // this pins the composition so a drift in either query fails loudly
+    val cur = CurationQueries.corpusCuration(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val stats = TextQueries.textStats(spark, dir)
+      .select(col("doc_id"), col("quality_score").as("qs"))
+    val diff = cur.join(stats, Seq("doc_id"))
+      .filter(col("quality_score") =!= col("qs"))
+    assert(diff.count() == 0L)
+  }
+
   test("pack_chunks offsets are contiguous within each shard") {
     val p = TextQueries.packChunks(spark, dir).persist()
     // within a shard, tok_offset of doc k+1 == tok_offset + n_tokens of k
