@@ -67,8 +67,18 @@ object ExtractConfig {
     m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
     m
   }
-  def fromJson(json: String): ExtractConfig =
-    mapper.readValue(json, classOf[ExtractConfig])
+  /** Parse + validate. The locale is checked HERE, not at sanitize time,
+    * so an unsupported locale fails immediately with a config-attributed
+    * message instead of aborting mid-extract (the reference accepts any
+    * syreclabs locale; we ship a fixed pool set — see [[graft.sanitize.Faker]]).
+    */
+  def fromJson(json: String): ExtractConfig = {
+    val c = mapper.readValue(json, classOf[ExtractConfig])
+    require(graft.sanitize.Faker.supportedLocales.contains(c.locale),
+      s"config: unsupported faker locale '${c.locale}' " +
+        s"(supported: ${graft.sanitize.Faker.supportedLocales.toSeq.sorted.mkString(", ")})")
+    c
+  }
   def fromFile(path: String): ExtractConfig =
     fromJson(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
 }

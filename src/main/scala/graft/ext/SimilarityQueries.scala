@@ -144,7 +144,10 @@ object SimilarityQueries {
     * form a 100 TB embedding corpus actually ships: 4× smaller than fp32,
     * dequantize = q * scale / 127). One narrow projection, no shuffle
     * except the presentation sort; the scale survives as a column so the
-    * quantization is invertible to within rounding.
+    * quantization is invertible to within rounding. The verified output
+    * carries the quantized vector as a scalar md5 fingerprint (`q_fp`) plus
+    * its L1 mass — pandas can't sort/hash a raw array column, and the
+    * fingerprint pins every element byte-for-byte anyway.
     */
   def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir, "embeddings")
@@ -154,6 +157,9 @@ object SimilarityQueries {
         expr("greatest(array_max(transform(v, x -> abs(x))), cast(1e-12 AS double))"))
       .select(col("vec_id"), round(col("scale"), 6).as("scale"),
         expr("transform(v, x -> cast(round(x / scale * 127.0, 0) AS int))").as("q"))
+      .select(col("vec_id"), col("scale"),
+        expr("md5(array_join(transform(q, x -> cast(x AS string)), ','))").as("q_fp"),
+        expr("aggregate(q, 0L, (acc, x) -> acc + abs(x))").as("q_l1"))
       .orderBy("vec_id")
   }
 
@@ -161,10 +167,14 @@ object SimilarityQueries {
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |s AS (SELECT vec_id, v,
       |  GREATEST(list_max(list_transform(v, x -> ABS(x))), 1e-12) AS scale
-      |  FROM e)
-      |SELECT vec_id, ROUND(scale, 6) AS scale,
+      |  FROM e),
+      |q AS (SELECT vec_id, ROUND(scale, 6) AS scale,
       |  list_transform(v, x -> CAST(ROUND(x / scale * 127.0, 0) AS INT)) AS q
-      |FROM s
+      |  FROM s)
+      |SELECT vec_id, scale,
+      |  md5(array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',')) AS q_fp,
+      |  CAST(list_sum(list_transform(q, x -> ABS(x))) AS BIGINT) AS q_l1
+      |FROM q
       |ORDER BY vec_id""".stripMargin
 
   /** Sign-random-projection LSH near-dup pairs — the second ANN scale

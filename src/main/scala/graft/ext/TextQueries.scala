@@ -237,23 +237,30 @@ object TextQueries {
         expr(s"cast(conv(substring(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint) % $nShards")
           .cast("int").as("shard"))
       .withColumn("tok_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      // (shard << 40) | chunk is collision-free to 2^40 chunks (~2.2e15
+      // tokens) per shard; a multiplicative pack caps out near 2.1G.
       .withColumn("chunk_id",
-        (col("shard").cast("long") * 1000000L + floor(col("tok_offset") / budget)).cast("long"))
+        shiftleft(col("shard").cast("long"), 40)
+          .bitwiseOR(floor(col("tok_offset") / budget).cast("long")))
       .select("doc_id", "shard", "n_tokens", "tok_offset", "chunk_id")
       .orderBy("doc_id")
   }
 
+  // DuckDB types SUM(INT) OVER w as HUGEINT (→ float64 through pandas);
+  // the CASTs pin tok_offset/chunk_id to BIGINT so the hash compare sees
+  // int64 on both engines.
   val packChunksSql: String =
     """SELECT doc_id, shard, n_tokens,
-      |  SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS tok_offset,
-      |  CAST(shard AS BIGINT) * 1000000 + CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 2048) AS BIGINT) AS chunk_id
+      |  CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS tok_offset,
+      |  (CAST(shard AS BIGINT) << 40)
+      |    | CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens) / 2048) AS BIGINT) AS chunk_id
       |FROM (
       |  SELECT doc_id,
       |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
       |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS INT) AS shard
       |  FROM documents)
+      |WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY doc_id""".stripMargin
 
   /** Repetition-based quality signals (the Gopher-report family of

@@ -63,7 +63,7 @@ object JsonTableIO {
   def read(spark: SparkSession, outDir: String, tableName: String,
       schema: Option[StructType] = None): DataFrame = {
     val sf = singleFilePath(outDir, tableName)
-    if (Files.isRegularFile(sf)) {
+    if (Files.isRegularFile(sf) && isEnvelope(sf)) {
       val r = spark.read.option("multiLine", "true")
       schema.foreach(s => r.schema(new StructType()
         .add("table_name", StringType).add("count", LongType)
@@ -107,10 +107,43 @@ object JsonTableIO {
           .map(_.getFileName.toString)
         val singles = entries
           .filter(p => Files.isRegularFile(p) &&
-            p.getFileName.toString.endsWith(".json"))
+            p.getFileName.toString.endsWith(".json") &&
+            isEnvelope(p))
           .map(_.getFileName.toString.stripSuffix(".json"))
         (partitioned ++ singles).distinct.sorted
       } finally s.close()
+    }
+  }
+
+  /** True iff the file is a mover table envelope — a top-level JSON object
+    * with `table_name` and `data` fields. Guards [[listTables]] against a
+    * stray `*.json` in the export dir (a config drop, an `oracle_sql.json`)
+    * being listed and then exploding at load time. Streaming parse: field
+    * names only, values skipped — never loads the (possibly large) `data`
+    * array.
+    */
+  private def isEnvelope(p: Path): Boolean = {
+    import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
+    try {
+      val parser = new JsonFactory().createParser(p.toFile)
+      try {
+        var hasName = false
+        var hasData = false
+        var ok = parser.nextToken() == JsonToken.START_OBJECT
+        while (ok && !(hasName && hasData) &&
+            parser.nextToken() == JsonToken.FIELD_NAME) {
+          parser.currentName() match {
+            case "table_name" => hasName = true
+            case "data" => hasData = true
+            case _ => ()
+          }
+          ok = parser.nextToken() != null
+          if (ok) parser.skipChildren()
+        }
+        hasName && hasData
+      } finally parser.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => false
     }
   }
 

@@ -180,6 +180,11 @@ object Faker {
     * FAIL LOUDLY on anything else — a silent en fallback would ship
     * wrong-locale fakes into an export nobody re-reads.
     */
+  /** The locales we ship pools for; [[graft.conf.ExtractConfig.fromJson]]
+    * validates against this set at parse time so bad configs fail fast.
+    */
+  val supportedLocales: Set[String] = Set("fr", "en", "es", "de")
+
   def tables(locale: String): Locale = locale match {
     case "fr" => fr
     case "en" => en

@@ -53,4 +53,13 @@ class ExtractConfigSpec extends AnyFunSuite {
     val c = ExtractConfig.fromJson("""{"locale":"en","future_field":1}""")
     assert(c.locale == "en")
   }
+
+  test("unsupported locale fails at parse time, attributed to the config") {
+    val e = intercept[IllegalArgumentException] {
+      ExtractConfig.fromJson("""{"locale":"ru"}""")
+    }
+    assert(e.getMessage.contains("config") &&
+      e.getMessage.contains("'ru'") &&
+      e.getMessage.contains("de, en, es, fr"))
+  }
 }

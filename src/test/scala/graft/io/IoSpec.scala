@@ -58,6 +58,19 @@ class JsonTableIOSpec extends SparkSpec {
     JsonTableIO.write(Seq((1L, 1.0)).toDF("id", "v"), out, "score")
     assert(JsonTableIO.listTables(out) == Seq("score", "user"))
   }
+
+  test("stray non-envelope json files are not listed as tables") {
+    val out = Files.createTempDirectory("jsonio-stray").toString
+    JsonTableIO.writeSingleFile(Seq((1L, "a")).toDF("id", "name"), out, "user")
+    // the kinds of files that actually land in export dirs
+    Files.writeString(Paths.get(s"$out/oracle_sql.json"),
+      """{"q1_agg": "SELECT 1"}""")
+    Files.writeString(Paths.get(s"$out/config.json"),
+      """{"locale": "en", "schema": []}""")
+    Files.writeString(Paths.get(s"$out/broken.json"), """{"table_name": """)
+    Files.writeString(Paths.get(s"$out/notjson.json"), "hello")
+    assert(JsonTableIO.listTables(out) == Seq("user"))
+  }
 }
 
 class MediaDownloaderSpec extends SparkSpec {
