@@ -311,6 +311,69 @@ object TextQueries {
       |  WHERE len(ws) >= 2)
       |ORDER BY doc_id""".stripMargin
 
+  /** Corpus TF-IDF, top-5 terms per document — the canonical corpus-level
+    * term-weighting pass (keyword extraction, quality features, BM25-ish
+    * retrieval preprocessing).
+    *
+    * Scale shape, in order: explode tokens → ONE shuffle on
+    * `(doc_id, word)` with map-side partial agg (the token stream never
+    * moves un-combined); document frequency is a `count` WINDOW over
+    * `word` on those already-distinct pairs — NOT a groupBy + self-join,
+    * which would compute the whole tokenize/agg subtree twice (the df side
+    * co-locates by word either way, and vocabulary grows with the corpus —
+    * Heaps' law — so it never broadcasts); the final per-doc top-k is one
+    * window on `doc_id`. The doc count rides in as a broadcast 1-row cross
+    * join, not a driver `.count()`. Three shuffles total, each keyed where
+    * the data has to land anyway.
+    *
+    * Determinism: score is ROUNDED to 6 decimals in both engines before
+    * the window ORDER BY, so a last-ulp `ln` divergence can neither flip a
+    * rank nor leak into the hash; ties break on the word itself.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("word"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("rank"), col("word"), col("tf"), col("df"),
+        col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, word, COUNT(*) AS tf
+      |  FROM tok WHERE word <> ''
+      |  GROUP BY doc_id, word),
+      |wdf AS (
+      |  SELECT doc_id, word, tf,
+      |    COUNT(*) OVER (PARTITION BY word) AS df
+      |  FROM tf),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT doc_id, rank, word, tf, df, score FROM (
+      |  SELECT t.doc_id, t.word, t.tf, t.df,
+      |    ROUND(t.tf * LN(CAST(n.n_docs AS DOUBLE) / t.df), 6) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY t.doc_id
+      |      ORDER BY ROUND(t.tf * LN(CAST(n.n_docs AS DOUBLE) / t.df), 6) DESC,
+      |        t.word) AS rank
+      |  FROM wdf t CROSS JOIN n)
+      |WHERE rank <= 5
+      |ORDER BY doc_id, rank""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "text_stats" -> ((textStats _, textStatsSql)),
     "lang_id" -> ((langId _, langIdSql)),
@@ -318,6 +381,7 @@ object TextQueries {
     "train_test_split" -> ((trainTestSplit _, trainTestSplitSql)),
     "ngram_counts" -> ((ngramCounts _, ngramCountsSql)),
     "pack_chunks" -> ((packChunks _, packChunksSql)),
-    "quality_repetition" -> ((qualityRepetition _, qualityRepetitionSql))
+    "quality_repetition" -> ((qualityRepetition _, qualityRepetitionSql)),
+    "tfidf_top_terms" -> ((tfidfTopTerms _, tfidfTopTermsSql))
   )
 }

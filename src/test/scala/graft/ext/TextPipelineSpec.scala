@@ -63,6 +63,25 @@ class TextPipelineSpec extends SparkSpec {
     assert(diff.count() == 0L)
   }
 
+  test("tfidf ranks are dense, scores descend, and universal words score 0") {
+    val t = TextQueries.tfidfTopTerms(spark, dir).persist()
+    val nDocs = graft.Tables(spark, dir, "documents").count()
+    // ranks are 1..k dense per doc: max rank == row count per doc
+    val bad = t.groupBy("doc_id")
+      .agg(max("rank").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n") || col("n") > 5)
+    assert(bad.count() == 0L)
+    // scores never increase with rank within a doc
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("rank")
+    assert(t.withColumn("prev", lag("score", 1).over(w))
+      .filter(col("prev").isNotNull && col("score") > col("prev"))
+      .count() == 0L)
+    // idf zero ⟺ the word occurs in every document
+    assert(t.filter(col("df") === nDocs && col("score") =!= 0.0).count() == 0L)
+    t.unpersist()
+  }
+
   test("pack_chunks offsets are contiguous within each shard") {
     val p = TextQueries.packChunks(spark, dir).persist()
     // within a shard, tok_offset of doc k+1 == tok_offset + n_tokens of k
