@@ -204,8 +204,48 @@ object EventQueries {
       |FROM events
       |ORDER BY user_id, ts, event_id""".stripMargin
 
+  /** Weekly cohort retention — the standard product-analytics matrix:
+    * users grouped by first-activity week (their cohort), counted in each
+    * later week they return. Three stages, each keyed where the data must
+    * land anyway: the per-user cohort is a `min` WINDOW over `user_id`
+    * (one shuffle, no self-join back to the event stream), then one
+    * hash-shuffle on `(cohort_week, week_offset)` with partial
+    * `count(distinct user)` — at 100 TB the distinct-count dominates and
+    * partial aggregation bounds it per cohort cell. Weeks truncate
+    * Monday-start in both engines; the offset division is exact (day
+    * deltas are multiples of 7 by construction).
+    */
+  def eventsCohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    Tables(spark, dir, "events")
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"))
+      .withColumn("cohort_week", min(col("wk")).over(w))
+      .groupBy(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val eventsCohortRetentionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, wk,
+      |    MIN(wk) OVER (PARTITION BY user_id) AS cohort_week
+      |  FROM e)
+      |SELECT cohort_week,
+      |  CAST((wk - cohort_week) // 7 AS INT) AS week_offset,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM c
+      |GROUP BY 1, 2
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "events_approx_users" -> ((eventsApproxUsers _, null)),
+    "events_cohort_retention" -> ((eventsCohortRetention _, eventsCohortRetentionSql)),
     "events_tumbling" -> ((eventsTumbling _, eventsTumblingSql)),
     "events_sliding" -> ((eventsSliding _, eventsSlidingSql)),
     "events_session" -> ((eventsSession _, eventsSessionSql)),

@@ -337,8 +337,38 @@ object OlapQueries {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Explicit GROUPING SETS (the general form ROLLUP/CUBE specialize):
+    * two independent one-dimension margins plus the grand total, WITHOUT
+    * the pairwise cells a CUBE would also compute. Same single-shuffle
+    * map-side expansion as rollup — each input row replicates once per
+    * matching set, never once per row×set combination that doesn't apply.
+    */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq.empty),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n"), col("total"))
+      .orderBy("priority", "status")
+  }
+
+  val groupingSetsAggSql: String =
+    """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      |ORDER BY priority, status""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "topk_custom_agg" -> ((topkCustomAgg _, topkCustomAggSql)),
+    "grouping_sets" -> ((groupingSetsAgg _, groupingSetsAggSql)),
     "window_nav" -> ((windowNav _, windowNavSql)),
     "rollup_agg" -> ((rollupAgg _, rollupAggSql)),
     "pivot_agg" -> ((pivotAgg _, pivotAggSql)),
