@@ -157,6 +157,40 @@ object CoreQueries {
       |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
       |ORDER BY c_custkey""".stripMargin
 
+  /** Full-outer join (§2.4 breadth) — align a filtered customer dimension
+    * with per-customer order counts so BOTH null sides are exercised:
+    * BUILDING customers without orders survive from the left, orders from
+    * non-BUILDING customers from the right. Shape: the aggregate side is
+    * pre-shrunk by its groupBy (map-side partial), then one shuffle join
+    * on the key — full-outer can't broadcast (both sides must keep their
+    * unmatched rows), so co-partitioning IS the plan at any scale.
+    */
+  def fullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"))
+    val ords = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name").isNotNull.as("in_segment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("custkey")
+  }
+
+  val fullOuterJoinSql: String =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_name FROM customer
+      |  WHERE c_mktsegment = 'BUILDING'),
+      |ords AS (
+      |  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)
+      |SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+      |  c_name IS NOT NULL AS in_segment,
+      |  COALESCE(n_orders, 0) AS n_orders
+      |FROM cust FULL OUTER JOIN ords ON c_custkey = o_custkey
+      |ORDER BY custkey""".stripMargin
+
   /** UNION / INTERSECT / EXCEPT in one result, tagged (§2.7). */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
     val cn = Tables(spark, dir, "customer")
@@ -532,6 +566,7 @@ object CoreQueries {
     "q7_nation_volume" -> ((q7NationVolume _, q7NationVolumeSql)),
     "semi_join" -> ((semiJoin _, semiJoinSql)),
     "anti_join" -> ((antiJoin _, antiJoinSql)),
+    "full_outer_join" -> ((fullOuterJoin _, fullOuterJoinSql)),
     "set_ops" -> ((setOps _, setOpsSql)),
     "window_running" -> ((windowRunning _, windowRunningSql)),
     "topk_per_group" -> ((topkPerGroup _, topkPerGroupSql)),
