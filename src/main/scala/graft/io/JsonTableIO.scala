@@ -78,6 +78,23 @@ object JsonTableIO {
     }
   }
 
+  /** Stamp the manifest for an artifact whose data dir was populated
+    * outside [[write]] — e.g. by the streaming sink
+    * ([[graft.streaming.StreamingOps.artifactStream]]). One count job over
+    * the committed files (the file-sink commit log has no row counts, so a
+    * scan is the only honest source); call at a quiescent point — after
+    * stopping the stream, or between triggers.
+    */
+  def finalizeManifest(spark: SparkSession, outDir: String,
+      tableName: String): Manifest = {
+    val count = spark.read.json(s"$outDir/$tableName/data").count()
+    val manifest =
+      s"""{"table_name": ${quote(tableName)}, "count": $count}"""
+    Files.writeString(Paths.get(s"$outDir/$tableName/manifest.json"), manifest)
+    Files.deleteIfExists(singleFilePath(outDir, tableName))
+    Manifest(tableName, count)
+  }
+
   def readManifest(outDir: String, tableName: String): Manifest = {
     val sf = singleFilePath(outDir, tableName)
     val txt =

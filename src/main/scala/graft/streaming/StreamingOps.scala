@@ -194,4 +194,22 @@ object StreamingOps {
         graft.io.UpsertJdbcSink.write(batch, url, props, table, pk, dialect = dialect)
       }
       .start()
+
+  /** Stream → JSON table artifact: the streaming form of the export sink
+    * ([[graft.io.JsonTableIO.write]]), via Spark's native file sink —
+    * its `_spark_metadata` commit log gives EXACTLY-once file visibility
+    * across restarts (a replayed batch re-commits the same file set), so
+    * no foreachBatch bookkeeping is needed for the data itself. The
+    * manifest cannot ride along per-batch without double-counting on
+    * recovery; [[graft.io.JsonTableIO.finalizeManifest]] stamps it once
+    * the stream is stopped (or at any quiescent point). Readers of a
+    * live, un-finalized artifact see committed part files only.
+    */
+  def artifactStream(rows: DataFrame, outDir: String, table: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .format("json")
+      .option("path", s"$outDir/$table/data")
+      .option("checkpointLocation", checkpointDir)
+      .start()
 }
