@@ -374,6 +374,95 @@ object TextQueries {
       |WHERE rank <= 5
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** BM25 retrieval — top-20 documents for a fixed query-term set (the
+    * lexical complement to the embedding similarity tier; Okapi BM25 with
+    * k1=1.2, b=0.75). The token stream is FILTERED to the query terms at
+    * the explode, so the per-doc agg moves |terms|-bounded rows, not the
+    * corpus token stream; document frequency rides as the same count
+    * window as [[tfidfTopTerms]]; corpus N and total length broadcast as
+    * one 2-scalar row (the scalar branch is a second scan of the table,
+    * aggregated map-side to two numbers — cheaper at any scale than
+    * persisting the tokenized corpus just to share one pass). The global
+    * top-20 is orderBy+limit — TakeOrdered, never a one-partition window
+    * over the corpus; the rank window runs AFTER the limit, on 20 rows.
+    *
+    * Determinism: per-doc scores are ROUNDED before the top-k sort (both
+    * engines sort identical doubles); sub-expressions are written in the
+    * same literal forms/association on both sides so each contribution is
+    * bit-identical before the ≤|terms|-element sum the rounding covers.
+    * Docs containing no query term score 0 and do not appear.
+    */
+  private val bm25Terms = Seq("hash", "join", "vector", "scan")
+
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+    val scalars = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("sum_dl"))
+    val inList = bm25Terms.map(t => s"'$t'").mkString(",")
+    val tf = docs
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), size(col("words")).as("dl"),
+        explode(expr(
+          s"filter(words, w -> array_contains(array($inList), w))")).as("word"))
+      .groupBy("doc_id", "dl", "word").agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
+      .crossJoin(broadcast(scalars))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf", log(
+        (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("contrib")), 6).as("score"),
+        count(lit(1)).as("n_terms"))
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(20)
+      .withColumn("rank", row_number().over(w))
+      .select("rank", "doc_id", "n_terms", "score")
+      .orderBy("rank")
+  }
+
+  val bm25SearchSql: String = {
+    val inList = bm25Terms.map(t => s"'$t'").mkString(",")
+    s"""WITH s AS (
+      |  SELECT COUNT(*) AS n_docs,
+      |    SUM(len(string_split(text, ' '))) AS sum_dl
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |    unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, dl, word, COUNT(*) AS tf
+      |  FROM tok WHERE word IN ($inList)
+      |  GROUP BY doc_id, dl, word),
+      |wdf AS (
+      |  SELECT doc_id, dl, word, tf,
+      |    COUNT(*) OVER (PARTITION BY word) AS df
+      |  FROM tf),
+      |sc AS (
+      |  SELECT doc_id,
+      |    ROUND(SUM(
+      |      LN((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+      |        * (tf * 2.2)
+      |        / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+      |    ), 6) AS score,
+      |    COUNT(*) AS n_terms
+      |  FROM wdf CROSS JOIN s
+      |  GROUP BY doc_id)
+      |SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank,
+      |  doc_id, n_terms, score
+      |FROM sc
+      |ORDER BY score DESC, doc_id
+      |LIMIT 20""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "text_stats" -> ((textStats _, textStatsSql)),
     "lang_id" -> ((langId _, langIdSql)),
@@ -382,6 +471,7 @@ object TextQueries {
     "ngram_counts" -> ((ngramCounts _, ngramCountsSql)),
     "pack_chunks" -> ((packChunks _, packChunksSql)),
     "quality_repetition" -> ((qualityRepetition _, qualityRepetitionSql)),
-    "tfidf_top_terms" -> ((tfidfTopTerms _, tfidfTopTermsSql))
+    "tfidf_top_terms" -> ((tfidfTopTerms _, tfidfTopTermsSql)),
+    "bm25_search" -> ((bm25Search _, bm25SearchSql))
   )
 }
