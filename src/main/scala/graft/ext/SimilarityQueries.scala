@@ -173,7 +173,7 @@ object SimilarityQueries {
       |  FROM s)
       |SELECT vec_id, scale,
       |  md5(array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',')) AS q_fp,
-      |  CAST(list_sum(list_transform(q, x -> ABS(x))) AS BIGINT) AS q_l1
+      |  CAST(COALESCE(list_sum(list_transform(q, x -> ABS(x))), 0) AS BIGINT) AS q_l1
       |FROM q
       |ORDER BY vec_id""".stripMargin
 

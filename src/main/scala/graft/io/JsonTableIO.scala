@@ -64,7 +64,12 @@ object JsonTableIO {
       schema: Option[StructType] = None): DataFrame = {
     val sf = singleFilePath(outDir, tableName)
     if (Files.isRegularFile(sf) && isEnvelope(sf)) {
+      // FAILFAST: a truncated envelope under an explicit schema would
+      // otherwise PERMISSIVE-parse to one all-null row → explode(null) →
+      // a silently EMPTY table; envelopes are small by construction, so
+      // strict parsing costs nothing
       val r = spark.read.option("multiLine", "true")
+        .option("mode", "FAILFAST")
       schema.foreach(s => r.schema(new StructType()
         .add("table_name", StringType).add("count", LongType)
         .add("data", ArrayType(s))))
@@ -72,6 +77,15 @@ object JsonTableIO {
         .select(explode(col("data")).as("row"))
         .select("row.*")
     } else {
+      // a present-but-malformed envelope must fail NAMING the bad file —
+      // falling through to the (usually nonexistent) partitioned path
+      // would surface as a misleading PATH_NOT_FOUND on <table>/data
+      require(
+        Files.isDirectory(Paths.get(s"$outDir/$tableName/data")) ||
+          !Files.isRegularFile(sf),
+        s"$sf exists but is not a mover table envelope " +
+          "(expected a JSON object with table_name and data fields) " +
+          "and no partitioned artifact is present")
       val r = spark.read
       schema.foreach(r.schema)
       r.json(s"$outDir/$tableName/data")
@@ -87,7 +101,12 @@ object JsonTableIO {
     */
   def finalizeManifest(spark: SparkSession, outDir: String,
       tableName: String): Manifest = {
-    val count = spark.read.json(s"$outDir/$tableName/data").count()
+    // a pinned throwaway schema skips JSON schema inference — otherwise
+    // the "one count job" would be TWO full scans (inference + count);
+    // in PERMISSIVE mode every line still counts as one record
+    val count = spark.read
+      .schema(new StructType().add("__count_only", StringType))
+      .json(s"$outDir/$tableName/data").count()
     val manifest =
       s"""{"table_name": ${quote(tableName)}, "count": $count}"""
     Files.writeString(Paths.get(s"$outDir/$tableName/manifest.json"), manifest)
@@ -97,8 +116,11 @@ object JsonTableIO {
 
   def readManifest(outDir: String, tableName: String): Manifest = {
     val sf = singleFilePath(outDir, tableName)
+    // same envelope guard as read()/listTables(): a stray non-envelope
+    // <table>.json must not shadow the partitioned manifest.json (the
+    // count regex would find nothing and silently report 0)
     val txt =
-      if (Files.isRegularFile(sf)) Files.readString(sf)
+      if (Files.isRegularFile(sf) && isEnvelope(sf)) Files.readString(sf)
       else Files.readString(Paths.get(s"$outDir/$tableName/manifest.json"))
     val name = raw""""table_name"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
       .findFirstMatchIn(txt).map(_.group(1)).getOrElse(tableName)
@@ -147,6 +169,9 @@ object JsonTableIO {
         var hasName = false
         var hasData = false
         var ok = parser.nextToken() == JsonToken.START_OBJECT
+        // decide IMMEDIATELY once both fields are seen — the data array is
+        // ~100% of a real envelope, and skipChildren() over it would make
+        // every listTables()/read() an O(file-size) token parse
         while (ok && !(hasName && hasData) &&
             parser.nextToken() == JsonToken.FIELD_NAME) {
           parser.currentName() match {
@@ -154,8 +179,10 @@ object JsonTableIO {
             case "data" => hasData = true
             case _ => ()
           }
-          ok = parser.nextToken() != null
-          if (ok) parser.skipChildren()
+          if (!(hasName && hasData)) {
+            ok = parser.nextToken() != null
+            if (ok) parser.skipChildren()
+          }
         }
         hasName && hasData
       } finally parser.close()

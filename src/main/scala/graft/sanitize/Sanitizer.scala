@@ -175,22 +175,24 @@ object Faker {
     streetTypes = Seq("St", "Ave", "Blvd", "Dr", "Ln"),
     phonePrefix = "+1555")
 
-  /** The reference accepts any syreclabs locale string from config
-    * (`/root/reference/etl/sanitizer.go:22-30`); we ship four pools and
-    * FAIL LOUDLY on anything else — a silent en fallback would ship
-    * wrong-locale fakes into an export nobody re-reads.
-    */
+  // single source of truth for the locale surface: the supported set and
+  // both error messages derive from this map, so adding a pool can never
+  // leave the parse-time validation or the error text stale
+  private val byName: Map[String, Locale] =
+    Map("fr" -> fr, "en" -> en, "es" -> es, "de" -> de)
+
   /** The locales we ship pools for; [[graft.conf.ExtractConfig.fromJson]]
     * validates against this set at parse time so bad configs fail fast.
     */
-  val supportedLocales: Set[String] = Set("fr", "en", "es", "de")
+  val supportedLocales: Set[String] = byName.keySet
 
-  def tables(locale: String): Locale = locale match {
-    case "fr" => fr
-    case "en" => en
-    case "es" => es
-    case "de" => de
-    case other => throw new IllegalArgumentException(
-      s"unknown faker locale '$other' (supported: fr, en, es, de)")
-  }
+  /** The reference accepts any syreclabs locale string from config
+    * (`/root/reference/etl/sanitizer.go:22-30`); we ship a fixed pool set
+    * and FAIL LOUDLY on anything else — a silent en fallback would ship
+    * wrong-locale fakes into an export nobody re-reads.
+    */
+  def tables(locale: String): Locale =
+    byName.getOrElse(locale, throw new IllegalArgumentException(
+      s"unknown faker locale '$locale' " +
+        s"(supported: ${supportedLocales.toSeq.sorted.mkString(", ")})"))
 }

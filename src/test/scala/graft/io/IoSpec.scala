@@ -70,6 +70,28 @@ class JsonTableIOSpec extends SparkSpec {
     Files.writeString(Paths.get(s"$out/broken.json"), """{"table_name": """)
     Files.writeString(Paths.get(s"$out/notjson.json"), "hello")
     assert(JsonTableIO.listTables(out) == Seq("user"))
+    // a stray file NAMED like a partitioned table must not shadow its
+    // manifest (the count regex would silently report 0)
+    JsonTableIO.write(Seq((1L, "x"), (2L, "y")).toDF("id", "name"), out, "config")
+    Files.writeString(Paths.get(s"$out/config.json"),
+      """{"locale": "en", "schema": []}""")
+    assert(JsonTableIO.readManifest(out, "config").count == 2L)
+    assert(JsonTableIO.listTables(out) == Seq("config", "user"))
+    // a non-envelope file with no partitioned fallback fails NAMING the
+    // file — not PATH_NOT_FOUND on a data dir that never existed
+    val e = intercept[IllegalArgumentException] {
+      JsonTableIO.read(spark, out, "oracle_sql", None)
+    }
+    assert(e.getMessage.contains("oracle_sql.json"))
+    // a truncated envelope (both keys present before the cut) fails LOUDLY
+    // under FAILFAST instead of parsing to an empty table
+    Files.writeString(Paths.get(s"$out/trunc.json"),
+      """{"table_name": "t", "count": 1, "data": [""")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+    assertThrows[Exception] {
+      JsonTableIO.read(spark, out, "trunc", Some(schema)).collect()
+    }
   }
 }
 
