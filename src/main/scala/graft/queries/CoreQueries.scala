@@ -191,6 +191,35 @@ object CoreQueries {
       |FROM cust FULL OUTER JOIN ords ON c_custkey = o_custkey
       |ORDER BY custkey""".stripMargin
 
+  /** Salted join under the oracle gate (SCALE.md skew tier): the
+    * lineitem probe side scatters per-row into 8 sub-keys, the supplier
+    * build side replicates 8-fold, and per-nation revenue aggregates on
+    * top — the celebrity-key fallback for when AQE's skew split isn't
+    * enough (or isn't there: streaming micro-batches). The oracle is the
+    * PLAIN join: salting must be invisible in the result, and the hash
+    * compare proves it cross-engine, not just cross-plan (SkewSpec).
+    * Decimal sums keep the revenue exact until one final double cast.
+    */
+  def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"),
+        dec(col("l_extendedprice")).as("p"))
+    val sup = Tables(spark, dir, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    graft.ext.Skew.saltedJoin(li, sup, "l_suppkey", 8, "l_orderkey")
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("p")).cast("double").as("revenue"))
+      .orderBy("s_nationkey")
+  }
+
+  val skewSaltedJoinSql: String =
+    """SELECT s_nationkey, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin
+
   /** UNION / INTERSECT / EXCEPT in one result, tagged (§2.7). */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
     val cn = Tables(spark, dir, "customer")
@@ -567,6 +596,7 @@ object CoreQueries {
     "semi_join" -> ((semiJoin _, semiJoinSql)),
     "anti_join" -> ((antiJoin _, antiJoinSql)),
     "full_outer_join" -> ((fullOuterJoin _, fullOuterJoinSql)),
+    "skew_salted_join" -> ((skewSaltedJoin _, skewSaltedJoinSql)),
     "set_ops" -> ((setOps _, setOpsSql)),
     "window_running" -> ((windowRunning _, windowRunningSql)),
     "topk_per_group" -> ((topkPerGroup _, topkPerGroupSql)),
