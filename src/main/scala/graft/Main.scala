@@ -14,6 +14,7 @@ import graft.meta.Catalog
   * graft.Main -action extract  -dsn <tableDir> -query "SELECT ..." -path <outDir>
   * graft.Main -action load     -dsn <tableDir | jdbc:...> -path <artifactDir>
   * graft.Main -action describe -dsn <tableDir> -table <name>
+  * graft.Main -action query    -dsn <tableDir> -query <operator> [-path <outDir>]
   * }}}
   *
   * Flags mirror the reference (`-query -table -path -dsn -action
@@ -36,10 +37,10 @@ object Main {
       version: Boolean = false)
 
   val usage: String =
-    """usage: graft.Main -action extract|load|describe
+    """usage: graft.Main -action extract|load|describe|query
       |  -dsn <parquet table dir>   source tables (or jdbc: target for load)
-      |  -query <sql>               seed query (extract)
-      |  -path <dir>                artifact dir (extract out / load in)
+      |  -query <sql|name>          seed query (extract) / operator name (query)
+      |  -path <dir>                artifact dir (extract out / load in / query out)
       |  -table <name>              table to describe
       |  -conf <config.json>        sanitize/traversal config (or $GRAFT_CONF)
       |  -verbose -version""".stripMargin
@@ -103,6 +104,26 @@ object Main {
       case "describe" =>
         if (cli.table.isEmpty) { out(usage); 2 }
         else { out(engine.describe(cli.table)); 0 }
+      // beyond the reference's verb set: run any registered operator by
+      // name against the -dsn tables (the operator registry IS the user
+      // surface of the extension tier — this makes it reachable without
+      // writing Scala)
+      case "query" =>
+        if (cli.query.isEmpty || cli.dsn.isEmpty) { out(usage); 2 }
+        else SparkEntry.queries.get(cli.query) match {
+          case None =>
+            out(s"unknown query '${cli.query}' " +
+              s"(available: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
+            2
+          case Some(fn) =>
+            val df = fn(spark, cli.dsn)
+            if (cli.path.nonEmpty) {
+              df.write.mode("overwrite").parquet(cli.path)
+              out(s"${cli.query}: written to ${cli.path}")
+            } else df.limit(20).collect()
+              .foreach(r => out(r.mkString("\t")))
+            0
+        }
       case _ => out(usage); 2
     }
   }

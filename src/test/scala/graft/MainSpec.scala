@@ -90,6 +90,18 @@ class MainSpec extends SparkSpec {
     c2.close()
   }
 
+  test("query verb runs a registered operator; unknown name lists the registry") {
+    val (rc, out) = capture(Main.Cli(action = "query", query = "q1_agg", dsn = dsn))
+    assert(rc == 0 && out.nonEmpty)
+    val outDir = Files.createTempDirectory("main-query").toString + "/q1"
+    val (rc2, out2) = capture(
+      Main.Cli(action = "query", query = "q1_agg", dsn = dsn, path = outDir))
+    assert(rc2 == 0 && out2.exists(_.contains(outDir)))
+    assert(spark.read.parquet(outDir).count() > 0)
+    val (rc3, out3) = capture(Main.Cli(action = "query", query = "nope", dsn = dsn))
+    assert(rc3 == 2 && out3.exists(_.contains("unknown query")))
+  }
+
   test("describe prints keys, edges, and schema") {
     val (rc, out) = capture(Main.Cli(action = "describe", dsn = dsn, table = "customer"))
     assert(rc == 0)
