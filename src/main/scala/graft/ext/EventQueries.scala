@@ -139,6 +139,43 @@ object EventQueries {
       .orderBy("window_start")
   }
 
+  /** MERGEABLE sketch rollup — the architectural upgrade over
+    * [[eventsApproxUsers]]: daily `hll_sketch_agg` binaries UNION into
+    * weekly estimates via `hll_union_agg`, never re-touching the raw
+    * stream. This two-level shape is what a 100 TB rollup actually
+    * stores: per-day sketches persist once (bounded bytes per cell) and
+    * any coarser window — week, month, ad-hoc ranges — is a cheap merge
+    * over sketches, where exact distinct-counts would re-shuffle the
+    * full event history per query. Engine-specific bits, so rows-only +
+    * SELF-VALIDATING against the exact weekly count, same contract as
+    * [[eventsApproxUsers]].
+    */
+  def eventsSketchWeekly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val weekly = ev
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      .select(to_date(date_trunc("week", col("w.start"))).as("week"),
+        col("event_type"), col("sk"))
+      .groupBy("week", "event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("approx_users"))
+    // validation ride-along, NOT the production path: the exact weekly
+    // count is a separate scan the sketch rollup exists to avoid
+    val exact = ev
+      .groupBy(to_date(date_trunc("week", col("ts"))).as("week"),
+        col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    weekly.join(exact, Seq("week", "event_type"))
+      .select(col("week"), col("event_type"),
+        col("approx_users"), col("exact_users"),
+        round(abs(col("approx_users") - col("exact_users"))
+          / col("exact_users"), 6).as("rel_err"))
+      .filter(expr(
+        "assert_true(rel_err <= 0.1, 'merged HLL drifted >10% from exact') IS NULL"))
+      .orderBy("week", "event_type")
+  }
+
   /** Range join (§2.4 breadth): click-to-purchase attribution — for each
     * purchase, the same user's clicks in the preceding hour. The equi key
     * (user_id) carries the join; the time range is a residual predicate
@@ -245,6 +282,7 @@ object EventQueries {
 
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "events_approx_users" -> ((eventsApproxUsers _, null)),
+    "events_sketch_weekly" -> ((eventsSketchWeekly _, null)),
     "events_cohort_retention" -> ((eventsCohortRetention _, eventsCohortRetentionSql)),
     "events_tumbling" -> ((eventsTumbling _, eventsTumblingSql)),
     "events_sliding" -> ((eventsSliding _, eventsSlidingSql)),
