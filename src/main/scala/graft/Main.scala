@@ -120,8 +120,15 @@ object Main {
             if (cli.path.nonEmpty) {
               df.write.mode("overwrite").parquet(cli.path)
               out(s"${cli.query}: written to ${cli.path}")
-            } else df.limit(20).collect()
-              .foreach(r => out(r.mkString("\t")))
+            } else {
+              out(df.columns.mkString("\t"))
+              // fetch one extra row so truncation is detectable without a
+              // separate count job
+              val rows = df.limit(21).collect()
+              rows.take(20).foreach(r => out(r.mkString("\t")))
+              if (rows.length > 20)
+                out(s"... (showing first 20 rows; use -path <dir> for full output)")
+            }
             0
         }
       case _ => out(usage); 2

@@ -67,7 +67,10 @@ object JsonTableIO {
       // FAILFAST: a truncated envelope under an explicit schema would
       // otherwise PERMISSIVE-parse to one all-null row → explode(null) →
       // a silently EMPTY table; envelopes are small by construction, so
-      // strict parsing costs nothing
+      // strict parsing costs nothing. DELIBERATE TRADEOFF: type drift in
+      // any field (e.g. "id": "10" vs LongType) now fails the whole read
+      // instead of nulling the field — for a migration artifact, loud
+      // beats silently-lossy (pass schema=None to inspect a drifted file)
       val r = spark.read.option("multiLine", "true")
         .option("mode", "FAILFAST")
       schema.foreach(s => r.schema(new StructType()
@@ -118,10 +121,20 @@ object JsonTableIO {
     val sf = singleFilePath(outDir, tableName)
     // same envelope guard as read()/listTables(): a stray non-envelope
     // <table>.json must not shadow the partitioned manifest.json (the
-    // count regex would find nothing and silently report 0)
+    // count regex would find nothing and silently report 0); and as in
+    // read(), a malformed single file with no partitioned fallback fails
+    // NAMING that file, not with NoSuchFileException on a manifest that
+    // never existed
+    val manifestPath = Paths.get(s"$outDir/$tableName/manifest.json")
     val txt =
       if (Files.isRegularFile(sf) && isEnvelope(sf)) Files.readString(sf)
-      else Files.readString(Paths.get(s"$outDir/$tableName/manifest.json"))
+      else {
+        require(Files.isRegularFile(manifestPath) || !Files.isRegularFile(sf),
+          s"$sf exists but is not a mover table envelope " +
+            "(expected a JSON object with table_name and data fields) " +
+            "and no partitioned artifact is present")
+        Files.readString(manifestPath)
+      }
     val name = raw""""table_name"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
       .findFirstMatchIn(txt).map(_.group(1)).getOrElse(tableName)
     val count = raw""""count"\s*:\s*(\d+)""".r

@@ -83,6 +83,10 @@ class JsonTableIOSpec extends SparkSpec {
       JsonTableIO.read(spark, out, "oracle_sql", None)
     }
     assert(e.getMessage.contains("oracle_sql.json"))
+    val em = intercept[IllegalArgumentException] {
+      JsonTableIO.readManifest(out, "oracle_sql")
+    }
+    assert(em.getMessage.contains("oracle_sql.json"))
     // a truncated envelope (both keys present before the cut) fails LOUDLY
     // under FAILFAST instead of parsing to an empty table
     Files.writeString(Paths.get(s"$out/trunc.json"),
