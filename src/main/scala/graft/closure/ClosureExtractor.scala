@@ -125,6 +125,7 @@ class ClosureExtractor(
           .persist(StorageLevel.MEMORY_AND_DISK))
 
     while (frontier.nonEmpty) {
+      val iterT0 = System.nanoTime()
       seen = frontier.foldLeft(seen) { case (acc, (t, keys)) =>
         acc.updated(t, acc.get(t).map(_.union(keys)).getOrElse(keys))
       }
@@ -253,6 +254,8 @@ class ClosureExtractor(
         if (sizes.getOrElse(t, 0L) > 0L) Some(t -> df)
         else { df.unpersist(); None }
       }
+      if (sys.env.contains("GRAFT_BFS_PROF"))
+        System.err.println(f"[bfs] depth=$depth elapsed=${(System.nanoTime() - iterT0) / 1e9}%.2fs frontier=${sizes}")
       depth += 1
     }
     // Materialize the final per-table key sets (small: key columns only),
