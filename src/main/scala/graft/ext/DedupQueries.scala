@@ -511,35 +511,31 @@ object DedupQueries {
     * misses templated boilerplate shared across otherwise-distinct pages;
     * this finds it at span granularity.
     *
-    * Scale shape: ONE groupBy on the span hash (map-side partial agg over
-    * the exploded shingle stream) finds cross-doc spans — never a
-    * self-join of the corpus against itself. The (doc_id, span-hash)
-    * stream feeds three branches (cross-doc counts, per-doc totals, the
-    * dup join-back), so it is persisted spill-safely for the query — the
-    * alternative is three full scan+md5 passes, and at 100 TB the
-    * shingle stream is the op's intrinsic working set either way.
+    * Scale shape: a LINEAR two-shuffle pipeline, never a self-join of the
+    * corpus against itself. Shingles are distinct per doc, so a plain
+    * `count(*)` window over the span hash IS the cross-doc occurrence
+    * count — one shuffle on the hash annotates every span with it, one
+    * more on doc_id folds spans back into per-doc totals. No persist, no
+    * join-backs: each shingle is hashed exactly once and flows straight
+    * through. (A collect_list-per-hash formulation would bound-break on
+    * boilerplate spans shared by millions of docs; the window count is
+    * O(1) state per row.)
     */
   def dupSpans(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables(spark, dir, "documents")
+    import org.apache.spark.sql.expressions.Window
+    Tables(spark, dir, "documents")
       .repartition(col("doc_id"))
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 5)
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(sequence(1, size(words) - 4),
              i -> md5(concat_ws(' ', slice(words, i, 5)))))""")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.count()
-    val dup = sh.groupBy("sh")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select("sh")
-    val tot = sh.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
-    val dupPerDoc = sh.join(dup, Seq("sh"))
-      .groupBy("doc_id").agg(count(lit(1)).as("nd"))
-    tot.join(dupPerDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("nd"), lit(0L)).as("n_dup_spans"),
-        round(coalesce(col("nd"), lit(0L)).cast("double") / col("n_spans"), 6)
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("sh")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6)
           .as("dup_frac"))
       .orderBy("doc_id")
   }
@@ -551,16 +547,14 @@ object DedupQueries {
       |      i -> md5(array_to_string(string_split(text, ' ')[i:i+4], ' '))))) AS sh
       |  FROM documents
       |  WHERE len(string_split(text, ' ')) >= 5),
-      |dup AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
-      |tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM sh GROUP BY doc_id),
-      |d AS (
-      |  SELECT s.doc_id, COUNT(*) AS nd
-      |  FROM sh s JOIN dup ON dup.sh = s.sh
-      |  GROUP BY s.doc_id)
-      |SELECT t.doc_id, COALESCE(d.nd, 0) AS n_dup_spans,
-      |  ROUND(CAST(COALESCE(d.nd, 0) AS DOUBLE) / t.n_spans, 6) AS dup_frac
-      |FROM tot t LEFT JOIN d ON d.doc_id = t.doc_id
-      |ORDER BY t.doc_id""".stripMargin
+      |d AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY sh) AS nd FROM sh)
+      |SELECT doc_id,
+      |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+      |  ROUND(CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS dup_frac
+      |FROM d
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "dedup_exact" -> ((dedupExact _, dedupExactSql)),

@@ -322,7 +322,9 @@ object OlapQueries {
         col("o_totalprice"),
         lag(col("o_totalprice"), 1).over(w).as("prev_price"),
         lead(col("o_totalprice"), 1).over(w).as("next_price"),
-        ntile(4).over(w).as("quartile"),
+        // bigint to match DuckDB's NTILE (int32-vs-int64 survives the
+        // driver's hash today, but only int64-vs-int64 is drift-proof)
+        ntile(4).over(w).cast("long").as("quartile"),
         round(percent_rank().over(w), 6).as("pr"))
       .orderBy("o_custkey", "o_orderkey")
   }

@@ -53,6 +53,20 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {e}"); n_bad += 1; continue
         if got_cols != exp_cols:
             print(f"FAIL {name}: columns {got_cols} vs {exp_cols}"); n_bad += 1; continue
+        # the driver bridges both sides through pandas and hashes values:
+        # a dtype drift (e.g. DuckDB HUGEINT -> float64 vs Spark int64)
+        # hash-fails even when every value compares equal (r4 pack_chunks)
+        try:
+            gdt = con.sql(f"SELECT * FROM '{spark_path}/*.parquet'").df().dtypes
+            edt = con.sql(sql).df().dtypes
+            gdt = gdt[sorted(gdt.index)]; edt = edt[sorted(edt.index)]
+            if list(map(str, gdt)) != list(map(str, edt)):
+                print(f"WARN {name}: pandas dtypes differ (driver may hash-fail)")
+                for c in gdt.index:
+                    if str(gdt[c]) != str(edt[c]):
+                        print(f"  {c}: spark={gdt[c]} oracle={edt[c]}")
+        except Exception as e:
+            print(f"WARN {name}: dtype probe failed: {e}")
         gs, es = sorted(got, key=repr), sorted(exp, key=repr)
         if len(gs) != len(es):
             print(f"FAIL {name}: {len(gs)} rows vs {len(es)}"); n_bad += 1; continue
