@@ -49,11 +49,12 @@ final case class ConfigQuery(sourceTable: String, targetTable: String, template:
   * Scale design (100 TB): frontier/seen sets hold ONLY key columns (never
   * full rows), and every iteration's frontier becomes a lazy local
   * checkpoint — a leaf plan, so neither lineage nor Catalyst analysis
-  * cost grows with depth. No broadcast
-  * hints: frontier key sets are usually tiny and AQE (default-on in
-  * Spark 4) converts these semi-joins to broadcast-hash at runtime, while
-  * a genuinely huge key set is still allowed to shuffle. Full rows are
-  * materialized exactly once per table at the end, one semi-join each.
+  * cost grows with depth. Frontier sizes are EXACTLY known (the
+  * emptiness test is a counting job), so small frontiers get explicit
+  * broadcast hints — the join plans straight to broadcast-hash with no
+  * shuffle-and-measure step — while a genuinely huge key set still
+  * shuffles, and AQE stays on for its post-shuffle coalescing. Full rows
+  * are materialized exactly once per table at the end, one semi-join each.
   */
 class ClosureExtractor(
     catalog: Catalog,
@@ -83,10 +84,17 @@ class ClosureExtractor(
     * comparison against the reference on overlapping extras is not
     * expected to match (ClosureSpec pins the policy).
     */
-  def extractAll(seeds: Seq[(String, DataFrame)]): Map[String, DataFrame] =
-    runAll(seeds).map { case (table, keys) =>
-      table -> loadTable(table).join(keys, keys.columns.toSeq, "left_semi")
+  def extractAll(seeds: Seq[(String, DataFrame)]): Map[String, DataFrame] = {
+    val (tables, sizes) = runAllWithSizes(seeds)
+    tables.map { case (table, keys) =>
+      // key sets are materialized and exactly counted by the fixpoint's
+      // final job, so small ones broadcast into the row-materializing
+      // semi-join with no exchange (huge closures still shuffle)
+      val keysH =
+        if (sizes.get(table).exists(_ <= BroadcastKeyLimit)) broadcast(keys) else keys
+      table -> loadTable(table).join(keysH, keys.columns.toSeq, "left_semi")
     }
+  }
 
   /** Returns table name → DataFrame of the table's PK columns (the key set
     * of the closure). Exposed for counting without row materialization.
@@ -96,21 +104,56 @@ class ClosureExtractor(
   def run(seedTable: String, seed: DataFrame): Map[String, DataFrame] =
     runAll(Seq(seedTable -> seed))
 
-  def runAll(seeds: Seq[(String, DataFrame)]): Map[String, DataFrame] = {
+  /** Key sets at or below this row count get an explicit broadcast hint in
+    * the BFS joins. Unlike leaving it to AQE (shuffle first, re-plan at the
+    * stage barrier), the driver KNOWS each frontier's exact size from the
+    * union-of-counts job it already runs per iteration — so small-frontier
+    * semi/anti joins plan straight to broadcast-hash with zero exchanges,
+    * while a genuinely huge frontier (billions of lineitem keys) still
+    * shuffles. ~4M single-column keys ≈ tens of MB broadcast.
+    */
+  private val BroadcastKeyLimit = 4000000L
+
+  def runAll(seeds: Seq[(String, DataFrame)]): Map[String, DataFrame] =
+    runAllWithSizes(seeds)._1
+
+  /** [[runAll]] plus each table's exact key count — free, because the
+    * fixpoint's final checkpoint-forcing job is already a count.
+    */
+  def runAllWithSizes(seeds: Seq[(String, DataFrame)]): (Map[String, DataFrame], Map[String, Long]) = {
+    // Measured A/B at sf0.1: keeping AQE ON for the fixpoint wins — its
+    // post-shuffle coalescing collapses the 32-partition iteration
+    // shuffles to single tasks, which outweighs the extra stage-job
+    // barriers. The exact-size broadcast hints below compose with it:
+    // hinted joins skip the shuffle-and-measure step entirely.
     var seen = Map.empty[String, DataFrame] // table -> distinct pk tuples
+    var seenSizes = Map.empty[String, Long]
     // Every intermediate persist is tracked and released after the final
     // key sets are eagerly checkpointed — a long-lived session must not
     // accumulate BFS state in the block manager across extract calls.
     val retained = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def track(df: DataFrame): DataFrame = { retained += df; df }
+    // ONE union-of-counts job for a table->df map (vs a driver-serial
+    // count per table); also what forces the lazy checkpoints.
+    def countAll(dfs: Map[String, DataFrame]): Map[String, Long] =
+      if (dfs.isEmpty) Map.empty
+      else dfs.map { case (t, df) =>
+          df.groupBy().count().select(lit(t).as("t"), col("count"))
+        }.reduce(_.union(_))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def hinted(df: DataFrame, size: Option[Long]): DataFrame =
+      if (size.exists(_ <= BroadcastKeyLimit)) broadcast(df) else df
     var frontier: Map[String, DataFrame] = seeds.groupBy(_._1).map {
       case (t, ss) =>
         val pk = catalog.pkOf(t).map(col)
-        // lazy leaf like every later frontier; forced by the first
-        // union-of-counts job
+        // lazy leaf like every later frontier; forced by the seed-count
+        // job just below
         t -> track(ss.map(_._2.select(pk: _*)).reduce(_.union(_)).distinct()
           .localCheckpoint(false))
     }
+    // the one extra job this costs is repaid by every later join planning
+    // broadcast-side-known from depth 0
+    var frontierSizes: Map[String, Long] = countAll(frontier)
     var depth = 0
 
     // Run-scoped cache of each table's key projection (pk + edge
@@ -129,6 +172,9 @@ class ClosureExtractor(
       seen = frontier.foldLeft(seen) { case (acc, (t, keys)) =>
         acc.updated(t, acc.get(t).map(_.union(keys)).getOrElse(keys))
       }
+      seenSizes = frontier.keys.foldLeft(seenSizes) { (acc, t) =>
+        acc.updated(t, acc.getOrElse(t, 0L) + frontierSizes.getOrElse(t, Long.MaxValue))
+      }
 
       val next = scala.collection.mutable.Map.empty[String, DataFrame]
       def addKeys(table: String, keys: DataFrame): Unit =
@@ -145,28 +191,33 @@ class ClosureExtractor(
           (depth == 0 && !policy.omitsFor(table)) ||
             policy.referenceKeyAllowlist.contains(rk.name))
 
+        val keysH = hinted(keys, frontierSizes.get(table))
         if (fks.nonEmpty) {
           // one scan of the table, semi-joined down to frontier rows
           val rows = keyProjection(table, (pk ++ fks.map(_.childCol)).distinct)
-            .join(keys, pk, "left_semi")
+            .join(keysH, pk, "left_semi")
           fks.foreach { fk =>
             // J1 forward lookup, batched: null FKs skipped as in the
-            // reference (etl/extractor.go:107-109)
+            // reference (etl/extractor.go:107-109). No per-edge distinct:
+            // the candidate stage below distincts the per-table union once
+            // — a distinct here would add one shuffle per edge per depth
+            // for rows the union dedups anyway.
             require(catalog.pkOf(fk.parentTable) == Seq(fk.parentCol),
               s"FK ${fk.name} must reference the parent PK")
             addKeys(fk.parentTable,
               rows.select(col(fk.childCol).as(fk.parentCol))
-                .where(col(fk.parentCol).isNotNull).distinct())
+                .where(col(fk.parentCol).isNotNull))
           }
         }
         rks.foreach { rk =>
-          // J2 reverse lookup, batched: child rows whose FK is in our keys
+          // J2 reverse lookup, batched: child rows whose FK is in our
+          // keys. Distinct deferred to the candidate stage (see J1).
           val childPk = catalog.pkOf(rk.childTable)
           addKeys(rk.childTable,
             keyProjection(rk.childTable, (childPk :+ rk.childCol).distinct)
-              .join(keys.withColumnRenamed(rk.parentCol, rk.childCol),
-                Seq(rk.childCol), "left_semi")
-              .select(childPk.map(col): _*).distinct())
+              .join(hinted(keys.withColumnRenamed(rk.parentCol, rk.childCol),
+                frontierSizes.get(table)), Seq(rk.childCol), "left_semi")
+              .select(childPk.map(col): _*))
         }
 
         // J3 templated config queries: collect this frontier's DISTINCT
@@ -186,7 +237,7 @@ class ClosureExtractor(
             if (attrs.isEmpty) Array(Map.empty[String, Any])
             else loadTable(table)
               .select((pk ++ attrs).distinct.map(col): _*)
-              .join(keys, pk, "left_semi")
+              .join(keysH, pk, "left_semi")
               .select(attrs.map(col): _*).distinct()
               .collect()
               .map(r => attrs.map(a => a -> r.getAs[Any](a)).toMap)
@@ -210,13 +261,13 @@ class ClosureExtractor(
                 }.mkString(", ")
                 addKeys(cq.targetTable,
                   runQuery(s"$prefix$colName IN ($inList)")
-                    .select(targetPk.map(col): _*).distinct())
+                    .select(targetPk.map(col): _*))
               }
             case _ =>
               params.foreach { row =>
                 val sql = graft.sqlparse.SeedQuery.substitute(cq.template, row)
                 addKeys(cq.targetTable,
-                  runQuery(sql).select(targetPk.map(col): _*).distinct())
+                  runQuery(sql).select(targetPk.map(col): _*))
               }
           }
         }
@@ -239,21 +290,19 @@ class ClosureExtractor(
       val candidates = next.toMap.map { case (t, keys) =>
         val pk = catalog.pkOf(t)
         val fresh0 = seen.get(t) match {
-          case Some(s) => keys.distinct().join(s, pk, "left_anti")
+          // seen is the build side of the anti-join; its exact size is a
+          // running sum of frontier counts, so small seen sets broadcast
+          case Some(s) => keys.distinct().join(hinted(s, seenSizes.get(t)), pk, "left_anti")
           case None    => keys.distinct()
         }
         t -> track(fresh0.localCheckpoint(false))
       }
-      val sizes: Map[String, Long] =
-        if (candidates.isEmpty) Map.empty
-        else candidates.map { case (t, df) =>
-            df.groupBy().count().select(lit(t).as("t"), col("count"))
-          }.reduce(_.union(_))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val sizes: Map[String, Long] = countAll(candidates)
       frontier = candidates.flatMap { case (t, df) =>
         if (sizes.getOrElse(t, 0L) > 0L) Some(t -> df)
         else { df.unpersist(); None }
       }
+      frontierSizes = sizes
       if (sys.env.contains("GRAFT_BFS_PROF"))
         System.err.println(f"[bfs] depth=$depth elapsed=${(System.nanoTime() - iterT0) / 1e9}%.2fs frontier=${sizes}")
       depth += 1
@@ -268,15 +317,13 @@ class ClosureExtractor(
     // Checkpoints are LAZY and forced by a single union-of-counts job
     // (one job materializes all tables, vs. one eager-checkpoint job each).
     val result = seen.map { case (t, k) => t -> k.localCheckpoint(false) }
-    if (result.nonEmpty)
-      result.values.map(_.groupBy().count().select(col("count")))
-        .reduce(_.union(_)).collect()
+    val resultSizes = countAll(result)
     // release every intermediate, including locally-checkpointed ones
     // (RDD-level blocks, see SparkUtil.release) — only the returned result
     // checkpoints may outlive the fixpoint
     retained.foreach(graft.SparkUtil.release)
     projCache.values.foreach(_.unpersist(false))
-    result
+    (result, resultSizes)
   }
 }
 

@@ -167,6 +167,8 @@ object DedupQueries {
     * table). Checkpointing makes each round's plan a leaf; previous
     * rounds' blocks are released immediately via [[graft.SparkUtil]].
     */
+  private val BroadcastLabelLimit = 4000000L
+
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     // checkpoint the pairs BEFORE mirroring them: both union branches
     // below read the pair set, and an un-materialized subtree would run
@@ -185,10 +187,15 @@ object DedupQueries {
       .localCheckpoint(false)
     // coalesce: sum over an EMPTY label set is null (no candidate pairs
     // at all — every doc unique or every bucket capped), and the loop
-    // must return an empty cluster set, not NPE
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("lab"), lit(0L))).collect()(0).getLong(0)
-    var labSum = labelSum(labels)
+    // must return an empty cluster set, not NPE. One job returns both the
+    // convergence sum and the exact label count (the broadcast decider).
+    def labelStats(df: DataFrame): (Long, Long) = {
+      val r = df.agg(coalesce(sum("lab"), lit(0L)), count(lit(1))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var (labSum, nLabels) = labelStats(labels)
+    def hinted(df: DataFrame): DataFrame =
+      if (nLabels <= BroadcastLabelLimit) broadcast(df) else df
     var converged = false
     while (!converged) {
       // two hops per round, both against the previous round's CHECKPOINT
@@ -199,18 +206,19 @@ object DedupQueries {
       // composition join always hits and stays within the component;
       // monotone because lab_old(y) <= y.
       val next = edges
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .join(hinted(labels.withColumnRenamed("id", "src")), Seq("src"))
         .select(col("dst").as("id"), col("lab"))
         .union(labels)
         .groupBy("id").agg(min("lab").as("lab1"))
-        .join(labels.select(col("id").as("lab1"), col("lab").as("lab2")), Seq("lab1"))
+        .join(hinted(labels.select(col("id").as("lab1"), col("lab").as("lab2"))), Seq("lab1"))
         .select(col("id"), col("lab2").as("lab"))
-        .localCheckpoint(false) // forced by the sum — one job per round
-      val nextSum = labelSum(next)
+        .localCheckpoint(false) // forced by the stats — one job per round
+      val (nextSum, nextN) = labelStats(next)
       graft.SparkUtil.release(labels)
       labels = next
       converged = nextSum == labSum
       labSum = nextSum
+      nLabels = nextN
     }
     graft.SparkUtil.release(pairs)
     labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"))
