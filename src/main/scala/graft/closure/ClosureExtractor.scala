@@ -114,6 +114,47 @@ class ClosureExtractor(
     */
   private val BroadcastKeyLimit = 4000000L
 
+  /** Forward-FK chaining order: Kahn's algorithm over the child→parent FK
+    * digraph. Tables that topo-sort cleanly (`chainable`) have their
+    * forward FKs walked to fixpoint WITHIN one BFS iteration, child
+    * before parent — the chained semi-joins are lazy plan composition
+    * that Catalyst fuses into the iteration's single counting job, so a
+    * pure FK chain of depth d costs ONE scheduling barrier instead of d.
+    * Kahn's leftovers — FK cycles (e.g. user↔project) and anything
+    * downstream of one — are conservatively non-chainable and keep the
+    * anti-join-per-iteration path, which is what guarantees cycle
+    * termination.
+    */
+  private lazy val (chainOrder: Seq[String], chainable: Set[String]) = {
+    val inDeg = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
+    catalog.tables.keys.foreach(t => inDeg(t) = 0)
+    catalog.edges.foreach(e => inDeg(e.parentTable) += 1)
+    val order = scala.collection.mutable.ListBuffer.empty[String]
+    val queue = scala.collection.mutable.Queue(
+      catalog.tables.keys.filter(inDeg(_) == 0).toSeq.sorted: _*)
+    while (queue.nonEmpty) {
+      val t = queue.dequeue()
+      order += t
+      catalog.foreignKeysOf(t).foreach { e =>
+        inDeg(e.parentTable) -= 1
+        if (inDeg(e.parentTable) == 0) queue.enqueue(e.parentTable)
+      }
+    }
+    (order.toList, order.toSet)
+  }
+
+  /** Must `table` re-enter the BFS frontier once its rows are at depth
+    * ≥ 1? Only reverse-allowlist edges, config queries, and the cycle
+    * fallback need another iteration — chained forward FKs are already
+    * walked the moment the keys are produced.
+    */
+  private def needsIteration(table: String): Boolean =
+    (!chainable(table) && catalog.foreignKeysOf(table).nonEmpty) ||
+      catalog.referenceKeysOf(table)
+        .exists(rk => policy.referenceKeyAllowlist.contains(rk.name)) ||
+      configQueries.exists(_.sourceTable == table)
+
   def runAll(seeds: Seq[(String, DataFrame)]): Map[String, DataFrame] =
     runAllWithSizes(seeds)._1
 
@@ -154,6 +195,8 @@ class ClosureExtractor(
     // the one extra job this costs is repaid by every later join planning
     // broadcast-side-known from depth 0
     var frontierSizes: Map[String, Long] = countAll(frontier)
+    seen = frontier
+    seenSizes = frontierSizes
     var depth = 0
 
     // Run-scoped cache of each table's key projection (pk + edge
@@ -169,16 +212,30 @@ class ClosureExtractor(
 
     while (frontier.nonEmpty) {
       val iterT0 = System.nanoTime()
-      seen = frontier.foldLeft(seen) { case (acc, (t, keys)) =>
-        acc.updated(t, acc.get(t).map(_.union(keys)).getOrElse(keys))
-      }
-      seenSizes = frontier.keys.foldLeft(seenSizes) { (acc, t) =>
-        acc.updated(t, acc.getOrElse(t, 0L) + frontierSizes.getOrElse(t, Long.MaxValue))
-      }
 
       val next = scala.collection.mutable.Map.empty[String, DataFrame]
-      def addKeys(table: String, keys: DataFrame): Unit =
+      // chain inputs: every key set PRODUCED this iteration for a
+      // chainable table (frontier tables at depth ≥ 1 were chained the
+      // iteration their keys appeared, so they never re-enter)
+      val chainAcc = scala.collection.mutable.Map.empty[String, DataFrame]
+      def addKeys(table: String, keys0: DataFrame): Unit = {
+        // LAZY checkpoint per contribution: a produced key set feeds the
+        // candidate anti-join AND up to fks.size chain joins — as plain
+        // subtrees those copies re-plan and re-execute per use, and the
+        // duplication compounds multiplicatively down a chain (measured
+        // slower than the un-chained BFS). As a checkpointed RDD the set
+        // computes once inside this iteration's counting job and every
+        // use reads the persisted blocks. Tracked for release.
+        val keys = track(keys0.localCheckpoint(false))
         next.update(table, next.get(table).map(_.union(keys)).getOrElse(keys))
+        if (chainable(table))
+          chainAcc.update(table,
+            chainAcc.get(table).map(_.union(keys)).getOrElse(keys))
+      }
+      // seeds are raw at depth 0: their forward FKs chain now
+      if (depth == 0) frontier.foreach { case (t, keys) =>
+        if (chainable(t)) chainAcc.update(t, keys)
+      }
 
       frontier.foreach { case (table, keys) =>
         val pk = catalog.pkOf(table)
@@ -192,8 +249,10 @@ class ClosureExtractor(
             policy.referenceKeyAllowlist.contains(rk.name))
 
         val keysH = hinted(keys, frontierSizes.get(table))
-        if (fks.nonEmpty) {
-          // one scan of the table, semi-joined down to frontier rows
+        if (fks.nonEmpty && !chainable(table)) {
+          // cycle fallback: one scan of the table, semi-joined down to
+          // frontier rows (chainable tables expand their FKs in the chain
+          // phase below instead — exactly once, when the keys appear)
           val rows = keyProjection(table, (pk ++ fks.map(_.childCol)).distinct)
             .join(keysH, pk, "left_semi")
           fks.foreach { fk =>
@@ -273,6 +332,28 @@ class ClosureExtractor(
         }
       }
 
+      // CHAIN phase: walk the acyclic forward-FK closure of everything
+      // produced this iteration, child before parent — all lazy, fused
+      // into the counting job below. Contributions to a parent are
+      // complete before the parent's turn (topo order; cyclic producers
+      // contributed during the frontier pass above, before this loop).
+      chainOrder.foreach { t =>
+        chainAcc.get(t).foreach { keysT =>
+          val pk = catalog.pkOf(t)
+          val fks = catalog.foreignKeysOf(t)
+          if (fks.nonEmpty) {
+            val rows = keyProjection(t, (pk ++ fks.map(_.childCol)).distinct)
+              .join(keysT, pk, "left_semi")
+            fks.foreach { fk =>
+              require(catalog.pkOf(fk.parentTable) == Seq(fk.parentCol),
+                s"FK ${fk.name} must reference the parent PK")
+              addKeys(fk.parentTable,
+                rows.select(col(fk.childCol).as(fk.parentCol))
+                  .where(col(fk.parentCol).isNotNull))
+            }
+          }
+        }
+      }
       // anti-join out already-seen keys, then drop empty frontiers.
       // Emptiness is decided with ONE union-of-counts job for all tables
       // instead of a driver-serial isEmpty() per table.
@@ -298,13 +379,25 @@ class ClosureExtractor(
         t -> track(fresh0.localCheckpoint(false))
       }
       val sizes: Map[String, Long] = countAll(candidates)
+      // EVERY nonempty candidate set joins `seen` (it is part of the
+      // closure and the final materialization), but only tables with
+      // edges still to fire — allowlisted reverse keys, config queries,
+      // or the cycle fallback — re-enter the frontier: chained forward
+      // FKs were walked above, so a table reached purely through them is
+      // finished the moment its keys exist.
+      candidates.foreach { case (t, df) =>
+        if (sizes.getOrElse(t, 0L) > 0L) {
+          seen = seen.updated(t, seen.get(t).map(_.union(df)).getOrElse(df))
+          seenSizes = seenSizes.updated(t, seenSizes.getOrElse(t, 0L) + sizes(t))
+        }
+      }
       frontier = candidates.flatMap { case (t, df) =>
-        if (sizes.getOrElse(t, 0L) > 0L) Some(t -> df)
-        else { df.unpersist(); None }
+        if (sizes.getOrElse(t, 0L) > 0L && needsIteration(t)) Some(t -> df)
+        else { if (sizes.getOrElse(t, 0L) == 0L) df.unpersist(); None }
       }
       frontierSizes = sizes
       if (sys.env.contains("GRAFT_BFS_PROF"))
-        System.err.println(f"[bfs] depth=$depth elapsed=${(System.nanoTime() - iterT0) / 1e9}%.2fs frontier=${sizes}")
+        System.err.println(f"[bfs] depth=$depth elapsed=${(System.nanoTime() - iterT0) / 1e9}%.2fs fresh=${sizes} frontier=${frontier.keys.toSeq.sorted}")
       depth += 1
     }
     // Materialize the final per-table key sets (small: key columns only),
