@@ -185,10 +185,87 @@ object CurationQueries {
       |FROM p
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic global shuffle + shard assignment — the training-order
+    * op: every epoch reader needs the corpus in a reproducible pseudo-
+    * random order, split into S shards (one per reader). Seeded hash key
+    * ⇒ a pure function of the data (re-runs, engines, partitionings
+    * agree), and there is NO global sort: one hash-shuffle on `shard`
+    * and a per-shard rank window — at 100 TB that is S independent
+    * partition sorts (each spillable) instead of a total-order
+    * range-exchange of the corpus. Same first-15-hex-chars → bigint
+    * bridge as the minhash pipeline, exact in both engines.
+    */
+  def shuffleShard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shards = 8
+    val w = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat(lit("shuf:42:"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("shard",
+        expr(s"cast(conv(substring(k, 1, 15), 16, 10) AS bigint) % $shards")
+          .cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
+  val shuffleShardSql: String =
+    """WITH k AS (
+      |  SELECT doc_id, md5('shuf:42:' || CAST(doc_id AS VARCHAR)) AS k
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, k,
+      |    CAST(CAST(('0x' || substr(k, 1, 15)) AS BIGINT) % 8 AS INT) AS shard
+      |  FROM k)
+      |SELECT doc_id, shard,
+      |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
+      |FROM s
+      |ORDER BY shard, pos""".stripMargin
+
+  /** Data-mixture rebalancing — the pretraining "source mix" op: given
+    * per-source token totals, cap every source at the MEDIAN source's
+    * token count (downsample the over-represented web crawl, keep the
+    * small curated sources whole) and report the per-source sampling
+    * rate and resulting token budget. Two tiny aggregations: a map-side-
+    * partial per-source rollup (|sources| rows), then the median as a
+    * broadcast scalar — the corpus is scanned once, and at 100 TB the
+    * expensive half (per-doc token counts) is the same narrow projection
+    * the text-stats tier already pays.
+    */
+  def sourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables(spark, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val cap = perSource.agg(expr("percentile(n_tokens, 0.5)").as("cap"))
+    perSource.crossJoin(broadcast(cap))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(least(lit(1.0), col("cap") / col("n_tokens")), 6).as("sample_rate"),
+        round(least(col("cap"), col("n_tokens").cast("double")))
+          .cast("long").as("token_budget"))
+      .orderBy("source")
+  }
+
+  val sourceMixSql: String =
+    """WITH per_source AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |  GROUP BY source),
+      |cap AS (SELECT quantile_cont(n_tokens, 0.5) AS cap FROM per_source)
+      |SELECT source, n_docs, n_tokens,
+      |  ROUND(LEAST(1.0, cap / n_tokens), 6) AS sample_rate,
+      |  CAST(ROUND(LEAST(cap, CAST(n_tokens AS DOUBLE))) AS BIGINT) AS token_budget
+      |FROM per_source CROSS JOIN cap
+      |ORDER BY source""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "corpus_curation" -> ((corpusCuration _, corpusCurationSql)),
     "decontaminate" -> ((decontaminate _, decontaminateSql)),
     "sample_stratified" -> ((sampleStratified _, sampleStratifiedSql)),
-    "pii_redact" -> ((piiRedact _, piiRedactSql))
+    "pii_redact" -> ((piiRedact _, piiRedactSql)),
+    "shuffle_shard" -> ((shuffleShard _, shuffleShardSql)),
+    "source_mix" -> ((sourceMix _, sourceMixSql))
   )
 }

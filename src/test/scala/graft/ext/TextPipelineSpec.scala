@@ -97,4 +97,31 @@ class TextPipelineSpec extends SparkSpec {
     assert(cross.count() == 0L)
     p.unpersist()
   }
+
+  test("shuffle_shard: dense per-shard positions, stable, all docs exactly once") {
+    val r = CurationQueries.shuffleShard(spark, dir).persist()
+    val n = r.count()
+    assert(r.select("doc_id").distinct().count() == n) // every doc once
+    // positions are 1..count(shard) dense within each shard
+    val bad = r.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"), min(col("pos")).as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1L)
+    assert(bad.count() == 0L)
+    // pure function of the data: identical under repartitioning
+    val b = CurationQueries.shuffleShard(spark, dir).repartition(7)
+    assert(r.except(b).isEmpty && b.except(r).isEmpty)
+    r.unpersist()
+  }
+
+  test("source_mix caps every source at the median token budget") {
+    val m = CurationQueries.sourceMix(spark, dir).persist()
+    val rows = m.collect()
+    // rates in (0, 1]; budget never exceeds tokens; at least one source
+    // is kept whole (the median source itself has rate 1.0)
+    assert(rows.forall(r => r.getAs[Double]("sample_rate") > 0.0
+      && r.getAs[Double]("sample_rate") <= 1.0))
+    assert(rows.forall(r => r.getAs[Long]("token_budget") <= r.getAs[Long]("n_tokens")))
+    assert(rows.exists(r => r.getAs[Double]("sample_rate") == 1.0))
+    m.unpersist()
+  }
 }
