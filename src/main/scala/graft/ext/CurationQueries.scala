@@ -115,7 +115,7 @@ object CurationQueries {
     Tables(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         md5(concat(lit("sample:"), col("doc_id").cast("string"))).as("rnd"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("lang"), col("rank"), col("doc_id"))
       .orderBy("lang", "rank")

@@ -48,7 +48,7 @@ object SimilarityQueries {
       .withColumn("cos", round(cosineExpr("qv", "v"), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos"), asc("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
       .orderBy("query_id", "rank")
@@ -106,7 +106,7 @@ object SimilarityQueries {
     assigned.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(cosineExpr("qv", "v"), 6))
-      .withColumn("rank", row_number().over(wRank))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cell"), col("cos"))
       .orderBy("query_id", "rank")

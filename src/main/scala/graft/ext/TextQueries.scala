@@ -344,7 +344,7 @@ object TextQueries {
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select(col("doc_id"), col("rank"), col("word"), col("tf"), col("df"),
         col("score"))
@@ -423,7 +423,7 @@ object TextQueries {
         count(lit(1)).as("n_terms"))
     val w = Window.orderBy(col("score").desc, col("doc_id"))
     scored.orderBy(col("score").desc, col("doc_id")).limit(20)
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .select("rank", "doc_id", "n_terms", "score")
       .orderBy("rank")
   }

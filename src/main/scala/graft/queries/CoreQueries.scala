@@ -269,7 +269,7 @@ object CoreQueries {
     val ord = Tables(spark, dir, "orders")
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(desc("o_totalprice"), asc("o_orderkey"))
-    ord.withColumn("rn", row_number().over(w))
+    ord.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
       .orderBy("o_orderpriority", "rn")
@@ -467,7 +467,7 @@ object CoreQueries {
       .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
-        year(col("l_shipdate")).as("l_year"))
+        year(col("l_shipdate")).cast("long").as("l_year"))
       .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
         .cast("double").as("revenue"))
       .filter(col("revenue") > 50000.0)
