@@ -125,6 +125,119 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // ---- randomized-graph equivalence: extractor vs naive BFS model ----
+  //
+  // The extractor walks acyclic forward-FK chains eagerly within an
+  // iteration and keeps cycles on the anti-join path; this property pins
+  // that whole machinery to a 25-line reference BFS (row-at-a-time, the
+  // reference's own semantics) over RANDOM graphs — random FK edges
+  // (cycles and self-loops included), random nullable FK data, random
+  // reverse-key policies. FK integrity is a precondition of the operator
+  // (source databases enforce it; the reference assumes it too), so the
+  // generator nulls any FK value whose parent row does not exist.
+
+  private case class RandGraph(
+      tables: Seq[String],
+      edges: Seq[FkEdge],
+      // table -> id -> fkCol -> referenced id (None = null FK)
+      data: Map[String, Map[Long, Map[String, Option[Long]]]])
+
+  private val genGraph: Gen[RandGraph] = {
+    val tables = Seq("t0", "t1", "t2", "t3")
+    def genRows(fkCols: Seq[String]): Gen[Map[Long, Map[String, Option[Long]]]] =
+      Gen.listOfN(6, for {
+        id <- Gen.chooseNum(1L, 8L)
+        fs <- Gen.listOfN(fkCols.size, Gen.option(Gen.chooseNum(1L, 8L)))
+      } yield id -> fkCols.zip(fs).toMap).map(_.toMap)
+    for {
+      nEdges <- Gen.chooseNum(2, 6)
+      pairs <- Gen.listOfN(nEdges, Gen.zip(Gen.oneOf(tables), Gen.oneOf(tables)))
+      edges = pairs.zipWithIndex.map { case ((c, p), i) =>
+        FkEdge(s"e$i", c, s"fk$i", p, "id") }
+      data0 <- tables.foldLeft(
+        Gen.const(Map.empty[String, Map[Long, Map[String, Option[Long]]]])) {
+          (acc, t) => acc.flatMap(m =>
+            genRows(edges.filter(_.childTable == t).map(_.childCol))
+              .map(rows => m + (t -> rows)))
+        }
+    } yield {
+      // enforce FK integrity: null out dangling references
+      val colParent = edges.map(e => (e.childTable, e.childCol) -> e.parentTable).toMap
+      val data = data0.map { case (t, rows) => t -> rows.map { case (id, fs) =>
+        id -> fs.map { case (c, v) =>
+          c -> v.filter(pv => data0(colParent((t, c))).contains(pv)) }
+      } }
+      RandGraph(tables, edges, data)
+    }
+  }
+
+  /** Row-at-a-time BFS with a visited set — the reference's semantics
+    * (`/root/reference/etl/extractor.go:84-129`), trivially correct.
+    */
+  private def modelClosure(g: RandGraph, seedTable: String, seedIds: Set[Long],
+      policy: TraversalPolicy): Map[String, Set[Long]] = {
+    var seen = Map(seedTable -> seedIds)
+    var frontier = seen
+    var depth = 0
+    while (frontier.nonEmpty) {
+      val next = scala.collection.mutable.Map.empty[String, Set[Long]]
+      def add(t: String, ids: Set[Long]): Unit =
+        if (ids.nonEmpty) next(t) = next.getOrElse(t, Set.empty) ++ ids
+      for ((table, ids) <- frontier; id <- ids) {
+        val row = g.data(table)(id)
+        for (e <- g.edges if e.childTable == table; v <- row(e.childCol))
+          add(e.parentTable, Set(v))
+        for (e <- g.edges if e.parentTable == table
+               if (depth == 0 && !policy.omitsFor(table)) ||
+                 policy.referenceKeyAllowlist.contains(e.name))
+          add(e.childTable, g.data(e.childTable).collect {
+            case (cid, fs) if fs(e.childCol).contains(id) => cid }.toSet)
+      }
+      frontier = next.toMap.map { case (t, ids) =>
+        t -> (ids -- seen.getOrElse(t, Set.empty))
+      }.filter(_._2.nonEmpty)
+      frontier.foreach { case (t, ids) =>
+        seen = seen.updated(t, seen.getOrElse(t, Set.empty) ++ ids) }
+      depth += 1
+    }
+    seen
+  }
+
+  test("extractor equals the naive BFS model on random graphs/policies") {
+    import org.apache.spark.sql.{Row => SqlRow}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val gs = cases(Gen.zip(genGraph,
+      Gen.someOf(1L, 2L, 3L, 4L, 5L).map(_.toSet),
+      Gen.oneOf(true, false),
+      Gen.someOf("e0", "e1", "e2", "e3", "e4", "e5")), 4)
+    gs.foreach { case (g, seedIds0, omit, allow) =>
+      val policy = TraversalPolicy(omit, allow.toSet)
+      val cat = Catalog(
+        g.tables.map(t => t -> TableMeta(t, Seq("id"))).toMap, g.edges)
+      val dfs: Map[String, org.apache.spark.sql.DataFrame] = g.tables.map { t =>
+        val fkCols = g.edges.filter(_.childTable == t).map(_.childCol)
+        val rows = g.data(t).toSeq.map { case (id, fs) =>
+          SqlRow.fromSeq(id +: fkCols.map(c => fs(c).map(Long.box).orNull))
+        }
+        val schema = StructType(StructField("id", LongType, nullable = false) +:
+          fkCols.map(c => StructField(c, LongType, nullable = true)))
+        t -> spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 2), schema)
+      }.toMap
+      val seedIds = seedIds0.intersect(g.data("t0").keySet)
+      if (seedIds.nonEmpty) {
+        val got = new ClosureExtractor(cat, dfs(_), policy)
+          .extract("t0", dfs("t0").filter(col("id").isin(seedIds.toSeq: _*)))
+          .map { case (t, df) =>
+            t -> df.select("id").collect().map(_.getLong(0)).toSet }
+          .filter(_._2.nonEmpty)
+        val want = modelClosure(g, "t0", seedIds, policy).filter(_._2.nonEmpty)
+        assert(got == want,
+          s"mismatch: edges=${g.edges} seeds=$seedIds policy=$policy\n got=$got\nwant=$want")
+      }
+    }
+  }
+
   // ---- Spark: sanitize determinism/uniqueness over random id sets ----
 
   test("unique fakes never collide for arbitrary id sets") {
