@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   *   - `fake`: a faker-generated value (`fakeValue`, `etl/sanitizer.go:66-93`).
   *     The reference draws random values and retries on collision
   *     (`:80-90`); a distributed seen-set is the wrong tool at scale, so
-  *     our fakes are DETERMINISTIC — seeded by `xxhash64(pk, column)` into
-  *     broadcast-literal locale arrays — and `unique` is achieved by
-  *     construction (pk suffix), verifiable with a groupBy-count.
+  *     our fakes are DETERMINISTIC — seeded by an md5-derived index
+  *     (`conv(substr(md5(salt:pk), 1, 15), 16, 10) % poolSize`, the same
+  *     cross-engine hash bridge the dedup tier uses, so even the DuckDB
+  *     oracle replays fakes bit-for-bit) into broadcast-literal locale
+  *     arrays — and `unique` is achieved by construction (pk suffix),
+  *     verifiable with a groupBy-count.
   *
   * All rules compile to Catalyst `Column` expressions: the whole sanitize
   * pass is one narrow projection — no shuffle, no UDF, codegen'd.
@@ -49,15 +52,24 @@ object Sanitizer {
     if (parts.isEmpty) lit("") else concat(parts.toSeq: _*)
   }
 
+  /** md5-derived deterministic seed — first 15 hex chars → 60-bit
+    * non-negative bigint, the same cross-engine bridge the dedup tier
+    * uses, so DuckDB replays every fake exactly (see
+    * [[graft.queries.SanitizeQueries.fakeCustomerSql]]).
+    */
+  private def seed(pk: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), lit(":"), pk.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
   /** Deterministic fake value for `kind`, seeded by the row's pk.
     * Locale tables are literal arrays (broadcast with the plan); lookup is
-    * `element_at(table, pmod(xxhash64(pk, salt), n) + 1)` — pure codegen.
+    * `element_at(table, seed(pk, salt) % n + 1)` — pure codegen.
     */
   def fake(kind: String, pk: Column, unique: Boolean, locale: String = "fr"): Column = {
     val tables = Faker.tables(locale)
     def pick(pool: Seq[String], salt: String): Column = {
       val arr = array(pool.map(lit): _*)
-      element_at(arr, (pmod(xxhash64(pk.cast("string"), lit(salt)), lit(pool.size)) + 1).cast("int"))
+      element_at(arr, (pmod(seed(pk, salt), lit(pool.size)) + 1).cast("int"))
     }
     val base = kind match {
       case "first_name" => pick(tables.firstNames, "first_name")
@@ -68,11 +80,11 @@ object Sanitizer {
         lower(pick(tables.lastNames, "email_r")),
         lit("@"), pick(tables.emailDomains, "email_d"))
       case "street_address" => concat(
-        (pmod(xxhash64(pk.cast("string"), lit("street_no")), lit(199)) + 1).cast("string"),
+        (pmod(seed(pk, "street_no"), lit(199)) + 1).cast("string"),
         lit(" "), pick(tables.streetTypes, "street_t"), lit(" "),
         pick(tables.streetNames, "street_n"))
       case "phone_number" => concat(lit(tables.phonePrefix),
-        lpad(pmod(xxhash64(pk.cast("string"), lit("phone")), lit(100000000L)).cast("string"), 8, "0"))
+        lpad(pmod(seed(pk, "phone"), lit(100000000L)).cast("string"), 8, "0"))
       case other => sys.error(s"unknown fake kind: $other")
     }
     if (unique) {
