@@ -140,6 +140,99 @@ object SimilarityQueries {
       |WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Product quantization + asymmetric distance (Jégou et al., PAMI'11) —
+    * the third ANN scale path next to IVF cells and sign-LSH bands, and
+    * the memory form real billion-vector indexes ship: each vector is
+    * m=4 sub-vector CODES (1 byte each here, 4 bytes total vs 256 for
+    * fp32×64), and query-time distance is a table lookup, never a
+    * full-vector float op against the corpus.
+    *
+    * Stages: codebook = sub-vectors of the first 16 vecs (deterministic,
+    * so DuckDB replays the training; production swaps per-subspace
+    * k-means, same dataflow) → encode: per (vector, subspace) argmin-L2
+    * code via a broadcast join against the 64-row codebook → LUT: per
+    * (query, subspace, code) exact sub-distance, also broadcast-sized →
+    * ADC: one map-side join of codes against the LUT and a (query, vec)
+    * sum. The corpus is scanned once, never shuffled on vector contents —
+    * the only exchange carries (query_id, vec_id, 4 rows of looked-up
+    * doubles), with map-side partial agg collapsing them before the wire.
+    * Sub-distances round at 6dp then sum as DECIMAL so the ADC total is
+    * fold-order-free — the cross-engine float contract.
+    */
+  def pqTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = 4; val sub = dims / m; val k = 16
+    val base = vecs(spark, dir)
+    def subspaces(vcol: String, out: String) = expr(
+      s"transform(sequence(0, ${m - 1}), s -> struct(s AS s, slice($vcol, s * $sub + 1, $sub) AS $out))")
+    val l2 = (a: String, b: String) => round(expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, d) -> acc + d)"), 6)
+    val cb = base.filter(col("vec_id") < k)
+      .select(col("vec_id").as("code"), explode(subspaces("v", "cv")).as("e"))
+      .select(col("e.s").as("s"), col("code"), col("e.cv").as("cv"))
+    val wCode = Window.partitionBy("vec_id", "s").orderBy(asc("d2"), asc("code"))
+    val codes = base
+      .select(col("vec_id"), explode(subspaces("v", "xs")).as("e"))
+      .select(col("vec_id"), col("e.s").as("s"), col("e.xs").as("xs"))
+      .join(broadcast(cb), Seq("s"))
+      .withColumn("d2", l2("xs", "cv"))
+      .withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("code"))
+    val lut = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), explode(subspaces("v", "qs")).as("e"))
+      .select(col("query_id"), col("e.s").as("s"), col("e.qs").as("qs"))
+      .join(broadcast(cb), Seq("s"))
+      .withColumn("d2", l2("qs", "cv"))
+      .select(col("query_id"), col("s"), col("code"), col("d2"))
+    val wRank = Window.partitionBy("query_id").orderBy(asc("adc"), asc("vec_id"))
+    codes.join(broadcast(lut), Seq("s", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d2").cast("decimal(18,6)")).cast("double").as("adc"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("adc"))
+      .orderBy("query_id", "rank")
+  }
+
+  val pqTopkSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sub AS (SELECT unnest(range(0, 4)) AS s),
+      |cb AS (
+      |  SELECT s.s, e.vec_id AS code, e.v[s.s*16 + 1 : s.s*16 + 16] AS cv
+      |  FROM e CROSS JOIN sub s WHERE e.vec_id < 16),
+      |xs AS (
+      |  SELECT e.vec_id, s.s, e.v[s.s*16 + 1 : s.s*16 + 16] AS xs
+      |  FROM e CROSS JOIN sub s),
+      |codes AS (
+      |  SELECT vec_id, s, code FROM (
+      |    SELECT x.vec_id, x.s, cb.code,
+      |      ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.s ORDER BY
+      |        ROUND(list_sum(list_transform(range(1, 17),
+      |          i -> (x.xs[i] - cb.cv[i]) * (x.xs[i] - cb.cv[i]))), 6) ASC,
+      |        cb.code ASC) AS rn
+      |    FROM xs x JOIN cb ON cb.s = x.s)
+      |  WHERE rn = 1),
+      |lut AS (
+      |  SELECT x.vec_id AS query_id, x.s, cb.code,
+      |    ROUND(list_sum(list_transform(range(1, 17),
+      |      i -> (x.xs[i] - cb.cv[i]) * (x.xs[i] - cb.cv[i]))), 6) AS d2
+      |  FROM xs x JOIN cb ON cb.s = x.s WHERE x.vec_id < 5),
+      |adc AS (
+      |  SELECT l.query_id, c.vec_id,
+      |    CAST(SUM(CAST(l.d2 AS DECIMAL(18,6))) AS DOUBLE) AS adc
+      |  FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+      |  WHERE c.vec_id != l.query_id
+      |  GROUP BY l.query_id, c.vec_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, adc,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rank
+      |  FROM adc)
+      |SELECT query_id, rank, vec_id, adc FROM ranked
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Symmetric int8 quantization per vector (max-abs scale — the storage
     * form a 100 TB embedding corpus actually ships: 4× smaller than fp32,
     * dequantize = q * scale / 127). One narrow projection, no shuffle
@@ -277,6 +370,7 @@ object SimilarityQueries {
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "knn_brute" -> ((knnBrute _, knnBruteSql)),
     "ann_ivf" -> ((annIvf _, annIvfSql)),
+    "pq_topk" -> ((pqTopk _, pqTopkSql)),
     "embed_quantize" -> ((embedQuantize _, embedQuantizeSql)),
     "embed_lsh_pairs" -> ((embedLshPairs _, embedLshPairsSql))
   )
