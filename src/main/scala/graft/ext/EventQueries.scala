@@ -280,7 +280,87 @@ object EventQueries {
       |GROUP BY 1, 2
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** Funnel analysis — ordered conversion view → click → purchase per
+    * user: each stage's timestamp is the user's earliest event of that
+    * type STRICTLY AFTER the previous stage (the sequential-pattern shape
+    * plain per-type mins get wrong — a purchase before the first click
+    * must not count). Three stacked conditional-min windows over the SAME
+    * user partition — Spark plans ONE user-keyed exchange serving all
+    * three (no order-by, so no per-window sort) — then a global
+    * single-row rollup unpivoted to (stage, n_users, conv_rate). At
+    * 100 TB: one shuffle on user_id + a scalar aggregate; conversion
+    * denominators ride along, no second pass.
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    val staged = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("v", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("c", min(when(col("event_type") === "click"
+        && col("ts") > col("v"), col("ts"))).over(w))
+      .withColumn("p", min(when(col("event_type") === "purchase"
+        && col("ts") > col("c"), col("ts"))).over(w))
+    val counts = staged
+      .groupBy("user_id")
+      .agg(max(col("v").isNotNull).as("hv"),
+        max(col("c").isNotNull).as("hc"),
+        max(col("p").isNotNull).as("hp"))
+      .agg(sum(when(col("hv"), 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("hc"), 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("hp"), 1L).otherwise(0L)).as("n_purchase"))
+    counts.select(expr(
+      """stack(3,
+           1L, 'view', n_view, cast(null AS double),
+           2L, 'click', n_click, round(n_click / n_view, 6),
+           3L, 'purchase', n_purchase, round(n_purchase / n_click, 6))
+         AS (stage_no, stage, n_users, conv_rate)"""))
+      .orderBy("stage_no")
+  }
+
+  val eventsFunnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts
+      |  FROM events),
+      |staged AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS v,
+      |    ts, event_type
+      |  FROM e),
+      |staged2 AS (
+      |  SELECT user_id, v,
+      |    MIN(CASE WHEN event_type = 'click' AND ts > v THEN ts END)
+      |      OVER (PARTITION BY user_id) AS c,
+      |    ts, event_type
+      |  FROM staged),
+      |staged3 AS (
+      |  SELECT user_id, v, c,
+      |    MIN(CASE WHEN event_type = 'purchase' AND ts > c THEN ts END)
+      |      OVER (PARTITION BY user_id) AS p
+      |  FROM staged2),
+      |per_user AS (
+      |  SELECT user_id, MAX(v IS NOT NULL) AS hv, MAX(c IS NOT NULL) AS hc,
+      |    MAX(p IS NOT NULL) AS hp
+      |  FROM staged3 GROUP BY user_id),
+      |counts AS (
+      |  SELECT CAST(SUM(CASE WHEN hv THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      |    CAST(SUM(CASE WHEN hc THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |    CAST(SUM(CASE WHEN hp THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+      |  FROM per_user)
+      |SELECT stage_no, stage, n_users, conv_rate FROM (
+      |  SELECT CAST(1 AS BIGINT) AS stage_no, 'view' AS stage, n_view AS n_users,
+      |    CAST(NULL AS DOUBLE) AS conv_rate FROM counts
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), 'click', n_click,
+      |    ROUND(CAST(n_click AS DOUBLE) / n_view, 6) FROM counts
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT), 'purchase', n_purchase,
+      |    ROUND(CAST(n_purchase AS DOUBLE) / n_click, 6) FROM counts)
+      |ORDER BY stage_no""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "events_funnel" -> ((eventsFunnel _, eventsFunnelSql)),
     "events_approx_users" -> ((eventsApproxUsers _, null)),
     "events_sketch_weekly" -> ((eventsSketchWeekly _, null)),
     "events_cohort_retention" -> ((eventsCohortRetention _, eventsCohortRetentionSql)),
