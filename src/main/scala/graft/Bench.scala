@@ -23,8 +23,12 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
     try {
       SparkEntry.queries.get("q1_agg").foreach(f => run(f(spark, sfDir)))
-      SparkEntry.queries.get("closure_extract")
-        .foreach(f => run(f(spark, "/root/testdata/sf0.001")))
+      // sf0.001 warmups compile the two iterative families' plan shapes
+      // (BFS semi/anti joins; signature pipeline + CC label rounds) so
+      // first-use codegen doesn't bill to whichever query sorts first
+      Seq("closure_extract", "dedup_clusters").foreach(q =>
+        SparkEntry.queries.get(q)
+          .foreach(f => run(f(spark, "/root/testdata/sf0.001"))))
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
     // optional comma-separated query filter for local iteration; the
