@@ -21,16 +21,17 @@ object Bench {
     // timed as scan-only (this hid a 100× projection bug in simhash)
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    try {
-      SparkEntry.queries.get("q1_agg").foreach(f => run(f(spark, sfDir)))
-      // sf0.001 warmups compile the two iterative families' plan shapes
-      // (BFS semi/anti joins; signature pipeline + CC label rounds) so
-      // first-use codegen doesn't bill to whichever query sorts first
-      Seq("closure_extract", "dedup_clusters").foreach(q =>
-        SparkEntry.queries.get(q)
-          .foreach(f => run(f(spark, "/root/testdata/sf0.001"))))
-      spark.catalog.clearCache()
-    } catch { case _: Throwable => () }
+    // sf0.001 warmups compile the two iterative families' plan shapes
+    // (BFS semi/anti joins; signature pipeline + CC label rounds) so
+    // first-use codegen doesn't bill to whichever query sorts first.
+    // One try PER warmup: a failure in one must not skip the others.
+    def warm(q: String, dir: String): Unit =
+      try SparkEntry.queries.get(q).foreach(f => run(f(spark, dir)))
+      catch { case _: Throwable => () }
+    warm("q1_agg", sfDir)
+    warm("closure_extract", "/root/testdata/sf0.001")
+    warm("dedup_clusters", "/root/testdata/sf0.001")
+    spark.catalog.clearCache()
     // optional comma-separated query filter for local iteration; the
     // driver sets no filter and measures the full suite
     val only: Option[Set[String]] =

@@ -5,6 +5,16 @@ import org.apache.spark.sql.DataFrame
 /** Block-storage helpers for iterative (fixpoint) operators. */
 object SparkUtil {
 
+  /** Key/label sets at or below this EXACT row count get an explicit
+    * `broadcast()` hint in fixpoint joins (closure BFS, CC label rounds):
+    * the driver already counts them per iteration, so hinted joins plan
+    * straight to broadcast-hash with no shuffle-and-measure step, while
+    * bigger sets still shuffle. ~4M narrow key rows ≈ tens of MB
+    * broadcast. ONE shared knob: a driver-memory retune must not have to
+    * chase per-operator copies.
+    */
+  val BroadcastRowLimit = 4000000L
+
   /** Release a DataFrame's storage, including locally-checkpointed
     * blocks: `Dataset.unpersist` only clears CacheManager entries, while a
     * `localCheckpoint` stores its blocks on the UNDERLYING RDD (reachable

@@ -104,15 +104,12 @@ class ClosureExtractor(
   def run(seedTable: String, seed: DataFrame): Map[String, DataFrame] =
     runAll(Seq(seedTable -> seed))
 
-  /** Key sets at or below this row count get an explicit broadcast hint in
-    * the BFS joins. Unlike leaving it to AQE (shuffle first, re-plan at the
-    * stage barrier), the driver KNOWS each frontier's exact size from the
-    * union-of-counts job it already runs per iteration — so small-frontier
-    * semi/anti joins plan straight to broadcast-hash with zero exchanges,
-    * while a genuinely huge frontier (billions of lineitem keys) still
-    * shuffles. ~4M single-column keys ≈ tens of MB broadcast.
+  /** See [[graft.SparkUtil.BroadcastRowLimit]]: the driver knows each
+    * frontier's exact size from the union-of-counts job it already runs
+    * per iteration, so small-frontier semi/anti joins hint broadcast and
+    * skip AQE's shuffle-and-measure step; huge frontiers still shuffle.
     */
-  private val BroadcastKeyLimit = 4000000L
+  private val BroadcastKeyLimit = graft.SparkUtil.BroadcastRowLimit
 
   /** Forward-FK chaining order: Kahn's algorithm over the child→parent FK
     * digraph. Tables that topo-sort cleanly (`chainable`) have their
@@ -337,11 +334,23 @@ class ClosureExtractor(
       // into the counting job below. Contributions to a parent are
       // complete before the parent's turn (topo order; cyclic producers
       // contributed during the frontier pass above, before this loop).
+      //
+      // Each chain input is anti-joined against `seen` FIRST (lazily, in
+      // the same job): a produced key that is already seen had its whole
+      // forward chain walked the iteration it first appeared, so
+      // expanding it again only re-runs every downstream semi-join on
+      // stale keys — multi-level waste the candidate stage would cut one
+      // level too late. Seeds at depth 0 are fresh by definition.
       chainOrder.foreach { t =>
-        chainAcc.get(t).foreach { keysT =>
+        chainAcc.get(t).foreach { keysT0 =>
           val pk = catalog.pkOf(t)
           val fks = catalog.foreignKeysOf(t)
           if (fks.nonEmpty) {
+            val keysT = seen.get(t) match {
+              case Some(s) if !(depth == 0 && frontier.contains(t)) =>
+                keysT0.distinct().join(hinted(s, seenSizes.get(t)), pk, "left_anti")
+              case _ => keysT0
+            }
             val rows = keyProjection(t, (pk ++ fks.map(_.childCol)).distinct)
               .join(keysT, pk, "left_semi")
             fks.foreach { fk =>

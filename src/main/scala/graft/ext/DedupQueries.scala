@@ -167,8 +167,6 @@ object DedupQueries {
     * table). Checkpointing makes each round's plan a leaf; previous
     * rounds' blocks are released immediately via [[graft.SparkUtil]].
     */
-  private val BroadcastLabelLimit = 4000000L
-
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     // checkpoint the pairs BEFORE mirroring them: both union branches
     // below read the pair set, and an un-materialized subtree would run
@@ -195,7 +193,7 @@ object DedupQueries {
     }
     var (labSum, nLabels) = labelStats(labels)
     def hinted(df: DataFrame): DataFrame =
-      if (nLabels <= BroadcastLabelLimit) broadcast(df) else df
+      if (nLabels <= graft.SparkUtil.BroadcastRowLimit) broadcast(df) else df
     var converged = false
     while (!converged) {
       // two hops per round, both against the previous round's CHECKPOINT

@@ -7,9 +7,10 @@ import graft.Tables
 import graft.sanitize.{ColumnRule, Sanitizer}
 
 /** Sanitization operators as registered queries (SURVEY.md §2.8 F1–F4).
-  * `sanitize_customer` (replace-template + null-out) is SQL-expressible →
-  * DuckDB oracle; `fake_customer` (deterministic seeded faker) is not →
-  * rows-only check, with its invariants covered by SanitizerSpec.
+  * Both are hash-checked: `sanitize_customer` (replace-template +
+  * null-out) against plain SQL, and `fake_customer` against a DuckDB
+  * replay of the md5-seeded faker GENERATED from the same pools (see
+  * [[fakeCustomerSql]]); SanitizerSpec covers determinism/uniqueness.
   */
 object SanitizeQueries {
 

@@ -20,11 +20,18 @@ def norm(v):
     return v
 
 def rows_of(rel):
+    """One execution per side: values (column-name-sorted tuples, the
+    driver's compare order) AND pandas dtypes (the driver's hash medium)
+    both come from a single .fetchall+df pass over an already-executed
+    relation — heavy oracles (recursive CC CTEs, bm25) must not run twice.
+    """
     cols = rel.columns
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    data = rel.fetchall()
+    df = rel.df()
+    data = list(df.itertuples(index=False, name=None))
     out = [tuple(r[i] for i in order) for r in data]
-    return [cols[i] for i in order], out
+    dtypes = [str(df.dtypes.iloc[i]) for i in order]
+    return [cols[i] for i in order], out, dtypes
 
 def cmp_vals(a, b):
     if a is None and b is None: return True
@@ -46,9 +53,9 @@ def main(sf_dir, out_dir):
         if not os.path.isdir(spark_path):
             print(f"FAIL {name}: no spark output"); n_bad += 1; continue
         try:
-            got_cols, got = rows_of(con.sql(
+            got_cols, got, gdt = rows_of(con.sql(
                 f"SELECT * FROM '{spark_path}/*.parquet'"))
-            exp_cols, exp = rows_of(con.sql(sql))
+            exp_cols, exp, edt = rows_of(con.sql(sql))
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_bad += 1; continue
         if got_cols != exp_cols:
@@ -56,17 +63,11 @@ def main(sf_dir, out_dir):
         # the driver bridges both sides through pandas and hashes values:
         # a dtype drift (e.g. DuckDB HUGEINT -> float64 vs Spark int64)
         # hash-fails even when every value compares equal (r4 pack_chunks)
-        try:
-            gdt = con.sql(f"SELECT * FROM '{spark_path}/*.parquet'").df().dtypes
-            edt = con.sql(sql).df().dtypes
-            gdt = gdt[sorted(gdt.index)]; edt = edt[sorted(edt.index)]
-            if list(map(str, gdt)) != list(map(str, edt)):
-                print(f"WARN {name}: pandas dtypes differ (driver may hash-fail)")
-                for c in gdt.index:
-                    if str(gdt[c]) != str(edt[c]):
-                        print(f"  {c}: spark={gdt[c]} oracle={edt[c]}")
-        except Exception as e:
-            print(f"WARN {name}: dtype probe failed: {e}")
+        if gdt != edt:
+            print(f"WARN {name}: pandas dtypes differ (driver may hash-fail)")
+            for c, g, e in zip(got_cols, gdt, edt):
+                if g != e:
+                    print(f"  {c}: spark={g} oracle={e}")
         gs, es = sorted(got, key=repr), sorted(exp, key=repr)
         if len(gs) != len(es):
             print(f"FAIL {name}: {len(gs)} rows vs {len(es)}"); n_bad += 1; continue
