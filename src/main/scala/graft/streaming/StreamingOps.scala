@@ -76,6 +76,32 @@ object StreamingOps {
         col("click_value"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the harder eviction case:
+    * an unmatched purchase can only be emitted as (purchase, null click)
+    * once the watermark PROVES no matching click can still arrive, i.e.
+    * after click-watermark passes `pts` (the interval's upper bound for
+    * that row). Until then the row sits in state; with the two-sided
+    * interval plus both watermarks the buffered state stays bounded
+    * exactly as in the inner form. Zero-click purchases surviving with
+    * null click columns is what the batch `range_join` LEFT JOIN oracle
+    * checks — this is its streaming dual.
+    */
+  def clickAttributionOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("cts"),
+        col("value").as("click_value"))
+      .withWatermark("cts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("pts"))
+      .withWatermark("pts", "10 minutes")
+    purchases.join(clicks, expr(
+      "c_user = user_id AND cts <= pts AND cts > pts - INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("purchase_id"), col("user_id"), col("pts"), col("cts"),
+        col("click_value"))
+  }
+
   /** Stream-static dimension join (§2.11): enrich the event stream with
     * the customer dimension. The static side is re-planned per
     * micro-batch (picking up dimension updates) and broadcast when small

@@ -119,6 +119,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("outer interval join emits null-click purchases only after the watermark proves them") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.clickAttributionOuter(mem.toDF())
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(1, ts(0), 1, "click", 1.0, "{}"),
+        Ev(2, ts(30), 1, "purchase", 99.0, "{}"),  // matched by click 1
+        Ev(3, ts(30), 3, "purchase", 50.0, "{}"))  // user 3: NO clicks
+      q.processAllAvailable()
+      // the unmatched purchase must NOT be out yet: a matching click
+      // could still arrive until the click watermark passes 10:30
+      val early = spark.table("attrib_outer")
+        .filter(col("purchase_id") === 3L).count()
+      assert(early == 0L, "outer row emitted before the watermark proved it")
+      // advance BOTH sides 2h past the purchase — the global watermark is
+      // the MIN over all watermark operators, so late clicks alone would
+      // leave the purchase-side watermark (and thus eviction) stuck —
+      // then one more batch so the advanced watermark takes effect
+      mem.addData(
+        Ev(9, Timestamp.valueOf("2024-01-01 12:30:00"), 9, "click", 0.5, "{}"),
+        Ev(10, Timestamp.valueOf("2024-01-01 12:30:00"), 9, "purchase", 0.5, "{}"))
+      q.processAllAvailable()
+      mem.addData(
+        Ev(11, Timestamp.valueOf("2024-01-01 12:31:00"), 9, "click", 0.5, "{}"),
+        Ev(12, Timestamp.valueOf("2024-01-01 12:31:00"), 9, "purchase", 0.5, "{}"))
+      q.processAllAvailable()
+      val outer = spark.table("attrib_outer")
+        .filter(col("purchase_id") === 3L).collect()
+      assert(outer.length == 1 && outer(0).isNullAt(3) && outer(0).isNullAt(4),
+        "unmatched purchase must surface exactly once with null click columns")
+      // and the matched purchase came through with its click
+      assert(spark.table("attrib_outer")
+        .filter(col("purchase_id") === 2L && col("cts").isNotNull).count() == 1L)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits completed sessions on gap or timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
