@@ -359,7 +359,76 @@ object EventQueries {
       |    ROUND(CAST(n_purchase AS DOUBLE) / n_click, 6) FROM counts)
       |ORDER BY stage_no""".stripMargin
 
+  /** Trailing-window anomaly detection — the monitoring query every event
+    * pipeline runs: per (event_type, day), flag days whose volume z-score
+    * against the PRECEDING 7 days exceeds 3. Two cheap shuffles (daily
+    * rollup on (type, day); series window on type), then pure arithmetic.
+    * The mean/std come from DECIMAL running sums (`Σx`, `Σx²` over a
+    * ROWS 7-preceding-to-1-preceding frame) rather than float avg/stddev
+    * window aggregates — frame sums in decimal are fold-order-free — and
+    * convert to double BEFORE any division (decimal division scale is
+    * engine-specific), so both engines run the identical IEEE expression
+    * tree and the z-scores hash-match; z rounds once at the edge.
+    * Self-referential windows (today excluded from its own baseline) keep
+    * a volume spike from masking itself.
+    */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(count(lit(1)).cast("decimal(18,4)").as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .filter(col("cnt") === 7)
+      // exact decimal sums -> double FIRST, then identical IEEE
+      // arithmetic on both engines (decimal DIVISION scale/rounding is
+      // engine-specific and drifted the 6th digit of z)
+      .withColumn("s1d", col("s1").cast("double"))
+      .withColumn("s2d", col("s2").cast("double"))
+      .withColumn("mean", col("s1d") / 7)
+      .withColumn("sd", sqrt((col("s2d") - col("s1d") * col("s1d") / 7) / 6))
+      .filter(col("sd") > 0)
+      .select(col("event_type"), col("day"),
+        col("n").cast("long").as("n_events"),
+        round(col("mean"), 4).as("mean7"),
+        round((col("n").cast("double") - col("mean")) / col("sd"), 6).as("z"),
+        (abs((col("n").cast("double") - col("mean")) / col("sd")) > 3).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  val eventsAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(COUNT(*) AS DECIMAL(18,4)) AS n
+      |  FROM events GROUP BY 1, 2),
+      |ser AS (
+      |  SELECT event_type, day, n,
+      |    COUNT(*) OVER w AS cnt,
+      |    SUM(n) OVER w AS s1,
+      |    SUM(n * n) OVER w AS s2
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |scored AS (
+      |  SELECT event_type, day, n,
+      |    CAST(s1 AS DOUBLE) / 7 AS mean,
+      |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 7) / 6) AS sd
+      |  FROM ser WHERE cnt = 7)
+      |SELECT event_type, day, CAST(n AS BIGINT) AS n_events,
+      |  ROUND(mean, 4) AS mean7,
+      |  ROUND((CAST(n AS DOUBLE) - mean) / sd, 6) AS z,
+      |  ABS((CAST(n AS DOUBLE) - mean) / sd) > 3 AS is_anomaly
+      |FROM scored
+      |WHERE sd > 0
+      |ORDER BY event_type, day""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "events_anomaly" -> ((eventsAnomaly _, eventsAnomalySql)),
     "events_funnel" -> ((eventsFunnel _, eventsFunnelSql)),
     "events_approx_users" -> ((eventsApproxUsers _, null)),
     "events_sketch_weekly" -> ((eventsSketchWeekly _, null)),
