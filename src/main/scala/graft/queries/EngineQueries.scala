@@ -88,8 +88,53 @@ object EngineQueries {
       |  SELECT 'region', COUNT(*) FROM reg
       |) ORDER BY table_name""".stripMargin
 
+  /** S3 — full-table extras as SEEDS of the same traversal
+    * (`/root/reference/etl/engine.go:117-125`): the whole supplier table
+    * joins the closure (its FK chain nation→region rides along), with
+    * supplier's reverse expansion omitted so the extra stays a bounded
+    * dimension pull, not an every-lineitem avalanche. Counted per table
+    * like the other engine queries; upgrades S3 from spec-only to the
+    * hash-checked gate.
+    */
+  private val extrasConfig = ExtractConfig.fromJson(
+    """{
+      |  "extra": [{"table_name": "supplier"}],
+      |  "schema": [{"table_name": "supplier", "omit_reference_keys": true}]
+      |}""".stripMargin)
+
+  def engineExtrasExtract(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val engine = new Engine(spark, Catalog.tpch,
+      t => Tables(spark, dir, t), extrasConfig)
+    val out = engine.extract("SELECT * FROM customer WHERE c_custkey <= 5")
+    out.toSeq.sortBy(_._1)
+      .map { case (t, df) =>
+        df.agg(count(lit(1)).as("n_rows")).select(lit(t).as("table_name"), col("n_rows"))
+      }
+      .reduce(_.unionByName(_))
+      .orderBy("table_name")
+  }
+
+  val engineExtrasExtractSql: String =
+    """WITH seed AS (SELECT * FROM customer WHERE c_custkey <= 5),
+      |ords AS (SELECT * FROM orders WHERE o_custkey IN (SELECT c_custkey FROM seed)),
+      |evts AS (SELECT * FROM events WHERE user_id IN (SELECT c_custkey FROM seed)),
+      |sup AS (SELECT * FROM supplier),
+      |nat AS (SELECT * FROM nation WHERE n_nationkey IN (SELECT c_nationkey FROM seed)
+      |                                OR n_nationkey IN (SELECT s_nationkey FROM sup)),
+      |reg AS (SELECT * FROM region WHERE r_regionkey IN (SELECT n_regionkey FROM nat))
+      |SELECT table_name, n_rows FROM (
+      |  SELECT 'customer' AS table_name, COUNT(*) AS n_rows FROM seed UNION ALL
+      |  SELECT 'orders', COUNT(*) FROM ords UNION ALL
+      |  SELECT 'events', COUNT(*) FROM evts UNION ALL
+      |  SELECT 'supplier', COUNT(*) FROM sup UNION ALL
+      |  SELECT 'nation', COUNT(*) FROM nat UNION ALL
+      |  SELECT 'region', COUNT(*) FROM reg
+      |) ORDER BY table_name""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "engine_extract" -> ((engineExtract _, engineExtractSql)),
+    "engine_extras_extract" -> ((engineExtrasExtract _, engineExtrasExtractSql)),
     "closure_config_query" -> ((closureConfigQuery _, closureConfigQuerySql))
   )
 }
