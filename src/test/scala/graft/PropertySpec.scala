@@ -174,9 +174,9 @@ class PropertySpec extends SparkSpec {
   /** Row-at-a-time BFS with a visited set — the reference's semantics
     * (`/root/reference/etl/extractor.go:84-129`), trivially correct.
     */
-  private def modelClosure(g: RandGraph, seedTable: String, seedIds: Set[Long],
+  private def modelClosure(g: RandGraph, seeds: Map[String, Set[Long]],
       policy: TraversalPolicy): Map[String, Set[Long]] = {
-    var seen = Map(seedTable -> seedIds)
+    var seen = seeds
     var frontier = seen
     var depth = 0
     while (frontier.nonEmpty) {
@@ -224,16 +224,22 @@ class PropertySpec extends SparkSpec {
         t -> spark.createDataFrame(
           spark.sparkContext.parallelize(rows, 2), schema)
       }.toMap
-      val seedIds = seedIds0.intersect(g.data("t0").keySet)
-      if (seedIds.nonEmpty) {
+      // multi-seed: t0 always, plus t1 when its ids survive — exercises
+      // extractAll's joint frontier and depth-0 chain seeding across tables
+      val seeds = Map(
+        "t0" -> seedIds0.intersect(g.data("t0").keySet),
+        "t1" -> seedIds0.drop(2).intersect(g.data("t1").keySet)
+      ).filter(_._2.nonEmpty)
+      if (seeds.nonEmpty) {
         val got = new ClosureExtractor(cat, dfs(_), policy)
-          .extract("t0", dfs("t0").filter(col("id").isin(seedIds.toSeq: _*)))
+          .extractAll(seeds.toSeq.map { case (t, ids) =>
+            t -> dfs(t).filter(col("id").isin(ids.toSeq: _*)) })
           .map { case (t, df) =>
             t -> df.select("id").collect().map(_.getLong(0)).toSet }
           .filter(_._2.nonEmpty)
-        val want = modelClosure(g, "t0", seedIds, policy).filter(_._2.nonEmpty)
+        val want = modelClosure(g, seeds, policy).filter(_._2.nonEmpty)
         assert(got == want,
-          s"mismatch: edges=${g.edges} seeds=$seedIds policy=$policy\n got=$got\nwant=$want")
+          s"mismatch: edges=${g.edges} seeds=$seeds policy=$policy\n got=$got\nwant=$want")
       }
     }
   }
