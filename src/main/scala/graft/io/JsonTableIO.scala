@@ -23,16 +23,25 @@ object JsonTableIO {
 
   final case class Manifest(tableName: String, count: Long)
 
-  /** Write `df` as the per-table artifact; returns the row count. */
-  def write(df: DataFrame, outDir: String, tableName: String): Long = {
+  /** Write `df` as the per-table artifact; returns the row count.
+    * `compression` ("gzip" | "snappy" | "zstd" | ...) applies per part
+    * file — at artifact scale plain JSON is a 5–10× storage/IO tax, and
+    * Spark's JSON reader decompresses by extension transparently, so
+    * [[read]]/[[Engine.load]] need no flag (gzip parts are not splittable;
+    * the parallel part-file layout is what keeps reads parallel).
+    */
+  def write(df: DataFrame, outDir: String, tableName: String,
+      compression: Option[String] = None): Long = {
     val tableDir = s"$outDir/$tableName"
     // the manifest count rides on the write itself via an Observation —
     // no second computation of `df` and no re-scan of the written files
     // (both full extra passes at scale)
     val obs = org.apache.spark.sql.Observation(s"graft_write_$tableName")
-    df.observe(obs, org.apache.spark.sql.functions.count(
+    val writer = df.observe(obs, org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n"))
-      .write.mode(SaveMode.Overwrite).json(s"$tableDir/data")
+      .write.mode(SaveMode.Overwrite)
+    compression.fold(writer)(c => writer.option("compression", c))
+      .json(s"$tableDir/data")
     val count = obs.get("n").asInstanceOf[Long]
     val manifest =
       s"""{"table_name": ${quote(tableName)}, "count": $count}"""

@@ -21,6 +21,22 @@ class JsonTableIOSpec extends SparkSpec {
     assert(JsonTableIO.listTables(out) == Seq("user"))
   }
 
+  test("gzip-compressed artifact round-trips transparently") {
+    val out = Files.createTempDirectory("jsonio-gz").toString
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+    val n = JsonTableIO.write(df, out, "user", compression = Some("gzip"))
+    assert(n == 3L)
+    // parts actually compressed on disk...
+    val parts = Files.list(Paths.get(s"$out/user/data")).iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(parts)
+      .asScala.map(_.getFileName.toString).toList
+    assert(names.exists(_.endsWith(".json.gz")), names.toString)
+    // ...and the reader needs no flag (decompression by extension)
+    val back = JsonTableIO.read(spark, out, "user", Some(df.schema))
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq ==
+      df.orderBy("id").collect().map(_.toSeq).toSeq)
+  }
+
   test("reads a mover-authored single-file envelope (ref loader.go:54-72)") {
     // fixture byte-shaped like json.MarshalIndent(payload, "", "\t")
     // (ref engine.go:152-158): tab-indented {table_name, count, data}
