@@ -427,7 +427,48 @@ object EventQueries {
       |WHERE sd > 0
       |ORDER BY event_type, day""".stripMargin
 
+  /** Session path analysis — the top event-type transitions (A followed
+    * by B within 30 minutes, same user): which flows dominate the
+    * product. One lead window over (user, time) — the exchange every
+    * per-user analysis shares — then a partial-agg count on the
+    * transition pair and a global top-10 via TakeOrdered. Ties broken on
+    * (event_id) in the sequence and (from, to) in the ranking, so the
+    * result is deterministic under any partitioning.
+    */
+  def eventsTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .withColumn("to_ts", lead(col("ts"), 1).over(w))
+      .filter(col("to_type").isNotNull
+        && col("to_ts") <= col("ts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("from_type"), col("to_type"))
+      .limit(10)
+  }
+
+  val eventsTransitionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id, event_type
+      |  FROM events),
+      |seq AS (
+      |  SELECT user_id, ts, event_type,
+      |    LEAD(event_type, 1) OVER w AS to_type,
+      |    LEAD(ts, 1) OVER w AS to_ts
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_type AS from_type, to_type, COUNT(*) AS n
+      |FROM seq
+      |WHERE to_type IS NOT NULL AND to_ts <= ts + INTERVAL 30 MINUTE
+      |GROUP BY 1, 2
+      |ORDER BY n DESC, from_type, to_type
+      |LIMIT 10""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "events_transitions" -> ((eventsTransitions _, eventsTransitionsSql)),
     "events_anomaly" -> ((eventsAnomaly _, eventsAnomalySql)),
     "events_funnel" -> ((eventsFunnel _, eventsFunnelSql)),
     "events_approx_users" -> ((eventsApproxUsers _, null)),
