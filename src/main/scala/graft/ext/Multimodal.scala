@@ -119,7 +119,33 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Registered query: the resize stage end-to-end — every payload
+    * subsampled to ≤32 columns, verified by an md5 fingerprint of the
+    * resized BYTES (the corpus is pure ASCII, byte length == char length,
+    * so DuckDB can rebuild the exact subsample from the text). The oracle
+    * uses explicit floor(): Spark's double→int cast truncates while
+    * DuckDB's rounds — the one semantic seam in the index arithmetic.
+    */
+  def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
+    resize(mediaTable(spark, dir), 32)
+      .select(col("doc_id"),
+        col("meta.width").cast("long").as("width"),
+        md5(col("data")).as("data_fp"))
+      .orderBy("doc_id")
+  }
+
+  val multimodalResizeSql: String =
+    """SELECT doc_id,
+      |  CAST(LEAST(n_chars, 32) AS BIGINT) AS width,
+      |  md5(CASE WHEN n_chars <= 32 THEN text ELSE
+      |    array_to_string(list_transform(range(0, 32),
+      |      i -> substr(text, CAST(floor(i * n_chars / 32.0) AS INT) + 1, 1)), '')
+      |  END) AS data_fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
-    "multimodal_features" -> ((multimodalFeatures _, multimodalFeaturesSql))
+    "multimodal_features" -> ((multimodalFeatures _, multimodalFeaturesSql)),
+    "multimodal_resize" -> ((multimodalResize _, multimodalResizeSql))
   )
 }
