@@ -105,7 +105,8 @@ class Engine(
     * into `<outDir>/media` (`etl/engine.go:166-175`, `etl/util.go:48-72`);
     * download failures are logged-not-fatal like the reference's.
     */
-  def extractTo(seedQuery: String, outDir: String): Map[String, Long] = {
+  def extractTo(seedQuery: String, outDir: String,
+      compression: Option[String] = None): Map[String, Long] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val extracted = extract(seedQuery).toSeq
@@ -119,7 +120,7 @@ class Engine(
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try Await.result(
       Future.sequence(extracted.map { case (t, df) => Future {
-        val n = JsonTableIO.write(pgEncoded(t, df), outDir, t)
+        val n = JsonTableIO.write(pgEncoded(t, df), outDir, t, compression)
         for {
           sc <- config.schemaFor(t).toSeq
           c <- sc.columns if df.columns.contains(c.name)

@@ -371,6 +371,15 @@ object EventQueries {
     * tree and the z-scores hash-match; z rounds once at the edge.
     * Self-referential windows (today excluded from its own baseline) keep
     * a volume spike from masking itself.
+    *
+    * The daily series is DENSIFIED first (a calendar spine per event_type
+    * spanning its min..max day, zero-filled): without it, "7 preceding
+    * ROWS" silently means 7 preceding *observed* days — a gap stretches
+    * the baseline across arbitrarily many calendar days, and a
+    * zero-volume day (the classic outage) never appears in the output at
+    * all. Dense rows make ROWS == calendar days and give an outage day a
+    * real (large-negative-z) row. The spine is |types| × |days| rows —
+    * broadcast-sized at any event volume.
     */
   def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -378,9 +387,15 @@ object EventQueries {
       .groupBy(col("event_type"),
         to_date(date_trunc("day", col("ts"))).as("day"))
       .agg(count(lit(1)).cast("decimal(18,4)").as("n"))
+    val dense = daily.groupBy("event_type")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val filled = dense.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0).cast("decimal(18,4)")))
     val w = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(-7, -1)
-    daily
+    filled
       .withColumn("cnt", count(lit(1)).over(w))
       .withColumn("s1", sum(col("n")).over(w))
       .withColumn("s2", sum(col("n") * col("n")).over(w))
@@ -406,12 +421,23 @@ object EventQueries {
       |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
       |    CAST(COUNT(*) AS DECIMAL(18,4)) AS n
       |  FROM events GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT event_type,
+      |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+      |        FROM daily GROUP BY 1)),
+      |filled AS (
+      |  SELECT s.event_type, s.day,
+      |    COALESCE(d.n, CAST(0 AS DECIMAL(18,4))) AS n
+      |  FROM spine s LEFT JOIN daily d
+      |    ON d.event_type = s.event_type AND d.day = s.day),
       |ser AS (
       |  SELECT event_type, day, n,
       |    COUNT(*) OVER w AS cnt,
       |    SUM(n) OVER w AS s1,
       |    SUM(n * n) OVER w AS s2
-      |  FROM daily
+      |  FROM filled
       |  WINDOW w AS (PARTITION BY event_type ORDER BY day
       |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
       |scored AS (

@@ -62,18 +62,23 @@ object EngineQueries {
       |  }]
       |}""".stripMargin)
 
-  def closureConfigQuery(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-table row counts of an engine extract as ONE
+    * union-of-aggregates plan (single job for all tables). */
+  private def tableCounts(spark: SparkSession, dir: String,
+      config: ExtractConfig, seedSql: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val engine = new Engine(spark, Catalog.tpch,
-      t => Tables(spark, dir, t), j3Config)
-    val out = engine.extract("SELECT * FROM customer WHERE c_custkey <= 5")
-    out.toSeq.sortBy(_._1)
+      t => Tables(spark, dir, t), config)
+    engine.extract(seedSql).toSeq.sortBy(_._1)
       .map { case (t, df) =>
         df.agg(count(lit(1)).as("n_rows")).select(lit(t).as("table_name"), col("n_rows"))
       }
       .reduce(_.unionByName(_))
       .orderBy("table_name")
   }
+
+  def closureConfigQuery(spark: SparkSession, dir: String): DataFrame =
+    tableCounts(spark, dir, j3Config, "SELECT * FROM customer WHERE c_custkey <= 5")
 
   val closureConfigQuerySql: String =
     """WITH seed AS (SELECT * FROM customer WHERE c_custkey <= 5),
@@ -102,18 +107,8 @@ object EngineQueries {
       |  "schema": [{"table_name": "supplier", "omit_reference_keys": true}]
       |}""".stripMargin)
 
-  def engineExtrasExtract(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val engine = new Engine(spark, Catalog.tpch,
-      t => Tables(spark, dir, t), extrasConfig)
-    val out = engine.extract("SELECT * FROM customer WHERE c_custkey <= 5")
-    out.toSeq.sortBy(_._1)
-      .map { case (t, df) =>
-        df.agg(count(lit(1)).as("n_rows")).select(lit(t).as("table_name"), col("n_rows"))
-      }
-      .reduce(_.unionByName(_))
-      .orderBy("table_name")
-  }
+  def engineExtrasExtract(spark: SparkSession, dir: String): DataFrame =
+    tableCounts(spark, dir, extrasConfig, "SELECT * FROM customer WHERE c_custkey <= 5")
 
   val engineExtrasExtractSql: String =
     """WITH seed AS (SELECT * FROM customer WHERE c_custkey <= 5),

@@ -61,7 +61,13 @@ object StreamingOps {
     * buffered join state: clicks older than (watermark − 1 hour) are
     * dropped from state.
     */
-  def clickAttribution(events: DataFrame): DataFrame = {
+  def clickAttribution(events: DataFrame): DataFrame =
+    clickAttributionJoin(events, "inner")
+
+  /** One definition of the attribution interval + watermarks for both
+    * join types — the outer form is documented as the inner's dual, and
+    * a shared body is what keeps them from diverging. */
+  private def clickAttributionJoin(events: DataFrame, joinType: String): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("cts"),
         col("value").as("click_value"))
@@ -71,7 +77,8 @@ object StreamingOps {
         col("ts").as("pts"))
       .withWatermark("pts", "10 minutes")
     purchases.join(clicks, expr(
-      "c_user = user_id AND cts <= pts AND cts > pts - INTERVAL 1 HOUR"))
+      "c_user = user_id AND cts <= pts AND cts > pts - INTERVAL 1 HOUR"),
+      joinType)
       .select(col("purchase_id"), col("user_id"), col("pts"), col("cts"),
         col("click_value"))
   }
@@ -86,21 +93,8 @@ object StreamingOps {
     * null click columns is what the batch `range_join` LEFT JOIN oracle
     * checks — this is its streaming dual.
     */
-  def clickAttributionOuter(events: DataFrame): DataFrame = {
-    val clicks = events.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("cts"),
-        col("value").as("click_value"))
-      .withWatermark("cts", "10 minutes")
-    val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id"),
-        col("ts").as("pts"))
-      .withWatermark("pts", "10 minutes")
-    purchases.join(clicks, expr(
-      "c_user = user_id AND cts <= pts AND cts > pts - INTERVAL 1 HOUR"),
-      "left_outer")
-      .select(col("purchase_id"), col("user_id"), col("pts"), col("cts"),
-        col("click_value"))
-  }
+  def clickAttributionOuter(events: DataFrame): DataFrame =
+    clickAttributionJoin(events, "left_outer")
 
   /** Stream-static dimension join (§2.11): enrich the event stream with
     * the customer dimension. The static side is re-planned per

@@ -26,10 +26,13 @@ class JsonTableIOSpec extends SparkSpec {
     val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
     val n = JsonTableIO.write(df, out, "user", compression = Some("gzip"))
     assert(n == 3L)
-    // parts actually compressed on disk...
-    val parts = Files.list(Paths.get(s"$out/user/data")).iterator()
-    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(parts)
-      .asScala.map(_.getFileName.toString).toList
+    // parts actually compressed on disk... (stream closed like
+    // JsonTableIO.listTables does — Files.list holds a dir handle)
+    val stream = Files.list(Paths.get(s"$out/user/data"))
+    val names =
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(stream.iterator())
+        .asScala.map(_.getFileName.toString).toList
+      finally stream.close()
     assert(names.exists(_.endsWith(".json.gz")), names.toString)
     // ...and the reader needs no flag (decompression by extension)
     val back = JsonTableIO.read(spark, out, "user", Some(df.schema))
