@@ -1,0 +1,60 @@
+package graft
+
+/** Enforced form of PLANS.md: the physical plan of each tuned query must
+  * keep its expected `Scan parquet` count. A higher count means a shared
+  * subtree got duplicated and is being recomputed — exactly the r3
+  * `minhash_pairs` regression (the signature pipeline planned twice under
+  * a BroadcastExchange, 2× the query's cost) this spec exists to catch
+  * at test time instead of at the bench.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // query -> exact expected number of parquet scan nodes (see PLANS.md)
+  private val expected = Seq(
+    "minhash_pairs" -> 1, // ONE documents scan: no banded self-join
+    "jaccard_pairs" -> 1, // word-hash projection persisted, not recomputed
+    "dup_spans" -> 1,     // linear window pipeline, no join-backs
+    "simhash" -> 1,
+    "dedup_exact" -> 1,
+    "doc_fingerprint" -> 1,
+    "events_funnel" -> 1,  // three windows share one exchange
+    "events_transitions" -> 1,
+    "shuffle_shard" -> 1,  // no global sort, no second scan
+    "pack_chunks" -> 1,
+    "train_test_split" -> 1,
+    "knn_brute" -> 2,      // base + broadcast query side
+    "q7_nation_volume" -> 6, // nation self-aliased twice by design
+    "q5_region_revenue" -> 6,
+    "multimodal_resize" -> 1,
+    "pii_redact" -> 1,
+    "quality_repetition" -> 1,
+    "lang_id" -> 1,
+    "text_stats" -> 1
+  )
+
+  test("tuned queries keep their expected parquet scan counts") {
+    val bad = expected.flatMap { case (name, want) =>
+      // count DISTINCT source reads in the optimized logical plan:
+      // direct relation leaves, plus each persisted projection ONCE
+      // however many operators consume it (n references to one cache =
+      // one underlying scan) — while a duplicated un-persisted subtree
+      // shows up as extra LogicalRelation leaves
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.optimizedPlan
+      val leaves = plan.collectWithSubqueries {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          Left(r)
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          Right(m.cacheBuilder.cachedPlan)
+      }
+      val got = leaves.count(_.isLeft) +
+        leaves.collect { case Right(cp) => cp }.distinct.length
+      if (got != want) Some(s"$name: $got scans (expected $want)") else None
+    }
+    spark.catalog.clearCache() // release builder-persisted projections
+    assert(bad.isEmpty, "plan regressions (duplicated subtrees?):\n" +
+      bad.mkString("\n"))
+  }
+}
