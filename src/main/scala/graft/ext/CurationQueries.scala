@@ -234,10 +234,13 @@ object CurationQueries {
     * the text-stats tier already pays.
     */
   def sourceMix(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the median aggregate AND the final projection both read
+    // the per-source rollup — un-persisted, each re-runs the corpus scan
     val perSource = Tables(spark, dir, "documents")
       .select(col("source"), size(split(col("text"), " ")).as("n_tok"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cap = perSource.agg(expr("percentile(n_tokens, 0.5)").as("cap"))
     perSource.crossJoin(broadcast(cap))
       .select(col("source"), col("n_docs"), col("n_tokens"),

@@ -383,10 +383,14 @@ object EventQueries {
     */
   def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // persisted: the spine aggregation AND the zero-fill join both read
+    // the daily rollup — un-persisted, each would re-run the full events
+    // scan (the rollup is |types|x|days| rows; the scan is the corpus)
     val daily = Tables(spark, dir, "events")
       .groupBy(col("event_type"),
         to_date(date_trunc("day", col("ts"))).as("day"))
       .agg(count(lit(1)).cast("decimal(18,4)").as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dense = daily.groupBy("event_type")
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(col("event_type"),

@@ -31,7 +31,9 @@ class PlanAuditSpec extends SparkSpec {
     "pii_redact" -> 1,
     "quality_repetition" -> 1,
     "lang_id" -> 1,
-    "text_stats" -> 1
+    "text_stats" -> 1,
+    "events_anomaly" -> 1, // daily rollup persisted: spine + fill share it
+    "source_mix" -> 1      // per-source rollup persisted: cap + projection
   )
 
   test("tuned queries keep their expected parquet scan counts") {
