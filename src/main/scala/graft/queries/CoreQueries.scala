@@ -220,6 +220,35 @@ object CoreQueries {
       |GROUP BY s_nationkey
       |ORDER BY s_nationkey""".stripMargin
 
+  /** Two-phase salted aggregation (§2.12 skew) for a BUFFERING aggregate:
+    * collect_list per l_returnflag (3 hot keys for 600k+ rows — exactly
+    * the one-giant-buffer-on-one-reducer shape). Partials build on
+    * (key, salt), the final merge flattens per key; the output is a
+    * sorted-multiset fingerprint, so the ORACLE IS THE PLAIN GROUP BY —
+    * salting must be invisible in the result, hash-proven cross-engine.
+    */
+  def skewSaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"))
+    graft.ext.Skew.saltedAgg(li, "l_returnflag", 8, "l_orderkey",
+        partial = collect_list(col("l_orderkey")),
+        merge = c => flatten(collect_list(c)))
+      .select(col("l_returnflag"),
+        size(col("agg")).cast("long").as("n_keys"),
+        md5(concat_ws(",",
+          expr("transform(array_sort(agg), x -> cast(x AS string))"))).as("keys_fp"))
+      .orderBy("l_returnflag")
+  }
+
+  val skewSaltedAggSql: String =
+    """SELECT l_returnflag,
+      |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |  md5(array_to_string(list_transform(list_sort(list(l_orderkey)),
+      |    x -> CAST(x AS VARCHAR)), ',')) AS keys_fp
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** UNION / INTERSECT / EXCEPT in one result, tagged (§2.7). */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
     val cn = Tables(spark, dir, "customer")
@@ -597,6 +626,7 @@ object CoreQueries {
     "anti_join" -> ((antiJoin _, antiJoinSql)),
     "full_outer_join" -> ((fullOuterJoin _, fullOuterJoinSql)),
     "skew_salted_join" -> ((skewSaltedJoin _, skewSaltedJoinSql)),
+    "skew_salted_agg" -> ((skewSaltedAgg _, skewSaltedAggSql)),
     "set_ops" -> ((setOps _, setOpsSql)),
     "window_running" -> ((windowRunning _, windowRunningSql)),
     "topk_per_group" -> ((topkPerGroup _, topkPerGroupSql)),
