@@ -160,6 +160,31 @@ class ClosureSpec extends SparkSpec {
     assert(sqls.head.contains("'c\\\\arol'"))
   }
 
+  test("config query fires on a table reached only via forward chaining") {
+    // a --fk--> b (acyclic, so b's keys arrive through the chain phase);
+    // b carries a config query targeting c — the frontier filter must
+    // keep b iterating even though its forward FKs are already chained,
+    // or the J3 edge silently never runs
+    val a = Seq((1L, 10L), (2L, 20L)).toDF("id", "b_id")
+    val b = Seq((10L, "x"), (20L, "y"), (30L, "z")).toDF("id", "tag")
+    val c = Seq((100L, "x"), (101L, "y"), (102L, "q")).toDF("id", "tag")
+    c.createOrReplaceTempView("c_table")
+    val cat = Catalog(Map(
+      "a" -> TableMeta("a", Seq("id")),
+      "b" -> TableMeta("b", Seq("id")),
+      "c_table" -> TableMeta("c_table", Seq("id"))),
+      Seq(FkEdge("a_b", "a", "b_id", "b", "id")))
+    val ex = new ClosureExtractor(cat,
+      Map("a" -> a, "b" -> b, "c_table" -> c)(_), TraversalPolicy(),
+      configQueries = Seq(ConfigQuery("b", "c_table",
+        "SELECT * FROM c_table WHERE tag = {tag}")),
+      runQuery = spark.sql(_))
+    val out = ex.extract("a", a.filter(col("id") === 1))
+    assert(ids(out("b")) == Set(10L))
+    // b=10 has tag 'x' -> config pulls c row 100 (and only it)
+    assert(ids(out("c_table")) == Set(100L))
+  }
+
   test("seed with multiple rows unions frontiers") {
     val out = extractor(TraversalPolicy(omitReferenceKeys = true))
       .extract("user", user.filter(col("id").isin(1, 3)))
