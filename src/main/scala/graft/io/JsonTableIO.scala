@@ -126,6 +126,48 @@ object JsonTableIO {
     Manifest(tableName, count)
   }
 
+  /** Compact an artifact's data dir to `targetParts` files — the
+    * small-files maintenance op every long-lived artifact store needs
+    * (a streaming sink or a 1000-task writer leaves thousands of tiny
+    * parts; listing + open overhead then dominates reads). Rewrites via
+    * a temp dir + atomic directory swap so a concurrent reader sees
+    * either the old parts or the new, never a half-written mix; the
+    * manifest is untouched (compaction must not change the row count —
+    * verified here against it).
+    */
+  def compact(spark: SparkSession, outDir: String, tableName: String,
+      targetParts: Int, compression: Option[String] = None): Long = {
+    val dataDir = Paths.get(s"$outDir/$tableName/data")
+    require(Files.isDirectory(dataDir), s"no partitioned artifact at $dataDir")
+    val tmpDir = Paths.get(s"$outDir/$tableName/.data.compacting")
+    val obs = org.apache.spark.sql.Observation(s"graft_compact_$tableName")
+    val w = spark.read.json(dataDir.toString)
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .coalesce(math.max(1, targetParts))
+      .write.mode(SaveMode.Overwrite)
+    compression.fold(w)(c => w.option("compression", c)).json(tmpDir.toString)
+    val n = obs.get("n").asInstanceOf[Long]
+    val before = readManifest(outDir, tableName).count
+    require(n == before,
+      s"compaction row count drifted: wrote $n, manifest says $before")
+    // swap: old dir out of the way, new dir in, old dir deleted
+    val oldDir = Paths.get(s"$outDir/$tableName/.data.old")
+    deleteRecursively(oldDir)
+    Files.move(dataDir, oldDir)
+    Files.move(tmpDir, dataDir)
+    deleteRecursively(oldDir)
+    n
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally walk.close()
+    }
+
   def readManifest(outDir: String, tableName: String): Manifest = {
     val sf = singleFilePath(outDir, tableName)
     // same envelope guard as read()/listTables(): a stray non-envelope

@@ -40,6 +40,29 @@ class JsonTableIOSpec extends SparkSpec {
       df.orderBy("id").collect().map(_.toSeq).toSeq)
   }
 
+  test("compact collapses many parts to one, preserving rows and manifest") {
+    val out = Files.createTempDirectory("jsonio-compact").toString
+    val df = spark.range(0, 100).toDF("id").repartition(16)
+    assert(JsonTableIO.write(df, out, "user") == 100L)
+    def parts: List[String] = {
+      val stream = Files.list(Paths.get(s"$out/user/data"))
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(stream.iterator())
+        .asScala.map(_.getFileName.toString).filter(_.endsWith(".json")).toList
+      finally stream.close()
+    }
+    assert(parts.size > 1, s"expected multiple parts, got $parts")
+    assert(JsonTableIO.compact(spark, out, "user", 1) == 100L)
+    assert(parts.size == 1, s"expected one part after compaction, got $parts")
+    // rows and manifest intact
+    assert(JsonTableIO.readManifest(out, "user").count == 100L)
+    val back = JsonTableIO.read(spark, out, "user")
+    assert(back.count() == 100L)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).collect()(0).getLong(0) == 4950L)
+    // no temp/old dirs left behind
+    assert(!Files.exists(Paths.get(s"$out/user/.data.compacting")))
+    assert(!Files.exists(Paths.get(s"$out/user/.data.old")))
+  }
+
   test("reads a mover-authored single-file envelope (ref loader.go:54-72)") {
     // fixture byte-shaped like json.MarshalIndent(payload, "", "\t")
     // (ref engine.go:152-158): tab-indented {table_name, count, data}
