@@ -130,10 +130,12 @@ object JsonTableIO {
     * small-files maintenance op every long-lived artifact store needs
     * (a streaming sink or a 1000-task writer leaves thousands of tiny
     * parts; listing + open overhead then dominates reads). Rewrites via
-    * a temp dir + atomic directory swap so a concurrent reader sees
-    * either the old parts or the new, never a half-written mix; the
-    * manifest is untouched (compaction must not change the row count —
-    * verified here against it).
+    * a temp dir + two renames: a concurrent reader sees old parts, new
+    * parts, or (in the instant between renames) a missing dir — never a
+    * half-written MIX. True atomicity needs a manifest-pointer swap
+    * (object stores have no atomic rename at all) — that is the 100 TB
+    * delta, not more rename choreography. The manifest is untouched
+    * (compaction must not change the row count — verified against it).
     */
   def compact(spark: SparkSession, outDir: String, tableName: String,
       targetParts: Int, compression: Option[String] = None): Long = {
