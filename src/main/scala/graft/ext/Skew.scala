@@ -30,9 +30,16 @@ object Skew {
   /** Two-phase aggregation for low-cardinality group keys (the groupBy
     * analog of salting): partial-aggregate on (key, salt), then final on
     * key. Spark's map-side partial agg already does this for algebraic
-    * functions; the explicit form is for aggregates that buffer per
-    * group (collect_list-style) where a hot key would otherwise build
-    * one giant buffer on one reducer.
+    * functions; the explicit form targets aggregates that BUFFER per
+    * group (collect_list-style). Be precise about what it buys: the
+    * partial BUILD (CPU, spill, buffer growth) spreads over `salt`
+    * reducers, but the final merge still assembles one buffer per key —
+    * if the output IS the full collection, that buffer is the output and
+    * is irreducible. When the consumer only needs a bounded digest, the
+    * right tool is a bounded aggregate instead (e.g.
+    * [[graft.functions.TopKByScore]], whose partial/final split caps
+    * every buffer at k) — salting and bounded aggregates compose but
+    * solve different halves of the problem.
     */
   def saltedAgg(df: DataFrame, key: String, salt: Int, uniqueCol: String,
       partial: Column, merge: Column => Column): DataFrame =

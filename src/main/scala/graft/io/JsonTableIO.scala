@@ -142,24 +142,36 @@ object JsonTableIO {
     val dataDir = Paths.get(s"$outDir/$tableName/data")
     require(Files.isDirectory(dataDir), s"no partitioned artifact at $dataDir")
     val tmpDir = Paths.get(s"$outDir/$tableName/.data.compacting")
-    val obs = org.apache.spark.sql.Observation(s"graft_compact_$tableName")
-    val w = spark.read.json(dataDir.toString)
-      .observe(obs, org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("n"))
-      .coalesce(math.max(1, targetParts))
-      .write.mode(SaveMode.Overwrite)
-    compression.fold(w)(c => w.option("compression", c)).json(tmpDir.toString)
-    val n = obs.get("n").asInstanceOf[Long]
-    val before = readManifest(outDir, tableName).count
-    require(n == before,
-      s"compaction row count drifted: wrote $n, manifest says $before")
-    // swap: old dir out of the way, new dir in, old dir deleted
-    val oldDir = Paths.get(s"$outDir/$tableName/.data.old")
-    deleteRecursively(oldDir)
-    Files.move(dataDir, oldDir)
-    Files.move(tmpDir, dataDir)
-    deleteRecursively(oldDir)
-    n
+    deleteRecursively(tmpDir)
+    try {
+      // BYTE-EXACT rewrite: JSON lines pass through as text, untouched.
+      // A parse-and-rewrite (spark.read.json) would (a) pay a full
+      // schema-inference scan, (b) silently re-type values (a
+      // decimal(18,4) survives as a double-rounded literal), and
+      // (c) crash on a legitimately empty artifact (empty inferred
+      // schema). Text lines have none of those failure modes.
+      val obs = org.apache.spark.sql.Observation(s"graft_compact_$tableName")
+      val w = spark.read.text(dataDir.toString)
+        .observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .coalesce(math.max(1, targetParts))
+        .write.mode(SaveMode.Overwrite)
+      compression.fold(w)(c => w.option("compression", c)).text(tmpDir.toString)
+      val n = obs.get("n").asInstanceOf[Long]
+      val before = readManifest(outDir, tableName).count
+      require(n == before,
+        s"compaction row count drifted: wrote $n, manifest says $before")
+      // swap: old dir out of the way, new dir in, old dir deleted
+      val oldDir = Paths.get(s"$outDir/$tableName/.data.old")
+      deleteRecursively(oldDir)
+      Files.move(dataDir, oldDir)
+      Files.move(tmpDir, dataDir)
+      deleteRecursively(oldDir)
+      n
+    } catch {
+      // never leave a full-size orphaned copy behind on failure
+      case e: Throwable => deleteRecursively(tmpDir); throw e
+    }
   }
 
   private def deleteRecursively(p: Path): Unit =

@@ -221,11 +221,16 @@ object CoreQueries {
       |ORDER BY s_nationkey""".stripMargin
 
   /** Two-phase salted aggregation (§2.12 skew) for a BUFFERING aggregate:
-    * collect_list per l_returnflag (3 hot keys for 600k+ rows — exactly
-    * the one-giant-buffer-on-one-reducer shape). Partials build on
-    * (key, salt), the final merge flattens per key; the output is a
-    * sorted-multiset fingerprint, so the ORACLE IS THE PLAIN GROUP BY —
-    * salting must be invisible in the result, hash-proven cross-engine.
+    * collect_list per l_returnflag (3 hot keys for 600k+ rows). Partials
+    * build on (key, salt) — distributing the build CPU/spill 8-ways —
+    * and the final merge flattens per key. The merge buffer equals the
+    * output (the full multiset) and is irreducible for THIS semantics;
+    * when only a bounded digest is needed, use a bounded aggregate
+    * instead (`topk_custom_agg` / [[graft.functions.TopKByScore]]) — see
+    * the [[graft.ext.Skew.saltedAgg]] doc for the precise contract.
+    * The output is a sorted-multiset fingerprint, so the ORACLE IS THE
+    * PLAIN GROUP BY — salting must be invisible in the result,
+    * hash-proven cross-engine.
     */
   def skewSaltedAgg(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")

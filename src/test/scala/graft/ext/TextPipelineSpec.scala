@@ -123,5 +123,6 @@ class TextPipelineSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Long]("token_budget") <= r.getAs[Long]("n_tokens")))
     assert(rows.exists(r => r.getAs[Double]("sample_rate") == 1.0))
     m.unpersist()
+    spark.catalog.clearCache() // releases sourceMix's INTERNAL rollup persist
   }
 }

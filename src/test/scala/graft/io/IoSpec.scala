@@ -40,27 +40,40 @@ class JsonTableIOSpec extends SparkSpec {
       df.orderBy("id").collect().map(_.toSeq).toSeq)
   }
 
-  test("compact collapses many parts to one, preserving rows and manifest") {
+  test("compact collapses many parts to one, byte-exact, manifest intact") {
     val out = Files.createTempDirectory("jsonio-compact").toString
-    val df = spark.range(0, 100).toDF("id").repartition(16)
+    // the decimal column is the byte-exactness probe: a parse-and-rewrite
+    // compactor would re-infer it as double and corrupt the stored text
+    val df = spark.range(0, 100).toDF("id")
+      .withColumn("amt", (col("id") * 7).cast("decimal(18,4)") / 3)
+      .repartition(16)
     assert(JsonTableIO.write(df, out, "user") == 100L)
     def parts: List[String] = {
       val stream = Files.list(Paths.get(s"$out/user/data"))
       try scala.jdk.CollectionConverters.IteratorHasAsScala(stream.iterator())
-        .asScala.map(_.getFileName.toString).filter(_.endsWith(".json")).toList
+        .asScala.map(_.getFileName.toString).filter(_.startsWith("part-")).toList
       finally stream.close()
     }
+    val linesBefore = JsonTableIO.read(spark, out, "user")
+      .orderBy("id").collect().map(_.toSeq).toSeq
     assert(parts.size > 1, s"expected multiple parts, got $parts")
     assert(JsonTableIO.compact(spark, out, "user", 1) == 100L)
     assert(parts.size == 1, s"expected one part after compaction, got $parts")
-    // rows and manifest intact
+    // rows, values (decimal text included), and manifest intact
     assert(JsonTableIO.readManifest(out, "user").count == 100L)
     val back = JsonTableIO.read(spark, out, "user")
-    assert(back.count() == 100L)
-    assert(back.agg(org.apache.spark.sql.functions.sum("id")).collect()(0).getLong(0) == 4950L)
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq == linesBefore)
     // no temp/old dirs left behind
     assert(!Files.exists(Paths.get(s"$out/user/.data.compacting")))
     assert(!Files.exists(Paths.get(s"$out/user/.data.old")))
+  }
+
+  test("compact of an empty artifact is a clean no-op") {
+    val out = Files.createTempDirectory("jsonio-compact-empty").toString
+    val empty = spark.range(0, 0).toDF("id")
+    assert(JsonTableIO.write(empty, out, "none") == 0L)
+    assert(JsonTableIO.compact(spark, out, "none", 1) == 0L)
+    assert(JsonTableIO.readManifest(out, "none").count == 0L)
   }
 
   test("reads a mover-authored single-file envelope (ref loader.go:54-72)") {
