@@ -209,7 +209,7 @@ class PropertySpec extends SparkSpec {
     val gs = cases(Gen.zip(genGraph,
       Gen.someOf(1L, 2L, 3L, 4L, 5L).map(_.toSet),
       Gen.oneOf(true, false),
-      Gen.someOf("e0", "e1", "e2", "e3", "e4", "e5")), 4)
+      Gen.someOf("e0", "e1", "e2", "e3", "e4", "e5")), 6)
     gs.foreach { case (g, seedIds0, omit, allow) =>
       val policy = TraversalPolicy(omit, allow.toSet)
       val cat = Catalog(
