@@ -15,6 +15,7 @@ import graft.meta.Catalog
   * graft.Main -action load     -dsn <tableDir | jdbc:...> -path <artifactDir>
   * graft.Main -action describe -dsn <tableDir> -table <name>
   * graft.Main -action query    -dsn <tableDir> -query <operator> [-path <outDir>]
+  * graft.Main -action compact  -path <artifactDir> [-table <name>]
   * }}}
   *
   * Flags mirror the reference (`-query -table -path -dsn -action
@@ -37,11 +38,11 @@ object Main {
       version: Boolean = false)
 
   val usage: String =
-    """usage: graft.Main -action extract|load|describe|query
+    """usage: graft.Main -action extract|load|describe|query|compact
       |  -dsn <parquet table dir>   source tables (or jdbc: target for load)
       |  -query <sql|name>          seed query (extract) / operator name (query)
-      |  -path <dir>                artifact dir (extract out / load in / query out)
-      |  -table <name>              table to describe
+      |  -path <dir>                artifact dir (extract out / load in / query out / compact)
+      |  -table <name>              table to describe / single table to compact
       |  -conf <config.json>        sanitize/traversal config (or $GRAFT_CONF)
       |  -verbose -version""".stripMargin
 
@@ -130,6 +131,20 @@ object Main {
                 out(s"... (showing first 20 rows; use -path <dir> for full output)")
             }
             0
+        }
+      // artifact maintenance (beyond the reference's verb set): collapse
+      // the small files a streaming sink / wide writer leaves behind
+      case "compact" =>
+        if (cli.path.isEmpty) { out(usage); 2 }
+        else {
+          val tables =
+            if (cli.table.nonEmpty) Seq(cli.table)
+            else graft.io.JsonTableIO.listTables(cli.path)
+          tables.foreach { t =>
+            val n = graft.io.JsonTableIO.compact(spark, cli.path, t, 1)
+            out(s"$t: compacted ($n rows)")
+          }
+          0
         }
       case _ => out(usage); 2
     }

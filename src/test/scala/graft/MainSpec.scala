@@ -58,6 +58,20 @@ class MainSpec extends SparkSpec {
     assert(rc2 == 0 && out2.contains(s"customer: $nSeed rows"))
   }
 
+  test("compact verb collapses every table's artifact in place") {
+    val outDir = Files.createTempDirectory("graft-cli-compact").toString
+    val (rc, _) = capture(Main.Cli(action = "extract", dsn = dsn,
+      query = "SELECT * FROM customer WHERE c_custkey <= 3", path = outDir))
+    assert(rc == 0)
+    val nSeed = Tables(spark, dsn, "customer").filter("c_custkey <= 3").count()
+    val (rc2, out2) = capture(Main.Cli(action = "compact", path = outDir))
+    assert(rc2 == 0)
+    assert(out2.contains(s"customer: compacted ($nSeed rows)"))
+    // artifact still loads after compaction
+    val (rc3, out3) = capture(Main.Cli(action = "load", dsn = dsn, path = outDir))
+    assert(rc3 == 0 && out3.contains(s"customer: $nSeed rows"))
+  }
+
   test("load with jdbc: dsn upserts into embedded Derby") {
     val conf = Files.createTempFile("graft-conf", ".json")
     Files.writeString(conf,
