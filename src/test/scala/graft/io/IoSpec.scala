@@ -68,6 +68,27 @@ class JsonTableIOSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(s"$out/user/.data.old")))
   }
 
+  test("older artifact loads under a newer schema (added nullable column)") {
+    // schema evolution on the load path: a catalog that grew a column
+    // after the export was written must still ingest the artifact, with
+    // the new column null — not fail or misalign (the migration case a
+    // long-lived artifact store hits constantly)
+    val out = Files.createTempDirectory("jsonio-evolve").toString
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    assert(JsonTableIO.write(v1, out, "user") == 2L)
+    val v2Schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("email",
+        org.apache.spark.sql.types.StringType)))
+    val back = JsonTableIO.read(spark, out, "user", Some(v2Schema))
+      .orderBy("id").collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(back.forall(_.isNullAt(2)))
+  }
+
   test("compact of an empty artifact is a clean no-op") {
     val out = Files.createTempDirectory("jsonio-compact-empty").toString
     val empty = spark.range(0, 0).toDF("id")
