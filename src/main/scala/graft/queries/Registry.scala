@@ -14,8 +14,14 @@ object Registry {
       graft.ext.SimilarityQueries.all, graft.ext.EventQueries.all,
       graft.ext.Multimodal.all, graft.ext.CurationQueries.all)
 
-  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
-    suites.flatten.map { case (n, (f, _)) => n -> f }.toMap
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = suites.flatten
+    val dups = all.groupBy(_._1).filter(_._2.size > 1).keys
+    // toMap would silently keep the LAST registration — a suite collision
+    // must fail the build, not shadow an operator out of the gate
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    all.map { case (n, (f, _)) => n -> f }.toMap
+  }
 
   lazy val oracleSql: Map[String, String] =
     suites.flatten.collect { case (n, (_, sql)) if sql != null && sql.nonEmpty => n -> sql }.toMap
