@@ -24,6 +24,14 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(json.contains(""""q":1.0"""))
   }
 
+  test("runs count is recorded and median is the middle timing") {
+    assert(Bench.median(Seq(6.9, 1.5, 1.4)) == 1.5)
+    assert(Bench.median(Seq(2.0, 1.0)) == 1.5)
+    assert(Bench.median(Seq(3.0)) == 3.0)
+    val json = Bench.renderJson(Seq(("q", 1.0, None)), "/sf", runs = 3)
+    assert(json.contains(""""runs":3"""))
+  }
+
   test("rendered line is parseable JSON (driver ingests it verbatim)") {
     // minimal structural check without a JSON lib: balanced braces and the
     // escape rules keep quotes paired
