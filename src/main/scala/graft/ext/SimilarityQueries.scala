@@ -72,38 +72,65 @@ object SimilarityQueries {
   /** IVF-style ANN: assign every vector to its nearest of 16 fixed
     * centroids (vec_id < 16), then for each query (vec_id < 5) probe the
     * 2 nearest cells and rank top-5 within them.
+    *
+    * The centroid set is BOUNDED (nlist rows — 16 here, a few thousand in
+    * production) and lives driver-side as a literal, exactly like the SRP
+    * plane matrix: cell assignment is a per-row `aggregate()` argmin fold
+    * over that literal — a pure projection with ZERO joins or exchanges
+    * over the corpus. (The r5 form crossJoined the corpus against a
+    * broadcast centroid DataFrame and took argmin via a row_number window,
+    * which planned an Exchange of the 16×-inflated rows — correct, but
+    * not the plan you'd run at 100 TB.) Strict `>` with centroids in
+    * cent_id order makes the fold's first-wins tie-break identical to the
+    * oracle's ORDER BY cos DESC, cent_id ASC.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = vecs(spark, dir)
-    val cents = base.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    // bounded driver-side collect (nlist=16 rows), like the J3 tuples
+    val cents: Seq[(Long, Seq[Double])] = base.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("v")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1)
+    val centArr = typedLit(cents)
+    def cosLit(c: Column, vcol: Column): Column =
+      round(graft.functions.CosineSimilarity.cosine_sim(c, vcol), 6)
 
-    // cell assignment: argmax cosine over centroids (deterministic
-    // tie-break on cent_id via the row_number ordering)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(desc("ccos"), asc("cent_id"))
-    val assigned = base.join(broadcast(cents), lit(true))
-      .withColumn("ccos", round(cosineExpr("cv", "v"), 6))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("label"), col("v"), col("cent_id").as("cell"))
+    // cell assignment: per-row argmax-cosine fold, no shuffle
+    val bestCell = aggregate(centArr,
+      struct(lit(-1L).as("cell"), lit(-2.0).as("best")),
+      (acc, c) => {
+        val s = cosLit(c.getField("_2"), col("v"))
+        when(s > acc.getField("best"),
+          struct(c.getField("_1").as("cell"), s.as("best"))).otherwise(acc)
+      }).getField("cell")
+    val assigned = base.withColumn("cell", bestCell)
+      .select(col("vec_id"), col("v"), col("cell"))
 
-    // probe list: 2 nearest cells per query vector
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(desc("qcos"), asc("cent_id"))
+    // probe list: top-2 cells per query via the same fold carrying
+    // (best, second-best); explode to (query, cell) rows
+    val probeFold = aggregate(centArr,
+      struct(lit(-1L).as("c1"), lit(-2.0).as("s1"),
+             lit(-1L).as("c2"), lit(-2.0).as("s2")),
+      (acc, c) => {
+        val s = cosLit(c.getField("_2"), col("qv"))
+        when(s > acc.getField("s1"),
+          struct(c.getField("_1").as("c1"), s.as("s1"),
+                 acc.getField("c1").as("c2"), acc.getField("s1").as("s2")))
+        .when(s > acc.getField("s2"),
+          struct(acc.getField("c1").as("c1"), acc.getField("s1").as("s1"),
+                 c.getField("_1").as("c2"), s.as("s2")))
+        .otherwise(acc)
+      })
     val probes = base.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      .join(broadcast(cents), lit(true))
-      .withColumn("qcos", round(cosineExpr("cv", "qv"), 6))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= 2)
-      .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
+      .withColumn("pf", probeFold)
+      .select(col("query_id"), col("qv"),
+        explode(array(col("pf.c1"), col("pf.c2"))).as("cell"))
 
     // search only within probed cells
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos"), asc("vec_id"))
-    assigned.join(probes, Seq("cell"))
+    assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(cosineExpr("qv", "v"), 6))
       .withColumn("rank", row_number().over(wRank).cast("long"))
@@ -150,8 +177,8 @@ object SimilarityQueries {
     * Stages: codebook = sub-vectors of the first 16 vecs (deterministic,
     * so DuckDB replays the training; production swaps per-subspace
     * k-means, same dataflow) → encode: per (vector, subspace) argmin-L2
-    * code via a broadcast join against the 64-row codebook → LUT: per
-    * (query, subspace, code) exact sub-distance, also broadcast-sized →
+    * code via a shuffle-free fold over the 64-entry codebook literal →
+    * LUT: per (query, subspace, code) exact sub-distance, query-side →
     * ADC: one map-side join of codes against the LUT and a (query, vec)
     * sum. The corpus is scanned once, never shuffled on vector contents —
     * the only exchange carries (query_id, vec_id, 4 rows of looked-up
@@ -165,26 +192,42 @@ object SimilarityQueries {
     val base = vecs(spark, dir)
     def subspaces(vcol: String, out: String) = expr(
       s"transform(sequence(0, ${m - 1}), s -> struct(s AS s, slice($vcol, s * $sub + 1, $sub) AS $out))")
-    val l2 = (a: String, b: String) => round(expr(
-      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, d) -> acc + d)"), 6)
-    val cb = base.filter(col("vec_id") < k)
-      .select(col("vec_id").as("code"), explode(subspaces("v", "cv")).as("e"))
-      .select(col("e.s").as("s"), col("code"), col("e.cv").as("cv"))
-    val wCode = Window.partitionBy("vec_id", "s").orderBy(asc("d2"), asc("code"))
+    // the codebook is BOUNDED (m×k = 64 sub-vectors) and lives driver-side
+    // as a literal indexed by subspace, like the IVF centroids: the encode
+    // stage is then a per-(vector, subspace) argmin-L2 FOLD — a pure
+    // projection, where the r5 form joined a broadcast codebook DataFrame
+    // and argmin'ed via a row_number window, planning an Exchange of the
+    // k×-inflated corpus rows.
+    val cbRows: Seq[(Long, Seq[Double])] = base.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("v")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1)
+    val cbLit = typedLit((0 until m).map(s =>
+      cbRows.map { case (code, v) => (code, v.slice(s * sub, (s + 1) * sub)) }))
+    val l2c = (a: Column, b: Column) => round(
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, d) => acc + d), 6)
+    // strict < with codes in code order ≡ ORDER BY d2 ASC, code ASC
+    val bestCode = aggregate(element_at(cbLit, col("s") + 1),
+      struct(lit(-1L).as("code"), lit(Double.MaxValue).as("best")),
+      (acc, c) => {
+        val d2 = l2c(col("xs"), c.getField("_2"))
+        when(d2 < acc.getField("best"),
+          struct(c.getField("_1").as("code"), d2.as("best"))).otherwise(acc)
+      }).getField("code")
     val codes = base
       .select(col("vec_id"), explode(subspaces("v", "xs")).as("e"))
       .select(col("vec_id"), col("e.s").as("s"), col("e.xs").as("xs"))
-      .join(broadcast(cb), Seq("s"))
-      .withColumn("d2", l2("xs", "cv"))
-      .withColumn("rn", row_number().over(wCode))
-      .filter(col("rn") === 1)
+      .withColumn("code", bestCode)
       .select(col("vec_id"), col("s"), col("code"))
     val lut = base.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), explode(subspaces("v", "qs")).as("e"))
       .select(col("query_id"), col("e.s").as("s"), col("e.qs").as("qs"))
-      .join(broadcast(cb), Seq("s"))
-      .withColumn("d2", l2("qs", "cv"))
-      .select(col("query_id"), col("s"), col("code"), col("d2"))
+      .select(col("query_id"), col("s"),
+        explode(transform(element_at(cbLit, col("s") + 1), c =>
+          struct(c.getField("_1").as("code"),
+                 l2c(col("qs"), c.getField("_2")).as("d2")))).as("cd"))
+      .select(col("query_id"), col("s"), col("cd.code").as("code"),
+        col("cd.d2").as("d2"))
     val wRank = Window.partitionBy("query_id").orderBy(asc("adc"), asc("vec_id"))
     codes.join(broadcast(lut), Seq("s", "code"))
       .filter(col("vec_id") =!= col("query_id"))

@@ -25,6 +25,10 @@ class PlanAuditSpec extends SparkSpec {
     "pack_chunks" -> 1,
     "train_test_split" -> 1,
     "knn_brute" -> 2,      // base + broadcast query side
+    "ann_ivf" -> 2,        // corpus + probe side; assignment is a fold over
+                           // the centroid literal, never a join
+    "pq_topk" -> 2,        // corpus + query side; encode fold over the
+                           // codebook literal, ADC via broadcast LUT
     "q7_nation_volume" -> 6, // nation self-aliased twice by design
     "q5_region_revenue" -> 6,
     "multimodal_resize" -> 1,
