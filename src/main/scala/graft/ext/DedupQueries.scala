@@ -18,8 +18,9 @@ import graft.Tables
   *    md5-hex → int hash), Hamming-ball candidate join via prefix bands.
   *  - jaccard: candidate blocking on distinct-word-count (±2) as an
   *    equi-join over exploded size buckets, exact Jaccard verify after.
-  *  - embedding: cosine near-dup blocked by the `label` column (stand-in
-  *    for an IVF cell id; see SimilarityQueries for the real assignment).
+  *  - embedding: cosine near-dup with SRP-LSH band candidates (the
+  *    [[SimilarityQueries]] hyperplane signature), exact-cosine verify —
+  *    never a blocked self-join of the corpus.
   *
   * Cross-engine hashing: every hash is an md5 hex STRING — identical in
   * Spark and DuckDB, min/ordering lexicographic. xxhash64 would be faster
@@ -479,36 +480,77 @@ object DedupQueries {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** Embedding cosine near-dup pairs within a blocking cell (`label`),
-    * threshold 0.35 (data-dependent demo knob; max pairwise cosine in the
-    * synthetic set is ~0.44).
+  /** Embedding cosine near-dup pairs, threshold 0.35 (data-dependent demo
+    * knob; max pairwise cosine in the synthetic set is ~0.44).
+    *
+    * Candidates come from SRP-LSH banding (the 16 deterministic
+    * hyperplanes of [[SimilarityQueries.embedLshPairs]], 4 bands × 4
+    * bits), with EXHAUSTIVE in-bucket pairing under the minhash-style
+    * bucket cap (≤64 members ⇒ ≤2016 pairs per bucket) — this operator
+    * emits every colliding pair with its exact cosine, where
+    * `embed_lsh_pairs` emits only star edges for union-find connectivity.
+    * Exact cosine ≥ 0.35 verifies each candidate.
+    *
+    * 100 TB shape: ONE corpus scan into a persisted (vec_id, v, sig)
+    * projection, one groupBy(band, key) shuffle for candidates, verify
+    * joins back on vec_id — never an all-pairs or blocked self-join of
+    * the corpus. (An earlier form blocked on the 10-value `label` column
+    * and broadcast the whole corpus side: O(n²/cells) compare volume and
+    * an unbounded broadcast — kept as a spec fixture in EmbedDupSpec to
+    * document recall, never registered.)
     */
   def embedDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("label"),
+      .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x AS double))").as("v"))
-    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("v").as("v_a"))
-    val b = e.select(col("vec_id").as("vec_b"), col("label"), col("v").as("v_b"))
-    // label has ~10 distinct values — broadcast to avoid a skew-bound
-    // 10-key shuffle join, and spread the probe rows over all cores
-    // first (see jaccardPairs note for the 100 TB variant)
-    a.repartition(col("vec_a"))
-      .join(broadcast(b), Seq("label"))
-      .filter(col("vec_a") < col("vec_b"))
+      .repartition(col("vec_id"))
+      .withColumn("sig", expr(SimilarityQueries.srpSigExprSql))
+      .select("vec_id", "v", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    val cand = e.select(col("vec_id"),
+        explode(expr("transform(sequence(0, 3), " +
+          "b -> struct(b AS band, shiftright(sig, b * 4) & 15 AS key))")).as("bb"))
+      .groupBy(col("bb.band").as("band"), col("bb.key").as("key"))
+      .agg(expr("array_sort(collect_list(vec_id))").as("vs"))
+      .filter(size(col("vs")).between(2, 64))
+      .select(explode(expr(
+        """flatten(transform(vs, (a, i) ->
+             transform(slice(vs, i + 2, size(vs)), b ->
+               named_struct('vec_a', a, 'vec_b', b))))""")).as("p"))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
+      .distinct() // the same pair can collide in several bands
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("v_a")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("v_b")), Seq("vec_b"))
       // explode-fused threshold: keeps the cosine evaluated once per pair
       // (a pushed-down filter would compute it twice; see jaccardPairs)
       .withColumn("cos0", SimilarityQueries.cosineExpr("v_a", "v_b"))
-      .select(col("label"), col("vec_a"), col("vec_b"),
+      .select(col("vec_a"), col("vec_b"),
         explode(expr("filter(array(round(cos0, 6)), c -> c >= 0.35)")).as("cos"))
       .orderBy("vec_a", "vec_b")
   }
 
+  // srpSigSqlCtes is pre-stripped — concatenate (see embedLshPairsSql note)
   val embedDupPairsSql: String =
-    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-      |SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |  ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
-      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-      |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+    s"WITH ${SimilarityQueries.srpSigSqlCtes},\n" +
+    s"""banded0 AS (
+      |  SELECT vec_id, b.band, (sig >> (b.band * 4)) & 15 AS key
+      |  FROM sg CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+      |banded AS (
+      |  SELECT * FROM (SELECT vec_id, band, key,
+      |    COUNT(*) OVER (PARTITION BY band, key) AS bsz FROM banded0)
+      |  WHERE bsz BETWEEN 2 AND 64),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+      |SELECT c.vec_a, c.vec_b,
+      |  ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+      |FROM cand c
+      |JOIN e ea ON ea.vec_id = c.vec_a
+      |JOIN e eb ON eb.vec_id = c.vec_b
+      |WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35
       |ORDER BY vec_a, vec_b""".stripMargin
 
   /** Span-level exact-substring dedup (the Lee et al. "Deduplicating

@@ -351,16 +351,35 @@ object SimilarityQueries {
       (0 until dims).map(d => s"${lshSign(p, d)}D").mkString("array(", ", ", ")")
     }.mkString("array(", ", ", ")")
 
+  /** SRP 16-bit sign signature of column `v` — shared by the star-edge
+    * pair generator here and the exhaustive-pairs near-dup operator in
+    * [[DedupQueries.embedDupPairs]].
+    */
+  private[ext] def srpSigExprSql: String =
+    s"""aggregate(sequence(0, ${nPlanes - 1}), 0L, (acc, p) -> acc + shiftleft(
+         CASE WHEN aggregate(zip_with(v, $planesLit[p], (x, r) -> x * r),
+           0D, (a, x) -> a + x) > 0
+         THEN 1L ELSE 0L END, p))"""
+
+  /** DuckDB replay of the signature (`e`, `sg` CTEs) for the oracles. */
+  private[ext] val srpSigSqlCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sg AS (
+      |  SELECT vec_id, v,
+      |    CAST(list_sum(list_transform(range(0, $nPlanes), p ->
+      |      CASE WHEN list_sum(list_transform(range(1, ${dims + 1}), d ->
+      |          v[d] * (CASE WHEN substr(md5('lsh:' || CAST(p AS VARCHAR) || ':'
+      |            || CAST(d - 1 AS VARCHAR)), 1, 1) <= '7'
+      |            THEN 1.0 ELSE -1.0 END))) > 0
+      |      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT) AS sig
+      |  FROM e)""".stripMargin
+
   def embedLshPairs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // persist: (vec_id, v, sig) feeds banding and both verify joins once
     val e = vecs(spark, dir)
       .repartition(col("vec_id"))
-      .withColumn("sig", expr(
-        s"""aggregate(sequence(0, ${nPlanes - 1}), 0L, (acc, p) -> acc + shiftleft(
-             CASE WHEN aggregate(zip_with(v, $planesLit[p], (x, r) -> x * r),
-               0D, (a, x) -> a + x) > 0
-             THEN 1L ELSE 0L END, p))"""))
+      .withColumn("sig", expr(srpSigExprSql))
       .select("vec_id", "v", "sig")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e.count()
@@ -383,18 +402,12 @@ object SimilarityQueries {
       .orderBy("vec_a", "vec_b")
   }
 
+  // NOTE: srpSigSqlCtes is already margin-stripped — concatenate, never
+  // re-interpolate it into a stripMargin block (its `||` concat operators
+  // start lines and would be eaten as margins)
   val embedLshPairsSql: String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |sg AS (
-      |  SELECT vec_id, v,
-      |    CAST(list_sum(list_transform(range(0, $nPlanes), p ->
-      |      CASE WHEN list_sum(list_transform(range(1, ${dims + 1}), d ->
-      |          v[d] * (CASE WHEN substr(md5('lsh:' || CAST(p AS VARCHAR) || ':'
-      |            || CAST(d - 1 AS VARCHAR)), 1, 1) <= '7'
-      |            THEN 1.0 ELSE -1.0 END))) > 0
-      |      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT) AS sig
-      |  FROM e),
-      |banded AS (
+    s"WITH $srpSigSqlCtes,\n" +
+    s"""banded AS (
       |  SELECT vec_id, b.band, (sig >> (b.band * 4)) & 15 AS key
       |  FROM sg CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
       |star AS (

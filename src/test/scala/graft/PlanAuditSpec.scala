@@ -15,6 +15,8 @@ class PlanAuditSpec extends SparkSpec {
   private val expected = Seq(
     "minhash_pairs" -> 1, // ONE documents scan: no banded self-join
     "jaccard_pairs" -> 1, // word-hash projection persisted, not recomputed
+    "embed_dup_pairs" -> 1, // SRP sig projection persisted; candidates +
+                            // both verify joins read the cache
     "dup_spans" -> 1,     // linear window pipeline, no join-backs
     "simhash" -> 1,
     "dedup_exact" -> 1,
