@@ -34,6 +34,8 @@ object Main {
       path: String = "",
       dsn: String = "",
       conf: String = "",
+      parts: Int = 0, // compact: explicit part count (0 = size-based auto)
+      compression: String = "", // compact: explicit codec ("" = inferred)
       verbose: Boolean = false,
       version: Boolean = false)
 
@@ -44,6 +46,8 @@ object Main {
       |  -path <dir>                artifact dir (extract out / load in / query out / compact)
       |  -table <name>              table to describe / single table to compact
       |  -conf <config.json>        sanitize/traversal config (or $GRAFT_CONF)
+      |  -parts <n>                 compact: output part count (default: sized from data bytes)
+      |  -compression <codec>       compact: gzip|snappy|... (default: inferred from existing parts)
       |  -verbose -version""".stripMargin
 
   def parse(args: Array[String]): Cli =
@@ -56,6 +60,8 @@ object Main {
           case "-path"   => cli.copy(path = v)
           case "-dsn"    => cli.copy(dsn = v)
           case "-conf"   => cli.copy(conf = v)
+          case "-parts"  => cli.copy(parts = v.toInt)
+          case "-compression" => cli.copy(compression = v)
           case other => throw new IllegalArgumentException(s"unknown flag: $other")
         }, None)
       case ((cli, None), "-verbose") => (cli.copy(verbose = true), None)
@@ -141,7 +147,15 @@ object Main {
             if (cli.table.nonEmpty) Seq(cli.table)
             else graft.io.JsonTableIO.listTables(cli.path)
           tables.foreach { t =>
-            val n = graft.io.JsonTableIO.compact(spark, cli.path, t, 1)
+            // explicit -parts pins the count (with -compression or none);
+            // default infers both from the artifact (size-based part
+            // count, codec from existing part extensions) so compacting
+            // a gzip artifact never silently decompresses it
+            val n =
+              if (cli.parts > 0)
+                graft.io.JsonTableIO.compact(spark, cli.path, t, cli.parts,
+                  Option(cli.compression).filter(_.nonEmpty))
+              else graft.io.JsonTableIO.compactAuto(spark, cli.path, t)
             out(s"$t: compacted ($n rows)")
           }
           0

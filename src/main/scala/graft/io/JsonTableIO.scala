@@ -140,6 +140,7 @@ object JsonTableIO {
   def compact(spark: SparkSession, outDir: String, tableName: String,
       targetParts: Int, compression: Option[String] = None): Long = {
     val dataDir = Paths.get(s"$outDir/$tableName/data")
+    recoverInterrupted(outDir, tableName)
     require(Files.isDirectory(dataDir), s"no partitioned artifact at $dataDir")
     val tmpDir = Paths.get(s"$outDir/$tableName/.data.compacting")
     deleteRecursively(tmpDir)
@@ -162,7 +163,7 @@ object JsonTableIO {
       require(n == before,
         s"compaction row count drifted: wrote $n, manifest says $before")
       // swap: old dir out of the way, new dir in, old dir deleted
-      val oldDir = Paths.get(s"$outDir/$tableName/.data.old")
+      val oldDir = oldDirPath(outDir, tableName)
       deleteRecursively(oldDir)
       Files.move(dataDir, oldDir)
       Files.move(tmpDir, dataDir)
@@ -172,6 +173,53 @@ object JsonTableIO {
       // never leave a full-size orphaned copy behind on failure
       case e: Throwable => deleteRecursively(tmpDir); throw e
     }
+  }
+
+  private def oldDirPath(outDir: String, tableName: String): Path =
+    Paths.get(s"$outDir/$tableName/.data.old")
+
+  /** Crash recovery for [[compact]]'s two-rename swap: process death
+    * between `move(dataDir, oldDir)` and `move(tmpDir, dataDir)` leaves
+    * the artifact with its rows stranded in `.data.old` and no data dir —
+    * a state `read()` and a compact re-run would otherwise both fail on.
+    * Restoring the old dir is always safe: the temp dir is only renamed
+    * in AFTER the old dir moved out, so at most one of them occupies the
+    * data path, and `.data.compacting` is discarded by the next run.
+    */
+  private def recoverInterrupted(outDir: String, tableName: String): Unit = {
+    val dataDir = Paths.get(s"$outDir/$tableName/data")
+    val oldDir = oldDirPath(outDir, tableName)
+    if (!Files.isDirectory(dataDir) && Files.isDirectory(oldDir))
+      Files.move(oldDir, dataDir)
+  }
+
+  /** [[compact]] with an inferred plan instead of caller-chosen knobs:
+    * part count sized so each output part lands near `targetPartBytes`
+    * of on-disk data (same-codec in/out keeps sizes comparable), and
+    * compression inferred from the existing part extensions — compacting
+    * a gzip artifact must not silently rewrite it uncompressed, and an
+    * arbitrarily large table must not collapse through a one-task
+    * coalesce(1).
+    */
+  def compactAuto(spark: SparkSession, outDir: String, tableName: String,
+      targetPartBytes: Long = 128L << 20): Long = {
+    recoverInterrupted(outDir, tableName)
+    val dataDir = Paths.get(s"$outDir/$tableName/data")
+    require(Files.isDirectory(dataDir), s"no partitioned artifact at $dataDir")
+    val s = Files.list(dataDir)
+    val parts =
+      try s.iterator().asScala.toSeq
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.startsWith("part-"))
+      finally s.close()
+    val bytes = parts.map(Files.size).sum
+    val codec = parts.map(_.getFileName.toString).flatMap { n =>
+      Seq(".gz" -> "gzip", ".snappy" -> "snappy", ".bz2" -> "bzip2",
+        ".deflate" -> "deflate", ".zst" -> "zstd", ".lz4" -> "lz4")
+        .collectFirst { case (ext, c) if n.endsWith(ext) => c }
+    }.headOption
+    val nParts = math.max(1L, (bytes + targetPartBytes - 1) / targetPartBytes)
+    compact(spark, outDir, tableName, nParts.toInt, codec)
   }
 
   private def deleteRecursively(p: Path): Unit =
@@ -275,9 +323,20 @@ object JsonTableIO {
     * `<table>.json` that mover's own loader can ingest. This funnels the
     * table through the driver by design — use it only for small tables
     * (config dims, lookup tables); [[write]] is the scale path.
+    *
+    * ENFORCED, not just documented: the collect is bounded at
+    * `maxRows + 1` and the write refuses loudly beyond `maxRows` — one
+    * misrouted call on a big table must fail fast, not OOM the driver.
     */
-  def writeSingleFile(df: DataFrame, outDir: String, tableName: String): Long = {
-    val rows = df.toJSON.collect()
+  def writeSingleFile(df: DataFrame, outDir: String, tableName: String,
+      maxRows: Int = 100000): Long = {
+    // limit(maxRows + 1): bounds driver memory for the oversize check
+    // itself AND detects overflow without a separate count job
+    val rows = df.toJSON.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"writeSingleFile('$tableName') exceeds maxRows=$maxRows: this " +
+        "path collects to the driver and is for small tables only — " +
+        "use write() (partitioned artifact) for large tables")
     val data =
       if (rows.isEmpty) "[]"
       else rows.map("\t\t" + _).mkString("[\n", ",\n", "\n\t]")

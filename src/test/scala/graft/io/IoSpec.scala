@@ -89,6 +89,52 @@ class JsonTableIOSpec extends SparkSpec {
     assert(back.forall(_.isNullAt(2)))
   }
 
+  test("compact recovers an artifact stranded mid-swap (.data.old, no data)") {
+    val out = Files.createTempDirectory("jsonio-compact-crash").toString
+    val df = spark.range(0, 50).toDF("id").repartition(4)
+    assert(JsonTableIO.write(df, out, "user") == 50L)
+    // simulate process death between compact()'s two renames: data moved
+    // to .data.old, replacement never moved in
+    Files.move(Paths.get(s"$out/user/data"), Paths.get(s"$out/user/.data.old"))
+    // a compact re-run restores the stranded rows and completes
+    assert(JsonTableIO.compact(spark, out, "user", 1) == 50L)
+    assert(JsonTableIO.read(spark, out, "user").count() == 50L)
+    assert(!Files.exists(Paths.get(s"$out/user/.data.old")))
+  }
+
+  test("compactAuto keeps the existing codec and sizes the part count") {
+    val out = Files.createTempDirectory("jsonio-compact-auto").toString
+    val df = spark.range(0, 200).toDF("id").repartition(8)
+    assert(JsonTableIO.write(df, out, "user") == 200L)
+    // make it a gzip artifact first (explicit compact with codec)
+    assert(JsonTableIO.compact(spark, out, "user", 2, Some("gzip")) == 200L)
+    def parts: List[String] = {
+      val stream = Files.list(Paths.get(s"$out/user/data"))
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(stream.iterator())
+        .asScala.map(_.getFileName.toString).filter(_.startsWith("part-")).toList
+      finally stream.close()
+    }
+    assert(parts.forall(_.endsWith(".gz")), s"expected gzip parts, got $parts")
+    // auto-compact must NOT silently decompress: codec inferred from
+    // extensions; tiny artifact → size-based count = 1
+    assert(JsonTableIO.compactAuto(spark, out, "user") == 200L)
+    assert(parts.size == 1 && parts.forall(_.endsWith(".gz")),
+      s"expected one gzip part after auto-compact, got $parts")
+    assert(JsonTableIO.read(spark, out, "user").count() == 200L)
+  }
+
+  test("writeSingleFile refuses a table above its row ceiling") {
+    val out = Files.createTempDirectory("jsonio-wsf-big").toString
+    val big = spark.range(0, 50).toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      JsonTableIO.writeSingleFile(big, out, "big", maxRows = 10)
+    }
+    assert(e.getMessage.contains("maxRows"))
+    assert(!Files.exists(Paths.get(s"$out/big.json")), "no partial file")
+    // at exactly the ceiling it still writes
+    assert(JsonTableIO.writeSingleFile(big.limit(10), out, "ok", maxRows = 10) == 10L)
+  }
+
   test("compact of an empty artifact is a clean no-op") {
     val out = Files.createTempDirectory("jsonio-compact-empty").toString
     val empty = spark.range(0, 0).toDF("id")
