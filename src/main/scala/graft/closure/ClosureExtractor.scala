@@ -82,7 +82,11 @@ class ClosureExtractor(
     * When closures overlap, this output is therefore an order-INDEPENDENT
     * superset of the reference's order-DEPENDENT export — a byte-for-byte
     * comparison against the reference on overlapping extras is not
-    * expected to match (ClosureSpec pins the policy).
+    * expected to match (ClosureSpec pins the policy). PropertySpec proves
+    * the exact relationship on random graphs: the reference's sequential
+    * gated output is always ⊆ ours, and ours equals the reference model
+    * with only the seed-row gating removed — so the delta is precisely
+    * what the skipped depth-0 reverse expansions would have reached.
     */
   def extractAll(seeds: Seq[(String, DataFrame)]): Map[String, DataFrame] = {
     val (tables, sizes) = runAllWithSizes(seeds)

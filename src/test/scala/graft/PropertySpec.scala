@@ -244,6 +244,157 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // ---- the overlapping-extras deviation, pinned as a property ----
+  //
+  // The reference runs the main seed and each config `extra` SEQUENTIALLY
+  // through one shared processedRelations set (`etl/engine.go:112-126`),
+  // and handleRow returns immediately for an already-processed row
+  // (`etl/extractor.go:98-103`) — so an extra-seed row the main traversal
+  // already reached at depth>0 never gets its depth-0 reverse expansion.
+  // Our extractAll gives EVERY seed depth-0 expansion (order-independent).
+  // These two models pin the exact relationship on random graphs:
+  //   (1) reference-sequential output ⊆ extractAll output, and
+  //   (2) extractAll output == the reference model with the seed gating
+  //       removed (every seed force-expanded at depth 0) — i.e. the delta
+  //       is BY CONSTRUCTION only what the skipped depth-0 reverse
+  //       expansions of already-visited extra seeds would have reached.
+
+  /** Row-recursive model of the reference's sequential semantics.
+    * `ungatedSeeds = true` removes only the seed-row gating (every seed
+    * row is expanded at depth 0 even if already processed) — the
+    * documented semantics of our joint extractAll.
+    */
+  private def modelRefSequential(g: RandGraph, seeds: Seq[(String, Set[Long])],
+      policy: TraversalPolicy, ungatedSeeds: Boolean): Map[String, Set[Long]] = {
+    val processed = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    def isProcessed(t: String, id: Long) = processed.get(t).exists(_.contains(id))
+    def mark(t: String, id: Long): Unit =
+      processed.getOrElseUpdate(t, scala.collection.mutable.Set.empty) += id
+    def expand(depth: Int, t: String, id: Long): Unit = {
+      val row = g.data(t)(id)
+      // forward FKs (extractor.go:107-129); parent depth is >0
+      for (e <- g.edges if e.childTable == t; v <- row(e.childCol))
+        handleRow(depth + 1, e.parentTable, v)
+      // reverse keys (extractor.go:32-50): all RKs at depth 0 unless
+      // omitted; allowlisted RKs at any depth
+      for (e <- g.edges if e.parentTable == t
+             if (depth == 0 && !policy.omitsFor(t)) ||
+               policy.referenceKeyAllowlist.contains(e.name);
+           cid <- g.data(e.childTable).collect {
+             case (c, fs) if fs(e.childCol).contains(id) => c }.toSeq.sorted)
+        handleRow(depth + 1, e.childTable, cid)
+    }
+    def handleRow(depth: Int, t: String, id: Long): Unit =
+      if (!isProcessed(t, id)) { mark(t, id); expand(depth, t, id) }
+    for ((t, ids) <- seeds; id <- ids.toSeq.sorted)
+      if (ungatedSeeds) { mark(t, id); expand(0, t, id) }
+      else handleRow(0, t, id)
+    processed.map { case (t, s) => t -> s.toSet }.toMap.filter(_._2.nonEmpty)
+  }
+
+  test("overlapping extras: reference-sequential ⊆ extractAll == ungated model") {
+    import org.apache.spark.sql.{Row => SqlRow}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val gs = cases(Gen.zip(genGraph,
+      Gen.someOf(1L, 2L, 3L, 4L, 5L).map(_.toSet),
+      Gen.oneOf(true, false),
+      Gen.someOf("e0", "e1", "e2", "e3", "e4", "e5")), 6)
+    var deviated = 0
+    gs.foreach { case (g, seedIds0, omit, allow) =>
+      val policy = TraversalPolicy(omit, allow.toSet)
+      val cat = Catalog(
+        g.tables.map(t => t -> TableMeta(t, Seq("id"))).toMap, g.edges)
+      val dfs: Map[String, org.apache.spark.sql.DataFrame] = g.tables.map { t =>
+        val fkCols = g.edges.filter(_.childTable == t).map(_.childCol)
+        val rows = g.data(t).toSeq.map { case (id, fs) =>
+          SqlRow.fromSeq(id +: fkCols.map(c => fs(c).map(Long.box).orNull))
+        }
+        val schema = StructType(StructField("id", LongType, nullable = false) +:
+          fkCols.map(c => StructField(c, LongType, nullable = true)))
+        t -> spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 2), schema)
+      }.toMap
+      // ordered: main seed on t0, then the "extra" on t1 — the overlap case
+      val seeds = Seq(
+        "t0" -> seedIds0.intersect(g.data("t0").keySet),
+        "t1" -> seedIds0.drop(1).intersect(g.data("t1").keySet)
+      ).filter(_._2.nonEmpty)
+      if (seeds.nonEmpty) {
+        val got = new ClosureExtractor(cat, dfs(_), policy)
+          .extractAll(seeds.map { case (t, ids) =>
+            t -> dfs(t).filter(col("id").isin(ids.toSeq: _*)) })
+          .map { case (t, df) =>
+            t -> df.select("id").collect().map(_.getLong(0)).toSet }
+          .filter(_._2.nonEmpty)
+        val refSeq = modelRefSequential(g, seeds, policy, ungatedSeeds = false)
+        val ungated = modelRefSequential(g, seeds, policy, ungatedSeeds = true)
+        // (1) the reference's order-dependent export is contained in ours
+        refSeq.foreach { case (t, ids) =>
+          assert(ids.subsetOf(got.getOrElse(t, Set.empty)),
+            s"reference found rows we missed at $t: seeds=$seeds policy=$policy\n" +
+              s" ref=$refSeq\n got=$got")
+        }
+        // (2) ours is exactly the un-gated sequential model
+        assert(got == ungated,
+          s"extractAll != ungated model: seeds=$seeds policy=$policy\n" +
+            s" got=$got\nwant=$ungated")
+        if (refSeq != got) deviated += 1
+      }
+    }
+    // the deterministic micro-case below guarantees the deviation is
+    // exercised even if the random cases happen never to overlap
+    assert(deviated >= 0)
+  }
+
+  test("overlapping extras micro-case: the skipped depth-0 expansion is the delta") {
+    // main seed: project 10 → (owner_id) user 1 at depth>0. extra seed:
+    // user 1 — the reference skips it (already processed), so comment 101
+    // (author_id → user 1) is never exported; our extractAll expands it
+    // at depth 0 and pulls the comment chain in.
+    val ex = new ClosureExtractor(catalog, tbl, TraversalPolicy())
+    val got = ex.extractAll(Seq(
+        "project" -> project.filter(col("id") === 10L),
+        "user" -> user.filter(col("id") === 1L)))
+      .map { case (t, df) => t -> df.select("id").collect().map(_.getLong(0)).toSet }
+      .filter(_._2.nonEmpty)
+    // the MAIN seed's depth-0 RK expansion legitimately pulls comment 100
+    // (project_id → 10) in both models; the DELTA vs the reference is
+    // comment 101 — only reachable via the depth-0 RK expansion of the
+    // extra seed (author_id → user 1), which the reference skips because
+    // user 1 was already processed at depth>0.
+    assert(got("comment") == Set(100L, 101L), s"got=$got")
+    assert(got("project") == Set(10L, 20L) && got("user") == Set(1L, 2L),
+      s"got=$got")
+    // and the sequential reference model on the same seeds agrees with
+    // everything except that skipped expansion: comment 101 absent
+    val g = RandGraph(
+      tables = Seq("user", "project", "comment"),
+      edges = catalog.edges,
+      data = Map(
+        "user" -> Map(
+          1L -> Map("best_project_id" -> Option(10L)),
+          2L -> Map("best_project_id" -> Option.empty[Long]),
+          3L -> Map("best_project_id" -> Option(30L)),
+          4L -> Map("best_project_id" -> Option(20L))),
+        "project" -> Map(
+          10L -> Map("owner_id" -> Option(1L)),
+          20L -> Map("owner_id" -> Option(2L)),
+          30L -> Map("owner_id" -> Option(3L)),
+          40L -> Map("owner_id" -> Option(4L))),
+        "comment" -> Map(
+          100L -> Map("project_id" -> Option(10L), "author_id" -> Option(2L)),
+          101L -> Map("project_id" -> Option(20L), "author_id" -> Option(1L)),
+          102L -> Map("project_id" -> Option(40L), "author_id" -> Option(3L)),
+          103L -> Map("project_id" -> Option(30L), "author_id" -> Option(4L)))))
+    val refSeq = modelRefSequential(g,
+      Seq("project" -> Set(10L), "user" -> Set(1L)),
+      TraversalPolicy(), ungatedSeeds = false)
+    assert(!refSeq.getOrElse("comment", Set.empty).contains(101L),
+      s"reference model should skip comment 101: $refSeq")
+    assert(refSeq.forall { case (t, ids) => ids.subsetOf(got(t)) },
+      s"ref ⊆ ours violated: ref=$refSeq got=$got")
+  }
+
   // ---- Spark: sanitize determinism/uniqueness over random id sets ----
 
   test("unique fakes never collide for arbitrary id sets") {
