@@ -39,7 +39,16 @@ class PlanAuditSpec extends SparkSpec {
     "lang_id" -> 1,
     "text_stats" -> 1,
     "events_anomaly" -> 1, // daily rollup persisted: spine + fill share it
-    "source_mix" -> 1      // per-source rollup persisted: cap + projection
+    "source_mix" -> 1,     // per-source rollup persisted: cap + projection
+    "skew_salted_agg" -> 1,
+    "bm25_search" -> 2,    // token stream + the 2-scalar (N, sum_dl) branch:
+                           // re-scanning for two numbers beats persisting
+                           // the tokenized corpus to share one pass
+    "tfidf_top_terms" -> 2, // same shape: tf stream + broadcast n_docs scalar
+    "events_session" -> 1,
+    "decontaminate" -> 2,  // corpus + broadcast eval shingles
+    "corpus_curation" -> 1 // minhash pair edges checkpoint to RDD leaves;
+                           // ONE relational docs scan feeds quality+dedup
   )
 
   test("tuned queries keep their expected parquet scan counts") {
