@@ -41,7 +41,10 @@ object Bench {
     // scheduling noise (r5 recorded minhash_pairs at 6.9 s; median-of-3
     // on the same code is 1.5 s). The median of 3 is robust to one bad
     // run and keeps the full 81-query suite under ~5 min.
-    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+    // floored at 1: runs=0 would make median() index an empty sequence and
+    // abort the whole suite with an opaque IndexOutOfBounds
+    val runs = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -143,20 +143,27 @@ object Main {
       case "compact" =>
         if (cli.path.isEmpty) { out(usage); 2 }
         else {
+          val explicit = cli.table.nonEmpty
           val tables =
-            if (cli.table.nonEmpty) Seq(cli.table)
+            if (explicit) Seq(cli.table)
             else graft.io.JsonTableIO.listTables(cli.path)
           tables.foreach { t =>
-            // explicit -parts pins the count (with -compression or none);
-            // default infers both from the artifact (size-based part
-            // count, codec from existing part extensions) so compacting
-            // a gzip artifact never silently decompresses it
-            val n =
-              if (cli.parts > 0)
-                graft.io.JsonTableIO.compact(spark, cli.path, t, cli.parts,
-                  Option(cli.compression).filter(_.nonEmpty))
-              else graft.io.JsonTableIO.compactAuto(spark, cli.path, t)
-            out(s"$t: compacted ($n rows)")
+            // each knob overrides inference independently: -parts pins the
+            // count, -compression pins the codec, anything unset is
+            // inferred from the artifact (size-based part count, codec
+            // from existing part extensions) — so compacting a gzip
+            // artifact never silently decompresses it, with or without
+            // -parts. Dir-wide runs skip single-file envelope tables
+            // (listTables returns them; they have nothing to compact);
+            // naming one with -table still fails loudly.
+            if (!explicit && !graft.io.JsonTableIO.hasPartitionedData(cli.path, t))
+              out(s"$t: skipped (single-file envelope, nothing to compact)")
+            else {
+              val n = graft.io.JsonTableIO.compactAuto(spark, cli.path, t,
+                parts = Some(cli.parts).filter(_ > 0),
+                compression = Option(cli.compression).filter(_.nonEmpty))
+              out(s"$t: compacted ($n rows)")
+            }
           }
           0
         }

@@ -92,33 +92,42 @@ object SimilarityQueries {
       .select(col("vec_id"), col("v")).collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1)
     val centArr = typedLit(cents)
-    def cosLit(c: Column, vcol: Column): Column =
-      round(graft.functions.CosineSimilarity.cosine_sim(c, vcol), 6)
+    // SCORE FIRST, fold second: HOF lambdas get no common-subexpression
+    // elimination, so a fold whose branches each embed the cosine would
+    // re-run the 64-dim dot product up to 4× per centroid. `transform`
+    // evaluates each cosine exactly once into a (cell, score) array; the
+    // fold then compares plain struct fields. NULL cosine (zero-norm
+    // vector) coalesces BELOW the init score, matching the oracle
+    // window's DESC-nulls-last: an all-null row still lands in its
+    // first-by-cent_id cell instead of silently vanishing.
+    def scoredCents(vcol: Column): Column = transform(centArr, c =>
+      struct(c.getField("_1").as("cell"),
+        coalesce(round(graft.functions.CosineSimilarity.cosine_sim(
+          c.getField("_2"), vcol), 6), lit(-2.0)).as("s")))
 
     // cell assignment: per-row argmax-cosine fold, no shuffle
-    val bestCell = aggregate(centArr,
-      struct(lit(-1L).as("cell"), lit(-2.0).as("best")),
-      (acc, c) => {
-        val s = cosLit(c.getField("_2"), col("v"))
-        when(s > acc.getField("best"),
-          struct(c.getField("_1").as("cell"), s.as("best"))).otherwise(acc)
-      }).getField("cell")
+    val bestCell = aggregate(scoredCents(col("v")),
+      struct(lit(-1L).as("cell"), lit(-3.0).as("best")),
+      (acc, c) =>
+        when(c.getField("s") > acc.getField("best"),
+          struct(c.getField("cell").as("cell"), c.getField("s").as("best")))
+        .otherwise(acc)).getField("cell")
     val assigned = base.withColumn("cell", bestCell)
       .select(col("vec_id"), col("v"), col("cell"))
 
     // probe list: top-2 cells per query via the same fold carrying
     // (best, second-best); explode to (query, cell) rows
-    val probeFold = aggregate(centArr,
-      struct(lit(-1L).as("c1"), lit(-2.0).as("s1"),
-             lit(-1L).as("c2"), lit(-2.0).as("s2")),
+    val probeFold = aggregate(scoredCents(col("qv")),
+      struct(lit(-1L).as("c1"), lit(-3.0).as("s1"),
+             lit(-1L).as("c2"), lit(-3.0).as("s2")),
       (acc, c) => {
-        val s = cosLit(c.getField("_2"), col("qv"))
+        val s = c.getField("s")
         when(s > acc.getField("s1"),
-          struct(c.getField("_1").as("c1"), s.as("s1"),
+          struct(c.getField("cell").as("c1"), s.as("s1"),
                  acc.getField("c1").as("c2"), acc.getField("s1").as("s2")))
         .when(s > acc.getField("s2"),
           struct(acc.getField("c1").as("c1"), acc.getField("s1").as("s1"),
-                 c.getField("_1").as("c2"), s.as("s2")))
+                 c.getField("cell").as("c2"), s.as("s2")))
         .otherwise(acc)
       })
     val probes = base.filter(col("vec_id") < 5)
@@ -206,14 +215,21 @@ object SimilarityQueries {
     val l2c = (a: Column, b: Column) => round(
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, d) => acc + d), 6)
-    // strict < with codes in code order ≡ ORDER BY d2 ASC, code ASC
-    val bestCode = aggregate(element_at(cbLit, col("s") + 1),
+    // SCORE FIRST, fold second (same rationale as annIvf's scoredCents):
+    // HOF lambdas get no common-subexpression elimination, so embedding
+    // l2c in both the condition and the result struct would run the
+    // 16-dim distance twice per code. `transform` evaluates each distance
+    // exactly once; strict < with codes in code order ≡ ORDER BY d2 ASC,
+    // code ASC.
+    val scoredCodes = transform(element_at(cbLit, col("s") + 1), c =>
+      struct(c.getField("_1").as("code"),
+             l2c(col("xs"), c.getField("_2")).as("d2")))
+    val bestCode = aggregate(scoredCodes,
       struct(lit(-1L).as("code"), lit(Double.MaxValue).as("best")),
-      (acc, c) => {
-        val d2 = l2c(col("xs"), c.getField("_2"))
-        when(d2 < acc.getField("best"),
-          struct(c.getField("_1").as("code"), d2.as("best"))).otherwise(acc)
-      }).getField("code")
+      (acc, c) =>
+        when(c.getField("d2") < acc.getField("best"),
+          struct(c.getField("code").as("code"), c.getField("d2").as("best")))
+        .otherwise(acc)).getField("code")
     val codes = base
       .select(col("vec_id"), explode(subspaces("v", "xs")).as("e"))
       .select(col("vec_id"), col("e.s").as("s"), col("e.xs").as("xs"))

@@ -193,34 +193,49 @@ object JsonTableIO {
       Files.move(oldDir, dataDir)
   }
 
-  /** [[compact]] with an inferred plan instead of caller-chosen knobs:
-    * part count sized so each output part lands near `targetPartBytes`
-    * of on-disk data (same-codec in/out keeps sizes comparable), and
-    * compression inferred from the existing part extensions — compacting
-    * a gzip artifact must not silently rewrite it uncompressed, and an
-    * arbitrarily large table must not collapse through a one-task
-    * coalesce(1).
+  /** [[compact]] with an inferred plan where the caller left a knob
+    * unset: part count sized so each output part lands near
+    * `targetPartBytes` of on-disk data (same-codec in/out keeps sizes
+    * comparable), and compression inferred from the existing part
+    * extensions — compacting a gzip artifact must not silently rewrite
+    * it uncompressed, and an arbitrarily large table must not collapse
+    * through a one-task coalesce(1). Explicit `parts`/`compression`
+    * override inference INDEPENDENTLY: `-parts 4` on a gzip artifact
+    * still infers gzip, and `-compression zstd` alone still sizes the
+    * part count from the data.
     */
   def compactAuto(spark: SparkSession, outDir: String, tableName: String,
-      targetPartBytes: Long = 128L << 20): Long = {
+      targetPartBytes: Long = 128L << 20,
+      parts: Option[Int] = None,
+      compression: Option[String] = None): Long = {
     recoverInterrupted(outDir, tableName)
     val dataDir = Paths.get(s"$outDir/$tableName/data")
     require(Files.isDirectory(dataDir), s"no partitioned artifact at $dataDir")
     val s = Files.list(dataDir)
-    val parts =
+    val existing =
       try s.iterator().asScala.toSeq
         .filter(p => Files.isRegularFile(p) &&
           p.getFileName.toString.startsWith("part-"))
       finally s.close()
-    val bytes = parts.map(Files.size).sum
-    val codec = parts.map(_.getFileName.toString).flatMap { n =>
-      Seq(".gz" -> "gzip", ".snappy" -> "snappy", ".bz2" -> "bzip2",
-        ".deflate" -> "deflate", ".zst" -> "zstd", ".lz4" -> "lz4")
-        .collectFirst { case (ext, c) if n.endsWith(ext) => c }
-    }.headOption
-    val nParts = math.max(1L, (bytes + targetPartBytes - 1) / targetPartBytes)
-    compact(spark, outDir, tableName, nParts.toInt, codec)
+    val bytes = existing.map(Files.size).sum
+    val codec = compression.orElse(
+      existing.map(_.getFileName.toString).flatMap { n =>
+        Seq(".gz" -> "gzip", ".snappy" -> "snappy", ".bz2" -> "bzip2",
+          ".deflate" -> "deflate", ".zst" -> "zstd", ".lz4" -> "lz4")
+          .collectFirst { case (ext, c) if n.endsWith(ext) => c }
+      }.headOption)
+    val nParts = parts.getOrElse(
+      math.max(1L, (bytes + targetPartBytes - 1) / targetPartBytes).toInt)
+    compact(spark, outDir, tableName, nParts, codec)
   }
+
+  /** Whether `tableName` has a partitioned artifact [[compact]] can work
+    * on (counting one recoverable from an interrupted swap) — single-file
+    * envelopes are listed by [[listTables]] but have nothing to compact.
+    */
+  def hasPartitionedData(outDir: String, tableName: String): Boolean =
+    Files.isDirectory(Paths.get(s"$outDir/$tableName/data")) ||
+      Files.isDirectory(oldDirPath(outDir, tableName))
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

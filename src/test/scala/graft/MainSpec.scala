@@ -72,6 +72,39 @@ class MainSpec extends SparkSpec {
     assert(rc3 == 0 && out3.contains(s"customer: $nSeed rows"))
   }
 
+  test("compact flags: codec kept with -parts, -compression honored, envelope skipped") {
+    val outDir = Files.createTempDirectory("graft-cli-compact2").toString
+    val n = graft.io.JsonTableIO.write(
+      Tables(spark, dsn, "region"), outDir, "region", Some("gzip"))
+    graft.io.JsonTableIO.writeSingleFile(
+      Tables(spark, dsn, "nation"), outDir, "nation")
+    def parts(t: String): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(java.nio.file.Paths.get(s"$outDir/$t/data"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("part-")).toList
+      finally s.close()
+    }
+    // dir-wide: the single-file envelope is skipped, not a crash half-way
+    val (rc, out) = capture(Main.Cli(action = "compact", path = outDir))
+    assert(rc == 0)
+    assert(out.exists(_.startsWith("nation: skipped")))
+    assert(out.contains(s"region: compacted ($n rows)"))
+    // -parts without -compression: gzip artifact stays gzip
+    val (rc2, _) = capture(Main.Cli(action = "compact", path = outDir,
+      table = "region", parts = 2))
+    assert(rc2 == 0)
+    assert(parts("region").nonEmpty && parts("region").forall(_.endsWith(".gz")))
+    // -compression without -parts: explicit codec is honored, not ignored
+    val (rc3, _) = capture(Main.Cli(action = "compact", path = outDir,
+      table = "region", compression = "none"))
+    assert(rc3 == 0)
+    assert(parts("region").nonEmpty && parts("region").forall(!_.endsWith(".gz")))
+    // -table naming the envelope still fails loudly
+    intercept[IllegalArgumentException](
+      capture(Main.Cli(action = "compact", path = outDir, table = "nation")))
+  }
+
   test("load with jdbc: dsn upserts into embedded Derby") {
     val conf = Files.createTempFile("graft-conf", ".json")
     Files.writeString(conf,

@@ -341,9 +341,9 @@ class PropertySpec extends SparkSpec {
         if (refSeq != got) deviated += 1
       }
     }
-    // the deterministic micro-case below guarantees the deviation is
-    // exercised even if the random cases happen never to overlap
-    assert(deviated >= 0)
+    // coverage signal only — the deterministic micro-case below guarantees
+    // the deviation is exercised even if the random cases never overlap
+    info(s"random cases exercising the overlapping-extras deviation: $deviated")
   }
 
   test("overlapping extras micro-case: the skipped depth-0 expansion is the delta") {
