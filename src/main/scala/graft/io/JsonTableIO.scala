@@ -18,10 +18,100 @@ import scala.jdk.CollectionConverters._
   * envelope metadata, written once on the driver). A reader of the
   * reference's format gets the same information; a 1000-executor writer
   * never funnels rows through one node.
+  *
+  * The manifest doubles as a COMMIT POINTER: an optional `data_dir`
+  * field names the live data dir (`data` when absent — so uncompacted
+  * artifacts stay byte-identical to the original layout). [[compact]]
+  * rewrites into a fresh `data-gN` generation dir and commits by
+  * atomically replacing the one-line manifest, never by renaming data
+  * dirs — a concurrent reader resolves the pointer to either the old
+  * or the new generation, both complete, with no missing-dir instant.
+  * The same protocol ports to object stores (the commit is a small
+  * PUT), where directory renames don't exist at all.
   */
 object JsonTableIO {
 
-  final case class Manifest(tableName: String, count: Long)
+  final case class Manifest(tableName: String, count: Long,
+      dataDir: String = "data")
+
+  /** Live data dir of a partitioned artifact, resolved through the
+    * manifest's commit pointer (plain `data` for artifacts never
+    * compacted, or with no manifest yet).
+    */
+  def dataPath(outDir: String, tableName: String): Path = {
+    val mp = Paths.get(s"$outDir/$tableName/manifest.json")
+    val d =
+      if (Files.isRegularFile(mp)) readManifest(outDir, tableName).dataDir
+      else "data"
+    Paths.get(s"$outDir/$tableName/$d")
+  }
+
+  /** `data`, `data-g1`, `data-g2`, … — the only names a manifest pointer
+    * may hold (validated at parse: a tampered pointer must fail loudly,
+    * not read an arbitrary path).
+    */
+  private val DataDirName = raw"data(?:-g\d+)?".r
+
+  private def renderManifest(tableName: String, count: Long,
+      dataDir: String): String = {
+    val dd =
+      if (dataDir == "data") ""
+      else s""", "data_dir": ${quote(dataDir)}"""
+    s"""{"table_name": ${quote(tableName)}, "count": $count$dd}"""
+  }
+
+  /** Atomic manifest replace: write-to-temp + single rename. This IS the
+    * commit — everything else (data generations, cleanup) is reader-
+    * invisible until or after this call.
+    */
+  private def writeManifestAtomic(outDir: String, tableName: String,
+      json: String): Unit = {
+    val dir = Paths.get(s"$outDir/$tableName")
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(".manifest.json.tmp")
+    Files.writeString(tmp, json)
+    try Files.move(tmp, dir.resolve("manifest.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, dir.resolve("manifest.json"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Delete every data generation except `keep`, plus leftovers of the
+    * pre-pointer two-rename protocol. Crash-safe by construction: only
+    * UNREFERENCED dirs are ever deleted, so a crash mid-cleanup leaves
+    * orphans for the next maintenance run, never a dangling pointer.
+    */
+  private def cleanupDataDirs(outDir: String, tableName: String,
+      keep: String): Unit = {
+    val dir = Paths.get(s"$outDir/$tableName")
+    if (Files.isDirectory(dir)) {
+      val s = Files.list(dir)
+      val gens =
+        try s.iterator().asScala.toList.filter(p => Files.isDirectory(p) &&
+          DataDirName.matches(p.getFileName.toString) &&
+          p.getFileName.toString != keep)
+        finally s.close()
+      gens.foreach(deleteRecursively)
+    }
+    deleteRecursively(oldDirPath(outDir, tableName))
+    deleteRecursively(Paths.get(s"$outDir/$tableName/.data.compacting"))
+  }
+
+  private def nextGenPath(outDir: String, tableName: String): Path = {
+    val dir = Paths.get(s"$outDir/$tableName")
+    val GenName = raw"data-g(\d+)".r
+    val s = Files.list(dir)
+    val maxGen =
+      try s.iterator().asScala.map(_.getFileName.toString).collect {
+        case GenName(n) => n.toLong
+      }.foldLeft(0L)(math.max)
+      finally s.close()
+    Paths.get(s"$outDir/$tableName/data-g${maxGen + 1}")
+  }
 
   /** Write `df` as the per-table artifact; returns the row count.
     * `compression` ("gzip" | "snappy" | "zstd" | ...) applies per part
@@ -43,10 +133,12 @@ object JsonTableIO {
     compression.fold(writer)(c => writer.option("compression", c))
       .json(s"$tableDir/data")
     val count = obs.get("n").asInstanceOf[Long]
-    val manifest =
-      s"""{"table_name": ${quote(tableName)}, "count": $count}"""
-    Files.createDirectories(Paths.get(tableDir))
-    Files.writeString(Paths.get(s"$tableDir/manifest.json"), manifest)
+    // the atomic manifest replace is the commit: it re-points a
+    // previously-compacted artifact (data_dir data-gN) back at the fresh
+    // plain `data` dir in the same instant it publishes the new count
+    writeManifestAtomic(outDir, tableName,
+      renderManifest(tableName, count, "data"))
+    cleanupDataDirs(outDir, tableName, keep = "data")
     // overwrite semantics across BOTH layouts: readers prefer the
     // single-file envelope, so a stale `<table>.json` from an earlier
     // writeSingleFile would shadow this fresh partitioned artifact
@@ -92,15 +184,14 @@ object JsonTableIO {
       // a present-but-malformed envelope must fail NAMING the bad file —
       // falling through to the (usually nonexistent) partitioned path
       // would surface as a misleading PATH_NOT_FOUND on <table>/data
-      require(
-        Files.isDirectory(Paths.get(s"$outDir/$tableName/data")) ||
-          !Files.isRegularFile(sf),
+      val live = dataPath(outDir, tableName)
+      require(Files.isDirectory(live) || !Files.isRegularFile(sf),
         s"$sf exists but is not a mover table envelope " +
           "(expected a JSON object with table_name and data fields) " +
           "and no partitioned artifact is present")
       val r = spark.read
       schema.foreach(r.schema)
-      r.json(s"$outDir/$tableName/data")
+      r.json(live.toString)
     }
   }
 
@@ -119,9 +210,11 @@ object JsonTableIO {
     val count = spark.read
       .schema(new StructType().add("__count_only", StringType))
       .json(s"$outDir/$tableName/data").count()
-    val manifest =
-      s"""{"table_name": ${quote(tableName)}, "count": $count}"""
-    Files.writeString(Paths.get(s"$outDir/$tableName/manifest.json"), manifest)
+    // the streaming sink's path is pinned to the plain `data` dir (its
+    // commit log lives inside), so the stamp re-points the artifact there
+    writeManifestAtomic(outDir, tableName,
+      renderManifest(tableName, count, "data"))
+    cleanupDataDirs(outDir, tableName, keep = "data")
     Files.deleteIfExists(singleFilePath(outDir, tableName))
     Manifest(tableName, count)
   }
@@ -129,21 +222,26 @@ object JsonTableIO {
   /** Compact an artifact's data dir to `targetParts` files — the
     * small-files maintenance op every long-lived artifact store needs
     * (a streaming sink or a 1000-task writer leaves thousands of tiny
-    * parts; listing + open overhead then dominates reads). Rewrites via
-    * a temp dir + two renames: a concurrent reader sees old parts, new
-    * parts, or (in the instant between renames) a missing dir — never a
-    * half-written MIX. True atomicity needs a manifest-pointer swap
-    * (object stores have no atomic rename at all) — that is the 100 TB
-    * delta, not more rename choreography. The manifest is untouched
+    * parts; listing + open overhead then dominates reads).
+    *
+    * COMMIT PROTOCOL: rewrite into a fresh `data-gN` generation dir,
+    * then commit by atomically replacing the manifest (whose `data_dir`
+    * pointer readers resolve). A concurrent reader sees the old
+    * generation or the new one — both complete; there is no instant
+    * with a missing or half-written dir, and no data-dir rename at all
+    * (which is what lets the same protocol run on object stores, where
+    * the manifest PUT is the commit). Crash at ANY point leaves either
+    * state plus at most an unreferenced orphan generation, which the
+    * next compact/write sweeps. The manifest count is untouched
     * (compaction must not change the row count — verified against it).
     */
   def compact(spark: SparkSession, outDir: String, tableName: String,
       targetParts: Int, compression: Option[String] = None): Long = {
-    val dataDir = Paths.get(s"$outDir/$tableName/data")
     recoverInterrupted(outDir, tableName)
-    require(Files.isDirectory(dataDir), s"no partitioned artifact at $dataDir")
-    val tmpDir = Paths.get(s"$outDir/$tableName/.data.compacting")
-    deleteRecursively(tmpDir)
+    val cur = dataPath(outDir, tableName)
+    require(Files.isDirectory(cur), s"no partitioned artifact at $cur")
+    val next = nextGenPath(outDir, tableName)
+    var committed = false
     try {
       // BYTE-EXACT rewrite: JSON lines pass through as text, untouched.
       // A parse-and-rewrite (spark.read.json) would (a) pay a full
@@ -152,39 +250,42 @@ object JsonTableIO {
       // (c) crash on a legitimately empty artifact (empty inferred
       // schema). Text lines have none of those failure modes.
       val obs = org.apache.spark.sql.Observation(s"graft_compact_$tableName")
-      val w = spark.read.text(dataDir.toString)
+      val w = spark.read.text(cur.toString)
         .observe(obs, org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("n"))
         .coalesce(math.max(1, targetParts))
         .write.mode(SaveMode.Overwrite)
-      compression.fold(w)(c => w.option("compression", c)).text(tmpDir.toString)
+      compression.fold(w)(c => w.option("compression", c)).text(next.toString)
       val n = obs.get("n").asInstanceOf[Long]
-      val before = readManifest(outDir, tableName).count
-      require(n == before,
-        s"compaction row count drifted: wrote $n, manifest says $before")
-      // swap: old dir out of the way, new dir in, old dir deleted
-      val oldDir = oldDirPath(outDir, tableName)
-      deleteRecursively(oldDir)
-      Files.move(dataDir, oldDir)
-      Files.move(tmpDir, dataDir)
-      deleteRecursively(oldDir)
+      val m = readManifest(outDir, tableName)
+      require(n == m.count,
+        s"compaction row count drifted: wrote $n, manifest says ${m.count}")
+      // THE commit: one atomic pointer replace
+      writeManifestAtomic(outDir, tableName,
+        renderManifest(m.tableName, m.count, next.getFileName.toString))
+      committed = true
+      // old generation + orphans of crashed runs; failure here strands
+      // only unreferenced dirs (next run sweeps), never the pointer
+      cleanupDataDirs(outDir, tableName, keep = next.getFileName.toString)
       n
     } catch {
-      // never leave a full-size orphaned copy behind on failure
-      case e: Throwable => deleteRecursively(tmpDir); throw e
+      // never leave a full-size orphaned copy behind on failure — but
+      // once the pointer swapped, `next` is the LIVE generation and must
+      // survive even if post-commit cleanup throws
+      case e: Throwable =>
+        if (!committed) deleteRecursively(next)
+        throw e
     }
   }
 
   private def oldDirPath(outDir: String, tableName: String): Path =
     Paths.get(s"$outDir/$tableName/.data.old")
 
-  /** Crash recovery for [[compact]]'s two-rename swap: process death
-    * between `move(dataDir, oldDir)` and `move(tmpDir, dataDir)` leaves
-    * the artifact with its rows stranded in `.data.old` and no data dir —
-    * a state `read()` and a compact re-run would otherwise both fail on.
-    * Restoring the old dir is always safe: the temp dir is only renamed
-    * in AFTER the old dir moved out, so at most one of them occupies the
-    * data path, and `.data.compacting` is discarded by the next run.
+  /** Crash recovery for artifacts left by the PRE-POINTER compact
+    * protocol (two renames through `.data.old`): process death between
+    * the renames left the rows stranded in `.data.old` with no data dir.
+    * The pointer-swap protocol has no such state — this sweep exists so
+    * an artifact produced by an older build still heals on first touch.
     */
   private def recoverInterrupted(outDir: String, tableName: String): Unit = {
     val dataDir = Paths.get(s"$outDir/$tableName/data")
@@ -209,7 +310,7 @@ object JsonTableIO {
       parts: Option[Int] = None,
       compression: Option[String] = None): Long = {
     recoverInterrupted(outDir, tableName)
-    val dataDir = Paths.get(s"$outDir/$tableName/data")
+    val dataDir = dataPath(outDir, tableName)
     require(Files.isDirectory(dataDir), s"no partitioned artifact at $dataDir")
     val s = Files.list(dataDir)
     val existing =
@@ -234,7 +335,7 @@ object JsonTableIO {
     * envelopes are listed by [[listTables]] but have nothing to compact.
     */
   def hasPartitionedData(outDir: String, tableName: String): Boolean =
-    Files.isDirectory(Paths.get(s"$outDir/$tableName/data")) ||
+    Files.isDirectory(dataPath(outDir, tableName)) ||
       Files.isDirectory(oldDirPath(outDir, tableName))
 
   private def deleteRecursively(p: Path): Unit =
@@ -267,7 +368,14 @@ object JsonTableIO {
       .findFirstMatchIn(txt).map(_.group(1)).getOrElse(tableName)
     val count = raw""""count"\s*:\s*(\d+)""".r
       .findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L)
-    Manifest(name, count)
+    val dataDir = raw""""data_dir"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      .findFirstMatchIn(txt).map(_.group(1)).getOrElse("data")
+    // a tampered/hand-edited pointer must fail loudly here, not resolve
+    // an arbitrary filesystem path at read time
+    require(DataDirName.matches(dataDir),
+      s"manifest for '$tableName' has invalid data_dir '$dataDir' " +
+        "(expected 'data' or 'data-g<N>')")
+    Manifest(name, count, dataDir)
   }
 
   /** Tables present under an export dir (≙ the loader's dir walk,

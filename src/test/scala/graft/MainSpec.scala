@@ -80,7 +80,8 @@ class MainSpec extends SparkSpec {
       Tables(spark, dsn, "nation"), outDir, "nation")
     def parts(t: String): Seq[String] = {
       import scala.jdk.CollectionConverters._
-      val s = Files.list(java.nio.file.Paths.get(s"$outDir/$t/data"))
+      // resolve through the manifest pointer — compact rotates generations
+      val s = Files.list(graft.io.JsonTableIO.dataPath(outDir, t))
       try s.iterator().asScala.map(_.getFileName.toString)
         .filter(_.startsWith("part-")).toList
       finally s.close()

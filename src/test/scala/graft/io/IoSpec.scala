@@ -49,7 +49,7 @@ class JsonTableIOSpec extends SparkSpec {
       .repartition(16)
     assert(JsonTableIO.write(df, out, "user") == 100L)
     def parts: List[String] = {
-      val stream = Files.list(Paths.get(s"$out/user/data"))
+      val stream = Files.list(JsonTableIO.dataPath(out, "user"))
       try scala.jdk.CollectionConverters.IteratorHasAsScala(stream.iterator())
         .asScala.map(_.getFileName.toString).filter(_.startsWith("part-")).toList
       finally stream.close()
@@ -109,7 +109,7 @@ class JsonTableIOSpec extends SparkSpec {
     // make it a gzip artifact first (explicit compact with codec)
     assert(JsonTableIO.compact(spark, out, "user", 2, Some("gzip")) == 200L)
     def parts: List[String] = {
-      val stream = Files.list(Paths.get(s"$out/user/data"))
+      val stream = Files.list(JsonTableIO.dataPath(out, "user"))
       try scala.jdk.CollectionConverters.IteratorHasAsScala(stream.iterator())
         .asScala.map(_.getFileName.toString).filter(_.startsWith("part-")).toList
       finally stream.close()
@@ -121,6 +121,61 @@ class JsonTableIOSpec extends SparkSpec {
     assert(parts.size == 1 && parts.forall(_.endsWith(".gz")),
       s"expected one gzip part after auto-compact, got $parts")
     assert(JsonTableIO.read(spark, out, "user").count() == 200L)
+  }
+
+  test("compact commits via the manifest pointer: generations rotate atomically") {
+    val out = Files.createTempDirectory("jsonio-gen").toString
+    val df = spark.range(0, 60).toDF("id").repartition(6)
+    assert(JsonTableIO.write(df, out, "user") == 60L)
+    // fresh write: plain layout, no pointer field (byte-compat with the
+    // original manifest shape)
+    val m0 = Files.readString(Paths.get(s"$out/user/manifest.json"))
+    assert(!m0.contains("data_dir"))
+    // first compact → generation 1; the old `data` dir is swept
+    assert(JsonTableIO.compact(spark, out, "user", 1) == 60L)
+    assert(JsonTableIO.readManifest(out, "user").dataDir == "data-g1")
+    assert(Files.isDirectory(Paths.get(s"$out/user/data-g1")))
+    assert(!Files.exists(Paths.get(s"$out/user/data")))
+    assert(JsonTableIO.read(spark, out, "user").count() == 60L)
+    // second compact → generation 2, previous generation swept
+    assert(JsonTableIO.compact(spark, out, "user", 1) == 60L)
+    assert(JsonTableIO.readManifest(out, "user").dataDir == "data-g2")
+    assert(!Files.exists(Paths.get(s"$out/user/data-g1")))
+    assert(JsonTableIO.read(spark, out, "user").count() == 60L)
+    // a fresh write() re-points at the plain data dir and sweeps the gen
+    assert(JsonTableIO.write(df, out, "user") == 60L)
+    assert(JsonTableIO.readManifest(out, "user").dataDir == "data")
+    assert(!Files.exists(Paths.get(s"$out/user/data-g2")))
+    assert(JsonTableIO.read(spark, out, "user").count() == 60L)
+  }
+
+  test("orphan generation from a crashed compact is unreferenced and swept") {
+    val out = Files.createTempDirectory("jsonio-gen-crash").toString
+    val df = spark.range(0, 30).toDF("id").repartition(3)
+    assert(JsonTableIO.write(df, out, "user") == 30L)
+    // simulate death AFTER the new generation was written but BEFORE the
+    // pointer swap: an orphan data-g7 exists, pointer still at `data`
+    val orphan = Paths.get(s"$out/user/data-g7")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("part-junk.json"), "{\"id\":999}\n")
+    // readers are unaffected — the pointer never moved
+    assert(JsonTableIO.read(spark, out, "user").count() == 30L)
+    // the next compact picks a HIGHER generation and sweeps the orphan
+    assert(JsonTableIO.compact(spark, out, "user", 1) == 30L)
+    assert(JsonTableIO.readManifest(out, "user").dataDir == "data-g8")
+    assert(!Files.exists(orphan))
+    assert(JsonTableIO.read(spark, out, "user").count() == 30L)
+  }
+
+  test("tampered manifest pointer fails loudly instead of resolving a path") {
+    val out = Files.createTempDirectory("jsonio-gen-tamper").toString
+    assert(JsonTableIO.write(spark.range(0, 5).toDF("id"), out, "user") == 5L)
+    Files.writeString(Paths.get(s"$out/user/manifest.json"),
+      """{"table_name": "user", "count": 5, "data_dir": "../../etc"}""")
+    val e = intercept[IllegalArgumentException] {
+      JsonTableIO.read(spark, out, "user")
+    }
+    assert(e.getMessage.contains("invalid data_dir"))
   }
 
   test("writeSingleFile refuses a table above its row ceiling") {
