@@ -36,6 +36,7 @@ object Main {
       conf: String = "",
       parts: Int = 0, // compact: explicit part count (0 = size-based auto)
       compression: String = "", // compact: explicit codec ("" = inferred)
+      staged: Boolean = false, // load: whole-table atomic staged upsert
       verbose: Boolean = false,
       version: Boolean = false)
 
@@ -48,6 +49,7 @@ object Main {
       |  -conf <config.json>        sanitize/traversal config (or $GRAFT_CONF)
       |  -parts <n>                 compact: output part count (default: sized from data bytes)
       |  -compression <codec>       compact: gzip|snappy|... (default: inferred from existing parts)
+      |  -staged                    load: stage in parallel, commit each table in ONE txn
       |  -verbose -version""".stripMargin
 
   def parse(args: Array[String]): Cli =
@@ -64,6 +66,7 @@ object Main {
           case "-compression" => cli.copy(compression = v)
           case other => throw new IllegalArgumentException(s"unknown flag: $other")
         }, None)
+      case ((cli, None), "-staged")  => (cli.copy(staged = true), None)
       case ((cli, None), "-verbose") => (cli.copy(verbose = true), None)
       case ((cli, None), "-version") => (cli.copy(version = true), None)
       case ((cli, None), flag) if flag.startsWith("-") => (cli, Some(flag))
@@ -99,8 +102,12 @@ object Main {
             tables.toSeq.sortBy(_._1).foreach { case (t, df) =>
               val pk = Catalog.tpch.tables.get(t).flatMap(_.primaryKey.headOption)
                 .getOrElse(df.columns.head)
-              UpsertJdbcSink.write(df, cli.dsn, new java.util.Properties, t, pk,
-                dialect = dialect)
+              if (cli.staged)
+                UpsertJdbcSink.writeStaged(df, cli.dsn, new java.util.Properties,
+                  t, pk, dialect = dialect)
+              else
+                UpsertJdbcSink.write(df, cli.dsn, new java.util.Properties, t, pk,
+                  dialect = dialect)
               out(s"$t: loaded")
             }
           } else tables.toSeq.sortBy(_._1).foreach { case (t, df) =>

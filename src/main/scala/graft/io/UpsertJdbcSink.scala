@@ -89,6 +89,85 @@ object UpsertJdbcSink {
     }
   }
 
+  /** Write `df` into `table` with upsert semantics AND the reference's
+    * one-transaction-per-table atomicity (`postgres.go:64-97` brackets the
+    * whole table load in a single txn) at full write parallelism — the
+    * scale-out answer to [[write]]'s documented per-partition-txn
+    * tradeoff:
+    *
+    *  1. stage: executors batch-insert in parallel into a private staging
+    *     table (partial state is invisible — nothing reads the stage);
+    *  2. commit: ONE driver transaction runs trigger-disable → merge
+    *     (conflict-skip vs the target) → sequence repair → trigger-enable.
+    *     Any failure rolls back the whole table load; the target is never
+    *     observable half-written.
+    *
+    * The merge is a single set statement, so the reference's per-row
+    * first-wins ordering between DUPLICATE pks in one artifact does not
+    * exist here — staging is therefore required pk-unique (checked, fails
+    * loudly). Extraction dedupes by pk, so real artifacts satisfy this.
+    */
+  def writeStaged(df: DataFrame, url: String, props: java.util.Properties,
+      table: String, pk: String, batchSize: Int = 1000,
+      dialect: UpsertDialect = PostgresUpsert): Unit = {
+    val columns = df.schema.fieldNames.toSeq
+    val stage = s"${table}__graft_stage"
+    withConnection(url, props) { c =>
+      dropIfExists(c, stage)
+      c.createStatement().execute(
+        s"""CREATE TABLE "$stage" AS SELECT * FROM "$table" WITH NO DATA""")
+    }
+    try {
+      val sql = s"""INSERT INTO "$stage" """ +
+        s"(${columns.map(c => s""""$c"""").mkString(", ")})" +
+        s" VALUES (${columns.map(_ => "?").mkString(", ")})"
+      df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        if (rows.nonEmpty) {
+          val conn = DriverManager.getConnection(url, props)
+          try {
+            conn.setAutoCommit(false)
+            val st = conn.prepareStatement(sql)
+            var n = 0
+            rows.foreach { r =>
+              var i = 0
+              while (i < columns.length) { st.setObject(i + 1, r.get(i)); i += 1 }
+              st.addBatch(); n += 1
+              if (n % batchSize == 0) st.executeBatch()
+            }
+            st.executeBatch()
+            conn.commit()
+          } catch {
+            case e: Exception => conn.rollback(); throw e
+          } finally conn.close()
+        }
+      }
+      withConnection(url, props) { c =>
+        c.setAutoCommit(false)
+        try {
+          val rs = c.createStatement().executeQuery(
+            s"""SELECT COUNT(*) - COUNT(DISTINCT "$pk") FROM "$stage"""")
+          rs.next()
+          require(rs.getLong(1) == 0L,
+            s"staged load for '$table' has duplicate '$pk' values: the " +
+              "single-statement merge cannot reproduce the reference's " +
+              "per-row first-wins order — dedupe upstream")
+          dialect.preLoad(c, table)
+          c.createStatement().executeUpdate(
+            dialect.mergeSql(table, stage, columns, pk))
+          dialect.postLoad(c, table, pk)
+          c.commit()
+        } catch {
+          case e: Exception => c.rollback(); throw e
+        }
+      }
+    } finally withConnection(url, props)(dropIfExists(_, stage))
+  }
+
+  /** Portable DROP TABLE IF EXISTS (Derby has no IF EXISTS clause). */
+  private def dropIfExists(c: Connection, table: String): Unit =
+    try c.createStatement().execute(s"""DROP TABLE "$table"""")
+    catch { case _: java.sql.SQLException => () }
+
   private[io] def withConnection[T](url: String, props: java.util.Properties)
       (f: Connection => T): T = {
     val c = DriverManager.getConnection(url, props)
@@ -110,12 +189,23 @@ sealed trait UpsertDialect extends Serializable {
   def preLoad(c: Connection, table: String): Unit = ()
   /** Driver-side statements after the write (D1 + D2 sequence repair). */
   def postLoad(c: Connection, table: String, pk: String): Unit = ()
+  /** Set-based conflict-skip merge of a staging table into the target
+    * ([[UpsertJdbcSink.writeStaged]]'s single-txn commit statement).
+    */
+  def mergeSql(table: String, stage: String, columns: Seq[String],
+      pk: String): String
 }
 
 /** Reference semantics (`/root/reference/dialect/postgres/postgres.go:64-97`). */
 case object PostgresUpsert extends UpsertDialect {
   def insertSql(table: String, columns: Seq[String], pk: String): String =
     UpsertJdbcSink.insertSql(table, columns, pk)
+  def mergeSql(table: String, stage: String, columns: Seq[String],
+      pk: String): String = {
+    val cols = columns.map(c => s""""$c"""").mkString(", ")
+    s"""INSERT INTO "$table" ($cols) SELECT $cols FROM "$stage"""" +
+      s""" ON CONFLICT ("$pk") DO NOTHING"""
+  }
   override def preLoad(c: Connection, table: String): Unit =
     c.createStatement().execute(UpsertJdbcSink.triggerSql(table, enable = false))
   override def postLoad(c: Connection, table: String, pk: String): Unit = {
@@ -143,6 +233,12 @@ case object DerbyUpsert extends UpsertDialect {
       s""" WHERE NOT EXISTS (SELECT 1 FROM "$table" WHERE "$pk" = ?)"""
   override def bindOrder(columns: Seq[String], pk: String): Seq[String] =
     columns :+ pk
+  def mergeSql(table: String, stage: String, columns: Seq[String],
+      pk: String): String = {
+    val cols = columns.map(c => s""""$c"""").mkString(", ")
+    s"""INSERT INTO "$table" ($cols) SELECT $cols FROM "$stage" s""" +
+      s""" WHERE NOT EXISTS (SELECT 1 FROM "$table" x WHERE x."$pk" = s."$pk")"""
+  }
   override def postLoad(c: Connection, table: String, pk: String): Unit = {
     // identity restart iff behind: Derby tracks the next identity value in
     // SYS.SYSCOLUMNS.AUTOINCREMENTVALUE (null for non-identity pks)

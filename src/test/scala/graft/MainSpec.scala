@@ -138,6 +138,43 @@ class MainSpec extends SparkSpec {
     c2.close()
   }
 
+  test("load -staged routes through the whole-table atomic upsert") {
+    val conf = Files.createTempFile("graft-conf", ".json")
+    Files.writeString(conf,
+      """{"schema": [{"table_name": "customer", "omit_reference_keys": true}]}""")
+    val outDir = Files.createTempDirectory("graft-cli-staged").toString
+    assert(capture(Main.Cli(action = "extract", dsn = dsn,
+      query = "SELECT * FROM customer WHERE c_custkey <= 3",
+      path = outDir, conf = conf.toString))._1 == 0)
+
+    val url = "jdbc:derby:memory:clistaged;create=true"
+    val c = DriverManager.getConnection(url)
+    c.createStatement().execute(
+      """CREATE TABLE "customer" ("c_custkey" BIGINT PRIMARY KEY,
+        | "c_name" VARCHAR(64), "c_nationkey" INT, "c_acctbal" DOUBLE,
+        | "c_mktsegment" VARCHAR(16))""".stripMargin)
+    c.createStatement().execute(
+      """CREATE TABLE "nation" ("n_nationkey" INT PRIMARY KEY,
+        | "n_name" VARCHAR(32), "n_regionkey" INT)""".stripMargin)
+    c.createStatement().execute(
+      """CREATE TABLE "region" ("r_regionkey" INT PRIMARY KEY,
+        | "r_name" VARCHAR(32))""".stripMargin)
+    c.close()
+
+    val (rc, out) = capture(
+      Main.Cli(action = "load", dsn = url, path = outDir, staged = true))
+    assert(rc == 0 && out.count(_.endsWith("loaded")) == 3)
+    val nSeed = Tables(spark, dsn, "customer").filter("c_custkey <= 3").count()
+    val c2 = DriverManager.getConnection(url)
+    val rs = c2.createStatement().executeQuery("""SELECT COUNT(*) FROM "customer"""")
+    rs.next(); assert(rs.getLong(1) == nSeed)
+    // no staging tables linger
+    val rs2 = c2.createStatement().executeQuery(
+      "SELECT COUNT(*) FROM SYS.SYSTABLES WHERE TABLENAME LIKE '%graft_stage%'")
+    rs2.next(); assert(rs2.getLong(1) == 0L)
+    c2.close()
+  }
+
   test("query verb runs a registered operator; unknown name lists the registry") {
     val (rc, out) = capture(Main.Cli(action = "query", query = "q1_agg", dsn = dsn))
     assert(rc == 0 && out.nonEmpty)

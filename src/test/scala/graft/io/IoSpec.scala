@@ -346,6 +346,17 @@ class UpsertSqlSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(UpsertJdbcSink.setvalSql("user_id_seq", "user", "id") ==
       """SELECT setval('user_id_seq', COALESCE((SELECT MAX("id") FROM "user") + 1, 1), false)""")
   }
+  test("staged merge SQL: set-based conflict-skip per dialect") {
+    assert(PostgresUpsert.mergeSql("user", "user__graft_stage",
+      Seq("id", "name"), "id") ==
+      "INSERT INTO \"user\" (\"id\", \"name\") SELECT \"id\", \"name\" " +
+        "FROM \"user__graft_stage\" ON CONFLICT (\"id\") DO NOTHING")
+    assert(DerbyUpsert.mergeSql("user", "user__graft_stage",
+      Seq("id", "name"), "id") ==
+      "INSERT INTO \"user\" (\"id\", \"name\") SELECT \"id\", \"name\" " +
+        "FROM \"user__graft_stage\" s WHERE NOT EXISTS " +
+        "(SELECT 1 FROM \"user\" x WHERE x.\"id\" = s.\"id\")")
+  }
 }
 
 class PgIntrospectSpec extends org.scalatest.funsuite.AnyFunSuite {

@@ -190,4 +190,32 @@ class PostgresLiveSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = cat.edges.find(_.childTable == "emp").get
     assert(e.childCol == "dept_id" && e.parentTable == "dept" && e.parentCol == "id")
   }
+
+  test("staged merge live: CTAS staging + single-txn ON CONFLICT commit") {
+    assume(up, "no live Postgres in this environment")
+    psql("""CREATE TABLE "st" ("id" bigserial PRIMARY KEY, "name" text);
+      |INSERT INTO "st"("name") VALUES ('a'), ('b');""".stripMargin)
+    // the statement sequence writeStaged generates, in its order: CTAS
+    // stage (no constraints), parallel-phase plain inserts, then the
+    // whole-table commit bracket in ONE transaction
+    psql("""CREATE TABLE "st__graft_stage" AS SELECT * FROM "st" WITH NO DATA""")
+    psql("""INSERT INTO "st__graft_stage" ("id", "name")
+      |  VALUES (1, 'dup'), (5, 'e'), (9, 'z')""".stripMargin)
+    val merge = PostgresUpsert.mergeSql("st", "st__graft_stage",
+      Seq("id", "name"), "id")
+    val seq = psql(UpsertJdbcSink.sequenceNameSql("st", "id")).head.head
+    psql(s"""BEGIN;
+      |${UpsertJdbcSink.triggerSql("st", enable = false)};
+      |$merge;
+      |${UpsertJdbcSink.setvalSql(seq, "st", "id")};
+      |${UpsertJdbcSink.triggerSql("st", enable = true)};
+      |COMMIT;""".stripMargin)
+    psql("""DROP TABLE "st__graft_stage"""")
+    // conflict row skipped (id 1 keeps 'a'), new rows merged
+    assert(psql("""SELECT "id", "name" FROM "st" ORDER BY "id"""")
+      .map(r => (r(0), r(1))) ==
+      Seq("1" -> "a", "2" -> "b", "5" -> "e", "9" -> "z"))
+    // sequence repaired past max(pk) inside the same txn
+    assert(psql(s"SELECT nextval('$seq')").head.head == "10")
+  }
 }
