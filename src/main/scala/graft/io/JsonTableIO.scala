@@ -201,22 +201,37 @@ object JsonTableIO {
     * the committed files (the file-sink commit log has no row counts, so a
     * scan is the only honest source); call at a quiescent point — after
     * stopping the stream, or between triggers.
+    *
+    * Counts the LIVE dir (manifest-pointer-resolved): finalizing a
+    * compacted artifact counts its current generation instead of dying
+    * on the swept `data` path. If BOTH a generation pointer and a plain
+    * `data` dir exist, a stream resumed after a compact rotated its dir
+    * away — the sink's commit log is gone and the two dirs hold disjoint
+    * rows, so this fails loudly instead of silently counting (and then
+    * sweeping) one of them. A compacted streaming artifact is CLOSED to
+    * further streaming; resume into a fresh artifact.
     */
   def finalizeManifest(spark: SparkSession, outDir: String,
       tableName: String): Manifest = {
+    val live = dataPath(outDir, tableName)
+    val liveName = live.getFileName.toString
+    require(liveName == "data" ||
+        !Files.isDirectory(Paths.get(s"$outDir/$tableName/data")),
+      s"artifact '$tableName' has both generation '$liveName' (the live " +
+        "pointer) and a plain data dir — a stream resumed after compact " +
+        "rotated its dir away; the rows are disjoint. Recover manually " +
+        "(merge or discard one dir), then re-finalize")
     // a pinned throwaway schema skips JSON schema inference — otherwise
     // the "one count job" would be TWO full scans (inference + count);
     // in PERMISSIVE mode every line still counts as one record
     val count = spark.read
       .schema(new StructType().add("__count_only", StringType))
-      .json(s"$outDir/$tableName/data").count()
-    // the streaming sink's path is pinned to the plain `data` dir (its
-    // commit log lives inside), so the stamp re-points the artifact there
+      .json(live.toString).count()
     writeManifestAtomic(outDir, tableName,
-      renderManifest(tableName, count, "data"))
-    cleanupDataDirs(outDir, tableName, keep = "data")
+      renderManifest(tableName, count, liveName))
+    cleanupDataDirs(outDir, tableName, keep = liveName)
     Files.deleteIfExists(singleFilePath(outDir, tableName))
-    Manifest(tableName, count)
+    Manifest(tableName, count, liveName)
   }
 
   /** Compact an artifact's data dir to `targetParts` files — the
@@ -308,27 +323,33 @@ object JsonTableIO {
   def compactAuto(spark: SparkSession, outDir: String, tableName: String,
       targetPartBytes: Long = 128L << 20,
       parts: Option[Int] = None,
-      compression: Option[String] = None): Long = {
-    recoverInterrupted(outDir, tableName)
-    val dataDir = dataPath(outDir, tableName)
-    require(Files.isDirectory(dataDir), s"no partitioned artifact at $dataDir")
-    val s = Files.list(dataDir)
-    val existing =
-      try s.iterator().asScala.toSeq
-        .filter(p => Files.isRegularFile(p) &&
-          p.getFileName.toString.startsWith("part-"))
-      finally s.close()
-    val bytes = existing.map(Files.size).sum
-    val codec = compression.orElse(
-      existing.map(_.getFileName.toString).flatMap { n =>
-        Seq(".gz" -> "gzip", ".snappy" -> "snappy", ".bz2" -> "bzip2",
-          ".deflate" -> "deflate", ".zst" -> "zstd", ".lz4" -> "lz4")
-          .collectFirst { case (ext, c) if n.endsWith(ext) => c }
-      }.headOption)
-    val nParts = parts.getOrElse(
-      math.max(1L, (bytes + targetPartBytes - 1) / targetPartBytes).toInt)
-    compact(spark, outDir, tableName, nParts, codec)
-  }
+      compression: Option[String] = None): Long =
+    if (parts.isDefined && compression.isDefined)
+      // both knobs pinned: nothing to infer — skip the per-part listing
+      // and stat pass (thousands of metadata ops on exactly the
+      // small-files artifacts compact exists for)
+      compact(spark, outDir, tableName, parts.get, compression)
+    else {
+      recoverInterrupted(outDir, tableName)
+      val dataDir = dataPath(outDir, tableName)
+      require(Files.isDirectory(dataDir), s"no partitioned artifact at $dataDir")
+      val s = Files.list(dataDir)
+      val existing =
+        try s.iterator().asScala.toSeq
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.startsWith("part-"))
+        finally s.close()
+      val bytes = existing.map(Files.size).sum
+      val codec = compression.orElse(
+        existing.map(_.getFileName.toString).flatMap { n =>
+          Seq(".gz" -> "gzip", ".snappy" -> "snappy", ".bz2" -> "bzip2",
+            ".deflate" -> "deflate", ".zst" -> "zstd", ".lz4" -> "lz4")
+            .collectFirst { case (ext, c) if n.endsWith(ext) => c }
+        }.headOption)
+      val nParts = parts.getOrElse(
+        math.max(1L, (bytes + targetPartBytes - 1) / targetPartBytes).toInt)
+      compact(spark, outDir, tableName, nParts, codec)
+    }
 
   /** Whether `tableName` has a partitioned artifact [[compact]] can work
     * on (counting one recoverable from an interrupted swap) — single-file
@@ -355,8 +376,9 @@ object JsonTableIO {
     // NAMING that file, not with NoSuchFileException on a manifest that
     // never existed
     val manifestPath = Paths.get(s"$outDir/$tableName/manifest.json")
+    val fromEnvelope = Files.isRegularFile(sf) && isEnvelope(sf)
     val txt =
-      if (Files.isRegularFile(sf) && isEnvelope(sf)) Files.readString(sf)
+      if (fromEnvelope) Files.readString(sf)
       else {
         require(Files.isRegularFile(manifestPath) || !Files.isRegularFile(sf),
           s"$sf exists but is not a mover table envelope " +
@@ -368,8 +390,13 @@ object JsonTableIO {
       .findFirstMatchIn(txt).map(_.group(1)).getOrElse(tableName)
     val count = raw""""count"\s*:\s*(\d+)""".r
       .findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L)
-    val dataDir = raw""""data_dir"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-      .findFirstMatchIn(txt).map(_.group(1)).getOrElse("data")
+    // the pointer exists only in the one-line manifest.json — NEVER
+    // regex an envelope for it (its row data could legitimately contain
+    // a "data_dir" field, which must not be mistaken for a pointer)
+    val dataDir =
+      if (fromEnvelope) "data"
+      else raw""""data_dir"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("data")
     // a tampered/hand-edited pointer must fail loudly here, not resolve
     // an arbitrary filesystem path at read time
     require(DataDirName.matches(dataDir),

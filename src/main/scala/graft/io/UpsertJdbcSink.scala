@@ -102,25 +102,37 @@ object UpsertJdbcSink {
     *     Any failure rolls back the whole table load; the target is never
     *     observable half-written.
     *
-    * The merge is a single set statement, so the reference's per-row
-    * first-wins ordering between DUPLICATE pks in one artifact does not
-    * exist here — staging is therefore required pk-unique (checked, fails
-    * loudly). Extraction dedupes by pk, so real artifacts satisfy this.
+    * The stage carries the target's PRIMARY KEY and the parallel phase
+    * inserts with the dialect's conflict-skip form — so a Spark task
+    * RETRY re-inserting its partition's committed rows is idempotent
+    * (the replay skips), which a plain INSERT stage would turn into a
+    * spurious whole-load failure. Duplicate pks WITHIN one load are
+    * collapsed by a Spark-side `dropDuplicates(pk)` BEFORE staging
+    * (arbitrary winner — [[write]]'s existing cross-partition
+    * semantics): collapsing them DB-side instead would race two
+    * concurrent partition txns on the same key, which Postgres's ON
+    * CONFLICT arbitrates but Derby's NOT EXISTS probe does not. The one
+    * extra shuffle is the price of the atomic path. A NULL pk fails
+    * loudly at stage time on the PK constraint.
     */
-  def writeStaged(df: DataFrame, url: String, props: java.util.Properties,
+  def writeStaged(df0: DataFrame, url: String, props: java.util.Properties,
       table: String, pk: String, batchSize: Int = 1000,
       dialect: UpsertDialect = PostgresUpsert): Unit = {
+    val df = df0.dropDuplicates(Seq(pk))
     val columns = df.schema.fieldNames.toSeq
     val stage = s"${table}__graft_stage"
     withConnection(url, props) { c =>
       dropIfExists(c, stage)
       c.createStatement().execute(
         s"""CREATE TABLE "$stage" AS SELECT * FROM "$table" WITH NO DATA""")
+      // CTAS copies no constraints; the pk is what makes retries
+      // idempotent below (and what the merge's conflict-skip keys on)
+      c.createStatement().execute(
+        s"""ALTER TABLE "$stage" ADD PRIMARY KEY ("$pk")""")
     }
     try {
-      val sql = s"""INSERT INTO "$stage" """ +
-        s"(${columns.map(c => s""""$c"""").mkString(", ")})" +
-        s" VALUES (${columns.map(_ => "?").mkString(", ")})"
+      val sql = dialect.insertSql(stage, columns, pk)
+      val bindIdx: Seq[Int] = dialect.bindOrder(columns, pk).map(columns.indexOf)
       df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         if (rows.nonEmpty) {
           val conn = DriverManager.getConnection(url, props)
@@ -130,7 +142,7 @@ object UpsertJdbcSink {
             var n = 0
             rows.foreach { r =>
               var i = 0
-              while (i < columns.length) { st.setObject(i + 1, r.get(i)); i += 1 }
+              while (i < bindIdx.length) { st.setObject(i + 1, r.get(bindIdx(i))); i += 1 }
               st.addBatch(); n += 1
               if (n % batchSize == 0) st.executeBatch()
             }
@@ -144,13 +156,6 @@ object UpsertJdbcSink {
       withConnection(url, props) { c =>
         c.setAutoCommit(false)
         try {
-          val rs = c.createStatement().executeQuery(
-            s"""SELECT COUNT(*) - COUNT(DISTINCT "$pk") FROM "$stage"""")
-          rs.next()
-          require(rs.getLong(1) == 0L,
-            s"staged load for '$table' has duplicate '$pk' values: the " +
-              "single-statement merge cannot reproduce the reference's " +
-              "per-row first-wins order — dedupe upstream")
           dialect.preLoad(c, table)
           c.createStatement().executeUpdate(
             dialect.mergeSql(table, stage, columns, pk))
@@ -163,10 +168,21 @@ object UpsertJdbcSink {
     } finally withConnection(url, props)(dropIfExists(_, stage))
   }
 
-  /** Portable DROP TABLE IF EXISTS (Derby has no IF EXISTS clause). */
+  /** Portable DROP TABLE IF EXISTS (Derby has no IF EXISTS clause):
+    * table-not-found SQLStates are expected and swallowed; anything else
+    * (lock timeout, dead connection, permissions) rethrows — silence
+    * there would surface later as a baffling "table already exists" or a
+    * leaked stage.
+    */
+  private val TableNotFoundStates = Set(
+    "42Y55", // Derby: object does not exist (DROP)
+    "42P01") // Postgres: undefined_table
   private def dropIfExists(c: Connection, table: String): Unit =
     try c.createStatement().execute(s"""DROP TABLE "$table"""")
-    catch { case _: java.sql.SQLException => () }
+    catch {
+      case e: java.sql.SQLException
+          if TableNotFoundStates.contains(e.getSQLState) => ()
+    }
 
   private[io] def withConnection[T](url: String, props: java.util.Properties)
       (f: Connection => T): T = {

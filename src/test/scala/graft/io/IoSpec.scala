@@ -167,6 +167,30 @@ class JsonTableIOSpec extends SparkSpec {
     assert(JsonTableIO.read(spark, out, "user").count() == 30L)
   }
 
+  test("finalizeManifest resolves the live generation; ambiguous state fails loudly") {
+    val out = Files.createTempDirectory("jsonio-gen-fin").toString
+    val df = spark.range(0, 40).toDF("id").repartition(4)
+    assert(JsonTableIO.write(df, out, "user") == 40L)
+    assert(JsonTableIO.compact(spark, out, "user", 1) == 40L)
+    // finalize after compact: counts data-g1, keeps the pointer — the old
+    // pinned-`data` form would have died on the swept dir
+    val m = JsonTableIO.finalizeManifest(spark, out, "user")
+    assert(m.count == 40L && m.dataDir == "data-g1")
+    assert(JsonTableIO.read(spark, out, "user").count() == 40L)
+    // a plain data dir REAPPEARING next to a generation pointer (stream
+    // resumed after compact) is disjoint rows — refuse, don't sweep
+    val stray = Paths.get(s"$out/user/data")
+    Files.createDirectories(stray)
+    Files.writeString(stray.resolve("part-0.json"), "{\"id\":777}\n")
+    val e = intercept[IllegalArgumentException] {
+      JsonTableIO.finalizeManifest(spark, out, "user")
+    }
+    assert(e.getMessage.contains("both generation"))
+    // neither dir was deleted by the refusal
+    assert(Files.isDirectory(stray) &&
+      Files.isDirectory(Paths.get(s"$out/user/data-g1")))
+  }
+
   test("tampered manifest pointer fails loudly instead of resolving a path") {
     val out = Files.createTempDirectory("jsonio-gen-tamper").toString
     assert(JsonTableIO.write(spark.range(0, 5).toDF("id"), out, "user") == 5L)

@@ -33,13 +33,23 @@ def rows_of(rel):
     dtypes = [str(df.dtypes.iloc[i]) for i in order]
     return [cols[i] for i in order], out, dtypes
 
-def cmp_vals(a, b):
-    if a is b: return True  # None, and singletons like pandas NaT
-    if a is None and b is None: return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b): return True
-        return a == b or abs(a-b) <= 1e-9 * max(1.0, abs(a), abs(b))
+def eq_exact(a, b):
+    """Strict equality with the driver's null/NaN semantics: identity
+    covers None and singletons like pandas NaT, NaN compares equal to
+    NaN (tuple == would say False)."""
+    if a is b: return True
+    if isinstance(a, float) and isinstance(b, float) \
+            and math.isnan(a) and math.isnan(b):
+        return True
     return a == b
+
+def cmp_vals(a, b):
+    """eq_exact plus a 1e-9 relative float tolerance (triage only — the
+    driver hashes exactly, so tolerant-only matches still WARN)."""
+    if eq_exact(a, b): return True
+    if isinstance(a, float) and isinstance(b, float):
+        return abs(a-b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    return False
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -72,20 +82,10 @@ def main(sf_dir, out_dir):
         gs, es = sorted(got, key=repr), sorted(exp, key=repr)
         if len(gs) != len(es):
             print(f"FAIL {name}: {len(gs)} rows vs {len(es)}"); n_bad += 1; continue
-        # tuple == is False for any row containing NaN (NaN != NaN), which
-        # made every nullable-float query WARN "not exact"; the driver's
-        # hash treats NaN deterministically, so exactness here must too
-        def ex_eq(x, y):
-            if x is y:  # None, and singletons like pandas NaT
-                return True
-            if isinstance(x, float) and isinstance(y, float) \
-                    and math.isnan(x) and math.isnan(y):
-                return True
-            return x == y
         bad = None
         exact = True
         for i, (g, e) in enumerate(zip(gs, es)):
-            if not all(ex_eq(x, y) for x, y in zip(g, e)):
+            if not all(eq_exact(x, y) for x, y in zip(g, e)):
                 exact = False
                 if not all(cmp_vals(x, y) for x, y in zip(g, e)):
                     bad = (i, g, e); break
