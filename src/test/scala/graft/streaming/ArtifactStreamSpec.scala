@@ -29,13 +29,26 @@ class ArtifactStreamSpec extends SparkSpec {
     assert(m == JsonTableIO.Manifest("user", 3L))
     assert(JsonTableIO.readManifest(out, "user") == m)
     assert(JsonTableIO.listTables(out) == Seq("user"))
-    val back = JsonTableIO.read(spark, out, "user",
-      Some(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("name",
-          org.apache.spark.sql.types.StringType)))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType)))
+    val back = JsonTableIO.read(spark, out, "user", Some(schema))
     assert(back.orderBy("id").as[(Long, String)].collect().toSeq ==
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // full maintenance lifecycle on the STREAMING artifact: compact must
+    // read only the sink's COMMITTED files (the _spark_metadata log rides
+    // inside the data dir), rotate into a generation, and keep the rows —
+    // after which the artifact is a normal table, closed to this stream
+    assert(JsonTableIO.compact(spark, out, "user", 1) == 3L)
+    assert(JsonTableIO.readManifest(out, "user").dataDir == "data-g1")
+    val compacted = JsonTableIO.read(spark, out, "user", Some(schema))
+    assert(compacted.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // re-finalize after compact resolves the generation (no pinned path)
+    assert(JsonTableIO.finalizeManifest(spark, out, "user") ==
+      JsonTableIO.Manifest("user", 3L, "data-g1"))
   }
 }
