@@ -114,6 +114,10 @@ object UpsertJdbcSink {
     * CONFLICT arbitrates but Derby's NOT EXISTS probe does not. The one
     * extra shuffle is the price of the atomic path. A NULL pk fails
     * loudly at stage time on the PK constraint.
+    *
+    * ONE load per table at a time (same contract as [[write]]): the
+    * stage name is deterministic per table, so a second concurrent
+    * staged load of the same table would drop the first's stage.
     */
   def writeStaged(df0: DataFrame, url: String, props: java.util.Properties,
       table: String, pk: String, batchSize: Int = 1000,
