@@ -37,6 +37,7 @@ object Main {
       parts: Int = 0, // compact: explicit part count (0 = size-based auto)
       compression: String = "", // compact: explicit codec ("" = inferred)
       staged: Boolean = false, // load: whole-table atomic staged upsert
+      delta: String = "", // extract: previous export dir -> delta extract
       verbose: Boolean = false,
       version: Boolean = false)
 
@@ -50,6 +51,7 @@ object Main {
       |  -parts <n>                 compact: output part count (default: sized from data bytes)
       |  -compression <codec>       compact: gzip|snappy|... (default: inferred from existing parts)
       |  -staged                    load: stage in parallel, commit each table in ONE txn
+      |  -delta <prevDir>           extract: only rows NEW since the previous export
       |  -verbose -version""".stripMargin
 
   def parse(args: Array[String]): Cli =
@@ -64,6 +66,7 @@ object Main {
           case "-conf"   => cli.copy(conf = v)
           case "-parts"  => cli.copy(parts = v.toInt)
           case "-compression" => cli.copy(compression = v)
+          case "-delta" => cli.copy(delta = v)
           case other => throw new IllegalArgumentException(s"unknown flag: $other")
         }, None)
       case ((cli, None), "-staged")  => (cli.copy(staged = true), None)
@@ -88,7 +91,10 @@ object Main {
       case "extract" =>
         if (cli.query.isEmpty || cli.path.isEmpty) { out(usage); 2 }
         else {
-          val counts = engine.extractTo(cli.query, cli.path)
+          val counts =
+            if (cli.delta.nonEmpty)
+              engine.extractDeltaTo(cli.query, cli.path, cli.delta)
+            else engine.extractTo(cli.query, cli.path)
           counts.toSeq.sortBy(_._1).foreach { case (t, n) => out(s"$t: $n rows") }
           0
         }

@@ -89,6 +89,42 @@ class Engine(
     closed.map { case (t, df) => t -> sanitized(t, df) }
   }
 
+  /** Incremental (delta) extraction: the closure of `seedQuery` MINUS
+    * rows already present in a previous export — the run shape a
+    * RECURRING pipeline actually needs at scale (extract what's new
+    * since the last export, not the world again). Per table: one
+    * left_anti join on the primary key against the previous key set
+    * (tables with no previous export pass through whole). The anti join
+    * shuffles on the pk — at 100 TB the previous key sets are far too
+    * large to broadcast, and pk-hash co-partitioning is exactly the plan
+    * you want; rows-in-closure is unchanged, so the delta is computed,
+    * never re-traversed.
+    */
+  def extractDelta(seedQuery: String,
+      prevKeys: Map[String, DataFrame]): Map[String, DataFrame] =
+    extract(seedQuery).map { case (t, df) =>
+      prevKeys.get(t) match {
+        case None => t -> df
+        case Some(prev) =>
+          val pk = catalog.pkOf(t)
+          t -> df.join(
+            prev.select(pk.map(org.apache.spark.sql.functions.col): _*),
+            pk, "left_anti")
+      }
+    }
+
+  /** Previous-export primary-key sets for [[extractDelta]], read from an
+    * artifact dir (tables unknown to the catalog are skipped — they
+    * cannot appear in a new closure either).
+    */
+  def deltaBaseline(prevDir: String): Map[String, DataFrame] =
+    JsonTableIO.listTables(prevDir).flatMap { t =>
+      catalog.tables.get(t).map { meta =>
+        t -> JsonTableIO.read(spark, prevDir, t)
+          .select(meta.primaryKey.map(org.apache.spark.sql.functions.col): _*)
+      }
+    }.toMap
+
   /** Apply the config's sanitize rules for `table` (no-op without rules). */
   def sanitized(table: String, df: DataFrame): DataFrame =
     config.schemaFor(table).map(_.columns.map(_.toRule)).filter(_.nonEmpty) match {
@@ -106,10 +142,21 @@ class Engine(
     * download failures are logged-not-fatal like the reference's.
     */
   def extractTo(seedQuery: String, outDir: String,
-      compression: Option[String] = None): Map[String, Long] = {
+      compression: Option[String] = None): Map[String, Long] =
+    writeAll(extract(seedQuery).toSeq, outDir, compression)
+
+  /** [[extractDelta]] + the export loop: write only the rows NEW since
+    * the previous export at `prevDir` (CLI: `-action extract -delta`).
+    */
+  def extractDeltaTo(seedQuery: String, outDir: String, prevDir: String,
+      compression: Option[String] = None): Map[String, Long] =
+    writeAll(extractDelta(seedQuery, deltaBaseline(prevDir)).toSeq,
+      outDir, compression)
+
+  private def writeAll(extracted: Seq[(String, DataFrame)], outDir: String,
+      compression: Option[String]): Map[String, Long] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val extracted = extract(seedQuery).toSeq
     // per-table exports are independent Spark jobs — submit them from a
     // small driver pool so small-table writes overlap the big ones
     // instead of leaving the cluster idle between driver-serial jobs

@@ -138,6 +138,38 @@ class MainSpec extends SparkSpec {
     c2.close()
   }
 
+  test("extract -delta exports only rows new since the previous export") {
+    val prevDir = Files.createTempDirectory("graft-cli-prev").toString
+    val deltaDir = Files.createTempDirectory("graft-cli-delta").toString
+    val fullDir = Files.createTempDirectory("graft-cli-full").toString
+    assert(capture(Main.Cli(action = "extract", dsn = dsn,
+      query = "SELECT * FROM customer WHERE c_custkey <= 3",
+      path = prevDir))._1 == 0)
+    val (rc, _) = capture(Main.Cli(action = "extract", dsn = dsn,
+      query = "SELECT * FROM customer WHERE c_custkey <= 5",
+      path = deltaDir, delta = prevDir))
+    assert(rc == 0)
+    assert(capture(Main.Cli(action = "extract", dsn = dsn,
+      query = "SELECT * FROM customer WHERE c_custkey <= 5",
+      path = fullDir))._1 == 0)
+    // additivity: for every table, previous + delta == a full re-extract
+    // (closure monotonicity makes the two sides disjoint by pk, so the
+    // manifest counts simply add)
+    val tables = graft.io.JsonTableIO.listTables(fullDir)
+    assert(tables.nonEmpty)
+    tables.foreach { t =>
+      def cnt(dir: String): Long =
+        if (graft.io.JsonTableIO.listTables(dir).contains(t))
+          graft.io.JsonTableIO.readManifest(dir, t).count
+        else 0L
+      assert(cnt(prevDir) + cnt(deltaDir) == cnt(fullDir),
+        s"$t: prev=${cnt(prevDir)} + delta=${cnt(deltaDir)} != full=${cnt(fullDir)}")
+    }
+    // and the delta is strictly smaller than the full export somewhere
+    assert(tables.map(t => graft.io.JsonTableIO.readManifest(deltaDir, t).count).sum <
+      tables.map(t => graft.io.JsonTableIO.readManifest(fullDir, t).count).sum)
+  }
+
   test("load -staged routes through the whole-table atomic upsert") {
     val conf = Files.createTempFile("graft-conf", ".json")
     Files.writeString(conf,
