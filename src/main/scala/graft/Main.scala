@@ -16,6 +16,7 @@ import graft.meta.Catalog
   * graft.Main -action describe -dsn <tableDir> -table <name>
   * graft.Main -action query    -dsn <tableDir> -query <operator> [-path <outDir>]
   * graft.Main -action compact  -path <artifactDir> [-table <name>]
+  * graft.Main -action merge    -path <baseDir> -delta <deltaDir>
   * }}}
   *
   * Flags mirror the reference (`-query -table -path -dsn -action
@@ -42,7 +43,7 @@ object Main {
       version: Boolean = false)
 
   val usage: String =
-    """usage: graft.Main -action extract|load|describe|query|compact
+    """usage: graft.Main -action extract|load|describe|query|compact|merge
       |  -dsn <parquet table dir>   source tables (or jdbc: target for load)
       |  -query <sql|name>          seed query (extract) / operator name (query)
       |  -path <dir>                artifact dir (extract out / load in / query out / compact)
@@ -52,6 +53,7 @@ object Main {
       |  -compression <codec>       compact: gzip|snappy|... (default: inferred from existing parts)
       |  -staged                    load: stage in parallel, commit each table in ONE txn
       |  -delta <prevDir>           extract: only rows NEW since the previous export
+      |                             merge: the delta export dir to fold into -path
       |  -verbose -version""".stripMargin
 
   def parse(args: Array[String]): Cli =
@@ -178,6 +180,17 @@ object Main {
               out(s"$t: compacted ($n rows)")
             }
           }
+          0
+        }
+      // fold a delta export into its base artifact (incremental
+      // lifecycle: extract → extract -delta → merge → compact)
+      case "merge" =>
+        if (cli.path.isEmpty || cli.delta.isEmpty) { out(usage); 2 }
+        else {
+          val counts = graft.io.JsonTableIO.mergeArtifacts(
+            spark, cli.path, cli.delta)
+          counts.toSeq.sortBy(_._1).foreach { case (t, n) =>
+            out(s"$t: merged ($n rows)") }
           0
         }
       case _ => out(usage); 2

@@ -351,6 +351,71 @@ object JsonTableIO {
       compact(spark, outDir, tableName, nParts, codec)
     }
 
+  /** [[write]] into a FRESH GENERATION with a pointer commit instead of
+    * the plain `data` dir — the form that is safe when `df` READS from
+    * this same artifact (e.g. merging a delta into its base: Overwrite
+    * on `data` would delete the input mid-plan; a generation write never
+    * touches the source dir, and the atomic manifest swap re-points
+    * readers only after the new rows are fully down).
+    */
+  def writeGen(df: DataFrame, outDir: String, tableName: String,
+      compression: Option[String] = None): Long = {
+    Files.createDirectories(Paths.get(s"$outDir/$tableName"))
+    val next = nextGenPath(outDir, tableName)
+    val obs = org.apache.spark.sql.Observation(
+      s"graft_writegen_${tableName}_${next.getFileName}")
+    var committed = false
+    try {
+      val writer = df.observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite)
+      compression.fold(writer)(c => writer.option("compression", c))
+        .json(next.toString)
+      val count = obs.get("n").asInstanceOf[Long]
+      writeManifestAtomic(outDir, tableName,
+        renderManifest(tableName, count, next.getFileName.toString))
+      committed = true
+      cleanupDataDirs(outDir, tableName, keep = next.getFileName.toString)
+      Files.deleteIfExists(singleFilePath(outDir, tableName))
+      count
+    } catch {
+      // once the pointer swapped, `next` is the live generation and must
+      // survive even if post-commit cleanup throws
+      case e: Throwable =>
+        if (!committed) deleteRecursively(next)
+        throw e
+    }
+  }
+
+  /** Fold a DELTA export (e.g. `extract -delta`) into its base artifact:
+    * per table, base ∪ delta rewritten as a fresh generation of the
+    * base (the generation write is what makes reading the base while
+    * rewriting it safe — see [[writeGen]]). Tables the delta doesn't
+    * touch (absent or zero-count) are left exactly as they are; a table
+    * new in the delta is copied in whole. Columns are matched by NAME
+    * with missing ones null-filled, so a delta written under a newer
+    * catalog (added nullable column) still folds into an older base —
+    * the same evolution contract the load path honors. Returns
+    * table → merged row count. This completes the incremental
+    * lifecycle: extract → extract -delta (daily) → merge (weekly) →
+    * compact.
+    */
+  def mergeArtifacts(spark: SparkSession, baseDir: String,
+      deltaDir: String): Map[String, Long] = {
+    val baseTables = listTables(baseDir).toSet
+    listTables(deltaDir).flatMap { t =>
+      if (readManifest(deltaDir, t).count == 0L) None
+      else {
+        val d = read(spark, deltaDir, t)
+        val merged =
+          if (baseTables.contains(t) && readManifest(baseDir, t).count > 0L)
+            read(spark, baseDir, t).unionByName(d, allowMissingColumns = true)
+          else d
+        Some(t -> writeGen(merged, baseDir, t))
+      }
+    }.toMap
+  }
+
   /** Whether `tableName` has a partitioned artifact [[compact]] can work
     * on (counting one recoverable from an interrupted swap) — single-file
     * envelopes are listed by [[listTables]] but have nothing to compact.

@@ -168,6 +168,20 @@ class MainSpec extends SparkSpec {
     // and the delta is strictly smaller than the full export somewhere
     assert(tables.map(t => graft.io.JsonTableIO.readManifest(deltaDir, t).count).sum <
       tables.map(t => graft.io.JsonTableIO.readManifest(fullDir, t).count).sum)
+
+    // merge folds the delta back into the base: counts now equal the
+    // full re-extract everywhere, closing the incremental lifecycle
+    val (rcM, outM) = capture(
+      Main.Cli(action = "merge", path = prevDir, delta = deltaDir))
+    assert(rcM == 0 && outM.exists(_.contains("merged")))
+    tables.foreach { t =>
+      assert(graft.io.JsonTableIO.readManifest(prevDir, t).count ==
+        graft.io.JsonTableIO.readManifest(fullDir, t).count,
+        s"$t: merged base != full re-extract")
+    }
+    // merged artifact still loads
+    val (rcL, outL) = capture(Main.Cli(action = "load", dsn = dsn, path = prevDir))
+    assert(rcL == 0 && outL.nonEmpty)
   }
 
   test("load -staged routes through the whole-table atomic upsert") {

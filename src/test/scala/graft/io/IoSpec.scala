@@ -191,6 +191,21 @@ class JsonTableIOSpec extends SparkSpec {
       Files.isDirectory(Paths.get(s"$out/user/data-g1")))
   }
 
+  test("writeGen: rewriting an artifact FROM its own rows is safe") {
+    val out = Files.createTempDirectory("jsonio-writegen").toString
+    val df = spark.range(0, 30).toDF("id")
+    assert(JsonTableIO.write(df, out, "user") == 30L)
+    // self-referential rewrite: plan reads the live dir while the write
+    // lands in a fresh generation — Overwrite on `data` would have
+    // deleted the input mid-plan
+    val doubled = JsonTableIO.read(spark, out, "user")
+      .unionByName(spark.range(100, 110).toDF("id").selectExpr("cast(id as long) id"))
+    assert(JsonTableIO.writeGen(doubled, out, "user") == 40L)
+    assert(JsonTableIO.readManifest(out, "user").dataDir == "data-g1")
+    assert(JsonTableIO.read(spark, out, "user").count() == 40L)
+    assert(!Files.exists(Paths.get(s"$out/user/data")))
+  }
+
   test("tampered manifest pointer fails loudly instead of resolving a path") {
     val out = Files.createTempDirectory("jsonio-gen-tamper").toString
     assert(JsonTableIO.write(spark.range(0, 5).toDF("id"), out, "user") == 5L)
