@@ -188,7 +188,8 @@ object Main {
         if (cli.path.isEmpty || cli.delta.isEmpty) { out(usage); 2 }
         else {
           val counts = graft.io.JsonTableIO.mergeArtifacts(
-            spark, cli.path, cli.delta)
+            spark, cli.path, cli.delta,
+            Option(cli.compression).filter(_.nonEmpty))
           counts.toSeq.sortBy(_._1).foreach { case (t, n) =>
             out(s"$t: merged ($n rows)") }
           0

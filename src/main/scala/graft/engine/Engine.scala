@@ -114,15 +114,26 @@ class Engine(
     }
 
   /** Previous-export primary-key sets for [[extractDelta]], read from an
-    * artifact dir (tables unknown to the catalog are skipped — they
-    * cannot appear in a new closure either).
+    * artifact dir. Tables unknown to the catalog are skipped (they
+    * cannot appear in a new closure either), and so are ZERO-COUNT
+    * tables — a delta export routinely contains them, and JSON schema
+    * inference on an empty artifact throws. A catalog with column
+    * metadata gives the read an explicit schema (no inference pass —
+    * the hidden full-scan cost [[JsonTableIO.read]] warns about);
+    * otherwise the source table's own schema serves.
     */
   def deltaBaseline(prevDir: String): Map[String, DataFrame] =
     JsonTableIO.listTables(prevDir).flatMap { t =>
-      catalog.tables.get(t).map { meta =>
-        t -> JsonTableIO.read(spark, prevDir, t)
-          .select(meta.primaryKey.map(org.apache.spark.sql.functions.col): _*)
-      }
+      catalog.tables.get(t)
+        .filter(_ => JsonTableIO.readManifest(prevDir, t).count > 0L)
+        .map { meta =>
+          val schema =
+            if (meta.columns.nonEmpty)
+              Some(graft.io.PgTypeCodecs.artifactSchemaFor(meta))
+            else scala.util.Try(loadTable(t).schema).toOption
+          t -> JsonTableIO.read(spark, prevDir, t, schema)
+            .select(meta.primaryKey.map(org.apache.spark.sql.functions.col): _*)
+        }
     }.toMap
 
   /** Apply the config's sanitize rules for `table` (no-op without rules). */

@@ -26,13 +26,22 @@ import scala.jdk.CollectionConverters._
   * atomically replacing the one-line manifest, never by renaming data
   * dirs — a concurrent reader resolves the pointer to either the old
   * or the new generation, both complete, with no missing-dir instant.
-  * The same protocol ports to object stores (the commit is a small
-  * PUT), where directory renames don't exist at all.
+  * The REPLACED generation is recorded as `stale_dir` and retained
+  * until the next maintenance op (one-cycle snapshot retention, the
+  * miniature of Iceberg/Delta's expire-snapshots): an in-flight reader
+  * that resolved the previous pointer keeps a complete dir under its
+  * feet for a full maintenance cycle instead of hitting a
+  * FileNotFound the instant the swap lands. The same protocol ports
+  * to object stores (the commit is a small PUT), where directory
+  * renames don't exist at all. A plain `data` dir that reappears next
+  * to a generation pointer WITHOUT being the recorded stale dir can
+  * only be a resumed stream's new rows — every rotating op refuses to
+  * touch the artifact until it is recovered manually.
   */
 object JsonTableIO {
 
   final case class Manifest(tableName: String, count: Long,
-      dataDir: String = "data")
+      dataDir: String = "data", staleDir: Option[String] = None)
 
   /** Live data dir of a partitioned artifact, resolved through the
     * manifest's commit pointer (plain `data` for artifacts never
@@ -53,11 +62,12 @@ object JsonTableIO {
   private val DataDirName = raw"data(?:-g\d+)?".r
 
   private def renderManifest(tableName: String, count: Long,
-      dataDir: String): String = {
+      dataDir: String, staleDir: Option[String] = None): String = {
     val dd =
       if (dataDir == "data") ""
       else s""", "data_dir": ${quote(dataDir)}"""
-    s"""{"table_name": ${quote(tableName)}, "count": $count$dd}"""
+    val sd = staleDir.fold("")(s => s""", "stale_dir": ${quote(s)}""")
+    s"""{"table_name": ${quote(tableName)}, "count": $count$dd$sd}"""
   }
 
   /** Atomic manifest replace: write-to-temp + single rename. This IS the
@@ -80,26 +90,50 @@ object JsonTableIO {
     }
   }
 
-  /** Delete every data generation except `keep`, plus leftovers of the
-    * pre-pointer two-rename protocol. Crash-safe by construction: only
-    * UNREFERENCED dirs are ever deleted, so a crash mid-cleanup leaves
-    * orphans for the next maintenance run, never a dangling pointer.
+  /** Delete every data generation not in `keep` (live + retained stale),
+    * plus leftovers of the pre-pointer two-rename protocol. Crash-safe
+    * by construction: only UNREFERENCED dirs are ever deleted, so a
+    * crash mid-cleanup leaves orphans for the next maintenance run,
+    * never a dangling pointer.
     */
   private def cleanupDataDirs(outDir: String, tableName: String,
-      keep: String): Unit = {
+      keep: Set[String]): Unit = {
     val dir = Paths.get(s"$outDir/$tableName")
     if (Files.isDirectory(dir)) {
       val s = Files.list(dir)
       val gens =
         try s.iterator().asScala.toList.filter(p => Files.isDirectory(p) &&
           DataDirName.matches(p.getFileName.toString) &&
-          p.getFileName.toString != keep)
+          !keep.contains(p.getFileName.toString))
         finally s.close()
       gens.foreach(deleteRecursively)
     }
     deleteRecursively(oldDirPath(outDir, tableName))
     deleteRecursively(Paths.get(s"$outDir/$tableName/.data.compacting"))
   }
+
+  /** The manifest of a partitioned artifact, when one exists. */
+  private def currentManifest(outDir: String,
+      tableName: String): Option[Manifest] =
+    if (Files.isRegularFile(Paths.get(s"$outDir/$tableName/manifest.json")))
+      Some(readManifest(outDir, tableName))
+    else None
+
+  /** Refuse a rotating op when a plain `data` dir exists next to a
+    * generation pointer without being the recorded stale generation:
+    * those rows can only be a stream that resumed after compact rotated
+    * its dir away, and a sweep would silently destroy them
+    * ([[finalizeManifest]] documents the recovery).
+    */
+  private def guardForeignData(outDir: String, tableName: String,
+      m: Manifest): Unit =
+    require(m.dataDir == "data" ||
+        !Files.isDirectory(Paths.get(s"$outDir/$tableName/data")) ||
+        m.staleDir.contains("data"),
+      s"artifact '$tableName' has a plain data dir alongside live " +
+        s"generation '${m.dataDir}' that is not the recorded stale " +
+        "generation — a stream resumed after compact; merge or discard " +
+        "the plain dir manually, then retry")
 
   private def nextGenPath(outDir: String, tableName: String): Path = {
     val dir = Paths.get(s"$outDir/$tableName")
@@ -123,6 +157,10 @@ object JsonTableIO {
   def write(df: DataFrame, outDir: String, tableName: String,
       compression: Option[String] = None): Long = {
     val tableDir = s"$outDir/$tableName"
+    // the Overwrite below lands on the plain data dir — foreign rows
+    // there (resumed stream) must refuse, not be silently replaced
+    currentManifest(outDir, tableName)
+      .foreach(guardForeignData(outDir, tableName, _))
     // the manifest count rides on the write itself via an Observation —
     // no second computation of `df` and no re-scan of the written files
     // (both full extra passes at scale)
@@ -135,13 +173,14 @@ object JsonTableIO {
     val count = obs.get("n").asInstanceOf[Long]
     // the atomic manifest replace is the commit: it re-points a
     // previously-compacted artifact (data_dir data-gN) back at the fresh
-    // plain `data` dir in the same instant it publishes the new count
+    // plain `data` dir in the same instant it publishes the new count.
+    // The replaced generation is retained one cycle for in-flight readers.
+    val prevLive = currentManifest(outDir, tableName)
+      .map(_.dataDir).filter(_ != "data")
     writeManifestAtomic(outDir, tableName,
-      renderManifest(tableName, count, "data"))
-    cleanupDataDirs(outDir, tableName, keep = "data")
-    // overwrite semantics across BOTH layouts: readers prefer the
-    // single-file envelope, so a stale `<table>.json` from an earlier
-    // writeSingleFile would shadow this fresh partitioned artifact
+      renderManifest(tableName, count, "data", prevLive))
+    cleanupDataDirs(outDir, tableName, keep = Set("data") ++ prevLive)
+    // stale-envelope hygiene (readers already prefer the manifest)
     Files.deleteIfExists(singleFilePath(outDir, tableName))
     count
   }
@@ -164,7 +203,11 @@ object JsonTableIO {
   def read(spark: SparkSession, outDir: String, tableName: String,
       schema: Option[StructType] = None): DataFrame = {
     val sf = singleFilePath(outDir, tableName)
-    if (Files.isRegularFile(sf) && isEnvelope(sf)) {
+    // manifest precedence mirrors readManifest: a committed partitioned
+    // artifact wins over a stale envelope a crash left behind
+    val manifested =
+      Files.isRegularFile(Paths.get(s"$outDir/$tableName/manifest.json"))
+    if (!manifested && Files.isRegularFile(sf) && isEnvelope(sf)) {
       // FAILFAST: a truncated envelope under an explicit schema would
       // otherwise PERMISSIVE-parse to one all-null row → explode(null) →
       // a silently EMPTY table; envelopes are small by construction, so
@@ -204,23 +247,20 @@ object JsonTableIO {
     *
     * Counts the LIVE dir (manifest-pointer-resolved): finalizing a
     * compacted artifact counts its current generation instead of dying
-    * on the swept `data` path. If BOTH a generation pointer and a plain
-    * `data` dir exist, a stream resumed after a compact rotated its dir
-    * away — the sink's commit log is gone and the two dirs hold disjoint
-    * rows, so this fails loudly instead of silently counting (and then
-    * sweeping) one of them. A compacted streaming artifact is CLOSED to
-    * further streaming; resume into a fresh artifact.
+    * on the rotated-away `data` path. A plain `data` dir that is NOT
+    * the recorded stale generation next to a generation pointer means a
+    * stream resumed after a compact — the sink's commit log is gone and
+    * the two dirs hold disjoint rows, so this fails loudly instead of
+    * silently counting (and then sweeping) one of them. A compacted
+    * streaming artifact is CLOSED to further streaming; resume into a
+    * fresh artifact.
     */
   def finalizeManifest(spark: SparkSession, outDir: String,
       tableName: String): Manifest = {
+    currentManifest(outDir, tableName)
+      .foreach(guardForeignData(outDir, tableName, _))
     val live = dataPath(outDir, tableName)
     val liveName = live.getFileName.toString
-    require(liveName == "data" ||
-        !Files.isDirectory(Paths.get(s"$outDir/$tableName/data")),
-      s"artifact '$tableName' has both generation '$liveName' (the live " +
-        "pointer) and a plain data dir — a stream resumed after compact " +
-        "rotated its dir away; the rows are disjoint. Recover manually " +
-        "(merge or discard one dir), then re-finalize")
     // a pinned throwaway schema skips JSON schema inference — otherwise
     // the "one count job" would be TWO full scans (inference + count);
     // in PERMISSIVE mode every line still counts as one record
@@ -229,7 +269,7 @@ object JsonTableIO {
       .json(live.toString).count()
     writeManifestAtomic(outDir, tableName,
       renderManifest(tableName, count, liveName))
-    cleanupDataDirs(outDir, tableName, keep = liveName)
+    cleanupDataDirs(outDir, tableName, keep = Set(liveName))
     Files.deleteIfExists(singleFilePath(outDir, tableName))
     Manifest(tableName, count, liveName)
   }
@@ -245,14 +285,20 @@ object JsonTableIO {
     * generation or the new one — both complete; there is no instant
     * with a missing or half-written dir, and no data-dir rename at all
     * (which is what lets the same protocol run on object stores, where
-    * the manifest PUT is the commit). Crash at ANY point leaves either
-    * state plus at most an unreferenced orphan generation, which the
-    * next compact/write sweeps. The manifest count is untouched
-    * (compaction must not change the row count — verified against it).
+    * the manifest PUT is the commit). The replaced generation is
+    * recorded as `stale_dir` and RETAINED until the next maintenance
+    * op, so a reader that resolved the old pointer just before the swap
+    * still reads a complete dir — one-cycle snapshot retention. Crash
+    * at ANY point leaves either state plus at most an unreferenced
+    * orphan generation, which the next compact/write sweeps. The
+    * manifest count is untouched (compaction must not change the row
+    * count — verified against it).
     */
   def compact(spark: SparkSession, outDir: String, tableName: String,
       targetParts: Int, compression: Option[String] = None): Long = {
     recoverInterrupted(outDir, tableName)
+    currentManifest(outDir, tableName)
+      .foreach(guardForeignData(outDir, tableName, _))
     val cur = dataPath(outDir, tableName)
     require(Files.isDirectory(cur), s"no partitioned artifact at $cur")
     val next = nextGenPath(outDir, tableName)
@@ -275,13 +321,17 @@ object JsonTableIO {
       val m = readManifest(outDir, tableName)
       require(n == m.count,
         s"compaction row count drifted: wrote $n, manifest says ${m.count}")
-      // THE commit: one atomic pointer replace
+      // THE commit: one atomic pointer replace; the replaced generation
+      // is recorded stale and RETAINED one maintenance cycle so readers
+      // that resolved the old pointer keep a complete dir
       writeManifestAtomic(outDir, tableName,
-        renderManifest(m.tableName, m.count, next.getFileName.toString))
+        renderManifest(m.tableName, m.count, next.getFileName.toString,
+          Some(cur.getFileName.toString)))
       committed = true
-      // old generation + orphans of crashed runs; failure here strands
-      // only unreferenced dirs (next run sweeps), never the pointer
-      cleanupDataDirs(outDir, tableName, keep = next.getFileName.toString)
+      // older generations + orphans of crashed runs; failure here
+      // strands only unreferenced dirs (next run sweeps), never pointers
+      cleanupDataDirs(outDir, tableName,
+        keep = Set(next.getFileName.toString, cur.getFileName.toString))
       n
     } catch {
       // never leave a full-size orphaned copy behind on failure — but
@@ -340,15 +390,29 @@ object JsonTableIO {
             p.getFileName.toString.startsWith("part-"))
         finally s.close()
       val bytes = existing.map(Files.size).sum
-      val codec = compression.orElse(
-        existing.map(_.getFileName.toString).flatMap { n =>
-          Seq(".gz" -> "gzip", ".snappy" -> "snappy", ".bz2" -> "bzip2",
-            ".deflate" -> "deflate", ".zst" -> "zstd", ".lz4" -> "lz4")
-            .collectFirst { case (ext, c) if n.endsWith(ext) => c }
-        }.headOption)
+      val codec = compression.orElse(inferCodec(existing))
       val nParts = parts.getOrElse(
         math.max(1L, (bytes + targetPartBytes - 1) / targetPartBytes).toInt)
       compact(spark, outDir, tableName, nParts, codec)
+    }
+
+  /** Codec of existing part files, by extension. */
+  private def inferCodec(parts: Seq[Path]): Option[String] =
+    parts.map(_.getFileName.toString).flatMap { n =>
+      Seq(".gz" -> "gzip", ".snappy" -> "snappy", ".bz2" -> "bzip2",
+        ".deflate" -> "deflate", ".zst" -> "zstd", ".lz4" -> "lz4")
+        .collectFirst { case (ext, c) if n.endsWith(ext) => c }
+    }.headOption
+
+  private def inferCodecIn(dir: Path): Option[String] =
+    if (!Files.isDirectory(dir)) None
+    else {
+      val s = Files.list(dir)
+      val parts =
+        try s.iterator().asScala.toSeq.filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.startsWith("part-"))
+        finally s.close()
+      inferCodec(parts)
     }
 
   /** [[write]] into a FRESH GENERATION with a pointer commit instead of
@@ -356,11 +420,20 @@ object JsonTableIO {
     * this same artifact (e.g. merging a delta into its base: Overwrite
     * on `data` would delete the input mid-plan; a generation write never
     * touches the source dir, and the atomic manifest swap re-points
-    * readers only after the new rows are fully down).
+    * readers only after the new rows are fully down). Compression
+    * defaults to the live dir's existing codec — rewriting a gzip
+    * artifact must not silently decompress it. The replaced live dir is
+    * recorded stale and retained one maintenance cycle.
     */
   def writeGen(df: DataFrame, outDir: String, tableName: String,
       compression: Option[String] = None): Long = {
     Files.createDirectories(Paths.get(s"$outDir/$tableName"))
+    currentManifest(outDir, tableName)
+      .foreach(guardForeignData(outDir, tableName, _))
+    val cur = dataPath(outDir, tableName)
+    val prevLive = Some(cur.getFileName.toString)
+      .filter(_ => Files.isDirectory(cur))
+    val codec = compression.orElse(inferCodecIn(cur))
     val next = nextGenPath(outDir, tableName)
     val obs = org.apache.spark.sql.Observation(
       s"graft_writegen_${tableName}_${next.getFileName}")
@@ -369,13 +442,14 @@ object JsonTableIO {
       val writer = df.observe(obs, org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("n"))
         .write.mode(SaveMode.Overwrite)
-      compression.fold(writer)(c => writer.option("compression", c))
+      codec.fold(writer)(c => writer.option("compression", c))
         .json(next.toString)
       val count = obs.get("n").asInstanceOf[Long]
       writeManifestAtomic(outDir, tableName,
-        renderManifest(tableName, count, next.getFileName.toString))
+        renderManifest(tableName, count, next.getFileName.toString, prevLive))
       committed = true
-      cleanupDataDirs(outDir, tableName, keep = next.getFileName.toString)
+      cleanupDataDirs(outDir, tableName,
+        keep = Set(next.getFileName.toString) ++ prevLive)
       Files.deleteIfExists(singleFilePath(outDir, tableName))
       count
     } catch {
@@ -401,7 +475,7 @@ object JsonTableIO {
     * compact.
     */
   def mergeArtifacts(spark: SparkSession, baseDir: String,
-      deltaDir: String): Map[String, Long] = {
+      deltaDir: String, compression: Option[String] = None): Map[String, Long] = {
     val baseTables = listTables(baseDir).toSet
     listTables(deltaDir).flatMap { t =>
       if (readManifest(deltaDir, t).count == 0L) None
@@ -411,7 +485,8 @@ object JsonTableIO {
           if (baseTables.contains(t) && readManifest(baseDir, t).count > 0L)
             read(spark, baseDir, t).unionByName(d, allowMissingColumns = true)
           else d
-        Some(t -> writeGen(merged, baseDir, t))
+        // codec: explicit, else writeGen infers from the base's live dir
+        Some(t -> writeGen(merged, baseDir, t, compression))
       }
     }.toMap
   }
@@ -441,7 +516,11 @@ object JsonTableIO {
     // NAMING that file, not with NoSuchFileException on a manifest that
     // never existed
     val manifestPath = Paths.get(s"$outDir/$tableName/manifest.json")
-    val fromEnvelope = Files.isRegularFile(sf) && isEnvelope(sf)
+    // PRECEDENCE: manifest.json wins over an envelope — the manifest is
+    // the commit record, so a stale envelope surviving a crash between
+    // a generation commit and its cleanup must NOT roll readers back
+    val fromEnvelope = !Files.isRegularFile(manifestPath) &&
+      Files.isRegularFile(sf) && isEnvelope(sf)
     val txt =
       if (fromEnvelope) Files.readString(sf)
       else {
@@ -455,19 +534,23 @@ object JsonTableIO {
       .findFirstMatchIn(txt).map(_.group(1)).getOrElse(tableName)
     val count = raw""""count"\s*:\s*(\d+)""".r
       .findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L)
-    // the pointer exists only in the one-line manifest.json — NEVER
-    // regex an envelope for it (its row data could legitimately contain
-    // a "data_dir" field, which must not be mistaken for a pointer)
-    val dataDir =
-      if (fromEnvelope) "data"
-      else raw""""data_dir"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("data")
+    // the pointers exist only in the one-line manifest.json — NEVER
+    // regex an envelope for them (its row data could legitimately
+    // contain a "data_dir" field, which must not be mistaken for one)
+    def dirField(field: String): Option[String] =
+      if (fromEnvelope) None
+      else (s""""$field"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""").r
+        .findFirstMatchIn(txt).map(_.group(1))
+    val dataDir = dirField("data_dir").getOrElse("data")
+    val staleDir = dirField("stale_dir")
     // a tampered/hand-edited pointer must fail loudly here, not resolve
     // an arbitrary filesystem path at read time
-    require(DataDirName.matches(dataDir),
-      s"manifest for '$tableName' has invalid data_dir '$dataDir' " +
-        "(expected 'data' or 'data-g<N>')")
-    Manifest(name, count, dataDir)
+    (dataDir +: staleDir.toSeq).foreach { d =>
+      require(DataDirName.matches(d),
+        s"manifest for '$tableName' has invalid dir pointer '$d' " +
+          "(expected 'data' or 'data-g<N>')")
+    }
+    Manifest(name, count, dataDir, staleDir)
   }
 
   /** Tables present under an export dir (≙ the loader's dir walk,

@@ -63,31 +63,39 @@ object UpsertJdbcSink {
     val bindIdx: Seq[Int] = dialect.bindOrder(columns, pk).map(columns.indexOf)
 
     withConnection(url, props)(dialect.preLoad(_, table))
-    try {
-      df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-        if (rows.nonEmpty) {
-          val conn = DriverManager.getConnection(url, props)
-          try {
-            conn.setAutoCommit(false)
-            val st = conn.prepareStatement(sql)
-            var n = 0
-            rows.foreach { r =>
-              var i = 0
-              while (i < bindIdx.length) { st.setObject(i + 1, r.get(bindIdx(i))); i += 1 }
-              st.addBatch(); n += 1
-              if (n % batchSize == 0) st.executeBatch()
-            }
-            st.executeBatch()
-            conn.commit()
-          } catch {
-            case e: Exception => conn.rollback(); throw e
-          } finally conn.close()
-        }
-      }
-    } finally {
+    try insertPartitions(df, url, props, sql, bindIdx, batchSize)
+    finally {
       withConnection(url, props)(dialect.postLoad(_, table, pk))
     }
   }
+
+  /** The per-partition batched-insert loop both [[write]] and
+    * [[writeStaged]] run: one connection + txn per partition, rolled
+    * back whole on failure.
+    */
+  private def insertPartitions(df: DataFrame, url: String,
+      props: java.util.Properties, sql: String, bindIdx: Seq[Int],
+      batchSize: Int): Unit =
+    df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      if (rows.nonEmpty) {
+        val conn = DriverManager.getConnection(url, props)
+        try {
+          conn.setAutoCommit(false)
+          val st = conn.prepareStatement(sql)
+          var n = 0
+          rows.foreach { r =>
+            var i = 0
+            while (i < bindIdx.length) { st.setObject(i + 1, r.get(bindIdx(i))); i += 1 }
+            st.addBatch(); n += 1
+            if (n % batchSize == 0) st.executeBatch()
+          }
+          st.executeBatch()
+          conn.commit()
+        } catch {
+          case e: Exception => conn.rollback(); throw e
+        } finally conn.close()
+      }
+    }
 
   /** Write `df` into `table` with upsert semantics AND the reference's
     * one-transaction-per-table atomicity (`postgres.go:64-97` brackets the
@@ -137,26 +145,7 @@ object UpsertJdbcSink {
     try {
       val sql = dialect.insertSql(stage, columns, pk)
       val bindIdx: Seq[Int] = dialect.bindOrder(columns, pk).map(columns.indexOf)
-      df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-        if (rows.nonEmpty) {
-          val conn = DriverManager.getConnection(url, props)
-          try {
-            conn.setAutoCommit(false)
-            val st = conn.prepareStatement(sql)
-            var n = 0
-            rows.foreach { r =>
-              var i = 0
-              while (i < bindIdx.length) { st.setObject(i + 1, r.get(bindIdx(i))); i += 1 }
-              st.addBatch(); n += 1
-              if (n % batchSize == 0) st.executeBatch()
-            }
-            st.executeBatch()
-            conn.commit()
-          } catch {
-            case e: Exception => conn.rollback(); throw e
-          } finally conn.close()
-        }
-      }
+      insertPartitions(df, url, props, sql, bindIdx, batchSize)
       withConnection(url, props) { c =>
         c.setAutoCommit(false)
         try {

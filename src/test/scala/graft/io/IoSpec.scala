@@ -131,21 +131,27 @@ class JsonTableIOSpec extends SparkSpec {
     // original manifest shape)
     val m0 = Files.readString(Paths.get(s"$out/user/manifest.json"))
     assert(!m0.contains("data_dir"))
-    // first compact → generation 1; the old `data` dir is swept
+    // first compact → generation 1; the old `data` dir is RETAINED one
+    // cycle as the recorded stale generation (readers that resolved the
+    // previous pointer keep a complete dir)
     assert(JsonTableIO.compact(spark, out, "user", 1) == 60L)
-    assert(JsonTableIO.readManifest(out, "user").dataDir == "data-g1")
+    val m1 = JsonTableIO.readManifest(out, "user")
+    assert(m1.dataDir == "data-g1" && m1.staleDir == Some("data"))
+    assert(Files.isDirectory(Paths.get(s"$out/user/data-g1")))
+    assert(Files.isDirectory(Paths.get(s"$out/user/data")))
+    assert(JsonTableIO.read(spark, out, "user").count() == 60L)
+    // second compact → generation 2; g1 retained, the older `data` swept
+    assert(JsonTableIO.compact(spark, out, "user", 1) == 60L)
+    val m2 = JsonTableIO.readManifest(out, "user")
+    assert(m2.dataDir == "data-g2" && m2.staleDir == Some("data-g1"))
     assert(Files.isDirectory(Paths.get(s"$out/user/data-g1")))
     assert(!Files.exists(Paths.get(s"$out/user/data")))
     assert(JsonTableIO.read(spark, out, "user").count() == 60L)
-    // second compact → generation 2, previous generation swept
-    assert(JsonTableIO.compact(spark, out, "user", 1) == 60L)
-    assert(JsonTableIO.readManifest(out, "user").dataDir == "data-g2")
-    assert(!Files.exists(Paths.get(s"$out/user/data-g1")))
-    assert(JsonTableIO.read(spark, out, "user").count() == 60L)
-    // a fresh write() re-points at the plain data dir and sweeps the gen
+    // a fresh write() re-points at the plain data dir, retaining g2
     assert(JsonTableIO.write(df, out, "user") == 60L)
-    assert(JsonTableIO.readManifest(out, "user").dataDir == "data")
-    assert(!Files.exists(Paths.get(s"$out/user/data-g2")))
+    val m3 = JsonTableIO.readManifest(out, "user")
+    assert(m3.dataDir == "data" && m3.staleDir == Some("data-g2"))
+    assert(!Files.exists(Paths.get(s"$out/user/data-g1")))
     assert(JsonTableIO.read(spark, out, "user").count() == 60L)
   }
 
@@ -173,20 +179,28 @@ class JsonTableIOSpec extends SparkSpec {
     assert(JsonTableIO.write(df, out, "user") == 40L)
     assert(JsonTableIO.compact(spark, out, "user", 1) == 40L)
     // finalize after compact: counts data-g1, keeps the pointer — the old
-    // pinned-`data` form would have died on the swept dir
+    // pinned-`data` form would have died on the rotated-away dir. The
+    // retained stale `data` is recognized (recorded) and swept here.
     val m = JsonTableIO.finalizeManifest(spark, out, "user")
     assert(m.count == 40L && m.dataDir == "data-g1")
+    assert(!Files.exists(Paths.get(s"$out/user/data")))
     assert(JsonTableIO.read(spark, out, "user").count() == 40L)
-    // a plain data dir REAPPEARING next to a generation pointer (stream
-    // resumed after compact) is disjoint rows — refuse, don't sweep
+    // a plain data dir REAPPEARING next to a generation pointer WITHOUT
+    // being the recorded stale generation (stream resumed after compact)
+    // is disjoint rows — every rotating op refuses, none sweeps
     val stray = Paths.get(s"$out/user/data")
     Files.createDirectories(stray)
     Files.writeString(stray.resolve("part-0.json"), "{\"id\":777}\n")
     val e = intercept[IllegalArgumentException] {
       JsonTableIO.finalizeManifest(spark, out, "user")
     }
-    assert(e.getMessage.contains("both generation"))
-    // neither dir was deleted by the refusal
+    assert(e.getMessage.contains("stream resumed"))
+    intercept[IllegalArgumentException](JsonTableIO.compact(spark, out, "user", 1))
+    intercept[IllegalArgumentException](
+      JsonTableIO.writeGen(spark.range(1).toDF("id"), out, "user"))
+    intercept[IllegalArgumentException](
+      JsonTableIO.write(spark.range(1).toDF("id"), out, "user"))
+    // neither dir was deleted by any refusal
     assert(Files.isDirectory(stray) &&
       Files.isDirectory(Paths.get(s"$out/user/data-g1")))
   }
@@ -201,8 +215,13 @@ class JsonTableIOSpec extends SparkSpec {
     val doubled = JsonTableIO.read(spark, out, "user")
       .unionByName(spark.range(100, 110).toDF("id").selectExpr("cast(id as long) id"))
     assert(JsonTableIO.writeGen(doubled, out, "user") == 40L)
-    assert(JsonTableIO.readManifest(out, "user").dataDir == "data-g1")
+    val m = JsonTableIO.readManifest(out, "user")
+    assert(m.dataDir == "data-g1" && m.staleDir == Some("data"))
     assert(JsonTableIO.read(spark, out, "user").count() == 40L)
+    // the replaced dir is retained one cycle, then swept by the next op
+    assert(Files.isDirectory(Paths.get(s"$out/user/data")))
+    assert(JsonTableIO.writeGen(
+      JsonTableIO.read(spark, out, "user"), out, "user") == 40L)
     assert(!Files.exists(Paths.get(s"$out/user/data")))
   }
 
@@ -214,7 +233,7 @@ class JsonTableIOSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       JsonTableIO.read(spark, out, "user")
     }
-    assert(e.getMessage.contains("invalid data_dir"))
+    assert(e.getMessage.contains("invalid dir pointer"))
   }
 
   test("writeSingleFile refuses a table above its row ceiling") {
