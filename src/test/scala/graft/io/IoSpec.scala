@@ -205,6 +205,23 @@ class JsonTableIOSpec extends SparkSpec {
       Files.isDirectory(Paths.get(s"$out/user/data-g1")))
   }
 
+  test("retention: a reader holding the old pointer survives a compact") {
+    val out = Files.createTempDirectory("jsonio-retain").toString
+    val df = spark.range(0, 25).toDF("id").repartition(3)
+    assert(JsonTableIO.write(df, out, "user") == 25L)
+    // reader resolves the CURRENT pointer (plain data) and lists files…
+    val reader = JsonTableIO.read(spark, out, "user",
+      Some(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType)))))
+    // …then a compact commits generation 1 under it
+    assert(JsonTableIO.compact(spark, out, "user", 1) == 25L)
+    assert(JsonTableIO.readManifest(out, "user").dataDir == "data-g1")
+    // the one-cycle retention keeps the old dir complete: the in-flight
+    // reader's action still succeeds instead of FileNotFound
+    assert(reader.count() == 25L)
+  }
+
   test("writeGen: rewriting an artifact FROM its own rows is safe") {
     val out = Files.createTempDirectory("jsonio-writegen").toString
     val df = spark.range(0, 30).toDF("id")
