@@ -88,8 +88,9 @@ class ClosureExtractor(
     * with only the seed-row gating removed — so the delta is precisely
     * what the skipped depth-0 reverse expansions would have reached.
     */
-  def extractAll(seeds: Seq[(String, DataFrame)]): Map[String, DataFrame] = {
-    val (tables, sizes) = runAllWithSizes(seeds)
+  def extractAll(seeds: Seq[(String, DataFrame)],
+      preSeen: Map[String, DataFrame] = Map.empty): Map[String, DataFrame] = {
+    val (tables, sizes) = runAllWithSizes(seeds, preSeen)
     tables.map { case (table, keys) =>
       // key sets are materialized and exactly counted by the fixpoint's
       // final job, so small ones broadcast into the row-materializing
@@ -156,13 +157,38 @@ class ClosureExtractor(
         .exists(rk => policy.referenceKeyAllowlist.contains(rk.name)) ||
       configQueries.exists(_.sourceTable == table)
 
-  def runAll(seeds: Seq[(String, DataFrame)]): Map[String, DataFrame] =
-    runAllWithSizes(seeds)._1
+  def runAll(seeds: Seq[(String, DataFrame)],
+      preSeen: Map[String, DataFrame] = Map.empty): Map[String, DataFrame] =
+    runAllWithSizes(seeds, preSeen)._1
 
   /** [[runAll]] plus each table's exact key count — free, because the
     * fixpoint's final checkpoint-forcing job is already a count.
+    *
+    * `preSeen` turns the run INCREMENTAL: table → pk key sets of a
+    * PREVIOUS closure (e.g. a prior export) that pre-populate the BFS
+    * seen-set, so the traversal prunes at every already-exported key and
+    * the returned key sets / counts cover ONLY what is new. Frontier
+    * sizes from depth 1 on are proportional to the DELTA, not to the
+    * closure — the shape a recurring 100 TB pipeline needs (the
+    * alternative, re-traversing the whole closure and anti-joining per
+    * table afterwards, pays the full traversal even for an empty delta).
+    *
+    * Exactness contract (ClosureSpec + PropertySpec pin it on random
+    * graphs): the result equals closure(seeds) MINUS preSeen keys,
+    * PROVIDED preSeen is the key closure of a prior run under the SAME
+    * catalog, policy, and config queries, over data that has only grown
+    * since (append-only; rows already exported must not have changed
+    * edges). Why: seeds are NOT pruned — every seed still gets its
+    * depth-0 expansion, so no seed/prev-seed relationship is assumed —
+    * while any key in preSeen was expanded at depth>0-or-stronger by the
+    * prior run, and depth-0 expansion ⊇ depth>0 expansion under every
+    * policy, so a prior closure is closed under depth>0 expansion and
+    * pruning there loses nothing. If the source mutates in place, use
+    * the non-incremental form + per-table anti-join instead
+    * ([[graft.engine.Engine.extractDelta]] with `incremental = false`).
     */
-  def runAllWithSizes(seeds: Seq[(String, DataFrame)]): (Map[String, DataFrame], Map[String, Long]) = {
+  def runAllWithSizes(seeds: Seq[(String, DataFrame)],
+      preSeen: Map[String, DataFrame] = Map.empty): (Map[String, DataFrame], Map[String, Long]) = {
     // Measured A/B at sf0.1: keeping AQE ON for the fixpoint wins — its
     // post-shuffle coalescing collapses the 32-partition iteration
     // shuffles to single tasks, which outweighs the extra stage-job
@@ -185,6 +211,14 @@ class ClosureExtractor(
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     def hinted(df: DataFrame, size: Option[Long]): DataFrame =
       if (size.exists(_ <= BroadcastKeyLimit)) broadcast(df) else df
+    // incremental mode: each preSeen key set becomes its own checkpoint
+    // leaf (an artifact read would otherwise re-plan and re-scan per
+    // anti-join use, once per iteration) — a NEW checkpoint over a pk
+    // projection, so releasing it after the fixpoint never touches
+    // blocks the caller may still hold
+    val pre: Map[String, DataFrame] = preSeen.map { case (t, df) =>
+      t -> track(df.select(catalog.pkOf(t).map(col): _*).localCheckpoint(false))
+    }
     var frontier: Map[String, DataFrame] = seeds.groupBy(_._1).map {
       case (t, ss) =>
         val pk = catalog.pkOf(t).map(col)
@@ -194,10 +228,37 @@ class ClosureExtractor(
           .localCheckpoint(false))
     }
     // the one extra job this costs is repaid by every later join planning
-    // broadcast-side-known from depth 0
-    var frontierSizes: Map[String, Long] = countAll(frontier)
-    seen = frontier
-    seenSizes = frontierSizes
+    // broadcast-side-known from depth 0; ONE job forces + counts the seed
+    // frontiers AND the preSeen leaves (the "f "/"p " prefixes are
+    // disjoint, so the label sets cannot collide)
+    val counted = countAll(
+      frontier.map { case (t, d) => ("f " + t, d) } ++
+        pre.map { case (t, d) => ("p " + t, d) })
+    var frontierSizes: Map[String, Long] =
+      counted.collect { case (k, n) if k.startsWith("f ") => k.drop(2) -> n }
+    val preSizes: Map[String, Long] =
+      counted.collect { case (k, n) if k.startsWith("p ") => k.drop(2) -> n }
+    // seen = seeds ∪ preSeen: the traversal prunes at both. Seeds are NOT
+    // pruned out of the frontier — every seed keeps its depth-0 expansion
+    // (see the exactness contract above); from depth 1 on, candidates
+    // anti-join the merged seen-set, so frontiers are delta-sized.
+    seen = (frontier.keySet ++ pre.keySet).map { t =>
+      t -> ((frontier.get(t), pre.get(t)) match {
+        case (Some(f), Some(p)) => f.union(p)
+        case (f, p) => f.orElse(p).get
+      })
+    }.toMap
+    // sizes are for broadcast hints only, so double-counting a key that
+    // is both a seed and preSeen merely makes the hint conservative
+    seenSizes = seen.keySet.map(t =>
+      t -> (frontierSizes.getOrElse(t, 0L) + preSizes.getOrElse(t, 0L))).toMap
+    // `acc` is the RESULT accumulator: only keys this run discovers
+    // beyond preSeen. Seed tables start from the delta seeds (a lazy
+    // anti-join over two checkpoint leaves, forced by the result job).
+    var acc: Map[String, DataFrame] = frontier.map { case (t, keys) =>
+      t -> pre.get(t).fold(keys)(p =>
+        keys.join(hinted(p, preSizes.get(t)), catalog.pkOf(t), "left_anti"))
+    }
     var depth = 0
 
     // Run-scoped cache of each table's key projection (pk + edge
@@ -402,6 +463,9 @@ class ClosureExtractor(
         if (sizes.getOrElse(t, 0L) > 0L) {
           seen = seen.updated(t, seen.get(t).map(_.union(df)).getOrElse(df))
           seenSizes = seenSizes.updated(t, seenSizes.getOrElse(t, 0L) + sizes(t))
+          // candidates are already anti-joined against seen ⊇ preSeen,
+          // so every fresh key belongs to the returned delta
+          acc = acc.updated(t, acc.get(t).map(_.union(df)).getOrElse(df))
         }
       }
       frontier = candidates.flatMap { case (t, df) =>
@@ -422,7 +486,10 @@ class ClosureExtractor(
     // construction — a final dedup would be one wasted shuffle per table.
     // Checkpoints are LAZY and forced by a single union-of-counts job
     // (one job materializes all tables, vs. one eager-checkpoint job each).
-    val result = seen.map { case (t, k) => t -> k.localCheckpoint(false) }
+    // `acc`, not `seen`: without preSeen they are identical; with it, the
+    // result is exactly the keys NEW to this run (possibly zero-count for
+    // a seed table whose seeds were all previously exported).
+    val result = acc.map { case (t, k) => t -> k.localCheckpoint(false) }
     val resultSizes = countAll(result)
     // release every intermediate, including locally-checkpointed ones
     // (RDD-level blocks, see SparkUtil.release) — only the returned result

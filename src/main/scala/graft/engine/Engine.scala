@@ -46,13 +46,14 @@ class Engine(
     * parsed as the reference does) or is replaced by an explicit
     * (table, DataFrame) seed via [[extractFrom]].
     */
-  def extract(seedQuery: String): Map[String, DataFrame] = {
+  def extract(seedQuery: String,
+      preSeen: Map[String, DataFrame] = Map.empty): Map[String, DataFrame] = {
     val table = SeedQuery.drivingTable(seedQuery).getOrElse(
       throw new IllegalArgumentException(s"cannot parse driving table: $seedQuery"))
     // delegate the seed SELECT itself to the engine's SQL layer, as the
     // reference delegates it to Postgres (S1)
     loadTable(table).createOrReplaceTempView(table)
-    extractFrom(table, spark.sql(seedQuery))
+    extractFrom(table, spark.sql(seedQuery), preSeen)
   }
 
   /** Config queries as closure edges (J3). */
@@ -62,7 +63,8 @@ class Engine(
       q <- s.queries if q.tableName.nonEmpty && q.query.nonEmpty
     } yield ConfigQuery(s.tableName, q.tableName, q.query)
 
-  def extractFrom(seedTable: String, seed: DataFrame): Map[String, DataFrame] = {
+  def extractFrom(seedTable: String, seed: DataFrame,
+      preSeen: Map[String, DataFrame] = Map.empty): Map[String, DataFrame] = {
     val cqs = configQueries
     // templated queries run through Spark SQL over the source tables
     // (the reference delegates them to Postgres, etl/extractor.go:72);
@@ -85,24 +87,34 @@ class Engine(
     // (extractAll unions the seed key sets per table).
     val extraSeeds = config.extra.map(_.tableName).filter(_.nonEmpty)
       .map(t => t -> loadTable(t))
-    val closed = extractor.extractAll((seedTable -> seed) +: extraSeeds)
+    val closed = extractor.extractAll((seedTable -> seed) +: extraSeeds, preSeen)
     closed.map { case (t, df) => t -> sanitized(t, df) }
   }
 
   /** Incremental (delta) extraction: the closure of `seedQuery` MINUS
     * rows already present in a previous export — the run shape a
     * RECURRING pipeline actually needs at scale (extract what's new
-    * since the last export, not the world again). Per table: one
-    * left_anti join on the primary key against the previous key set
-    * (tables with no previous export pass through whole). The anti join
-    * shuffles on the pk — at 100 TB the previous key sets are far too
-    * large to broadcast, and pk-hash co-partitioning is exactly the plan
-    * you want; rows-in-closure is unchanged, so the delta is computed,
-    * never re-traversed.
+    * since the last export, not the world again).
+    *
+    * `incremental = true` (default) feeds the previous key sets into the
+    * BFS itself ([[graft.closure.ClosureExtractor.runAllWithSizes]]
+    * `preSeen`): the traversal prunes at every already-exported key, so
+    * frontier sizes from depth 1 on are proportional to the DELTA — an
+    * unchanged 100 TB corpus costs one seed scan, not a full re-closure.
+    * Exact under the incremental contract (same config/policy, data only
+    * grown since the previous export; see the extractor's scaladoc).
+    *
+    * `incremental = false` is the mutation-tolerant fallback: re-extract
+    * the full closure, then one left_anti join per table on the primary
+    * key (tables with no previous export pass through whole). The anti
+    * join shuffles on the pk — at 100 TB the previous key sets are far
+    * too large to broadcast, and pk-hash co-partitioning is the plan you
+    * want — but the full traversal is paid even for an empty delta.
     */
-  def extractDelta(seedQuery: String,
-      prevKeys: Map[String, DataFrame]): Map[String, DataFrame] =
-    extract(seedQuery).map { case (t, df) =>
+  def extractDelta(seedQuery: String, prevKeys: Map[String, DataFrame],
+      incremental: Boolean = true): Map[String, DataFrame] =
+    if (incremental) extract(seedQuery, prevKeys)
+    else extract(seedQuery).map { case (t, df) =>
       prevKeys.get(t) match {
         case None => t -> df
         case Some(prev) =>

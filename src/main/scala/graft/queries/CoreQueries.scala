@@ -429,34 +429,41 @@ object CoreQueries {
       |) ORDER BY table_name""".stripMargin
 
   /** Incremental (delta) extraction: rows of the ≤10-seed closure that a
-    * previous ≤5-seed export does NOT already contain — one left_anti
-    * join per table on its primary key (composite for lineitem). The
-    * production form reads the previous keys from the prior artifact and
-    * runs ONE closure + the anti joins ([[graft.engine.Engine.extractDeltaTo]],
-    * CLI `extract -delta`); here the baseline closure is recomputed
-    * inline so the DuckDB oracle can replay both sides — the bench cost
-    * is two BFS runs by construction, not a plan defect. At 100 TB the
-    * anti join hash-partitions on the pk (previous key sets are far too
-    * big to broadcast), and closure monotonicity (PropertySpec) is what
-    * makes per-table key difference ≡ the semantic "new rows" delta.
+    * previous ≤5-seed export does NOT already contain — the INCREMENTAL
+    * BFS form: the baseline key sets pre-populate the new traversal's
+    * seen-set (`preSeen`), so the second traversal's frontiers are
+    * delta-sized from depth 1 on and the delta needs no per-table anti
+    * join afterwards. The production form
+    * ([[graft.engine.Engine.extractDeltaTo]], CLI `extract -delta`)
+    * reads the baseline keys from the prior artifact and pays ONE
+    * delta-frontier closure; here the baseline closure is recomputed
+    * inline (key sets only, `runAll` — row materialization would be pure
+    * waste) so the DuckDB oracle can replay both sides from nothing.
+    * Exactness of pruning-at-previously-exported-keys rests on the
+    * incremental contract pinned by PropertySpec on random graphs; at
+    * 100 TB this is the difference between re-traversing the whole
+    * closure per run and touching work proportional to what changed.
     */
   def closureDelta(spark: SparkSession, dir: String): DataFrame = {
     val policy = TraversalPolicy(referenceKeyAllowlist = Set("lineitem_orderkey_fkey"))
     val ex = ClosureExtractor.forDir(spark, dir, policy = policy)
     val cust = Tables(spark, dir, "customer")
-    val newRows = ex.extract("customer", cust.filter(col("c_custkey") <= 10))
-    // the baseline needs KEY SETS only (runAll) — its row materialization
-    // (one semi-join + full scan per table) would be pure waste
+    // baseline: KEY SETS only (runAll)
     val prevKeys = ex.runAll(Seq(
       "customer" -> cust.filter(col("c_custkey") <= 5)))
-    val cat = graft.meta.Catalog.tpch
-    newRows.toSeq.sortBy(_._1)
-      .map { case (t, df) =>
-        val pk = cat.pkOf(t)
-        val delta = prevKeys.get(t).fold(df)(p =>
-          df.join(p.select(pk.map(col): _*), pk, "left_anti"))
-        delta.agg(count(lit(1)).as("n_rows"))
-          .select(lit(t).as("table_name"), col("n_rows"))
+    // delta rows, directly: tables absent from the result have an empty
+    // delta (their keys were all previously exported) — emit their zero
+    // counts explicitly to match the oracle's 8 fixed COUNT branches
+    val delta = ex.extractAll(
+      Seq("customer" -> cust.filter(col("c_custkey") <= 10)), prevKeys)
+    (prevKeys.keySet ++ delta.keySet).toSeq.sorted
+      .map { t =>
+        delta.get(t) match {
+          case Some(df) => df.agg(count(lit(1)).as("n_rows"))
+            .select(lit(t).as("table_name"), col("n_rows"))
+          case None => spark.range(1)
+            .select(lit(t).as("table_name"), lit(0L).as("n_rows"))
+        }
       }
       .reduce(_.unionByName(_))
       .orderBy("table_name")

@@ -154,20 +154,21 @@ class MainSpec extends SparkSpec {
       path = fullDir))._1 == 0)
     // additivity: for every table, previous + delta == a full re-extract
     // (closure monotonicity makes the two sides disjoint by pk, so the
-    // manifest counts simply add)
+    // manifest counts simply add). The incremental traversal omits
+    // tables it never reached (their delta is empty by construction) —
+    // cnt treats an absent table as zero.
     val tables = graft.io.JsonTableIO.listTables(fullDir)
     assert(tables.nonEmpty)
+    def cnt(dir: String, t: String): Long =
+      if (graft.io.JsonTableIO.listTables(dir).contains(t))
+        graft.io.JsonTableIO.readManifest(dir, t).count
+      else 0L
     tables.foreach { t =>
-      def cnt(dir: String): Long =
-        if (graft.io.JsonTableIO.listTables(dir).contains(t))
-          graft.io.JsonTableIO.readManifest(dir, t).count
-        else 0L
-      assert(cnt(prevDir) + cnt(deltaDir) == cnt(fullDir),
-        s"$t: prev=${cnt(prevDir)} + delta=${cnt(deltaDir)} != full=${cnt(fullDir)}")
+      assert(cnt(prevDir, t) + cnt(deltaDir, t) == cnt(fullDir, t),
+        s"$t: prev=${cnt(prevDir, t)} + delta=${cnt(deltaDir, t)} != full=${cnt(fullDir, t)}")
     }
     // and the delta is strictly smaller than the full export somewhere
-    assert(tables.map(t => graft.io.JsonTableIO.readManifest(deltaDir, t).count).sum <
-      tables.map(t => graft.io.JsonTableIO.readManifest(fullDir, t).count).sum)
+    assert(tables.map(cnt(deltaDir, _)).sum < tables.map(cnt(fullDir, _)).sum)
 
     // merge folds the delta back into the base: counts now equal the
     // full re-extract everywhere, closing the incremental lifecycle

@@ -171,6 +171,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  /** Materialize a random graph's tables as DataFrames (id + FK cols). */
+  private def graphDfs(g: RandGraph): Map[String, org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.{Row => SqlRow}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    g.tables.map { t =>
+      val fkCols = g.edges.filter(_.childTable == t).map(_.childCol)
+      val rows = g.data(t).toSeq.map { case (id, fs) =>
+        SqlRow.fromSeq(id +: fkCols.map(c => fs(c).map(Long.box).orNull))
+      }
+      val schema = StructType(StructField("id", LongType, nullable = false) +:
+        fkCols.map(c => StructField(c, LongType, nullable = true)))
+      t -> spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), schema)
+    }.toMap
+  }
+
   /** Row-at-a-time BFS with a visited set — the reference's semantics
     * (`/root/reference/etl/extractor.go:84-129`), trivially correct.
     */
@@ -204,8 +220,6 @@ class PropertySpec extends SparkSpec {
   }
 
   test("extractor equals the naive BFS model on random graphs/policies") {
-    import org.apache.spark.sql.{Row => SqlRow}
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val gs = cases(Gen.zip(genGraph,
       Gen.someOf(1L, 2L, 3L, 4L, 5L).map(_.toSet),
       Gen.oneOf(true, false),
@@ -214,16 +228,7 @@ class PropertySpec extends SparkSpec {
       val policy = TraversalPolicy(omit, allow.toSet)
       val cat = Catalog(
         g.tables.map(t => t -> TableMeta(t, Seq("id"))).toMap, g.edges)
-      val dfs: Map[String, org.apache.spark.sql.DataFrame] = g.tables.map { t =>
-        val fkCols = g.edges.filter(_.childTable == t).map(_.childCol)
-        val rows = g.data(t).toSeq.map { case (id, fs) =>
-          SqlRow.fromSeq(id +: fkCols.map(c => fs(c).map(Long.box).orNull))
-        }
-        val schema = StructType(StructField("id", LongType, nullable = false) +:
-          fkCols.map(c => StructField(c, LongType, nullable = true)))
-        t -> spark.createDataFrame(
-          spark.sparkContext.parallelize(rows, 2), schema)
-      }.toMap
+      val dfs = graphDfs(g)
       // multi-seed: t0 always, plus t1 when its ids survive — exercises
       // extractAll's joint frontier and depth-0 chain seeding across tables
       val seeds = Map(
@@ -293,8 +298,6 @@ class PropertySpec extends SparkSpec {
   }
 
   test("overlapping extras: reference-sequential ⊆ extractAll == ungated model") {
-    import org.apache.spark.sql.{Row => SqlRow}
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val gs = cases(Gen.zip(genGraph,
       Gen.someOf(1L, 2L, 3L, 4L, 5L).map(_.toSet),
       Gen.oneOf(true, false),
@@ -304,16 +307,7 @@ class PropertySpec extends SparkSpec {
       val policy = TraversalPolicy(omit, allow.toSet)
       val cat = Catalog(
         g.tables.map(t => t -> TableMeta(t, Seq("id"))).toMap, g.edges)
-      val dfs: Map[String, org.apache.spark.sql.DataFrame] = g.tables.map { t =>
-        val fkCols = g.edges.filter(_.childTable == t).map(_.childCol)
-        val rows = g.data(t).toSeq.map { case (id, fs) =>
-          SqlRow.fromSeq(id +: fkCols.map(c => fs(c).map(Long.box).orNull))
-        }
-        val schema = StructType(StructField("id", LongType, nullable = false) +:
-          fkCols.map(c => StructField(c, LongType, nullable = true)))
-        t -> spark.createDataFrame(
-          spark.sparkContext.parallelize(rows, 2), schema)
-      }.toMap
+      val dfs = graphDfs(g)
       // ordered: main seed on t0, then the "extra" on t1 — the overlap case
       val seeds = Seq(
         "t0" -> seedIds0.intersect(g.data("t0").keySet),
@@ -344,6 +338,59 @@ class PropertySpec extends SparkSpec {
     // coverage signal only — the deterministic micro-case below guarantees
     // the deviation is exercised even if the random cases never overlap
     info(s"random cases exercising the overlapping-extras deviation: $deviated")
+  }
+
+  // ---- incremental delta: preSeen pruning == full closure minus prev ----
+  //
+  // The incremental contract (`ClosureExtractor.runAllWithSizes` scaladoc):
+  // seeding the BFS with preSeen = the key closure of a PRIOR run under
+  // the same policy prunes the traversal at every previously-exported key
+  // yet returns EXACTLY closure(seeds) \ preSeen. Seeds are never pruned
+  // (each still gets its depth-0 expansion), so the property needs no
+  // relationship between the two runs' seed sets — the previous run's
+  // seeds are drawn independently, including overlapping, disjoint, and
+  // subset/superset cases.
+
+  test("incremental preSeen run equals full closure minus previous on random graphs") {
+    val gs = cases(Gen.zip(genGraph,
+      Gen.someOf(1L, 2L, 3L, 4L, 5L).map(_.toSet),       // full-run seeds (t0)
+      Gen.someOf(1L, 2L, 3L, 4L, 5L, 6L).map(_.toSet),   // previous-run seeds (t0)
+      Gen.oneOf(true, false),
+      Gen.someOf("e0", "e1", "e2", "e3", "e4", "e5")), 6)
+    var pruned = 0
+    gs.foreach { case (g, seedIds0, prevIds0, omit, allow) =>
+      val policy = TraversalPolicy(omit, allow.toSet)
+      val cat = Catalog(
+        g.tables.map(t => t -> TableMeta(t, Seq("id"))).toMap, g.edges)
+      val dfs = graphDfs(g)
+      val seedIds = seedIds0.intersect(g.data("t0").keySet)
+      val prevIds = prevIds0.intersect(g.data("t0").keySet)
+      if (seedIds.nonEmpty && prevIds.nonEmpty) {
+        val prevModel = modelClosure(g, Map("t0" -> prevIds), policy)
+        val preSeen = prevModel.map { case (t, ids) =>
+          t -> ids.toSeq.toDF("id") }
+        val got = new ClosureExtractor(cat, dfs(_), policy)
+          .extractAll(
+            Seq("t0" -> dfs("t0").filter(col("id").isin(seedIds.toSeq: _*))),
+            preSeen)
+          .map { case (t, df) =>
+            t -> df.select("id").collect().map(_.getLong(0)).toSet }
+          .filter(_._2.nonEmpty)
+        val full = modelClosure(g, Map("t0" -> seedIds), policy)
+        val want = full.map { case (t, ids) =>
+          t -> (ids -- prevModel.getOrElse(t, Set.empty))
+        }.filter(_._2.nonEmpty)
+        assert(got == want,
+          s"incremental != full minus prev: edges=${g.edges} seeds=$seedIds " +
+            s"prev=$prevIds policy=$policy\n got=$got\nwant=$want\nprev=$prevModel")
+        if (full.exists { case (t, ids) =>
+            ids.intersect(prevModel.getOrElse(t, Set.empty)).nonEmpty }) pruned += 1
+      }
+    }
+    // coverage signal: at least one case must actually prune (overlap
+    // between the two closures), or the property degenerates
+    info(s"random cases with genuine pruning overlap: $pruned")
+    assert(pruned > 0, "no random case exercised preSeen pruning")
   }
 
   test("overlapping extras micro-case: the skipped depth-0 expansion is the delta") {

@@ -190,4 +190,52 @@ class ClosureSpec extends SparkSpec {
       .extract("user", user.filter(col("id").isin(1, 3)))
     assert(ids(out("project")) == Set(10L, 30L))
   }
+
+  test("incremental preSeen run returns exactly the delta (RK paths pruned)") {
+    // previous export: closure of user 1 under the full policy
+    //   = user {1,2}, project {10,20}, comment {101}
+    val ex = extractor(TraversalPolicy())
+    val prev = ex.runAll(Seq("user" -> user.filter(col("id") === 1)))
+    // new run seeds users {1,3}; the full closure adds user 3's subgraph:
+    //   user 3 -> project 30 (FK+RK owner), comment 102 (RK author)
+    //   -> project 40 -> user 4
+    val delta = ex.extractAll(
+      Seq("user" -> user.filter(col("id").isin(1, 3))), prev)
+      .map { case (t, df) => t -> ids(df) }.filter(_._2.nonEmpty)
+    assert(delta == Map(
+      "user" -> Set(3L, 4L),
+      "project" -> Set(30L, 40L),
+      "comment" -> Set(102L)), s"delta=$delta")
+  }
+
+  test("incremental preSeen run: config queries fire on the delta frontier only") {
+    // same fixture as the forward-chaining J3 test; the previous export
+    // covers a=1's subgraph, so the incremental run must execute the
+    // config query for the NEW b-row only — proof that frontier work
+    // (including J3 parameter collection) is delta-sized
+    val a = Seq((1L, 10L), (2L, 20L)).toDF("id", "b_id")
+    val b = Seq((10L, "x"), (20L, "y"), (30L, "z")).toDF("id", "tag")
+    val c = Seq((100L, "x"), (101L, "y"), (102L, "q")).toDF("id", "tag")
+    c.createOrReplaceTempView("c_table")
+    val cat = Catalog(Map(
+      "a" -> TableMeta("a", Seq("id")),
+      "b" -> TableMeta("b", Seq("id")),
+      "c_table" -> TableMeta("c_table", Seq("id"))),
+      Seq(FkEdge("a_b", "a", "b_id", "b", "id")))
+    val sqls = scala.collection.mutable.ListBuffer.empty[String]
+    val ex = new ClosureExtractor(cat,
+      Map("a" -> a, "b" -> b, "c_table" -> c)(_), TraversalPolicy(),
+      configQueries = Seq(ConfigQuery("b", "c_table",
+        "SELECT * FROM c_table WHERE tag = {tag}")),
+      runQuery = { sql => sqls += sql; spark.sql(sql) })
+    val prev = ex.runAll(Seq("a" -> a.filter(col("id") === 1)))
+    sqls.clear()
+    val delta = ex.extractAll(Seq("a" -> a), prev)
+      .map { case (t, df) => t -> ids(df) }.filter(_._2.nonEmpty)
+    assert(delta == Map(
+      "a" -> Set(2L), "b" -> Set(20L), "c_table" -> Set(101L)), s"delta=$delta")
+    // ONE IN-list query, parameterized by the delta b-row's tag only
+    assert(sqls.toList.length == 1, s"sqls=$sqls")
+    assert(sqls.head.contains("'y'") && !sqls.head.contains("'x'"), s"sqls=$sqls")
+  }
 }

@@ -91,6 +91,27 @@ class EngineSpec extends SparkSpec {
     assert(u.getAs[String]("email") == "ulule-1@ulule.com")
   }
 
+  test("extractDelta: incremental and fallback forms agree table-by-table") {
+    // previous export = closure of user 1 (with extras); new seed widens
+    // to users {1,3}. The incremental form prunes inside the BFS, the
+    // fallback re-extracts and anti-joins per pk — same delta, including
+    // the depth-0 expansion of the genuinely-new seed (user 3 → badge).
+    val prevKeys = engine.extract("SELECT * FROM user WHERE id = 1")
+      .map { case (t, df) => t -> df.select(catalog.pkOf(t).map(col): _*) }
+    def sets(m: Map[String, DataFrame]): Map[String, Set[Long]] = m.map {
+      case (t, df) => t -> df.select(catalog.pkOf(t).head).collect()
+        .map(_.getAs[Any](0).toString.toLong).toSet
+    }.filter(_._2.nonEmpty)
+    val inc = sets(engine.extractDelta(
+      "SELECT * FROM user WHERE id IN (1, 3)", prevKeys))
+    val fb = sets(engine.extractDelta(
+      "SELECT * FROM user WHERE id IN (1, 3)", prevKeys, incremental = false))
+    assert(inc == fb, s"inc=$inc\nfb=$fb")
+    // and the delta is the user-3 subgraph: project 30, carol's badge
+    assert(inc("user") == Set(3L) && inc("project") == Set(30L) &&
+      inc("badge") == Set(500L), s"inc=$inc")
+  }
+
   test("load ingests a mover-authored export dir (single-file envelopes, ref loader.go:25-72)") {
     // the artifact a migrating mover user actually has: one pretty-printed
     // <table>.json per table, no manifest subdirs
