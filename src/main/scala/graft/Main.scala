@@ -39,6 +39,7 @@ object Main {
       compression: String = "", // compact: explicit codec ("" = inferred)
       staged: Boolean = false, // load: whole-table atomic staged upsert
       delta: String = "", // extract: previous export dir -> delta extract
+      deltaFull: Boolean = false, // extract -delta: full re-closure + anti-join
       verbose: Boolean = false,
       version: Boolean = false)
 
@@ -54,6 +55,10 @@ object Main {
       |  -staged                    load: stage in parallel, commit each table in ONE txn
       |  -delta <prevDir>           extract: only rows NEW since the previous export
       |                             merge: the delta export dir to fold into -path
+      |  -delta-full                extract -delta: tolerate in-place mutations by
+      |                             re-extracting the full closure + pk anti-join
+      |                             (default prunes inside the traversal; exact for
+      |                             append-only sources)
       |  -verbose -version""".stripMargin
 
   def parse(args: Array[String]): Cli =
@@ -72,6 +77,7 @@ object Main {
           case other => throw new IllegalArgumentException(s"unknown flag: $other")
         }, None)
       case ((cli, None), "-staged")  => (cli.copy(staged = true), None)
+      case ((cli, None), "-delta-full") => (cli.copy(deltaFull = true), None)
       case ((cli, None), "-verbose") => (cli.copy(verbose = true), None)
       case ((cli, None), "-version") => (cli.copy(version = true), None)
       case ((cli, None), flag) if flag.startsWith("-") => (cli, Some(flag))
@@ -95,7 +101,8 @@ object Main {
         else {
           val counts =
             if (cli.delta.nonEmpty)
-              engine.extractDeltaTo(cli.query, cli.path, cli.delta)
+              engine.extractDeltaTo(cli.query, cli.path, cli.delta,
+                incremental = !cli.deltaFull)
             else engine.extractTo(cli.query, cli.path)
           counts.toSeq.sortBy(_._1).foreach { case (t, n) => out(s"$t: $n rows") }
           0

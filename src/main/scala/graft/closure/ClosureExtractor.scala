@@ -167,25 +167,38 @@ class ClosureExtractor(
     * `preSeen` turns the run INCREMENTAL: table → pk key sets of a
     * PREVIOUS closure (e.g. a prior export) that pre-populate the BFS
     * seen-set, so the traversal prunes at every already-exported key and
-    * the returned key sets / counts cover ONLY what is new. Frontier
-    * sizes from depth 1 on are proportional to the DELTA, not to the
-    * closure — the shape a recurring 100 TB pipeline needs (the
-    * alternative, re-traversing the whole closure and anti-joining per
-    * table afterwards, pays the full traversal even for an empty delta).
+    * the returned key sets / counts cover ONLY what is new. Recurring
+    * cost = the seed depth-0 expansion + one allowlisted-RK/config probe
+    * per preSeen table that has such edges (appends CAN attach there, so
+    * those probes are the irreducible correctness cost) + traversal
+    * proportional to the DELTA from depth 1 on — vs. the alternative
+    * (re-traversing the whole closure, then anti-joining per table),
+    * which pays every FK level and every depth-0 expansion of the full
+    * closure even when nothing changed.
     *
     * Exactness contract (ClosureSpec + PropertySpec pin it on random
-    * graphs): the result equals closure(seeds) MINUS preSeen keys,
-    * PROVIDED preSeen is the key closure of a prior run under the SAME
-    * catalog, policy, and config queries, over data that has only grown
-    * since (append-only; rows already exported must not have changed
-    * edges). Why: seeds are NOT pruned — every seed still gets its
-    * depth-0 expansion, so no seed/prev-seed relationship is assumed —
-    * while any key in preSeen was expanded at depth>0-or-stronger by the
-    * prior run, and depth-0 expansion ⊇ depth>0 expansion under every
-    * policy, so a prior closure is closed under depth>0 expansion and
-    * pruning there loses nothing. If the source mutates in place, use
-    * the non-incremental form + per-table anti-join instead
-    * ([[graft.engine.Engine.extractDelta]] with `incremental = false`).
+    * graphs, including randomly GROWN ones): the result equals
+    * closure(seeds) MINUS preSeen keys, PROVIDED preSeen is the key
+    * closure of a prior run under the SAME catalog, policy, and config
+    * queries, and EITHER
+    *
+    *  (a) the data is unchanged since that run (any prior seed set), OR
+    *  (b) the data has only GROWN (append-only: new rows may reference
+    *      old keys, but already-exported rows are immutable) and every
+    *      preSeen key is still inside the current full closure — the
+    *      recurring same-seed-query pipeline guarantees this, since old
+    *      seed rows still match the seed query.
+    *
+    * Why: seeds are NOT pruned — every seed still gets its depth-0
+    * expansion — while a preSeen key skips its forward FKs (immutable
+    * row ⇒ parents already in preSeen) and is re-probed ONLY along the
+    * edges that stay active at depth>0 (allowlisted reverse keys and
+    * config queries; see the REFIRE step), which is exactly where
+    * appended rows can attach to old keys. Under in-place mutation
+    * (edges of exported rows changed), pruning is unsound — use the
+    * non-incremental form + per-table anti-join instead
+    * ([[graft.engine.Engine.extractDelta]] with `incremental = false`;
+    * CLI `extract -delta ... -delta-full`).
     */
   def runAllWithSizes(seeds: Seq[(String, DataFrame)],
       preSeen: Map[String, DataFrame] = Map.empty): (Map[String, DataFrame], Map[String, Long]) = {
@@ -299,56 +312,36 @@ class ClosureExtractor(
         if (chainable(t)) chainAcc.update(t, keys)
       }
 
-      frontier.foreach { case (table, keys) =>
-        val pk = catalog.pkOf(table)
-        val fks = catalog.foreignKeysOf(table)
-        // depth-0 rows follow ALL reverse edges unless omitted for this
-        // row's table; allowlisted edges are followed at every depth even
-        // under omit (the reference appends `schema.ReferenceKeys`
-        // unconditionally, `etl/extractor.go:44-50`).
-        val rks = catalog.referenceKeysOf(table).filter(rk =>
-          (depth == 0 && !policy.omitsFor(table)) ||
+      // J2 reverse lookup, batched: child rows whose FK is in `keys`.
+      // Distinct deferred to the candidate stage (see J1). `depth0` rows
+      // follow ALL reverse edges unless omitted for this row's table;
+      // allowlisted edges are followed at every depth even under omit
+      // (the reference appends `schema.ReferenceKeys` unconditionally,
+      // `etl/extractor.go:44-50`).
+      def expandRks(table: String, keys: DataFrame, size: Option[Long],
+          depth0: Boolean): Unit =
+        catalog.referenceKeysOf(table).filter(rk =>
+          (depth0 && !policy.omitsFor(table)) ||
             policy.referenceKeyAllowlist.contains(rk.name))
-
-        val keysH = hinted(keys, frontierSizes.get(table))
-        if (fks.nonEmpty && !chainable(table)) {
-          // cycle fallback: one scan of the table, semi-joined down to
-          // frontier rows (chainable tables expand their FKs in the chain
-          // phase below instead — exactly once, when the keys appear)
-          val rows = keyProjection(table, (pk ++ fks.map(_.childCol)).distinct)
-            .join(keysH, pk, "left_semi")
-          fks.foreach { fk =>
-            // J1 forward lookup, batched: null FKs skipped as in the
-            // reference (etl/extractor.go:107-109). No per-edge distinct:
-            // the candidate stage below distincts the per-table union once
-            // — a distinct here would add one shuffle per edge per depth
-            // for rows the union dedups anyway.
-            require(catalog.pkOf(fk.parentTable) == Seq(fk.parentCol),
-              s"FK ${fk.name} must reference the parent PK")
-            addKeys(fk.parentTable,
-              rows.select(col(fk.childCol).as(fk.parentCol))
-                .where(col(fk.parentCol).isNotNull))
-          }
-        }
-        rks.foreach { rk =>
-          // J2 reverse lookup, batched: child rows whose FK is in our
-          // keys. Distinct deferred to the candidate stage (see J1).
+        .foreach { rk =>
           val childPk = catalog.pkOf(rk.childTable)
           addKeys(rk.childTable,
             keyProjection(rk.childTable, (childPk :+ rk.childCol).distinct)
               .join(hinted(keys.withColumnRenamed(rk.parentCol, rk.childCol),
-                frontierSizes.get(table)), Seq(rk.childCol), "left_semi")
+                size), Seq(rk.childCol), "left_semi")
               .select(childPk.map(col): _*))
         }
 
-        // J3 templated config queries: collect this frontier's DISTINCT
-        // parameter tuples to the driver (bounded: human-written config
-        // predicates, SURVEY.md §7.4), substitute, run, fold the target
-        // table's pk values back into the BFS. The common template shape
-        // `... WHERE col = {attr}` batches to ONE IN-list query per
-        // iteration — the reference runs it once per row
-        // (etl/extractor.go:70-79), the surviving N+1 we refuse to copy;
-        // any other shape falls back to per-tuple execution.
+      // J3 templated config queries: collect the key set's DISTINCT
+      // parameter tuples to the driver (bounded: human-written config
+      // predicates, SURVEY.md §7.4), substitute, run, fold the target
+      // table's pk values back into the BFS. The common template shape
+      // `... WHERE col = {attr}` batches to ONE IN-list query per
+      // iteration — the reference runs it once per row
+      // (etl/extractor.go:70-79), the surviving N+1 we refuse to copy;
+      // any other shape falls back to per-tuple execution.
+      def runConfigs(table: String, keysH: DataFrame): Unit = {
+        val pk = catalog.pkOf(table)
         configQueries.filter(_.sourceTable == table).foreach { cq =>
           require(runQuery != null, "configQueries need a runQuery function")
           val attrs = raw"\{(\w+)\}".r.findAllMatchIn(cq.template)
@@ -392,6 +385,50 @@ class ClosureExtractor(
               }
           }
         }
+      }
+
+      frontier.foreach { case (table, keys) =>
+        val pk = catalog.pkOf(table)
+        val fks = catalog.foreignKeysOf(table)
+        val keysH = hinted(keys, frontierSizes.get(table))
+        if (fks.nonEmpty && !chainable(table)) {
+          // cycle fallback: one scan of the table, semi-joined down to
+          // frontier rows (chainable tables expand their FKs in the chain
+          // phase below instead — exactly once, when the keys appear)
+          val rows = keyProjection(table, (pk ++ fks.map(_.childCol)).distinct)
+            .join(keysH, pk, "left_semi")
+          fks.foreach { fk =>
+            // J1 forward lookup, batched: null FKs skipped as in the
+            // reference (etl/extractor.go:107-109). No per-edge distinct:
+            // the candidate stage below distincts the per-table union once
+            // — a distinct here would add one shuffle per edge per depth
+            // for rows the union dedups anyway.
+            require(catalog.pkOf(fk.parentTable) == Seq(fk.parentCol),
+              s"FK ${fk.name} must reference the parent PK")
+            addKeys(fk.parentTable,
+              rows.select(col(fk.childCol).as(fk.parentCol))
+                .where(col(fk.parentCol).isNotNull))
+          }
+        }
+        expandRks(table, keys, frontierSizes.get(table), depth0 = depth == 0)
+        runConfigs(table, keysH)
+      }
+
+      // REFIRE for incremental runs: a previously-exported key skips its
+      // forward FKs (its row cannot have changed under the append-only
+      // contract, so its parents are already in preSeen) and its depth-0
+      // expansion (covered by the prior run, or by this run's unpruned
+      // seeds if it seeds again) — but edges that stay ACTIVE at depth>0
+      // probe CURRENT data: an allowlisted reverse key or config query
+      // from an old key can match rows appended since the previous
+      // export (new lineitems on an old order). Fire exactly those, once,
+      // in the first iteration; the candidate anti-join against
+      // seen ⊇ preSeen keeps only the genuinely-new children, which then
+      // traverse normally. On unchanged data this finds nothing, so the
+      // arbitrary-preSeen static-data exactness is unaffected.
+      if (depth == 0) pre.foreach { case (table, keys) =>
+        expandRks(table, keys, preSizes.get(table), depth0 = false)
+        runConfigs(table, hinted(keys, preSizes.get(table)))
       }
 
       // CHAIN phase: walk the acyclic forward-FK closure of everything

@@ -99,10 +99,13 @@ class Engine(
     * `incremental = true` (default) feeds the previous key sets into the
     * BFS itself ([[graft.closure.ClosureExtractor.runAllWithSizes]]
     * `preSeen`): the traversal prunes at every already-exported key, so
-    * frontier sizes from depth 1 on are proportional to the DELTA — an
-    * unchanged 100 TB corpus costs one seed scan, not a full re-closure.
-    * Exact under the incremental contract (same config/policy, data only
-    * grown since the previous export; see the extractor's scaladoc).
+    * the recurring cost is the seed depth-0 expansion, one
+    * allowlisted-RK/config probe per previously-exported table that has
+    * such edges (appends can attach new children there), and traversal
+    * proportional to the DELTA from depth 1 on — never a re-walk of the
+    * full closure's FK levels. Exact under the incremental contract
+    * (same config/policy; data unchanged, or append-only growth with
+    * the same recurring seed query; see the extractor's scaladoc).
     *
     * `incremental = false` is the mutation-tolerant fallback: re-extract
     * the full closure, then one left_anti join per table on the primary
@@ -169,11 +172,13 @@ class Engine(
     writeAll(extract(seedQuery).toSeq, outDir, compression)
 
   /** [[extractDelta]] + the export loop: write only the rows NEW since
-    * the previous export at `prevDir` (CLI: `-action extract -delta`).
+    * the previous export at `prevDir` (CLI: `-action extract -delta`;
+    * `-delta-full` selects `incremental = false`).
     */
   def extractDeltaTo(seedQuery: String, outDir: String, prevDir: String,
-      compression: Option[String] = None): Map[String, Long] =
-    writeAll(extractDelta(seedQuery, deltaBaseline(prevDir)).toSeq,
+      compression: Option[String] = None,
+      incremental: Boolean = true): Map[String, Long] =
+    writeAll(extractDelta(seedQuery, deltaBaseline(prevDir), incremental).toSeq,
       outDir, compression)
 
   private def writeAll(extracted: Seq[(String, DataFrame)], outDir: String,

@@ -22,6 +22,8 @@ class MainSpec extends SparkSpec {
       "-path", "/tmp/x", "-dsn", dsn, "-verbose"))
     assert(cli == Main.Cli(action = "extract", query = "SELECT 1",
       path = "/tmp/x", dsn = dsn, verbose = true))
+    assert(Main.parse(Array("-delta", "/tmp/prev", "-delta-full")) ==
+      Main.Cli(delta = "/tmp/prev", deltaFull = true))
     intercept[IllegalArgumentException](Main.parse(Array("-nope", "x")))
   }
 
@@ -169,6 +171,17 @@ class MainSpec extends SparkSpec {
     }
     // and the delta is strictly smaller than the full export somewhere
     assert(tables.map(cnt(deltaDir, _)).sum < tables.map(cnt(fullDir, _)).sum)
+
+    // -delta-full (mutation-tolerant full re-closure + anti-join) agrees
+    // with the incremental default on unchanged data, table by table
+    val deltaFullDir = Files.createTempDirectory("graft-cli-deltafull").toString
+    assert(capture(Main.Cli(action = "extract", dsn = dsn,
+      query = "SELECT * FROM customer WHERE c_custkey <= 5",
+      path = deltaFullDir, delta = prevDir, deltaFull = true))._1 == 0)
+    tables.foreach { t =>
+      assert(cnt(deltaFullDir, t) == cnt(deltaDir, t),
+        s"$t: -delta-full=${cnt(deltaFullDir, t)} != incremental=${cnt(deltaDir, t)}")
+    }
 
     // merge folds the delta back into the base: counts now equal the
     // full re-extract everywhere, closing the incremental lifecycle

@@ -393,6 +393,84 @@ class PropertySpec extends SparkSpec {
     assert(pruned > 0, "no random case exercised preSeen pruning")
   }
 
+  /** Append-only growth: add rows with fresh ids (9–14; base rows use
+    * 1–8) to random tables. New rows may reference old OR new keys —
+    * exactly the case where appended children attach to already-exported
+    * parents; old rows are never touched. FK integrity is re-enforced
+    * over the merged data (a no-op for old rows, whose parents still
+    * exist).
+    */
+  private def genGrown(g: RandGraph): Gen[RandGraph] =
+    Gen.listOfN(8, for {
+      t <- Gen.oneOf(g.tables)
+      id <- Gen.chooseNum(9L, 14L)
+      fs <- Gen.listOfN(g.edges.count(_.childTable == t),
+        Gen.option(Gen.chooseNum(1L, 14L)))
+    } yield (t, id, fs)).map { rows =>
+      val grown = rows.foldLeft(g.data) { case (d, (t, id, fs)) =>
+        val fkCols = g.edges.filter(_.childTable == t).map(_.childCol)
+        d.updated(t, d(t) + (id -> fkCols.zip(fs).toMap))
+      }
+      val colParent = g.edges.map(e => (e.childTable, e.childCol) -> e.parentTable).toMap
+      val data = grown.map { case (t, rs) => t -> rs.map { case (id, fs) =>
+        id -> fs.map { case (c, v) =>
+          c -> v.filter(pv => grown(colParent((t, c))).contains(pv)) }
+      } }
+      g.copy(data = data)
+    }
+
+  test("incremental run on GROWN data equals full minus previous (append-only contract)") {
+    // contract case (b): previous seeds ⊆ current seeds (the recurring
+    // same-seed-query shape), data grown between the runs. preSeen comes
+    // from the BASE graph's closure; the incremental run and the full
+    // model both see the GROWN graph.
+    // biased toward followable reverse edges: with mostly-empty
+    // allowlists and omit=true, appended rows are rarely reachable and
+    // the property degenerates to the static case
+    val gen = for {
+      g0 <- genGraph
+      g1 <- genGrown(g0)
+      prevIds0 <- Gen.someOf(1L, 2L, 3L, 4L, 5L).map(_.toSet)
+      addIds0 <- Gen.someOf(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L).map(_.toSet)
+      omit <- Gen.frequency((3, false), (1, true))
+      allow <- Gen.frequency(
+        (1, Gen.const(Seq("e0", "e1", "e2", "e3", "e4", "e5"))),
+        (1, Gen.someOf("e0", "e1", "e2", "e3", "e4", "e5").map(_.toSeq)))
+    } yield (g0, g1, prevIds0, addIds0, omit, allow)
+    var grownInDelta = 0
+    cases(gen, 6).foreach { case (g0, g1, prevIds0, addIds0, omit, allow) =>
+      val policy = TraversalPolicy(omit, allow.toSet)
+      val cat = Catalog(
+        g1.tables.map(t => t -> TableMeta(t, Seq("id"))).toMap, g1.edges)
+      val prevIds = prevIds0.intersect(g0.data("t0").keySet)
+      val seedIds = prevIds ++ addIds0.intersect(g1.data("t0").keySet)
+      if (prevIds.nonEmpty && seedIds.nonEmpty) {
+        val prevModel = modelClosure(g0, Map("t0" -> prevIds), policy)
+        val preSeen = prevModel.map { case (t, ids) => t -> ids.toSeq.toDF("id") }
+        val dfs = graphDfs(g1)
+        val got = new ClosureExtractor(cat, dfs(_), policy)
+          .extractAll(
+            Seq("t0" -> dfs("t0").filter(col("id").isin(seedIds.toSeq: _*))),
+            preSeen)
+          .map { case (t, df) =>
+            t -> df.select("id").collect().map(_.getLong(0)).toSet }
+          .filter(_._2.nonEmpty)
+        val full = modelClosure(g1, Map("t0" -> seedIds), policy)
+        val want = full.map { case (t, ids) =>
+          t -> (ids -- prevModel.getOrElse(t, Set.empty))
+        }.filter(_._2.nonEmpty)
+        assert(got == want,
+          s"grown incremental != full minus prev: edges=${g1.edges} " +
+            s"seeds=$seedIds prev=$prevIds policy=$policy\n got=$got\nwant=$want")
+        if (want.exists(_._2.exists(_ >= 9L))) grownInDelta += 1
+      }
+    }
+    // coverage: appended rows must actually reach some delta, or the
+    // growth generator degenerated
+    info(s"random cases where appended rows entered the delta: $grownInDelta")
+    assert(grownInDelta > 0, "no random case pulled appended rows into the delta")
+  }
+
   test("overlapping extras micro-case: the skipped depth-0 expansion is the delta") {
     // main seed: project 10 → (owner_id) user 1 at depth>0. extra seed:
     // user 1 — the reference skips it (already processed), so comment 101

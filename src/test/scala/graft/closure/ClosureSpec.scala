@@ -208,11 +208,12 @@ class ClosureSpec extends SparkSpec {
       "comment" -> Set(102L)), s"delta=$delta")
   }
 
-  test("incremental preSeen run: config queries fire on the delta frontier only") {
+  test("incremental preSeen run: config queries fire for the delta frontier and the old-key re-probe") {
     // same fixture as the forward-chaining J3 test; the previous export
-    // covers a=1's subgraph, so the incremental run must execute the
-    // config query for the NEW b-row only — proof that frontier work
-    // (including J3 parameter collection) is delta-sized
+    // covers a=1's subgraph. The incremental run executes the config
+    // query TWICE: once re-probing the previously-exported b-keys
+    // (appends can attach there — the REFIRE step) and once for the new
+    // delta frontier — never per-row, and never for pruned FK levels
     val a = Seq((1L, 10L), (2L, 20L)).toDF("id", "b_id")
     val b = Seq((10L, "x"), (20L, "y"), (30L, "z")).toDF("id", "tag")
     val c = Seq((100L, "x"), (101L, "y"), (102L, "q")).toDF("id", "tag")
@@ -234,8 +235,61 @@ class ClosureSpec extends SparkSpec {
       .map { case (t, df) => t -> ids(df) }.filter(_._2.nonEmpty)
     assert(delta == Map(
       "a" -> Set(2L), "b" -> Set(20L), "c_table" -> Set(101L)), s"delta=$delta")
-    // ONE IN-list query, parameterized by the delta b-row's tag only
-    assert(sqls.toList.length == 1, s"sqls=$sqls")
-    assert(sqls.head.contains("'y'") && !sqls.head.contains("'x'"), s"sqls=$sqls")
+    // two IN-list queries: the old-key re-probe ('x', whose hits are all
+    // pruned as already exported) and the delta frontier ('y')
+    assert(sqls.toList.length == 2, s"sqls=$sqls")
+    assert(sqls.exists(s => s.contains("'x'") && !s.contains("'y'")), s"sqls=$sqls")
+    assert(sqls.exists(s => s.contains("'y'") && !s.contains("'x'")), s"sqls=$sqls")
+  }
+
+  test("incremental run on grown data finds appended children of old keys (refire)") {
+    // prev export: closure of user 1 with comment_author allowlisted
+    //   = user {1,2}, project {10,20}, comment {100,101}
+    val allow = TraversalPolicy(referenceKeyAllowlist = Set("comment_author_fkey"))
+    val prev = extractor(allow).runAll(Seq("user" -> user.filter(col("id") === 1)))
+    // append: comment 104 by user 2 — an OLD key reached at depth>0 in
+    // the prev run. Pruning alone would silently lose it (user 2 never
+    // re-enters the frontier); the refire step re-probes old keys'
+    // allowlisted reverse edges against current data and finds it.
+    // Comment 105 attaches to the seed itself (found via the seed's
+    // unconditional depth-0 expansion).
+    val grownComment = comment.unionByName(Seq(
+      (104L, 20L, 2L, "new-by-old-author"),
+      (105L, 10L, 1L, "new-by-seed")
+    ).toDF("id", "project_id", "author_id", "body"))
+    val grown: Map[String, DataFrame] =
+      Map("user" -> user, "project" -> project, "comment" -> grownComment)
+    val delta = new ClosureExtractor(catalog, grown(_), allow)
+      .extractAll(Seq("user" -> user.filter(col("id") === 1)), prev)
+      .map { case (t, df) => t -> ids(df) }.filter(_._2.nonEmpty)
+    assert(delta == Map("comment" -> Set(104L, 105L)), s"delta=$delta")
+  }
+
+  test("incremental run: config re-probe of old keys finds appended target rows") {
+    // prev run covers a=1 -> b=10 -> c_table 100 (tag 'x'). c_table then
+    // GAINS row 103 tagged 'x' — it matches an already-exported b-row's
+    // template, and no new seed exists. Only the old-key config re-probe
+    // can find it.
+    val a = Seq((1L, 10L)).toDF("id", "b_id")
+    val b = Seq((10L, "x")).toDF("id", "tag")
+    val c0 = Seq((100L, "x")).toDF("id", "tag")
+    val c1 = Seq((100L, "x"), (103L, "x")).toDF("id", "tag")
+    val cat = Catalog(Map(
+      "a" -> TableMeta("a", Seq("id")),
+      "b" -> TableMeta("b", Seq("id")),
+      "c_table" -> TableMeta("c_table", Seq("id"))),
+      Seq(FkEdge("a_b", "a", "b_id", "b", "id")))
+    def ex(c: DataFrame) = {
+      c.createOrReplaceTempView("c_table")
+      new ClosureExtractor(cat, Map("a" -> a, "b" -> b, "c_table" -> c)(_),
+        TraversalPolicy(),
+        configQueries = Seq(ConfigQuery("b", "c_table",
+          "SELECT * FROM c_table WHERE tag = {tag}")),
+        runQuery = spark.sql(_))
+    }
+    val prev = ex(c0).runAll(Seq("a" -> a))
+    val delta = ex(c1).extractAll(Seq("a" -> a), prev)
+      .map { case (t, df) => t -> ids(df) }.filter(_._2.nonEmpty)
+    assert(delta == Map("c_table" -> Set(103L)), s"delta=$delta")
   }
 }
