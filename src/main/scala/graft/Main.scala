@@ -97,7 +97,10 @@ object Main {
 
     cli.action match {
       case "extract" =>
-        if (cli.query.isEmpty || cli.path.isEmpty) { out(usage); 2 }
+        // -delta-full without -delta would silently fall through to a
+        // FULL extract — a "delta" that duplicates every row on merge
+        if (cli.query.isEmpty || cli.path.isEmpty ||
+            (cli.deltaFull && cli.delta.isEmpty)) { out(usage); 2 }
         else {
           val counts =
             if (cli.delta.nonEmpty)

@@ -426,9 +426,28 @@ class ClosureExtractor(
       // seen ⊇ preSeen keeps only the genuinely-new children, which then
       // traverse normally. On unchanged data this finds nothing, so the
       // arbitrary-preSeen static-data exactness is unaffected.
+      //
+      // Keys that are ALSO current seeds are excluded from the probe:
+      // the frontier pass above already fired their allowlisted RKs
+      // (depth-0 expansion ⊇ the allowlist under every policy) and their
+      // config queries, so probing them again would double-scan each
+      // child table and double-run each config over the old-seed overlap
+      // every recurring run.
+      //
+      // Scale note: config re-probes are the one cost that scales with
+      // the EXPORT, not the delta — the template must be re-evaluated
+      // for every exported source row's params, since any of them may
+      // match appended target rows. The `= {attr}` shape stays one
+      // IN-list query; avoid recurring configs whose template shape
+      // falls back to per-tuple execution.
       if (depth == 0) pre.foreach { case (table, keys) =>
-        expandRks(table, keys, preSizes.get(table), depth0 = false)
-        runConfigs(table, hinted(keys, preSizes.get(table)))
+        val probe = frontier.get(table) match {
+          case Some(f) => keys.join(
+            hinted(f, frontierSizes.get(table)), catalog.pkOf(table), "left_anti")
+          case None => keys
+        }
+        expandRks(table, probe, preSizes.get(table), depth0 = false)
+        runConfigs(table, hinted(probe, preSizes.get(table)))
       }
 
       // CHAIN phase: walk the acyclic forward-FK closure of everything
@@ -442,7 +461,13 @@ class ClosureExtractor(
       // forward chain walked the iteration it first appeared, so
       // expanding it again only re-runs every downstream semi-join on
       // stale keys — multi-level waste the candidate stage would cut one
-      // level too late. Seeds at depth 0 are fresh by definition.
+      // level too late. Seeds at depth 0 are fresh by definition — but
+      // they sit inside `seen`, so a seed table's depth-0 chain input
+      // must not anti-join the full seen-set (it would erase the seeds
+      // themselves); it anti-joins preSeen alone instead, which both
+      // keeps the seeds and stops refire-produced OLD children from
+      // re-walking a full forward-FK level over the previous export
+      // (an old row's parents are already exported by the contract).
       chainOrder.foreach { t =>
         chainAcc.get(t).foreach { keysT0 =>
           val pk = catalog.pkOf(t)
@@ -451,7 +476,11 @@ class ClosureExtractor(
             val keysT = seen.get(t) match {
               case Some(s) if !(depth == 0 && frontier.contains(t)) =>
                 keysT0.distinct().join(hinted(s, seenSizes.get(t)), pk, "left_anti")
-              case _ => keysT0
+              case _ => pre.get(t) match {
+                case Some(p) => keysT0.distinct()
+                  .join(hinted(p, preSizes.get(t)), pk, "left_anti")
+                case None => keysT0
+              }
             }
             val rows = keyProjection(t, (pk ++ fks.map(_.childCol)).distinct)
               .join(keysT, pk, "left_semi")

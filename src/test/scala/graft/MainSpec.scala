@@ -37,6 +37,10 @@ class MainSpec extends SparkSpec {
     assert(capture(Main.Cli(action = "load", dsn = dsn))._1 == 2)
     assert(capture(Main.Cli(action = "describe", dsn = dsn))._1 == 2)
     assert(capture(Main.Cli(action = "wat", dsn = dsn))._1 == 2)
+    // -delta-full without -delta must refuse, not silently full-extract
+    assert(capture(Main.Cli(action = "extract", dsn = dsn,
+      query = "SELECT * FROM customer", path = "/tmp/x",
+      deltaFull = true))._1 == 2)
   }
 
   test("extract -> artifacts -> load round-trip (dir target)") {

@@ -431,13 +431,19 @@ class PropertySpec extends SparkSpec {
       g0 <- genGraph
       g1 <- genGrown(g0)
       prevIds0 <- Gen.someOf(1L, 2L, 3L, 4L, 5L).map(_.toSet)
-      addIds0 <- Gen.someOf(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L).map(_.toSet)
+      // draws reach into the appended id range (9–14): contract (b)
+      // explicitly covers NEW rows that match the recurring seed query
+      // (a new customer row is a new depth-0 seed), so appended t0 rows
+      // must sometimes seed the incremental run
+      addIds0 <- Gen.someOf(1L, 2L, 3L, 4L, 6L, 9L, 10L, 11L, 12L, 13L, 14L)
+        .map(_.toSet)
       omit <- Gen.frequency((3, false), (1, true))
       allow <- Gen.frequency(
         (1, Gen.const(Seq("e0", "e1", "e2", "e3", "e4", "e5"))),
         (1, Gen.someOf("e0", "e1", "e2", "e3", "e4", "e5").map(_.toSeq)))
     } yield (g0, g1, prevIds0, addIds0, omit, allow)
     var grownInDelta = 0
+    var grownSeeds = 0
     cases(gen, 6).foreach { case (g0, g1, prevIds0, addIds0, omit, allow) =>
       val policy = TraversalPolicy(omit, allow.toSet)
       val cat = Catalog(
@@ -463,12 +469,15 @@ class PropertySpec extends SparkSpec {
           s"grown incremental != full minus prev: edges=${g1.edges} " +
             s"seeds=$seedIds prev=$prevIds policy=$policy\n got=$got\nwant=$want")
         if (want.exists(_._2.exists(_ >= 9L))) grownInDelta += 1
+        if (seedIds.exists(_ >= 9L)) grownSeeds += 1
       }
     }
-    // coverage: appended rows must actually reach some delta, or the
-    // growth generator degenerated
+    // coverage: appended rows must actually reach some delta, and some
+    // case must seed an appended row, or the growth generator degenerated
     info(s"random cases where appended rows entered the delta: $grownInDelta")
+    info(s"random cases seeding an appended t0 row: $grownSeeds")
     assert(grownInDelta > 0, "no random case pulled appended rows into the delta")
+    assert(grownSeeds > 0, "no random case seeded an appended row")
   }
 
   test("overlapping extras micro-case: the skipped depth-0 expansion is the delta") {
