@@ -112,6 +112,53 @@ class EngineSpec extends SparkSpec {
       inc("badge") == Set(500L), s"inc=$inc")
   }
 
+  test("recurring lifecycle on GROWN data: prev + incremental delta == full re-extract") {
+    // the production append-only shape, end to end through artifacts:
+    // export a base, the source then GROWS (a new seed row, a new
+    // comment under an OLD author — only reachable via the allowlisted
+    // reverse edge's refire — and a new comment under the new seed),
+    // extract -delta against the base, merge, and the merged base must
+    // equal a full re-extract of the grown source, table by table.
+    val cfg = ExtractConfig.fromJson(
+      """{"schema": [{"table_name": "project",
+        |  "reference_keys": ["comment_project_fkey"]}]}""".stripMargin)
+    val seedSql = "SELECT * FROM user WHERE id <= 9"
+    val prevDir = Files.createTempDirectory("engine-grow-prev").toString
+    val deltaDir = Files.createTempDirectory("engine-grow-delta").toString
+    new Engine(spark, catalog, tables, cfg).extractTo(seedSql, prevDir)
+    // grow: user 5 (a NEW seed row), comment 105 under it, and the
+    // refire-critical case — comment 104 on OLD project 20 by NON-seed
+    // user 11: projects are never seeds, so 104 (and user 11 behind its
+    // author FK) is reachable ONLY by re-probing old projects'
+    // allowlisted reverse edge against the grown comment table
+    val grownUser = user.unionByName(Seq(
+      (5L, "eve", "Eve E", "eve@real.com", "pw5", Option(20L)),
+      (11L, "zed", "Zed Z", "zed@real.com", "pw11", Option.empty[Long])
+    ).toDF("id", "username", "name", "email", "password", "best_project_id"))
+    val grownComment = comment.unionByName(Seq(
+      (104L, 20L, 11L, "appended-on-old-project-by-non-seed"),
+      (105L, 30L, 5L, "appended-under-new-seed")
+    ).toDF("id", "project_id", "author_id", "body"))
+    val grown: String => DataFrame = {
+      case "user" => grownUser; case "comment" => grownComment
+      case t => tables(t)
+    }
+    val e2 = new Engine(spark, catalog, grown, cfg)
+    val deltaCounts = e2.extractDeltaTo(seedSql, deltaDir, prevDir)
+    assert(deltaCounts.getOrElse("comment", 0L) == 2L &&
+      deltaCounts.getOrElse("user", 0L) == 2L, s"delta=$deltaCounts")
+    graft.io.JsonTableIO.mergeArtifacts(spark, prevDir, deltaDir)
+    val full = e2.extract(seedSql)
+    val merged = e2.load(prevDir)
+    full.foreach { case (t, df) =>
+      val pk = catalog.pkOf(t).head
+      def keys(d: DataFrame): Set[Long] =
+        d.select(pk).collect().map(_.getAs[Any](0).toString.toLong).toSet
+      assert(merged.contains(t) && keys(merged(t)) == keys(df),
+        s"$t: merged=${merged.get(t).map(keys)} full=${keys(df)}")
+    }
+  }
+
   test("load ingests a mover-authored export dir (single-file envelopes, ref loader.go:25-72)") {
     // the artifact a migrating mover user actually has: one pretty-printed
     // <table>.json per table, no manifest subdirs
