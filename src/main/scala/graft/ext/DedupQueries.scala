@@ -604,6 +604,98 @@ object DedupQueries {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Incremental dedup — the recurring-ingest form of [[dedupExact]] +
+    * [[minhashPairs]]: NEW documents (doc_id % 5 >= 3 stands in for
+    * "this batch") are deduplicated against the ALREADY-INGESTED corpus
+    * (doc_id % 5 < 3) and against earlier docs of their own batch;
+    * returns the surviving new doc_ids. Drop rules (greedy by id, the
+    * standard first-wins approximation):
+    *
+    *  - exact: an old doc shares the content fingerprint, or a
+    *    smaller-id new doc does;
+    *  - near: an old or smaller-id new doc shares an LSH band bucket
+    *    with ≥4/8 matching MinHash components (est. Jaccard ≥ 0.5).
+    *
+    * 100 TB shape: ONE scan computes fingerprints and signatures; in
+    * production the old side is the PERSISTED fingerprint set and band
+    * index (appended per batch — the dedup analogue of the closure's
+    * preSeen), so the recurring cost is one fp-hash shuffle and one
+    * (band,bucket) shuffle of the BATCH against the index — the corpus
+    * is never rescanned. Here both sides come from one documents scan
+    * so the DuckDB oracle can replay everything; the bucket cap (≤64)
+    * is the same skew guard as [[minhashPairs]].
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    // ONE documents scan feeds all three consumers (exact rule, near
+    // rule, final projection) through a NARROW lazy checkpoint —
+    // (doc_id, bool, fp, 8-long sig) per doc. Without it the plan scans
+    // parquet and re-runs the md5-per-shingle pipeline once per
+    // consumer (the duplicate-subtree trap minhashPairs documents).
+    // `sig` is properly null (not [null×8]) for <3-word docs: CaseWhen
+    // only evaluates the matched branch, and a null sig row is filtered
+    // before banding so short docs cannot collide into a "null bucket".
+    val docs = Tables(spark, dir, "documents")
+      .repartition(col("doc_id"))
+      .withColumn("is_old", col("doc_id") % 5 < 3)
+      .withColumn("fp", md5(lower(trim(col("text")))))
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("hs", when(size(col("words")) >= 3, expr(
+        """transform(sequence(1, size(words) - 2),
+             i -> cast(conv(substring(md5(concat_ws(' ', slice(words, i, 3))), 1, 15), 16, 10) AS bigint) % 2147483647)""")))
+      .withColumn("sig", when(col("hs").isNotNull,
+        expr(s"array(${(0 until K).map(sigExpr).mkString(", ")})")))
+      .select("doc_id", "is_old", "fp", "sig")
+      .localCheckpoint(false)
+    // exact rule, one fp shuffle: per fingerprint, does an old doc
+    // carry it, and which new doc is first?
+    val fpKeep = docs.groupBy("fp").agg(
+      max(when(col("is_old"), 1).otherwise(0)).as("fp_has_old"),
+      min(when(!col("is_old"), col("doc_id"))).as("fp_first_new"))
+    // near rule, one (band,bucket) shuffle, members gathered inside the
+    // bucket exactly as minhashPairs (no self-join): a new member is
+    // dropped on any qualifying older neighbour
+    val nearDropped = docs.filter(col("sig").isNotNull)
+      .select(
+        col("doc_id"), col("is_old"), col("sig"),
+        explode(expr(s"transform(sequence(0, ${K / 2 - 1}), " +
+          "b -> struct(b AS band, concat(cast(sig[b*2] AS string), '|', cast(sig[b*2+1] AS string)) AS bucket))")).as("bb"))
+      .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .agg(expr("collect_list(struct(doc_id, is_old, sig))").as("ds"))
+      .filter(size(col("ds")).between(2, 64))
+      .select(explode(expr(
+        """transform(
+             filter(ds, m -> NOT m.is_old AND
+               exists(ds, o -> (o.is_old OR o.doc_id < m.doc_id) AND
+                 size(filter(sequence(0, 7), k -> o.sig[k] = m.sig[k])) >= 4)),
+             m -> m.doc_id)""")).as("doc_id"))
+      .distinct()
+    docs.filter(!col("is_old"))
+      .join(fpKeep, Seq("fp"))
+      .filter(col("fp_has_old") === 0 && col("doc_id") === col("fp_first_new"))
+      .join(nearDropped, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH $minhashSqlCtes,
+      |fps AS (SELECT doc_id, doc_id % 5 < 3 AS is_old,
+      |    md5(lower(trim(text))) AS fp FROM documents),
+      |near_drop AS (
+      |  SELECT DISTINCT a.doc_id
+      |  FROM banded a JOIN fps fa ON a.doc_id = fa.doc_id AND NOT fa.is_old
+      |  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+      |  JOIN fps fb ON b.doc_id = fb.doc_id
+      |  WHERE (fb.is_old OR b.doc_id < a.doc_id)
+      |    AND len(list_filter(range(1, ${K + 1}), i -> a.sig[i] = b.sig[i])) >= 4)
+      |SELECT f.doc_id AS doc_id
+      |FROM fps f
+      |WHERE NOT f.is_old
+      |  AND NOT EXISTS (SELECT 1 FROM fps o WHERE o.fp = f.fp
+      |    AND (o.is_old OR o.doc_id < f.doc_id))
+      |  AND f.doc_id NOT IN (SELECT doc_id FROM near_drop)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "dedup_exact" -> ((dedupExact _, dedupExactSql)),
     "minhash_pairs" -> ((minhashPairs _, minhashPairsSql)),
@@ -612,6 +704,7 @@ object DedupQueries {
     "simhash_pairs" -> ((simhashPairs _, simhashPairsSql)),
     "jaccard_pairs" -> ((jaccardPairs _, jaccardPairsSql)),
     "dup_spans" -> ((dupSpans _, dupSpansSql)),
-    "embed_dup_pairs" -> ((embedDupPairs _, embedDupPairsSql))
+    "embed_dup_pairs" -> ((embedDupPairs _, embedDupPairsSql)),
+    "dedup_incremental" -> ((dedupIncremental _, dedupIncrementalSql))
   )
 }
