@@ -47,8 +47,12 @@ class PlanAuditSpec extends SparkSpec {
     "tfidf_top_terms" -> 2, // same shape: tf stream + broadcast n_docs scalar
     "events_session" -> 1,
     "decontaminate" -> 2,  // corpus + broadcast eval shingles
-    "corpus_curation" -> 1 // minhash pair edges checkpoint to RDD leaves;
-                           // ONE relational docs scan feeds quality+dedup
+    "corpus_curation" -> 1, // minhash pair edges checkpoint to RDD leaves;
+                            // ONE relational docs scan feeds quality+dedup
+    "dedup_incremental" -> 0 // the narrow (doc_id,is_old,fp,sig) checkpoint
+                             // is the ONLY source: all three consumers read
+                             // the RDD leaf; any LogicalRelation here means
+                             // the single-scan discipline regressed
   )
 
   test("tuned queries keep their expected parquet scan counts") {
