@@ -553,6 +553,83 @@ object DedupQueries {
       |WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup via
+    * embedding clustering + within-cluster cosine pruning — the dedup
+    * modality that catches paraphrases and re-renderings exact/minhash/
+    * simhash all miss, because it compares meaning vectors, not surface
+    * n-grams.
+    *
+    * Stages: (1) every vector joins its nearest of 16 deterministic
+    * centroids via the [[SimilarityQueries.bestCellStruct]] argmax fold —
+    * a pure projection, zero shuffles over the corpus (production swaps
+    * k-means centroids, same dataflow); (2) within each cell, rank
+    * members by centroid-similarity ASC (the paper keeps the
+    * LOW-similarity example of a duplicate group — cluster-atypical
+    * points carry the most information) and drop any member whose cosine
+    * to an EARLIER-ranked member is ≥ eps. The drop rule is the paper's:
+    * near ANY earlier point, kept or not — a plain rank-ordered
+    * exists-join, no iterative union-find needed.
+    *
+    * 100 TB shape: ONE exchange on `cell` serves both the rank window and
+    * the within-cell pair join (the persisted ranked projection is read
+    * twice with identical partitioning). Per-cell pairwise compare is
+    * O(c²) in cell size — bounded, because nlist grows WITH the corpus
+    * (the paper runs 50k clusters for 100M points, keeping cells in the
+    * low thousands); an oversized cell would get the minhash bucket cap.
+    */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eps = 0.35 // data-dependent demo knob, like embedDupPairs
+    val base = SimilarityQueries.vecs(spark, dir)
+    val centArr = SimilarityQueries.centroidLit(base, 16)
+    val assigned = base
+      .withColumn("bc", SimilarityQueries.bestCellStruct(centArr, col("v")))
+      .select(col("vec_id"), col("v"),
+        col("bc.cell").as("cell"), col("bc.best").as("cent_sim"))
+    val ranked = assigned
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(asc("cent_sim"), asc("vec_id"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ranked.count()
+    val dropped = ranked.select(col("vec_id"), col("cell"),
+        col("rnk").as("rnk_b"), col("v").as("v_b"))
+      .join(ranked.select(col("cell"), col("rnk").as("rnk_a"), col("v").as("v_a")),
+        Seq("cell"))
+      .filter(col("rnk_a") < col("rnk_b"))
+      .filter(round(SimilarityQueries.cosineExpr("v_a", "v_b"), 6) >= eps)
+      .select(col("vec_id")).distinct()
+    ranked
+      .join(dropped.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("cent_sim"),
+        when(col("hit").isNotNull, lit(0)).otherwise(lit(1)).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  val semDedupSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+      |assigned AS (
+      |  SELECT vec_id, v, cell, cs FROM (
+      |    SELECT e.vec_id, e.v, c.cent_id AS cell,
+      |      COALESCE(ROUND(list_cosine_similarity(c.cv, e.v), 6), -2.0) AS cs,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY COALESCE(ROUND(list_cosine_similarity(c.cv, e.v), 6), -2.0) DESC,
+      |          c.cent_id) AS arn
+      |    FROM e CROSS JOIN c)
+      |  WHERE arn = 1),
+      |ranked AS (
+      |  SELECT vec_id, v, cell, cs,
+      |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY cs ASC, vec_id) AS rnk
+      |  FROM assigned),
+      |dropped AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM ranked a JOIN ranked b ON a.cell = b.cell AND a.rnk < b.rnk
+      |  WHERE COALESCE(ROUND(list_cosine_similarity(a.v, b.v), 6), -2.0) >= 0.35)
+      |SELECT r.vec_id, r.cell, r.cs AS cent_sim,
+      |  CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+      |FROM ranked r LEFT JOIN dropped d ON d.vec_id = r.vec_id
+      |ORDER BY r.vec_id""".stripMargin
+
   /** Span-level exact-substring dedup (the Lee et al. "Deduplicating
     * Training Data" modality): per document, how many of its distinct
     * word 5-gram spans also occur in ANOTHER document. Doc-level dedup
@@ -705,6 +782,7 @@ object DedupQueries {
     "jaccard_pairs" -> ((jaccardPairs _, jaccardPairsSql)),
     "dup_spans" -> ((dupSpans _, dupSpansSql)),
     "embed_dup_pairs" -> ((embedDupPairs _, embedDupPairsSql)),
+    "semdedup" -> ((semDedup _, semDedupSql)),
     "dedup_incremental" -> ((dedupIncremental _, dedupIncrementalSql))
   )
 }

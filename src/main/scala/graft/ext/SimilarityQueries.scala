@@ -33,10 +33,53 @@ object SimilarityQueries {
   def cosineExpr(a: String, b: String): Column =
     graft.functions.CosineSimilarity.cosine_sim(col(a), col(b))
 
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
+  private[ext] def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x AS double))").as("v"))
+
+  /** The first `k` vectors (by vec_id) as a driver-side centroid literal
+    * `array<struct<_1: cell_id, _2: vector>>` — bounded (nlist rows), the
+    * same deterministic stand-in for trained k-means centroids that the
+    * IVF oracle replays. Shared by [[annIvf]] and
+    * [[DedupQueries.semDedup]].
+    */
+  private[ext] def centroidLit(base: DataFrame, k: Int): Column = {
+    val cents: Seq[(Long, Seq[Double])] = base.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("v")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1)
+    typedLit(cents)
+  }
+
+  /** Per-centroid `(cell, score)` structs for vector column `vcol` —
+    * SCORE FIRST, fold second: HOF lambdas get no common-subexpression
+    * elimination, so a fold whose branches each embed the cosine would
+    * re-run the 64-dim dot product up to 4× per centroid. `transform`
+    * evaluates each cosine exactly once into a (cell, score) array; the
+    * fold then compares plain struct fields. NULL cosine (zero-norm
+    * vector) coalesces BELOW the init score, matching the oracle window's
+    * DESC-nulls-last: an all-null row still lands in its first-by-cent_id
+    * cell instead of silently vanishing.
+    */
+  private[ext] def scoredCents(centArr: Column, vcol: Column): Column =
+    transform(centArr, c =>
+      struct(c.getField("_1").as("cell"),
+        coalesce(round(graft.functions.CosineSimilarity.cosine_sim(
+          c.getField("_2"), vcol), 6), lit(-2.0)).as("s")))
+
+  /** Cell assignment as a per-row argmax-cosine fold over the centroid
+    * literal — a pure projection with ZERO joins or exchanges over the
+    * corpus. Returns `struct(cell, best)`; strict `>` with centroids in
+    * cent_id order makes the fold's first-wins tie-break identical to the
+    * oracle's ORDER BY cos DESC, cent_id ASC.
+    */
+  private[ext] def bestCellStruct(centArr: Column, vcol: Column): Column =
+    aggregate(scoredCents(centArr, vcol),
+      struct(lit(-1L).as("cell"), lit(-3.0).as("best")),
+      (acc, c) =>
+        when(c.getField("s") > acc.getField("best"),
+          struct(c.getField("cell").as("cell"), c.getField("s").as("best")))
+        .otherwise(acc))
 
   /** Exact brute-force cosine top-5 for query vectors (vec_id < 5). */
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
@@ -88,36 +131,16 @@ object SimilarityQueries {
     import org.apache.spark.sql.expressions.Window
     val base = vecs(spark, dir)
     // bounded driver-side collect (nlist=16 rows), like the J3 tuples
-    val cents: Seq[(Long, Seq[Double])] = base.filter(col("vec_id") < 16)
-      .select(col("vec_id"), col("v")).collect().toSeq
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1)
-    val centArr = typedLit(cents)
-    // SCORE FIRST, fold second: HOF lambdas get no common-subexpression
-    // elimination, so a fold whose branches each embed the cosine would
-    // re-run the 64-dim dot product up to 4× per centroid. `transform`
-    // evaluates each cosine exactly once into a (cell, score) array; the
-    // fold then compares plain struct fields. NULL cosine (zero-norm
-    // vector) coalesces BELOW the init score, matching the oracle
-    // window's DESC-nulls-last: an all-null row still lands in its
-    // first-by-cent_id cell instead of silently vanishing.
-    def scoredCents(vcol: Column): Column = transform(centArr, c =>
-      struct(c.getField("_1").as("cell"),
-        coalesce(round(graft.functions.CosineSimilarity.cosine_sim(
-          c.getField("_2"), vcol), 6), lit(-2.0)).as("s")))
+    val centArr = centroidLit(base, 16)
 
     // cell assignment: per-row argmax-cosine fold, no shuffle
-    val bestCell = aggregate(scoredCents(col("v")),
-      struct(lit(-1L).as("cell"), lit(-3.0).as("best")),
-      (acc, c) =>
-        when(c.getField("s") > acc.getField("best"),
-          struct(c.getField("cell").as("cell"), c.getField("s").as("best")))
-        .otherwise(acc)).getField("cell")
-    val assigned = base.withColumn("cell", bestCell)
+    val assigned = base
+      .withColumn("cell", bestCellStruct(centArr, col("v")).getField("cell"))
       .select(col("vec_id"), col("v"), col("cell"))
 
     // probe list: top-2 cells per query via the same fold carrying
     // (best, second-best); explode to (query, cell) rows
-    val probeFold = aggregate(scoredCents(col("qv")),
+    val probeFold = aggregate(scoredCents(centArr, col("qv")),
       struct(lit(-1L).as("c1"), lit(-3.0).as("s1"),
              lit(-1L).as("c2"), lit(-3.0).as("s2")),
       (acc, c) => {
