@@ -263,6 +263,42 @@ object TextQueries {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY doc_id""".stripMargin
 
+  /** Sliding-window chunking with overlap (the RAG / long-context
+    * pretraining splitter, complement of [[packChunks]]: pack concatenates
+    * docs INTO fixed budgets, this splits docs into overlapping windows).
+    * W=200-char chunks on a 150-char stride (50 overlap); a chunk start
+    * is emitted iff it is the doc head or the previous chunk did not
+    * already reach the end — so tails are never re-emitted as fully-
+    * contained fragments, the standard splitter contract.
+    *
+    * Pure per-doc projection + explode, no shuffle at any corpus size.
+    * The chunk fingerprint (md5 of the substring) is what a downstream
+    * chunk-level dedup or ANN index would key on.
+    */
+  def chunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val w = 200; val s = 150
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), explode(expr(
+        s"""filter(sequence(1, greatest(length(text), 1), $s),
+              p -> p = 1 OR (p <= length(text) AND p - $s + $w - 1 < length(text)))"""))
+        .as("chunk_start"))
+      .select(col("doc_id"), col("chunk_start").cast("long").as("chunk_start"),
+        expr(s"cast(length(substring(text, chunk_start, $w)) AS bigint)").as("chunk_len"),
+        expr(s"md5(substring(text, chunk_start, $w))").as("chunk_fp"))
+      .orderBy("doc_id", "chunk_start")
+  }
+
+  val chunkOverlapSql: String =
+    """SELECT doc_id, p AS chunk_start,
+      |  CAST(len(substr(text, CAST(p AS INT), 200)) AS BIGINT) AS chunk_len,
+      |  md5(substr(text, CAST(p AS INT), 200)) AS chunk_fp
+      |FROM (
+      |  SELECT doc_id, text,
+      |    unnest(list_filter(range(1, GREATEST(len(text), 1) + 1, 150),
+      |      p -> p = 1 OR (p <= len(text) AND p - 150 + 200 - 1 < len(text)))) AS p
+      |  FROM documents)
+      |ORDER BY doc_id, chunk_start""".stripMargin
+
   /** Repetition-based quality signals (the Gopher-report family of
     * filters): duplicate-word fraction, most-frequent-word fraction, and
     * duplicate-bigram fraction, with a keep/repetitive verdict. Natural
@@ -470,6 +506,7 @@ object TextQueries {
     "train_test_split" -> ((trainTestSplit _, trainTestSplitSql)),
     "ngram_counts" -> ((ngramCounts _, ngramCountsSql)),
     "pack_chunks" -> ((packChunks _, packChunksSql)),
+    "chunk_overlap" -> ((chunkOverlap _, chunkOverlapSql)),
     "quality_repetition" -> ((qualityRepetition _, qualityRepetitionSql)),
     "tfidf_top_terms" -> ((tfidfTopTerms _, tfidfTopTermsSql)),
     "bm25_search" -> ((bm25Search _, bm25SearchSql))
