@@ -49,6 +49,11 @@ class PlanAuditSpec extends SparkSpec {
     "decontaminate" -> 2,  // corpus + broadcast eval shingles
     "corpus_curation" -> 1, // minhash pair edges checkpoint to RDD leaves;
                             // ONE relational docs scan feeds quality+dedup
+    "semdedup" -> 1,       // ranked (cell,rank,v) projection persisted once;
+                           // the pair join's both sides and the keep-flag
+                           // join all read that cache; assignment is the
+                           // centroid-literal fold, never a join
+    "chunk_overlap" -> 1,  // per-doc explode, no join-backs
     "dedup_incremental" -> 0 // the narrow (doc_id,is_old,fp,sig) checkpoint
                              // is the ONLY source: all three consumers read
                              // the RDD leaf; any LogicalRelation here means
