@@ -278,9 +278,12 @@ object TextQueries {
   def chunkOverlap(spark: SparkSession, dir: String): DataFrame = {
     val w = 200; val s = 150
     Tables(spark, dir, "documents")
+      // keep p iff doc head, or the previous chunk (ending at p-stride+W-1
+      // = p+49) stopped short of the end; every p from the sequence is
+      // already <= length(text)
       .select(col("doc_id"), col("text"), explode(expr(
         s"""filter(sequence(1, greatest(length(text), 1), $s),
-              p -> p = 1 OR (p <= length(text) AND p - $s + $w - 1 < length(text)))"""))
+              p -> p = 1 OR p + ${w - s - 1} < length(text))"""))
         .as("chunk_start"))
       .select(col("doc_id"), col("chunk_start").cast("long").as("chunk_start"),
         expr(s"cast(length(substring(text, chunk_start, $w)) AS bigint)").as("chunk_len"),
@@ -295,7 +298,7 @@ object TextQueries {
       |FROM (
       |  SELECT doc_id, text,
       |    unnest(list_filter(range(1, GREATEST(len(text), 1) + 1, 150),
-      |      p -> p = 1 OR (p <= len(text) AND p - 150 + 200 - 1 < len(text)))) AS p
+      |      p -> p = 1 OR p + 49 < len(text))) AS p
       |  FROM documents)
       |ORDER BY doc_id, chunk_start""".stripMargin
 
