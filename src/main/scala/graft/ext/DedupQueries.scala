@@ -578,10 +578,19 @@ object DedupQueries {
     * low thousands); an oversized cell would get the minhash bucket cap.
     */
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val eps = 0.35 // data-dependent demo knob, like embedDupPairs
     val base = SimilarityQueries.vecs(spark, dir)
-    val centArr = SimilarityQueries.centroidLit(base, 16)
+    // eps is a data-dependent demo knob, like embedDupPairs' threshold
+    semDedupCore(base, SimilarityQueries.centroidLit(base, 16), eps = 0.35)
+  }
+
+  /** The assignment→rank→prune pipeline over any `(vec_id, v)` base and
+    * centroid literal — SemDedupSpec drives it with crafted fixtures (the
+    * chain fixture that pins the near-ANY-earlier drop rule) and with
+    * spark.ml-trained KMeans centroids (the production path).
+    */
+  private[ext] def semDedupCore(base: DataFrame, centArr: org.apache.spark.sql.Column,
+      eps: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val assigned = base
       .withColumn("bc", SimilarityQueries.bestCellStruct(centArr, col("v")))
       .select(col("vec_id"), col("v"),
