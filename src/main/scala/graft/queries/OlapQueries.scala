@@ -368,7 +368,69 @@ object OlapQueries {
       |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
       |ORDER BY priority, status""".stripMargin
 
+  /** ANALYZE-style table profile: per-column row/null/distinct counts and
+    * string-rendered min/max over `orders` — the stats pass every
+    * pipeline (and a cost-based optimizer) runs before touching a new
+    * table. Schema-driven: the column list comes from the DataFrame
+    * schema, so the same code profiles any table.
+    *
+    * Plan shape: ONE scan + one aggregate producing every metric, then
+    * the single result row explodes into per-column rows (never a
+    * union of per-column re-scans). The exact multi-column COUNT
+    * DISTINCT plans through Spark's Expand (rows × (ncols+1) before the
+    * partial agg) — fine here and what ANALYZE does; at 100 TB swap
+    * `approx_count_distinct` (one pass, no Expand, mergeable HLL state —
+    * the `events_approx_users` posture) and drop the oracle.
+    *
+    * Doubles render through DECIMAL(18,2) so both engines print
+    * identical strings (raw double→string formatting diverges between
+    * JVM shortest-round-trip and DuckDB).
+    */
+  def tableProfile(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables(spark, dir, "orders")
+    val colNames = df.schema.fields.map(_.name).toSeq
+    def rendered(agg: org.apache.spark.sql.Column, c: String): org.apache.spark.sql.Column =
+      df.schema(c).dataType match {
+      case org.apache.spark.sql.types.DoubleType =>
+        agg.cast("decimal(18,2)").cast("string")
+      case _ => agg.cast("string")
+    }
+    val aggExprs = count(lit(1)).as("n") +: colNames.zipWithIndex.flatMap {
+      case (c, i) => Seq(
+        count(col(c)).as(s"nn_$i"),
+        countDistinct(col(c)).as(s"nd_$i"),
+        rendered(min(col(c)), c).as(s"mn_$i"),
+        rendered(max(col(c)), c).as(s"mx_$i"))
+    }
+    df.agg(aggExprs.head, aggExprs.tail: _*)
+      .select(explode(array(colNames.zipWithIndex.map { case (c, i) =>
+        struct(lit(c).as("col_name"), col("n").as("n_rows"),
+          (col("n") - col(s"nn_$i")).as("n_nulls"),
+          col(s"nd_$i").as("n_distinct"),
+          col(s"mn_$i").as("min_str"), col(s"mx_$i").as("max_str"))
+      }: _*)).as("p"))
+      .select("p.*")
+      .orderBy("col_name")
+  }
+
+  val tableProfileSql: String = {
+    val cols = Seq("o_orderkey" -> false, "o_custkey" -> false,
+      "o_orderstatus" -> false, "o_totalprice" -> true,
+      "o_orderdate" -> false, "o_orderpriority" -> false)
+    cols.map { case (c, isDouble) =>
+      val mn = if (isDouble) s"CAST(CAST(MIN($c) AS DECIMAL(18,2)) AS VARCHAR)"
+               else s"CAST(MIN($c) AS VARCHAR)"
+      val mx = if (isDouble) s"CAST(CAST(MAX($c) AS DECIMAL(18,2)) AS VARCHAR)"
+               else s"CAST(MAX($c) AS VARCHAR)"
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT($c) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  $mn AS min_str, $mx AS max_str FROM orders""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "table_profile" -> ((tableProfile _, tableProfileSql)),
     "topk_custom_agg" -> ((topkCustomAgg _, topkCustomAggSql)),
     "grouping_sets" -> ((groupingSetsAgg _, groupingSetsAggSql)),
     "window_nav" -> ((windowNav _, windowNavSql)),

@@ -54,6 +54,9 @@ class PlanAuditSpec extends SparkSpec {
                            // join all read that cache; assignment is the
                            // centroid-literal fold, never a join
     "chunk_overlap" -> 1,  // per-doc explode, no join-backs
+    "table_profile" -> 1,  // ONE scan + one aggregate for every metric;
+                           // the result row explodes per column — never a
+                           // union of per-column re-scans
     "dedup_incremental" -> 0 // the narrow (doc_id,is_old,fp,sig) checkpoint
                              // is the ONLY source: all three consumers read
                              // the RDD leaf; any LogicalRelation here means
