@@ -386,8 +386,14 @@ object OlapQueries {
     * identical strings (raw double→string formatting diverges between
     * JVM shortest-round-trip and DuckDB).
     */
-  def tableProfile(spark: SparkSession, dir: String): DataFrame = {
-    val df = Tables(spark, dir, "orders")
+  def tableProfile(spark: SparkSession, dir: String): DataFrame =
+    tableProfileCore(Tables(spark, dir, "orders"))
+
+  /** The profile pipeline over any DataFrame — TableProfileSpec drives it
+    * with crafted nulls (the fixture tables are null-free, so the
+    * registered query alone would leave n_nulls untested).
+    */
+  private[queries] def tableProfileCore(df: DataFrame): DataFrame = {
     val colNames = df.schema.fields.map(_.name).toSeq
     def rendered(agg: org.apache.spark.sql.Column, c: String): org.apache.spark.sql.Column =
       df.schema(c).dataType match {
