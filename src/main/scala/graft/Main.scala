@@ -17,6 +17,7 @@ import graft.meta.Catalog
   * graft.Main -action query    -dsn <tableDir> -query <operator> [-path <outDir>]
   * graft.Main -action compact  -path <artifactDir> [-table <name>]
   * graft.Main -action merge    -path <baseDir> -delta <deltaDir>
+  * graft.Main -action profile  -path <artifactDir> | -dsn <tableDir> -table <name>
   * }}}
   *
   * Flags mirror the reference (`-query -table -path -dsn -action
@@ -44,7 +45,7 @@ object Main {
       version: Boolean = false)
 
   val usage: String =
-    """usage: graft.Main -action extract|load|describe|query|compact|merge
+    """usage: graft.Main -action extract|load|describe|query|compact|merge|profile
       |  -dsn <parquet table dir>   source tables (or jdbc: target for load)
       |  -query <sql|name>          seed query (extract) / operator name (query)
       |  -path <dir>                artifact dir (extract out / load in / query out / compact)
@@ -202,6 +203,23 @@ object Main {
             Option(cli.compression).filter(_.nonEmpty))
           counts.toSeq.sortBy(_._1).foreach { case (t, n) =>
             out(s"$t: merged ($n rows)") }
+          0
+        }
+      // ANALYZE-style stats over an artifact's tables (or one parquet
+      // table): the first look a migration/pipeline user takes at data
+      // they just extracted — row/null/distinct counts, min/max
+      case "profile" =>
+        if (cli.path.isEmpty && (cli.dsn.isEmpty || cli.table.isEmpty)) { out(usage); 2 }
+        else {
+          val tables =
+            if (cli.path.nonEmpty) engine.load(cli.path).toSeq.sortBy(_._1)
+            else Seq(cli.table -> Tables(spark, cli.dsn, cli.table))
+          tables.foreach { case (t, df) =>
+            out(s"== $t ==")
+            out("col_name\tn_rows\tn_nulls\tn_distinct\tmin\tmax")
+            graft.queries.OlapQueries.tableProfileCore(df)
+              .collect().foreach(r => out(r.mkString("\t")))
+          }
           0
         }
       case _ => out(usage); 2

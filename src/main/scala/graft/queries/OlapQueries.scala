@@ -393,7 +393,7 @@ object OlapQueries {
     * with crafted nulls (the fixture tables are null-free, so the
     * registered query alone would leave n_nulls untested).
     */
-  private[queries] def tableProfileCore(df: DataFrame): DataFrame = {
+  private[graft] def tableProfileCore(df: DataFrame): DataFrame = {
     val colNames = df.schema.fields.map(_.name).toSeq
     def rendered(agg: org.apache.spark.sql.Column, c: String): org.apache.spark.sql.Column =
       df.schema(c).dataType match {

@@ -239,6 +239,27 @@ class MainSpec extends SparkSpec {
     c2.close()
   }
 
+  test("profile verb prints per-column stats for an artifact and a table") {
+    val outDir = Files.createTempDirectory("graft-cli-profile").toString
+    assert(capture(Main.Cli(action = "extract", dsn = dsn,
+      query = "SELECT * FROM customer WHERE c_custkey <= 3", path = outDir))._1 == 0)
+    val (rc, out) = capture(Main.Cli(action = "profile", path = outDir))
+    assert(rc == 0)
+    assert(out.contains("== customer =="))
+    val nSeed = Tables(spark, dsn, "customer").filter("c_custkey <= 3").count()
+    // c_custkey: no nulls, all distinct
+    assert(out.exists(l => l.startsWith("c_custkey\t") &&
+      l.contains(s"\t$nSeed\t0\t$nSeed\t")))
+
+    // single-parquet-table form
+    val (rc2, out2) = capture(Main.Cli(action = "profile", dsn = dsn, table = "region"))
+    assert(rc2 == 0 && out2.contains("== region ==") &&
+      out2.exists(_.startsWith("r_regionkey\t")))
+
+    // neither -path nor -dsn+-table: usage, exit 2
+    assert(capture(Main.Cli(action = "profile", dsn = dsn))._1 == 2)
+  }
+
   test("query verb runs a registered operator; unknown name lists the registry") {
     val (rc, out) = capture(Main.Cli(action = "query", query = "q1_agg", dsn = dsn))
     assert(rc == 0 && out.nonEmpty)
