@@ -48,8 +48,8 @@ object Main {
     """usage: graft.Main -action extract|load|describe|query|compact|merge|profile
       |  -dsn <parquet table dir>   source tables (or jdbc: target for load)
       |  -query <sql|name>          seed query (extract) / operator name (query)
-      |  -path <dir>                artifact dir (extract out / load in / query out / compact)
-      |  -table <name>              table to describe / single table to compact
+      |  -path <dir>                artifact dir (extract out / load in / query out / compact / profile)
+      |  -table <name>              table to describe / single table to compact or profile
       |  -conf <config.json>        sanitize/traversal config (or $GRAFT_CONF)
       |  -parts <n>                 compact: output part count (default: sized from data bytes)
       |  -compression <codec>       compact: gzip|snappy|... (default: inferred from existing parts)
@@ -212,8 +212,12 @@ object Main {
         if (cli.path.isEmpty && (cli.dsn.isEmpty || cli.table.isEmpty)) { out(usage); 2 }
         else {
           val tables =
-            if (cli.path.nonEmpty) engine.load(cli.path).toSeq.sortBy(_._1)
-            else Seq(cli.table -> Tables(spark, cli.dsn, cli.table))
+            if (cli.path.nonEmpty) {
+              // -table restricts to one table of the artifact, like compact
+              val loaded = engine.load(cli.path).toSeq.sortBy(_._1)
+              if (cli.table.nonEmpty) loaded.filter(_._1 == cli.table)
+              else loaded
+            } else Seq(cli.table -> Tables(spark, cli.dsn, cli.table))
           tables.foreach { case (t, df) =>
             out(s"== $t ==")
             out("col_name\tn_rows\tn_nulls\tn_distinct\tmin\tmax")

@@ -251,6 +251,12 @@ class MainSpec extends SparkSpec {
     assert(out.exists(l => l.startsWith("c_custkey\t") &&
       l.contains(s"\t$nSeed\t0\t$nSeed\t")))
 
+    // -table restricts an artifact profile to one table
+    val (rc1b, out1b) = capture(Main.Cli(action = "profile", path = outDir,
+      table = "customer"))
+    assert(rc1b == 0 && out1b.contains("== customer ==") &&
+      !out1b.exists(_.contains("== nation ==")))
+
     // single-parquet-table form
     val (rc2, out2) = capture(Main.Cli(action = "profile", dsn = dsn, table = "region"))
     assert(rc2 == 0 && out2.contains("== region ==") &&

@@ -84,5 +84,9 @@ class SemDedupSpec extends SparkSpec {
       .filter(col("w") === 0).count()
     assert(droppedNoWitness === 0L)
     pairs.unpersist(); out.unpersist(); base.unpersist()
+    // semDedupCore persists its internal ranked projection (twice across
+    // the two tests); the shared session would otherwise carry those
+    // caches for the rest of the sbt run
+    spark.catalog.clearCache()
   }
 }
