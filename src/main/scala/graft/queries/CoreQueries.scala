@@ -336,6 +336,37 @@ object CoreQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** The VARIANT form of [[jsonExtract]] (§2.8 F5, Spark 4 native):
+    * `parse_json` decodes the payload ONCE into a binary variant column
+    * and every field access is a typed `variant_get` on that decoded
+    * form — where the string path re-parses the JSON text per
+    * `get_json_object` call. Same aggregate as the string form plus the
+    * missing-field contract: `try_variant_get` of an absent path is NULL
+    * (counted, proven zero), never an error. At 100 TB the variant
+    * column is what you'd PERSIST (shredded binary, parse-at-ingest),
+    * making every downstream extraction parse-free.
+    */
+  def jsonVariant(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    ev.select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'long')").as("k"),
+        expr("try_variant_get(v, '$.missing', 'long')").as("m"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"),
+        count(col("m")).as("n_missing_present"))
+      .orderBy("event_type")
+  }
+
+  val jsonVariantSql: String =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  COUNT(*) AS n,
+      |  COUNT(props->>'missing') AS n_missing_present
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** String/date/math scalar functions (§2.8 F1/F6/F7/F8). */
   def scalarFuncs(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables(spark, dir, "orders").filter(col("o_orderkey") <= 100)
@@ -716,6 +747,7 @@ object CoreQueries {
     "window_running" -> ((windowRunning _, windowRunningSql)),
     "topk_per_group" -> ((topkPerGroup _, topkPerGroupSql)),
     "json_extract" -> ((jsonExtract _, jsonExtractSql)),
+    "json_variant" -> ((jsonVariant _, jsonVariantSql)),
     "scalar_funcs" -> ((scalarFuncs _, scalarFuncsSql)),
     "dedup_first_event" -> ((dedupFirstEvent _, dedupFirstEventSql)),
     "closure_extract" -> ((closureExtract _, closureExtractSql)),
