@@ -32,6 +32,57 @@ class LayoutSpec extends SparkSpec {
     finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("z-order layout: 2-D box filter skips most row groups") {
+    // Z-VALUE: interleave the low 16 bits of user_id and epoch-day, then
+    // range-partition + sort by it — rows close in BOTH dimensions land
+    // in the same files, so parquet min/max stats prune a 2-D box filter
+    // that neither single-column sort could serve. This is the plain-
+    // parquet form of what Delta/Iceberg call Z-ORDER clustering; at
+    // 100 TB it is how a scan over (user, time) boxes avoids reading the
+    // whole table.
+    val ev = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("day", datediff(to_date(col("ts")), lit("2024-01-01")))
+      .select("event_id", "user_id", "day", "value")
+    val z = ev.withColumn("zval", expr(
+      """aggregate(sequence(0, 15), 0L, (acc, i) ->
+           acc | shiftleft(shiftright(user_id, i) & 1, 2 * i)
+               | shiftleft(shiftright(cast(day AS bigint), i) & 1, 2 * i + 1))"""))
+
+    val zDir = Files.createTempDirectory("zorder").toString
+    val rDir = Files.createTempDirectory("random").toString
+    z.repartitionByRange(16, col("zval")).sortWithinPartitions("zval")
+      .write.mode("overwrite").parquet(zDir)
+    // control: same rows, layout uncorrelated with the filter dims
+    z.repartition(16, col("event_id")).sortWithinPartitions("event_id")
+      .write.mode("overwrite").parquet(rDir)
+
+    def scanRows(dir: String): (Long, Long) = {
+      val df = spark.read.parquet(dir)
+        .filter(col("user_id").between(10, 40) && col("day").between(5, 12))
+      // execute THIS plan (count() would build its own QueryExecution,
+      // leaving these scan metrics untouched), then unwrap AQE to reach
+      // the final executed scan nodes
+      val n = df.collect().length.toLong
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val scanned = plan.collectLeaves()
+        .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value }.sum
+      (n, scanned)
+    }
+    val (nZ, scannedZ) = scanRows(zDir)
+    val (nR, scannedR) = scanRows(rDir)
+    assert(nZ == nR && nZ > 0) // same answer either way
+    info(s"rows=$nZ scanned: zorder=$scannedZ random=$scannedR")
+    // the random layout's row groups all span the full (user, day) space
+    // so stats prune nothing; the z-ordered layout reads a fraction
+    assert(scannedR > 0 && scannedZ * 2 < scannedR,
+      s"z-order did not skip: $scannedZ vs $scannedR")
+  }
+
   private def bucketedJoinBody(): Unit = {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
