@@ -33,7 +33,7 @@ object SimilarityQueries {
   def cosineExpr(a: String, b: String): Column =
     graft.functions.CosineSimilarity.cosine_sim(col(a), col(b))
 
-  private[ext] def vecs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x AS double))").as("v"))
@@ -44,7 +44,7 @@ object SimilarityQueries {
     * IVF oracle replays. Shared by [[annIvf]] and
     * [[DedupQueries.semDedup]].
     */
-  private[ext] def centroidLit(base: DataFrame, k: Int): Column = {
+  private[graft] def centroidLit(base: DataFrame, k: Int): Column = {
     val cents: Seq[(Long, Seq[Double])] = base.filter(col("vec_id") < k)
       .select(col("vec_id"), col("v")).collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1)
@@ -61,7 +61,7 @@ object SimilarityQueries {
     * DESC-nulls-last: an all-null row still lands in its first-by-cent_id
     * cell instead of silently vanishing.
     */
-  private[ext] def scoredCents(centArr: Column, vcol: Column): Column =
+  private[graft] def scoredCents(centArr: Column, vcol: Column): Column =
     transform(centArr, c =>
       struct(c.getField("_1").as("cell"),
         coalesce(round(graft.functions.CosineSimilarity.cosine_sim(
@@ -73,7 +73,7 @@ object SimilarityQueries {
     * cent_id order makes the fold's first-wins tie-break identical to the
     * oracle's ORDER BY cos DESC, cent_id ASC.
     */
-  private[ext] def bestCellStruct(centArr: Column, vcol: Column): Column =
+  private[graft] def bestCellStruct(centArr: Column, vcol: Column): Column =
     aggregate(scoredCents(centArr, vcol),
       struct(lit(-1L).as("cell"), lit(-3.0).as("best")),
       (acc, c) =>

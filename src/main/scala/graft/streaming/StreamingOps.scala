@@ -194,6 +194,59 @@ object StreamingOps {
       }
   }
 
+  final case class VecKeep(vec_id: Long, cell: Long, keep: Boolean)
+
+  /** Streaming semantic dedup — the online form of
+    * [[graft.ext.DedupQueries.semDedup]] for a live embedding-ingest
+    * pipeline: cell assignment is the SAME stateless centroid-fold
+    * projection (no shuffle), then state per cell holds every vector
+    * seen so far and an arriving vector is dropped when it is within
+    * `eps` of ANY earlier one in its cell — the batch drop rule with
+    * arrival order (vec_id within a batch) standing in for the batch
+    * form's centroid-similarity rank. Cross-batch: a vector arriving
+    * in batch N is deduped against batches 1..N-1's state, which is
+    * exactly the [[graft.ext.DedupQueries.dedupIncremental]] contract
+    * at the embedding tier.
+    *
+    * Scale: state is keyed by cell and sharded across the cluster's
+    * state stores; per-cell state is bounded the way the batch
+    * operator's cells are (nlist grows with the corpus). Production
+    * would cap per-cell state (drop-oldest or sketch) the same way
+    * minhash caps buckets.
+    */
+  def semDedupStream(vecs: DataFrame, centroids: Seq[(Long, Seq[Double])],
+      eps: Double): org.apache.spark.sql.Dataset[VecKeep] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0.0) -2.0 else math.rint(dot / d * 1e6) / 1e6 // round 6dp, as batch
+    }
+    val centArr = typedLit(centroids.sortBy(_._1))
+    vecs
+      .withColumn("cell",
+        graft.ext.SimilarityQueries.bestCellStruct(centArr, col("v")).getField("cell"))
+      .select(col("vec_id").cast("long"), col("cell"), col("v"))
+      .as[(Long, Long, Seq[Double])]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (cell: Long, rows: Iterator[(Long, Long, Seq[Double])],
+         state: GroupState[Seq[Seq[Double]]]) =>
+          var seen = state.getOption.getOrElse(Vector.empty[Seq[Double]]).toVector
+          // vec_id order within the batch = deterministic arrival rank
+          val out = rows.toVector.sortBy(_._1).map { case (id, _, v) =>
+            val dup = seen.exists(s => cos(s, v) >= eps)
+            seen :+= v // near-ANY-earlier (kept or not), like the batch rule
+            VecKeep(id, cell, keep = !dup)
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** Stream → JDBC upsert sink: every micro-batch runs through
     * [[graft.io.UpsertJdbcSink]] inside `foreachBatch` — the streaming
     * form of the reference's load verb. The conflict-skip insert makes

@@ -12,6 +12,8 @@ import graft.SparkSpec
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double, props: String)
 
+case class Vec(vec_id: Long, v: Seq[Double])
+
 /** Drives the streaming operators with a MemoryStream and checks they
   * agree with their batch duals (the oracle-checked EventQueries forms).
   */
@@ -41,6 +43,33 @@ class StreamingSpec extends SparkSpec {
         .orderBy("window_start", "event_type")
         .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
       assert(got.toSeq == Seq(("click", 4L, 9.0), ("view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("streaming semantic dedup: cross-batch state, dropped-still-blocks") {
+    implicit val sqlCtx = spark.sqlContext
+    val rad = math.Pi / 180
+    def at(deg: Double): Seq[Double] = Seq(math.cos(deg * rad), math.sin(deg * rad))
+    // two cells at 0° and 90°; eps 0.8 ⇔ within ~36.9°
+    val cents = Seq((0L, at(0)), (1L, at(90)))
+    val mem = MemoryStream[Vec]
+    val q = StreamingOps.semDedupStream(mem.toDF(), cents, eps = 0.8)
+      .writeStream.format("memory").queryName("semdedup_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: 0° kept (cell 0); 30° near 0° → dropped; 90° kept (cell 1)
+      mem.addData(Vec(1, at(0)), Vec(2, at(30)), Vec(3, at(90)))
+      q.processAllAvailable()
+      // batch 2, cell 1: 60° near 90° (batch-1 state) → dropped;
+      // 50° is near only the DROPPED 60° → dropped too (near-ANY-earlier,
+      // kept or not — the batch rule, and the discriminator vs kept-only)
+      mem.addData(Vec(4, at(60)), Vec(5, at(50)))
+      q.processAllAvailable()
+      val got = spark.table("semdedup_stream")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      assert(got(1L)._2 && !got(2L)._2 && got(3L)._2)
+      assert(got(1L)._1 == 0L && got(2L)._1 == 0L && got(3L)._1 == 1L)
+      assert(got(4L) == (1L, false) && got(5L) == (1L, false))
     } finally q.stop()
   }
 
