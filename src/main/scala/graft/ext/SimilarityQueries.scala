@@ -33,7 +33,7 @@ object SimilarityQueries {
   def cosineExpr(a: String, b: String): Column =
     graft.functions.CosineSimilarity.cosine_sim(col(a), col(b))
 
-  private[graft] def vecs(spark: SparkSession, dir: String): DataFrame =
+  private[ext] def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x AS double))").as("v"))
@@ -44,7 +44,7 @@ object SimilarityQueries {
     * IVF oracle replays. Shared by [[annIvf]] and
     * [[DedupQueries.semDedup]].
     */
-  private[graft] def centroidLit(base: DataFrame, k: Int): Column = {
+  private[ext] def centroidLit(base: DataFrame, k: Int): Column = {
     val cents: Seq[(Long, Seq[Double])] = base.filter(col("vec_id") < k)
       .select(col("vec_id"), col("v")).collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1)
@@ -61,7 +61,7 @@ object SimilarityQueries {
     * DESC-nulls-last: an all-null row still lands in its first-by-cent_id
     * cell instead of silently vanishing.
     */
-  private[graft] def scoredCents(centArr: Column, vcol: Column): Column =
+  private[ext] def scoredCents(centArr: Column, vcol: Column): Column =
     transform(centArr, c =>
       struct(c.getField("_1").as("cell"),
         coalesce(round(graft.functions.CosineSimilarity.cosine_sim(

@@ -219,11 +219,21 @@ object StreamingOps {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = vecs.sparkSession
     import spark.implicits._
-    def cos(a: Seq[Double], b: Seq[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      val d = math.sqrt(na) * math.sqrt(nb)
-      if (d == 0.0) -2.0 else math.rint(dot / d * 1e6) / 1e6 // round 6dp, as batch
+    // norms are stored WITH the state vectors (computed once on insert,
+    // not per comparison), and rounding is BigDecimal HALF_UP at 6dp —
+    // the same mode Spark's round() applies in the batch operator
+    def norm(a: Seq[Double]): Double = {
+      var n = 0.0; var i = 0
+      while (i < a.length) { n += a(i) * a(i); i += 1 }
+      math.sqrt(n)
+    }
+    def cos(a: Seq[Double], na: Double, b: Seq[Double], nb: Double): Double = {
+      val d = na * nb
+      if (d == 0.0) return -2.0
+      var dot = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); i += 1 }
+      java.math.BigDecimal.valueOf(dot / d)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     }
     val centArr = typedLit(centroids.sortBy(_._1))
     vecs
@@ -234,12 +244,14 @@ object StreamingOps {
       .groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (cell: Long, rows: Iterator[(Long, Long, Seq[Double])],
-         state: GroupState[Seq[Seq[Double]]]) =>
-          var seen = state.getOption.getOrElse(Vector.empty[Seq[Double]]).toVector
+         state: GroupState[Seq[(Seq[Double], Double)]]) =>
+          var seen = state.getOption.getOrElse(Vector.empty[(Seq[Double], Double)])
+            .toVector
           // vec_id order within the batch = deterministic arrival rank
           val out = rows.toVector.sortBy(_._1).map { case (id, _, v) =>
-            val dup = seen.exists(s => cos(s, v) >= eps)
-            seen :+= v // near-ANY-earlier (kept or not), like the batch rule
+            val nv = norm(v)
+            val dup = seen.exists { case (s, ns) => cos(s, ns, v, nv) >= eps }
+            seen :+= ((v, nv)) // near-ANY-earlier (kept or not), the batch rule
             VecKeep(id, cell, keep = !dup)
           }
           state.update(seen)
