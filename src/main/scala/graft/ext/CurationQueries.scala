@@ -263,12 +263,66 @@ object CurationQueries {
       |FROM per_source CROSS JOIN cap
       |ORDER BY source""".stripMargin
 
+  /** Temperature-scaled source mixing (the exponential-smoothing
+    * reweighting multilingual/multi-corpus training uses — XLM-R-style
+    * qₛ ∝ pₛ^α): small sources are up-weighted, dominant ones damped,
+    * with α=0.5 here. Emits the mixing table a trainer consumes: raw
+    * share p, smoothed share q, and the boost q/p each source's
+    * sampling rate gets multiplied by. Complements [[sourceMix]]'s
+    * hard median cap with the published soft form.
+    *
+    * Same shape as sourceMix: one corpus scan into a persisted
+    * |sources|-row rollup; the two scalars (token total, weight
+    * normalizer) broadcast back as 1-row cross joins. Float contract:
+    * p and the α-power are rounded at 6dp, weights sum as
+    * DECIMAL(18,6) (order-free), and every division happens on already-
+    * rounded doubles — both engines run the identical IEEE tree.
+    */
+  def sourceTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val alpha = 0.5
+    val perSource = Tables(spark, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = perSource.agg(sum(col("n_tokens")).as("tot"))
+    val withW = perSource.crossJoin(broadcast(tot))
+      .withColumn("p", round(col("n_tokens") / col("tot"), 6))
+      .withColumn("w", round(pow(col("p"), alpha), 6).cast("decimal(18,6)"))
+    val wsum = withW.agg(sum(col("w")).as("wsum"))
+    withW.crossJoin(broadcast(wsum))
+      .withColumn("q", round(col("w").cast("double") / col("wsum").cast("double"), 6))
+      .withColumn("boost", round(col("q") / col("p"), 6))
+      .select("source", "n_docs", "n_tokens", "p", "q", "boost")
+      .orderBy("source")
+  }
+
+  val sourceTemperatureSql: String =
+    """WITH per_source AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |  GROUP BY source),
+      |tot AS (SELECT SUM(n_tokens) AS tot FROM per_source),
+      |wp AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    ROUND(n_tokens / tot, 6) AS p,
+      |    CAST(ROUND(POWER(ROUND(n_tokens / tot, 6), 0.5), 6) AS DECIMAL(18,6)) AS w
+      |  FROM per_source CROSS JOIN tot),
+      |ws AS (SELECT SUM(w) AS wsum FROM wp)
+      |SELECT source, n_docs, n_tokens, p,
+      |  ROUND(CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE), 6) AS q,
+      |  ROUND(ROUND(CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE), 6) / p, 6) AS boost
+      |FROM wp CROSS JOIN ws
+      |ORDER BY source""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "corpus_curation" -> ((corpusCuration _, corpusCurationSql)),
     "decontaminate" -> ((decontaminate _, decontaminateSql)),
     "sample_stratified" -> ((sampleStratified _, sampleStratifiedSql)),
     "pii_redact" -> ((piiRedact _, piiRedactSql)),
     "shuffle_shard" -> ((shuffleShard _, shuffleShardSql)),
-    "source_mix" -> ((sourceMix _, sourceMixSql))
+    "source_mix" -> ((sourceMix _, sourceMixSql)),
+    "source_temperature" -> ((sourceTemperature _, sourceTemperatureSql))
   )
 }

@@ -40,6 +40,8 @@ class PlanAuditSpec extends SparkSpec {
     "text_stats" -> 1,
     "events_anomaly" -> 1, // daily rollup persisted: spine + fill share it
     "source_mix" -> 1,     // per-source rollup persisted: cap + projection
+    "source_temperature" -> 1, // same persisted rollup; both scalars
+                               // (total, normalizer) read the cache
     "skew_salted_agg" -> 1,
     "bm25_search" -> 2,    // token stream + the 2-scalar (N, sum_dl) branch:
                            // re-scanning for two numbers beats persisting
