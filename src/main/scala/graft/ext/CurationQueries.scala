@@ -233,14 +233,28 @@ object CurationQueries {
     * expensive half (per-doc token counts) is the same narrow projection
     * the text-stats tier already pays.
     */
-  def sourceMix(spark: SparkSession, dir: String): DataFrame = {
-    // persisted: the median aggregate AND the final projection both read
-    // the per-source rollup — un-persisted, each re-runs the corpus scan
-    val perSource = Tables(spark, dir, "documents")
+  /** Persisted per-source (n_docs, n_tokens) rollup — shared by
+    * [[sourceMix]] and [[sourceTemperature]], each of which reads it
+    * from cache twice (scalar + final projection). One tokenization
+    * definition, one corpus scan.
+    */
+  private def perSourceRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
       .select(col("source"), size(split(col("text"), " ")).as("n_tok"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** The DuckDB dual of [[perSourceRollup]], shared by both oracles. */
+  private val perSourceCte: String =
+    """per_source AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |  GROUP BY source)""".stripMargin
+
+  def sourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = perSourceRollup(spark, dir)
     val cap = perSource.agg(expr("percentile(n_tokens, 0.5)").as("cap"))
     perSource.crossJoin(broadcast(cap))
       .select(col("source"), col("n_docs"), col("n_tokens"),
@@ -250,13 +264,10 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  // perSourceCte is pre-stripped — concatenate, never re-stripMargin
   val sourceMixSql: String =
-    """WITH per_source AS (
-      |  SELECT source, COUNT(*) AS n_docs,
-      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-      |  FROM documents
-      |  GROUP BY source),
-      |cap AS (SELECT quantile_cont(n_tokens, 0.5) AS cap FROM per_source)
+    s"WITH $perSourceCte,\n" +
+    """cap AS (SELECT quantile_cont(n_tokens, 0.5) AS cap FROM per_source)
       |SELECT source, n_docs, n_tokens,
       |  ROUND(LEAST(1.0, cap / n_tokens), 6) AS sample_rate,
       |  CAST(ROUND(LEAST(cap, CAST(n_tokens AS DOUBLE))) AS BIGINT) AS token_budget
@@ -280,11 +291,7 @@ object CurationQueries {
     */
   def sourceTemperature(spark: SparkSession, dir: String): DataFrame = {
     val alpha = 0.5
-    val perSource = Tables(spark, dir, "documents")
-      .select(col("source"), size(split(col("text"), " ")).as("n_tok"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perSource = perSourceRollup(spark, dir)
     val tot = perSource.agg(sum(col("n_tokens")).as("tot"))
     val withW = perSource.crossJoin(broadcast(tot))
       .withColumn("p", round(col("n_tokens") / col("tot"), 6))
@@ -292,18 +299,18 @@ object CurationQueries {
     val wsum = withW.agg(sum(col("w")).as("wsum"))
     withW.crossJoin(broadcast(wsum))
       .withColumn("q", round(col("w").cast("double") / col("wsum").cast("double"), 6))
-      .withColumn("boost", round(col("q") / col("p"), 6))
+      // a source below 5e-7 token share rounds to p = 0: its boost is
+      // explicitly NULL in BOTH engines (Spark's 0-divisor NULL vs
+      // DuckDB's IEEE NaN/Inf would otherwise diverge); q still ranks it
+      .withColumn("boost",
+        when(col("p") > 0, round(col("q") / col("p"), 6)))
       .select("source", "n_docs", "n_tokens", "p", "q", "boost")
       .orderBy("source")
   }
 
   val sourceTemperatureSql: String =
-    """WITH per_source AS (
-      |  SELECT source, COUNT(*) AS n_docs,
-      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-      |  FROM documents
-      |  GROUP BY source),
-      |tot AS (SELECT SUM(n_tokens) AS tot FROM per_source),
+    s"WITH $perSourceCte,\n" +
+    """tot AS (SELECT SUM(n_tokens) AS tot FROM per_source),
       |wp AS (
       |  SELECT source, n_docs, n_tokens,
       |    ROUND(n_tokens / tot, 6) AS p,
@@ -312,7 +319,9 @@ object CurationQueries {
       |ws AS (SELECT SUM(w) AS wsum FROM wp)
       |SELECT source, n_docs, n_tokens, p,
       |  ROUND(CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE), 6) AS q,
-      |  ROUND(ROUND(CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE), 6) / p, 6) AS boost
+      |  CASE WHEN p > 0 THEN
+      |    ROUND(ROUND(CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE), 6) / p, 6)
+      |  END AS boost
       |FROM wp CROSS JOIN ws
       |ORDER BY source""".stripMargin
 
