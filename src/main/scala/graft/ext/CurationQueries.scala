@@ -289,9 +289,15 @@ object CurationQueries {
     * DECIMAL(18,6) (order-free), and every division happens on already-
     * rounded doubles — both engines run the identical IEEE tree.
     */
-  def sourceTemperature(spark: SparkSession, dir: String): DataFrame = {
+  def sourceTemperature(spark: SparkSession, dir: String): DataFrame =
+    sourceTemperatureFrom(perSourceRollup(spark, dir))
+
+  /** The reweighting over any (source, n_docs, n_tokens) rollup —
+    * CurationSpec drives it with a crafted sub-rounding source to pin
+    * the NULL-boost contract the fixture corpus can't reach.
+    */
+  private[ext] def sourceTemperatureFrom(perSource: DataFrame): DataFrame = {
     val alpha = 0.5
-    val perSource = perSourceRollup(spark, dir)
     val tot = perSource.agg(sum(col("n_tokens")).as("tot"))
     val withW = perSource.crossJoin(broadcast(tot))
       .withColumn("p", round(col("n_tokens") / col("tot"), 6))

@@ -125,4 +125,23 @@ class TextPipelineSpec extends SparkSpec {
     m.unpersist()
     spark.catalog.clearCache() // releases sourceMix's INTERNAL rollup persist
   }
+
+  test("source_temperature: sub-rounding share gets NULL boost, q still ranks") {
+    import spark.implicits._
+    // web holds ~10M tokens, the curated source 1: its share rounds to
+    // p = 0.000000 at 6dp — the zero-divisor edge the fixture corpus
+    // can't reach (Spark NULL vs DuckDB NaN would diverge un-guarded)
+    val rollup = Seq(
+      ("web", 1000L, 10000000L),
+      ("books", 100L, 2000000L),
+      ("curated", 1L, 1L)).toDF("source", "n_docs", "n_tokens")
+    val out = CurationQueries.sourceTemperatureFrom(rollup)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("curated").getDouble(3) == 0.0)   // p rounds to zero
+    assert(out("curated").isNullAt(5))           // boost: explicit NULL
+    assert(out("curated").getDouble(4) >= 0.0)   // q defined regardless
+    assert(out("web").getDouble(5) > 0.0)        // normal source: real boost
+    // smoothing direction: the dominant source is damped (q < p)
+    assert(out("web").getDouble(4) < out("web").getDouble(3))
+  }
 }
