@@ -17,6 +17,42 @@ class SkewSpec extends SparkSpec {
     .zipWithIndex.map { case (k, i) => (k, s"payload$i") }
     .toDF("key", "payload")
 
+  test("AQE skew-join splits the hot partition at runtime") {
+    // the OTHER half of the skew story (SCALE.md): explicit salting is
+    // the planned fix, AQE's OptimizeSkewedJoin is the runtime one —
+    // with thresholds scaled to test data, the post-execution plan must
+    // carry the skew=true SMJ marker and the result must equal the
+    // plain join
+    val conf = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // ~50k hot rows with a fat payload so the hot partition clears the
+      // 16KB skew threshold while the others stay tiny
+      val bigFacts = spark.range(50000)
+        .select(col("id").as("row_id"),
+          when(col("id") < 45000, "hot")
+            .otherwise(concat(lit("k"), pmod(col("id"), lit(7)))).as("key"),
+          expr("repeat('x', 64)").as("pad"))
+      val joined = bigFacts.join(dim, Seq("key"))
+      // execute THIS plan (count() builds its own QueryExecution and the
+      // adaptive final plan would never materialize on `joined`)
+      val n = joined.collect().length
+      assert(n == 50000) // every key (hot, k0..k6) has a dim row
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew split in:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("saltedJoin equals the plain join") {
     val plain = facts.join(dim, Seq("key")).select("row_id", "key", "payload")
     val salted = Skew.saltedJoin(facts, dim, "key", salt = 8,
