@@ -232,8 +232,15 @@ object JsonTableIO {
         s"$sf exists but is not a mover table envelope " +
           "(expected a JSON object with table_name and data fields) " +
           "and no partitioned artifact is present")
+      // same loud-beats-lossy tradeoff as the envelope branch: under an
+      // explicit schema a corrupt/bit-rotted line would PERMISSIVE-parse
+      // to an all-null row that survives every manifest count check
+      // (a corrupt line still counts as one record) — the reference
+      // loader hard-fails its json.Unmarshal instead
+      // (etl/loader.go:54-72). Raw inspection of a damaged artifact is
+      // a plain `spark.read.text` over the part files.
       val r = spark.read
-      schema.foreach(r.schema)
+      schema.foreach { s => r.schema(s); r.option("mode", "FAILFAST") }
       r.json(live.toString)
     }
   }

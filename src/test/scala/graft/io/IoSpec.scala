@@ -21,6 +21,37 @@ class JsonTableIOSpec extends SparkSpec {
     assert(JsonTableIO.listTables(out) == Seq("user"))
   }
 
+  test("corrupt line under an explicit schema fails the read loudly") {
+    val out = Files.createTempDirectory("jsonio-corrupt").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    JsonTableIO.write(df, out, "user")
+    // bit-rot one part file: a trailing garbage line
+    val part = Files.list(Paths.get(s"$out/user/data")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".json")).get
+    Files.writeString(part, "{not json\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    // drop Hadoop's CRC sidecar: on a local fs the ChecksumException
+    // would fire first (good — but this test is about the PARSE path an
+    // object store without sidecars relies on)
+    Files.deleteIfExists(part.resolveSibling(s".${part.getFileName}.crc"))
+    // schema'd read (the Engine.load path): FAILFAST, like the reference
+    // loader's hard json.Unmarshal error — never a silent all-null row
+    val ex = intercept[Exception] {
+      JsonTableIO.read(spark, out, "user", Some(df.schema)).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    // the task failure names the bad FILE (FAILED_READ_FILE wrapping the
+    // malformed-record parse error) — the loud, actionable form
+    assert(causes(ex).exists(c => c.getMessage != null &&
+      c.getMessage.contains("FAILED_READ_FILE")), causes(ex).map(_.getMessage))
+    // the inspection path for a damaged artifact: a raw text read
+    // surfaces the bad line
+    val lines = spark.read.text(part.toString).collect().map(_.getString(0))
+    assert(lines.contains("{not json"))
+  }
+
   test("gzip-compressed artifact round-trips transparently") {
     val out = Files.createTempDirectory("jsonio-gz").toString
     val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
