@@ -711,18 +711,16 @@ object DedupQueries {
     * so the DuckDB oracle can replay everything; the bucket cap (≤64)
     * is the same skew guard as [[minhashPairs]].
     */
-  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    // ONE documents scan feeds all three consumers (exact rule, near
-    // rule, final projection) through a NARROW lazy checkpoint —
-    // (doc_id, bool, fp, 8-long sig) per doc. Without it the plan scans
-    // parquet and re-runs the md5-per-shingle pipeline once per
-    // consumer (the duplicate-subtree trap minhashPairs documents).
-    // `sig` is properly null (not [null×8]) for <3-word docs: CaseWhen
-    // only evaluates the matched branch, and a null sig row is filtered
-    // before banding so short docs cannot collide into a "null bucket".
-    val docs = Tables(spark, dir, "documents")
-      .repartition(col("doc_id"))
-      .withColumn("is_old", col("doc_id") % 5 < 3)
+  /** The (doc_id, fp, sig) projection both the one-scan incremental
+    * query and the [[DedupIndex]] artifact compute — ONE definition so
+    * index-based dedup is equal to the oracle-gated form by
+    * construction. `sig` is properly null (not [null×8]) for <3-word
+    * docs: CaseWhen only evaluates the matched branch, and a null sig
+    * row is filtered before banding so short docs cannot collide into a
+    * "null bucket".
+    */
+  private[ext] def fpSig(docs: DataFrame): DataFrame =
+    docs
       .withColumn("fp", md5(lower(trim(col("text")))))
       .withColumn("words", split(col("text"), " "))
       .withColumn("hs", when(size(col("words")) >= 3, expr(
@@ -730,8 +728,29 @@ object DedupQueries {
              i -> cast(conv(substring(md5(concat_ws(' ', slice(words, i, 3))), 1, 15), 16, 10) AS bigint) % 2147483647)""")))
       .withColumn("sig", when(col("hs").isNotNull,
         expr(s"array(${(0 until K).map(sigExpr).mkString(", ")})")))
+      .select(col("doc_id"), col("fp"), col("sig"))
+
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    // ONE documents scan feeds all three consumers (exact rule, near
+    // rule, final projection) through a NARROW lazy checkpoint —
+    // (doc_id, bool, fp, 8-long sig) per doc. Without it the plan scans
+    // parquet and re-runs the md5-per-shingle pipeline once per
+    // consumer (the duplicate-subtree trap minhashPairs documents).
+    val docs = fpSig(
+        Tables(spark, dir, "documents").repartition(col("doc_id")))
+      .withColumn("is_old", col("doc_id") % 5 < 3)
       .select("doc_id", "is_old", "fp", "sig")
       .localCheckpoint(false)
+    dedupIncrementalCore(docs).orderBy("doc_id")
+  }
+
+  /** Greedy first-wins dedup of the `is_old = false` rows against old
+    * rows and earlier new rows, over any (doc_id, is_old, fp, sig)
+    * frame — shared by the registered one-scan query and
+    * [[DedupIndex.dedupe]] (where the old side is the persisted index),
+    * so the two paths are the same algorithm by construction.
+    */
+  private[ext] def dedupIncrementalCore(docs: DataFrame): DataFrame = {
     // exact rule, one fp shuffle: per fingerprint, does an old doc
     // carry it, and which new doc is first?
     val fpKeep = docs.groupBy("fp").agg(
@@ -760,7 +779,6 @@ object DedupQueries {
       .filter(col("fp_has_old") === 0 && col("doc_id") === col("fp_first_new"))
       .join(nearDropped, Seq("doc_id"), "left_anti")
       .select("doc_id")
-      .orderBy("doc_id")
   }
 
   val dedupIncrementalSql: String =
