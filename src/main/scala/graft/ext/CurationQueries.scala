@@ -293,8 +293,8 @@ object CurationQueries {
     sourceTemperatureFrom(perSourceRollup(spark, dir))
 
   /** The reweighting over any (source, n_docs, n_tokens) rollup —
-    * CurationSpec drives it with a crafted sub-rounding source to pin
-    * the NULL-boost contract the fixture corpus can't reach.
+    * TextPipelineSpec drives it with a crafted sub-rounding source to
+    * pin the NULL-boost contract the fixture corpus can't reach.
     */
   private[ext] def sourceTemperatureFrom(perSource: DataFrame): DataFrame = {
     val alpha = 0.5

@@ -24,38 +24,50 @@ import org.apache.spark.sql.functions._
   *
   * `dedupe` runs [[DedupQueries.dedupIncrementalCore]] — the SAME
   * algorithm as the oracle-gated `dedup_incremental` query, with the
-  * index standing in for the old rows — so the two paths cannot drift
-  * (DedupIndexSpec proves byte-equality of the survivor sets, and that
-  * batch-by-batch ingest equals the one-shot split).
+  * index standing in for the old rows (DedupIndexSpec proves
+  * survivor-set equality, and that batch-by-batch ingest equals the
+  * one-shot split). PRECISION CAVEAT: the core's ≤64 LSH bucket cap (the
+  * minhashPairs skew guard) skips the near rule for oversized buckets,
+  * and bucket population differs between a growing index and the
+  * one-shot frame — so the batch-by-batch == one-shot equality is exact
+  * while buckets stay under the cap (true at spec scale) and an
+  * approximation past it, like every capped LSH dedup.
   *
-  * 100 TB posture: the recurring cost is one fp shuffle and one
-  * (band, bucket) shuffle of BATCH + INDEX KEYS — never a corpus
-  * rescan. The index carries ~50 bytes/doc (hex fp + 8 longs); at
-  * 10B docs that is ~500 GB of parquet, scanned column-pruned per
-  * batch. Production layouts bucket it by `fp` (exact rule co-located)
-  * and keep a second copy bucketed by band bucket; appends are plain
-  * parquet appends, compacted by the artifact maintenance the JSON
-  * sink already has. Index doc_ids MUST precede batch doc_ids (ingest
-  * order) for the greedy first-wins rule to be well-defined.
+  * 100 TB posture: the recurring cost is the batch fpSig pipeline ONCE
+  * (narrow localCheckpoint, as in the registered query) plus one fp
+  * shuffle and one (band, bucket) shuffle — the exact and near rules
+  * each read the index through one column-pruned scan, and the
+  * corpus text is never rescanned. The index carries ~50 bytes/doc
+  * (hex fp + 8 longs): ~500 GB of parquet at 10B docs. Production
+  * layouts bucket it by `fp` and keep a second copy bucketed by band
+  * bucket. `build`'s SaveMode.Overwrite is NOT an atomic commit: the
+  * index is a DERIVED artifact (rebuildable from the corpus), and a
+  * deployment that needs crash-safe maintenance would commit new
+  * generations via the same manifest-pointer protocol
+  * [[graft.io.JsonTableIO]] uses for data artifacts. Index doc_ids MUST
+  * precede batch doc_ids (ingest order) for the greedy first-wins rule
+  * to be well-defined.
   */
 object DedupIndex {
 
   private def path(dir: String) = s"$dir/dedup_index"
 
-  /** Build the index from scratch over raw documents (doc_id, text). */
+  /** Build the index from scratch over raw documents (doc_id, text).
+    * Returns the indexed row count — read from the written parquet
+    * footers (metadata-only), never by recomputing the fpSig pipeline.
+    */
   def build(docs: DataFrame, dir: String): Long = {
-    val d = DedupQueries.fpSig(docs)
-    d.write.mode("overwrite").parquet(path(dir))
-    d.count()
+    DedupQueries.fpSig(docs).write.mode("overwrite").parquet(path(dir))
+    docs.sparkSession.read.parquet(path(dir)).count()
   }
 
   /** Fold an ingested batch (ALL of it — see the class note) into the
-    * index.
+    * index. Returns the batch's indexed row count.
     */
   def append(docs: DataFrame, dir: String): Long = {
-    val d = DedupQueries.fpSig(docs)
-    d.write.mode("append").parquet(path(dir))
-    d.count()
+    val before = docs.sparkSession.read.parquet(path(dir)).count()
+    DedupQueries.fpSig(docs).write.mode("append").parquet(path(dir))
+    docs.sparkSession.read.parquet(path(dir)).count() - before
   }
 
   /** Surviving doc_ids of `batch` after dedup against the index AND
@@ -64,10 +76,16 @@ object DedupIndex {
   def dedupe(spark: SparkSession, batch: DataFrame, dir: String): DataFrame = {
     val idx = spark.read.parquet(path(dir))
       .withColumn("is_old", lit(true))
+    // the batch's md5-per-shingle pipeline runs ONCE into a narrow
+    // checkpoint — the core's three consumers would otherwise re-run it
+    // (the duplicate-subtree trap dedupIncremental documents); the index
+    // side stays a plain parquet scan, column-pruned per consumer
     val b = DedupQueries.fpSig(batch)
       .withColumn("is_old", lit(false))
+      .select("doc_id", "is_old", "fp", "sig")
+      .localCheckpoint(false)
     DedupQueries.dedupIncrementalCore(
-        idx.unionByName(b).select("doc_id", "is_old", "fp", "sig"))
+        idx.select("doc_id", "is_old", "fp", "sig").unionByName(b))
       .orderBy("doc_id")
   }
 }

@@ -8,6 +8,9 @@ import graft.SparkSpec
   * `dedup_incremental` query (same split, same survivors), and
   * batch-by-batch ingest through the index must equal the one-shot
   * result — the property that makes a recurring pipeline trustworthy.
+  * (Both equalities are exact while LSH buckets stay under the core's
+  * ≤64 skew cap — true at this scale; past the cap the near rule is an
+  * approximation in BOTH paths, see the DedupIndex precision caveat.)
   */
 class DedupIndexSpec extends SparkSpec {
 

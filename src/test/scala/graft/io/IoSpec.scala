@@ -26,9 +26,11 @@ class JsonTableIOSpec extends SparkSpec {
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
     JsonTableIO.write(df, out, "user")
     // bit-rot one part file: a trailing garbage line
-    val part = Files.list(Paths.get(s"$out/user/data")).toArray
-      .map(_.asInstanceOf[java.nio.file.Path])
-      .find(_.getFileName.toString.endsWith(".json")).get
+    val listing = Files.list(Paths.get(s"$out/user/data"))
+    val part = try listing.toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".json")).get
+      finally listing.close()
     Files.writeString(part, "{not json\n",
       java.nio.file.StandardOpenOption.APPEND)
     // drop Hadoop's CRC sidecar: on a local fs the ChecksumException
