@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The persisted form of `ann_ivf`'s cell layout: embeddings written as
+  * parquet PARTITIONED BY their IVF cell, so a probe query reads only
+  * its `nprobe` cells' files — the partition-pruning path SCALE.md
+  * promises, made concrete (the similarity analogue of [[DedupIndex]]).
+  *
+  * {{{
+  * AnnIndex.build(vecs, cents, dir)                 // once / per retrain
+  * AnnIndex.search(spark, dir, cents, probes, 2, 5) // per query batch
+  * }}}
+  *
+  * `build` assigns cells with the SAME argmax-cosine fold as the
+  * registered query ([[SimilarityQueries.bestCellStruct]] over the
+  * centroid literal — zero corpus exchange) and writes
+  * `cell=<id>/part-*.parquet`. `search` turns each query's probe list
+  * into a `cell IN (...)` partition filter: Spark prunes the non-probed
+  * directories at PLANNING time, so the scan touches nprobe/nlist of
+  * the files (AnnIndexSpec pins both the pruned file count and result
+  * equality with the in-memory `ann_ivf` form).
+  *
+  * 100 TB posture: nlist grows with the corpus (thousands of cells →
+  * file groups of a few GB); a probe reads nprobe cells ≈ nprobe/nlist
+  * of the bytes. Appending new vectors is a parquet append into their
+  * cells' partitions; retraining centroids is a rebuild (derived
+  * artifact, like DedupIndex — commit via a manifest pointer if a
+  * deployment needs atomic swaps). Scoring stays the codegen'd
+  * [[graft.functions.CosineSimilarity]]; the probe set broadcasts.
+  */
+object AnnIndex {
+
+  private def path(dir: String) = s"$dir/ann_index"
+
+  /** Partition the corpus by its assigned cell. `vecs`: (vec_id, v). */
+  def build(vecs: DataFrame, cents: Seq[(Long, Seq[Double])], dir: String): Long = {
+    val centArr = typedLit(cents.sortBy(_._1))
+    vecs
+      .withColumn("cell",
+        SimilarityQueries.bestCellStruct(centArr, col("v")).getField("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(path(dir))
+    vecs.sparkSession.read.parquet(path(dir)).count()
+  }
+
+  /** Top-k cosine results per probe query, reading ONLY the probed
+    * cells' partitions. `probes`: (query_id, qv); probe cells per query
+    * come from the same top-nprobe fold as `ann_ivf`.
+    */
+  def search(spark: SparkSession, dir: String, cents: Seq[(Long, Seq[Double])],
+      probes: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe <= 2, "probe fold carries (best, second) — extend for nprobe > 2")
+    val centArr = typedLit(cents.sortBy(_._1))
+    val probeFold = aggregate(
+      SimilarityQueries.scoredCents(centArr, col("qv")),
+      struct(lit(-1L).as("c1"), lit(-3.0).as("s1"),
+             lit(-1L).as("c2"), lit(-3.0).as("s2")),
+      (acc, c) => {
+        val s = c.getField("s")
+        when(s > acc.getField("s1"),
+          struct(c.getField("cell").as("c1"), s.as("s1"),
+                 acc.getField("c1").as("c2"), acc.getField("s1").as("s2")))
+        .when(s > acc.getField("s2"),
+          struct(acc.getField("c1").as("c1"), acc.getField("s1").as("s1"),
+                 c.getField("cell").as("c2"), s.as("s2")))
+        .otherwise(acc)
+      })
+    val probed = probes
+      .withColumn("pf", probeFold)
+      .select(col("query_id"), col("qv"),
+        explode(slice(array(col("pf.c1"), col("pf.c2")), 1, nprobe)).as("cell"))
+    // bounded driver-side collect: |queries| × nprobe cell ids — the
+    // partition filter must be a LITERAL for planning-time pruning
+    val cells = probed.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val base = spark.read.parquet(path(dir))
+      .filter(col("cell").isin(cells: _*))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), asc("vec_id"))
+    base.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(SimilarityQueries.cosineExpr("qv", "v"), 6))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      // partition-column type inference reads cell back as INT; the
+      // in-memory form carries LONG — pin the wider type
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("cell").cast("long").as("cell"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+}
