@@ -51,26 +51,23 @@ object AnnIndex {
   def search(spark: SparkSession, dir: String, cents: Seq[(Long, Seq[Double])],
       probes: DataFrame, nprobe: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(nprobe <= 2, "probe fold carries (best, second) — extend for nprobe > 2")
     val centArr = typedLit(cents.sortBy(_._1))
-    val probeFold = aggregate(
+    // general top-nprobe: comparator sort of the (cell, score) array by
+    // score DESC, cell ASC — the tie order ann_ivf's first-wins fold
+    // implies, valid for any nprobe (nlist is bounded, the sort is
+    // per-row over nlist structs)
+    val sortedCells = array_sort(
       SimilarityQueries.scoredCents(centArr, col("qv")),
-      struct(lit(-1L).as("c1"), lit(-3.0).as("s1"),
-             lit(-1L).as("c2"), lit(-3.0).as("s2")),
-      (acc, c) => {
-        val s = c.getField("s")
-        when(s > acc.getField("s1"),
-          struct(c.getField("cell").as("c1"), s.as("s1"),
-                 acc.getField("c1").as("c2"), acc.getField("s1").as("s2")))
-        .when(s > acc.getField("s2"),
-          struct(acc.getField("c1").as("c1"), acc.getField("s1").as("s1"),
-                 c.getField("cell").as("c2"), s.as("s2")))
-        .otherwise(acc)
-      })
+      (l, r) =>
+        when(l.getField("s") > r.getField("s"), -1)
+        .when(l.getField("s") < r.getField("s"), 1)
+        .when(l.getField("cell") < r.getField("cell"), -1)
+        .when(l.getField("cell") > r.getField("cell"), 1)
+        .otherwise(0))
     val probed = probes
-      .withColumn("pf", probeFold)
       .select(col("query_id"), col("qv"),
-        explode(slice(array(col("pf.c1"), col("pf.c2")), 1, nprobe)).as("cell"))
+        explode(slice(transform(sortedCells, c => c.getField("cell")),
+          1, nprobe)).as("cell"))
     // bounded driver-side collect: |queries| × nprobe cell ids — the
     // partition filter must be a LITERAL for planning-time pruning
     val cells = probed.select("cell").distinct()

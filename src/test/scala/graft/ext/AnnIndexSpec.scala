@@ -32,6 +32,16 @@ class AnnIndexSpec extends SparkSpec {
     assert(got.collect().map(_.toSeq).toSeq ==
       want.collect().map(_.toSeq).toSeq)
 
+    // generalized nprobe: widening the probe list can only improve the
+    // best hit (monotone recall) — pins the comparator-sort probe path
+    // beyond the (best, second) pair the in-memory query carries
+    val top1 = (d: org.apache.spark.sql.DataFrame) => d
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val c2 = top1(got)
+    val c3 = top1(AnnIndex.search(spark, idxDir, cents, probes, nprobe = 3, k = 5))
+    assert(c3.keySet == c2.keySet && c2.forall { case (q, c) => c3(q) >= c })
+
     // pruning proof: execute the search plan and read the scan's file
     // count — it must cover only the probed cells' partitions, not all 16
     val df = AnnIndex.search(spark, idxDir, cents, probes, nprobe = 2, k = 5)
