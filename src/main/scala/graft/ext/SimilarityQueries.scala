@@ -462,11 +462,88 @@ object SimilarityQueries {
       |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Hybrid retrieval: BM25 lexical top-20 + dense cosine top-20 fused by
+    * Reciprocal Rank Fusion (Cormack et al., SIGIR'09: score =
+    * Σ 1/(k + rank), k=60) — the standard two-tower RAG retrieval shape
+    * (sparse and dense legs retrieve independently; fusion needs only
+    * RANKS, never comparable scores, which is why RRF survives engine
+    * swaps where score normalization breaks).
+    *
+    * Scale shape: each leg is already the tuned operator — the lexical
+    * leg is [[TextQueries.bm25Search]] (query-term-filtered token stream,
+    * TakeOrdered top-k), the dense leg broadcasts ONE query vector
+    * against a single corpus scan and TakeOrders top-k (the production
+    * swap-in is [[annIvf]]'s probe path, identical downstream). Both
+    * legs end at k=20 rows, so the fusion full-outer join and final
+    * re-rank run on ≤40 rows regardless of corpus size — fusion cost is
+    * O(k), the corpus is scanned once per leg and never shuffled.
+    *
+    * Determinism: ranks are integers; 1/(60+rank) is one IEEE double
+    * division computed identically by both engines, the two-term sum is
+    * rounded at 6dp before the final ORDER BY (ties — e.g. a doc ranked
+    * r by one leg only vs another doc ranked r by the other leg only —
+    * break on doc_id).
+    */
+  def hybridSearchRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = TextQueries.bm25Search(spark, dir)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val base = vecs(spark, dir)
+    val qv = base.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val wDense = Window.orderBy(desc("cos"), asc("vec_id"))
+    val dense = base.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .withColumn("cos", round(cosineExpr("qv", "v"), 6))
+      .orderBy(desc("cos"), asc("vec_id")).limit(20)
+      .withColumn("dense_rank", row_number().over(wDense).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("dense_rank"))
+    val fused = lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60L) + col("lex_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60L) + col("dense_rank")), lit(0.0)), 6))
+    val wFinal = Window.orderBy(desc("rrf"), asc("doc_id"))
+    fused.orderBy(desc("rrf"), asc("doc_id")).limit(10)
+      .withColumn("rank", row_number().over(wFinal).cast("long"))
+      .select(col("rank"), col("doc_id"), col("lex_rank"),
+        col("dense_rank"), col("rrf"))
+      .orderBy("rank")
+  }
+
+  val hybridSearchRrfSql: String = {
+    // lexical leg: bm25_search's CTE chain verbatim, cut to (doc_id, rank)
+    val bm25Ctes = TextQueries.bm25SearchSql
+      .stripPrefix("WITH ").split("\nSELECT ")(0)
+    s"""WITH $bm25Ctes,
+      |lex AS (
+      |  SELECT doc_id, lex_rank FROM (
+      |    SELECT doc_id,
+      |      ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+      |    FROM sc ORDER BY score DESC, doc_id LIMIT 20)),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |dense AS (
+      |  SELECT vec_id AS doc_id,
+      |    ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS dense_rank
+      |  FROM (
+      |    SELECT e.vec_id, ROUND(list_cosine_similarity(q.qv, e.v), 6) AS cos
+      |    FROM e CROSS JOIN q WHERE e.vec_id != 0
+      |    ORDER BY cos DESC, vec_id LIMIT 20)),
+      |fused AS (
+      |  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.lex_rank, d.dense_rank,
+      |    ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + l.lex_rank), 0)
+      |        + COALESCE(CAST(1 AS DOUBLE) / (60 + d.dense_rank), 0), 6) AS rrf
+      |  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id)
+      |SELECT ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank,
+      |  doc_id, lex_rank, dense_rank, rrf
+      |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "knn_brute" -> ((knnBrute _, knnBruteSql)),
     "ann_ivf" -> ((annIvf _, annIvfSql)),
     "pq_topk" -> ((pqTopk _, pqTopkSql)),
     "embed_quantize" -> ((embedQuantize _, embedQuantizeSql)),
+    "hybrid_search_rrf" -> ((hybridSearchRrf _, hybridSearchRrfSql)),
     "embed_lsh_pairs" -> ((embedLshPairs _, embedLshPairsSql))
   )
 }

@@ -43,6 +43,10 @@ class PlanAuditSpec extends SparkSpec {
     "source_temperature" -> 1, // same persisted rollup; both scalars
                                // (total, normalizer) read the cache
     "skew_salted_agg" -> 1,
+    "hybrid_search_rrf" -> 4, // bm25 leg's 2 documents scans + dense leg's
+                              // corpus scan + 1-row broadcast query vector;
+                              // fusion joins two ≤20-row TakeOrdered legs,
+                              // never a corpus-width subtree twice
     "bm25_search" -> 2,    // token stream + the 2-scalar (N, sum_dl) branch:
                            // re-scanning for two numbers beats persisting
                            // the tokenized corpus to share one pass
