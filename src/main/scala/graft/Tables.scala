@@ -11,19 +11,33 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
-    * type for. Read it as raw long nanos and truncate to a microsecond
-    * timestamp — the same floor-division DuckDB applies when reading
-    * TIMESTAMP_NS, so oracle comparisons see identical instants.
+  /** Schema-adaptive `events.ts` normalization. The driver testdata has
+    * carried `ts` as both parquet TIMESTAMP(NANOS) (read by Spark as raw
+    * long nanos under `nanosAsLong`) and TIMESTAMP(MICROS) (read natively
+    * as TIMESTAMP_NTZ). Branch on the type Spark actually read so either
+    * vintage of the files yields the same session-UTC `timestamp` column:
     *
-    * The `nanosAsLong` conf is set at session BUILD by every graft main
-    * and the test harness; the set below is only a fallback for foreign
-    * sessions (it is a session-wide legacy flag, not a per-read option —
-    * mutating shared-session conf mid-read is otherwise a hazard).
+    *   - LongType          → legacy nanos: truncate with `timestamp_micros(ts div 1000)`
+    *                         (the same floor-division DuckDB applies to TIMESTAMP_NS)
+    *   - TimestampNTZType  → reinterpret the wall-clock micros as a UTC instant
+    *                         (DuckDB reads the same file as naive TIMESTAMP, so
+    *                         oracle instants agree exactly)
+    *   - TimestampType     → already what queries expect; pass through
+    *
+    * The `nanosAsLong` conf set by the graft mains is inert on µs files and
+    * kept only so legacy NANOS files remain readable; the set below is a
+    * fallback for foreign sessions (it is a session-wide legacy flag, not a
+    * per-read option).
     */
   private def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, to_utc_timestamp}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", to_utc_timestamp(col("ts").cast(TimestampType), "UTC"))
+      case _                => raw
+    }
   }
 }
