@@ -374,20 +374,74 @@ object OlapQueries {
     * table. Schema-driven: the column list comes from the DataFrame
     * schema, so the same code profiles any table.
     *
-    * Plan shape: ONE scan + one aggregate producing every metric, then
-    * the single result row explodes into per-column rows (never a
-    * union of per-column re-scans). The exact multi-column COUNT
-    * DISTINCT plans through Spark's Expand (rows × (ncols+1) before the
-    * partial agg) — fine here and what ANALYZE does; at 100 TB swap
-    * `approx_count_distinct` (one pass, no Expand, mergeable HLL state —
-    * the `events_approx_users` posture) and drop the oracle.
-    *
-    * Doubles render through DECIMAL(18,2) so both engines print
-    * identical strings (raw double→string formatting diverges between
-    * JVM shortest-round-trip and DuckDB).
+    * THIS is the shipped, 100 TB-safe form: NDV via
+    * `approx_count_distinct` (mergeable HLL++ state, one pass, NO Expand —
+    * the exact multi-column COUNT DISTINCT plans through Spark's Expand at
+    * rows × (ncols+1) before the partial agg, a scale-killer on a wide
+    * fact table). The HLL sketch is engine-specific so there is no DuckDB
+    * oracle (rows-only check), but the query is SELF-VALIDATING like
+    * `percentiles_approx`: `o_orderkey` is unique in `orders`, so its true
+    * NDV is exactly `n_rows` (already computed in the same pass), and
+    * `assert_true` aborts — a driver-visible failure, not silently-wrong
+    * rows — if the sketch misses that hardest-cardinality column by more
+    * than 3× the configured rsd. TableProfileSpec additionally pins every
+    * column's approx NDV against the exact form at test scale.
+    * [[tableProfileExact]] keeps the exact Expand form under the full
+    * DuckDB hash oracle for the shared rendering/null/min-max logic.
     */
   def tableProfile(spark: SparkSession, dir: String): DataFrame =
+    tableProfileApproxCore(Tables(spark, dir, "orders"), uniqueCol = Some("o_orderkey"))
+
+  /** Exact-NDV profile (ANALYZE semantics, oracle-gated). Plans through
+    * the Expand — test-scale/small-table use only; the shipped
+    * [[tableProfile]] is the approx form.
+    */
+  def tableProfileExact(spark: SparkSession, dir: String): DataFrame =
     tableProfileCore(Tables(spark, dir, "orders"))
+
+  /** Approx-NDV profile over any DataFrame: single scan, single
+    * aggregate, HLL++ NDV (rsd 0.05), no Expand in the plan
+    * (PlanAuditSpec pins this). When `uniqueCol` names a known-unique
+    * column, its approx NDV is asserted within 3×rsd of the row count —
+    * a free accuracy ride-along at the table's maximum cardinality.
+    */
+  private[graft] def tableProfileApproxCore(df: DataFrame,
+                                            uniqueCol: Option[String] = None,
+                                            rsd: Double = 0.05): DataFrame = {
+    val colNames = df.schema.fields.map(_.name).toSeq
+    def rendered(agg: org.apache.spark.sql.Column, c: String): org.apache.spark.sql.Column =
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.DoubleType =>
+          agg.cast("decimal(18,2)").cast("string")
+        case _ => agg.cast("string")
+      }
+    val aggExprs = count(lit(1)).as("n") +: colNames.zipWithIndex.flatMap {
+      case (c, i) => Seq(
+        count(col(c)).as(s"nn_$i"),
+        approx_count_distinct(col(c), rsd).as(s"nd_$i"),
+        rendered(min(col(c)), c).as(s"mn_$i"),
+        rendered(max(col(c)), c).as(s"mx_$i"))
+    }
+    val one = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val guarded = uniqueCol match {
+      case Some(u) =>
+        val i = colNames.indexOf(u)
+        require(i >= 0, s"uniqueCol $u not in schema")
+        one.filter(expr(
+          s"assert_true(abs(nd_$i - n) <= greatest(${3 * rsd} * n, 1), " +
+          s"'approx NDV outside envelope on unique column $u') IS NULL"))
+      case None => one
+    }
+    guarded
+      .select(explode(array(colNames.zipWithIndex.map { case (c, i) =>
+        struct(lit(c).as("col_name"), col("n").as("n_rows"),
+          (col("n") - col(s"nn_$i")).as("n_nulls"),
+          col(s"nd_$i").as("n_distinct"),
+          col(s"mn_$i").as("min_str"), col(s"mx_$i").as("max_str"))
+      }: _*)).as("p"))
+      .select("p.*")
+      .orderBy("col_name")
+  }
 
   /** The profile pipeline over any DataFrame — TableProfileSpec drives it
     * with crafted nulls (the fixture tables are null-free, so the
@@ -436,7 +490,8 @@ object OlapQueries {
   }
 
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
-    "table_profile" -> ((tableProfile _, tableProfileSql)),
+    "table_profile" -> ((tableProfile _, null)),
+    "table_profile_exact" -> ((tableProfileExact _, tableProfileSql)),
     "topk_custom_agg" -> ((topkCustomAgg _, topkCustomAggSql)),
     "grouping_sets" -> ((groupingSetsAgg _, groupingSetsAggSql)),
     "window_nav" -> ((windowNav _, windowNavSql)),

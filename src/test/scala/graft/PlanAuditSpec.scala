@@ -62,7 +62,9 @@ class PlanAuditSpec extends SparkSpec {
     "chunk_overlap" -> 1,  // per-doc explode, no join-backs
     "table_profile" -> 1,  // ONE scan + one aggregate for every metric;
                            // the result row explodes per column — never a
-                           // union of per-column re-scans
+                           // union of per-column re-scans (approx NDV:
+                           // TableProfileSpec pins the plan has NO Expand)
+    "table_profile_exact" -> 1, // same single-scan shape, exact NDV via Expand
     "dedup_incremental" -> 0 // the narrow (doc_id,is_old,fp,sig) checkpoint
                              // is the ONLY source: all three consumers read
                              // the RDD leaf; any LogicalRelation here means

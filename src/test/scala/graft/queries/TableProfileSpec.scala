@@ -42,4 +42,51 @@ class TableProfileSpec extends SparkSpec {
     assert(prof("score").getString(4) === "1.50")  // DECIMAL(18,2) render
     assert(prof("score").getString(5) === "10.00")
   }
+
+  test("approx profile matches exact profile everywhere but NDV, which stays in the HLL envelope") {
+    val orders = graft.Tables(spark, "/root/testdata/sf0.001", "orders")
+    val exact = OlapQueries.tableProfileCore(orders).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = OlapQueries.tableProfileApproxCore(orders, uniqueCol = Some("o_orderkey"))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (c, e) =>
+      val a = approx(c)
+      // everything but n_distinct is computed identically → must be equal
+      assert(a.getLong(1) === e.getLong(1), s"$c n_rows")
+      assert(a.getLong(2) === e.getLong(2), s"$c n_nulls")
+      assert(a.getString(4) === e.getString(4), s"$c min_str")
+      assert(a.getString(5) === e.getString(5), s"$c max_str")
+      // HLL++ at rsd 0.05: allow 3×rsd relative error (floor of 1 for
+      // tiny cardinalities, where the sketch is in exact-count mode)
+      val (nd, ndExact) = (a.getLong(3), e.getLong(3))
+      val tol = math.max(0.15 * ndExact, 1.0)
+      assert(math.abs(nd - ndExact) <= tol, s"$c approx NDV $nd vs exact $ndExact (tol $tol)")
+    }
+  }
+
+  test("shipped table_profile plans WITHOUT Expand; exact form keeps it") {
+    // logical Expand on the optimized plan: the physical ExpandExec hides
+    // inside the un-executed AdaptiveSparkPlanExec wrapper under AQE
+    def hasExpand(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectWithSubqueries {
+        case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+      }.nonEmpty
+    val dir = "/root/testdata/sf0.001"
+    assert(!hasExpand(OlapQueries.tableProfile(spark, dir)),
+      "approx profile must not plan a rows×(ncols+1) Expand — that is the scale-killer it exists to avoid")
+    assert(hasExpand(OlapQueries.tableProfileExact(spark, dir)),
+      "exact profile is expected to plan the multi-distinct Expand (ANALYZE semantics)")
+  }
+
+  test("approx profile aborts when the unique-column NDV assertion is violated") {
+    // a column falsely declared unique (o_orderstatus has 3 values over
+    // 1.5k rows) must trip assert_true, not return silently-wrong rows
+    val orders = graft.Tables(spark, "/root/testdata/sf0.001", "orders")
+    val ex = intercept[Exception] {
+      OlapQueries.tableProfileApproxCore(orders, uniqueCol = Some("o_orderstatus")).collect()
+    }
+    assert(ex.getMessage.contains("approx NDV outside envelope"))
+  }
 }
