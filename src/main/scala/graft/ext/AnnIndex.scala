@@ -34,12 +34,17 @@ object AnnIndex {
 
   private def path(dir: String) = s"$dir/ann_index"
 
-  /** Partition the corpus by its assigned cell. `vecs`: (vec_id, v). */
+  /** Partition the corpus by its assigned cell. `vecs`: (vec_id, v).
+    * Assignment goes through the literal/broadcast crossover
+    * ([[SimilarityQueries.assignCellStruct]]): small nlist constant-folds
+    * the centroids into codegen, production nlist rides an executor
+    * broadcast — both pure projections, zero corpus exchange.
+    */
   def build(vecs: DataFrame, cents: Seq[(Long, Seq[Double])], dir: String): Long = {
-    val centArr = typedLit(cents.sortBy(_._1))
     vecs
       .withColumn("cell",
-        SimilarityQueries.bestCellStruct(centArr, col("v")).getField("cell"))
+        SimilarityQueries.assignCellStruct(vecs.sparkSession, cents, col("v"))
+          .getField("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(path(dir))
     vecs.sparkSession.read.parquet(path(dir)).count()
   }
@@ -51,23 +56,13 @@ object AnnIndex {
   def search(spark: SparkSession, dir: String, cents: Seq[(Long, Seq[Double])],
       probes: DataFrame, nprobe: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centArr = typedLit(cents.sortBy(_._1))
-    // general top-nprobe: comparator sort of the (cell, score) array by
-    // score DESC, cell ASC — the tie order ann_ivf's first-wins fold
-    // implies, valid for any nprobe (nlist is bounded, the sort is
-    // per-row over nlist structs)
-    val sortedCells = array_sort(
-      SimilarityQueries.scoredCents(centArr, col("qv")),
-      (l, r) =>
-        when(l.getField("s") > r.getField("s"), -1)
-        .when(l.getField("s") < r.getField("s"), 1)
-        .when(l.getField("cell") < r.getField("cell"), -1)
-        .when(l.getField("cell") > r.getField("cell"), 1)
-        .otherwise(0))
+    // general top-nprobe per query, ordered score DESC / cell ASC — the
+    // tie order ann_ivf's first-wins fold implies, valid for any nprobe;
+    // behind the same literal/broadcast crossover as build()
     val probed = probes
       .select(col("query_id"), col("qv"),
-        explode(slice(transform(sortedCells, c => c.getField("cell")),
-          1, nprobe)).as("cell"))
+        explode(SimilarityQueries.topProbeCells(spark, cents, col("qv"),
+          nprobe)).as("cell"))
     // bounded driver-side collect: |queries| × nprobe cell ids — the
     // partition filter must be a LITERAL for planning-time pruning
     val cells = probed.select("cell").distinct()

@@ -81,6 +81,64 @@ object SimilarityQueries {
           struct(c.getField("cell").as("cell"), c.getField("s").as("best")))
         .otherwise(acc))
 
+  /** Crossover between the centroid-LITERAL fold and the
+    * broadcast-variable expression ([[graft.functions.CentroidTopK]]),
+    * in total doubles (nlist × dim). Below: the literal wins — constant-
+    * folded into codegen, zero setup. Above: a literal expression tree
+    * (and the generated code embedding it) does not survive planning at
+    * production IVF sizes (nlist 10⁴–10⁵ × dim 10²–10³ = 10⁶–10⁸
+    * doubles), so the matrix rides an executor broadcast instead. 64k
+    * doubles ≈ 512 KB of plan payload — comfortably plannable, well
+    * under codegen limits. CentroidPathSpec pins result equality of the
+    * two paths; see SCALE.md "IVF centroid crossover".
+    */
+  val CentroidLiteralMaxDoubles: Long = 64 * 1024
+
+  private def centroidPayload(cents: Seq[(Long, Seq[Double])]): Long =
+    cents.iterator.map(_._2.size.toLong).sum
+
+  /** `struct(cell, best)` of the nearest centroid — the [[bestCellStruct]]
+    * semantics behind the literal/broadcast crossover. Identical results
+    * on both paths (CentroidPathSpec).
+    */
+  private[graft] def assignCellStruct(spark: SparkSession,
+      cents: Seq[(Long, Seq[Double])], vcol: Column,
+      maxLiteralDoubles: Long = CentroidLiteralMaxDoubles): Column = {
+    val sorted = cents.sortBy(_._1)
+    if (centroidPayload(sorted) <= maxLiteralDoubles)
+      bestCellStruct(typedLit(sorted), vcol)
+    else {
+      val top1 = element_at(
+        graft.functions.CentroidTopK.centroid_topk(spark, sorted, vcol, 1), 1)
+      struct(top1.getField("cell").as("cell"), top1.getField("s").as("best"))
+    }
+  }
+
+  /** `array<bigint>` of the `nprobe` nearest cells for a query vector,
+    * ordered score DESC then cell ASC — the probe-list dual of
+    * [[assignCellStruct]], same crossover. The literal path is the
+    * comparator sort AnnIndex.search used inline before r7.
+    */
+  private[graft] def topProbeCells(spark: SparkSession,
+      cents: Seq[(Long, Seq[Double])], vcol: Column, nprobe: Int,
+      maxLiteralDoubles: Long = CentroidLiteralMaxDoubles): Column = {
+    val sorted = cents.sortBy(_._1)
+    if (centroidPayload(sorted) <= maxLiteralDoubles) {
+      val sortedCells = array_sort(
+        scoredCents(typedLit(sorted), vcol),
+        (l, r) =>
+          when(l.getField("s") > r.getField("s"), -1)
+          .when(l.getField("s") < r.getField("s"), 1)
+          .when(l.getField("cell") < r.getField("cell"), -1)
+          .when(l.getField("cell") > r.getField("cell"), 1)
+          .otherwise(0))
+      slice(transform(sortedCells, c => c.getField("cell")), 1, nprobe)
+    } else
+      transform(
+        graft.functions.CentroidTopK.centroid_topk(spark, sorted, vcol, nprobe),
+        c => c.getField("cell"))
+  }
+
   /** Exact brute-force cosine top-5 for query vectors (vec_id < 5). */
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
