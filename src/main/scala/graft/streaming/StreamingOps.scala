@@ -54,6 +54,25 @@ object StreamingOps {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Daily mergeable HLL user sketches — the STREAMING half of
+    * [[graft.ext.EventQueries.eventsSketchWeekly]]'s two-level rollup.
+    * The stream maintains one bounded sketch binary per (day, event_type)
+    * cell; any coarser window (week, month, ad-hoc range) is then a cheap
+    * BATCH `hll_union_agg` over the stored sketches, never re-touching
+    * the raw stream. Streaming can't stack two aggregations, and at
+    * 100 TB you wouldn't want it to: persisting the daily level is what
+    * makes every later rollup a merge instead of a re-shuffle of event
+    * history. Same lgConfigK (14) as the batch form, and HLL state is
+    * item-order-independent, so stream-built sketches estimate exactly
+    * like batch-built ones (StreamingSpec pins streamed-daily →
+    * batch-merged-weekly == eventsSketchWeekly).
+    */
+  def dailyUserSketches(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      .select(col("w.start").as("day"), col("event_type"), col("sk"))
+
   /** Stream-stream interval self-join (SURVEY.md §2.11): purchases joined
     * to the same user's clicks in the preceding hour — the streaming dual
     * of the batch `range_join` oracle query. Both sides carry watermarks

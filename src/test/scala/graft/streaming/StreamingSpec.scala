@@ -225,6 +225,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed daily HLL sketches merge to the batch weekly estimates") {
+    // the mergeable-sketch rollup on the REAL events table (timestamp[us]
+    // ts): stream builds daily hll_sketch_agg state across micro-batches
+    // (maxFilesPerTrigger=1 forces incremental sketch merging), then a
+    // batch hll_union_agg rolls the stored sketches to weekly — the
+    // estimates must equal the all-batch eventsSketchWeekly two-level form
+    val dir = java.nio.file.Files.createTempDirectory("evhll").toString
+    graft.Tables(spark, "/root/testdata/sf0.001", "events")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    val q = StreamingOps.dailyUserSketches(
+        spark.readStream.schema(StreamingOps.eventSchema)
+          .option("maxFilesPerTrigger", 1).parquet(dir))
+      .writeStream.format("memory").queryName("hll_daily")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hll_daily")
+        .groupBy(to_date(date_trunc("week", col("day"))).as("week"),
+          col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("approx_users"))
+        .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val batch = graft.ext.EventQueries
+        .eventsSketchWeekly(spark, "/root/testdata/sf0.001")
+        .select(col("week"), col("event_type"), col("approx_users"))
+        .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("file-source stream over real events parquet produces batch-equal counts") {
     // copy a real slice to a temp dir (stream sources need a directory)
     val dir = java.nio.file.Files.createTempDirectory("evstream").toString
