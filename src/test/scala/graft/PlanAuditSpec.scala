@@ -31,6 +31,11 @@ class PlanAuditSpec extends SparkSpec {
                            // the centroid literal, never a join
     "pq_topk" -> 2,        // corpus + query side; encode fold over the
                            // codebook literal, ADC via broadcast LUT
+    "ann_ivf_pq" -> 3,     // ONE corpus pass computing cell + codes
+                           // together, plus the two filter-pushed tiny
+                           // query-side scans (probe list + LUT); the
+                           // composition must NOT add a corpus re-scan
+                           // over pq_topk's shape
     "q7_nation_volume" -> 6, // nation self-aliased twice by design
     "q5_region_revenue" -> 6,
     "multimodal_resize" -> 1,
