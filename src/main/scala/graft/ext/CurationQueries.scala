@@ -331,7 +331,33 @@ object CurationQueries {
       |FROM wp CROSS JOIN ws
       |ORDER BY source""".stripMargin
 
+  /** k-anonymity audit over quasi-identifier cohorts — the privacy check
+    * run BEFORE a sanitized export ships (Sweeney, IJUFKS 2002): every
+    * (nationkey, mktsegment) cohort must contain ≥ k individuals, or the
+    * combination re-identifies its members even with names faked. Emits
+    * every cohort with its size and flag (the audit artifact), smallest
+    * first so the violations lead. One hash-shuffle aggregation at any
+    * scale — the same shape as A1 COUNT; the quasi-identifier list is
+    * config in production, columns here.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    Tables(spark, dir, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cohort_n"))
+      .withColumn("k_anonymous", col("cohort_n") >= k)
+      .orderBy("cohort_n", "c_nationkey", "c_mktsegment")
+  }
+
+  val kAnonymitySql: String =
+    """SELECT c_nationkey, c_mktsegment, COUNT(*) AS cohort_n,
+      |  COUNT(*) >= 5 AS k_anonymous
+      |FROM customer
+      |GROUP BY c_nationkey, c_mktsegment
+      |ORDER BY cohort_n, c_nationkey, c_mktsegment""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "k_anonymity" -> ((kAnonymity _, kAnonymitySql)),
     "corpus_curation" -> ((corpusCuration _, corpusCurationSql)),
     "decontaminate" -> ((decontaminate _, decontaminateSql)),
     "sample_stratified" -> ((sampleStratified _, sampleStratifiedSql)),

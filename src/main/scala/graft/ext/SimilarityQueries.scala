@@ -393,57 +393,8 @@ object SimilarityQueries {
     */
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val m = 4; val sub = dims / m; val kCodes = 16; val nprobe = 2
-    val base = vecs(spark, dir)
-    // bounded driver-side collect: the 16 deterministic centroid rows,
-    // doubling as the PQ codebook source (same first-16 contract as
-    // ann_ivf / pq_topk so the oracle replays both trainings)
-    val cents: Seq[(Long, Seq[Double])] = base.filter(col("vec_id") < 16)
-      .select(col("vec_id"), col("v")).collect().toSeq
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1)
-    val cbLit = typedLit((0 until m).map(s =>
-      cents.take(kCodes).map { case (code, v) => (code, v.slice(s * sub, (s + 1) * sub)) }))
-    val l2c = (a: Column, b: Column) => round(
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, d) => acc + d), 6)
-    def subspaces(vcol: String, out: String) = expr(
-      s"transform(sequence(0, ${m - 1}), s -> struct(s AS s, slice($vcol, s * $sub + 1, $sub) AS $out))")
-    val scoredCodes = transform(element_at(cbLit, col("s") + 1), c =>
-      struct(c.getField("_1").as("code"),
-             l2c(col("xs"), c.getField("_2")).as("d2")))
-    val bestCode = aggregate(scoredCodes,
-      struct(lit(-1L).as("code"), lit(Double.MaxValue).as("best")),
-      (acc, c) =>
-        when(c.getField("d2") < acc.getField("best"),
-          struct(c.getField("code").as("code"), c.getField("d2").as("best")))
-        .otherwise(acc)).getField("code")
-    // ONE corpus pass: cell + codes in the same projection
-    val codes = base
-      .withColumn("cell", assignCellStruct(spark, cents, col("v")).getField("cell"))
-      .select(col("vec_id"), col("cell"), explode(subspaces("v", "xs")).as("e"))
-      .select(col("vec_id"), col("cell"), col("e.s").as("s"), col("e.xs").as("xs"))
-      .withColumn("code", bestCode)
-      .select(col("vec_id"), col("cell"), col("s"), col("code"))
-    // query side (filter-pushed tiny scans): probe lists + per-query LUT
-    val probes = base.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"),
-        explode(topProbeCells(spark, cents, col("v"), nprobe)).as("cell"))
-    val lut = base.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), explode(subspaces("v", "qs")).as("e"))
-      .select(col("query_id"), col("e.s").as("s"), col("e.qs").as("qs"))
-      .select(col("query_id"), col("s"),
-        explode(transform(element_at(cbLit, col("s") + 1), c =>
-          struct(c.getField("_1").as("code"),
-                 l2c(col("qs"), c.getField("_2")).as("d2")))).as("cd"))
-      .select(col("query_id"), col("s"), col("cd.code").as("code"),
-        col("cd.d2").as("d2"))
-    // |Q|·nprobe·m·k = 640 rows here; always bounded
-    val probeLut = probes.join(lut, Seq("query_id"))
     val wRank = Window.partitionBy("query_id").orderBy(asc("adc"), asc("vec_id"))
-    codes.join(broadcast(probeLut), Seq("cell", "s", "code"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"), col("cell"))
-      .agg(sum(col("d2").cast("decimal(18,6)")).cast("double").as("adc"))
+    annIvfPqAdc(spark, dir)
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cell"), col("adc"))
@@ -502,6 +453,161 @@ object SimilarityQueries {
       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rank
       |  FROM adc)
       |SELECT query_id, rank, vec_id, cell, adc FROM ranked
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** The full three-stage serving pipeline: IVF probe → PQ/ADC shortlist
+    * → EXACT cosine re-rank. Stage 2's approximate distances cheaply cut
+    * the probed cells down to a `shortK` shortlist; stage 3 fetches the
+    * full vectors for ONLY those `|Q|·shortK` candidates and ranks by
+    * exact cosine — the standard recall-restoring tail every production
+    * ANN service runs (ADC quantization error never reorders the final
+    * top-k because the exact pass has the last word).
+    *
+    * Plan shape: the stage-1/2 subtree is [[annIvfPq]]'s (one corpus
+    * pass for cell+codes, broadcast probe-LUT); stage 3 is a SECOND
+    * corpus scan joined to the broadcast shortlist on vec_id — at scale
+    * that read is the point-lookup tier (the partitioned [[AnnIndex]]
+    * layout serves it by cell), and it touches full vectors for only
+    * shortK candidates per query, never the corpus.
+    */
+  def annRerank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shortK = 15; val k = 5
+    val base = vecs(spark, dir)
+    val adc = annIvfPqAdc(spark, dir)
+    val wShort = Window.partitionBy("query_id").orderBy(asc("adc"), asc("vec_id"))
+    val short = adc
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortK)
+      .select(col("query_id"), col("vec_id"), col("adc"))
+    val queries = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wRank = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+    base.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cos", round(cosineExpr("qv", "v"), 6))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"), col("adc"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** [[annIvfPq]]'s stage-1/2 dataflow up to the per-candidate ADC sums
+    * (no top-k cut) — shared by the registered query (rank ≤ 5 there)
+    * and [[annRerank]]'s wider shortlist.
+    */
+  private def annIvfPqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val m = 4; val sub = dims / m; val kCodes = 16; val nprobe = 2
+    val base = vecs(spark, dir)
+    val cents: Seq[(Long, Seq[Double])] = base.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("v")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1)
+    val cbLit = typedLit((0 until m).map(s =>
+      cents.take(kCodes).map { case (code, v) => (code, v.slice(s * sub, (s + 1) * sub)) }))
+    val l2c = (a: Column, b: Column) => round(
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, d) => acc + d), 6)
+    def subspaces(vcol: String, out: String) = expr(
+      s"transform(sequence(0, ${m - 1}), s -> struct(s AS s, slice($vcol, s * $sub + 1, $sub) AS $out))")
+    val scoredCodes = transform(element_at(cbLit, col("s") + 1), c =>
+      struct(c.getField("_1").as("code"),
+             l2c(col("xs"), c.getField("_2")).as("d2")))
+    val bestCode = aggregate(scoredCodes,
+      struct(lit(-1L).as("code"), lit(Double.MaxValue).as("best")),
+      (acc, c) =>
+        when(c.getField("d2") < acc.getField("best"),
+          struct(c.getField("code").as("code"), c.getField("d2").as("best")))
+        .otherwise(acc)).getField("code")
+    val codes = base
+      .withColumn("cell", assignCellStruct(spark, cents, col("v")).getField("cell"))
+      .select(col("vec_id"), col("cell"), explode(subspaces("v", "xs")).as("e"))
+      .select(col("vec_id"), col("cell"), col("e.s").as("s"), col("e.xs").as("xs"))
+      .withColumn("code", bestCode)
+      .select(col("vec_id"), col("cell"), col("s"), col("code"))
+    val probes = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        explode(topProbeCells(spark, cents, col("v"), nprobe)).as("cell"))
+    val lut = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), explode(subspaces("v", "qs")).as("e"))
+      .select(col("query_id"), col("e.s").as("s"), col("e.qs").as("qs"))
+      .select(col("query_id"), col("s"),
+        explode(transform(element_at(cbLit, col("s") + 1), c =>
+          struct(c.getField("_1").as("code"),
+                 l2c(col("qs"), c.getField("_2")).as("d2")))).as("cd"))
+      .select(col("query_id"), col("s"), col("cd.code").as("code"),
+        col("cd.d2").as("d2"))
+    val probeLut = probes.join(lut, Seq("query_id"))
+    codes.join(broadcast(probeLut), Seq("cell", "s", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"), col("cell"))
+      .agg(sum(col("d2").cast("decimal(18,6)")).cast("double").as("adc"))
+  }
+
+  val annRerankSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+      |assigned AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT e.vec_id, c.cent_id AS cell,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ROUND(list_cosine_similarity(c.cv, e.v), 6) DESC, c.cent_id) AS arn
+      |    FROM e CROSS JOIN c)
+      |  WHERE arn = 1),
+      |probes AS (
+      |  SELECT query_id, cell FROM (
+      |    SELECT e.vec_id AS query_id, c.cent_id AS cell,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ROUND(list_cosine_similarity(c.cv, e.v), 6) DESC, c.cent_id) AS prn
+      |    FROM e CROSS JOIN c WHERE e.vec_id < 5)
+      |  WHERE prn <= 2),
+      |sub AS (SELECT unnest(range(0, 4)) AS s),
+      |cb AS (
+      |  SELECT s.s, e.vec_id AS code, e.v[s.s*16 + 1 : s.s*16 + 16] AS cv
+      |  FROM e CROSS JOIN sub s WHERE e.vec_id < 16),
+      |xs AS (
+      |  SELECT e.vec_id, s.s, e.v[s.s*16 + 1 : s.s*16 + 16] AS xs
+      |  FROM e CROSS JOIN sub s),
+      |codes AS (
+      |  SELECT vec_id, s, code FROM (
+      |    SELECT x.vec_id, x.s, cb.code,
+      |      ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.s ORDER BY
+      |        ROUND(list_sum(list_transform(range(1, 17),
+      |          i -> (x.xs[i] - cb.cv[i]) * (x.xs[i] - cb.cv[i]))), 6) ASC,
+      |        cb.code ASC) AS rn
+      |    FROM xs x JOIN cb ON cb.s = x.s)
+      |  WHERE rn = 1),
+      |lut AS (
+      |  SELECT x.vec_id AS query_id, x.s, cb.code,
+      |    ROUND(list_sum(list_transform(range(1, 17),
+      |      i -> (x.xs[i] - cb.cv[i]) * (x.xs[i] - cb.cv[i]))), 6) AS d2
+      |  FROM xs x JOIN cb ON cb.s = x.s WHERE x.vec_id < 5),
+      |adc AS (
+      |  SELECT p.query_id, cd.vec_id,
+      |    CAST(SUM(CAST(l.d2 AS DECIMAL(18,6))) AS DOUBLE) AS adc
+      |  FROM codes cd
+      |  JOIN assigned a ON a.vec_id = cd.vec_id
+      |  JOIN probes p ON p.cell = a.cell
+      |  JOIN lut l ON l.query_id = p.query_id AND l.s = cd.s AND l.code = cd.code
+      |  WHERE cd.vec_id != p.query_id
+      |  GROUP BY p.query_id, cd.vec_id),
+      |short AS (
+      |  SELECT query_id, vec_id, adc FROM (
+      |    SELECT query_id, vec_id, adc,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS srank
+      |    FROM adc)
+      |  WHERE srank <= 15),
+      |rr AS (
+      |  SELECT s.query_id, s.vec_id, s.adc,
+      |    ROUND(list_cosine_similarity(q.v, e.v), 6) AS cos
+      |  FROM short s
+      |  JOIN e ON e.vec_id = s.vec_id
+      |  JOIN e q ON q.vec_id = s.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cos, adc,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM rr)
+      |SELECT query_id, rank, vec_id, cos, adc FROM ranked
       |WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
@@ -733,6 +839,7 @@ object SimilarityQueries {
     "ann_ivf" -> ((annIvf _, annIvfSql)),
     "pq_topk" -> ((pqTopk _, pqTopkSql)),
     "ann_ivf_pq" -> ((annIvfPq _, annIvfPqSql)),
+    "ann_rerank" -> ((annRerank _, annRerankSql)),
     "embed_quantize" -> ((embedQuantize _, embedQuantizeSql)),
     "hybrid_search_rrf" -> ((hybridSearchRrf _, hybridSearchRrfSql)),
     "embed_lsh_pairs" -> ((embedLshPairs _, embedLshPairsSql))

@@ -502,7 +502,63 @@ object TextQueries {
       |LIMIT 20""".stripMargin
   }
 
+  /** fastText-style hashed-bag linear classifier inference — the
+    * quality/language FILTER MODEL tier of a training-data pipeline
+    * (Joulin et al., arXiv:1607.01759: bag of hashed n-gram buckets →
+    * linear layer), run as a pure per-document projection. Each token
+    * hashes into one of B=4096 buckets (the hashing trick — the model is
+    * a bounded weight table, not a vocabulary); the document logit is
+    * the mean bucket weight. Here the weight table is a deterministic
+    * md5 function of the bucket id so the oracle replays inference
+    * end-to-end; production swaps a TRAINED float array broadcast once
+    * per executor (the [[graft.functions.CentroidTopK]] pattern) —
+    * identical dataflow, zero shuffle either way.
+    *
+    * Cross-engine float contract: per-token weights are INTEGERS
+    * (millis, % 2001 − 1000 ∈ [−1000, 1000]) summed exactly as BIGINT;
+    * the only float op is the final single division, so engines can't
+    * drift in fold order. `keep` thresholds the integer sum.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val B = 4096
+    Tables(spark, dir, "documents")
+      .withColumn("words", expr("filter(split(lower(text), ' +'), w -> w != '')"))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("logit_millis", expr(
+        s"""aggregate(transform(words, w ->
+           |  cast(conv(substring(md5(concat('w:', cast(
+           |    cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint) % $B
+           |  AS string))), 1, 15), 16, 10) AS bigint) % 2001 - 1000),
+           |  0L, (acc, x) -> acc + x)""".stripMargin))
+      .select(col("doc_id"), col("n_words"), col("logit_millis"),
+        round(col("logit_millis") / (col("n_words") * 1000.0), 6).as("logit"),
+        (col("logit_millis") > 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val qualityClassifierSql: String = {
+    val B = 4096
+    s"""WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), w -> w != '') AS words
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+      |    CAST(COALESCE(list_sum(list_transform(words, w ->
+      |      CAST(('0x' || substr(md5('w:' || CAST(
+      |        CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % $B
+      |      AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000)), 0) AS BIGINT)
+      |      AS logit_millis
+      |  FROM d)
+      |SELECT doc_id, n_words, logit_millis,
+      |  ROUND(logit_millis / (n_words * 1000.0), 6) AS logit,
+      |  logit_millis > 0 AS keep
+      |FROM s
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "quality_classifier" -> ((qualityClassifier _, qualityClassifierSql)),
     "text_stats" -> ((textStats _, textStatsSql)),
     "lang_id" -> ((langId _, langIdSql)),
     "doc_fingerprint" -> ((docFingerprint _, docFingerprintSql)),

@@ -36,6 +36,11 @@ class PlanAuditSpec extends SparkSpec {
                            // query-side scans (probe list + LUT); the
                            // composition must NOT add a corpus re-scan
                            // over pq_topk's shape
+    "ann_rerank" -> 5,     // the ann_ivf_pq subtree (3) + the exact
+                           // re-rank stage's candidate-fetch scan + the
+                           // query-vector scan; the re-rank must join a
+                           // BROADCAST shortlist, never re-derive stage
+                           // 1/2 or scan the corpus a third time
     "q7_nation_volume" -> 6, // nation self-aliased twice by design
     "q5_region_revenue" -> 6,
     "multimodal_resize" -> 1,
