@@ -497,7 +497,66 @@ object EventQueries {
       |ORDER BY n DESC, from_type, to_type
       |LIMIT 10""".stripMargin
 
+  /** SCD2 reconstruction: per-user state history as validity intervals —
+    * the temporal-table/CDC-history shape (Kimball's type-2 dimension):
+    * collapse each run of consecutive equal `event_type` into one row
+    * with `[valid_from, valid_to)` bounds, `valid_to` NULL on the
+    * current state. Gaps-and-islands via a lag change-flag + running
+    * sum, so the detection, the run collapse, and the interval close
+    * all ride ONE user_id exchange (the flag and island windows share
+    * the partitioning; only the run-level groupBy re-hashes — run rows,
+    * not event rows). Deterministic under ts ties via the event_id
+    * tiebreak.
+    */
+  def scd2State(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun = wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = Tables(spark, dir, "events")
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(wAll).isNull
+          || lag(col("event_type"), 1).over(wAll) =!= col("event_type"), 1L)
+        .otherwise(0L))
+      .withColumn("island", sum(col("chg")).over(wRun))
+      .groupBy(col("user_id"), col("island"))
+      .agg(max("event_type").as("event_type"),
+        min("ts").as("valid_from"), count(lit(1)).as("n_events"))
+    val wLead = Window.partitionBy("user_id").orderBy("island")
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wLead))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"), col("n_events"), col("is_current"))
+      .orderBy("user_id", "valid_from")
+  }
+
+  val scd2StateSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w != event_type
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |i AS (
+      |  SELECT user_id, event_type, ts,
+      |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM o),
+      |r AS (
+      |  SELECT user_id, island, MAX(event_type) AS event_type,
+      |    MIN(ts) AS valid_from, COUNT(*) AS n_events
+      |  FROM i GROUP BY user_id, island)
+      |SELECT user_id, event_type, valid_from,
+      |  lead(valid_from) OVER wl AS valid_to,
+      |  n_events,
+      |  lead(valid_from) OVER wl IS NULL AS is_current
+      |FROM r
+      |WINDOW wl AS (PARTITION BY user_id ORDER BY island)
+      |ORDER BY user_id, valid_from""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "scd2_state" -> ((scd2State _, scd2StateSql)),
     "events_transitions" -> ((eventsTransitions _, eventsTransitionsSql)),
     "events_anomaly" -> ((eventsAnomaly _, eventsAnomalySql)),
     "events_funnel" -> ((eventsFunnel _, eventsFunnelSql)),
