@@ -800,7 +800,50 @@ object DedupQueries {
       |  AND f.doc_id NOT IN (SELECT doc_id FROM near_drop)
       |ORDER BY doc_id""".stripMargin
 
+  /** Bloom-filter membership pre-filter for incremental dedup — the
+    * shape that replaces [[dedupIncremental]]'s exact fp join once the
+    * corpus fingerprint set outgrows a broadcast: the old side collapses
+    * to a mergeable Bloom sketch (built DISTRIBUTED via
+    * `df.stat.bloomFilter`'s tree-aggregation, ~1.2 GB at 10⁹ items /
+    * 1% fp — broadcastable where the raw fingerprints are not), and the
+    * batch-side membership test becomes a pure projection through the
+    * broadcast-variable [[graft.functions.BloomMightContain]]
+    * expression. Error is ONE-SIDED by construction: no false negatives
+    * (a true duplicate always flags), bounded false positives (a
+    * genuinely-new doc occasionally dropped) — the conservative
+    * direction for dedup. The registered query rides the EXACT join
+    * along at test scale (`actually_seen` — the very join the bloom
+    * avoids in production) and `assert_true`s the no-false-negative
+    * contract per row; the bloom bits are engine-specific, so no DuckDB
+    * oracle (rows-only + self-validating, the HLL contract).
+    * BloomDedupSpec bounds the false-positive rate.
+    */
+  def dedupBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("fp", md5(lower(trim(col("text")))))
+      .withColumn("is_old", col("doc_id") % 5 < 3)
+      .select("doc_id", "fp", "is_old")
+    val old = docs.filter(col("is_old"))
+    // bounded driver-side metadata: one count to size the filter, then
+    // the distributed sketch build (two jobs total, both corpus-scale
+    // aggregations, nothing corpus-sized ever on the driver)
+    val nOld = old.count()
+    val bf = old.stat.bloomFilter("fp", math.max(nOld, 1L), 0.01)
+    val oldFps = old.select(col("fp")).distinct()
+      .withColumn("seen", lit(true))
+    docs.filter(!col("is_old"))
+      .withColumn("likely_seen",
+        graft.functions.BloomMightContain.might_contain(spark, bf, col("fp")))
+      .join(oldFps, Seq("fp"), "left")
+      .withColumn("actually_seen", coalesce(col("seen"), lit(false)))
+      .filter(expr(
+        "assert_true(NOT (actually_seen AND NOT likely_seen), 'bloom false negative') IS NULL"))
+      .select(col("doc_id"), col("fp"), col("likely_seen"), col("actually_seen"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "dedup_bloom" -> ((dedupBloom _, null)),
     "dedup_exact" -> ((dedupExact _, dedupExactSql)),
     "minhash_pairs" -> ((minhashPairs _, minhashPairsSql)),
     "dedup_clusters" -> ((dedupClusters _, dedupClustersSql)),
