@@ -62,6 +62,23 @@ class CentroidPathSpec extends SparkSpec {
     assert(lit.forall(_._2.size == 3))
   }
 
+  test("zero-norm vectors land in the first cell on both paths (null-cosine → −2.0 contract)") {
+    import spark.implicits._
+    val cs = cents.take(4)
+    val zero = Seq((9001L, Seq.fill(64)(0.0)), (9002L, Seq.tabulate(64)(_.toDouble)))
+      .toDF("vec_id", "v")
+    def assign(maxLit: Long) = zero
+      .withColumn("bc", SimilarityQueries.assignCellStruct(spark, cs, col("v"), maxLit))
+      .select(col("vec_id"), col("bc.cell"), col("bc.best"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val lit = assign(Long.MaxValue)
+    val bcast = assign(0L)
+    assert(lit === bcast)
+    // zero-norm: every centroid scores −2.0, first-wins → lowest cent_id
+    val zeroRow = lit.find(_._1 == 9001L).get
+    assert(zeroRow._2 == cs.map(_._1).min && zeroRow._3 == -2.0)
+  }
+
   test("AnnIndex built on the broadcast path equals the literal-path index") {
     val cs = cents
     val tmpA = java.nio.file.Files.createTempDirectory("annlit").toString
