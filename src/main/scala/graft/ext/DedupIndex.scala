@@ -70,6 +70,56 @@ object DedupIndex {
     docs.sparkSession.read.parquet(path(dir)).count() - before
   }
 
+  private def bloomPath(dir: String) = s"$dir/dedup_index.bloom"
+
+  /** Derive (or re-derive) the index's Bloom sketch artifact from the
+    * persisted fingerprints — ONE column-pruned fp scan of the index,
+    * distributed tree-aggregation build, sketch bytes written through
+    * the Hadoop FileSystem API (object-store portable). Rebuilt rather
+    * than merged on append: two Bloom filters only merge when sized
+    * identically, and re-sizing to the grown corpus keeps the fp rate
+    * at the configured 1% instead of degrading as the index grows.
+    * Returns the indexed fingerprint count the sketch was sized for.
+    */
+  def writeBloom(spark: SparkSession, dir: String): Long = {
+    val fps = spark.read.parquet(path(dir)).select("fp")
+    val n = fps.count()
+    val bf = fps.stat.bloomFilter("fp", math.max(n, 1L), 0.01)
+    val p = new org.apache.hadoop.fs.Path(bloomPath(dir))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try bf.writeTo(out) finally out.close()
+    n
+  }
+
+  /** Load the sketch artifact (driver-side: the serialized bits are the
+    * broadcast payload, ~1.2 MB per million fingerprints at 1% fp).
+    */
+  def loadBloom(spark: SparkSession, dir: String): org.apache.spark.util.sketch.BloomFilter = {
+    val p = new org.apache.hadoop.fs.Path(bloomPath(dir))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+  }
+
+  /** EXACT-rule pre-gate: flag each batch doc whose content fingerprint
+    * the index has probably seen, as a pure projection through the
+    * broadcast sketch — no index scan, no shuffle. No false negatives,
+    * so `likely_seen = false` rows are definitively exact-fresh and can
+    * skip the fp join in [[dedupe]]; flagged rows still take the exact
+    * path (1% are false positives), and the NEAR rule's banded pipeline
+    * is untouched either way. This is the [[DedupQueries.dedupBloom]]
+    * shape wired to the persisted lifecycle.
+    */
+  def prefilter(spark: SparkSession, batch: DataFrame, dir: String): DataFrame = {
+    val bf = loadBloom(spark, dir)
+    batch
+      .withColumn("fp", md5(lower(trim(col("text")))))
+      .withColumn("likely_seen",
+        graft.functions.BloomMightContain.might_contain(spark, bf, col("fp")))
+      .select("doc_id", "fp", "likely_seen")
+  }
+
   /** Surviving doc_ids of `batch` after dedup against the index AND
     * earlier batch docs (greedy first-wins by doc_id).
     */

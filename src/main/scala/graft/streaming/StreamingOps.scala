@@ -181,6 +181,57 @@ object StreamingOps {
       }
   }
 
+  final case class Scd2Open(event_type: String,
+      valid_from: java.sql.Timestamp, n_events: Long)
+  final case class Scd2Closed(user_id: Long, event_type: String,
+      valid_from: java.sql.Timestamp, valid_to: java.sql.Timestamp,
+      n_events: Long)
+
+  /** Streaming SCD2 — the online form of
+    * [[graft.ext.EventQueries.scd2State]] for a CDC-shaped stream: per
+    * user, state holds the OPEN interval (current event_type, its
+    * valid_from, run length); a state-changing event closes it — the
+    * closed row is emitted with `valid_to` = the new state's start —
+    * and opens the next. Same-state events just extend the run. The
+    * open interval stays in state (it has no `valid_to` yet); the batch
+    * form's NULL-open current rows are exactly the un-emitted state.
+    *
+    * Ordering contract: events are sorted by (ts, event_id) WITHIN a
+    * batch, and batches are assumed in order per key — the same
+    * in-order assumption as [[completedSessions]]; a production CDC
+    * source provides it per key by construction (log offset order).
+    * StreamingSpec pins streamed-closed == the batch form's non-NULL
+    * rows across multi-batch delivery. State per key is O(1).
+    */
+  def scd2Stream(events: DataFrame): org.apache.spark.sql.Dataset[Scd2Closed] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "ts", "event_id", "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+         state: GroupState[Scd2Open]) =>
+          val sorted = rows.toVector.sortBy(e => (e._2.getTime, e._3))
+          var cur = state.getOption
+          var closed = Vector.empty[Scd2Closed]
+          sorted.foreach { case (_, ts, _, et) =>
+            cur match {
+              case Some(s) if s.event_type == et =>
+                cur = Some(s.copy(n_events = s.n_events + 1))
+              case Some(s) =>
+                closed :+= Scd2Closed(user, s.event_type, s.valid_from, ts, s.n_events)
+                cur = Some(Scd2Open(et, ts, 1L))
+              case None =>
+                cur = Some(Scd2Open(et, ts, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
+
   final case class UserActivity(user_id: Long, n_events: Long,
       total_value: Double, last_ts: java.sql.Timestamp)
 

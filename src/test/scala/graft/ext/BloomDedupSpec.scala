@@ -41,6 +41,33 @@ class BloomDedupSpec extends SparkSpec {
     assert(absent.count(_._3).toDouble / absent.size <= 0.10)
   }
 
+  test("DedupIndex bloom artifact: persisted sketch pre-gates exact dups across rebuilds") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("idxbloom").toString
+    try {
+      val corpus = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"))
+        .toDF("doc_id", "text")
+      DedupIndex.build(corpus, dir)
+      assert(DedupIndex.writeBloom(spark, dir) == 2L)
+      // batch: one exact dup of doc 1, one fresh doc
+      val batch = Seq((10L, "alpha beta gamma delta"), (11L, "iota kappa lambda mu"))
+        .toDF("doc_id", "text")
+      val flags = DedupIndex.prefilter(spark, batch, dir)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(flags(10L), "exact dup must flag (no false negatives)")
+      // append the batch, rebuild the sketch: the formerly-fresh doc now flags
+      DedupIndex.append(batch, dir)
+      assert(DedupIndex.writeBloom(spark, dir) == 4L)
+      val flags2 = DedupIndex.prefilter(spark,
+          Seq((20L, "iota kappa lambda mu")).toDF("doc_id", "text"), dir)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(flags2(20L), "appended doc's fp must flag after rebuild")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("BloomMightContain supports long keys and nulls") {
     import spark.implicits._
     val bf = (1L to 500L).toDF("k").stat.bloomFilter("k", 500, 0.01)

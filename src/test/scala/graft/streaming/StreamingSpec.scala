@@ -225,6 +225,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SCD2 closed intervals match the batch form across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.scd2Stream(mem.toDF())
+      .writeStream.format("memory").queryName("scd2_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 click→click (run of 2), then view closes it;
+      // user 2 opens a click run
+      mem.addData(
+        Ev(1, ts(0), 1, "click", 1.0, "{}"),
+        Ev(2, ts(5), 1, "click", 2.0, "{}"),
+        Ev(3, ts(10), 1, "view", 3.0, "{}"),
+        Ev(4, ts(12), 2, "click", 4.0, "{}"))
+      q.processAllAvailable()
+      // batch 2: user 1's view run closes on purchase (cross-batch state);
+      // user 2 extends the same click run (no closure)
+      mem.addData(
+        Ev(5, ts(20), 1, "purchase", 5.0, "{}"),
+        Ev(6, ts(21), 2, "click", 6.0, "{}"))
+      q.processAllAvailable()
+      val streamed = spark.table("scd2_stream")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getTimestamp(2), r.getTimestamp(3), r.getLong(4))).toSet
+      assert(streamed == Set(
+        (1L, "click", ts(0), ts(10), 2L),
+        (1L, "view", ts(10), ts(20), 1L)))
+      // and against the batch operator on the same events: closed
+      // streamed rows == the batch form's non-NULL-valid_to rows
+      val batchDf = Seq(
+        Ev(1, ts(0), 1, "click", 1.0, "{}"), Ev(2, ts(5), 1, "click", 2.0, "{}"),
+        Ev(3, ts(10), 1, "view", 3.0, "{}"), Ev(4, ts(12), 2, "click", 4.0, "{}"),
+        Ev(5, ts(20), 1, "purchase", 5.0, "{}"), Ev(6, ts(21), 2, "click", 6.0, "{}"))
+        .toDF()
+      val dir = java.nio.file.Files.createTempDirectory("scd2ev").toString
+      batchDf.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batchClosed = graft.ext.EventQueries.scd2State(spark, dir)
+        .filter(col("valid_to").isNotNull)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getTimestamp(2), r.getTimestamp(3), r.getLong(4))).toSet
+      assert(streamed == batchClosed)
+    } finally q.stop()
+  }
+
   test("streamed daily HLL sketches merge to the batch weekly estimates") {
     // the mergeable-sketch rollup on the REAL events table (timestamp[us]
     // ts): stream builds daily hll_sketch_agg state across micro-batches
