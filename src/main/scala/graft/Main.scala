@@ -18,6 +18,7 @@ import graft.meta.Catalog
   * graft.Main -action compact  -path <artifactDir> [-table <name>]
   * graft.Main -action merge    -path <baseDir> -delta <deltaDir>
   * graft.Main -action profile  -path <artifactDir> | -dsn <tableDir> -table <name>
+  * graft.Main -action check    -dsn <tableDir> | -path <artifactDir>
   * }}}
   *
   * Flags mirror the reference (`-query -table -path -dsn -action
@@ -45,10 +46,10 @@ object Main {
       version: Boolean = false)
 
   val usage: String =
-    """usage: graft.Main -action extract|load|describe|query|compact|merge|profile
+    """usage: graft.Main -action extract|load|describe|query|compact|merge|profile|check
       |  -dsn <parquet table dir>   source tables (or jdbc: target for load)
       |  -query <sql|name>          seed query (extract) / operator name (query)
-      |  -path <dir>                artifact dir (extract out / load in / query out / compact / profile)
+      |  -path <dir>                artifact dir (extract out / load in / query out / compact / profile / check)
       |  -table <name>              table to describe / single table to compact or profile
       |  -conf <config.json>        sanitize/traversal config (or $GRAFT_CONF)
       |  -parts <n>                 compact: output part count (default: sized from data bytes)
@@ -225,6 +226,30 @@ object Main {
               .collect().foreach(r => out(r.mkString("\t")))
           }
           0
+        }
+      // referential-integrity audit (the verifier dual of extract): per
+      // catalog FK edge, orphan key/row counts over -dsn tables or an
+      // artifact's tables; exit 1 if any edge is violated — a CI gate
+      case "check" =>
+        if (cli.dsn.isEmpty && cli.path.isEmpty) { out(usage); 2 }
+        else {
+          // absent tables (partial artifact / partial dir) skip their
+          // edges rather than failing the audit of the present ones
+          val lookup: String => Option[org.apache.spark.sql.DataFrame] =
+            if (cli.path.nonEmpty) { val m = engine.load(cli.path); m.get }
+            else t => scala.util.Try(Tables(spark, cli.dsn, t)).toOption
+          val audits = Catalog.tpch.edges.sortBy(_.name).flatMap { e =>
+            for (c <- lookup(e.childTable); p <- lookup(e.parentTable))
+              yield graft.queries.AuditQueries.edgeAuditDf(c, p, e)
+          }
+          if (audits.isEmpty) { out("no auditable edges (tables absent)"); 0 }
+          else {
+            val rows = audits.reduce(_.unionByName(_)).orderBy("edge").collect()
+            out("edge\tchild_table\tparent_table\tchild_rows\torphan_keys\torphan_rows\tintact")
+            rows.foreach(r => out(r.mkString("\t")))
+            if (rows.forall(_.getAs[Boolean]("intact"))) 0
+            else { out("INTEGRITY VIOLATED"); 1 }
+          }
         }
       case _ => out(usage); 2
     }

@@ -10,6 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Registry {
   private def suites: Seq[Seq[(String, ((SparkSession, String) => DataFrame, String))]] =
     Seq(CoreQueries.all, SanitizeQueries.all, EngineQueries.all, OlapQueries.all,
+      AuditQueries.all,
       graft.ext.TextQueries.all, graft.ext.DedupQueries.all,
       graft.ext.SimilarityQueries.all, graft.ext.EventQueries.all,
       graft.ext.Multimodal.all, graft.ext.CurationQueries.all)

@@ -278,6 +278,33 @@ class MainSpec extends SparkSpec {
     assert(rc3 == 2 && out3.exists(_.contains("unknown query")))
   }
 
+  test("check verb: clean dsn exits 0, extracted artifact audits, violation exits 1") {
+    // source tables are referentially intact
+    val (rc, out) = capture(Main.Cli(action = "check", dsn = dsn))
+    assert(rc == 0, out.mkString("\n"))
+    assert(out.exists(_.startsWith("edge\t")))
+    assert(!out.exists(_.contains("INTEGRITY VIOLATED")))
+
+    // an extracted artifact is a closed subgraph → also intact; only the
+    // edges whose BOTH tables are in the artifact are audited
+    val art = Files.createTempDirectory("chk-art").toString
+    assert(capture(Main.Cli(action = "extract", dsn = dsn,
+      query = "SELECT * FROM customer WHERE c_custkey <= 5", path = art))._1 == 0)
+    val (rcA, outA) = capture(Main.Cli(action = "check", path = art, dsn = dsn))
+    assert(rcA == 0, outA.mkString("\n"))
+
+    // plant a violation: doctored dir with a third of customers deleted
+    val bad = Files.createTempDirectory("chk-bad").toString
+    import org.apache.spark.sql.functions.col
+    Tables(spark, dsn, "customer").filter(col("c_custkey") % 3 =!= 0)
+      .write.parquet(s"$bad/customer.parquet")
+    Tables(spark, dsn, "orders").write.parquet(s"$bad/orders.parquet")
+    Tables(spark, dsn, "nation").write.parquet(s"$bad/nation.parquet")
+    Tables(spark, dsn, "region").write.parquet(s"$bad/region.parquet")
+    val (rcB, outB) = capture(Main.Cli(action = "check", dsn = bad))
+    assert(rcB == 1 && outB.exists(_.contains("INTEGRITY VIOLATED")))
+  }
+
   test("describe prints keys, edges, and schema") {
     val (rc, out) = capture(Main.Cli(action = "describe", dsn = dsn, table = "customer"))
     assert(rc == 0)
