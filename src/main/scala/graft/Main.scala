@@ -19,6 +19,7 @@ import graft.meta.Catalog
   * graft.Main -action merge    -path <baseDir> -delta <deltaDir>
   * graft.Main -action profile  -path <artifactDir> | -dsn <tableDir> -table <name>
   * graft.Main -action check    -dsn <tableDir> | -path <artifactDir>
+  * graft.Main -action diff     -path <baseArtifact> -delta <otherArtifact>
   * }}}
   *
   * Flags mirror the reference (`-query -table -path -dsn -action
@@ -46,7 +47,7 @@ object Main {
       version: Boolean = false)
 
   val usage: String =
-    """usage: graft.Main -action extract|load|describe|query|compact|merge|profile|check
+    """usage: graft.Main -action extract|load|describe|query|compact|merge|profile|check|diff
       |  -dsn <parquet table dir>   source tables (or jdbc: target for load)
       |  -query <sql|name>          seed query (extract) / operator name (query)
       |  -path <dir>                artifact dir (extract out / load in / query out / compact / profile / check)
@@ -225,6 +226,19 @@ object Main {
             graft.queries.OlapQueries.tableProfileCore(df)
               .collect().foreach(r => out(r.mkString("\t")))
           }
+          0
+        }
+      // generation diff (incremental lifecycle inspection): per-table
+      // added/removed/changed counts between two artifacts, content
+      // identity via canonical-JSON row hash keyed by catalog pk
+      case "diff" =>
+        if (cli.path.isEmpty || cli.delta.isEmpty) { out(usage); 2 }
+        else {
+          val rows = graft.io.ArtifactDiff.diff(
+            engine.load(cli.path), engine.load(cli.delta))
+          out("table\tstatus\tbase_rows\tother_rows\tadded\tremoved\tchanged")
+          rows.foreach(r => out(s"${r.table}\t${r.status}\t${r.base_rows}\t" +
+            s"${r.other_rows}\t${r.added}\t${r.removed}\t${r.changed}"))
           0
         }
       // referential-integrity audit (the verifier dual of extract): per

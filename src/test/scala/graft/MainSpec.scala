@@ -305,6 +305,47 @@ class MainSpec extends SparkSpec {
     assert(rcB == 1 && outB.exists(_.contains("INTEGRITY VIOLATED")))
   }
 
+  test("diff verb reports added/removed/changed between artifact generations") {
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val a = Files.createTempDirectory("diff-a").toString
+    val b = Files.createTempDirectory("diff-b").toString
+    // generation A: customers 1..5 and their closure
+    assert(capture(Main.Cli(action = "extract", dsn = dsn,
+      query = "SELECT * FROM customer WHERE c_custkey <= 5", path = a))._1 == 0)
+    // generation B: customers 3..7 (2 removed, 2 added vs A) from a
+    // doctored source where customer 4's name changed in place
+    val doctored = Files.createTempDirectory("diff-src").toString
+    Tables(spark, dsn, "customer")
+      .withColumn("c_name", when(col("c_custkey") === 4,
+        concat(col("c_name"), lit(" CHANGED"))).otherwise(col("c_name")))
+      .write.parquet(s"$doctored/customer.parquet")
+    Seq("region", "nation", "orders", "lineitem", "supplier", "part", "events",
+        "documents", "embeddings").foreach { t =>
+      Tables(spark, dsn, t).write.parquet(s"$doctored/$t.parquet")
+    }
+    assert(capture(Main.Cli(action = "extract", dsn = doctored,
+      query = "SELECT * FROM customer WHERE c_custkey BETWEEN 3 AND 7", path = b))._1 == 0)
+
+    val (rc, out) = capture(Main.Cli(action = "diff", path = a, delta = b, dsn = dsn))
+    assert(rc == 0, out.mkString("\n"))
+    val cust = out.find(_.startsWith("customer\t")).get.split("\t")
+    // expectations derived from the artifacts themselves (the closure
+    // may pull extra customers through reverse edges — the diff must
+    // report whatever the generations actually contain)
+    val engine = new graft.engine.Engine(spark, graft.meta.Catalog.tpch,
+      t => Tables(spark, dsn, t), graft.conf.ExtractConfig())
+    def keys(dir: String): Set[Long] = engine.load(dir)("customer")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val (ka, kb) = (keys(a), keys(b))
+    val changed = if (kb.contains(4L) && ka.contains(4L)) 1 else 0
+    assert(cust.toSeq == Seq("customer", "diffed", ka.size.toString,
+      kb.size.toString, (kb -- ka).size.toString, (ka -- kb).size.toString,
+      changed.toString), out.mkString("\n"))
+    assert(changed == 1, s"fixture lost its changed row: a=$ka b=$kb")
+    // missing second artifact → usage
+    assert(capture(Main.Cli(action = "diff", path = a, dsn = dsn))._1 == 2)
+  }
+
   test("describe prints keys, edges, and schema") {
     val (rc, out) = capture(Main.Cli(action = "describe", dsn = dsn, table = "customer"))
     assert(rc == 0)
