@@ -176,6 +176,57 @@ object EventQueries {
       .orderBy("week", "event_type")
   }
 
+  /** Mergeable QUANTILE rollup — the percentile sibling of
+    * [[eventsSketchWeekly]]: daily Greenwald–Khanna value sketches
+    * ([[graft.functions.QuantileSketch]], bounded bytes per cell) merge
+    * into weekly p50/p95 without re-touching raw events — the
+    * latency-dashboard rollup a 100 TB event store actually runs, where
+    * exact weekly percentiles would re-shuffle the full history per
+    * query. Sketch bits are engine-specific (rows-only check) and the
+    * query is SELF-VALIDATING on the real guarantee: GK bounds RANK
+    * error (≤ ε·n per sketch, ≤ ~2ε through a merge level), so each
+    * approximate percentile must land between the exact values at
+    * p ± 4ε — `assert_true` aborts the query if it leaves that rank
+    * envelope (value tolerance would be the wrong contract for
+    * percentiles of a skewed column).
+    */
+  def eventsQuantileWeekly(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QuantileSketch._
+    val ev = Tables(spark, dir, "events")
+    val weekly = ev
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(quantile_sketch_agg(col("value"), 0.01).as("sk"))
+      .select(to_date(date_trunc("week", col("w.start"))).as("week"),
+        col("event_type"), col("sk"))
+      .groupBy("week", "event_type")
+      .agg(quantile_sketch_merge(col("sk")).as("wsk"))
+      .select(col("week"), col("event_type"),
+        round(quantile_sketch_query(col("wsk"), 0.5), 6).as("p50_approx"),
+        round(quantile_sketch_query(col("wsk"), 0.95), 6).as("p95_approx"))
+    // validation ride-along, NOT the production path (same contract as
+    // eventsSketchWeekly). GK returns an ACTUAL inserted value whose
+    // rank is within ±(4ε·n) of p·n, so the bound is on ORDER
+    // STATISTICS with ±1 integer slack — interpolated `percentile()`
+    // is the wrong comparison for small discrete cells. collect_list
+    // is the test-scale oracle device only (it's what the sketch
+    // exists to avoid).
+    val exact = ev
+      .groupBy(to_date(date_trunc("week", col("ts"))).as("week"), col("event_type"))
+      .agg(sort_array(collect_list(col("value"))).as("vs"), count(lit(1)).as("n"))
+    def band(p: Double, out: String) = Seq(
+      expr(s"element_at(vs, greatest(1, cast(floor(($p - 0.04) * n) AS int)))").as(s"${out}_lo"),
+      expr(s"element_at(vs, least(cast(n AS int), cast(ceil(($p + 0.04) * n) AS int) + 1))").as(s"${out}_hi"))
+    weekly.join(exact, Seq("week", "event_type"))
+      .select(Seq(col("week"), col("event_type"), col("p50_approx"), col("p95_approx")) ++
+        band(0.5, "p50") ++ band(0.95, "p95"): _*)
+      .filter(expr("assert_true(p50_approx >= p50_lo - 1e-9 AND p50_approx <= p50_hi + 1e-9, " +
+        "'weekly p50 outside GK rank envelope') IS NULL"))
+      .filter(expr("assert_true(p95_approx >= p95_lo - 1e-9 AND p95_approx <= p95_hi + 1e-9, " +
+        "'weekly p95 outside GK rank envelope') IS NULL"))
+      .select(col("week"), col("event_type"), col("p50_approx"), col("p95_approx"))
+      .orderBy("week", "event_type")
+  }
+
   /** Range join (§2.4 breadth): click-to-purchase attribution — for each
     * purchase, the same user's clicks in the preceding hour. The equi key
     * (user_id) carries the join; the time range is a residual predicate
@@ -562,6 +613,7 @@ object EventQueries {
     "events_funnel" -> ((eventsFunnel _, eventsFunnelSql)),
     "events_approx_users" -> ((eventsApproxUsers _, null)),
     "events_sketch_weekly" -> ((eventsSketchWeekly _, null)),
+    "events_quantile_weekly" -> ((eventsQuantileWeekly _, null)),
     "events_cohort_retention" -> ((eventsCohortRetention _, eventsCohortRetentionSql)),
     "events_tumbling" -> ((eventsTumbling _, eventsTumblingSql)),
     "events_sliding" -> ((eventsSliding _, eventsSlidingSql)),
