@@ -73,6 +73,20 @@ object StreamingOps {
       .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
       .select(col("w.start").as("day"), col("event_type"), col("sk"))
 
+  /** The quantile sibling of [[dailyUserSketches]]: one bounded GK value
+    * sketch per (day, event_type) maintained across micro-batches via
+    * [[graft.functions.QuantileSketch.quantile_sketch_agg]]; weekly (or
+    * any coarser) percentiles are then a batch `quantile_sketch_merge`
+    * over the stored dailies — StreamingSpec pins the streamed-then-
+    * merged path against the all-batch `events_quantile_weekly` values.
+    */
+  def dailyValueSketches(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(graft.functions.QuantileSketch
+        .quantile_sketch_agg(col("value"), 0.01).as("sk"))
+      .select(col("w.start").as("day"), col("event_type"), col("sk"))
+
   /** Stream-stream interval self-join (SURVEY.md §2.11): purchases joined
     * to the same user's clicks in the preceding hour — the streaming dual
     * of the batch `range_join` oracle query. Both sides carry watermarks

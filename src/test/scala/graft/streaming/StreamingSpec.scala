@@ -302,6 +302,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed daily quantile sketches merge to the batch weekly percentiles") {
+    import graft.functions.QuantileSketch._
+    val dir = java.nio.file.Files.createTempDirectory("evqs").toString
+    graft.Tables(spark, "/root/testdata/sf0.001", "events")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    val q = StreamingOps.dailyValueSketches(
+        spark.readStream.schema(StreamingOps.eventSchema)
+          .option("maxFilesPerTrigger", 1).parquet(dir))
+      .writeStream.format("memory").queryName("qs_daily")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("qs_daily")
+        .groupBy(to_date(date_trunc("week", col("day"))).as("week"),
+          col("event_type"))
+        .agg(quantile_sketch_merge(col("sk")).as("wsk"))
+        .select(col("week"), col("event_type"),
+          round(quantile_sketch_query(col("wsk"), 0.5), 6).as("p50"),
+          round(quantile_sketch_query(col("wsk"), 0.95), 6).as("p95"))
+        .collect().map(r => ((r.getDate(0).toString, r.getString(1)),
+          (r.getDouble(2), r.getDouble(3)))).toMap
+      val batch = graft.ext.EventQueries
+        .eventsQuantileWeekly(spark, "/root/testdata/sf0.001")
+        .collect().map(r => ((r.getDate(0).toString, r.getString(1)),
+          (r.getDouble(2), r.getDouble(3)))).toMap
+      assert(streamed.nonEmpty && streamed.keySet == batch.keySet)
+      // GK summaries are insertion-order-sensitive (unlike HLL), so
+      // streamed and batch sketches need not be bit-identical — but
+      // both are ε=0.01 sketches of the SAME values, so their answers
+      // must sit within each other's 4ε rank neighbourhood; on this
+      // fixture's value range that is a tight numeric band
+      streamed.foreach { case (k, (s50, s95)) =>
+        val (b50, b95) = batch(k)
+        assert(math.abs(s50 - b50) <= 0.08 * math.max(math.abs(b50), 1.0), s"$k p50 $s50 vs $b50")
+        assert(math.abs(s95 - b95) <= 0.08 * math.max(math.abs(b95), 1.0), s"$k p95 $s95 vs $b95")
+      }
+    } finally q.stop()
+  }
+
   test("file-source stream over real events parquet produces batch-equal counts") {
     // copy a real slice to a temp dir (stream sources need a directory)
     val dir = java.nio.file.Files.createTempDirectory("evstream").toString
