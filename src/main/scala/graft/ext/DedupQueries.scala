@@ -224,6 +224,51 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Leakage-safe train/valid/test split: fold assignment keyed by the
+    * near-dup CLUSTER representative, not the document — near-duplicate
+    * documents land in the SAME fold by construction, so eval can't be
+    * contaminated by a training doc's near-copy (the classic benchmark
+    * leak `train_test_split`'s per-doc hash cannot prevent; cf. the
+    * Lee et al. dedup paper's test-set overlap findings). Docs outside
+    * any cluster are their own representative. Fold = md5 hash bucket
+    * of the rep (8/1/1) — deterministic, replayed exactly by the
+    * oracle's recursive-CTE CC + the same bucket arithmetic.
+    */
+  def splitLeakageSafe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select("doc_id")
+    val reps = dedupClusters(spark, dir)
+    docs.join(reps, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(concat('split:', cast(rep AS string))), 1, 15), 16, 10) AS bigint) % 10"))
+      .withColumn("fold",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "valid")
+          .otherwise("test"))
+      .select("doc_id", "rep", "fold")
+      .orderBy("doc_id")
+  }
+
+  // lazy: declared above ccSqlCtes in the file — a strict val would
+  // interpolate null at object init (the CTE chain lives below for
+  // narrative order next to the cluster definition it wraps)
+  lazy val splitLeakageSafeSql: String =
+    s"""WITH RECURSIVE $ccSqlCtes,
+      |assigned AS (
+      |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS rep
+      |  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id),
+      |bucketed AS (
+      |  SELECT doc_id, rep,
+      |    CAST(('0x' || substr(md5('split:' || CAST(rep AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 10 AS bucket
+      |  FROM assigned)
+      |SELECT doc_id, rep,
+      |  CASE WHEN bucket < 8 THEN 'train'
+      |       WHEN bucket = 8 THEN 'valid'
+      |       ELSE 'test' END AS fold
+      |FROM bucketed
+      |ORDER BY doc_id""".stripMargin
+
   /** Connected-components-over-LSH-candidates CTE chain ending in
     * `clusters(doc_id, cluster_id)` — shared by the dedup_clusters and
     * corpus_curation oracles so the cluster definition cannot drift.
@@ -853,6 +898,7 @@ object DedupQueries {
     "dup_spans" -> ((dupSpans _, dupSpansSql)),
     "embed_dup_pairs" -> ((embedDupPairs _, embedDupPairsSql)),
     "semdedup" -> ((semDedup _, semDedupSql)),
-    "dedup_incremental" -> ((dedupIncremental _, dedupIncrementalSql))
+    "dedup_incremental" -> ((dedupIncremental _, dedupIncrementalSql)),
+    "split_leakage_safe" -> ((splitLeakageSafe _, splitLeakageSafeSql))
   )
 }
