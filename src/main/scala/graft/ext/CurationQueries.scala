@@ -356,7 +356,43 @@ object CurationQueries {
       |GROUP BY c_nationkey, c_mktsegment
       |ORDER BY cohort_n, c_nationkey, c_mktsegment""".stripMargin
 
+  /** Key-skew diagnosis — the measurement that decides whether
+    * [[Skew.saltedJoin]]/[[Skew.saltedAgg]] are needed at all: the
+    * heaviest keys with their share of the table, plus the global
+    * max/avg frequency ratio (1.0 = perfectly uniform; the celebrity
+    * key the salting ops exist for shows up as a large ratio). One
+    * hash-shuffle count, two broadcast scalars — the report itself
+    * never becomes the skew problem it measures.
+    */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val stats = counts.agg(sum("n").cast("double").as("total"),
+      count(lit(1)).as("n_keys"), max("n").as("max_n"))
+    counts.crossJoin(broadcast(stats)) // 1-row scalar side
+      .withColumn("share", round(col("n") / col("total"), 6))
+      .withColumn("max_avg_ratio",
+        round(col("max_n") * col("n_keys") / col("total"), 4))
+      .orderBy(desc("n"), asc("user_id")).limit(10)
+      .select(col("user_id"), col("n"), col("share"), col("max_avg_ratio"))
+  }
+
+  val skewReportSql: String =
+    """WITH counts AS (
+      |  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+      |s AS (
+      |  SELECT CAST(SUM(n) AS DOUBLE) AS total, COUNT(*) AS n_keys,
+      |    MAX(n) AS max_n
+      |  FROM counts)
+      |SELECT user_id, n,
+      |  ROUND(n / total, 6) AS share,
+      |  ROUND(max_n * n_keys / total, 4) AS max_avg_ratio
+      |FROM counts, s
+      |ORDER BY n DESC, user_id
+      |LIMIT 10""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "skew_report" -> ((skewReport _, skewReportSql)),
     "k_anonymity" -> ((kAnonymity _, kAnonymitySql)),
     "corpus_curation" -> ((corpusCuration _, corpusCurationSql)),
     "decontaminate" -> ((decontaminate _, decontaminateSql)),

@@ -557,7 +557,39 @@ object TextQueries {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** Text canonicalization — the normalization stage that runs in FRONT
+    * of fingerprint dedup (without it, case/whitespace variants of the
+    * same document get distinct md5s and survive exact dedup): lowercase,
+    * strip non-printable-ASCII, collapse whitespace runs, trim. Emits
+    * the normalized fingerprint and both lengths; a pure projection
+    * (regex in the Java∩RE2 common subset so both engines agree
+    * byte-for-byte, as in `pii_redact`).
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "documents")
+      .withColumn("norm", trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^ -~]", ""), " +", " ")))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(col("norm")).cast("long").as("n_chars_norm"),
+        md5(col("norm")).as("norm_fp"))
+      .orderBy("doc_id")
+  }
+
+  val textNormalizeSql: String =
+    """SELECT doc_id,
+      |  LENGTH(text) AS n_chars_raw,
+      |  LENGTH(norm) AS n_chars_norm,
+      |  md5(norm) AS norm_fp
+      |FROM (
+      |  SELECT doc_id, text,
+      |    TRIM(regexp_replace(
+      |      regexp_replace(lower(text), '[^ -~]', '', 'g'), ' +', ' ', 'g')) AS norm
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "text_normalize" -> ((textNormalize _, textNormalizeSql)),
     "quality_classifier" -> ((qualityClassifier _, qualityClassifierSql)),
     "text_stats" -> ((textStats _, textStatsSql)),
     "lang_id" -> ((langId _, langIdSql)),
