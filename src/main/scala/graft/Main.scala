@@ -248,15 +248,27 @@ object Main {
         if (cli.dsn.isEmpty && cli.path.isEmpty) { out(usage); 2 }
         else {
           // absent tables (partial artifact / partial dir) skip their
-          // edges rather than failing the audit of the present ones
-          val lookup: String => Option[org.apache.spark.sql.DataFrame] =
-            if (cli.path.nonEmpty) { val m = engine.load(cli.path); m.get }
-            else t => scala.util.Try(Tables(spark, cli.dsn, t)).toOption
+          // edges rather than failing the audit of the present ones.
+          // Memoized: a table that is child of 3 edges and parent of 2
+          // resolves its parquet footers ONCE, not per edge endpoint.
+          val resolved: Map[String, org.apache.spark.sql.DataFrame] =
+            if (cli.path.nonEmpty) engine.load(cli.path)
+            else Catalog.tpch.tables.keys.flatMap(t =>
+              scala.util.Try(Tables(spark, cli.dsn, t)).toOption.map(t -> _)).toMap
           val audits = Catalog.tpch.edges.sortBy(_.name).flatMap { e =>
-            for (c <- lookup(e.childTable); p <- lookup(e.parentTable))
+            for (c <- resolved.get(e.childTable); p <- resolved.get(e.parentTable))
               yield graft.queries.AuditQueries.edgeAuditDf(c, p, e)
           }
-          if (audits.isEmpty) { out("no auditable edges (tables absent)"); 0 }
+          // a CI gate must not pass on a path typo: NO tables found means
+          // nothing was checked — a usage error, not a clean audit.
+          // (Tables present but no edge with both endpoints — e.g. a
+          // single-table artifact — is a legitimate empty audit.)
+          if (resolved.isEmpty) {
+            out(s"check: no catalog tables found under " +
+              s"'${if (cli.path.nonEmpty) cli.path else cli.dsn}' (typo?)")
+            2
+          }
+          else if (audits.isEmpty) { out("no auditable edges (no edge has both tables present)"); 0 }
           else {
             val rows = audits.reduce(_.unionByName(_)).orderBy("edge").collect()
             out("edge\tchild_table\tparent_table\tchild_rows\torphan_keys\torphan_rows\tintact")

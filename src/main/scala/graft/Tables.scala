@@ -21,7 +21,14 @@ object Tables {
     *                         (the same floor-division DuckDB applies to TIMESTAMP_NS)
     *   - TimestampNTZType  → reinterpret the wall-clock micros as a UTC instant
     *                         (DuckDB reads the same file as naive TIMESTAMP, so
-    *                         oracle instants agree exactly)
+    *                         oracle instants agree exactly). The cast NTZ→TIMESTAMP
+    *                         interprets the wall clock in the SESSION timezone, so
+    *                         `to_utc_timestamp` is passed that same session zone to
+    *                         shift the instant back to wall-clock-as-UTC — an
+    *                         identity for the graft mains (all pin UTC) and the
+    *                         correct reinterpretation for any foreign session
+    *                         (`to_utc_timestamp(x, "UTC")` would be a no-op and
+    *                         leave the instant session-tz-dependent)
     *   - TimestampType     → already what queries expect; pass through
     *
     * The `nanosAsLong` conf set by the graft mains is inert on µs files and
@@ -36,7 +43,9 @@ object Tables {
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => raw.withColumn("ts", to_utc_timestamp(col("ts").cast(TimestampType), "UTC"))
+      case TimestampNTZType =>
+        val sessionTz = spark.sessionState.conf.sessionLocalTimeZone
+        raw.withColumn("ts", to_utc_timestamp(col("ts").cast(TimestampType), sessionTz))
       case _                => raw
     }
   }

@@ -114,7 +114,7 @@ object DedupIndex {
   def prefilter(spark: SparkSession, batch: DataFrame, dir: String): DataFrame = {
     val bf = loadBloom(spark, dir)
     batch
-      .withColumn("fp", md5(lower(trim(col("text")))))
+      .withColumn("fp", DedupQueries.contentFp(col("text")))
       .withColumn("likely_seen",
         graft.functions.BloomMightContain.might_contain(spark, bf, col("fp")))
       .select("doc_id", "fp", "likely_seen")

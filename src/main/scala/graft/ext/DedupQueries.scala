@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -29,12 +29,22 @@ import graft.Tables
   */
 object DedupQueries {
 
+  /** THE canonical exact-content fingerprint — one definition shared by
+    * every exact-dedup consumer (dedupExact, fpSig/DedupIndex,
+    * dedupBloom, DedupIndex.prefilter). The Bloom pre-gate's
+    * no-false-negative contract depends on the probe and the indexed fp
+    * being the SAME expression; an inline copy that drifted (e.g. to
+    * incorporate text_normalize) would silently pass true duplicates as
+    * fresh.
+    */
+  private[graft] def contentFp(text: Column): Column = md5(lower(trim(text)))
+
   /** Exact dedup: group by content hash, keep the smallest doc_id
     * (deterministic first-wins, ≙ ref A3 with a defined order).
     */
   def dedupExact(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir, "documents")
-      .groupBy(md5(lower(trim(col("text")))).as("content_fp"))
+      .groupBy(contentFp(col("text")).as("content_fp"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_doc_id")
   }
@@ -766,7 +776,7 @@ object DedupQueries {
     */
   private[ext] def fpSig(docs: DataFrame): DataFrame =
     docs
-      .withColumn("fp", md5(lower(trim(col("text")))))
+      .withColumn("fp", contentFp(col("text")))
       .withColumn("words", split(col("text"), " "))
       .withColumn("hs", when(size(col("words")) >= 3, expr(
         """transform(sequence(1, size(words) - 2),
@@ -865,7 +875,7 @@ object DedupQueries {
     */
   def dedupBloom(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-      .withColumn("fp", md5(lower(trim(col("text")))))
+      .withColumn("fp", contentFp(col("text")))
       .withColumn("is_old", col("doc_id") % 5 < 3)
       .select("doc_id", "fp", "is_old")
     val old = docs.filter(col("is_old"))

@@ -101,6 +101,16 @@ object SimilarityQueries {
     * semantics behind the literal/broadcast crossover. Identical results
     * on both paths (CentroidPathSpec).
     */
+  /** NULL-vector parity shim for the broadcast path: the literal fold
+    * scores a null vector −2.0 against every centroid (null cosine →
+    * coalesce) and assigns the first cell, but [[graft.functions.CentroidTopK]]
+    * is a null-intercepting UnaryExpression — null in, null out. An
+    * empty array scores −2.0 everywhere (length mismatch), reproducing
+    * the fold's behavior exactly (CentroidPathSpec pins it).
+    */
+  private def nullSafeVec(vcol: Column): Column =
+    coalesce(vcol, typedLit(Seq.empty[Double]))
+
   private[graft] def assignCellStruct(spark: SparkSession,
       cents: Seq[(Long, Seq[Double])], vcol: Column,
       maxLiteralDoubles: Long = CentroidLiteralMaxDoubles): Column = {
@@ -109,7 +119,7 @@ object SimilarityQueries {
       bestCellStruct(typedLit(sorted), vcol)
     else {
       val top1 = element_at(
-        graft.functions.CentroidTopK.centroid_topk(spark, sorted, vcol, 1), 1)
+        graft.functions.CentroidTopK.centroid_topk(spark, sorted, nullSafeVec(vcol), 1), 1)
       struct(top1.getField("cell").as("cell"), top1.getField("s").as("best"))
     }
   }
@@ -135,7 +145,7 @@ object SimilarityQueries {
       slice(transform(sortedCells, c => c.getField("cell")), 1, nprobe)
     } else
       transform(
-        graft.functions.CentroidTopK.centroid_topk(spark, sorted, vcol, nprobe),
+        graft.functions.CentroidTopK.centroid_topk(spark, sorted, nullSafeVec(vcol), nprobe),
         c => c.getField("cell"))
   }
 

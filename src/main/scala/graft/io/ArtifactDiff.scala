@@ -50,12 +50,14 @@ object ArtifactDiff {
               md5(to_json(struct(cols: _*))).as(h): _*)
           }
           val j = keyed(b, "h_base").join(keyed(o, "h_other"), pk, "full_outer")
+          // coalesce: a table empty on BOTH sides aggregates over zero
+          // rows → null sums, and the diff must report 0/0/0, not NPE
           val r = j.agg(
-            sum(when(col("h_base").isNull, 1L).otherwise(0L)).as("added"),
-            sum(when(col("h_other").isNull, 1L).otherwise(0L)).as("removed"),
-            sum(when(col("h_base").isNotNull && col("h_other").isNotNull &&
-              col("h_base") =!= col("h_other"), 1L).otherwise(0L)).as("changed"),
-            sum(when(col("h_base") === col("h_other"), 1L).otherwise(0L)).as("unchanged")
+            coalesce(sum(when(col("h_base").isNull, 1L).otherwise(0L)), lit(0L)).as("added"),
+            coalesce(sum(when(col("h_other").isNull, 1L).otherwise(0L)), lit(0L)).as("removed"),
+            coalesce(sum(when(col("h_base").isNotNull && col("h_other").isNotNull &&
+              col("h_base") =!= col("h_other"), 1L).otherwise(0L)), lit(0L)).as("changed"),
+            coalesce(sum(when(col("h_base") === col("h_other"), 1L).otherwise(0L)), lit(0L)).as("unchanged")
           ).collect()(0)
           DiffRow(t, "diffed", r.getLong(1) + r.getLong(2) + r.getLong(3),
             r.getLong(0) + r.getLong(2) + r.getLong(3),

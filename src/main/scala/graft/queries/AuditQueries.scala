@@ -15,10 +15,11 @@ import graft.meta.{Catalog, FkEdge}
   * wants as a gate.
   *
   * Shape per edge: one column-pruned child scan → partial-agg'd distinct
-  * key counts → LEFT ANTI against the parent's key column (broadcastable
-  * for dim parents, shuffle for fact parents — Catalyst picks) → two
-  * scalar rows cross-joined. Edges union; at 100 TB each edge audit is
-  * independent and the union is a plan-level concat, not a shuffle.
+  * key counts → LEFT join against the parent's distinct key column
+  * (broadcastable for dim parents, shuffle for fact parents — Catalyst
+  * picks) → ONE aggregate yielding all three scalars. Edges union; at
+  * 100 TB each edge audit is independent and the union is a plan-level
+  * concat, not a shuffle.
   */
 object AuditQueries {
 
@@ -27,18 +28,23 @@ object AuditQueries {
 
   /** The same audit over already-loaded frames — the CLI `check` verb's
     * entry point for artifact tables (where there is no table dir).
+    * ONE child scan: child_rows, orphan_keys, and orphan_rows all fall
+    * out of a single aggregate over the keyed counts left-joined to the
+    * (distinct) parent keys — a separate child.count() would scan the
+    * fact table a second time per edge.
     */
   private[graft] def edgeAuditDf(childDf: DataFrame, parentDf: DataFrame, e: FkEdge): DataFrame = {
-    val child = childDf
+    val childKeys = childDf
       .select(col(e.childCol).as("k")).filter(col("k").isNotNull)
-    val parent = parentDf
-      .select(col(e.parentCol).as("k"))
-    val childKeys = child.groupBy("k").agg(count(lit(1)).as("n"))
-    val orphans = childKeys.join(parent, Seq("k"), "left_anti")
-      .agg(coalesce(sum("n"), lit(0L)).as("orphan_rows"),
-        count(lit(1)).as("orphan_keys"))
-    child.agg(count(lit(1)).as("child_rows"))
-      .crossJoin(orphans) // two 1-row scalars
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    val parentKeys = parentDf
+      .select(col(e.parentCol).as("k")).distinct()
+      .withColumn("p_hit", lit(1))
+    childKeys.join(parentKeys, Seq("k"), "left")
+      .agg(
+        coalesce(sum("n"), lit(0L)).as("child_rows"),
+        count(when(col("p_hit").isNull, 1)).as("orphan_keys"),
+        coalesce(sum(when(col("p_hit").isNull, col("n"))), lit(0L)).as("orphan_rows"))
       .select(lit(e.name).as("edge"),
         lit(e.childTable).as("child_table"), lit(e.parentTable).as("parent_table"),
         col("child_rows"), col("orphan_keys"), col("orphan_rows"),

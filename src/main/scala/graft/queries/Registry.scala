@@ -26,4 +26,12 @@ object Registry {
 
   lazy val oracleSql: Map[String, String] =
     suites.flatten.collect { case (n, (_, sql)) if sql != null && sql.nonEmpty => n -> sql }.toMap
+
+  /** UNFILTERED (name, oracleSqlOrNull) pairs — for test assertions on
+    * registration hygiene; `oracleSql` above silently drops null/empty
+    * entries, so a guard against accidental empty-string oracles must
+    * look here, not at the filtered map.
+    */
+  private[graft] def rawOracleEntries: Seq[(String, String)] =
+    suites.flatten.map { case (n, (_, sql)) => n -> sql }
 }

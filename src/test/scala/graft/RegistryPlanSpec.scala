@@ -34,7 +34,27 @@ class RegistryPlanSpec extends SparkSpec {
     val qs = SparkEntry.queries.keySet
     val orphans = SparkEntry.oracleSql.keySet -- qs
     assert(orphans.isEmpty, s"oracleSql without a query: $orphans")
-    val empty = SparkEntry.oracleSql.collect { case (k, v) if v == null || v.trim.isEmpty => k }
-    assert(empty.isEmpty, s"empty oracle SQL for: $empty")
+    // the RAW suite tuples, not the filtered map: Registry.oracleSql
+    // silently drops null/empty entries, so an accidental empty-string
+    // oracle (≠ the sanctioned null rows-only marker) would otherwise
+    // silently degrade a query's gate without failing anywhere
+    val empty = graft.queries.Registry.rawOracleEntries
+      .collect { case (k, v) if v != null && v.trim.isEmpty => k }
+    assert(empty.isEmpty, s"EMPTY-STRING oracle SQL (use null for rows-only): $empty")
+  }
+
+  test("only the pinned self-validating queries lack an oracle") {
+    // a NULL oracle is sanctioned ONLY for engine-specific sketch ops
+    // with an assert_true ride-along. Anything else null here is a bug —
+    // e.g. a val-initialization-order accident interpolating null into
+    // an oracle string (split_leakage_safe hit exactly that in r7; a
+    // strict val above its CTE dependency captured null silently)
+    val pinned = Set("percentiles_approx", "table_profile",
+      "events_approx_users", "events_sketch_weekly",
+      "events_quantile_weekly", "dedup_bloom")
+    val actual = graft.queries.Registry.rawOracleEntries
+      .collect { case (k, v) if v == null => k }.toSet
+    assert(actual == pinned,
+      s"oracle-less set drifted:\n  unexpected: ${actual -- pinned}\n  missing: ${pinned -- actual}")
   }
 }
