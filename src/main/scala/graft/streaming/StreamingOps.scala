@@ -364,6 +364,37 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming ingest dedup against the PERSISTED index — the
+    * end-to-end production shape that ties the r6/r7 pieces together:
+    * per micro-batch, (1) [[graft.ext.DedupIndex.dedupe]] runs the full
+    * exact+near dedup of the batch against the index (the same
+    * algorithm as the oracle-gated `dedup_incremental`), (2) survivors
+    * append to `outDir` as parquet, (3) the WHOLE batch folds into the
+    * index (near-ANY-earlier: dropped docs still block future
+    * near-dups), (4) the Bloom pre-gate artifact is re-derived so the
+    * next batch's [[graft.ext.DedupIndex.prefilter]] sees it. Batches
+    * are processed serially by Structured Streaming, so index
+    * append/rebuild is race-free; the corpus text is never rescanned —
+    * recurring cost is the batch pipeline plus two index shuffles
+    * (the DedupIndex contract). Returns the started query.
+    */
+  def dedupIngestStream(docs: DataFrame, indexDir: String, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val survivors = graft.ext.DedupIndex.dedupe(spark, batch, indexDir)
+          batch.join(survivors, Seq("doc_id"), "left_semi")
+            .write.mode("append").parquet(outDir)
+          graft.ext.DedupIndex.append(batch, indexDir)
+          graft.ext.DedupIndex.writeBloom(spark, indexDir)
+        }
+        () // foreachBatch wants Unit; append/writeBloom return counts
+      }
+      .start()
+
   /** Stream → JSON table artifact: the streaming form of the export sink
     * ([[graft.io.JsonTableIO.write]]), via Spark's native file sink —
     * its `_spark_metadata` commit log gives EXACTLY-once file visibility

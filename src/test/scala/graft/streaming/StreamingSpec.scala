@@ -269,6 +269,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest dedup: survivors match batch-by-batch index dedupe, state persists") {
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(doc_id: Long, text: String)
+    val idxDir = java.nio.file.Files.createTempDirectory("ingidx").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ingout").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("ingck").toString
+    try {
+      import spark.implicits._
+      // seed corpus: two docs
+      graft.ext.DedupIndex.build(
+        Seq((1L, "the quick brown fox jumps over dogs"),
+            (2L, "pack my box with five dozen jugs")).toDF("doc_id", "text"), idxDir)
+      graft.ext.DedupIndex.writeBloom(spark, idxDir)
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamingOps.dedupIngestStream(
+        mem.toDF().toDF("doc_id", "text"), idxDir, outDir, ckDir)
+      try {
+        // batch 1: exact dup of doc 1 (dropped) + one fresh doc (kept)
+        mem.addData((10L, "the quick brown fox jumps over dogs"),
+          (11L, "a completely different new document here"))
+        q.processAllAvailable()
+        // batch 2: exact dup of the BATCH-1 fresh doc → cross-batch
+        // state must drop it; plus another fresh doc
+        mem.addData((20L, "a completely different new document here"),
+          (21L, "yet another unrelated body of text entirely"))
+        q.processAllAvailable()
+        val kept = spark.read.parquet(outDir)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(kept == Set(11L, 21L), s"got $kept")
+        // the index remembered everything (2 seed + 4 streamed)
+        assert(spark.read.parquet(s"$idxDir/dedup_index").count() == 6L)
+        // and the rebuilt bloom flags all seen fingerprints
+        val flags = graft.ext.DedupIndex.prefilter(spark,
+            Seq((30L, "yet another unrelated body of text entirely")).toDF("doc_id", "text"),
+            idxDir)
+          .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+        assert(flags(30L), "bloom must flag a fingerprint indexed by the stream")
+      } finally q.stop()
+    } finally {
+      import scala.reflect.io.Directory
+      Seq(idxDir, outDir, ckDir).foreach(p =>
+        new Directory(new java.io.File(p)).deleteRecursively())
+    }
+  }
+
   test("streamed daily HLL sketches merge to the batch weekly estimates") {
     // the mergeable-sketch rollup on the REAL events table (timestamp[us]
     // ts): stream builds daily hll_sketch_agg state across micro-batches
