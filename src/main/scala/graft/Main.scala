@@ -20,6 +20,7 @@ import graft.meta.Catalog
   * graft.Main -action profile  -path <artifactDir> | -dsn <tableDir> -table <name>
   * graft.Main -action check    -dsn <tableDir> | -path <artifactDir>
   * graft.Main -action diff     -path <baseArtifact> -delta <otherArtifact>
+  * graft.Main -action forget   -dsn <tableDir> -query "SELECT ..." -path <artifactDir>
   * }}}
   *
   * Flags mirror the reference (`-query -table -path -dsn -action
@@ -47,7 +48,7 @@ object Main {
       version: Boolean = false)
 
   val usage: String =
-    """usage: graft.Main -action extract|load|describe|query|compact|merge|profile|check|diff
+    """usage: graft.Main -action extract|load|describe|query|compact|merge|profile|check|diff|forget
       |  -dsn <parquet table dir>   source tables (or jdbc: target for load)
       |  -query <sql|name>          seed query (extract) / operator name (query)
       |  -path <dir>                artifact dir (extract out / load in / query out / compact / profile / check)
@@ -226,6 +227,18 @@ object Main {
             graft.queries.OlapQueries.tableProfileCore(df)
               .collect().foreach(r => out(r.mkString("\t")))
           }
+          0
+        }
+      // right-to-be-forgotten: delete the seed rows' ownership cone
+      // (reverse-key closure — never shared dims) from an artifact,
+      // each table rewritten as an atomic generation
+      case "forget" =>
+        if (cli.query.isEmpty || cli.path.isEmpty || cli.dsn.isEmpty) { out(usage); 2 }
+        else {
+          val deleted = engine.forget(cli.query, cli.path)
+          if (deleted.isEmpty) out("nothing to forget (cone misses the artifact)")
+          else deleted.toSeq.sortBy(_._1).foreach { case (t, n) =>
+            out(s"$t: forgot $n rows") }
           0
         }
       // generation diff (incremental lifecycle inspection): per-table

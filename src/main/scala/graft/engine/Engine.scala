@@ -224,6 +224,37 @@ class Engine(
       }: _*)
     }
 
+  /** Right-to-be-forgotten: delete the seed rows' OWNERSHIP cone from an
+    * artifact. [[graft.closure.ForgetCascade]] follows only reverse-key
+    * edges from the seeds (a customer's orders → their lineitems, the
+    * customer's events) — never forward FKs, so shared dimensions
+    * (nation, part, supplier) are untouched. Each affected artifact
+    * table is rewritten as a fresh GENERATION via
+    * [[JsonTableIO.writeGen]] (atomic manifest-pointer commit: readers
+    * never see a half-forgotten table, and an interrupted forget leaves
+    * the previous generation live). The cascade keys come from the
+    * SOURCE tables (`-dsn`), mirroring how the artifact was extracted;
+    * artifact-only rows with keys outside the source are untouched by
+    * construction of the anti-join. Returns table → rows deleted.
+    */
+  def forget(seedQuery: String, artifactDir: String): Map[String, Long] = {
+    val table = SeedQuery.drivingTable(seedQuery).getOrElse(
+      throw new IllegalArgumentException(s"cannot parse driving table: $seedQuery"))
+    loadTable(table).createOrReplaceTempView(table)
+    val cone = graft.closure.ForgetCascade.cascade(
+      spark, catalog, loadTable, table, spark.sql(seedQuery))
+    val artifact = load(artifactDir)
+    cone.toSeq.sortBy(_._1).flatMap { case (t, delKeys) =>
+      artifact.get(t).map { rows =>
+        val pk = catalog.pkOf(t)
+        val keep = rows.join(delKeys, pk, "left_anti")
+        val before = rows.count()
+        val after = JsonTableIO.writeGen(pgEncoded(t, keep), artifactDir, t)
+        t -> (before - after)
+      }
+    }.toMap
+  }
+
   /** Read back an export dir: table → DataFrame
     * (`etl/loader.go:25-72`; pair with UpsertJdbcSink to load into a DB).
     */

@@ -346,6 +346,45 @@ class MainSpec extends SparkSpec {
     assert(capture(Main.Cli(action = "diff", path = a, dsn = dsn))._1 == 2)
   }
 
+  test("forget verb deletes the ownership cone, spares shared dims, keeps integrity") {
+    import org.apache.spark.sql.functions.col
+    val art = Files.createTempDirectory("forget-art").toString
+    assert(capture(Main.Cli(action = "extract", dsn = dsn,
+      query = "SELECT * FROM customer WHERE c_custkey <= 5", path = art))._1 == 0)
+    val engine = new graft.engine.Engine(spark, graft.meta.Catalog.tpch,
+      t => Tables(spark, dsn, t), graft.conf.ExtractConfig())
+    val before = engine.load(art).map { case (t, df) => t -> df.count() }
+    // the default policy pulls the seed's depth-0 reverse cone (orders,
+    // events) but gates deeper RK edges behind the allowlist, so the
+    // artifact holds customer/orders/events + the forward dims
+    assert(before.keySet == Set("customer", "orders", "events", "nation", "region"))
+    // the victim's cone, derived from the source (what forget should remove)
+    val nVictimOrders = Tables(spark, dsn, "orders")
+      .filter(col("o_custkey") === 3L).count()
+    val nVictimEvents = Tables(spark, dsn, "events")
+      .filter(col("user_id") === 3L).count()
+
+    val (rc, out) = capture(Main.Cli(action = "forget", dsn = dsn,
+      query = "SELECT * FROM customer WHERE c_custkey = 3", path = art))
+    assert(rc == 0, out.mkString("\n"))
+
+    val after = engine.load(art).map { case (t, df) => t -> df.count() }
+    assert(after("customer") == before("customer") - 1)
+    assert(after("orders") == before("orders") - nVictimOrders)
+    assert(after("events") == before("events") - nVictimEvents)
+    assert(nVictimOrders > 0 && nVictimEvents > 0, "fixture victim must own rows")
+    // shared dimensions untouched — forward FKs must NOT cascade
+    Seq("nation", "region").foreach { t =>
+      assert(after.get(t) == before.get(t), s"shared dim $t changed")
+    }
+    // the victim is gone, the others remain
+    val custKeys = engine.load(art)("customer")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(!custKeys.contains(3L) && custKeys.size == before("customer").toInt - 1)
+    // and the artifact still passes the integrity gate
+    assert(capture(Main.Cli(action = "check", path = art, dsn = dsn))._1 == 0)
+  }
+
   test("describe prints keys, edges, and schema") {
     val (rc, out) = capture(Main.Cli(action = "describe", dsn = dsn, table = "customer"))
     assert(rc == 0)
