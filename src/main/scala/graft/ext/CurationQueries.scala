@@ -365,8 +365,13 @@ object CurationQueries {
     * never becomes the skew problem it measures.
     */
   def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the key-count rollup feeds BOTH the report rows and the
+    // stats scalars — un-persisted, Catalyst plans the scan+shuffle twice
+    // (PlanAuditSpec pins 1 scan); Bench/Verify release via clearCache
     val counts = Tables(spark, dir, "events")
       .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    counts.count()
     val stats = counts.agg(sum("n").cast("double").as("total"),
       count(lit(1)).as("n_keys"), max("n").as("max_n"))
     counts.crossJoin(broadcast(stats)) // 1-row scalar side

@@ -75,6 +75,14 @@ class PlanAuditSpec extends SparkSpec {
                            // union of per-column re-scans (approx NDV:
                            // TableProfileSpec pins the plan has NO Expand)
     "table_profile_exact" -> 1, // same single-scan shape, exact NDV via Expand
+    "text_normalize" -> 1,  // pure projection
+    "quality_classifier" -> 1, // hashed-bag inference is a projection —
+                               // a vocabulary join appearing here means the
+                               // fastText shape regressed
+    "scd2_state" -> 1,      // gaps-and-islands on ONE user_id exchange
+    "k_anonymity" -> 1,     // one hash-shuffle agg
+    "skew_report" -> 1,     // counts scanned once; the two scalars are a
+                            // broadcast side, not a re-scan
     "dedup_incremental" -> 0 // the narrow (doc_id,is_old,fp,sig) checkpoint
                              // is the ONLY source: all three consumers read
                              // the RDD leaf; any LogicalRelation here means
