@@ -37,15 +37,20 @@ object Tables {
     * per-read option).
     */
   private def events(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, to_utc_timestamp}
+    import org.apache.spark.sql.functions.{col, expr, from_utc_timestamp}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampNTZType =>
+        // cast(NTZ→TIMESTAMP) yields instant = wall − offset(session);
+        // from_utc_timestamp adds the session offset back, restoring the
+        // wall-clock-as-UTC instant in ANY session timezone (identity in
+        // UTC sessions). SchemaGuardSpec pins instant agreement under a
+        // non-UTC session tz.
         val sessionTz = spark.sessionState.conf.sessionLocalTimeZone
-        raw.withColumn("ts", to_utc_timestamp(col("ts").cast(TimestampType), sessionTz))
+        raw.withColumn("ts", from_utc_timestamp(col("ts").cast(TimestampType), sessionTz))
       case _                => raw
     }
   }

@@ -46,12 +46,17 @@ object ForgetCascade {
         // request's cone is typically tiny (hint → broadcast-hash, no
         // shuffle of the child), while a bulk purge with a huge key set
         // still shuffles
-        val keySide = keys.select(col(e.parentCol)).distinct()
+        // rename the frontier key to a reserved name so the join condition
+        // can't resolve ambiguously (or to the child's own column) when a
+        // child table happens to carry a column named like the parent key —
+        // e.g. a self-referential edge or an introspected catalog without
+        // per-table column prefixes
+        val keySide = keys.select(col(e.parentCol).as("__graft_fk")).distinct()
         val hinted =
           if (keySide.count() <= graft.SparkUtil.BroadcastRowLimit) broadcast(keySide)
           else keySide
         val hit = pkFrame(e.childTable,
-          child.join(hinted, child(e.childCol) === col(e.parentCol), "left_semi"))
+          child.join(hinted, child(e.childCol) === hinted("__graft_fk"), "left_semi"))
         hits(e.childTable) = hits.get(e.childTable)
           .map(_.unionByName(hit).distinct()).getOrElse(hit)
       }

@@ -64,8 +64,13 @@ object SimilarityQueries {
   private[ext] def scoredCents(centArr: Column, vcol: Column): Column =
     transform(centArr, c =>
       struct(c.getField("_1").as("cell"),
-        coalesce(round(graft.functions.CosineSimilarity.cosine_sim(
-          c.getField("_2"), vcol), 6), lit(-2.0)).as("s")))
+        // nanvl: a NaN element (corrupt embedding/centroid) scores the
+        // same degenerate −2.0 as a zero-norm vector — otherwise NaN's
+        // always-false comparisons make the fold return (−1, −3.0) while
+        // the broadcast path crashes; both paths now agree
+        // (CentroidPathSpec NaN case).
+        coalesce(nanvl(round(graft.functions.CosineSimilarity.cosine_sim(
+          c.getField("_2"), vcol), 6), lit(-2.0)), lit(-2.0)).as("s")))
 
   /** Cell assignment as a per-row argmax-cosine fold over the centroid
     * literal — a pure projection with ZERO joins or exchanges over the

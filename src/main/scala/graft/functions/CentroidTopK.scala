@@ -128,8 +128,14 @@ object CentroidTopK {
       i += 1
     }
     val denom = math.sqrt(na) * math.sqrt(nb)
-    if (denom == 0.0) -2.0
-    else java.math.BigDecimal.valueOf(dot / denom)
+    if (denom == 0.0) return -2.0
+    val cos = dot / denom
+    // NaN elements (corrupt embedding or centroid) make the quotient NaN,
+    // and BigDecimal.valueOf(NaN) throws — map to the degenerate no-match
+    // score instead, matching the literal fold's nanvl(…, -2.0)
+    // (CentroidPathSpec pins parity on NaN vectors).
+    if (java.lang.Double.isNaN(cos) || java.lang.Double.isInfinite(cos)) -2.0
+    else java.math.BigDecimal.valueOf(cos)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
   }
 

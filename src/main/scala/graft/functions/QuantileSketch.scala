@@ -85,10 +85,24 @@ case class QuantileSketchAgg(
   override def createAggregationBuffer(): QuantileSummaries =
     new QuantileSummaries(defaultCompressThreshold, relativeError)
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: NumericType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"quantile_sketch_agg expects a numeric column, got $t")
+    }
+
   override def update(buf: QuantileSummaries, input: InternalRow): QuantileSummaries = {
     val v = child.eval(input)
     if (v == null) buf
-    else buf.insert(v.asInstanceOf[Number].doubleValue())
+    else v match {
+      // Spark's internal DecimalType value is o.a.s.sql.types.Decimal,
+      // NOT a java.lang.Number — a bare Number cast throws at runtime
+      case d: Decimal => buf.insert(d.toDouble)
+      case n: Number  => buf.insert(n.doubleValue())
+    }
   }
 
   override def merge(a: QuantileSummaries, b: QuantileSummaries): QuantileSummaries =

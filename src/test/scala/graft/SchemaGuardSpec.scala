@@ -88,4 +88,23 @@ class SchemaGuardSpec extends SparkSpec {
            date_format(max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("hi")).head
     assert(norm == raw, s"ts normalization shifted instants: normalized=$norm raw=$raw")
   }
+
+  test("events ts instants are session-timezone invariant (non-UTC session)") {
+    // the NTZ branch exists for foreign non-UTC sessions: cast(NTZ→TS)
+    // yields wall−offset, from_utc_timestamp adds the offset back, so the
+    // resulting INSTANT must be identical to the UTC-session read. A
+    // to_utc_timestamp here would subtract the offset twice (wall−2·offset)
+    // and this pin would catch it.
+    import org.apache.spark.sql.functions._
+    def instants(): org.apache.spark.sql.Row =
+      Tables(spark, dir, "events")
+        .agg(min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi")).head
+    val utc = instants()
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val ny = instants()
+      assert(ny == utc, s"ts instants drift with session tz: NY=$ny UTC=$utc")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }

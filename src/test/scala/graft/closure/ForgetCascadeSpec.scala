@@ -73,4 +73,20 @@ class ForgetCascadeSpec extends SparkSpec {
       assert(!cone.contains("td"), s"case $ci: forward dim td must never enter the cone")
     }
   }
+
+  test("child column named like the parent key resolves to the frontier, not itself") {
+    // introspected catalogs don't guarantee per-table column prefixes: here
+    // the child's own pk is ALSO named `id`, so an unqualified col("id") in
+    // the semi-join condition would be ambiguous (or bind to the child's
+    // column, semi-joining the child against itself and returning every row)
+    val parent = Seq(1L, 2L, 3L).toDF("id")
+    val child = Seq((10L, 1L), (11L, 1L), (12L, 3L)).toDF("id", "parent_id")
+    val cat = Catalog(
+      tables = Map("p" -> TableMeta("p", Seq("id")), "ch" -> TableMeta("ch", Seq("id"))),
+      edges = Seq(FkEdge("ch_p", "ch", "parent_id", "p", "id")))
+    val load: String => org.apache.spark.sql.DataFrame = Map("p" -> parent, "ch" -> child)
+    val cone = ForgetCascade.cascade(spark, cat, load, "p", parent.filter(col("id") === 1L))
+    val childKeys = cone("ch").select("id").collect().map(_.getLong(0)).toSet
+    assert(childKeys == Set(10L, 11L), s"expected ch cone {10,11}, got $childKeys")
+  }
 }

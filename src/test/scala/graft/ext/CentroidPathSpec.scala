@@ -79,6 +79,34 @@ class CentroidPathSpec extends SparkSpec {
     assert(zeroRow._2 == cs.map(_._1).min && zeroRow._3 == -2.0)
   }
 
+  test("NaN vectors score the degenerate −2.0 on both paths (no crash, identical assignment)") {
+    import spark.implicits._
+    val cs = cents.take(4)
+    // a NaN element makes every cosine NaN; both paths must treat it as
+    // the −2.0 no-match (nanvl in the fold, the guard in CentroidTopK.score)
+    // rather than crash (BigDecimal.valueOf(NaN)) or diverge (NaN's
+    // always-false comparisons)
+    val rows = Seq(
+      (9101L, Seq.fill(64)(Double.NaN)),
+      (9102L, Double.NaN +: Seq.tabulate(63)(i => (i + 1).toDouble)),
+      (9103L, Seq.tabulate(64)(_.toDouble))).toDF("vec_id", "v")
+    def assign(maxLit: Long) = rows
+      .withColumn("bc", SimilarityQueries.assignCellStruct(spark, cs, col("v"), maxLit))
+      .select(col("vec_id"), col("bc.cell"), col("bc.best"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val lit = assign(Long.MaxValue)
+    val bcast = assign(0L)
+    assert(lit === bcast)
+    val nanRow = lit.find(_._1 == 9101L).get
+    assert(nanRow._2 == cs.map(_._1).min && nanRow._3 == -2.0)
+    // probe lists agree too
+    def probes(maxLit: Long) = rows
+      .select(col("vec_id"),
+        SimilarityQueries.topProbeCells(spark, cs, col("v"), 3, maxLit).as("cells"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).sortBy(_._1).toSeq
+    assert(probes(Long.MaxValue) === probes(0L))
+  }
+
   test("AnnIndex built on the broadcast path equals the literal-path index") {
     val cs = cents
     val tmpA = java.nio.file.Files.createTempDirectory("annlit").toString

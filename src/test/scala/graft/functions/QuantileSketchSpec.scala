@@ -65,6 +65,21 @@ class QuantileSketchSpec extends SparkSpec {
     assert(empty.isNullAt(0), "empty sketch must query to NULL, not a fabricated value")
   }
 
+  test("decimal columns sketch via Decimal.toDouble (no ClassCastException)") {
+    // Spark's internal DecimalType value is o.a.s.sql.types.Decimal, not a
+    // java.lang.Number — update() must branch on it
+    val df = (1 to 100).map(i => BigDecimal(i) / 100).toDF("v")
+    assert(df.schema("v").dataType.typeName.startsWith("decimal"))
+    val p50 = df.agg(quantile_sketch_agg(col("v"), eps).as("sk"))
+      .select(quantile_sketch_query(col("sk"), 0.5)).head.getDouble(0)
+    assert(p50 >= 0.40 && p50 <= 0.60, s"decimal p50=$p50")
+    // non-numeric input fails at analysis, not at runtime
+    val err = intercept[Exception] {
+      Seq("a", "b").toDF("v").agg(quantile_sketch_agg(col("v"), eps)).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("numeric"), err.getMessage)
+  }
+
   test("registered events_quantile_weekly passes its own rank-envelope assertions") {
     val rows = graft.ext.EventQueries
       .eventsQuantileWeekly(spark, "/root/testdata/sf0.001").collect()
