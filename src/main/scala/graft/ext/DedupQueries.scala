@@ -869,11 +869,29 @@ object DedupQueries {
     * direction for dedup. The registered query rides the EXACT join
     * along at test scale (`actually_seen` — the very join the bloom
     * avoids in production) and `assert_true`s the no-false-negative
-    * contract per row; the bloom bits are engine-specific, so no DuckDB
-    * oracle (rows-only + self-validating, the HLL contract).
-    * BloomDedupSpec bounds the false-positive rate.
+    * contract per row; the bloom bits are engine-specific, so the
+    * REGISTERED form is the deterministic ENVELOPE — doc_id/fp/exact
+    * membership plus the asserted `no_false_negative` boolean, with the
+    * bloom verdict itself exposed only in [[dedupBloomRaw]]
+    * (unregistered). BloomDedupSpec bounds the false-positive rate.
     */
-  def dedupBloom(spark: SparkSession, dir: String): DataFrame = {
+  def dedupBloom(spark: SparkSession, dir: String): DataFrame =
+    dedupBloomRaw(spark, dir)
+      .withColumn("no_false_negative", !(col("actually_seen") && !col("likely_seen")))
+      .select("doc_id", "fp", "actually_seen", "no_false_negative")
+
+  val dedupBloomSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, md5(lower(trim(text))) AS fp, (doc_id % 5 < 3) AS is_old
+      |  FROM documents)
+      |SELECT d.doc_id, d.fp,
+      |  d.fp IN (SELECT fp FROM docs WHERE is_old) AS actually_seen,
+      |  TRUE AS no_false_negative
+      |FROM docs d WHERE NOT d.is_old
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Raw form with the engine-specific bloom verdict (unregistered). */
+  def dedupBloomRaw(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
       .withColumn("fp", contentFp(col("text")))
       .withColumn("is_old", col("doc_id") % 5 < 3)
@@ -898,7 +916,7 @@ object DedupQueries {
   }
 
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
-    "dedup_bloom" -> ((dedupBloom _, null)),
+    "dedup_bloom" -> ((dedupBloom _, dedupBloomSql)),
     "dedup_exact" -> ((dedupExact _, dedupExactSql)),
     "minhash_pairs" -> ((minhashPairs _, minhashPairsSql)),
     "dedup_clusters" -> ((dedupClusters _, dedupClustersSql)),

@@ -117,14 +117,24 @@ object EventQueries {
       |ORDER BY window_start""".stripMargin
 
   /** HLL sketch counting (the 100 TB form of distinct-users). The
-    * estimate is engine-specific, so no DuckDB oracle (rows-only check);
-    * HLL++ merges are commutative, so the result is stable across
-    * partitionings. The exact count rides along, and the query is
-    * SELF-VALIDATING: `assert_true` aborts it (driver sees a failure,
-    * not silently-wrong rows) if the estimate drifts beyond 5× the
-    * configured 2% rsd.
+    * estimate is engine-specific, so the REGISTERED form is the
+    * deterministic ENVELOPE: the exact ride-along plus the
+    * `within_envelope` boolean that `assert_true` has already enforced
+    * (the query ABORTS — a driver-visible failure, not silently-wrong
+    * rows — if the estimate drifts beyond 5× the configured 2% rsd).
+    * HLL++ merges are commutative, so the gate is stable across
+    * partitionings. The raw estimate lives in
+    * [[eventsApproxUsersRaw]] (unregistered).
     */
-  def eventsApproxUsers(spark: SparkSession, dir: String): DataFrame = {
+  def eventsApproxUsers(spark: SparkSession, dir: String): DataFrame =
+    eventsApproxUsersRaw(spark, dir)
+      .withColumn("within_envelope", col("rel_err") <= 0.1)
+      .select("window_start", "exact_users", "within_envelope")
+
+  /** Raw-estimate form (engine-specific `approx_users`/`rel_err`
+    * exposed; not oracle-expressible, hence unregistered).
+    */
+  def eventsApproxUsersRaw(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir, "events")
       .groupBy(window(col("ts"), "1 day").as("w"))
       .agg(
@@ -139,6 +149,14 @@ object EventQueries {
       .orderBy("window_start")
   }
 
+  val eventsApproxUsersSql: String =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  TRUE AS within_envelope
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY window_start""".stripMargin
+
   /** MERGEABLE sketch rollup — the architectural upgrade over
     * [[eventsApproxUsers]]: daily `hll_sketch_agg` binaries UNION into
     * weekly estimates via `hll_union_agg`, never re-touching the raw
@@ -146,11 +164,27 @@ object EventQueries {
     * stores: per-day sketches persist once (bounded bytes per cell) and
     * any coarser window — week, month, ad-hoc ranges — is a cheap merge
     * over sketches, where exact distinct-counts would re-shuffle the
-    * full event history per query. Engine-specific bits, so rows-only +
-    * SELF-VALIDATING against the exact weekly count, same contract as
-    * [[eventsApproxUsers]].
+    * full event history per query. Engine-specific bits, so the
+    * registered form is the deterministic ENVELOPE (same contract as
+    * [[eventsApproxUsers]]): exact weekly count + the asserted
+    * `within_envelope` boolean; raw estimate in
+    * [[eventsSketchWeeklyRaw]] (unregistered).
     */
-  def eventsSketchWeekly(spark: SparkSession, dir: String): DataFrame = {
+  def eventsSketchWeekly(spark: SparkSession, dir: String): DataFrame =
+    eventsSketchWeeklyRaw(spark, dir)
+      .withColumn("within_envelope", col("rel_err") <= 0.1)
+      .select("week", "event_type", "exact_users", "within_envelope")
+
+  val eventsSketchWeeklySql: String =
+    """SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  TRUE AS within_envelope
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY week, event_type""".stripMargin
+
+  /** Raw-estimate form of the sketch rollup (unregistered). */
+  def eventsSketchWeeklyRaw(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir, "events")
     val weekly = ev
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
@@ -188,9 +222,48 @@ object EventQueries {
     * approximate percentile must land between the exact values at
     * p ± 4ε — `assert_true` aborts the query if it leaves that rank
     * envelope (value tolerance would be the wrong contract for
-    * percentiles of a skewed column).
+    * percentiles of a skewed column). The registered form is the
+    * deterministic ENVELOPE: the exact order-statistic band bounds
+    * (actual stored doubles — bitwise-reproducible in DuckDB) plus the
+    * asserted `within_envelope` boolean; the engine-specific approx
+    * percentiles live in [[eventsQuantileWeeklyRaw]] (unregistered).
     */
-  def eventsQuantileWeekly(spark: SparkSession, dir: String): DataFrame = {
+  def eventsQuantileWeekly(spark: SparkSession, dir: String): DataFrame =
+    eventsQuantileWeeklyCore(spark, dir)
+      .withColumn("within_envelope",
+        expr("p50_approx >= p50_lo - 1e-9 AND p50_approx <= p50_hi + 1e-9 AND " +
+             "p95_approx >= p95_lo - 1e-9 AND p95_approx <= p95_hi + 1e-9"))
+      .select("week", "event_type", "n", "p50_lo", "p50_hi", "p95_lo", "p95_hi",
+        "within_envelope")
+      .orderBy("week", "event_type")
+
+  /** Band arithmetic note: the ±0.04 rank margins are written as the
+    * PRE-FOLDED decimal literals (0.46/0.54/0.91/0.99) in both engines,
+    * so `floor`/`ceil` of `margin × n` is exact-decimal on both sides —
+    * no float boundary flicker in the index computation, and the band
+    * VALUES are stored doubles read from the same parquet.
+    */
+  val eventsQuantileWeeklySql: String =
+    """WITH g AS (
+      |  SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
+      |    list_sort(list(value)) AS vs, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT week, event_type, n,
+      |  vs[GREATEST(1, CAST(FLOOR(0.46 * n) AS INT))] AS p50_lo,
+      |  vs[LEAST(CAST(n AS INT), CAST(CEIL(0.54 * n) AS INT) + 1)] AS p50_hi,
+      |  vs[GREATEST(1, CAST(FLOOR(0.91 * n) AS INT))] AS p95_lo,
+      |  vs[LEAST(CAST(n AS INT), CAST(CEIL(0.99 * n) AS INT) + 1)] AS p95_hi,
+      |  TRUE AS within_envelope
+      |FROM g
+      |ORDER BY week, event_type""".stripMargin
+
+  /** Raw-estimate form (approx p50/p95 exposed; unregistered). */
+  def eventsQuantileWeeklyRaw(spark: SparkSession, dir: String): DataFrame =
+    eventsQuantileWeeklyCore(spark, dir)
+      .select(col("week"), col("event_type"), col("p50_approx"), col("p95_approx"))
+      .orderBy("week", "event_type")
+
+  private def eventsQuantileWeeklyCore(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.QuantileSketch._
     val ev = Tables(spark, dir, "events")
     val weekly = ev
@@ -213,18 +286,20 @@ object EventQueries {
     val exact = ev
       .groupBy(to_date(date_trunc("week", col("ts"))).as("week"), col("event_type"))
       .agg(sort_array(collect_list(col("value"))).as("vs"), count(lit(1)).as("n"))
-    def band(p: Double, out: String) = Seq(
-      expr(s"element_at(vs, greatest(1, cast(floor(($p - 0.04) * n) AS int)))").as(s"${out}_lo"),
-      expr(s"element_at(vs, least(cast(n AS int), cast(ceil(($p + 0.04) * n) AS int) + 1))").as(s"${out}_hi"))
+    // the margins fold to exact decimals (0.5∓0.04 → 0.46/0.54,
+    // 0.95∓0.04 → 0.91/0.99) written literally so the oracle's decimal
+    // arithmetic is identical
+    def band(lo: String, hi: String, out: String) = Seq(
+      expr(s"element_at(vs, greatest(1, cast(floor($lo * n) AS int)))").as(s"${out}_lo"),
+      expr(s"element_at(vs, least(cast(n AS int), cast(ceil($hi * n) AS int) + 1))").as(s"${out}_hi"))
     weekly.join(exact, Seq("week", "event_type"))
-      .select(Seq(col("week"), col("event_type"), col("p50_approx"), col("p95_approx")) ++
-        band(0.5, "p50") ++ band(0.95, "p95"): _*)
+      .select(Seq(col("week"), col("event_type"), col("n"),
+        col("p50_approx"), col("p95_approx")) ++
+        band("0.46", "0.54", "p50") ++ band("0.91", "0.99", "p95"): _*)
       .filter(expr("assert_true(p50_approx >= p50_lo - 1e-9 AND p50_approx <= p50_hi + 1e-9, " +
         "'weekly p50 outside GK rank envelope') IS NULL"))
       .filter(expr("assert_true(p95_approx >= p95_lo - 1e-9 AND p95_approx <= p95_hi + 1e-9, " +
         "'weekly p95 outside GK rank envelope') IS NULL"))
-      .select(col("week"), col("event_type"), col("p50_approx"), col("p95_approx"))
-      .orderBy("week", "event_type")
   }
 
   /** Range join (§2.4 breadth): click-to-purchase attribution — for each
@@ -611,9 +686,9 @@ object EventQueries {
     "events_transitions" -> ((eventsTransitions _, eventsTransitionsSql)),
     "events_anomaly" -> ((eventsAnomaly _, eventsAnomalySql)),
     "events_funnel" -> ((eventsFunnel _, eventsFunnelSql)),
-    "events_approx_users" -> ((eventsApproxUsers _, null)),
-    "events_sketch_weekly" -> ((eventsSketchWeekly _, null)),
-    "events_quantile_weekly" -> ((eventsQuantileWeekly _, null)),
+    "events_approx_users" -> ((eventsApproxUsers _, eventsApproxUsersSql)),
+    "events_sketch_weekly" -> ((eventsSketchWeekly _, eventsSketchWeeklySql)),
+    "events_quantile_weekly" -> ((eventsQuantileWeekly _, eventsQuantileWeeklySql)),
     "events_cohort_retention" -> ((eventsCohortRetention _, eventsCohortRetentionSql)),
     "events_tumbling" -> ((eventsTumbling _, eventsTumblingSql)),
     "events_sliding" -> ((eventsSliding _, eventsSlidingSql)),

@@ -105,13 +105,24 @@ object OlapQueries {
   /** Approximate percentiles — the 100 TB form of [[percentiles]]
     * (exact percentile needs all values of a group collected; the
     * approx sketch is mergeable, bounded-memory, one pass). The sketch is
-    * engine-specific so there is no DuckDB oracle (rows-only check), but
-    * the query is SELF-VALIDATING like the HLL one: the exact value rides
-    * along and `assert_true` aborts — a driver-visible failure, not
-    * silently-wrong rows — if the approximation leaves its accuracy
-    * envelope (1e4 yields ~0.01% rank error; 1% value tolerance is wide).
+    * engine-specific, so the REGISTERED form is the deterministic
+    * ENVELOPE: exact ride-along columns plus the `within_envelope`
+    * boolean that `assert_true` has already enforced (the query ABORTS —
+    * a driver-visible failure — if the approximation leaves its accuracy
+    * envelope; 1e4 yields ~0.01% rank error, 1% value tolerance is
+    * wide). The raw estimate lives in [[percentilesApproxRaw]]
+    * (unregistered), so the DuckDB oracle can hash-match every emitted
+    * column while the sketch still gates the row.
     */
-  def percentilesApprox(spark: SparkSession, dir: String): DataFrame = {
+  def percentilesApprox(spark: SparkSession, dir: String): DataFrame =
+    percentilesApproxRaw(spark, dir)
+      .withColumn("within_envelope", col("rel_err") <= 0.01)
+      .select("o_orderpriority", "p50_exact", "n", "within_envelope")
+
+  /** Raw-estimate form (engine-specific `p50_approx`/`rel_err` exposed;
+    * not oracle-expressible, hence unregistered).
+    */
+  def percentilesApproxRaw(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir, "orders")
       .groupBy(col("o_orderpriority"))
       .agg(
@@ -124,6 +135,15 @@ object OlapQueries {
         "assert_true(rel_err <= 0.01, 'approx percentile outside envelope') IS NULL"))
       .orderBy("o_orderpriority")
   }
+
+  val percentilesApproxSql: String =
+    """SELECT o_orderpriority,
+      |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+      |  COUNT(*) AS n,
+      |  TRUE AS within_envelope
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 
   /** As-of join: for every click event, the most recent purchase at or
     * before it by the same user. Spark-first formulation: ONE sort per
@@ -390,6 +410,14 @@ object OlapQueries {
     * DuckDB hash oracle for the shared rendering/null/min-max logic.
     */
   def tableProfile(spark: SparkSession, dir: String): DataFrame =
+    tableProfileApproxCore(Tables(spark, dir, "orders"), uniqueCol = Some("o_orderkey"),
+      emitEstimate = false)
+
+  /** Raw-estimate profile (approx `n_distinct` exposed; engine-specific,
+    * hence unregistered — the registered [[tableProfile]] is the
+    * deterministic envelope form with the same plan).
+    */
+  def tableProfileRaw(spark: SparkSession, dir: String): DataFrame =
     tableProfileApproxCore(Tables(spark, dir, "orders"), uniqueCol = Some("o_orderkey"))
 
   /** Exact-NDV profile (ANALYZE semantics, oracle-gated). Plans through
@@ -407,7 +435,8 @@ object OlapQueries {
     */
   private[graft] def tableProfileApproxCore(df: DataFrame,
                                             uniqueCol: Option[String] = None,
-                                            rsd: Double = 0.05): DataFrame = {
+                                            rsd: Double = 0.05,
+                                            emitEstimate: Boolean = true): DataFrame = {
     val colNames = df.schema.fields.map(_.name).toSeq
     def rendered(agg: org.apache.spark.sql.Column, c: String): org.apache.spark.sql.Column =
       df.schema(c).dataType match {
@@ -423,24 +452,51 @@ object OlapQueries {
         rendered(max(col(c)), c).as(s"mx_$i"))
     }
     val one = df.agg(aggExprs.head, aggExprs.tail: _*)
-    val guarded = uniqueCol match {
-      case Some(u) =>
-        val i = colNames.indexOf(u)
-        require(i >= 0, s"uniqueCol $u not in schema")
+    // the unique-col accuracy guard: the sketch must land within 3×rsd of
+    // the row count on the table's hardest-cardinality column
+    val guardExpr = uniqueCol.map { u =>
+      val i = colNames.indexOf(u)
+      require(i >= 0, s"uniqueCol $u not in schema")
+      (i, s"abs(nd_$i - n) <= greatest(${3 * rsd} * n, 1)")
+    }
+    val guarded = guardExpr match {
+      case Some((_, pred)) =>
         one.filter(expr(
-          s"assert_true(abs(nd_$i - n) <= greatest(${3 * rsd} * n, 1), " +
-          s"'approx NDV outside envelope on unique column $u') IS NULL"))
+          s"assert_true($pred, " +
+          s"'approx NDV outside envelope on unique column ${uniqueCol.get}') IS NULL"))
       case None => one
     }
+    // envelope form: raw estimate omitted, the asserted guard exposed as a
+    // computed (never literal) boolean — deterministic post-assert, so the
+    // DuckDB oracle can hash-match every column
+    def extraCols(i: Int): Seq[org.apache.spark.sql.Column] =
+      if (emitEstimate) Seq(col(s"nd_$i").as("n_distinct"))
+      else Seq(expr(guardExpr.map(_._2).getOrElse("true")).as("ndv_within_envelope"))
     guarded
       .select(explode(array(colNames.zipWithIndex.map { case (c, i) =>
-        struct(lit(c).as("col_name"), col("n").as("n_rows"),
-          (col("n") - col(s"nn_$i")).as("n_nulls"),
-          col(s"nd_$i").as("n_distinct"),
-          col(s"mn_$i").as("min_str"), col(s"mx_$i").as("max_str"))
+        struct(Seq(lit(c).as("col_name"), col("n").as("n_rows"),
+          (col("n") - col(s"nn_$i")).as("n_nulls")) ++
+          extraCols(i) ++
+          Seq(col(s"mn_$i").as("min_str"), col(s"mx_$i").as("max_str")): _*)
       }: _*)).as("p"))
       .select("p.*")
       .orderBy("col_name")
+  }
+
+  val tableProfileApproxSql: String = {
+    val cols = Seq("o_orderkey" -> false, "o_custkey" -> false,
+      "o_orderstatus" -> false, "o_totalprice" -> true,
+      "o_orderdate" -> false, "o_orderpriority" -> false)
+    cols.map { case (c, isDouble) =>
+      val mn = if (isDouble) s"CAST(CAST(MIN($c) AS DECIMAL(18,2)) AS VARCHAR)"
+               else s"CAST(MIN($c) AS VARCHAR)"
+      val mx = if (isDouble) s"CAST(CAST(MAX($c) AS DECIMAL(18,2)) AS VARCHAR)"
+               else s"CAST(MAX($c) AS VARCHAR)"
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT($c) AS n_nulls,
+         |  TRUE AS ndv_within_envelope,
+         |  $mn AS min_str, $mx AS max_str FROM orders""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
   }
 
   /** The profile pipeline over any DataFrame — TableProfileSpec drives it
@@ -490,7 +546,7 @@ object OlapQueries {
   }
 
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
-    "table_profile" -> ((tableProfile _, null)),
+    "table_profile" -> ((tableProfile _, tableProfileApproxSql)),
     "table_profile_exact" -> ((tableProfileExact _, tableProfileSql)),
     "topk_custom_agg" -> ((topkCustomAgg _, topkCustomAggSql)),
     "grouping_sets" -> ((groupingSetsAgg _, groupingSetsAggSql)),
@@ -499,7 +555,7 @@ object OlapQueries {
     "pivot_agg" -> ((pivotAgg _, pivotAggSql)),
     "unpivot_metrics" -> ((unpivotMetrics _, unpivotMetricsSql)),
     "percentiles" -> ((percentiles _, percentilesSql)),
-    "percentiles_approx" -> ((percentilesApprox _, null)),
+    "percentiles_approx" -> ((percentilesApprox _, percentilesApproxSql)),
     "asof_join" -> ((asofJoin _, asofJoinSql)),
     "cube_agg" -> ((cubeAgg _, cubeAggSql)),
     "stats_agg" -> ((statsAgg _, statsAggSql)),

@@ -43,18 +43,15 @@ class RegistryPlanSpec extends SparkSpec {
     assert(empty.isEmpty, s"EMPTY-STRING oracle SQL (use null for rows-only): $empty")
   }
 
-  test("only the pinned self-validating queries lack an oracle") {
-    // a NULL oracle is sanctioned ONLY for engine-specific sketch ops
-    // with an assert_true ride-along. Anything else null here is a bug —
-    // e.g. a val-initialization-order accident interpolating null into
-    // an oracle string (split_leakage_safe hit exactly that in r7; a
-    // strict val above its CTE dependency captured null silently)
-    val pinned = Set("percentiles_approx", "table_profile",
-      "events_approx_users", "events_sketch_weekly",
-      "events_quantile_weekly", "dedup_bloom")
+  test("every registered query carries an oracle (no rows-only gates left)") {
+    // since r8 the six sketch queries register their deterministic
+    // ENVELOPE forms (exact ride-alongs + the asserted within-envelope
+    // boolean; raw estimates live in unregistered *Raw variants), so a
+    // NULL oracle is no longer sanctioned for anything — null here means
+    // a val-initialization-order accident interpolating null into an
+    // oracle string (split_leakage_safe hit exactly that in r7)
     val actual = graft.queries.Registry.rawOracleEntries
       .collect { case (k, v) if v == null => k }.toSet
-    assert(actual == pinned,
-      s"oracle-less set drifted:\n  unexpected: ${actual -- pinned}\n  missing: ${pinned -- actual}")
+    assert(actual.isEmpty, s"queries registered without an oracle: $actual")
   }
 }

@@ -11,7 +11,7 @@ import graft.SparkSpec
 class BloomDedupSpec extends SparkSpec {
 
   test("dedup_bloom: no false negatives, bounded false positives") {
-    val rows = DedupQueries.dedupBloom(spark, "/root/testdata/sf0.001")
+    val rows = DedupQueries.dedupBloomRaw(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(3)))
     assert(rows.nonEmpty)
     // structural: every actual duplicate must be flagged (assert_true in

@@ -82,7 +82,7 @@ class QuantileSketchSpec extends SparkSpec {
 
   test("registered events_quantile_weekly passes its own rank-envelope assertions") {
     val rows = graft.ext.EventQueries
-      .eventsQuantileWeekly(spark, "/root/testdata/sf0.001").collect()
+      .eventsQuantileWeeklyRaw(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
     assert(rows.forall(r => !r.isNullAt(2) && !r.isNullAt(3)))
   }

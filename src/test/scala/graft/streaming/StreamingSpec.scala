@@ -338,7 +338,7 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2)))
         .sortBy(t => (t._1, t._2)).toSeq
       val batch = graft.ext.EventQueries
-        .eventsSketchWeekly(spark, "/root/testdata/sf0.001")
+        .eventsSketchWeeklyRaw(spark, "/root/testdata/sf0.001")
         .select(col("week"), col("event_type"), col("approx_users"))
         .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2)))
         .sortBy(t => (t._1, t._2)).toSeq
@@ -369,7 +369,7 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => ((r.getDate(0).toString, r.getString(1)),
           (r.getDouble(2), r.getDouble(3)))).toMap
       val batch = graft.ext.EventQueries
-        .eventsQuantileWeekly(spark, "/root/testdata/sf0.001")
+        .eventsQuantileWeeklyRaw(spark, "/root/testdata/sf0.001")
         .collect().map(r => ((r.getDate(0).toString, r.getString(1)),
           (r.getDouble(2), r.getDouble(3)))).toMap
       assert(streamed.nonEmpty && streamed.keySet == batch.keySet)
