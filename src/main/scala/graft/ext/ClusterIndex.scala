@@ -1,0 +1,162 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted near-dup CLUSTER ASSIGNMENTS — the [[DedupIndex]] pattern
+  * applied to [[DedupQueries.dedupClusters]]' output. The CC fixpoint is
+  * the most expensive dedup stage at corpus scale; before this artifact
+  * every consumer (`split_leakage_safe`, `corpus_curation`) re-ran the
+  * whole signature → LSH-candidate → label-propagation pipeline per
+  * invocation. Now it is computed ONCE and read many times, and new
+  * batches fold in INCREMENTALLY without rescanning the corpus text.
+  *
+  * Two parquet artifacts under `indexDir`:
+  *  - `bands`: (doc_id, band, bucket) LSH keys for every doc seen — what
+  *    a new batch joins against to find cross-batch candidates (4 rows ×
+  *    ~30 bytes per doc; production layouts bucket it by (band, bucket));
+  *  - `clusters`: (doc_id, cluster_id) for every doc with ≥1 candidate
+  *    edge, cluster_id = min doc_id of the connected component — exactly
+  *    [[DedupQueries.dedupClusters]]' contract, and ClusterIndexSpec plus
+  *    the oracle-gated `dedup_clusters_persisted` query pin the equality.
+  *
+  * `append` cost is proportional to the DELTA, not the corpus: the batch
+  * signature pipeline, one semi-join that narrows the persisted bands to
+  * buckets a new doc touches, pair generation inside those buckets, and a
+  * CC fixpoint over (delta pairs ∪ star edges of the touched clusters).
+  * Star edges (member → representative) preserve each touched cluster's
+  * connectivity in one hop, so merges that a bridging batch doc causes —
+  * including merges of two OLD clusters — relabel correctly, while every
+  * untouched cluster's rows are carried over without being read into the
+  * fixpoint. At 100 TB the recurring cost is the batch scan plus joins
+  * sized by the touched-bucket fringe.
+  *
+  * PRECISION CAVEAT (same as [[DedupIndex]]): the ≤64 bucket cap — the
+  * LSH skew guard — is evaluated against the bucket's CURRENT population.
+  * Batch-by-batch therefore equals one-shot exactly while buckets stay
+  * under the cap (true at test scale, ClusterIndexSpec pins it); a bucket
+  * that grows past 64 stops yielding new pairs (matching one-shot) but
+  * pairs it produced while small remain folded into earlier labels.
+  *
+  * Crash posture: like [[DedupIndex]], a DERIVED artifact (rebuildable
+  * from the corpus) maintained with plain overwrites; a deployment
+  * needing crash-safe maintenance commits generations through the
+  * [[graft.io.JsonTableIO]] manifest-pointer protocol.
+  */
+object ClusterIndex {
+
+  private def bandsPath(dir: String) = s"$dir/bands"
+  private def clustersPath(dir: String) = s"$dir/clusters"
+
+  /** One-shot build over raw (doc_id, text) documents. Returns the
+    * clustered row count.
+    */
+  def build(docs: DataFrame, indexDir: String): Long = {
+    val spark = docs.sparkSession
+    DedupQueries.bandedKeys(DedupQueries.sigsOf(docs))
+      .write.mode("overwrite").parquet(bandsPath(indexDir))
+    // clusters are derived from the PERSISTED bands (one column-pruned
+    // read-back), so the two artifacts cannot drift and the expensive
+    // signature pipeline runs exactly once
+    val labels = DedupQueries.ccLabels(
+      pairsFromBands(spark.read.parquet(bandsPath(indexDir))))
+    labels.write.mode("overwrite").parquet(clustersPath(indexDir))
+    graft.SparkUtil.release(labels)
+    spark.read.parquet(clustersPath(indexDir)).count()
+  }
+
+  /** The persisted assignments: (doc_id, cluster_id). */
+  def load(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(clustersPath(indexDir))
+
+  /** Fold a new batch of raw (doc_id, text) documents into the index.
+    * Unlike [[DedupIndex]]'s greedy first-wins rule, min-label CC is
+    * ingest-order-INDEPENDENT: batches may arrive in any doc_id order
+    * and (cap caveat aside) the merged assignment equals the one-shot.
+    * Returns the clustered row count after the merge.
+    */
+  def append(batch: DataFrame, indexDir: String): Long = {
+    val spark = batch.sparkSession
+    // narrow checkpoint: the batch bands feed three consumers (touched-
+    // bucket keys, candidate union, the persisted append) — without it
+    // the md5-per-shingle pipeline re-runs per consumer
+    val newBands = DedupQueries.bandedKeys(DedupQueries.sigsOf(batch))
+      .localCheckpoint(false)
+    val oldBands = spark.read.parquet(bandsPath(indexDir))
+    // only buckets a new doc touches can yield a NEW pair; everything
+    // else in the persisted bands is skipped by the semi-join (at scale
+    // this is the index pruned to the batch's fringe, not a corpus scan)
+    val touched = newBands.select("band", "bucket").distinct()
+    val delta = pairsFromBands(
+        oldBands.unionByName(newBands).join(touched, Seq("band", "bucket"), "left_semi"))
+      .localCheckpoint(false)
+    val oldClusters = spark.read.parquet(clustersPath(indexDir))
+    // clusters with ≥1 member in a delta pair must re-enter the fixpoint
+    // (a batch doc can bridge two of them); star edges member→rep carry
+    // their full membership in one hop
+    val deltaNodes = delta.select(col("doc_a").as("doc_id"))
+      .union(delta.select(col("doc_b"))).distinct()
+    val touchedCids = oldClusters.join(deltaNodes, Seq("doc_id"), "left_semi")
+      .select("cluster_id").distinct()
+    val starEdges = oldClusters.join(touchedCids, Seq("cluster_id"), "left_semi")
+      .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+    val relabeled = DedupQueries.ccLabels(delta.unionByName(starEdges))
+    val untouched = oldClusters.join(touchedCids, Seq("cluster_id"), "left_anti")
+    // eager checkpoint BEFORE the overwrite: `merged` reads the clusters
+    // parquet it is about to replace, so the plan must be materialized to
+    // blocks first (a lazy plan would read a half-overwritten file).
+    // Canonical (doc_id, cluster_id) order: the key-join put cluster_id
+    // first on the untouched side, and the parquet layout must not drift
+    // across appends
+    val merged = untouched.unionByName(relabeled)
+      .select("doc_id", "cluster_id").localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(clustersPath(indexDir))
+    newBands.write.mode("append").parquet(bandsPath(indexDir))
+    graft.SparkUtil.release(newBands)
+    graft.SparkUtil.release(delta)
+    graft.SparkUtil.release(merged)
+    spark.read.parquet(clustersPath(indexDir)).count()
+  }
+
+  /** Candidate pairs from a (doc_id, band, bucket) frame: one
+    * (band, bucket) shuffle, pairs generated inside the bucket exactly
+    * as [[DedupQueries.minhashPairsCore]] (same ≤64 skew cap, i &lt; j
+    * combinations so doc_a &lt; doc_b), minus the est_jaccard column the
+    * CC consumer never reads.
+    */
+  private def pairsFromBands(bands: DataFrame): DataFrame = bands
+    .groupBy("band", "bucket")
+    .agg(expr("array_sort(collect_list(doc_id))").as("ds"))
+    .filter(size(col("ds")).between(2, 64))
+    .select(explode(expr(
+      """flatten(transform(ds, (a, i) ->
+           transform(slice(ds, i + 2, size(ds)), b ->
+             named_struct('doc_a', a, 'doc_b', b))))""")).as("p"))
+    .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+
+  /** Compute-once-read-many entry point for the registered queries: the
+    * first consumer of a corpus dir in this JVM builds the index into a
+    * derived location (rebuilt per JVM — a code change can never read a
+    * stale on-disk index), every later consumer reads the parquet. This
+    * is what lets `split_leakage_safe` / `corpus_curation` /
+    * `dedup_clusters_persisted` share ONE CC fixpoint per session
+    * instead of each re-running it.
+    */
+  def forCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val key = new java.io.File(dir).getCanonicalPath
+    val loc = memo.computeIfAbsent(key, { k =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val d = s"${sys.props("java.io.tmpdir")}/graft-cluster-index-$jvmTag/$md"
+      build(graft.Tables(spark, dir, "documents").select("doc_id", "text"), d)
+      d
+    })
+    load(spark, loc)
+  }
+
+  // per-JVM namespace so a previous process's artifacts (possibly built
+  // by different code) are never read; computeIfAbsent serializes
+  // concurrent first-builds of the same corpus
+  private val jvmTag = java.lang.management.ManagementFactory.getRuntimeMXBean.getPid
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+}

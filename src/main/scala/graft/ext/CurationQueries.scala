@@ -31,7 +31,9 @@ object CurationQueries {
   def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
     val quality = Tables(spark, dir, "documents")
       .select(col("doc_id"), TextQueries.qualityScore.as("q"))
-    val clusters = DedupQueries.dedupClusters(spark, dir)
+    // read from the persisted cluster index (one CC fixpoint per
+    // session, shared with split_leakage_safe) — see [[ClusterIndex]]
+    val clusters = ClusterIndex.forCorpus(spark, dir)
     quality
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"), col("q").as("quality_score"),

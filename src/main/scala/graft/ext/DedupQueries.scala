@@ -75,21 +75,39 @@ object DedupQueries {
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     minhashPairsCore(spark, dir).orderBy("doc_a", "doc_b")
 
+  /** The MinHash signature pipeline over raw (doc_id, text) rows —
+    * shared by [[minhashPairsCore]] and [[ClusterIndex]] so the
+    * persisted band artifact and the from-scratch pair generation are
+    * the same signatures by construction. Repartitions BEFORE the
+    * signature stage: the parquet scan is 1–2 partitions and the
+    * md5-per-shingle projection is the hot loop.
+    */
+  private[ext] def sigsOf(raw: DataFrame): DataFrame = raw
+    .repartition(col("doc_id"))
+    .withColumn("words", split(col("text"), " "))
+    .filter(size(col("words")) >= 3)
+    .withColumn("hs", expr(
+      """transform(sequence(1, size(words) - 2),
+           i -> cast(conv(substring(md5(concat_ws(' ', slice(words, i, 3))), 1, 15), 16, 10) AS bigint) % 2147483647)"""))
+    .withColumn("sig", expr(s"array(${(0 until K).map(sigExpr).mkString(", ")})"))
+    .select("doc_id", "sig")
+
+  /** (doc_id, band, bucket) LSH keys of a signature frame — the row
+    * layout [[ClusterIndex]] persists (4 rows/doc, two longs rendered
+    * into the bucket string). Same band/bucket construction as the
+    * inline explode in [[minhashPairsCore]].
+    */
+  private[ext] def bandedKeys(sigs: DataFrame): DataFrame = sigs
+    .select(col("doc_id"),
+      explode(expr(s"transform(sequence(0, ${K / 2 - 1}), " +
+        "b -> struct(b AS band, concat(cast(sig[b*2] AS string), '|', cast(sig[b*2+1] AS string)) AS bucket))")).as("bb"))
+    .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
   /** The distinct candidate pairs without the presentation sort —
     * [[dedupClusters]] consumes these as graph edges.
     */
   private def minhashPairsCore(spark: SparkSession, dir: String): DataFrame = {
-    // repartition BEFORE the signature stage: the parquet scan is 1–2
-    // partitions and the md5-per-shingle projection is the hot loop
-    val docs = Tables(spark, dir, "documents")
-      .repartition(col("doc_id"))
-      .withColumn("words", split(col("text"), " "))
-      .filter(size(col("words")) >= 3)
-      .withColumn("hs", expr(
-        """transform(sequence(1, size(words) - 2),
-             i -> cast(conv(substring(md5(concat_ws(' ', slice(words, i, 3))), 1, 15), 16, 10) AS bigint) % 2147483647)"""))
-      .withColumn("sig", expr(s"array(${(0 until K).map(sigExpr).mkString(", ")})"))
-      .select("doc_id", "sig")
+    val docs = sigsOf(Tables(spark, dir, "documents"))
     // ONE groupBy(band, bucket) shuffle gathers each bucket's members and
     // the pairs are generated inside the bucket — no self-join, so the
     // expensive md5-per-shingle signature pipeline above is computed
@@ -178,7 +196,18 @@ object DedupQueries {
     * table). Checkpointing makes each round's plan a leaf; previous
     * rounds' blocks are released immediately via [[graft.SparkUtil]].
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    ccLabels(minhashPairsCore(spark, dir).select("doc_a", "doc_b"))
+      .orderBy("doc_id")
+
+  /** The label-propagation loop alone, over any (doc_a, doc_b) edge
+    * frame — shared by [[dedupClusters]] (edges = the full LSH candidate
+    * pairs) and [[ClusterIndex.append]] (edges = the delta pairs plus
+    * the touched clusters' star edges), so incremental maintenance runs
+    * the SAME fixpoint as the oracle-gated from-scratch form. Returns
+    * (doc_id, cluster_id) unsorted; docs with no edge are absent.
+    */
+  private[ext] def ccLabels(pairsIn: DataFrame): DataFrame = {
     // checkpoint the pairs BEFORE mirroring them: both union branches
     // below read the pair set, and an un-materialized subtree would run
     // the whole signature pipeline once per branch. The mirrored union
@@ -186,8 +215,7 @@ object DedupQueries {
     // of its own. Checkpoints are LAZY: the label-sum action below forces
     // pairs AND the initial labels in ONE job (an eager checkpoint would
     // be its own job — two jobs per round instead of one).
-    val pairs = minhashPairsCore(spark, dir).select("doc_a", "doc_b")
-      .localCheckpoint(false)
+    val pairs = pairsIn.localCheckpoint(false)
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
@@ -231,7 +259,6 @@ object DedupQueries {
     }
     graft.SparkUtil.release(pairs)
     labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"))
-      .orderBy("doc_id")
   }
 
   /** Leakage-safe train/valid/test split: fold assignment keyed by the
@@ -246,7 +273,11 @@ object DedupQueries {
     */
   def splitLeakageSafe(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents").select("doc_id")
-    val reps = dedupClusters(spark, dir)
+    // assignments come from the PERSISTED index (one CC fixpoint per
+    // session, shared with corpus_curation), not an inline recompute —
+    // at 100 TB the fixpoint is the most expensive dedup stage and fold
+    // assignment must not pay it again
+    val reps = ClusterIndex.forCorpus(spark, dir)
     docs.join(reps, Seq("doc_id"), "left")
       .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("bucket", expr(
@@ -915,8 +946,35 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** The persisted [[ClusterIndex]] assignments under the driver gate:
+    * same oracle as `dedup_clusters`, so a green row proves
+    * build → parquet → load == the from-scratch fixpoint.
+    */
+  def dedupClustersPersisted(spark: SparkSession, dir: String): DataFrame =
+    ClusterIndex.forCorpus(spark, dir).orderBy("doc_id")
+
+  /** Incremental maintenance under the driver gate: build the index on
+    * two-thirds of the corpus, [[ClusterIndex.append]] the rest, and
+    * return the merged assignments — against the ONE-SHOT oracle. A
+    * green row proves batch-by-batch == from-scratch on real data
+    * (including old-cluster merges a bridging batch doc causes); the
+    * mod-3 split deliberately interleaves doc_ids to exercise the
+    * order-independence of min-label CC. Builds into a fresh throwaway
+    * dir per invocation: the shared [[ClusterIndex.forCorpus]] location
+    * must never hold a partial index.
+    */
+  def dedupClustersIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-cidx-").toString
+    ClusterIndex.build(docs.filter(col("doc_id") % 3 < 2), idxDir)
+    ClusterIndex.append(docs.filter(col("doc_id") % 3 === 2), idxDir)
+    ClusterIndex.load(spark, idxDir).orderBy("doc_id")
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "dedup_bloom" -> ((dedupBloom _, dedupBloomSql)),
+    "dedup_clusters_persisted" -> ((dedupClustersPersisted _, dedupClustersSql)),
+    "dedup_clusters_incremental" -> ((dedupClustersIncremental _, dedupClustersSql)),
     "dedup_exact" -> ((dedupExact _, dedupExactSql)),
     "minhash_pairs" -> ((minhashPairs _, minhashPairsSql)),
     "dedup_clusters" -> ((dedupClusters _, dedupClustersSql)),

@@ -9,14 +9,16 @@ import graft.Tables
   * opaque `binary` column with typed metadata, and run decode /
   * feature-extract as a partition-batched pipeline.
   *
-  * The Spark-side plumbing is REAL and tested — schema
-  * (`binary` + `struct` metadata), Dataset encoders, `mapPartitions`
-  * batching, feature-vector schema — while the actual media decode is a
-  * STUB: this container has no image/audio codecs, so `decodeStub`
-  * computes a deterministic byte-histogram "embedding" standing in for a
-  * model forward pass. Swap `decodeStub` for a real decoder (JNI codec or
-  * a Python worker via mapInPandas on PySpark) without touching the
-  * dataflow.
+  * Decode is REAL for images: payloads that are genuine PNG/JPEG/GIF/BMP
+  * bytes go through JDK `javax.imageio` (no external dependency) — a
+  * true raster decode, 16-bin luminance histogram features, and a
+  * deterministic nearest-neighbour resize re-encoded as PNG. Non-image
+  * payloads (this repo's testdata media table carries UTF-8 text bytes)
+  * fall back to the byte-level stand-ins (`decodeStub` histogram, byte
+  * subsample), which keeps the oracle-gated queries exactly replayable
+  * in DuckDB while MultimodalSpec drives real PNGs through the same
+  * entry points end-to-end. An audio/video model embedding would slot in
+  * at the same `mapPartitions` boundary.
   *
   * Scale notes: media bytes never shuffle — the pipeline is scan →
   * narrow mapPartitions → write. Partition sizing comes from
@@ -44,10 +46,42 @@ object Multimodal {
           lit(1).as("height")).as("meta"))
   }
 
-  /** STUB decoder: 16-bucket byte histogram, normalized. Deterministic
-    * stand-in for image decode + feature extraction. Batch shape: one
-    * partition iterator in, one out — exactly where a real implementation
-    * would batch rows into a model.
+  /** Try a REAL raster decode through the JDK's ImageIO registry (PNG,
+    * JPEG, GIF, BMP readers ship with every JVM). Returns None for
+    * payloads no registered reader recognises — `ImageIO.read` sniffs
+    * magic bytes, so text payloads land here cheaply — or whose decode
+    * throws (truncated file).
+    */
+  private[ext] def decodeImage(data: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data)))
+    catch { case _: Exception => None }
+
+  /** 16-bin normalized LUMINANCE histogram of a decoded raster — the
+    * image-side analogue of the byte histogram (Rec. 601 luma weights).
+    */
+  private[ext] def lumHistogram(img: java.awt.image.BufferedImage): Array[Double] = {
+    val hist = new Array[Double](16)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        hist(math.min(15, lum.toInt >> 4)) += 1.0
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    if (n > 0) { var j = 0; while (j < 16) { hist(j) /= n; j += 1 } }
+    hist
+  }
+
+  /** Byte-histogram fallback for non-image payloads: 16 buckets,
+    * normalized — deterministic, and exactly replayable by the DuckDB
+    * oracle as regex char-class counts over the text.
     */
   private[ext] def decodeStub(data: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](16)
@@ -57,6 +91,12 @@ object Multimodal {
     hist
   }
 
+  /** Per-payload features: a real raster decode when the bytes are an
+    * image, the byte histogram otherwise.
+    */
+  private[ext] def decode(data: Array[Byte]): Array[Double] =
+    decodeImage(data).map(lumHistogram).getOrElse(decodeStub(data))
+
   /** Feature extraction over the media table via partition-batched map. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -65,15 +105,80 @@ object Multimodal {
         col("meta.height").as("height"))
       .as[MediaRow]
       .mapPartitions { rows =>
-        // real impl: batch rows, hand the batch to a decoder/model here
-        rows.map(r => MediaFeatures(r.doc_id, r.data.length, decodeStub(r.data)))
+        // a model-embedding impl would gather rows into batches here;
+        // ImageIO decodes row-at-a-time
+        rows.map(r => MediaFeatures(r.doc_id, r.data.length, decode(r.data)))
       }
   }
 
-  /** STUB resize: deterministic byte subsampling to `targetW` columns —
-    * stands in for an image resize kernel; the Spark-side contract
-    * (binary in, binary out, metadata updated in the same projection) is
-    * the real thing.
+  /** Image-aware resize at the partition-batch boundary: genuine image
+    * payloads get a REAL nearest-neighbour raster resize (explicit
+    * `src = x·w/W` floor arithmetic — no Graphics2D filtering, so the
+    * output raster is bit-deterministic across runs) re-encoded as PNG
+    * with metadata from the DECODED dimensions; non-image payloads take
+    * the character-subsample fallback, character-for-character the same
+    * arithmetic as the codegen'd [[resize]] expression (MultimodalSpec
+    * pins both equalities). Payloads already at or under `targetW` pass
+    * through untouched.
+    */
+  def resizeMedia(spark: SparkSession, media: DataFrame, targetW: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("data"),
+        col("meta.format").as("format"), col("meta.width").as("width"),
+        col("meta.height").as("height"))
+      .as[MediaRow]
+      .mapPartitions(_.map { r =>
+        decodeImage(r.data) match {
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            if (w <= targetW) MediaRow(r.doc_id, r.data, r.format, w, h)
+            else {
+              val tw = targetW
+              val th = math.max(1, (h.toLong * targetW / w).toInt)
+              val out = new java.awt.image.BufferedImage(
+                tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < th) {
+                var x = 0
+                while (x < tw) {
+                  out.setRGB(x, y, img.getRGB(
+                    (x.toLong * w / tw).toInt, (y.toLong * h / th).toInt))
+                  x += 1
+                }
+                y += 1
+              }
+              val buf = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", buf)
+              MediaRow(r.doc_id, buf.toByteArray, "png", tw, th)
+            }
+          case None =>
+            // CHARACTER subsample on the decoded string (not bytes): the
+            // expression path substrings `cast(data AS string)`, and the
+            // two must agree on any UTF-8 payload, not just ASCII
+            if (r.width <= targetW) r
+            else {
+              val s = new String(r.data, java.nio.charset.StandardCharsets.UTF_8)
+              // out-of-range indexes contribute nothing, exactly like the
+              // expression path's substring (metadata wider than the
+              // payload must not throw)
+              val sub = (0 until targetW).flatMap { i =>
+                val idx = (i.toLong * r.width / targetW).toInt
+                if (idx < s.length) Some(s.charAt(idx)) else None
+              }.mkString
+              MediaRow(r.doc_id,
+                sub.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                r.format, targetW, r.height)
+            }
+        }
+      })
+      .select(col("doc_id"), col("data"),
+        struct(col("format"), col("width"), col("height")).as("meta"))
+  }
+
+  /** Codegen'd byte/character subsample to `targetW` columns — the
+    * whole-stage-codegen fast path for NON-image payloads (text, token
+    * streams); [[resizeMedia]] is the image-aware form and falls back to
+    * exactly this arithmetic.
     */
   def resize(media: DataFrame, targetW: Int): DataFrame = {
     val w = col("meta.width")
@@ -127,7 +232,10 @@ object Multimodal {
     * DuckDB's rounds — the one semantic seam in the index arithmetic.
     */
   def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
-    resize(mediaTable(spark, dir), 32)
+    // routed through the image-AWARE path so the driver gate exercises
+    // the production entry point; on this table every payload takes the
+    // character-subsample fallback, which the oracle replays exactly
+    resizeMedia(spark, mediaTable(spark, dir), 32)
       .select(col("doc_id"),
         col("meta.width").cast("long").as("width"),
         md5(col("data")).as("data_fp"))

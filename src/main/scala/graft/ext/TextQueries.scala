@@ -536,6 +536,54 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** The TRAINED-weights form of [[qualityClassifier]] — what a real
+    * pipeline runs: the weight table is a float array loaded from a
+    * model artifact, shipped to executors once, and inference is the
+    * same zero-shuffle projection (token → hash bucket → weight,
+    * document logit = mean). Weights enter the plan as an array literal
+    * — exact up to the ~64k-element crossover documented in
+    * [[SimilarityQueries]], past which a production table (fastText's
+    * default is 2M buckets) switches to a broadcast-variable expression
+    * like [[graft.functions.CentroidTopK]]. Sum order is the token
+    * order of the document (sequential `aggregate` fold), so the result
+    * is run- and partitioning-independent.
+    *
+    * QualityWeightsSpec pins: given the md5-derived weight table, this
+    * path reproduces the oracle-gated hashed query EXACTLY (the weights
+    * are integer millis, exact in doubles), and weights survive a
+    * file round-trip through [[loadWeights]].
+    */
+  def qualityClassifierWeighted(docs: DataFrame, weights: Array[Double]): DataFrame = {
+    val B = weights.length
+    require(B > 0, "empty weight table")
+    docs
+      .withColumn("wt", array(weights.map(lit(_)): _*))
+      .withColumn("words", expr("filter(split(lower(text), ' +'), w -> w != '')"))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("logit_sum", expr(
+        s"""aggregate(transform(words, w ->
+           |  wt[cast(cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint) % $B AS int)]),
+           |  0D, (acc, x) -> acc + x)""".stripMargin))
+      .select(col("doc_id"), col("n_words"), col("logit_sum"),
+        round(col("logit_sum") / col("n_words"), 6).as("logit"),
+        (col("logit_sum") > 0).as("keep"))
+  }
+
+  /** Load a weight table from a model artifact: one float per line,
+    * read through the Hadoop FileSystem API (object-store portable,
+    * same posture as [[DedupIndex.loadBloom]]). The table is driver-side
+    * metadata — B floats, KBs to MBs — never row data.
+    */
+  def loadWeights(spark: SparkSession, path: String): Array[Double] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map(_.toDouble).toArray
+    finally in.close()
+  }
+
   val qualityClassifierSql: String = {
     val B = 4096
     s"""WITH d AS (

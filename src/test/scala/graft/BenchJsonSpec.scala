@@ -32,6 +32,18 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(json.contains(""""runs":3"""))
   }
 
+  test("total is the LAST key — survives the driver's tail-only capture") {
+    // the round artifact keeps ~2000 trailing chars of stdout; with 100+
+    // queries a leading total is truncated away (this lost the r7 total)
+    val json = Bench.renderJson(
+      (1 to 150).map(i => (f"q$i%03d", 1.0, None)), "/sf", runs = 3)
+    val tail = json.takeRight(120)
+    assert(tail.contains("\"metric\":\"total\""))
+    assert(tail.contains("\"value\":150.0"))
+    assert(tail.contains("\"n_queries\":150"))
+    assert(json.endsWith("}"))
+  }
+
   test("rendered line is parseable JSON (driver ingests it verbatim)") {
     // minimal structural check without a JSON lib: balanced braces and the
     // escape rules keep quotes paired

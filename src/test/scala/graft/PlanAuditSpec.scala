@@ -63,8 +63,11 @@ class PlanAuditSpec extends SparkSpec {
     "tfidf_top_terms" -> 2, // same shape: tf stream + broadcast n_docs scalar
     "events_session" -> 1,
     "decontaminate" -> 2,  // corpus + broadcast eval shingles
-    "corpus_curation" -> 1, // minhash pair edges checkpoint to RDD leaves;
-                            // ONE relational docs scan feeds quality+dedup
+    "corpus_curation" -> 2, // ONE documents scan for the quality
+                            // projection + ONE parquet read of the
+                            // persisted ClusterIndex (r8: assignments no
+                            // longer recomputed inline — a 3rd scan here
+                            // means the CC pipeline crept back in)
     "semdedup" -> 1,       // ranked (cell,rank,v) projection persisted once;
                            // the pair join's both sides and the keep-flag
                            // join all read that cache; assignment is the
@@ -83,10 +86,14 @@ class PlanAuditSpec extends SparkSpec {
     "k_anonymity" -> 1,     // one hash-shuffle agg
     "skew_report" -> 1,     // counts scanned once; the two scalars are a
                             // broadcast side, not a re-scan
-    "dedup_incremental" -> 0 // the narrow (doc_id,is_old,fp,sig) checkpoint
+    "dedup_incremental" -> 0, // the narrow (doc_id,is_old,fp,sig) checkpoint
                              // is the ONLY source: all three consumers read
                              // the RDD leaf; any LogicalRelation here means
                              // the single-scan discipline regressed
+    "split_leakage_safe" -> 2, // documents keys + the persisted
+                               // ClusterIndex read; the CC fixpoint must
+                               // NOT be recomputed to assign folds
+    "dedup_clusters_persisted" -> 1 // a bare parquet read of the index
   )
 
   test("tuned queries keep their expected parquet scan counts") {

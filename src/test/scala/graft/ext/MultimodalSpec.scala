@@ -36,6 +36,82 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // ---- real-image path: genuine PNGs through the same entry points ----
+
+  private def png(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  test("decode recognises real PNG bytes and computes a luminance histogram") {
+    val black = Multimodal.decode(png(8, 8)((_, _) => 0x000000))
+    assert(black(0) == 1.0 && black.sum == 1.0)
+    val white = Multimodal.decode(png(8, 8)((_, _) => 0xffffff))
+    assert(white(15) == 1.0)
+    // half black half gray 0x88 (luma 136 → bucket 8; mid-bucket, so the
+    // Rec-601 float sum can't straddle a bucket edge)
+    val split = Multimodal.decode(png(8, 8)((x, _) => if (x < 4) 0x000000 else 0x888888))
+    assert(math.abs(split(0) - 0.5) < 1e-9 && math.abs(split(8) - 0.5) < 1e-9)
+    // and the SAME entry point still byte-histograms non-image payloads
+    val txt = "aaaa".getBytes("UTF-8")
+    assert(Multimodal.decode(txt).toSeq == Multimodal.decodeStub(txt).toSeq)
+  }
+
+  test("extractFeatures end-to-end over a mixed image/text media table") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, png(8, 8)((_, _) => 0x000000), "png", 8, 8),
+      (2L, "plain text payload here".getBytes("UTF-8"), "txt", 23, 1))
+      .toDF("doc_id", "data", "format", "width", "height")
+      .select(col("doc_id"), col("data"),
+        struct(col("format"), col("width"), col("height")).as("meta"))
+    val f = Multimodal.extractFeatures(spark, rows).orderBy("doc_id").collect()
+    assert(f(0).features(0) == 1.0)          // real decode: all-black image
+    assert(f(0).n_bytes > 16)                // PNG container, not raw text
+    assert(f(1).features.sum > 0.999)        // fallback histogram
+  }
+
+  test("resizeMedia really resizes a PNG: decoded dims, nearest-neighbour pixels") {
+    import spark.implicits._
+    // 64×32, left half red, right half blue — NN resize to 16 wide must
+    // keep the halves exactly (no filtering blur)
+    val src = png(64, 32)((x, _) => if (x < 32) 0xff0000 else 0x0000ff)
+    val media = Seq((1L, src, "png", 64, 32))
+      .toDF("doc_id", "data", "format", "width", "height")
+      .select(col("doc_id"), col("data"),
+        struct(col("format"), col("width"), col("height")).as("meta"))
+    val out = Multimodal.resizeMedia(spark, media, 16).collect()(0)
+    val meta = out.getStruct(out.fieldIndex("meta"))
+    assert(meta.getInt(1) == 16 && meta.getInt(2) == 8) // w, h (aspect kept)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.getAs[Array[Byte]]("data")))
+    assert(img.getWidth == 16 && img.getHeight == 8)
+    assert((img.getRGB(3, 4) & 0xffffff) == 0xff0000)
+    assert((img.getRGB(12, 4) & 0xffffff) == 0x0000ff)
+    // already-narrow images pass through byte-identical
+    val small = png(8, 8)((_, _) => 0x00ff00)
+    val media2 = Seq((2L, small, "png", 8, 8))
+      .toDF("doc_id", "data", "format", "width", "height")
+      .select(col("doc_id"), col("data"),
+        struct(col("format"), col("width"), col("height")).as("meta"))
+    val kept = Multimodal.resizeMedia(spark, media2, 16).collect()(0)
+    assert(kept.getAs[Array[Byte]]("data").toSeq == small.toSeq)
+  }
+
+  test("resizeMedia text fallback == the codegen resize expression") {
+    val viaExpr = Multimodal.resize(media, 16)
+      .select(col("doc_id"), md5(col("data")).as("fp"), col("meta.width").as("w"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val viaMap = Multimodal.resizeMedia(spark, media, 16)
+      .select(col("doc_id"), md5(col("data")).as("fp"), col("meta.width").as("w"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(viaExpr.toSeq == viaMap.toSeq)
+  }
+
   test("frame sampling keeps every stride-th record, no shuffle") {
     val s = Multimodal.sampleFrames(media, 10)
     assert(s.count() == media.filter(pmod(col("doc_id"), lit(10)) === 0).count())
