@@ -985,6 +985,10 @@ object DedupQueries {
     "embed_dup_pairs" -> ((embedDupPairs _, embedDupPairsSql)),
     "semdedup" -> ((semDedup _, semDedupSql)),
     "dedup_incremental" -> ((dedupIncremental _, dedupIncrementalSql)),
+    // the streaming ingest pipeline replayed against the SAME oracle —
+    // survivors of the committed artifact must equal the one-shot form
+    "stream_dedup_ingest" ->
+      ((graft.streaming.StreamingOps.streamDedupReplay _, dedupIncrementalSql)),
     "split_leakage_safe" -> ((splitLeakageSafe _, splitLeakageSafeSql))
   )
 }

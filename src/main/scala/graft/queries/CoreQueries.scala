@@ -539,6 +539,44 @@ object CoreQueries {
       |    WHERE NOT EXISTS (SELECT 1 FROM reg_p p WHERE p.r_regionkey = s.r_regionkey)
       |) ORDER BY table_name""".stripMargin
 
+  /** The deletion dual of [[closureExtract]] under the driver gate:
+    * right-to-be-forgotten cone key counts for a seed customer set.
+    * [[graft.closure.ForgetCascade]] follows ONLY reverse-key edges
+    * (customer → orders/events → lineitem), never forward FKs — the
+    * shared dimensions (nation, part, supplier, region) must NOT appear
+    * in the cone, and the oracle's fixed four-table shape pins exactly
+    * that. Counts are DISTINCT pk tuples (what a delete statement would
+    * target; the synthetic lineitem has duplicate pk pairs, so this is
+    * NOT the row count).
+    */
+  def forgetCone(spark: SparkSession, dir: String): DataFrame = {
+    val cone = graft.closure.ForgetCascade.cascade(
+      spark, graft.meta.Catalog.tpch, t => Tables(spark, dir, t),
+      "customer", Tables(spark, dir, "customer").filter(col("c_custkey") <= 5))
+    cone.toSeq.sortBy(_._1)
+      .map { case (t, keys) =>
+        keys.agg(count(lit(1)).as("n_keys"))
+          .select(lit(t).as("table_name"), col("n_keys"))
+      }
+      .reduce(_.unionByName(_))
+      .orderBy("table_name")
+  }
+
+  val forgetConeSql: String =
+    """WITH seed AS (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey <= 5),
+      |ords AS (SELECT DISTINCT o_orderkey FROM orders
+      |  WHERE o_custkey IN (SELECT c_custkey FROM seed)),
+      |evts AS (SELECT DISTINCT event_id FROM events
+      |  WHERE user_id IN (SELECT c_custkey FROM seed)),
+      |li AS (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+      |  WHERE l_orderkey IN (SELECT o_orderkey FROM ords))
+      |SELECT table_name, n_keys FROM (
+      |  SELECT 'customer' AS table_name, COUNT(*) AS n_keys FROM seed UNION ALL
+      |  SELECT 'orders', COUNT(*) FROM ords UNION ALL
+      |  SELECT 'events', COUNT(*) FROM evts UNION ALL
+      |  SELECT 'lineitem', COUNT(*) FROM li
+      |) WHERE n_keys > 0 ORDER BY table_name""".stripMargin
+
   /** String-function breadth (§2.8): regexp, padding, trim, split. */
   def stringFuncs(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir, "customer").filter(col("c_custkey") <= 100)
@@ -751,6 +789,7 @@ object CoreQueries {
     "scalar_funcs" -> ((scalarFuncs _, scalarFuncsSql)),
     "dedup_first_event" -> ((dedupFirstEvent _, dedupFirstEventSql)),
     "closure_extract" -> ((closureExtract _, closureExtractSql)),
+    "forget_cone" -> ((forgetCone _, forgetConeSql)),
     "closure_delta" -> ((closureDelta _, closureDeltaSql))
   )
 }

@@ -395,6 +395,52 @@ object StreamingOps {
       }
       .start()
 
+  /** [[dedupIngestStream]] UNDER THE DRIVER GATE: replay the corpus's
+    * "new" docs (`doc_id % 5 >= 3`, the oracle-gated `dedup_incremental`
+    * split) through the real streaming pipeline — a genuine file-source
+    * `readStream`, one parquet file per micro-batch — against an index
+    * built on the "old" docs, then return the COMMITTED survivor
+    * artifact. The DuckDB oracle is `dedup_incremental`'s: a green row
+    * proves the streamed, per-batch, index-backed path lands on exactly
+    * the one-shot batch answer (the StreamingSpec streamed==batch pin,
+    * promoted from spec-only to the hard correctness signal).
+    *
+    * Batch order is data-defined, not scheduler-defined: the greedy
+    * first-wins rule needs doc_id-ordered batches, so the two batch
+    * files get explicit ascending modification times and the source
+    * reads `maxFilesPerTrigger=1` (FileStreamSource orders by mtime).
+    * All row data stays distributed — the driver only moves file paths.
+    */
+  def streamDedupReplay(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir, "documents").select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-ingest-")
+    val (idxDir, outDir, ckpt, inDir) =
+      (s"$tmp/index", s"$tmp/out", s"$tmp/ckpt", s"$tmp/in")
+    graft.ext.DedupIndex.build(docs.filter(col("doc_id") % 5 < 3), idxDir)
+    graft.ext.DedupIndex.writeBloom(spark, idxDir)
+    val newDocs = docs.filter(col("doc_id") % 5 >= 3)
+    // two id-ranged batch files (same split as DedupIndexSpec), mtimes
+    // 1s apart so the file source's batch order is pinned
+    val mid = newDocs.agg(expr("percentile(doc_id, 0.5)")).head().getDouble(0)
+    def writeBatch(b: DataFrame, name: String, mtime: Long): Unit = {
+      val staged = s"$tmp/stage-$name"
+      b.coalesce(1).write.parquet(staged)
+      val src = new java.io.File(staged).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$inDir/$name.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.move(src.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    writeBatch(newDocs.filter(col("doc_id") <= mid), "b1", 1000000L)
+    writeBatch(newDocs.filter(col("doc_id") > mid), "b2", 2000000L)
+    val stream = spark.readStream.schema(newDocs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = dedupIngestStream(stream, idxDir, outDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outDir).select("doc_id").orderBy("doc_id")
+  }
+
   /** Stream → JSON table artifact: the streaming form of the export sink
     * ([[graft.io.JsonTableIO.write]]), via Spark's native file sink —
     * its `_spark_metadata` commit log gives EXACTLY-once file visibility
