@@ -38,36 +38,48 @@ import org.apache.spark.sql.functions._
   * that grows past 64 stops yielding new pairs (matching one-shot) but
   * pairs it produced while small remain folded into earlier labels.
   *
-  * Crash posture: like [[DedupIndex]], a DERIVED artifact (rebuildable
-  * from the corpus) maintained with plain overwrites; a deployment
-  * needing crash-safe maintenance commits generations through the
-  * [[graft.io.JsonTableIO]] manifest-pointer protocol.
+  * Maintenance is CRASH-SAFE via [[graft.io.SegmentLog]]: band batches
+  * are immutable `seg-<n>` dirs, the assignments table a versioned
+  * `clusters-g<n>` rewrite, and — crucially — an append's TWO updates
+  * (new band segment + rewritten assignments) flip in ONE atomic
+  * manifest commit, so a reader can never pair new bands with old
+  * clusters or vice versa. A crash mid-stage leaves the previous state
+  * fully live plus orphan dirs the post-commit cleanup sweeps.
   */
 object ClusterIndex {
 
-  private def bandsPath(dir: String) = s"$dir/bands"
-  private def clustersPath(dir: String) = s"$dir/clusters"
+  import graft.io.SegmentLog
+
+  private def state(indexDir: String): SegmentLog.State =
+    SegmentLog.read(indexDir).getOrElse(
+      sys.error(s"no cluster index committed at $indexDir"))
 
   /** One-shot build over raw (doc_id, text) documents. Returns the
     * clustered row count.
     */
   def build(docs: DataFrame, indexDir: String): Long = {
     val spark = docs.sparkSession
+    val gen = SegmentLog.nextGen(SegmentLog.read(indexDir))
+    val seg = SegmentLog.segName(gen)
+    val cl = SegmentLog.extraName("clusters", gen)
     DedupQueries.bandedKeys(DedupQueries.sigsOf(docs))
-      .write.mode("overwrite").parquet(bandsPath(indexDir))
-    // clusters are derived from the PERSISTED bands (one column-pruned
+      .write.mode("overwrite").parquet(s"$indexDir/$seg")
+    // clusters are derived from the STAGED bands (one column-pruned
     // read-back), so the two artifacts cannot drift and the expensive
     // signature pipeline runs exactly once
     val labels = DedupQueries.ccLabels(
-      pairsFromBands(spark.read.parquet(bandsPath(indexDir))))
-    labels.write.mode("overwrite").parquet(clustersPath(indexDir))
+      pairsFromBands(spark.read.parquet(s"$indexDir/$seg")))
+    labels.write.mode("overwrite").parquet(s"$indexDir/$cl")
     graft.SparkUtil.release(labels)
-    spark.read.parquet(clustersPath(indexDir)).count()
+    SegmentLog.commit(indexDir,
+      SegmentLog.State(gen, Seq(seg), Map("clusters" -> cl)))
+    SegmentLog.cleanup(indexDir)
+    spark.read.parquet(s"$indexDir/$cl").count()
   }
 
-  /** The persisted assignments: (doc_id, cluster_id). */
+  /** The committed assignments: (doc_id, cluster_id). */
   def load(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(clustersPath(indexDir))
+    spark.read.parquet(state(indexDir).extraPath(indexDir, "clusters"))
 
   /** Fold a new batch of raw (doc_id, text) documents into the index.
     * Unlike [[DedupIndex]]'s greedy first-wins rule, min-label CC is
@@ -77,12 +89,16 @@ object ClusterIndex {
     */
   def append(batch: DataFrame, indexDir: String): Long = {
     val spark = batch.sparkSession
+    val st = state(indexDir)
+    val gen = SegmentLog.nextGen(Some(st))
+    val seg = SegmentLog.segName(gen)
+    val cl = SegmentLog.extraName("clusters", gen)
     // narrow checkpoint: the batch bands feed three consumers (touched-
-    // bucket keys, candidate union, the persisted append) — without it
-    // the md5-per-shingle pipeline re-runs per consumer
+    // bucket keys, candidate union, the staged segment write) — without
+    // it the md5-per-shingle pipeline re-runs per consumer
     val newBands = DedupQueries.bandedKeys(DedupQueries.sigsOf(batch))
       .localCheckpoint(false)
-    val oldBands = spark.read.parquet(bandsPath(indexDir))
+    val oldBands = spark.read.parquet(st.segmentPaths(indexDir): _*)
     // only buckets a new doc touches can yield a NEW pair; everything
     // else in the persisted bands is skipped by the semi-join (at scale
     // this is the index pruned to the batch's fringe, not a corpus scan)
@@ -90,7 +106,7 @@ object ClusterIndex {
     val delta = pairsFromBands(
         oldBands.unionByName(newBands).join(touched, Seq("band", "bucket"), "left_semi"))
       .localCheckpoint(false)
-    val oldClusters = spark.read.parquet(clustersPath(indexDir))
+    val oldClusters = spark.read.parquet(st.extraPath(indexDir, "clusters"))
     // clusters with ≥1 member in a delta pair must re-enter the fixpoint
     // (a batch doc can bridge two of them); star edges member→rep carry
     // their full membership in one hop
@@ -102,20 +118,22 @@ object ClusterIndex {
       .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
     val relabeled = DedupQueries.ccLabels(delta.unionByName(starEdges))
     val untouched = oldClusters.join(touchedCids, Seq("cluster_id"), "left_anti")
-    // eager checkpoint BEFORE the overwrite: `merged` reads the clusters
-    // parquet it is about to replace, so the plan must be materialized to
-    // blocks first (a lazy plan would read a half-overwritten file).
+    // the rewrite goes to a FRESH clusters-g<n> (the old generation it
+    // reads stays untouched until the commit below supersedes it — no
+    // read-under-overwrite hazard, no eager materialization needed).
     // Canonical (doc_id, cluster_id) order: the key-join put cluster_id
-    // first on the untouched side, and the parquet layout must not drift
-    // across appends
-    val merged = untouched.unionByName(relabeled)
-      .select("doc_id", "cluster_id").localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(clustersPath(indexDir))
-    newBands.write.mode("append").parquet(bandsPath(indexDir))
+    // first on the untouched side, and the parquet layout must not
+    // drift across appends
+    untouched.unionByName(relabeled).select("doc_id", "cluster_id")
+      .write.mode("overwrite").parquet(s"$indexDir/$cl")
+    newBands.write.mode("overwrite").parquet(s"$indexDir/$seg")
+    // ONE commit flips assignments + the new band segment together
+    SegmentLog.commit(indexDir,
+      SegmentLog.State(gen, st.segments :+ seg, Map("clusters" -> cl)))
+    SegmentLog.cleanup(indexDir)
     graft.SparkUtil.release(newBands)
     graft.SparkUtil.release(delta)
-    graft.SparkUtil.release(merged)
-    spark.read.parquet(clustersPath(indexDir)).count()
+    spark.read.parquet(s"$indexDir/$cl").count()
   }
 
   /** Candidate pairs from a (doc_id, band, bucket) frame: one

@@ -40,63 +40,101 @@ import org.apache.spark.sql.functions._
   * corpus text is never rescanned. The index carries ~50 bytes/doc
   * (hex fp + 8 longs): ~500 GB of parquet at 10B docs. Production
   * layouts bucket it by `fp` and keep a second copy bucketed by band
-  * bucket. `build`'s SaveMode.Overwrite is NOT an atomic commit: the
-  * index is a DERIVED artifact (rebuildable from the corpus), and a
-  * deployment that needs crash-safe maintenance would commit new
-  * generations via the same manifest-pointer protocol
-  * [[graft.io.JsonTableIO]] uses for data artifacts. Index doc_ids MUST
+  * bucket.
+  *
+  * Maintenance is CRASH-SAFE via [[graft.io.SegmentLog]]: each
+  * build/append stages an immutable `seg-<n>` parquet dir, each Bloom
+  * rebuild a versioned `bloom-g<n>` file, and visibility flips with one
+  * atomic manifest replace — a reader (or the next micro-batch of
+  * [[graft.streaming.StreamingOps.dedupIngestStream]]) never sees a
+  * half-written segment or a truncated sketch; a crash mid-stage leaves
+  * orphans that the post-commit cleanup sweeps. Index doc_ids MUST
   * precede batch doc_ids (ingest order) for the greedy first-wins rule
   * to be well-defined.
   */
 object DedupIndex {
 
-  private def path(dir: String) = s"$dir/dedup_index"
+  import graft.io.SegmentLog
 
-  /** Build the index from scratch over raw documents (doc_id, text).
-    * Returns the indexed row count — read from the written parquet
-    * footers (metadata-only), never by recomputing the fpSig pipeline.
+  private def root(dir: String) = s"$dir/dedup_index"
+
+  private def state(dir: String): SegmentLog.State =
+    SegmentLog.read(root(dir)).getOrElse(
+      sys.error(s"no dedup index committed at ${root(dir)}"))
+
+  /** The committed index rows, as the union of live segments. */
+  def rows(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(state(dir).segmentPaths(root(dir)): _*)
+
+  /** Build the index from scratch over raw documents (doc_id, text):
+    * stage one fresh segment, commit it as the ONLY live one (extras are
+    * dropped — a Bloom sketch derived from a superseded corpus could
+    * yield false negatives, breaking the pre-gate's one-sided-error
+    * contract). Returns the indexed row count — read from the written
+    * parquet footers (metadata-only), never by recomputing fpSig.
     */
   def build(docs: DataFrame, dir: String): Long = {
-    DedupQueries.fpSig(docs).write.mode("overwrite").parquet(path(dir))
-    docs.sparkSession.read.parquet(path(dir)).count()
+    val r = root(dir)
+    val gen = SegmentLog.nextGen(SegmentLog.read(r))
+    val seg = SegmentLog.segName(gen)
+    DedupQueries.fpSig(docs).write.mode("overwrite").parquet(s"$r/$seg")
+    SegmentLog.commit(r, SegmentLog.State(gen, Seq(seg), Map.empty))
+    SegmentLog.cleanup(r)
+    docs.sparkSession.read.parquet(s"$r/$seg").count()
   }
 
   /** Fold an ingested batch (ALL of it — see the class note) into the
-    * index. Returns the batch's indexed row count.
+    * index as a new segment. Returns the batch's indexed row count.
     */
   def append(docs: DataFrame, dir: String): Long = {
-    val before = docs.sparkSession.read.parquet(path(dir)).count()
-    DedupQueries.fpSig(docs).write.mode("append").parquet(path(dir))
-    docs.sparkSession.read.parquet(path(dir)).count() - before
+    val r = root(dir)
+    val st = state(dir)
+    val gen = SegmentLog.nextGen(Some(st))
+    val seg = SegmentLog.segName(gen)
+    DedupQueries.fpSig(docs).write.mode("overwrite").parquet(s"$r/$seg")
+    val n = docs.sparkSession.read.parquet(s"$r/$seg").count()
+    SegmentLog.commit(r,
+      SegmentLog.State(gen, st.segments :+ seg, st.extras))
+    n
   }
-
-  private def bloomPath(dir: String) = s"$dir/dedup_index.bloom"
 
   /** Derive (or re-derive) the index's Bloom sketch artifact from the
     * persisted fingerprints — ONE column-pruned fp scan of the index,
-    * distributed tree-aggregation build, sketch bytes written through
-    * the Hadoop FileSystem API (object-store portable). Rebuilt rather
-    * than merged on append: two Bloom filters only merge when sized
+    * distributed tree-aggregation build, sketch bytes staged as a fresh
+    * `bloom-g<n>` through the Hadoop FileSystem API (object-store
+    * portable) and committed by manifest flip. Rebuilt rather than
+    * merged on append: two Bloom filters only merge when sized
     * identically, and re-sizing to the grown corpus keeps the fp rate
     * at the configured 1% instead of degrading as the index grows.
     * Returns the indexed fingerprint count the sketch was sized for.
     */
   def writeBloom(spark: SparkSession, dir: String): Long = {
-    val fps = spark.read.parquet(path(dir)).select("fp")
+    val r = root(dir)
+    val st = state(dir)
+    val fps = rows(spark, dir).select("fp")
     val n = fps.count()
     val bf = fps.stat.bloomFilter("fp", math.max(n, 1L), 0.01)
-    val p = new org.apache.hadoop.fs.Path(bloomPath(dir))
+    val gen = SegmentLog.nextGen(Some(st))
+    val name = SegmentLog.extraName("bloom", gen)
+    val p = new org.apache.hadoop.fs.Path(s"$r/$name")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
     try bf.writeTo(out) finally out.close()
+    SegmentLog.commit(r,
+      SegmentLog.State(gen, st.segments, st.extras + ("bloom" -> name)))
+    SegmentLog.cleanup(r)
     n
   }
 
-  /** Load the sketch artifact (driver-side: the serialized bits are the
-    * broadcast payload, ~1.2 MB per million fingerprints at 1% fp).
+  /** Load the committed sketch artifact (driver-side: the serialized
+    * bits are the broadcast payload, ~1.2 MB per million fingerprints
+    * at 1% fp).
     */
   def loadBloom(spark: SparkSession, dir: String): org.apache.spark.util.sketch.BloomFilter = {
-    val p = new org.apache.hadoop.fs.Path(bloomPath(dir))
+    val st = state(dir)
+    require(st.extras.contains("bloom"),
+      s"no bloom sketch committed at ${root(dir)} — run writeBloom first")
+    val p = new org.apache.hadoop.fs.Path(st.extraPath(root(dir), "bloom"))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val in = fs.open(p)
     try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
@@ -124,7 +162,7 @@ object DedupIndex {
     * earlier batch docs (greedy first-wins by doc_id).
     */
   def dedupe(spark: SparkSession, batch: DataFrame, dir: String): DataFrame = {
-    val idx = spark.read.parquet(path(dir))
+    val idx = rows(spark, dir)
       .withColumn("is_old", lit(true))
     // the batch's md5-per-shingle pipeline runs ONCE into a narrow
     // checkpoint — the core's three consumers would otherwise re-run it

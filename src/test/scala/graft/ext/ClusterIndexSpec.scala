@@ -40,6 +40,28 @@ class ClusterIndexSpec extends SparkSpec {
     assert(first == assignments(DedupQueries.dedupClusters(spark, dir)))
   }
 
+  test("a crash between staging and commit leaves readers on the old state") {
+    val docs = graft.Tables(spark, dir, "documents").select("doc_id", "text")
+    val idxDir = Files.createTempDirectory("cidx-crash").toString
+    ClusterIndex.build(docs.filter(col("doc_id") < 100), idxDir)
+    val before = assignments(ClusterIndex.load(spark, idxDir))
+    // simulate an append that died after staging both parts but before
+    // the manifest flip: garbage under the NEXT generation's names
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$idxDir/seg-2"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$idxDir/seg-2/part-0.parquet"),
+      "not parquet".getBytes)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$idxDir/clusters-g2"))
+    assert(assignments(ClusterIndex.load(spark, idxDir)) == before)
+    // the RETRY of that append stages into the same next-gen names
+    // (overwrite wipes the partial garbage) and commits cleanly: the
+    // final state equals a fresh one-shot over the union
+    ClusterIndex.append(docs.filter(col("doc_id") >= 100 && col("doc_id") < 200), idxDir)
+    val oneShotDir = Files.createTempDirectory("cidx-crash-oneshot").toString
+    ClusterIndex.build(docs.filter(col("doc_id") < 200), oneShotDir)
+    assert(assignments(ClusterIndex.load(spark, idxDir)) ==
+      assignments(ClusterIndex.load(spark, oneShotDir)))
+  }
+
   test("append batch-by-batch == one-shot on real testdata (interleaved ids)") {
     val docs = graft.Tables(spark, dir, "documents").select("doc_id", "text")
     val idxDir = Files.createTempDirectory("cidx-inc").toString

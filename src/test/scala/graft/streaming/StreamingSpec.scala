@@ -298,8 +298,9 @@ class StreamingSpec extends SparkSpec {
         val kept = spark.read.parquet(outDir)
           .select("doc_id").collect().map(_.getLong(0)).toSet
         assert(kept == Set(11L, 21L), s"got $kept")
-        // the index remembered everything (2 seed + 4 streamed)
-        assert(spark.read.parquet(s"$idxDir/dedup_index").count() == 6L)
+        // the index remembered everything (2 seed + 4 streamed), read
+        // through the committed segment-log state
+        assert(graft.ext.DedupIndex.rows(spark, idxDir).count() == 6L)
         // and the rebuilt bloom flags all seen fingerprints
         val flags = graft.ext.DedupIndex.prefilter(spark,
             Seq((30L, "yet another unrelated body of text entirely")).toDF("doc_id", "text"),
