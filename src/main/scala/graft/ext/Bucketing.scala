@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Bucketed table layout — the SHUFFLE-AT-REST strategy for recurring
+  * co-located joins (SURVEY.md §2.12 / SCALE.md): pay the exchange ONCE
+  * at write time (`bucketBy` on the join key, hash-partitioned files +
+  * per-bucket sort), and every subsequent join or aggregation on that
+  * key plans with ZERO runtime Exchange on the bucketed side — at 100 TB
+  * the difference between re-shuffling the fact table per query and
+  * never shuffling it again. This is the static sibling of
+  * [[graft.ext.Skew]]'s runtime remedies and of AQE's dynamic re-plan:
+  * fact tables with a stable join key (lineitem↔orders on orderkey)
+  * earn a bucketed layout; ad-hoc keys stay with runtime shuffles.
+  *
+  * Spark-first posture: bucketing rides the session catalog
+  * (`saveAsTable` — works on the default in-memory catalog; production
+  * uses the metastore), `spark.sql.sources.bucketing.enabled` planning,
+  * and SortMergeJoin's bucket-aware scan. BucketingSpec pins the plan
+  * property that IS the feature: a merge join of the two bucketed tables
+  * has NO ShuffleExchange under either child, while the same join on
+  * raw parquet shuffles both sides.
+  *
+  * The registered `bucketed_join` query runs the layout end-to-end
+  * (write bucketed once per session, join, aggregate) against a plain
+  * SQL oracle — correctness of the co-located path, not just its shape.
+  */
+object Bucketing {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+
+  /** Session-catalog table name for a corpus dir's bucketed copy —
+    * dir-hashed so different scale factors in one JVM never collide.
+    */
+  private def tableFor(dir: String, table: String): String = {
+    val key = new java.io.File(dir).getCanonicalPath
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s"graft_bkt_${table}_$h"
+  }
+
+  /** Write-once-per-session bucketed copy of `table` on `keyCol`:
+    * `repartition(buckets, key)` first so each bucket is ONE file
+    * (multi-file buckets force a runtime re-sort that forfeits half the
+    * benefit), then `bucketBy + sortBy` into the session catalog.
+    * Returns the catalog table name.
+    */
+  def ensureBucketed(spark: SparkSession, dir: String, table: String,
+      keyCol: String, buckets: Int = 8): String = synchronized {
+    val t = tableFor(dir, table)
+    if (!spark.catalog.tableExists(t)) {
+      // the in-memory session catalog forgets tables across JVMs but
+      // their warehouse dirs persist — sweep a stale location or
+      // saveAsTable fails with LOCATION_ALREADY_EXISTS
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loc)) fs.delete(loc, true)
+      Tables(spark, dir, table)
+        .repartition(buckets, col(keyCol))
+        .write.format("parquet")
+        .bucketBy(buckets, keyCol).sortBy(keyCol)
+        .mode("overwrite").saveAsTable(t)
+    }
+    t
+  }
+
+  /** The co-located join itself: lineitem ⋈ orders on orderkey, both
+    * sides bucketed — revenue per order priority. The merge hint keeps
+    * the demonstration honest (a broadcast of orders at test scale
+    * would hide the bucket co-location the query exists to prove); at
+    * fact×fact scale SMJ is what the planner picks anyway.
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.table(ensureBucketed(spark, dir, "lineitem", "l_orderkey"))
+    val o = spark.table(ensureBucketed(spark, dir, "orders", "o_orderkey"))
+    li.hint("merge")
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val bucketedJoinSql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "bucketed_join" -> ((bucketedJoin _, bucketedJoinSql))
+  )
+}

@@ -13,7 +13,8 @@ object Registry {
       AuditQueries.all,
       graft.ext.TextQueries.all, graft.ext.DedupQueries.all,
       graft.ext.SimilarityQueries.all, graft.ext.EventQueries.all,
-      graft.ext.Multimodal.all, graft.ext.CurationQueries.all)
+      graft.ext.Multimodal.all, graft.ext.CurationQueries.all,
+      graft.ext.Bucketing.all)
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
     val all = suites.flatten
