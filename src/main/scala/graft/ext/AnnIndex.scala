@@ -24,15 +24,43 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB posture: nlist grows with the corpus (thousands of cells →
   * file groups of a few GB); a probe reads nprobe cells ≈ nprobe/nlist
-  * of the bytes. Appending new vectors is a parquet append into their
-  * cells' partitions; retraining centroids is a rebuild (derived
-  * artifact, like DedupIndex — commit via a manifest pointer if a
-  * deployment needs atomic swaps). Scoring stays the codegen'd
+  * of the bytes. New vectors fold in INCREMENTALLY as cell-partitioned
+  * segments committed through [[graft.io.SegmentLog]] (cell assignment
+  * is per-row given fixed centroids, so append == rebuild exactly —
+  * AnnIndexSpec pins it); retraining centroids is a rebuild, which the
+  * same manifest flip makes an atomic swap. Scoring stays the codegen'd
   * [[graft.functions.CosineSimilarity]]; the probe set broadcasts.
   */
 object AnnIndex {
 
-  private def path(dir: String) = s"$dir/ann_index"
+  import graft.io.SegmentLog
+
+  private def root(dir: String) = s"$dir/ann_index"
+
+  private def state(dir: String): SegmentLog.State =
+    SegmentLog.read(root(dir)).getOrElse(
+      sys.error(s"no ann index committed at ${root(dir)}"))
+
+  /** The committed vectors across segments. Each segment is read under
+    * its own root (cell partition discovery is per-segment; a single
+    * multi-root read would reject the seg-N dirs as non-k=v); the union
+    * is narrow and `cell` filters push into every scan, so multi-segment
+    * pruning behaves like single-root pruning.
+    */
+  private def readIndex(spark: SparkSession, dir: String): DataFrame =
+    state(dir).segmentPaths(root(dir))
+      .map(p => spark.read.parquet(p))
+      .reduce(_.unionByName(_))
+
+  private def writeSegment(vecs: DataFrame, cents: Seq[(Long, Seq[Double])],
+      dir: String, seg: String): Long = {
+    vecs
+      .withColumn("cell",
+        SimilarityQueries.assignCellStruct(vecs.sparkSession, cents, col("v"))
+          .getField("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"${root(dir)}/$seg")
+    vecs.sparkSession.read.parquet(s"${root(dir)}/$seg").count()
+  }
 
   /** Partition the corpus by its assigned cell. `vecs`: (vec_id, v).
     * Assignment goes through the literal/broadcast crossover
@@ -41,12 +69,28 @@ object AnnIndex {
     * broadcast — both pure projections, zero corpus exchange.
     */
   def build(vecs: DataFrame, cents: Seq[(Long, Seq[Double])], dir: String): Long = {
-    vecs
-      .withColumn("cell",
-        SimilarityQueries.assignCellStruct(vecs.sparkSession, cents, col("v"))
-          .getField("cell"))
-      .write.partitionBy("cell").mode("overwrite").parquet(path(dir))
-    vecs.sparkSession.read.parquet(path(dir)).count()
+    val r = root(dir)
+    val gen = SegmentLog.nextGen(SegmentLog.read(r))
+    val seg = SegmentLog.segName(gen)
+    val n = writeSegment(vecs, cents, dir, seg)
+    SegmentLog.commit(r, SegmentLog.State(gen, Seq(seg), Map.empty))
+    SegmentLog.cleanup(r)
+    n
+  }
+
+  /** Fold a new vector batch into the index as a fresh cell-partitioned
+    * segment — MUST use the same centroids the index was built with
+    * (retrained centroids change assignments: rebuild instead). Returns
+    * the batch's indexed row count.
+    */
+  def append(vecs: DataFrame, cents: Seq[(Long, Seq[Double])], dir: String): Long = {
+    val r = root(dir)
+    val st = state(dir)
+    val gen = SegmentLog.nextGen(Some(st))
+    val seg = SegmentLog.segName(gen)
+    val n = writeSegment(vecs, cents, dir, seg)
+    SegmentLog.commit(r, SegmentLog.State(gen, st.segments :+ seg, st.extras))
+    n
   }
 
   /** Top-k cosine results per probe query, reading ONLY the probed
@@ -67,7 +111,7 @@ object AnnIndex {
     // partition filter must be a LITERAL for planning-time pruning
     val cells = probed.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val base = spark.read.parquet(path(dir))
+    val base = readIndex(spark, dir)
       .filter(col("cell").isin(cells: _*))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos"), asc("vec_id"))

@@ -946,6 +946,41 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Cross-SOURCE contamination matrix: near-dup candidate pairs rolled
+    * up by the (unordered) source pair of their endpoints — the
+    * provenance diagnostic a curation pipeline runs before choosing
+    * per-source dedup policy (a crawl snapshot duplicating a curated
+    * corpus is a different problem from intra-crawl boilerplate).
+    * Scale shape: the pair set is LSH-bounded (banding + bucket cap),
+    * two doc_id hash-joins pull in the 2-column source projection, and
+    * the rollup is |sources|² rows.
+    */
+  def dedupCrossSource(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables(spark, dir, "documents").select("doc_id", "source")
+    minhashPairsCore(spark, dir).select("doc_a", "doc_b")
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val dedupCrossSourceSql: String =
+    s"""WITH $minhashSqlCtes,
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+      |    AND a.doc_id < b.doc_id)
+      |SELECT LEAST(da.source, db.source) AS source_a,
+      |  GREATEST(da.source, db.source) AS source_b,
+      |  COUNT(*) AS n_pairs
+      |FROM pairs
+      |JOIN documents da ON da.doc_id = pairs.doc_a
+      |JOIN documents db ON db.doc_id = pairs.doc_b
+      |GROUP BY 1, 2
+      |ORDER BY source_a, source_b""".stripMargin
+
   /** The persisted [[ClusterIndex]] assignments under the driver gate:
     * same oracle as `dedup_clusters`, so a green row proves
     * build → parquet → load == the from-scratch fixpoint.
@@ -977,6 +1012,7 @@ object DedupQueries {
     "dedup_clusters_incremental" -> ((dedupClustersIncremental _, dedupClustersSql)),
     "dedup_exact" -> ((dedupExact _, dedupExactSql)),
     "minhash_pairs" -> ((minhashPairs _, minhashPairsSql)),
+    "dedup_cross_source" -> ((dedupCrossSource _, dedupCrossSourceSql)),
     "dedup_clusters" -> ((dedupClusters _, dedupClustersSql)),
     "simhash" -> ((simhash _, simhashSql)),
     "simhash_pairs" -> ((simhashPairs _, simhashPairsSql)),

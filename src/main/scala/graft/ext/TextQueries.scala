@@ -605,6 +605,94 @@ object TextQueries {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** The first BPE-training step under the driver gate: corpus-wide
+    * adjacent-CHARACTER pair counts over word occurrences (lowercased,
+    * whitespace-tokenized — the same token stream as
+    * [[qualityClassifier]]), top-20 by count with a full tie order.
+    * This is the statistic every merge round of [[bpeTrain]] recomputes;
+    * registering it puts the hot loop's aggregation under the DuckDB
+    * hash oracle while the iterative trainer is pinned by BpeSpec
+    * against a reference implementation.
+    */
+  def bpeTopPairs(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "documents")
+      .select(explode(expr("filter(split(lower(text), ' +'), w -> w != '')")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("pair")).limit(20)
+  }
+
+  val bpeTopPairsSql: String =
+    """WITH w AS (
+      |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+      |  FROM documents),
+      |p AS (
+      |  SELECT unnest(list_transform(range(1, len(w)),
+      |    i -> substr(w, CAST(i AS INT), 2))) AS pair
+      |  FROM w WHERE len(w) >= 2)
+      |SELECT pair, COUNT(*) AS n FROM p
+      |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
+
+  /** Byte-pair-encoding TOKENIZER TRAINING, distributed (Sennrich et
+    * al., arXiv:1508.07909): the classic algorithm runs on the WORD
+    * FREQUENCY table, not the corpus — one corpus scan builds
+    * (word, count, symbol array), then each merge round is an
+    * aggregation over that vocabulary (thousands-to-millions of rows,
+    * corpus-size-independent) plus one driver-side scalar (the winning
+    * pair — the centroid-literal discipline: bounded metadata, never row
+    * data). The greedy left-to-right within-word merge is a sequential
+    * `aggregate` fold; per-round localCheckpoint keeps the iterated plan
+    * a leaf exactly as the CC loop does. Ties break by pair string so
+    * runs/engines/partitionings agree. Returns the merge list in order.
+    */
+  def bpeTrain(docs: DataFrame, merges: Int): Seq[(String, String)] = {
+    var vocab = docs
+      .select(explode(expr("filter(split(lower(text), ' +'), w -> w != '')")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .withColumn("syms", expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+      .select("n", "syms")
+      .localCheckpoint(false)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < merges && !exhausted) {
+      val top = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+               i -> struct(syms[i-1] AS a, syms[i] AS b))""")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        out += ((a, b))
+        val merged = lit(a + b)
+        // EAGER checkpoint: the old vocab's blocks are released right
+        // below, so the new round must be materialized first (a lazy
+        // checkpoint would force against already-freed parent blocks —
+        // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
+        val next = vocab.withColumn("syms",
+            org.apache.spark.sql.functions.aggregate(col("syms"),
+              array().cast("array<string>"),
+              (acc, s) => when(
+                size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+                .otherwise(concat(acc, array(s)))))
+          .localCheckpoint(true)
+        graft.SparkUtil.release(vocab)
+        vocab = next
+        round += 1
+      }
+    }
+    graft.SparkUtil.release(vocab)
+    out.toSeq
+  }
+
   /** Text canonicalization — the normalization stage that runs in FRONT
     * of fingerprint dedup (without it, case/whitespace variants of the
     * same document get distinct md5s and survive exact dedup): lowercase,
@@ -638,6 +726,7 @@ object TextQueries {
 
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "text_normalize" -> ((textNormalize _, textNormalizeSql)),
+    "bpe_top_pairs" -> ((bpeTopPairs _, bpeTopPairsSql)),
     "quality_classifier" -> ((qualityClassifier _, qualityClassifierSql)),
     "text_stats" -> ((textStats _, textStatsSql)),
     "lang_id" -> ((langId _, langIdSql)),

@@ -69,4 +69,27 @@ class AnnIndexSpec extends SparkSpec {
       s"no pruning: read $filesRead of $allFiles files")
     assert(idxScan.metadata.get("PartitionFilters").exists(_.contains("cell")))
   }
+
+  test("incremental append == one-shot rebuild (same centroids)") {
+    val base = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val cents: Seq[(Long, Seq[Double])] = base.filter(col("vec_id") < 16)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    val mid = base.agg(expr("percentile(vec_id, 0.5)")).head().getDouble(0)
+
+    val incDir = Files.createTempDirectory("ann-idx-inc").toString
+    AnnIndex.build(base.filter(col("vec_id") <= mid), cents, incDir)
+    AnnIndex.append(base.filter(col("vec_id") > mid), cents, incDir)
+    val oneDir = Files.createTempDirectory("ann-idx-one").toString
+    AnnIndex.build(base, cents, oneDir)
+
+    val probes = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val inc = AnnIndex.search(spark, incDir, cents, probes, nprobe = 2, k = 5)
+      .collect().map(_.toSeq).toSeq
+    val one = AnnIndex.search(spark, oneDir, cents, probes, nprobe = 2, k = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(inc == one && inc.nonEmpty)
+  }
 }
