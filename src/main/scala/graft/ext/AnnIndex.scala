@@ -47,6 +47,9 @@ object AnnIndex {
     * is narrow and `cell` filters push into every scan, so multi-segment
     * pruning behaves like single-root pruning.
     */
+  def rows(spark: SparkSession, dir: String): DataFrame =
+    readIndex(spark, dir)
+
   private def readIndex(spark: SparkSession, dir: String): DataFrame =
     state(dir).segmentPaths(root(dir))
       .map(p => spark.read.parquet(p))

@@ -849,9 +849,39 @@ object SimilarityQueries {
       |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  /** [[AnnIndex]]'s partition-pruned search under the driver gate: the
+    * index is built once per JVM per corpus (the
+    * [[ClusterIndex.forCorpus]] compute-once discipline), then every
+    * probe reads only its cells' files — and the result must hash-match
+    * `ann_ivf`'s oracle, proving the persisted layout returns exactly
+    * what the in-memory form does.
+    */
+  def annIndexSearch(spark: SparkSession, dir: String): DataFrame = {
+    val base = vecs(spark, dir)
+    val cents: Seq[(Long, Seq[Double])] = base.filter(col("vec_id") < 16)
+      .select("vec_id", "v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    val key = new java.io.File(dir).getCanonicalPath
+    val loc = annIdxMemo.computeIfAbsent(key, { k =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val d = s"${sys.props("java.io.tmpdir")}/graft-ann-index-$annJvmTag/$md"
+      AnnIndex.build(base, cents, d)
+      d
+    })
+    val probes = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    AnnIndex.search(spark, loc, cents, probes, nprobe = 2, k = 5)
+  }
+
+  private val annJvmTag =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getPid
+  private val annIdxMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "knn_brute" -> ((knnBrute _, knnBruteSql)),
     "ann_ivf" -> ((annIvf _, annIvfSql)),
+    "ann_index_search" -> ((annIndexSearch _, annIvfSql)),
     "pq_topk" -> ((pqTopk _, pqTopkSql)),
     "ann_ivf_pq" -> ((annIvfPq _, annIvfPqSql)),
     "ann_rerank" -> ((annRerank _, annRerankSql)),

@@ -124,7 +124,9 @@ class CentroidPathSpec extends SparkSpec {
           SimilarityQueries.assignCellStruct(spark, cs, col("v"), 0L)
             .getField("cell"))
         .write.partitionBy("cell").mode("overwrite").parquet(s"$tmpB/ann_index")
-      val a = spark.read.parquet(s"$tmpA/ann_index")
+      // read through the committed segment-log state (the root also
+      // holds the manifest, so a direct root read no longer parses)
+      val a = AnnIndex.rows(spark, tmpA)
         .select(col("vec_id"), col("cell").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
       val b = spark.read.parquet(s"$tmpB/ann_index")
