@@ -96,6 +96,23 @@ object AnnIndex {
     n
   }
 
+  /** Merge all live segments into one cell-partitioned segment — after
+    * many appends, each cell's rows are scattered across every segment
+    * (nsegments × nprobe files per probe); compaction restores one file
+    * group per cell. Atomic, like every segment-log maintenance op.
+    */
+  def compact(spark: SparkSession, dir: String): Long = {
+    val r = root(dir)
+    val st = state(dir)
+    val gen = SegmentLog.nextGen(Some(st))
+    val seg = SegmentLog.segName(gen)
+    readIndex(spark, dir)
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$r/$seg")
+    SegmentLog.commit(r, SegmentLog.State(gen, Seq(seg), st.extras))
+    SegmentLog.cleanup(r)
+    spark.read.parquet(s"$r/$seg").count()
+  }
+
   /** Top-k cosine results per probe query, reading ONLY the probed
     * cells' partitions. `probes`: (query_id, qv); probe cells per query
     * come from the same top-nprobe fold as `ann_ivf`.

@@ -136,6 +136,22 @@ object ClusterIndex {
     spark.read.parquet(s"$indexDir/$cl").count()
   }
 
+  /** Merge all band segments into one (assignments untouched — they are
+    * already a single generation). Restores one scan for the append
+    * path's old-bands side after many ingest batches.
+    */
+  def compact(spark: SparkSession, indexDir: String): Long = {
+    val st = state(indexDir)
+    val gen = SegmentLog.nextGen(Some(st))
+    val seg = SegmentLog.segName(gen)
+    spark.read.parquet(st.segmentPaths(indexDir): _*)
+      .write.mode("overwrite").parquet(s"$indexDir/$seg")
+    SegmentLog.commit(indexDir,
+      SegmentLog.State(gen, Seq(seg), st.extras))
+    SegmentLog.cleanup(indexDir)
+    spark.read.parquet(s"$indexDir/$seg").count()
+  }
+
   /** Candidate pairs from a (doc_id, band, bucket) frame: one
     * (band, bucket) shuffle, pairs generated inside the bucket exactly
     * as [[DedupQueries.minhashPairsCore]] (same ≤64 skew cap, i &lt; j

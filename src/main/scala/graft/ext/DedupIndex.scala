@@ -98,6 +98,24 @@ object DedupIndex {
     n
   }
 
+  /** Rewrite all live segments as ONE — the maintenance pass that stops
+    * per-batch ingest from accumulating a long segment list (each
+    * segment is a separate column-pruned scan at read time). The Bloom
+    * extra survives: compaction changes the file layout, not the
+    * fingerprint set it summarizes. Same commit discipline — readers
+    * stay on the old segments until the flip.
+    */
+  def compact(spark: SparkSession, dir: String): Long = {
+    val r = root(dir)
+    val st = state(dir)
+    val gen = SegmentLog.nextGen(Some(st))
+    val seg = SegmentLog.segName(gen)
+    rows(spark, dir).write.mode("overwrite").parquet(s"$r/$seg")
+    SegmentLog.commit(r, SegmentLog.State(gen, Seq(seg), st.extras))
+    SegmentLog.cleanup(r)
+    spark.read.parquet(s"$r/$seg").count()
+  }
+
   /** Derive (or re-derive) the index's Bloom sketch artifact from the
     * persisted fingerprints — ONE column-pruned fp scan of the index,
     * distributed tree-aggregation build, sketch bytes staged as a fresh

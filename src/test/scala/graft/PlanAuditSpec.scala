@@ -93,7 +93,21 @@ class PlanAuditSpec extends SparkSpec {
     "split_leakage_safe" -> 2, // documents keys + the persisted
                                // ClusterIndex read; the CC fixpoint must
                                // NOT be recomputed to assign folds
-    "dedup_clusters_persisted" -> 1 // a bare parquet read of the index
+    "dedup_clusters_persisted" -> 1, // a bare parquet read of the index
+    "dedup_cross_source" -> 3, // sig pipeline scan + the 2-column source
+                               // projection once per pair endpoint; a 4th
+                               // scan means the pair subtree duplicated
+    "bucketed_join" -> 2,      // the two bucketed catalog tables, nothing
+                               // else — the join must not re-scan raw
+                               // parquet behind the bucketed copies
+    "bpe_top_pairs" -> 1,      // one corpus scan; counting is partial-agg
+    "ann_index_search" -> 3    // probed index segment + the query-side
+                               // embeddings scan + that same probe subtree
+                               // AGAIN inside the dynamic-partition-pruning
+                               // subquery (collectWithSubqueries counts it;
+                               // DPP re-prunes index partitions by the
+                               // join key at runtime — a feature, and the
+                               // replicated side is the tiny probe list)
   )
 
   test("tuned queries keep their expected parquet scan counts") {

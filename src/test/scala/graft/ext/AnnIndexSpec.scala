@@ -91,5 +91,12 @@ class AnnIndexSpec extends SparkSpec {
     val one = AnnIndex.search(spark, oneDir, cents, probes, nprobe = 2, k = 5)
       .collect().map(_.toSeq).toSeq
     assert(inc == one && inc.nonEmpty)
+
+    // compaction merges the two segments back to one, results unchanged
+    AnnIndex.compact(spark, incDir)
+    assert(graft.io.SegmentLog.read(s"$incDir/ann_index").get.segments.size == 1)
+    val post = AnnIndex.search(spark, incDir, cents, probes, nprobe = 2, k = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(post == one)
   }
 }

@@ -72,6 +72,25 @@ class ClusterIndexSpec extends SparkSpec {
       assignments(DedupQueries.dedupClusters(spark, dir)))
   }
 
+  test("compaction folds band segments into one without changing anything") {
+    val docs = graft.Tables(spark, dir, "documents").select("doc_id", "text")
+    val idxDir = Files.createTempDirectory("cidx-compact").toString
+    ClusterIndex.build(docs.filter(col("doc_id") % 3 === 0), idxDir)
+    ClusterIndex.append(docs.filter(col("doc_id") % 3 === 1), idxDir)
+    ClusterIndex.append(docs.filter(col("doc_id") % 3 === 2), idxDir)
+    val before = assignments(ClusterIndex.load(spark, idxDir))
+    ClusterIndex.compact(spark, idxDir)
+    val st = graft.io.SegmentLog.read(idxDir).get
+    assert(st.segments.size == 1)
+    assert(assignments(ClusterIndex.load(spark, idxDir)) == before)
+    // and a post-compaction append still behaves (reads the merged seg)
+    // — idempotent no-new-docs check: appending an empty batch changes
+    // nothing
+    import spark.implicits._
+    ClusterIndex.append(Seq.empty[(Long, String)].toDF("doc_id", "text"), idxDir)
+    assert(assignments(ClusterIndex.load(spark, idxDir)) == before)
+  }
+
   test("a bridging batch doc merges two old clusters (and untouched rows survive)") {
     import spark.implicits._
     // three near-dup families built from shared 3-gram runs: A (docs 1,2)

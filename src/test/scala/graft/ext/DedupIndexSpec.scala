@@ -51,5 +51,22 @@ class DedupIndexSpec extends SparkSpec {
     val oneShot = DedupQueries.dedupIncremental(spark, dir)
       .collect().map(_.getLong(0)).toSeq
     assert((s1 ++ s2) == oneShot)
+
+    // compaction folds the three segments into one; dedupe against the
+    // compacted index and the bloom extra both behave identically
+    DedupIndex.append(b2, idxDir)
+    DedupIndex.writeBloom(spark, idxDir)
+    val rowsBefore = DedupIndex.rows(spark, idxDir)
+      .collect().map(_.toSeq).toSet
+    DedupIndex.compact(spark, idxDir)
+    val st = graft.io.SegmentLog.read(s"$idxDir/dedup_index").get
+    assert(st.segments.size == 1 && st.extras.contains("bloom"))
+    assert(DedupIndex.rows(spark, idxDir).collect().map(_.toSeq).toSet == rowsBefore)
+    // the bloom pointer still resolves and keeps its no-false-negative
+    // contract over the (unchanged) fingerprint set
+    val bf = DedupIndex.loadBloom(spark, idxDir)
+    val fps = DedupIndex.rows(spark, idxDir).select("fp")
+      .collect().map(_.getString(0))
+    assert(fps.nonEmpty && fps.forall(bf.mightContain))
   }
 }
