@@ -398,7 +398,38 @@ object CurationQueries {
       |ORDER BY n DESC, user_id
       |LIMIT 10""".stripMargin
 
+  /** Quality-WEIGHTED deterministic sampling — keep each document with
+    * probability equal to its quality score, but as a pure function of
+    * the data: the per-doc uniform draw is a hash of the doc_id (60 hex
+    * bits / 2⁶⁰), so re-runs, engines, and partitionings produce the
+    * SAME sample, and the expected mixture up-weights high-quality text
+    * exactly as a soft curation curriculum does (the stochastic sibling
+    * of [[corpusCuration]]'s hard threshold). All rows are emitted with
+    * the `kept` verdict so the gate hashes the complete decision, not
+    * just the survivor set.
+    */
+  def sampleQualityWeighted(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextQueries.qualityScore.as("q"))
+      .withColumn("u", round(expr(
+        """cast(conv(substring(md5(concat('qw:', cast(doc_id AS string))), 1, 15), 16, 10) AS double)
+           / 1152921504606846976.0""").cast("double"), 6))
+      .select(col("doc_id"), col("q").as("quality_score"), col("u"),
+        (col("u") < col("q")).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  val sampleQualityWeightedSql: String =
+    s"""SELECT doc_id, q AS quality_score, u, u < q AS kept
+      |FROM (
+      |  SELECT doc_id, ${TextQueries.qualityScoreSql} AS q,
+      |    ROUND(CAST(('0x' || substr(md5('qw:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |      / 1152921504606846976.0, 6) AS u
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "sample_quality_weighted" -> ((sampleQualityWeighted _, sampleQualityWeightedSql)),
     "skew_report" -> ((skewReport _, skewReportSql)),
     "k_anonymity" -> ((kAnonymity _, kAnonymitySql)),
     "corpus_curation" -> ((corpusCuration _, corpusCurationSql)),

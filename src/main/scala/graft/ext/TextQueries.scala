@@ -693,6 +693,34 @@ object TextQueries {
     out.toSeq
   }
 
+  /** Apply a trained BPE merge list ([[bpeTrain]]'s output, in training
+    * order) to tokenize documents — a PURE PROJECTION: the merge table
+    * compiles into the plan as one greedy in-word fold per merge (k
+    * nested codegen'd HOFs, no shuffle, no vocabulary join), which is
+    * the shape a 100 TB tokenization pass wants. Emits the token array
+    * and count alongside the input columns. BpeSpec pins equality with
+    * the reference encoder and the lossless-ness invariant (concat of
+    * tokens == concat of characters).
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.functions.{aggregate => aggFold, transform => hofTransform}
+    val base = docs
+      .withColumn("words", expr("filter(split(lower(text), ' +'), w -> w != '')"))
+      .withColumn("seqs", expr(
+        "transform(words, w -> transform(sequence(1, length(w)), i -> substring(w, i, 1)))"))
+    val encoded = merges.foldLeft(col("seqs")) { case (c, (a, b)) =>
+      hofTransform(c, s => aggFold(s, array().cast("array<string>"),
+        (acc, t) => when(
+          size(acc) > 0 && element_at(acc, -1) === lit(a) && t === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(t)))))
+    }
+    base
+      .withColumn("tokens", flatten(encoded))
+      .withColumn("n_bpe_tokens", size(col("tokens")))
+      .drop("words", "seqs")
+  }
+
   /** Text canonicalization — the normalization stage that runs in FRONT
     * of fingerprint dedup (without it, case/whitespace variants of the
     * same document get distinct md5s and survive exact dedup): lowercase,

@@ -69,6 +69,50 @@ class BpeSpec extends SparkSpec {
     assert(got == want, s"got $got\nwant $want")
   }
 
+  /** Reference encoder: same greedy per-merge fold, sequential. */
+  private def referenceEncode(word: String, merges: Seq[(String, String)]): List[String] =
+    merges.foldLeft(word.map(_.toString).toList) { case (syms, (a, b)) =>
+      val acc = scala.collection.mutable.ListBuffer.empty[String]
+      for (s <- syms) {
+        if (acc.nonEmpty && acc.last == a && s == b) acc(acc.size - 1) = a + b
+        else acc += s
+      }
+      acc.toList
+    }
+
+  test("bpeEncode applies trained merges exactly; tokens are lossless") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "new newer newest new wider wide")).toDF("doc_id", "text")
+    val merges = TextQueries.bpeTrain(docs, 6)
+    assert(merges.nonEmpty)
+    val enc = TextQueries.bpeEncode(docs, merges)
+      .orderBy("doc_id").collect()
+    enc.foreach { r =>
+      val text = r.getString(r.fieldIndex("text"))
+      val tokens = r.getSeq[String](r.fieldIndex("tokens"))
+      val want = text.toLowerCase.split(" +").filter(_.nonEmpty)
+        .flatMap(w => referenceEncode(w, merges)).toSeq
+      assert(tokens == want, s"doc ${r.getLong(0)}: $tokens vs $want")
+      // lossless: token concat reconstructs the character stream
+      assert(tokens.mkString == text.toLowerCase.split(" +").filter(_.nonEmpty).mkString)
+      assert(r.getInt(r.fieldIndex("n_bpe_tokens")) == tokens.size)
+    }
+    // merges actually compress: fewer tokens than characters
+    val n = enc.map(_.getInt(enc.head.fieldIndex("n_bpe_tokens"))).sum
+    val chars = enc.map(r => r.getString(r.fieldIndex("text")).count(_ != ' ')).sum
+    assert(n < chars)
+  }
+
+  test("encode is a zero-shuffle projection") {
+    import spark.implicits._
+    val docs = Seq((1L, "low lower lowest")).toDF("doc_id", "text")
+    val plan = TextQueries.bpeEncode(docs, Seq(("l", "o"), ("lo", "w")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected no shuffle:\n$plan")
+  }
+
   test("merge exhaustion stops early instead of looping") {
     import spark.implicits._
     val docs = Seq("a b c").toDF("text") // single-char words: no pairs
