@@ -24,6 +24,38 @@ object SparkUtil {
     */
   val BroadcastRowLimit = 4000000L
 
+  /** Stable hash key for a corpus directory (canonical path, md5 hex) —
+    * shared by every derived-artifact namer so two spellings of one dir
+    * can never produce two artifacts.
+    */
+  def dirKey(dir: String): String = {
+    val canonical = new java.io.File(dir).getCanonicalPath
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Compute-once-per-JVM derived artifact: the first caller for a
+    * (kind, corpus dir) pair builds into a pid-namespaced tmp location
+    * (a previous process's artifacts — possibly built by different
+    * code — are never read); every later caller gets the memoized
+    * path. `computeIfAbsent` serializes concurrent first-builds. ONE
+    * implementation for ClusterIndex.forCorpus, the ANN index query,
+    * and whatever persisted artifact comes next — a lifecycle fix here
+    * (cleanup hooks, failed-build invalidation) must not need chasing
+    * per-operator copies.
+    */
+  def oncePerJvm(kind: String, dir: String)(build: String => Unit): String =
+    onceMemo.computeIfAbsent(s"$kind:${dirKey(dir)}", { _ =>
+      val d = s"${sys.props("java.io.tmpdir")}/graft-$kind-$jvmTag/${dirKey(dir)}"
+      build(d)
+      d
+    })
+
+  private val jvmTag =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getPid
+  private val onceMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Release a DataFrame's storage, including locally-checkpointed
     * blocks: `Dataset.unpersist` only clears CacheManager entries, while a
     * `localCheckpoint` stores its blocks on the UNDERLYING RDD (reachable

@@ -48,7 +48,13 @@ object Tables {
         // from_utc_timestamp adds the session offset back, restoring the
         // wall-clock-as-UTC instant in ANY session timezone (identity in
         // UTC sessions). SchemaGuardSpec pins instant agreement under a
-        // non-UTC session tz.
+        // non-UTC session tz. KNOWN LIMIT: wall times inside a DST
+        // transition window are not representable as that zone's local
+        // time (spring-forward hour) or are ambiguous (fall-back hour),
+        // so the round-trip can shift those rows by the DST delta —
+        // inherent to interpreting NTZ through a zoned cast, not fixable
+        // here; production non-UTC sessions should read NTZ columns
+        // directly or pin the session to UTC (every graft main does).
         val sessionTz = spark.sessionState.conf.sessionLocalTimeZone
         raw.withColumn("ts", from_utc_timestamp(col("ts").cast(TimestampType), sessionTz))
       case _                => raw

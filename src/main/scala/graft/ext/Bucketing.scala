@@ -35,12 +35,8 @@ object Bucketing {
   /** Session-catalog table name for a corpus dir's bucketed copy —
     * dir-hashed so different scale factors in one JVM never collide.
     */
-  private def tableFor(dir: String, table: String): String = {
-    val key = new java.io.File(dir).getCanonicalPath
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    s"graft_bkt_${table}_$h"
-  }
+  private def tableFor(dir: String, table: String): String =
+    s"graft_bkt_${table}_${graft.SparkUtil.dirKey(dir).take(8)}"
 
   /** Write-once-per-session bucketed copy of `table` on `keyCol`:
     * `repartition(buckets, key)` first so each bucket is ONE file

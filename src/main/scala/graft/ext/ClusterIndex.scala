@@ -176,21 +176,9 @@ object ClusterIndex {
     * `dedup_clusters_persisted` share ONE CC fixpoint per session
     * instead of each re-running it.
     */
-  def forCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val key = new java.io.File(dir).getCanonicalPath
-    val loc = memo.computeIfAbsent(key, { k =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val d = s"${sys.props("java.io.tmpdir")}/graft-cluster-index-$jvmTag/$md"
+  def forCorpus(spark: SparkSession, dir: String): DataFrame =
+    load(spark, graft.SparkUtil.oncePerJvm("cluster-index", dir) { d =>
       build(graft.Tables(spark, dir, "documents").select("doc_id", "text"), d)
-      d
+      ()
     })
-    load(spark, loc)
-  }
-
-  // per-JVM namespace so a previous process's artifacts (possibly built
-  // by different code) are never read; computeIfAbsent serializes
-  // concurrent first-builds of the same corpus
-  private val jvmTag = java.lang.management.ManagementFactory.getRuntimeMXBean.getPid
-  private val memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
 }

@@ -1001,9 +1001,14 @@ object DedupQueries {
   def dedupClustersIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents").select("doc_id", "text")
     val idxDir = java.nio.file.Files.createTempDirectory("graft-cidx-").toString
-    ClusterIndex.build(docs.filter(col("doc_id") % 3 < 2), idxDir)
-    ClusterIndex.append(docs.filter(col("doc_id") % 3 === 2), idxDir)
-    ClusterIndex.load(spark, idxDir).orderBy("doc_id")
+    try {
+      ClusterIndex.build(docs.filter(col("doc_id") % 3 < 2), idxDir)
+      ClusterIndex.append(docs.filter(col("doc_id") % 3 === 2), idxDir)
+      // eager checkpoint so the throwaway index can be deleted NOW — a
+      // bench/verify loop re-invoking this query must not leak one
+      // index tree per run (the result is assignment rows, tiny)
+      ClusterIndex.load(spark, idxDir).orderBy("doc_id").localCheckpoint(true)
+    } finally graft.io.SegmentLog.deleteRecursively(idxDir)
   }
 
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(

@@ -46,15 +46,34 @@ object Multimodal {
           lit(1).as("height")).as("meta"))
   }
 
+  // ImageIO's default stream cache is DISK-backed: one temp file
+  // created and deleted per ImageIO.read call — per-row filesystem I/O
+  // on a path documented as a narrow projection. The payloads are
+  // already whole byte arrays; cache in memory.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Cheap magic-byte sniff so the (overwhelmingly common at this
+    * repo's data) non-image payloads never construct an ImageIO stream
+    * at all: PNG, JPEG, GIF, BMP — the formats every JVM's ImageIO
+    * registry decodes.
+    */
+  private def looksLikeImage(d: Array[Byte]): Boolean =
+    d.length >= 4 && (
+      (d(0) == 0x89.toByte && d(1) == 'P' && d(2) == 'N' && d(3) == 'G') ||
+      (d(0) == 0xff.toByte && d(1) == 0xd8.toByte) || // JPEG SOI
+      (d(0) == 'G' && d(1) == 'I' && d(2) == 'F') ||
+      (d(0) == 'B' && d(1) == 'M'))
+
   /** Try a REAL raster decode through the JDK's ImageIO registry (PNG,
     * JPEG, GIF, BMP readers ship with every JVM). Returns None for
-    * payloads no registered reader recognises — `ImageIO.read` sniffs
-    * magic bytes, so text payloads land here cheaply — or whose decode
+    * payloads that don't carry an image magic number or whose decode
     * throws (truncated file).
     */
   private[ext] def decodeImage(data: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data)))
-    catch { case _: Exception => None }
+    if (!looksLikeImage(data)) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data)))
+      catch { case _: Exception => None }
 
   /** 16-bin normalized LUMINANCE histogram of a decoded raster — the
     * image-side analogue of the byte histogram (Rec. 601 luma weights).
@@ -154,17 +173,22 @@ object Multimodal {
           case None =>
             // CHARACTER subsample on the decoded string (not bytes): the
             // expression path substrings `cast(data AS string)`, and the
-            // two must agree on any UTF-8 payload, not just ASCII
+            // two must agree on any UTF-8 payload, not just ASCII. Index
+            // by CODE POINT — Spark's substring counts code points, and
+            // UTF-16 charAt would both shift indexes and split surrogate
+            // pairs on astral characters (emoji)
             if (r.width <= targetW) r
             else {
               val s = new String(r.data, java.nio.charset.StandardCharsets.UTF_8)
+              val cps = s.codePoints().toArray
               // out-of-range indexes contribute nothing, exactly like the
               // expression path's substring (metadata wider than the
               // payload must not throw)
-              val sub = (0 until targetW).flatMap { i =>
+              val subCps = (0 until targetW).flatMap { i =>
                 val idx = (i.toLong * r.width / targetW).toInt
-                if (idx < s.length) Some(s.charAt(idx)) else None
-              }.mkString
+                if (idx < cps.length) Some(cps(idx)) else None
+              }.toArray
+              val sub = new String(subCps, 0, subCps.length)
               MediaRow(r.doc_id,
                 sub.getBytes(java.nio.charset.StandardCharsets.UTF_8),
                 r.format, targetW, r.height)

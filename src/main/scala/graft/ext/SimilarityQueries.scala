@@ -861,22 +861,14 @@ object SimilarityQueries {
     val cents: Seq[(Long, Seq[Double])] = base.filter(col("vec_id") < 16)
       .select("vec_id", "v")
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
-    val key = new java.io.File(dir).getCanonicalPath
-    val loc = annIdxMemo.computeIfAbsent(key, { k =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val d = s"${sys.props("java.io.tmpdir")}/graft-ann-index-$annJvmTag/$md"
+    val loc = graft.SparkUtil.oncePerJvm("ann-index", dir) { d =>
       AnnIndex.build(base, cents, d)
-      d
-    })
+      ()
+    }
     val probes = base.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     AnnIndex.search(spark, loc, cents, probes, nprobe = 2, k = 5)
   }
-
-  private val annJvmTag =
-    java.lang.management.ManagementFactory.getRuntimeMXBean.getPid
-  private val annIdxMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "knn_brute" -> ((knnBrute _, knnBruteSql)),

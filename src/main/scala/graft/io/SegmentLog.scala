@@ -25,6 +25,15 @@ import java.nio.file.{Files, Paths}
   * (`seg-<n>` / `<word>-g<n>`) so a tampered or hand-edited pointer
   * fails loudly instead of resolving an arbitrary path — the same
   * posture as JsonTableIO's `DataDirName` guard.
+  *
+  * SINGLE-WRITER CONTRACT (like Delta on S3 without a lock provider):
+  * readers are always safe concurrently with one writer, but two
+  * concurrent WRITERS on one root can clobber each other — writer B's
+  * post-commit [[cleanup]] would sweep writer A's staged-but-uncommitted
+  * segment (unreferenced by the manifest B sees), and last-commit-wins
+  * on the manifest itself. Maintenance of one index root must be
+  * serialized by the deployment (the streaming ingest pipeline gets
+  * this for free: Structured Streaming runs foreachBatch serially).
   */
 object SegmentLog {
 
@@ -127,6 +136,12 @@ object SegmentLog {
       stale.foreach(del)
     }
   }
+
+  /** Recursive delete of a THROWAWAY tree (temp index dirs the replay
+    * queries build and discard) — not part of the commit protocol;
+    * committed roots are maintained through [[cleanup]] only.
+    */
+  def deleteRecursively(path: String): Unit = del(Paths.get(path))
 
   private def del(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {

@@ -559,6 +559,11 @@ object CoreQueries {
           .select(lit(t).as("table_name"), col("n_keys"))
       }
       .reduce(_.unionByName(_))
+      // the cascade always carries the SEED table's frame, even empty
+      // (non-seed frontiers are pruned); the oracle's n_keys > 0 keeps
+      // only populated cone tables — match it, or an empty seed set
+      // diverges on the zero-count seed row
+      .filter(col("n_keys") > 0)
       .orderBy("table_name")
   }
 

@@ -483,7 +483,13 @@ object OlapQueries {
       .orderBy("col_name")
   }
 
-  val tableProfileApproxSql: String = {
+  /** ONE builder for both profile oracles — the column list and the
+    * double-rendering rule must not live twice (they drifted apart
+    * would only be caught at gate time). `ndvExpr(c)` is the only
+    * difference: exact COUNT(DISTINCT) vs the approx form's asserted
+    * envelope boolean.
+    */
+  private def profileSqlFor(ndvCol: String => String): String = {
     val cols = Seq("o_orderkey" -> false, "o_custkey" -> false,
       "o_orderstatus" -> false, "o_totalprice" -> true,
       "o_orderdate" -> false, "o_orderpriority" -> false)
@@ -494,10 +500,13 @@ object OlapQueries {
                else s"CAST(MAX($c) AS VARCHAR)"
       s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
          |  COUNT(*) - COUNT($c) AS n_nulls,
-         |  TRUE AS ndv_within_envelope,
+         |  ${ndvCol(c)},
          |  $mn AS min_str, $mx AS max_str FROM orders""".stripMargin
     }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
   }
+
+  val tableProfileApproxSql: String =
+    profileSqlFor(_ => "TRUE AS ndv_within_envelope")
 
   /** The profile pipeline over any DataFrame — TableProfileSpec drives it
     * with crafted nulls (the fixture tables are null-free, so the
@@ -529,21 +538,8 @@ object OlapQueries {
       .orderBy("col_name")
   }
 
-  val tableProfileSql: String = {
-    val cols = Seq("o_orderkey" -> false, "o_custkey" -> false,
-      "o_orderstatus" -> false, "o_totalprice" -> true,
-      "o_orderdate" -> false, "o_orderpriority" -> false)
-    cols.map { case (c, isDouble) =>
-      val mn = if (isDouble) s"CAST(CAST(MIN($c) AS DECIMAL(18,2)) AS VARCHAR)"
-               else s"CAST(MIN($c) AS VARCHAR)"
-      val mx = if (isDouble) s"CAST(CAST(MAX($c) AS DECIMAL(18,2)) AS VARCHAR)"
-               else s"CAST(MAX($c) AS VARCHAR)"
-      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
-         |  COUNT(*) - COUNT($c) AS n_nulls,
-         |  COUNT(DISTINCT $c) AS n_distinct,
-         |  $mn AS min_str, $mx AS max_str FROM orders""".stripMargin
-    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
-  }
+  val tableProfileSql: String =
+    profileSqlFor(c => s"COUNT(DISTINCT $c) AS n_distinct")
 
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "table_profile" -> ((tableProfile _, tableProfileApproxSql)),

@@ -438,7 +438,12 @@ object StreamingOps {
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val q = dedupIngestStream(stream, idxDir, outDir, ckpt)
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(outDir).select("doc_id").orderBy("doc_id")
+    // eager checkpoint of the (tiny) survivor ids, then drop the whole
+    // throwaway tree — repeated bench/verify invocations must not leak
+    // an index + checkpoint dir per run
+    try spark.read.parquet(outDir).select("doc_id").orderBy("doc_id")
+      .localCheckpoint(true)
+    finally graft.io.SegmentLog.deleteRecursively(tmp.toString)
   }
 
   /** Stream → JSON table artifact: the streaming form of the export sink

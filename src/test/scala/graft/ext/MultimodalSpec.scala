@@ -112,6 +112,23 @@ class MultimodalSpec extends SparkSpec {
     assert(viaExpr.toSeq == viaMap.toSeq)
   }
 
+  test("resizeMedia fallback == expression on non-BMP payloads (code points, not chars)") {
+    import spark.implicits._
+    // astral characters (UTF-16 surrogate pairs): charAt-based indexing
+    // would shift positions and emit lone surrogates
+    val txt = "héllo 😀 wörld ab 😃 cd xyz end"
+    val width = txt.codePointCount(0, txt.length)
+    val m = Seq((1L, txt.getBytes("UTF-8"), "txt", width, 1))
+      .toDF("doc_id", "data", "format", "width", "height")
+      .select(col("doc_id"), col("data"),
+        struct(col("format"), col("width"), col("height")).as("meta"))
+    val viaExpr = Multimodal.resize(m, 9)
+      .select(md5(col("data"))).collect()(0).getString(0)
+    val viaMap = Multimodal.resizeMedia(spark, m, 9)
+      .select(md5(col("data"))).collect()(0).getString(0)
+    assert(viaExpr == viaMap)
+  }
+
   test("frame sampling keeps every stride-th record, no shuffle") {
     val s = Multimodal.sampleFrames(media, 10)
     assert(s.count() == media.filter(pmod(col("doc_id"), lit(10)) === 0).count())
