@@ -21,6 +21,8 @@ import graft.meta.Catalog
   * graft.Main -action check    -dsn <tableDir> | -path <artifactDir>
   * graft.Main -action diff     -path <baseArtifact> -delta <otherArtifact>
   * graft.Main -action forget   -dsn <tableDir> -query "SELECT ..." -path <artifactDir>
+  * graft.Main -action index    -table dedup|clusters|ann -dsn <tableDir>
+  *                             -path <indexDir> [-op build|append|compact|status]
   * }}}
   *
   * Flags mirror the reference (`-query -table -path -dsn -action
@@ -42,13 +44,14 @@ object Main {
       parts: Int = 0, // compact: explicit part count (0 = size-based auto)
       compression: String = "", // compact: explicit codec ("" = inferred)
       staged: Boolean = false, // load: whole-table atomic staged upsert
+      op: String = "", // index: build|append|compact|status (default build)
       delta: String = "", // extract: previous export dir -> delta extract
       deltaFull: Boolean = false, // extract -delta: full re-closure + anti-join
       verbose: Boolean = false,
       version: Boolean = false)
 
   val usage: String =
-    """usage: graft.Main -action extract|load|describe|query|compact|merge|profile|check|diff|forget
+    """usage: graft.Main -action extract|load|describe|query|compact|merge|profile|check|diff|forget|index
       |  -dsn <parquet table dir>   source tables (or jdbc: target for load)
       |  -query <sql|name>          seed query (extract) / operator name (query)
       |  -path <dir>                artifact dir (extract out / load in / query out / compact / profile / check)
@@ -59,6 +62,11 @@ object Main {
       |  -staged                    load: stage in parallel, commit each table in ONE txn
       |  -delta <prevDir>           extract: only rows NEW since the previous export
       |                             merge: the delta export dir to fold into -path
+      |  -op build|append|compact|status
+      |                             index: lifecycle op on a persisted index
+      |                             (-table dedup|clusters|ann, -dsn corpus,
+      |                             -path index root; append takes -query as a
+      |                             SQL predicate selecting the new batch)
       |  -delta-full                extract -delta: tolerate in-place mutations by
       |                             re-extracting the full closure + pk anti-join
       |                             (default prunes inside the traversal; exact for
@@ -78,6 +86,7 @@ object Main {
           case "-parts"  => cli.copy(parts = v.toInt)
           case "-compression" => cli.copy(compression = v)
           case "-delta" => cli.copy(delta = v)
+          case "-op"    => cli.copy(op = v)
           case other => throw new IllegalArgumentException(s"unknown flag: $other")
         }, None)
       case ((cli, None), "-staged")  => (cli.copy(staged = true), None)
@@ -288,6 +297,88 @@ object Main {
             rows.foreach(r => out(r.mkString("\t")))
             if (rows.forall(_.getAs[Boolean]("intact"))) 0
             else { out("INTEGRITY VIOLATED"); 1 }
+          }
+        }
+      // persisted-index lifecycle (the product surface of the r8 index
+      // tier): build / incremental append / compact / status for the
+      // dedup fingerprint, near-dup cluster, and IVF-cell artifacts —
+      // all committed through the crash-safe SegmentLog protocol
+      case "index" =>
+        val kinds = Set("dedup", "clusters", "ann")
+        if (cli.path.isEmpty || !kinds.contains(cli.table) ||
+            (cli.op != "status" && cli.dsn.isEmpty)) { out(usage); 2 }
+        else {
+          import org.apache.spark.sql.functions.{col, expr}
+          def docs = {
+            val d = Tables(spark, cli.dsn, "documents").select("doc_id", "text")
+            if (cli.query.nonEmpty) d.filter(expr(cli.query)) else d
+          }
+          def vecsAndCents = {
+            val base = Tables(spark, cli.dsn, "embeddings")
+              .select(col("vec_id"),
+                expr("transform(embedding, x -> cast(x AS double))").as("v"))
+            val sel = if (cli.query.nonEmpty) base.filter(expr(cli.query)) else base
+            // deterministic stand-in centroids, the ann_ivf convention;
+            // centroids always come from the FULL corpus so append
+            // batches assign against the same table the index was built
+            // with (a retrain is a rebuild)
+            val cents = base.filter(col("vec_id") < 16)
+              .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+            (sel, cents)
+          }
+          val statusRoot = cli.table match {
+            case "dedup" => s"${cli.path}/dedup_index"
+            case "ann"   => s"${cli.path}/ann_index"
+            case _       => cli.path
+          }
+          cli.op match {
+            case "" | "build" =>
+              val n = cli.table match {
+                case "dedup" =>
+                  val b = graft.ext.DedupIndex.build(docs, cli.path)
+                  graft.ext.DedupIndex.writeBloom(spark, cli.path)
+                  b
+                case "clusters" => graft.ext.ClusterIndex.build(docs, cli.path)
+                case "ann" =>
+                  val (v, c) = vecsAndCents
+                  graft.ext.AnnIndex.build(v, c, cli.path)
+              }
+              out(s"index ${cli.table}: built ($n rows indexed)")
+              0
+            case "append" =>
+              val n = cli.table match {
+                case "dedup" =>
+                  val a = graft.ext.DedupIndex.append(docs, cli.path)
+                  graft.ext.DedupIndex.writeBloom(spark, cli.path)
+                  a
+                case "clusters" => graft.ext.ClusterIndex.append(docs, cli.path)
+                case "ann" =>
+                  val (v, c) = vecsAndCents
+                  graft.ext.AnnIndex.append(v, c, cli.path)
+              }
+              out(s"index ${cli.table}: appended ($n rows now)")
+              0
+            case "compact" =>
+              val n = cli.table match {
+                case "dedup" => graft.ext.DedupIndex.compact(spark, cli.path)
+                case "clusters" => graft.ext.ClusterIndex.compact(spark, cli.path)
+                case "ann" => graft.ext.AnnIndex.compact(spark, cli.path)
+              }
+              out(s"index ${cli.table}: compacted ($n rows)")
+              0
+            case "status" =>
+              graft.io.SegmentLog.read(statusRoot) match {
+                case None => out(s"index ${cli.table}: no committed index at $statusRoot"); 1
+                case Some(st) =>
+                  out(s"index ${cli.table}: gen ${st.gen}, " +
+                    s"${st.segments.size} segment(s) [${st.segments.mkString(", ")}]" +
+                    (if (st.extras.isEmpty) ""
+                     else st.extras.toSeq.sortBy(_._1)
+                       .map { case (k, v) => s"$k -> $v" }
+                       .mkString(", extras: ", ", ", "")))
+                  0
+              }
+            case other => out(s"unknown index op '$other'"); 2
           }
         }
       case _ => out(usage); 2

@@ -385,6 +385,38 @@ class MainSpec extends SparkSpec {
     assert(capture(Main.Cli(action = "check", path = art, dsn = dsn))._1 == 0)
   }
 
+  test("index verb: build/status/append/compact lifecycle on a dedup index") {
+    val idx = java.nio.file.Files.createTempDirectory("cli-idx").toString
+    // build over two-thirds of the corpus, bloom included
+    val (rc1, o1) = capture(Main.Cli(action = "index", table = "dedup",
+      dsn = dsn, path = idx, query = "doc_id % 3 < 2"))
+    assert(rc1 == 0 && o1.exists(_.contains("built")))
+    val (rcS, oS) = capture(Main.Cli(action = "index", table = "dedup",
+      path = idx, op = "status"))
+    assert(rcS == 0 && oS.exists(s => s.contains("1 segment(s)") && s.contains("bloom")))
+    // append the rest, then compact back to one segment
+    val (rc2, o2) = capture(Main.Cli(action = "index", table = "dedup",
+      dsn = dsn, path = idx, op = "append", query = "doc_id % 3 = 2"))
+    assert(rc2 == 0 && o2.exists(_.contains("appended")))
+    val (_, oS2) = capture(Main.Cli(action = "index", table = "dedup",
+      path = idx, op = "status"))
+    assert(oS2.exists(_.contains("2 segment(s)")))
+    val (rc3, _) = capture(Main.Cli(action = "index", table = "dedup",
+      dsn = dsn, path = idx, op = "compact"))
+    assert(rc3 == 0)
+    val (_, oS3) = capture(Main.Cli(action = "index", table = "dedup",
+      path = idx, op = "status"))
+    assert(oS3.exists(_.contains("1 segment(s)")))
+    // the maintained index serves the real dedupe path
+    val total = graft.ext.DedupIndex.rows(spark, idx).count()
+    assert(total == graft.Tables(spark, dsn, "documents").count())
+    // status on an empty root is a loud 1, not a silent 0
+    val empty = java.nio.file.Files.createTempDirectory("cli-idx-empty").toString
+    val (rcE, _) = capture(Main.Cli(action = "index", table = "clusters",
+      path = empty, op = "status"))
+    assert(rcE == 1)
+  }
+
   test("describe prints keys, edges, and schema") {
     val (rc, out) = capture(Main.Cli(action = "describe", dsn = dsn, table = "customer"))
     assert(rc == 0)
