@@ -752,7 +752,121 @@ object TextQueries {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** CCNet-style n-gram language-model perplexity filter (Wenzek et al.,
+    * arXiv:1911.00359) — the OTHER pillar of published quality filtering
+    * next to [[qualityClassifier]]'s fastText tier: train a word-bigram
+    * LM with add-k smoothing on an in-domain reference slice (CCNet uses
+    * target-language Wikipedia; here the `lang = 'en'` slice stands in),
+    * then score EVERY document by its average negative log-likelihood —
+    * low-perplexity ≈ fluent/in-domain, high-perplexity ≈ out-of-domain
+    * or gibberish, and the keep cutoff is CCNet's head/tail split as one
+    * trained constant. On the synthetic corpus the signal is real: `en`
+    * docs score visibly below the other languages.
+    *
+    * Shapes for 100 TB: the LM is built in one training-slice scan (two
+    * grouped counts); scoring is one corpus scan → per-doc distinct
+    * bigram counts → ONE shuffle join against the bigram table (a
+    * trained production LM is a bounded artifact — top-V vocabulary —
+    * so that join collapses to a broadcast, exactly the
+    * [[qualityClassifierWeighted]] weight-table pattern; the unigram
+    * side is V rows and broadcasts here already). No driver-side state.
+    *
+    * Cross-engine float contract: every probability is computed in
+    * EXPLICIT double arithmetic (no decimal-division ambiguity), each
+    * bigram's −ln(P) is rounded to 6 dp and cast decimal(18,6) so the
+    * per-doc sum is EXACT in any fold order (`sum_nll = Σ m·nll`), and
+    * the only trailing float ops are one division and one `exp`, both
+    * after rounding.
+    */
+  def lmPerplexity(spark: SparkSession, dir: String): DataFrame =
+    lmPerplexityCore(Tables(spark, dir, "documents"), trainLang = "en",
+      keepCutoff = 3.42)
+
+  /** Parameterized core (LmPerplexitySpec trains on planted fluent text
+    * and pins that gibberish scores strictly higher).
+    */
+  def lmPerplexityCore(docs: DataFrame, trainLang: String,
+      keepCutoff: Double): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+      expr("filter(split(lower(text), ' +'), w -> w != '')").as("words"))
+    // in-order adjacent word pairs; docs with <2 words have no bigrams
+    // and drop out of the score (same rule on the oracle side)
+    def bigramPairs(df: DataFrame, keep: Seq[String]): DataFrame = df
+      .filter(size(col("words")) >= 2)
+      .select(keep.map(col) :+ explode(expr(
+        "transform(sequence(0, size(words) - 2), " +
+          "i -> named_struct('w1', words[i], 'w2', words[i + 1]))")).as("b"): _*)
+      .select(keep.map(col) :+ col("b.w1") :+ col("b.w2"): _*)
+    val docBi = bigramPairs(toks, Seq("doc_id", "lang"))
+      .groupBy("doc_id", "lang", "w1", "w2").agg(count(lit(1)).as("m"))
+    val train = toks.filter(col("lang") === trainLang)
+    val uni = train.select(explode(col("words")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val biTrain = bigramPairs(train, Seq.empty)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val vDf = uni.agg(count(lit(1)).as("v"))
+    docBi
+      .join(biTrain, Seq("w1", "w2"), "left")
+      .join(broadcast(uni), Seq("w1"), "left")
+      .crossJoin(broadcast(vDf))
+      // add-k smoothing, k = 0.5: unseen bigram -> k/(c1 + kV); unseen
+      // context -> 1/V. All-double on purpose (see float contract above)
+      .withColumn("nll", expr(
+        "cast(round(-ln((cast(coalesce(c2, 0) AS double) + 0.5) / " +
+          "(cast(coalesce(c1, 0) AS double) + 0.5 * cast(v AS double))), 6) " +
+          "AS decimal(18,6))"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("nll") * col("m")).as("sum_nll"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        round(col("sum_nll").cast("double") / col("n_bigrams"), 6).as("avg_nll"))
+      .withColumn("ppl", round(exp(col("avg_nll")), 4))
+      .withColumn("keep", col("avg_nll") <= keepCutoff)
+      .orderBy("doc_id")
+  }
+
+  val lmPerplexitySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split(lower(text), ' '), x -> x != '') AS words
+      |  FROM documents),
+      |bi AS (
+      |  SELECT doc_id, lang, words[i] AS w1, words[i + 1] AS w2
+      |  FROM (SELECT doc_id, lang, words,
+      |          unnest(generate_series(1, len(words) - 1)) AS i
+      |        FROM tok WHERE len(words) >= 2)),
+      |docbi AS (
+      |  SELECT doc_id, lang, w1, w2, COUNT(*) AS m FROM bi GROUP BY 1, 2, 3, 4),
+      |train AS (SELECT words FROM tok WHERE lang = 'en'),
+      |uni AS (
+      |  SELECT w1, COUNT(*) AS c1
+      |  FROM (SELECT unnest(words) AS w1 FROM train) GROUP BY 1),
+      |vv AS (SELECT COUNT(*) AS v FROM uni),
+      |bitrain AS (
+      |  SELECT w1, w2, COUNT(*) AS c2 FROM (
+      |    SELECT words[i] AS w1, words[i + 1] AS w2
+      |    FROM (SELECT words, unnest(generate_series(1, len(words) - 1)) AS i
+      |          FROM train WHERE len(words) >= 2))
+      |  GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT doc_id, lang,
+      |    CAST(SUM(m) AS BIGINT) AS n_bigrams,
+      |    SUM(CAST(ROUND(-LN((CAST(COALESCE(c2, 0) AS DOUBLE) + 0.5) /
+      |          (CAST(COALESCE(c1, 0) AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))), 6)
+      |        AS DECIMAL(18,6)) * m) AS sum_nll
+      |  FROM docbi
+      |  LEFT JOIN bitrain USING (w1, w2)
+      |  LEFT JOIN uni USING (w1)
+      |  CROSS JOIN vv
+      |  GROUP BY 1, 2)
+      |SELECT doc_id, lang, n_bigrams,
+      |  ROUND(CAST(sum_nll AS DOUBLE) / n_bigrams, 6) AS avg_nll,
+      |  ROUND(EXP(ROUND(CAST(sum_nll AS DOUBLE) / n_bigrams, 6)), 4) AS ppl,
+      |  ROUND(CAST(sum_nll AS DOUBLE) / n_bigrams, 6) <= 3.42 AS keep
+      |FROM sc ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "lm_perplexity" -> ((lmPerplexity _, lmPerplexitySql)),
     "text_normalize" -> ((textNormalize _, textNormalizeSql)),
     "bpe_top_pairs" -> ((bpeTopPairs _, bpeTopPairsSql)),
     "quality_classifier" -> ((qualityClassifier _, qualityClassifierSql)),
