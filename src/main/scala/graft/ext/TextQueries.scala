@@ -865,7 +865,67 @@ object TextQueries {
       |  ROUND(CAST(sum_nll AS DOUBLE) / n_bigrams, 6) <= 3.42 AS keep
       |FROM sc ORDER BY doc_id""".stripMargin
 
+  /** Vocabulary heavy hitters through the mergeable Misra–Gries sketch
+    * ([[graft.functions.HeavyHitters]]) — the frequency member of the
+    * sketch rollup family (HLL distinct / GK quantile / Bloom
+    * membership): per-SOURCE shard sketches built in one corpus pass,
+    * merged to a global summary, then validated against the exact top-10
+    * word counts. The registered form is the deterministic ENVELOPE
+    * (exact ride-along + the theorem boolean, `assert_true`-backed);
+    * the raw stored-counter estimates are order-dependent by nature and
+    * stay in the unregistered `_raw` variant — the same contract as
+    * `events_approx_users`/`events_quantile_weekly`.
+    *
+    * k = 16 is deliberately SMALLER than the corpus vocabulary so the
+    * decrement/merge-subtraction paths genuinely run under the driver
+    * gate; the guarantee est ≤ true ≤ est + error holds in any
+    * partition/merge order (Misra–Gries 1982; Agarwal et al. PODS'12).
+    * At 100 TB the per-source sketches are the bounded artifact a corpus
+    * store keeps — coarser rollups merge bytes, never re-scan text.
+    */
+  def vocabHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    vocabHeavyHittersCore(spark, dir)
+      .select(col("word"), col("n"), col("within_envelope"))
+      .orderBy(col("n").desc, col("word"))
+
+  /** Raw-estimate form (stored counter + error bound exposed;
+    * order-dependent, hence unregistered).
+    */
+  def vocabHeavyHittersRaw(spark: SparkSession, dir: String): DataFrame =
+    vocabHeavyHittersCore(spark, dir)
+      .select(col("word"), col("n"), col("est"), col("err"))
+      .orderBy(col("n").desc, col("word"))
+
+  private def vocabHeavyHittersCore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HeavyHitters._
+    val toks = Tables(spark, dir, "documents")
+      .select(col("source"),
+        explode(expr("filter(split(lower(text), ' +'), w -> w != '')")).as("w"))
+    val perSource = toks.groupBy("source").agg(mg_sketch_agg(col("w"), 16).as("sk"))
+    val global = perSource.agg(mg_sketch_merge(col("sk")).as("sk"))
+    val exactTop = toks.groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(10)
+    exactTop.crossJoin(broadcast(global))
+      .withColumn("est", mg_estimate(col("sk"), col("w")))
+      .withColumn("err", mg_error(col("sk")))
+      .withColumn("within_envelope",
+        col("est") <= col("n") && col("n") <= col("est") + col("err"))
+      .filter(expr(
+        "assert_true(within_envelope, 'MG envelope violated') IS NULL"))
+      .withColumnRenamed("w", "word")
+  }
+
+  val vocabHeavyHittersSql: String =
+    """WITH tok AS (
+      |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS word
+      |  FROM documents)
+      |SELECT word, n, TRUE AS within_envelope FROM (
+      |  SELECT word, COUNT(*) AS n FROM tok GROUP BY 1
+      |  ORDER BY n DESC, word LIMIT 10)
+      |ORDER BY n DESC, word""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "vocab_heavy_hitters" -> ((vocabHeavyHitters _, vocabHeavyHittersSql)),
     "lm_perplexity" -> ((lmPerplexity _, lmPerplexitySql)),
     "text_normalize" -> ((textNormalize _, textNormalizeSql)),
     "bpe_top_pairs" -> ((bpeTopPairs _, bpeTopPairsSql)),
