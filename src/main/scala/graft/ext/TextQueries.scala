@@ -787,23 +787,38 @@ object TextQueries {
     */
   def lmPerplexityCore(docs: DataFrame, trainLang: String,
       keepCutoff: Double): DataFrame = {
-    val toks = docs.select(col("doc_id"), col("lang"),
-      expr("filter(split(lower(text), ' +'), w -> w != '')").as("words"))
-    // in-order adjacent word pairs; docs with <2 words have no bigrams
-    // and drop out of the score (same rule on the oracle side)
-    def bigramPairs(df: DataFrame, keep: Seq[String]): DataFrame = df
-      .filter(size(col("words")) >= 2)
-      .select(keep.map(col) :+ explode(expr(
-        "transform(sequence(0, size(words) - 2), " +
-          "i -> named_struct('w1', words[i], 'w2', words[i + 1]))")).as("b"): _*)
-      .select(keep.map(col) :+ col("b.w1") :+ col("b.w2"): _*)
-    val docBi = bigramPairs(toks, Seq("doc_id", "lang"))
-      .groupBy("doc_id", "lang", "w1", "w2").agg(count(lit(1)).as("m"))
+    val toks = lmTokens(docs)
     val train = toks.filter(col("lang") === trainLang)
     val uni = train.select(explode(col("words")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
-    val biTrain = bigramPairs(train, Seq.empty)
+    val biTrain = lmBigramPairs(train, Seq.empty)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    lmScore(toks, uni, biTrain, keepCutoff)
+  }
+
+  private[ext] def lmTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      expr("filter(split(lower(text), ' +'), w -> w != '')").as("words"))
+
+  /** In-order adjacent word pairs; docs with <2 words have no bigrams
+    * and drop out of the score (same rule on the oracle side).
+    */
+  private[ext] def lmBigramPairs(df: DataFrame, keep: Seq[String]): DataFrame = df
+    .filter(size(col("words")) >= 2)
+    .select(keep.map(col) :+ explode(expr(
+      "transform(sequence(0, size(words) - 2), " +
+        "i -> named_struct('w1', words[i], 'w2', words[i + 1]))")).as("b"): _*)
+    .select(keep.map(col) :+ col("b.w1") :+ col("b.w2"): _*)
+
+  /** Scoring against an LM given as its two count tables — the ONE
+    * dataflow behind both the inline query and [[LmModel]]'s persisted
+    * artifact path (the `qualityScore` sharing contract: the production
+    * form can never drift from the oracle-gated one).
+    */
+  private[ext] def lmScore(toks: DataFrame, uni: DataFrame, biTrain: DataFrame,
+      keepCutoff: Double): DataFrame = {
+    val docBi = lmBigramPairs(toks, Seq("doc_id", "lang"))
+      .groupBy("doc_id", "lang", "w1", "w2").agg(count(lit(1)).as("m"))
     val vDf = uni.agg(count(lit(1)).as("v"))
     docBi
       .join(biTrain, Seq("w1", "w2"), "left")
@@ -823,6 +838,23 @@ object TextQueries {
       .withColumn("ppl", round(exp(col("avg_nll")), 4))
       .withColumn("keep", col("avg_nll") <= keepCutoff)
       .orderBy("doc_id")
+  }
+
+  /** The artifact path under the driver gate: train [[LmModel]] into a
+    * throwaway dir, score through the committed parquet tables, and
+    * hash-match the SAME from-scratch DuckDB oracle — proof that
+    * train→commit→load loses nothing. Eager checkpoint so the temp
+    * model tree can be deleted before returning (the
+    * `dedup_clusters_incremental` discipline: verify/bench loops must
+    * not leak one artifact tree per invocation).
+    */
+  def lmPerplexityPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val lmDir = java.nio.file.Files.createTempDirectory("graft-lm-").toString
+    try {
+      LmModel.train(docs, trainLang = "en", lmDir)
+      LmModel.score(docs, lmDir, keepCutoff = 3.42).localCheckpoint(true)
+    } finally graft.io.SegmentLog.deleteRecursively(lmDir)
   }
 
   val lmPerplexitySql: String =
@@ -927,6 +959,7 @@ object TextQueries {
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "vocab_heavy_hitters" -> ((vocabHeavyHitters _, vocabHeavyHittersSql)),
     "lm_perplexity" -> ((lmPerplexity _, lmPerplexitySql)),
+    "lm_perplexity_persisted" -> ((lmPerplexityPersisted _, lmPerplexitySql)),
     "text_normalize" -> ((textNormalize _, textNormalizeSql)),
     "bpe_top_pairs" -> ((bpeTopPairs _, bpeTopPairsSql)),
     "quality_classifier" -> ((qualityClassifier _, qualityClassifierSql)),

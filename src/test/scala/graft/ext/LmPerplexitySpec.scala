@@ -67,6 +67,28 @@ class LmPerplexitySpec extends SparkSpec {
     assert(s.size == fluent.size)
   }
 
+  test("persisted LmModel scores identically to the inline query") {
+    val lmDir = java.nio.file.Files.createTempDirectory("lm-spec").toString
+    val docs = (fluent ++ gibberish ++ oov).toDF("doc_id", "text", "lang")
+    val v = LmModel.train(docs, "en", lmDir)
+    assert(v > 0)
+    assert(LmModel.meta(spark, lmDir) == ("en", v))
+    val persisted = LmModel.score(docs, lmDir, 3.42)
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getBoolean(5))).toSet
+    val inline = TextQueries.lmPerplexityCore(docs, "en", 3.42)
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getBoolean(5))).toSet
+    assert(persisted == inline)
+    // retrain swaps atomically to a new generation, old files swept
+    LmModel.train(docs, "xx", lmDir)
+    assert(LmModel.meta(spark, lmDir)._1 == "xx")
+    val names = java.nio.file.Files.list(java.nio.file.Paths.get(s"$lmDir/lm_model"))
+      .iterator()
+    val left = Iterator.continually(names).takeWhile(_.hasNext)
+      .map(_.next().getFileName.toString).toSet
+    assert(left.contains("uni-g2") && !left.contains("uni-g1"))
+    graft.io.SegmentLog.deleteRecursively(lmDir)
+  }
+
   test("per-doc sums are fold-order independent (decimal-summed nll)") {
     val one = score(fluent ++ gibberish)
     val repartitioned = TextQueries.lmPerplexityCore(
