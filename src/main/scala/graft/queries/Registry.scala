@@ -12,7 +12,8 @@ object Registry {
     Seq(CoreQueries.all, SanitizeQueries.all, EngineQueries.all, OlapQueries.all,
       AuditQueries.all,
       graft.ext.TextQueries.all, graft.ext.DedupQueries.all,
-      graft.ext.SimilarityQueries.all, graft.ext.EventQueries.all,
+      graft.ext.SimilarityQueries.all, graft.ext.KMeans.all,
+      graft.ext.EventQueries.all,
       graft.ext.Multimodal.all, graft.ext.CurationQueries.all,
       graft.ext.Bucketing.all)
 
