@@ -110,14 +110,22 @@ object KMeans {
     * oracle replays (a production run would seed by k-means++ sampling;
     * the loop is seed-agnostic).
     */
+  /** `iters − 1` updates from the deterministic seed over an
+    * ALREADY-PERSISTED quantized corpus; returns the trained centroids
+    * (quantized space: values are means of `floor(x·10⁶)` integers).
+    */
+  private[ext] def trainOn(qc: DataFrame, k: Int, iters: Int): Seq[(Long, Seq[Double])] = {
+    val init: Seq[(Long, Seq[Double])] = qc.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("qv")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Long](1).map(_.toDouble).toSeq))
+      .sortBy(_._1)
+    (1 until iters).foldLeft(init)((c, _) => updateCentroids(qc, c))
+  }
+
   private[ext] def lloyd(q: DataFrame, k: Int, iters: Int): DataFrame = {
     val qc = q.persist()
     try {
-      val init: Seq[(Long, Seq[Double])] = qc.filter(col("vec_id") < k)
-        .select(col("vec_id"), col("qv")).collect().toSeq
-        .map(r => (r.getLong(0), r.getSeq[Long](1).map(_.toDouble).toSeq))
-        .sortBy(_._1)
-      val trained = (1 until iters).foldLeft(init)((c, _) => updateCentroids(qc, c))
+      val trained = trainOn(qc, k, iters)
       // the final assignment is the query output: materialize it before
       // unpersisting the quantized corpus it reads
       qc.withColumn("cell", nearestCell(trained, col("qv")))
@@ -152,9 +160,13 @@ object KMeans {
        |       FROM $s GROUP BY cell) nm USING (cell)),""".stripMargin
   }
 
-  val kmeansTrainSql: String = {
+  /** The training rounds as a reusable CTE prefix ending at the trained
+    * centroid set `c{Iters−1} (cell, m)` — shared by [[kmeansTrainSql]]
+    * and the trained-IVF oracle, so both replay the identical model.
+    */
+  private val kmeansCtePrefixSql: String = {
     val rounds = (1 until Iters).map(iterSql).mkString("\n")
-    s"""WITH q AS (
+    s"""q AS (
        |  SELECT vec_id,
        |         list_transform(CAST(embedding AS DOUBLE[]),
        |                        x -> CAST(floor(x * $Scale) AS BIGINT)) AS qv
@@ -162,7 +174,11 @@ object KMeans {
        |u AS (SELECT vec_id, unnest(qv) AS qval, generate_subscripts(qv, 1) AS pos FROM q),
        |c0 AS (SELECT vec_id AS cell, list_transform(qv, x -> CAST(x AS DOUBLE)) AS m
        |    FROM q WHERE vec_id < $K),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val kmeansTrainSql: String =
+    s"""WITH $kmeansCtePrefixSql
        |dF AS (SELECT q.vec_id, c.cell,
        |      list_reduce(list_transform(list_zip(q.qv, c.m),
        |                  s -> (s[1] - s[2]) * (s[1] - s[2])), (a, b) -> a + b) AS d
@@ -171,9 +187,73 @@ object KMeans {
        |  (SELECT vec_id, cell,
        |          row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
        |   FROM dF) WHERE rn = 1""".stripMargin
+
+  /** IVF search over the TRAINED cells — the [[SimilarityQueries.annIvf]]
+    * pipeline with learned centroids instead of the first-16 stand-ins,
+    * closing the train→assign→probe loop under one oracle. Trained
+    * centroids live in quantized space (×10⁶); cosine is scale-invariant,
+    * so cell geometry is unchanged and both engines score the identical
+    * scaled doubles. Same shapes as annIvf: assignment and probe lists
+    * are pure projections over the bounded centroid model (literal /
+    * broadcast crossover via [[SimilarityQueries.assignCellStruct]] and
+    * [[SimilarityQueries.topProbeCells]]), and the probe join broadcasts
+    * the query side.
+    */
+  def annIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qc = quantized(graft.Tables(spark, dir, "embeddings")).persist()
+    val trained = try trainOn(qc, K, Iters) finally qc.unpersist()
+    val base = SimilarityQueries.vecs(spark, dir)
+    val assigned = base
+      .withColumn("cell",
+        SimilarityQueries.assignCellStruct(spark, trained, col("v")).getField("cell"))
+      .select(col("vec_id"), col("v"), col("cell"))
+    val probes = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .withColumn("cell",
+        explode(SimilarityQueries.topProbeCells(spark, trained, col("qv"), 2)))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), asc("vec_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(SimilarityQueries.cosineExpr("qv", "v"), 6))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cell"), col("cos"))
+      .orderBy("query_id", "rank")
   }
 
+  val annIvfTrainedSql: String =
+    s"""WITH $kmeansCtePrefixSql
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT cell AS cent_id, m AS cv FROM c${Iters - 1}),
+       |assigned AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ROUND(list_cosine_similarity(c.cv, e.v), 6) DESC, c.cent_id) AS arn
+       |    FROM e CROSS JOIN c)
+       |  WHERE arn = 1),
+       |probes AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT e.vec_id AS query_id, e.v AS qv, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ROUND(list_cosine_similarity(c.cv, e.v), 6) DESC, c.cent_id) AS prn
+       |    FROM e CROSS JOIN c WHERE e.vec_id < 5)
+       |  WHERE prn <= 2),
+       |ranked AS (
+       |  SELECT p.query_id, a.vec_id, a.cell,
+       |    ROUND(list_cosine_similarity(p.qv, a.v), 6) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |      ORDER BY ROUND(list_cosine_similarity(p.qv, a.v), 6) DESC, a.vec_id) AS rank
+       |  FROM assigned a JOIN probes p ON a.cell = p.cell
+       |  WHERE a.vec_id != p.query_id)
+       |SELECT query_id, rank, vec_id, cell, cos FROM ranked
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   def all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
-    "kmeans_train" -> ((kmeansTrain _, kmeansTrainSql))
+    "kmeans_train" -> ((kmeansTrain _, kmeansTrainSql)),
+    "ann_ivf_trained" -> ((annIvfTrained _, annIvfTrainedSql))
   )
 }

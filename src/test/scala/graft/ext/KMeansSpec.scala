@@ -69,6 +69,15 @@ class KMeansSpec extends SparkSpec {
     assert(assigned == Map(0L -> 0L, 1L -> 1L, 2L -> 0L))
   }
 
+  test("trained IVF emits a full ranked top-5 per query") {
+    val rows = KMeans.annIvfTrained(spark, "/root/testdata/sf0.001").collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    }
+  }
+
   test("two runs produce identical assignments (bitwise-deterministic round)") {
     val a = collectAssign(KMeans.kmeansTrain(spark, "/root/testdata/sf0.001"))
     val b = collectAssign(KMeans.kmeansTrain(spark, "/root/testdata/sf0.001"))
