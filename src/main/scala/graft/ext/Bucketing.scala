@@ -90,7 +90,58 @@ object Bucketing {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Z-order (Morton) clustering key over `(l_partkey, l_suppkey)` —
+    * the MULTI-dimensional layout complement to single-key bucketing:
+    * interleaving the bits of two range-binned dimensions gives files
+    * whose min/max fences are tight on BOTH columns, so a predicate on
+    * either one prunes most of a 100 TB table at planning time (the
+    * min/max-per-file skip that a single-column sort only provides for
+    * its leading key). The registered query computes the 8-bit z-key
+    * (4 bits per dimension, range-binned off the global max — one tiny
+    * scalar agg broadcast, the house scalar-join idiom) and outputs the
+    * per-bucket fences `(n, min/max of each dim)` — the statistics a
+    * writer would persist as file-level metadata after
+    * `repartitionByRange(zkey)`; their tightness IS the pruning
+    * guarantee. Pure integer arithmetic end to end, so the oracle
+    * replays bit-exactly.
+    */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey").cast("long").as("p"), col("l_suppkey").cast("long").as("s"))
+    val bounds = li.agg(max("p").as("maxp"), max("s").as("maxs"))
+    val binned = li.crossJoin(broadcast(bounds))
+      .withColumn("bp", expr("(p * 16) div (maxp + 1)"))
+      .withColumn("bs", expr("(s * 16) div (maxs + 1)"))
+    val zkey = (0 until 4)
+      .map(i => expr(s"shiftleft(shiftright(bp, $i) & 1, ${2 * i + 1}) " +
+                     s"+ shiftleft(shiftright(bs, $i) & 1, ${2 * i})"))
+      .reduce(_ + _)
+    binned.withColumn("zkey", zkey)
+      .groupBy("zkey")
+      .agg(count(lit(1)).as("n"),
+        min("p").as("min_part"), max("p").as("max_part"),
+        min("s").as("min_supp"), max("s").as("max_supp"))
+  }
+
+  val zorderLayoutSql: String =
+    """WITH li AS (SELECT CAST(l_partkey AS BIGINT) AS p, CAST(l_suppkey AS BIGINT) AS s
+      |            FROM lineitem),
+      |b AS (SELECT MAX(p) AS maxp, MAX(s) AS maxs FROM li),
+      |z AS (SELECT p, s, (p * 16) // (maxp + 1) AS bp, (s * 16) // (maxs + 1) AS bs
+      |      FROM li CROSS JOIN b),
+      |k AS (SELECT p, s,
+      |        CAST((((bp >> 0) & 1) << 1) + (((bs >> 0) & 1) << 0)
+      |           + (((bp >> 1) & 1) << 3) + (((bs >> 1) & 1) << 2)
+      |           + (((bp >> 2) & 1) << 5) + (((bs >> 2) & 1) << 4)
+      |           + (((bp >> 3) & 1) << 7) + (((bs >> 3) & 1) << 6) AS BIGINT) AS zkey
+      |      FROM z)
+      |SELECT zkey, COUNT(*) AS n,
+      |  MIN(p) AS min_part, MAX(p) AS max_part,
+      |  MIN(s) AS min_supp, MAX(s) AS max_supp
+      |FROM k GROUP BY zkey""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
-    "bucketed_join" -> ((bucketedJoin _, bucketedJoinSql))
+    "bucketed_join" -> ((bucketedJoin _, bucketedJoinSql)),
+    "zorder_layout" -> ((zorderLayout _, zorderLayoutSql))
   )
 }

@@ -428,7 +428,66 @@ object CurationQueries {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Population-stability-index drift monitor over `events.value` — the
+    * distribution check a recurring 100 TB ingest runs before promoting
+    * a new batch: the corpus is split into a reference window (first
+    * half of the date span) and a current window, `value` is range-
+    * binned into 10 fixed-width bins, and each bin reports its PSI term
+    * `(p − q)·ln(p/q)` with proportions floored at 10⁻⁶ (the standard
+    * empty-bin guard). Σterms < 0.1 is the usual "no drift" reading;
+    * emitting per-bin terms (not just the total) is what makes the
+    * report actionable — the offending bins are visible.
+    *
+    * Scale shape: one scalar-bounds agg broadcast, then ONE conditional
+    * aggregation over a pure binning projection (10 output rows); the
+    * proportion window runs on the 10-row aggregate, never the corpus.
+    * Determinism: binning and proportions are integer-or-single-IEEE-op
+    * arithmetic; `ln` is the one libm call, rounded to 6 dp — the same
+    * discipline as the BM25/TF-IDF oracles.
+    */
+  def driftPsi(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(to_date(col("ts")).as("d"), col("value"))
+    val bounds = ev.agg(min("d").as("mind"), max("d").as("maxd"),
+      min("value").as("minv"), max("value").as("maxv"))
+    val binned = ev.crossJoin(broadcast(bounds))
+      .withColumn("is_ref",
+        datediff(col("d"), col("mind")) * 2 < datediff(col("maxd"), col("mind")))
+      .withColumn("bin",
+        least(floor((col("value") - col("minv")) * lit(10.0)
+          / (col("maxv") - col("minv"))), lit(9L)).cast("long"))
+    val counts = binned.groupBy("bin").agg(
+      count(when(col("is_ref"), lit(1))).as("n_ref"),
+      count(when(!col("is_ref"), lit(1))).as("n_cur"))
+    val w = Window.partitionBy()
+    counts
+      .withColumn("p", greatest(col("n_ref") / sum("n_ref").over(w), lit(1e-6)))
+      .withColumn("q", greatest(col("n_cur") / sum("n_cur").over(w), lit(1e-6)))
+      .withColumn("psi_term", round((col("p") - col("q")) * log(col("p") / col("q")), 6))
+      .select(col("bin"), col("n_ref"), col("n_cur"), col("psi_term"))
+  }
+
+  val driftPsiSql: String =
+    """WITH ev AS (SELECT CAST(ts AS DATE) AS d, value FROM events WHERE value IS NOT NULL),
+      |b AS (SELECT MIN(d) AS mind, MAX(d) AS maxd, MIN(value) AS minv, MAX(value) AS maxv
+      |      FROM ev),
+      |s AS (SELECT (d - mind) * 2 < (maxd - mind) AS is_ref,
+      |        CAST(LEAST(FLOOR((value - minv) * 10.0 / (maxv - minv)), 9) AS BIGINT) AS bin
+      |      FROM ev CROSS JOIN b),
+      |c AS (SELECT bin,
+      |        COUNT(*) FILTER (WHERE is_ref) AS n_ref,
+      |        COUNT(*) FILTER (WHERE NOT is_ref) AS n_cur
+      |      FROM s GROUP BY bin),
+      |t AS (SELECT bin, n_ref, n_cur,
+      |        GREATEST(n_ref / SUM(n_ref) OVER (), 1e-6) AS p,
+      |        GREATEST(n_cur / SUM(n_cur) OVER (), 1e-6) AS q
+      |      FROM c)
+      |SELECT bin, n_ref, n_cur, ROUND((p - q) * LN(p / q), 6) AS psi_term FROM t""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "drift_psi" -> ((driftPsi _, driftPsiSql)),
     "sample_quality_weighted" -> ((sampleQualityWeighted _, sampleQualityWeightedSql)),
     "skew_report" -> ((skewReport _, skewReportSql)),
     "k_anonymity" -> ((kAnonymity _, kAnonymitySql)),
