@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -140,8 +140,108 @@ object Bucketing {
       |  MIN(s) AS min_supp, MAX(s) AS max_supp
       |FROM k GROUP BY zkey""".stripMargin
 
+  /** Equi-depth range-partition boundaries for `lineitem.l_orderkey` —
+    * what `repartitionByRange` computes internally by sampling, exposed
+    * as a deterministic, oracle-checkable pass: ONE aggregation bins the
+    * key into 1024 fixed-width integer bins (histogram), the cumulative
+    * sum runs on that 1024-row aggregate (never the corpus), and each of
+    * the 8 target partitions gets the first bin edge whose cumulative
+    * count reaches `i/8` of the total. Boundaries are accurate to one
+    * bin width — the same tradeoff as Spark's reservoir sampling, but
+    * reproducible run-to-run, which is what a persisted 100 TB layout
+    * needs (re-ingest must not reshuffle files because a sample moved).
+    */
+  def rangePartitionBounds(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables(spark, dir, "lineitem").select(col("l_orderkey").cast("long").as("k"))
+    val bounds = li.agg(max("k").as("maxk"))
+    val hist = li.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr("(k * 1024) div (maxk + 1)"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    // tiny-side window: cumulative over ≤1024 aggregated rows
+    val w = Window.partitionBy().orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum("n").over(w))
+      .withColumn("total", sum("n").over(Window.partitionBy()))
+    cum.crossJoin(spark.range(1, 8).toDF("part_idx"))
+      .filter(col("cum") * 8 >= col("part_idx") * col("total"))
+      .groupBy("part_idx")
+      // first bin reaching the i/8 depth; its LOWER EDGE in key space is
+      // the split point a range writer persists
+      .agg(min("bin").as("bin"))
+      .crossJoin(broadcast(bounds))
+      .select(col("part_idx"),
+        expr("(bin * (maxk + 1)) div 1024").as("split_key"))
+  }
+
+  val rangePartitionBoundsSql: String =
+    """WITH li AS (SELECT CAST(l_orderkey AS BIGINT) AS k FROM lineitem),
+      |b AS (SELECT MAX(k) AS maxk FROM li),
+      |h AS (SELECT (k * 1024) // (maxk + 1) AS bin, COUNT(*) AS n
+      |      FROM li CROSS JOIN b GROUP BY 1),
+      |c AS (SELECT bin, SUM(n) OVER (ORDER BY bin) AS cum, SUM(n) OVER () AS total FROM h),
+      |p AS (SELECT part_idx, MIN(bin) AS bin
+      |      FROM c CROSS JOIN (SELECT UNNEST(range(1, 8)) AS part_idx)
+      |      WHERE cum * 8 >= part_idx * total
+      |      GROUP BY part_idx)
+      |SELECT part_idx, (bin * (maxk + 1)) // 1024 AS split_key
+      |FROM p CROSS JOIN b""".stripMargin
+
+  /** Partition-count sizing pass: per table, exact row count plus a
+    * deterministic byte estimate (fixed per-type widths + the measured
+    * mean width of each string column — ONE aggregation per table, no
+    * second pass), and the resulting 128 MiB-target partition count.
+    * This is the number an operator feeds `spark.sql.files
+    * .maxPartitionBytes` / `repartition` before a 100 TB write; making
+    * it a registered query keeps the sizing logic itself under the
+    * oracle, not in a notebook.
+    */
+  def partitionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val target = 134217728L // 128 MiB
+    def plan(table: String, fixed: Int, strCols: Seq[String]): DataFrame = {
+      val t = Tables(spark, dir, table)
+      val strBytes: Column = strCols
+        .map(c => coalesce(sum(length(col(c))), lit(0L)))
+        .foldLeft(lit(0L): Column)(_ + _)
+      t.agg(count(lit(1)).as("n_rows"),
+          (strBytes + count(lit(1)) * fixed).as("est_bytes"))
+        .select(lit(table).as("table_name"), col("n_rows"), col("est_bytes"),
+          // ceil-div in integer space; empty table still plans 1 partition
+          greatest(expr(s"(est_bytes + ${target - 1}) div $target"), lit(1L))
+            .as("n_parts_128mb"))
+    }
+    Seq(
+      plan("lineitem", 8 * 4 + 8 * 3 + 4, Seq("l_returnflag", "l_linestatus")),
+      plan("orders", 8 * 4, Seq("o_orderpriority", "o_orderstatus")),
+      plan("events", 8 * 4, Seq("event_type", "props")),
+      plan("documents", 8 * 2, Seq("text", "lang", "source"))
+    ).reduce(_.unionByName(_))
+  }
+
+  val partitionPlanSql: String = {
+    def one(table: String, fixed: Int, strCols: Seq[String]): String = {
+      val strBytes =
+        if (strCols.isEmpty) "0"
+        else strCols.map(c => s"COALESCE(SUM(LENGTH($c)), 0)").mkString(" + ")
+      s"""SELECT '$table' AS table_name, COUNT(*) AS n_rows,
+         |  CAST($strBytes + COUNT(*) * $fixed AS BIGINT) AS est_bytes,
+         |  CAST(GREATEST(($strBytes + COUNT(*) * $fixed + 134217727) // 134217728, 1) AS BIGINT)
+         |    AS n_parts_128mb
+         |FROM $table""".stripMargin
+    }
+    Seq(
+      one("lineitem", 8 * 4 + 8 * 3 + 4, Seq("l_returnflag", "l_linestatus")),
+      one("orders", 8 * 4, Seq("o_orderpriority", "o_orderstatus")),
+      one("events", 8 * 4, Seq("event_type", "props")),
+      one("documents", 8 * 2, Seq("text", "lang", "source"))
+    ).mkString("\nUNION ALL\n")
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "bucketed_join" -> ((bucketedJoin _, bucketedJoinSql)),
-    "zorder_layout" -> ((zorderLayout _, zorderLayoutSql))
+    "zorder_layout" -> ((zorderLayout _, zorderLayoutSql)),
+    "range_partition_bounds" -> ((rangePartitionBounds _, rangePartitionBoundsSql)),
+    "partition_plan" -> ((partitionPlan _, partitionPlanSql))
   )
 }

@@ -36,6 +36,27 @@ class LayoutDriftSpec extends SparkSpec {
     }
   }
 
+  test("range-partition split keys are monotone and in key range") {
+    val li = graft.Tables(spark, dir, "lineitem")
+    val maxk = li.agg(max(col("l_orderkey").cast("long"))).head.getLong(0)
+    val rows = Bucketing.rangePartitionBounds(spark, dir)
+      .orderBy("part_idx").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 7L))
+    val keys = rows.map(_.getAs[Long]("split_key"))
+    assert(keys.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    assert(keys.forall(k => k >= 0 && k <= maxk))
+  }
+
+  test("partition plan floors at one partition and bounds bytes below") {
+    val rows = Bucketing.partitionPlan(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("table_name")).toSet ==
+      Set("lineitem", "orders", "events", "documents"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_parts_128mb") >= 1L)
+      assert(r.getAs[Long]("est_bytes") >= r.getAs[Long]("n_rows"))
+    }
+  }
+
   test("PSI bins conserve the corpus and terms are finite") {
     val ev = graft.Tables(spark, dir, "events").filter(col("value").isNotNull)
     val rows = CurationQueries.driftPsi(spark, dir).collect()
