@@ -101,6 +101,26 @@ class PlanAuditSpec extends SparkSpec {
                                // else — the join must not re-scan raw
                                // parquet behind the bucketed copies
     "bpe_top_pairs" -> 1,      // one corpus scan; counting is partial-agg
+    "kmeans_train" -> 0,       // training runs eagerly at build time; the
+                               // registered output is the checkpointed
+                               // final assignment (an RDD leaf) — a
+                               // LogicalRelation here means the corpus
+                               // crept back into the output plan
+    "ann_ivf_trained" -> 2,    // corpus + broadcast probe side, same as
+                               // ann_ivf: the trained centroids are a
+                               // bounded literal/broadcast model, never a
+                               // third scan
+    "zorder_layout" -> 2,      // lineitem + the scalar bounds agg scan
+    "drift_psi" -> 2,          // events + the scalar bounds agg scan
+    "range_partition_bounds" -> 3, // lineitem + bounds agg + the bounds
+                               // re-read in the final split-key projection
+    "partition_plan" -> 4,     // one aggregation scan per planned table
+    "pagerank_supply" -> 0,    // the ranking runs through the persisted
+                               // degree-joined edge cache and checkpoints
+                               // its 20-row result — a LogicalRelation
+                               // here means the corpus re-entered the
+                               // output plan
+
     "ann_index_search" -> 3    // probed index segment + the query-side
                                // embeddings scan + that same probe subtree
                                // AGAIN inside the dynamic-partition-pruning
