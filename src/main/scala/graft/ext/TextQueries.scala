@@ -413,6 +413,70 @@ object TextQueries {
       |WHERE rank <= 5
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** Sparse TF-IDF document-similarity self-join via an inverted index
+    * with a POSTING-LIST CAP — the lexical counterpart of
+    * [[SimilarityQueries.embedLshPairs]]: candidate pairs are generated
+    * only through words with `2 ≤ df ≤ 50` (rare shared terms — the
+    * prefix-filtering idea from string-similarity joins: common words
+    * produce quadratic postings and near-zero IDF signal, so the cap
+    * removes exactly the terms that would blow the join up at 100 TB
+    * while keeping the discriminative ones), and the pair score is the
+    * sparse dot product of the docs' capped TF-IDF weights.
+    *
+    * Scale shape: one tokenized-corpus projection PERSISTED and
+    * self-joined on `word` (the cache keeps the documents scan + window
+    * single-pass), join fanout ≤ C(cap,2) per word, global top-50 by
+    * orderBy+limit = TakeOrdered. Determinism: weights are
+    * `floor(tf·ln(N/df)·10⁶)` BIGINTs, so the pair sums are exact and
+    * order-free; only the per-posting `ln` is float, at the same
+    * rounding discipline as the other lexical oracles.
+    */
+  def tfidfSimPairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val weighted = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
+      .filter(col("df") >= 2 && col("df") <= 50)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w",
+        expr("cast(floor(tf * ln(cast(n_docs AS double) / df) * 1000000) AS bigint)"))
+      .select(col("doc_id"), col("word"), col("w"))
+      .persist()
+    val a = weighted.select(col("word"), col("doc_id").as("doc1"), col("w").as("w1"))
+    val b = weighted.select(col("word"), col("doc_id").as("doc2"), col("w").as("w2"))
+    a.join(b, Seq("word"))
+      .filter(col("doc1") < col("doc2"))
+      .groupBy("doc1", "doc2")
+      .agg(sum(col("w1") * col("w2")).as("score"), count(lit(1)).as("shared_terms"))
+      .orderBy(desc("score"), asc("doc1"), asc("doc2")).limit(50)
+  }
+
+  val tfidfSimPairsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |tf AS (
+      |  SELECT doc_id, word, COUNT(*) AS tf
+      |  FROM tok WHERE word <> '' GROUP BY doc_id, word),
+      |wdf AS (
+      |  SELECT doc_id, word, tf, COUNT(*) OVER (PARTITION BY word) AS df FROM tf),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |wt AS (
+      |  SELECT doc_id, word,
+      |    CAST(FLOOR(tf * LN(CAST(n_docs AS DOUBLE) / df) * 1000000) AS BIGINT) AS w
+      |  FROM wdf CROSS JOIN n WHERE df BETWEEN 2 AND 50),
+      |p AS (
+      |  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+      |    CAST(SUM(a.w * b.w) AS BIGINT) AS score, COUNT(*) AS shared_terms
+      |  FROM wt a JOIN wt b ON a.word = b.word AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc1, doc2, score, shared_terms FROM p
+      |ORDER BY score DESC, doc1, doc2 LIMIT 50""".stripMargin
+
   /** BM25 retrieval — top-20 documents for a fixed query-term set (the
     * lexical complement to the embedding similarity tier; Okapi BM25 with
     * k1=1.2, b=0.75). The token stream is FILTERED to the query terms at
@@ -972,6 +1036,7 @@ object TextQueries {
     "chunk_overlap" -> ((chunkOverlap _, chunkOverlapSql)),
     "quality_repetition" -> ((qualityRepetition _, qualityRepetitionSql)),
     "tfidf_top_terms" -> ((tfidfTopTerms _, tfidfTopTermsSql)),
+    "tfidf_sim_pairs" -> ((tfidfSimPairs _, tfidfSimPairsSql)),
     "bm25_search" -> ((bm25Search _, bm25SearchSql))
   )
 }
