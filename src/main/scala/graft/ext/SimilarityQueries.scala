@@ -870,8 +870,89 @@ object SimilarityQueries {
     AnnIndex.search(spark, loc, cents, probes, nprobe = 2, k = 5)
   }
 
+  /** Contrastive hard-negative mining: for each probe vector, the top-5
+    * most-similar vectors of a DIFFERENT label — the training-pair
+    * construction for contrastive/metric learning (high-similarity
+    * cross-class items are exactly the "hard" negatives a random sampler
+    * almost never draws). Same scale shape as [[knnBrute]]: broadcast
+    * the bounded probe set, ONE corpus scan, per-probe top-k window over
+    * the probe-keyed exchange; the label filter rides the join
+    * condition, so same-class rows never enter the exchange. At 100 TB
+    * the probe set is a training batch (10²–10⁴ rows) — still a
+    * broadcast — and the ranked window becomes per-probe TakeOrdered.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = vecs(spark, dir)
+    val q = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("v").as("qv"))
+    val scored = base.join(broadcast(q),
+        col("vec_id") =!= col("query_id") && col("label") =!= col("q_label"))
+      .withColumn("cos", round(cosineExpr("qv", "v"), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("label").as("neg_label"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  val hardNegativesSql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv FROM e WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id, e.label,
+      |    ROUND(list_cosine_similarity(q.qv, e.v), 6) AS cos
+      |  FROM e CROSS JOIN q
+      |  WHERE e.vec_id != q.query_id AND e.label != q.q_label),
+      |ranked AS (
+      |  SELECT query_id, vec_id, label, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, vec_id, label AS neg_label, cos FROM ranked
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Per-label mean-pooled embeddings (class centroids / domain
+    * vectors): the grouped VECTOR MEAN a pipeline computes for
+    * prototype classifiers, SemDeDup-style cell seeds, or per-domain
+    * steering vectors. Distributed shape: `posexplode` the vectors to
+    * (label, pos, x) and partial-aggregate per (label, pos) — labels ×
+    * dim result rows, ONE shuffle whose width is rows × dim scalars but
+    * whose reduce side is bounded by the tiny result; at 100 TB this is
+    * the standard centroid computation (map-side combine does almost
+    * all the work; no vector ever crosses the wire whole). Exactness:
+    * elements are quantized `floor(x·10⁶)` BIGINTs, so the per-cell
+    * mass is an order-free exact sum and the mean is ONE IEEE division
+    * of two integers — hash-identical in the DuckDB replay.
+    */
+  def embedCentroids(spark: SparkSession, dir: String): DataFrame = {
+    vecs(spark, dir)
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos").cast("long").as("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(floor(x * 1000000) AS bigint)")).as("mass"))
+      .withColumn("mean_q", col("mass").cast("double") / col("n").cast("double"))
+      .orderBy("label", "pos")
+  }
+
+  val embedCentroidsSql: String =
+    """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |x AS (SELECT label, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x FROM e)
+      |SELECT label, CAST(pos AS BIGINT) AS pos, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(x * 1000000) AS BIGINT)) AS BIGINT) AS mass,
+      |  CAST(CAST(SUM(CAST(FLOOR(x * 1000000) AS BIGINT)) AS BIGINT) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS mean_q
+      |FROM x
+      |GROUP BY label, pos
+      |ORDER BY label, pos""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "knn_brute" -> ((knnBrute _, knnBruteSql)),
+    "hard_negatives" -> ((hardNegatives _, hardNegativesSql)),
+    "embed_centroids" -> ((embedCentroids _, embedCentroidsSql)),
     "ann_ivf" -> ((annIvf _, annIvfSql)),
     "ann_index_search" -> ((annIndexSearch _, annIvfSql)),
     "pq_topk" -> ((pqTopk _, pqTopkSql)),

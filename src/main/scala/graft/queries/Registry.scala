@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Registry {
   private def suites: Seq[Seq[(String, ((SparkSession, String) => DataFrame, String))]] =
     Seq(CoreQueries.all, SanitizeQueries.all, EngineQueries.all, OlapQueries.all,
-      AuditQueries.all,
+      AuditQueries.all, SubqueryQueries.all,
       graft.ext.TextQueries.all, graft.ext.DedupQueries.all,
       graft.ext.SimilarityQueries.all, graft.ext.KMeans.all,
       graft.ext.EventQueries.all,

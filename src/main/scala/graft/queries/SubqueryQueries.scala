@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** Correlated-subquery surface — the decorrelation capability class.
+  *
+  * The reference delegates subqueries to PostgreSQL's planner
+  * (ulule/mover runs its seed/config queries verbatim —
+  * `pkg/mover/extract.go` hands the SQL to the server); a standalone
+  * engine must DECORRELATE them itself: a per-row correlated aggregate
+  * naively re-executes the inner query once per outer row — O(n·m), a
+  * non-starter at 100 TB — while the decorrelated form is ONE
+  * aggregation plus ONE join. These queries are deliberately authored
+  * as SQL (`spark.sql` over temp views of the parquet tables) so the
+  * plans come out of Catalyst's own rewrite stack
+  * (`RewriteCorrelatedScalarSubquery`, `RewritePredicateSubquery`,
+  * `MergeScalarSubqueries`), not a hand decorrelation: SubquerySpec
+  * pins that the optimized plans contain joins + aggregates and no
+  * per-row subquery execution, and pins result equality with an
+  * explicit DataFrame-API decorrelation of the same semantics.
+  *
+  * Determinism discipline: every correlated comparison is MULTIPLIED
+  * OUT so no division ever runs — `qty < 0.2·avg(qty)` becomes
+  * `5·qty·count < sum` over exact BIGINTs (quantities are integral),
+  * and the balance-above-mean predicate compares
+  * `bal·n > Σbal` in DECIMAL. Both engines then evaluate identical
+  * integer/decimal trees, so the driver's hash compare is exact.
+  */
+object SubqueryQueries {
+
+  /** Register the named testdata tables as temp views for spark.sql. */
+  private def views(spark: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => Tables(spark, dir, n).createOrReplaceTempView(n))
+
+  /** TPC-H Q17 shape (small-quantity revenue): lineitems whose quantity
+    * is below 20% of their part's average quantity. The predicate holds
+    * TWO correlated scalar aggregates over lineitem (count and sum per
+    * l_partkey); Catalyst decorrelates each into a bounded per-partkey
+    * aggregate joined back on the correlation key — never a per-outer-row
+    * re-execution. (It does NOT merge the two into one shared aggregate:
+    * `MergeScalarSubqueries` doesn't fire on this predicate position, so
+    * the SQL form scans lineitem three times; SubquerySpec pins equality
+    * with the hand-decorrelated single-aggregate DataFrame form — one
+    * `groupBy(l_partkey).agg(count, sum)` + one join, two scans — which
+    * is the shape a 100 TB run would author directly when the extra scan
+    * matters.) `0.2·avg` is multiplied out to
+    * `5·qty·count < sum` in BIGINT: exact, division-free, and integral
+    * because the synthetic quantities are whole numbers.
+    */
+  def corrSmallQty(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir, "lineitem", "part")
+    spark.sql(corrSmallQtySql)
+  }
+
+  val corrSmallQtySql: String =
+    """SELECT p.p_brand,
+      |  COUNT(*) AS n_small,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE CAST(l.l_quantity AS BIGINT) * 5 *
+      |      (SELECT COUNT(*) FROM lineitem l2
+      |       WHERE l2.l_partkey = l.l_partkey)
+      |    < (SELECT CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+      |       FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      |GROUP BY p.p_brand
+      |ORDER BY p.p_brand""".stripMargin
+
+  /** TPC-H Q18 shape (large-volume orders): orders whose total lineitem
+    * quantity reaches 300, with the quantity surfaced via a correlated
+    * scalar subquery in the SELECT list. Exercises BOTH predicate-
+    * subquery classes at once: the `IN (… GROUP BY … HAVING …)`
+    * membership test rewrites to a LEFT SEMI join against the
+    * aggregated lineitem (`RewritePredicateSubquery`), and the SELECT
+    * subquery decorrelates to an aggregate join. Top-20 by quantity
+    * with the unique o_orderkey tiebreak, so the LIMIT is
+    * deterministic; at scale the ORDER BY+LIMIT executes as
+    * TakeOrdered, never a global sort.
+    */
+  def corrBigOrders(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir, "lineitem", "orders", "customer")
+    spark.sql(corrBigOrdersSql)
+  }
+
+  val corrBigOrdersSql: String =
+    """SELECT c.c_name, o.o_orderkey,
+      |  CAST(o.o_totalprice AS DOUBLE) AS total,
+      |  (SELECT CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+      |   FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS total_qty
+      |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |WHERE o.o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS BIGINT)) >= 300)
+      |ORDER BY total_qty DESC, o.o_orderkey
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q22 shape (wealthy low-activity customers): customers whose
+    * balance exceeds the positive-balance mean but who placed fewer
+    * than 8 orders, rolled up per nation. Mixes an UNCORRELATED scalar
+    * subquery pair (the mean, multiplied out to `bal·n > Σbal` in
+    * DECIMAL — computed ONCE and broadcast into the predicate, never
+    * per-row) with a correlated COUNT over orders (decorrelated to an
+    * aggregate + left join on c_custkey; the count-bug case — customers
+    * with zero orders must count 0, not NULL — is handled by Catalyst's
+    * null-safe count rewrite, and is exactly the case a naive outer-join
+    * translation gets wrong).
+    */
+  def corrIdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir, "customer", "orders")
+    spark.sql(corrIdleCustomersSql)
+  }
+
+  val corrIdleCustomersSql: String =
+    """SELECT c.c_nationkey,
+      |  COUNT(*) AS n_idle,
+      |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+      |FROM customer c
+      |WHERE CAST(c.c_acctbal AS DECIMAL(18,4)) *
+      |        (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+      |      > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(28,4))
+      |         FROM customer WHERE c_acctbal > 0)
+      |  AND (SELECT COUNT(*) FROM orders o
+      |       WHERE o.o_custkey = c.c_custkey) < 8
+      |GROUP BY c.c_nationkey
+      |ORDER BY c.c_nationkey""".stripMargin
+
+  val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "corr_small_qty" -> ((corrSmallQty _, corrSmallQtySql)),
+    "corr_big_orders" -> ((corrBigOrders _, corrBigOrdersSql)),
+    "corr_idle_customers" -> ((corrIdleCustomers _, corrIdleCustomersSql))
+  )
+}
