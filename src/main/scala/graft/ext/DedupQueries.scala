@@ -1011,8 +1011,58 @@ object DedupQueries {
     } finally graft.io.SegmentLog.deleteRecursively(idxDir)
   }
 
+  /** Fuzzy ENTITY record linkage (typo-tolerant dedup of catalog
+    * strings): near-identical part names paired by Levenshtein distance
+    * — the classic record-linkage modality the text-shingle tiers don't
+    * cover (edit distance catches single-character typos that change
+    * every shingle). Two scale decisions: (1) matching runs on the
+    * DISTINCT names, never on corpus rows — entity vocabularies are
+    * bounded (brands, vendors, cities) even when the fact table is
+    * 100 TB, and the per-name row count rides along for the merge
+    * decision; (2) candidates come from a BLOCKING key (the name's noun
+    * token) so the comparison is per-block quadratic, never a global
+    * self-join — swap in phonetic keys or q-gram buckets for messier
+    * vocabularies, same shape. Levenshtein is exact integer arithmetic
+    * in both engines.
+    */
+  def fuzzyDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables(spark, dir, "part")
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_rows"))
+      .select(col("p_name"),
+        split(col("p_name"), " ").getItem(0).as("adj"),
+        split(col("p_name"), " ").getItem(1).as("noun"),
+        col("n_rows"))
+    val a = names.select(col("p_name").as("name_a"), col("adj").as("adj_a"),
+      col("noun"), col("n_rows").as("rows_a"))
+    val b = names.select(col("p_name").as("name_b"), col("adj").as("adj_b"),
+      col("noun"), col("n_rows").as("rows_b"))
+    a.join(b, Seq("noun"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("lev", levenshtein(col("adj_a"), col("adj_b")).cast("long"))
+      .filter(col("lev") <= 2)
+      .select(col("name_a"), col("name_b"), col("lev"),
+        col("rows_a"), col("rows_b"))
+      .orderBy("name_a", "name_b")
+  }
+
+  val fuzzyDupPairsSql: String =
+    """WITH names AS (
+      |  SELECT p_name, string_split(p_name, ' ')[1] AS adj,
+      |    string_split(p_name, ' ')[2] AS noun, COUNT(*) AS n_rows
+      |  FROM part GROUP BY p_name),
+      |pairs AS (
+      |  SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |    CAST(levenshtein(a.adj, b.adj) AS BIGINT) AS lev,
+      |    a.n_rows AS rows_a, b.n_rows AS rows_b
+      |  FROM names a JOIN names b
+      |    ON a.noun = b.noun AND a.p_name < b.p_name)
+      |SELECT name_a, name_b, lev, rows_a, rows_b FROM pairs
+      |WHERE lev <= 2
+      |ORDER BY name_a, name_b""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "dedup_bloom" -> ((dedupBloom _, dedupBloomSql)),
+    "fuzzy_dup_pairs" -> ((fuzzyDupPairs _, fuzzyDupPairsSql)),
     "dedup_clusters_persisted" -> ((dedupClustersPersisted _, dedupClustersSql)),
     "dedup_clusters_incremental" -> ((dedupClustersIncremental _, dedupClustersSql)),
     "dedup_exact" -> ((dedupExact _, dedupExactSql)),

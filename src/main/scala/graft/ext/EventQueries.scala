@@ -681,7 +681,64 @@ object EventQueries {
       |WINDOW wl AS (PARTITION BY user_id ORDER BY island)
       |ORDER BY user_id, valid_from""".stripMargin
 
+  /** Calendar densification + forward fill (gap filling): the
+    * time-series repair every downstream chart/model assumes — a day
+    * with no events must appear as an explicit zero row, and the
+    * last-observed daily total must carry forward across the gap
+    * (`last(…, ignoreNulls)` over the per-type date order).
+    *
+    * Scale shape: the ONLY corpus-sized stage is the daily aggregate
+    * (one shuffle, map-side combined); the calendar is `types × days`
+    * — bounded by the date span, thousands of rows at any corpus size —
+    * built by exploding `sequence(min_day, max_day)` against the
+    * distinct types, so the left join and the forward-fill window both
+    * run on the small dense grid, never on raw events. The 1-row span
+    * aggregate rides a broadcast crossJoin (the scalar-join idiom).
+    * Exactness: totals are decimal sums cast to double before the fill,
+    * so the carried value is bit-identical to the oracle's.
+    */
+  def eventsGapfill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
+    val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val calendar = daily.select("event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    calendar.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("total"), ignoreNulls = true).over(w).as("carried"))
+      .orderBy("event_type", "day")
+  }
+
+  val eventsGapfillSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+      |cal AS (
+      |  SELECT t.event_type, CAST(gs.d AS DATE) AS day
+      |  FROM (SELECT DISTINCT event_type FROM daily) t
+      |  CROSS JOIN span,
+      |  LATERAL (SELECT unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |                    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS d) gs)
+      |SELECT c.event_type, c.day, COALESCE(d.n, 0) AS n,
+      |  last_value(d.total IGNORE NULLS) OVER (
+      |    PARTITION BY c.event_type ORDER BY c.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+      |FROM cal c LEFT JOIN daily d USING (event_type, day)
+      |ORDER BY event_type, day""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "events_gapfill" -> ((eventsGapfill _, eventsGapfillSql)),
     "scd2_state" -> ((scd2State _, scd2StateSql)),
     "events_transitions" -> ((eventsTransitions _, eventsTransitionsSql)),
     "events_anomaly" -> ((eventsAnomaly _, eventsAnomalySql)),

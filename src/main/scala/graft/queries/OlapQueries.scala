@@ -541,7 +541,52 @@ object OlapQueries {
   val tableProfileSql: String =
     profileSqlFor(c => s"COUNT(DISTINCT $c) AS n_distinct")
 
+  /** Distribution-rank window breadth — `dense_rank`, `percent_rank`,
+    * `cume_dist`, `ntile` — computed where an unpartitioned ranking
+    * window is SCALE-CORRECT: over the 25-row nation-revenue AGGREGATE,
+    * not the corpus (the single-task global sort an unpartitioned
+    * window implies is only acceptable after aggregation has collapsed
+    * the data; corpus-scale global ranks use the hash-rank /
+    * range-bounds machinery in `shuffle_shard` / `partition_bounds`).
+    * `percent_rank`/`cume_dist` are one IEEE division of window-counted
+    * integers — identical in both engines; `ntile`'s order includes the
+    * unique n_name tiebreak so bucket edges are deterministic.
+    */
+  def windowRankStats(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables(spark, dir, "nation"),
+        col("n_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+    val byRev = Window.orderBy(desc("revenue"), asc("n_name"))
+    rev.select(col("n_name"), col("revenue"),
+        dense_rank().over(Window.orderBy(desc("revenue"))).cast("long").as("drank"),
+        percent_rank().over(byRev).as("prank"),
+        cume_dist().over(byRev).as("cdist"),
+        ntile(4).over(byRev).cast("long").as("quartile"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  val windowRankStatsSql: String =
+    """WITH rev AS (
+      |  SELECT n_name,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |  FROM orders o
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  GROUP BY n_name)
+      |SELECT n_name, revenue,
+      |  CAST(DENSE_RANK() OVER (ORDER BY revenue DESC) AS BIGINT) AS drank,
+      |  PERCENT_RANK() OVER (ORDER BY revenue DESC, n_name) AS prank,
+      |  CUME_DIST() OVER (ORDER BY revenue DESC, n_name) AS cdist,
+      |  CAST(NTILE(4) OVER (ORDER BY revenue DESC, n_name) AS BIGINT) AS quartile
+      |FROM rev
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "window_rank_stats" -> ((windowRankStats _, windowRankStatsSql)),
     "table_profile" -> ((tableProfile _, tableProfileApproxSql)),
     "table_profile_exact" -> ((tableProfileExact _, tableProfileSql)),
     "topk_custom_agg" -> ((topkCustomAgg _, topkCustomAggSql)),

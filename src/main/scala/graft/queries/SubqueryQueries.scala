@@ -126,7 +126,34 @@ object SubqueryQueries {
       |GROUP BY c.c_nationkey
       |ORDER BY c.c_nationkey""".stripMargin
 
+  /** LATERAL correlated top-k (per-nation two wealthiest customers):
+    * the lateral-subquery surface — `FROM nation, LATERAL (… WHERE
+    * correlated ORDER BY … LIMIT 2)`. A naive evaluation runs the inner
+    * query once per nation row; Catalyst's `DecorrelateInnerQuery`
+    * handles the correlated LIMIT by rewriting it into a per-key
+    * ranking over ONE scan of customer joined back to nation —
+    * SubquerySpec pins the rewrite (single customer scan, no loop) and
+    * equality with the explicit window-function formulation. The
+    * deterministic `(c_acctbal DESC, c_custkey)` inner order makes the
+    * LIMIT reproducible.
+    */
+  def lateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir, "nation", "customer")
+    spark.sql(lateralTopkSql)
+  }
+
+  val lateralTopkSql: String =
+    """SELECT n.n_name, t.c_custkey, t.bal
+      |FROM nation n,
+      |  LATERAL (SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal
+      |           FROM customer c
+      |           WHERE c.c_nationkey = n.n_nationkey
+      |           ORDER BY c_acctbal DESC, c_custkey
+      |           LIMIT 2) t
+      |ORDER BY n.n_name, t.bal DESC, t.c_custkey""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "lateral_topk" -> ((lateralTopk _, lateralTopkSql)),
     "corr_small_qty" -> ((corrSmallQty _, corrSmallQtySql)),
     "corr_big_orders" -> ((corrBigOrders _, corrBigOrdersSql)),
     "corr_idle_customers" -> ((corrIdleCustomers _, corrIdleCustomersSql))

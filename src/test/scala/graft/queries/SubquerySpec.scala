@@ -58,6 +58,25 @@ class SubquerySpec extends SparkSpec {
     assert(plan.contains("TakeOrdered"))
   }
 
+  test("lateral_topk decorrelates: one customer scan, no per-nation loop") {
+    val df = SubqueryQueries.lateralTopk(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val custScans = "customer.parquet".r.findAllIn(plan).size
+    assert(custScans == 1, s"expected 1 customer scan, got $custScans")
+    // equality with the explicit window formulation of the same top-2
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    val manual = graft.Tables(spark, dir, "customer")
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+      .join(graft.Tables(spark, dir, "nation"),
+        col("n_nationkey") === col("c_nationkey"))
+      .select(col("n_name"), col("c_custkey"),
+        col("c_acctbal").cast("double").as("bal"))
+      .orderBy(asc("n_name"), desc("bal"), asc("c_custkey"))
+    assert(df.collect().toSeq == manual.collect().toSeq)
+  }
+
   test("corr_idle_customers counts zero-order customers as 0, not NULL") {
     val tmp = java.nio.file.Files.createTempDirectory("subq").toString
     try {
