@@ -1037,6 +1037,22 @@ object TextQueries {
     "quality_repetition" -> ((qualityRepetition _, qualityRepetitionSql)),
     "tfidf_top_terms" -> ((tfidfTopTerms _, tfidfTopTermsSql)),
     "tfidf_sim_pairs" -> ((tfidfSimPairs _, tfidfSimPairsSql)),
-    "bm25_search" -> ((bm25Search _, bm25SearchSql))
+    "bm25_search" -> ((bm25Search _, bm25SearchSql)),
+    "bm25_index_search" -> ((bm25IndexSearch _, bm25SearchSql))
   )
+
+  /** `bm25_search` served from the PERSISTED inverted index
+    * ([[SearchIndex]]): build once per JVM, then answer from the terms'
+    * hash buckets only — the recurring-search path that never
+    * re-tokenizes the corpus. Same oracle as the from-scratch form:
+    * identical scoring tree, identical output contract.
+    */
+  def bm25IndexSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val loc = graft.SparkUtil.oncePerJvm("search-index", dir) { d =>
+      SearchIndex.build(docs, d)
+      ()
+    }
+    SearchIndex.search(spark, loc, bm25Terms, k = 20)
+  }
 }
