@@ -737,7 +737,61 @@ object EventQueries {
       |FROM cal c LEFT JOIN daily d USING (event_type, day)
       |ORDER BY event_type, day""".stripMargin
 
+  /** CDC APPLY (type-1 latest-wins merge): the events stream read as a
+    * change log — every event upserts its user's `value`, an `error`
+    * event is a tombstone DELETE — collapsed to the current snapshot.
+    * The Kimball type-1 complement of [[scd2State]]'s type-2 history:
+    * `MERGE` semantics (latest update wins, deletes remove the key)
+    * computed as ONE user-keyed exchange — a row_number window ordered
+    * by `(ts DESC, event_id DESC)` picks each key's final operation,
+    * the tombstone filter then drops deleted keys, and the same
+    * exchange serves the per-key change count. At 100 TB this is the
+    * standard log-compaction shape: no join back to a snapshot, state
+    * is reconstructed from the log's own order, and the deterministic
+    * event_id tiebreak makes equal-timestamp changes reproducible.
+    */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(desc("ts"), desc("event_id"))
+    Tables(spark, dir, "events")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_changes", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rk") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("ts").as("last_ts"),
+        col("value").as("last_value"), col("n_changes"))
+      .orderBy("user_id")
+  }
+
+  /** Oracle for the streaming tumbling replay — the BATCH semantics the
+    * stream must converge to (same grouping as [[eventsTumbling]] minus
+    * the distinct-user count, which streaming aggregation cannot hold).
+    */
+  val streamTumblingSql: String =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
+  val cdcApplySql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, ts, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rk,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+      |  FROM events)
+      |SELECT user_id, ts AS last_ts, value AS last_value, n_changes
+      |FROM ranked
+      |WHERE rk = 1 AND event_type != 'error'
+      |ORDER BY user_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "cdc_apply" -> ((cdcApply _, cdcApplySql)),
+    "stream_events_tumbling" ->
+      ((graft.streaming.StreamingOps.streamTumblingReplay _,
+        streamTumblingSql)),
     "events_gapfill" -> ((eventsGapfill _, eventsGapfillSql)),
     "scd2_state" -> ((scd2State _, scd2StateSql)),
     "events_transitions" -> ((eventsTransitions _, eventsTransitionsSql)),

@@ -80,7 +80,105 @@ object AuditQueries {
          |     WHERE p.${e.parentCol} = c.k)) = 0 AS intact""".stripMargin
     }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY edge")
 
+  /** Declarative data-quality EXPECTATIONS (the dbt-test / Deequ
+    * modality): not-null, unique-key, accepted-values, and value-range
+    * checks declared as data and compiled to ONE conditional-aggregate
+    * scan per table — check count never multiplies scans, the shape
+    * that matters when the table is 100 TB (the unique check adds a
+    * distinct aggregate to its table's pass; everything else is a
+    * `sum(when(...))` riding the same scan). Each check emits
+    * (check_name, table_name, column_name, n_rows, n_violations, pass);
+    * violations of `accepted_values`/`in_range` are counted over
+    * NON-NULL values only — nullability is `not_null`'s job. The clean
+    * synthetic tables make every registered row pass; DqChecksSpec
+    * plants nulls, duplicate keys, rogue values, and out-of-range rows
+    * and pins the exact counts.
+    */
+  private[graft] sealed trait DqCheck {
+    def name: String; def column: String
+    def violations: org.apache.spark.sql.Column  // Spark aggregate expr
+    def violationsSql: String                    // DuckDB aggregate expr
+  }
+  private[graft] final case class NotNull(column: String) extends DqCheck {
+    val name = "not_null"
+    def violations = sum(when(col(column).isNull, 1L).otherwise(0L))
+    def violationsSql = s"SUM(CASE WHEN $column IS NULL THEN 1 ELSE 0 END)"
+  }
+  private[graft] final case class UniqueKey(column: String) extends DqCheck {
+    val name = "unique_key"
+    def violations = count(col(column)) - countDistinct(col(column))
+    def violationsSql = s"COUNT($column) - COUNT(DISTINCT $column)"
+  }
+  private[graft] final case class AcceptedValues(column: String,
+      values: Seq[String]) extends DqCheck {
+    val name = "accepted_values"
+    def violations = sum(when(col(column).isNotNull &&
+      !col(column).isin(values: _*), 1L).otherwise(0L))
+    def violationsSql = {
+      val in = values.map(v => s"'$v'").mkString(", ")
+      s"SUM(CASE WHEN $column IS NOT NULL AND $column NOT IN ($in) THEN 1 ELSE 0 END)"
+    }
+  }
+  private[graft] final case class InRange(column: String, lo: Double,
+      hi: Double) extends DqCheck {
+    val name = "in_range"
+    def violations = sum(when(col(column).isNotNull &&
+      (col(column) < lo || col(column) > hi), 1L).otherwise(0L))
+    def violationsSql =
+      s"SUM(CASE WHEN $column IS NOT NULL AND ($column < $lo OR $column > $hi) THEN 1 ELSE 0 END)"
+  }
+
+  private[graft] val dqSuite: Seq[(String, Seq[DqCheck])] = Seq(
+    "customer" -> Seq(NotNull("c_custkey"), UniqueKey("c_custkey"),
+      NotNull("c_name")),
+    "orders" -> Seq(NotNull("o_custkey"),
+      AcceptedValues("o_orderstatus", Seq("F", "O", "P"))),
+    "lineitem" -> Seq(InRange("l_quantity", 1, 50),
+      InRange("l_discount", 0.0, 0.1)),
+    "events" -> Seq(UniqueKey("event_id"), NotNull("value")))
+
+  /** One table's checks as one scan: the conditional aggregates compute
+    * side by side, then `stack` unpivots the single result row to one
+    * row per check.
+    */
+  private[graft] def dqAudit(df: DataFrame, table: String,
+      checks: Seq[DqCheck]): DataFrame = {
+    val agg = df.agg(count(lit(1)).as("n_rows"),
+      checks.zipWithIndex.map { case (c, i) =>
+        coalesce(c.violations, lit(0L)).cast("long").as(s"v$i") }: _*)
+    val stackArgs = checks.zipWithIndex
+      .map { case (c, i) => s"'${c.name}', '${c.column}', v$i" }
+      .mkString(", ")
+    agg.select(
+        expr(s"stack(${checks.size}, $stackArgs) AS (check_name, column_name, n_violations)"),
+        col("n_rows"))
+      .select(col("check_name"), lit(table).as("table_name"),
+        col("column_name"), col("n_rows"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+  }
+
+  def dqChecks(spark: SparkSession, dir: String): DataFrame =
+    dqSuite.map { case (t, checks) =>
+      dqAudit(Tables(spark, dir, t), t, checks) }
+      .reduce(_.unionByName(_))
+      .orderBy("table_name", "check_name", "column_name")
+
+  val dqChecksSql: String =
+    dqSuite.flatMap { case (t, checks) =>
+      checks.map { c =>
+        s"""SELECT '${c.name}' AS check_name, '$t' AS table_name,
+           |  '${c.column}' AS column_name,
+           |  (SELECT COUNT(*) FROM $t) AS n_rows,
+           |  (SELECT CAST(COALESCE(${c.violationsSql}, 0) AS BIGINT) FROM $t)
+           |    AS n_violations,
+           |  (SELECT CAST(COALESCE(${c.violationsSql}, 0) AS BIGINT) FROM $t) = 0
+           |    AS pass""".stripMargin
+      }
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY table_name, check_name, column_name")
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
-    "fk_orphans" -> ((fkOrphans _, fkOrphansSql))
+    "fk_orphans" -> ((fkOrphans _, fkOrphansSql)),
+    "dq_checks" -> ((dqChecks _, dqChecksSql))
   )
 }

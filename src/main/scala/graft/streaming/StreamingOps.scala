@@ -446,6 +446,58 @@ object StreamingOps {
     finally graft.io.SegmentLog.deleteRecursively(tmp.toString)
   }
 
+  /** The SECOND driver-gated streaming path (next to
+    * [[streamDedupReplay]]): the registered `stream_events_tumbling`
+    * query replays the REAL [[tumblingCounts]] pipeline — file-source
+    * readStream over mtime-ordered micro-batches of the events corpus,
+    * watermarked tumbling aggregation — and must hash-match the batch
+    * oracle. Complete output mode into a memory sink: the watermark
+    * never has to "flush" trailing windows (append mode would hold the
+    * final day's windows open forever on a bounded replay), and the
+    * sink materializes only the AGGREGATE — window × type rows, bounded
+    * by the calendar at any corpus size — never event rows. The two
+    * batch files split mid-timeline with pinned mtimes, so windows
+    * straddling the split must merge state across micro-batches —
+    * exactly what the streaming state store exists to get right.
+    * Determinism: decimal partial sums merge exactly, so batch
+    * boundaries can't perturb `sum_value`.
+    */
+  def streamTumblingReplay(spark: SparkSession, dir: String): DataFrame = {
+    val events = graft.Tables(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-tumble-")
+    val (ckpt, inDir) = (s"$tmp/ckpt", s"$tmp/in")
+    val mid = events.agg(expr("percentile(unix_micros(ts), 0.5)"))
+      .head().getDouble(0)
+    def writeBatch(b: DataFrame, name: String, mtime: Long): Unit = {
+      val staged = s"$tmp/stage-$name"
+      b.coalesce(1).write.parquet(staged)
+      val src = new java.io.File(staged).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$inDir/$name.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.move(src.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    writeBatch(events.filter(expr(s"unix_micros(ts) <= $mid")), "b1", 1000000L)
+    writeBatch(events.filter(expr(s"unix_micros(ts) > $mid")), "b2", 2000000L)
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    // bench/verify re-invoke this in one session: clear the previous
+    // replay's sink view before binding the name again
+    spark.catalog.dropTempView("graft_stream_tumbling")
+    val q = tumblingCounts(stream).writeStream
+      .outputMode("complete")
+      .format("memory").queryName("graft_stream_tumbling")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // eager checkpoint of the bounded aggregate, then drop the replay tree
+    try spark.table("graft_stream_tumbling")
+      .orderBy("window_start", "event_type").localCheckpoint(true)
+    finally graft.io.SegmentLog.deleteRecursively(tmp.toString)
+  }
+
   /** Stream → JSON table artifact: the streaming form of the export sink
     * ([[graft.io.JsonTableIO.write]]), via Spark's native file sink —
     * its `_spark_metadata` commit log gives EXACTLY-once file visibility
