@@ -763,6 +763,75 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** Approximate AUDIENCE OVERLAP between event-type pairs via HLL
+    * inclusion–exclusion: `|A∩B| ≈ est(A) + est(B) − est(A∪B)`, where
+    * every term is a mergeable sketch — the union estimate is
+    * `hll_union` of the two types' PERSISTED daily-rollup-style
+    * sketches, so the overlap matrix for any pair set computes from
+    * |types| stored sketches without re-touching the event stream (the
+    * cross-sketch question `hll_union_agg` rollups can't answer
+    * directly). Sketch arithmetic is engine-specific, so the REGISTERED
+    * form is the deterministic ENVELOPE (the [[eventsApproxUsers]]
+    * discipline): exact overlap ride-along + the `within_envelope`
+    * boolean `assert_true` has already enforced — inclusion–exclusion
+    * compounds three estimates, so the gate is |err| ≤ 15% of the
+    * UNION's exact size (the I–E error scale), not of the possibly-tiny
+    * intersection. Raw estimates live in [[eventsOverlapApproxRaw]]
+    * (unregistered). Exact side: distinct (user,type) pairs self-joined
+    * per user — ≤ C(|types|,2) pair rows per user, linear in users.
+    */
+  def eventsOverlapApprox(spark: SparkSession, dir: String): DataFrame =
+    eventsOverlapApproxRaw(spark, dir)
+      .select("type_a", "type_b", "exact_overlap", "within_envelope")
+
+  def eventsOverlapApproxRaw(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+    // |types| sketch rows + exact per-type distinct counts
+    val sk = ut.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+        count(lit(1)).as("exact_n"))
+    val pairsSk = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"),
+        col("exact_n").as("n_a"))
+      .join(sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"),
+        col("exact_n").as("n_b")), col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        expr("hll_sketch_estimate(sk_a)").as("est_a"),
+        expr("hll_sketch_estimate(sk_b)").as("est_b"),
+        expr("hll_sketch_estimate(hll_union(sk_a, sk_b))").as("est_union"),
+        col("n_a"), col("n_b"))
+    // exact overlap: per-user type pairs, counted per (type_a, type_b)
+    val exact = ut.select(col("user_id"), col("event_type").as("type_a"))
+      .join(ut.select(col("user_id"), col("event_type").as("type_b")),
+        Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("exact_overlap"))
+    // inner join: pairs with zero exact overlap don't appear (matching
+    // the oracle's GROUP BY over the existing pairs)
+    pairsSk.join(exact, Seq("type_a", "type_b"))
+      .withColumn("est_overlap",
+        round(col("est_a") + col("est_b") - col("est_union"), 4))
+      .withColumn("exact_union", col("n_a") + col("n_b") - col("exact_overlap"))
+      .withColumn("rel_err", round(
+        abs(col("est_overlap") - col("exact_overlap")) / col("exact_union"), 6))
+      .withColumn("within_envelope", col("rel_err") <= 0.15)
+      .filter(expr(
+        "assert_true(rel_err <= 0.15, 'HLL overlap drifted >15% of union') IS NULL"))
+      .select(col("type_a"), col("type_b"), col("exact_overlap"),
+        col("est_overlap"), col("rel_err"), col("within_envelope"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val eventsOverlapApproxSql: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |  COUNT(*) AS exact_overlap,
+      |  TRUE AS within_envelope
+      |FROM ut a JOIN ut b
+      |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |GROUP BY 1, 2
+      |ORDER BY type_a, type_b""".stripMargin
+
   /** Oracle for the streaming tumbling replay — the BATCH semantics the
     * stream must converge to (same grouping as [[eventsTumbling]] minus
     * the distinct-user count, which streaming aggregation cannot hold).
@@ -789,6 +858,8 @@ object EventQueries {
 
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "cdc_apply" -> ((cdcApply _, cdcApplySql)),
+    "events_overlap_approx" ->
+      ((eventsOverlapApprox _, eventsOverlapApproxSql)),
     "stream_events_tumbling" ->
       ((graft.streaming.StreamingOps.streamTumblingReplay _,
         streamTumblingSql)),

@@ -771,7 +771,55 @@ object CoreQueries {
       |LIMIT 20""".stripMargin
 
   /** name → (impl, oracle). */
+  /** Three-valued-logic parity pin: SQL NULL semantics are where two
+    * engines silently disagree — `=` vs null-safe `<=>`, `IN` lists
+    * containing NULL (true if matched, NULL — never FALSE — otherwise),
+    * `NOT IN` against a NULL (annihilates to no-rows), concat/arithmetic
+    * propagation, aggregates skipping NULLs vs `count(*)`, and
+    * all-NULL-group sums returning NULL not 0. One row of counted
+    * outcomes over planted `nullif` values, so the driver hash check
+    * FAILS if either engine's 3VL drifts from the other. (Ordering
+    * defaults differ — Spark ASC is NULLS FIRST, DuckDB ASC is NULLS
+    * LAST — which is why every registered query that can emit NULL sort
+    * keys orders by non-null columns or pins explicitly.)
+    */
+  def nullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "customer")
+      .select(col("c_custkey"),
+        expr("nullif(c_custkey % 5, 0)").as("v1"),
+        expr("nullif(c_custkey % 3, 0)").as("v2"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("v1")).as("n_v1_nonnull"),
+        sum(when(expr("v1 = v2"), 1L).otherwise(0L)).as("n_eq_true"),
+        sum(when(expr("(v1 = v2) IS NULL"), 1L).otherwise(0L)).as("n_eq_null"),
+        sum(when(expr("v1 <=> v2"), 1L).otherwise(0L)).as("n_nse_true"),
+        sum(when(expr("v1 IN (1, NULL)"), 1L).otherwise(0L)).as("n_in_true"),
+        sum(when(expr("(v1 IN (1, NULL)) IS NULL"), 1L).otherwise(0L)).as("n_in_null"),
+        sum(when(expr("(v1 + v2) IS NULL"), 1L).otherwise(0L)).as("n_arith_null"),
+        sum(expr("CAST(NULL AS BIGINT)")).as("sum_all_null"),
+        coalesce(sum(when(col("v1").isNull, col("v2"))), lit(-1L)).as("sum_v2_where_v1_null"))
+  }
+
+  val nullSemanticsSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  COUNT(v1) AS n_v1_nonnull,
+      |  CAST(SUM(CASE WHEN v1 = v2 THEN 1 ELSE 0 END) AS BIGINT) AS n_eq_true,
+      |  CAST(SUM(CASE WHEN (v1 = v2) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_eq_null,
+      |  CAST(SUM(CASE WHEN v1 IS NOT DISTINCT FROM v2 THEN 1 ELSE 0 END) AS BIGINT) AS n_nse_true,
+      |  CAST(SUM(CASE WHEN v1 IN (1, NULL) THEN 1 ELSE 0 END) AS BIGINT) AS n_in_true,
+      |  CAST(SUM(CASE WHEN (v1 IN (1, NULL)) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_null,
+      |  CAST(SUM(CASE WHEN (v1 + v2) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_arith_null,
+      |  CAST(SUM(CAST(NULL AS BIGINT)) AS BIGINT) AS sum_all_null,
+      |  CAST(COALESCE(SUM(CASE WHEN v1 IS NULL THEN v2 END), -1) AS BIGINT)
+      |    AS sum_v2_where_v1_null
+      |FROM (SELECT c_custkey,
+      |        nullif(c_custkey % 5, 0) AS v1,
+      |        nullif(c_custkey % 3, 0) AS v2
+      |      FROM customer)""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "null_semantics" -> ((nullSemantics _, nullSemanticsSql)),
     "array_funcs" -> ((arrayFuncs _, arrayFuncsSql)),
     "map_funcs" -> ((mapFuncs _, mapFuncsSql)),
     "word_counts" -> ((wordCounts _, wordCountsSql)),

@@ -585,7 +585,41 @@ object OlapQueries {
       |FROM rev
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** DYNAMIC pivot — the two-phase form [[pivotAgg]]'s fixed value list
+    * avoids: phase 1 discovers the pivot values from the DIMENSION
+    * itself (a bounded driver-side collect — the same contract as every
+    * bounded literal here: pivot columns are a schema, and a schema is
+    * driver-sized by definition), phase 2 is Spark's native
+    * `RelationalGroupedDataset.pivot` over the sorted discovered values
+    * — which plans the same single-shuffle conditional aggregation as
+    * the hand-written form, now robust to new status codes appearing in
+    * the data. Missing cells surface as NULL from pivot and are pinned
+    * to 0 to match the CASE-sum oracle.
+    */
+  def pivotDynamic(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    // phase 1: bounded dim discovery (|statuses| strings)
+    val statuses = orders.select("o_orderstatus").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    orders.groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", statuses)
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority") +:
+        statuses.map(s => coalesce(col(s), lit(0L)).as(s"n_$s")): _*)
+      .orderBy("o_orderpriority")
+  }
+
+  val pivotDynamicSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "pivot_dynamic" -> ((pivotDynamic _, pivotDynamicSql)),
     "window_rank_stats" -> ((windowRankStats _, windowRankStatsSql)),
     "table_profile" -> ((tableProfile _, tableProfileApproxSql)),
     "table_profile_exact" -> ((tableProfileExact _, tableProfileSql)),
