@@ -14,13 +14,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   .config("spark.sql.extensions", "graft.functions.GraftExtensions")
   * }}}
   *
-  * This is the supported injection surface for custom Catalyst pieces
-  * (functions today; optimizer rules / planner strategies would register
-  * here too). See SURVEY.md §7.3: the engine needs no custom Rule or
-  * Strategy — the one native piece is the codegen'd expression tier.
+  * This is the supported injection surface for custom Catalyst pieces:
+  * the codegen'd expression tier (functions below) and ONE optimizer
+  * rule — [[graft.plans.LevenshteinThresholdRule]], which rewrites
+  * bounded edit-distance predicates to the length-guarded banded form
+  * (see its Scaladoc for the correctness argument). Planner strategies
+  * remain unnecessary: every operator composes from built-in physical
+  * operators (SURVEY.md §7.3).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
