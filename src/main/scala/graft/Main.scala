@@ -53,7 +53,8 @@ object Main {
   val usage: String =
     """usage: graft.Main -action extract|load|describe|query|compact|merge|profile|check|diff|forget|index
       |  -dsn <parquet table dir>   source tables (or jdbc: target for load)
-      |  -query <sql|name>          seed query (extract) / operator name (query)
+      |  -query <sql|name>          seed query (extract) / operator name or
+      |                             ad-hoc SELECT/WITH statement (query)
       |  -path <dir>                artifact dir (extract out / load in / query out / compact / profile / check)
       |  -table <name>              table to describe / single table to compact or profile
       |  -conf <config.json>        sanitize/traversal config (or $GRAFT_CONF)
@@ -154,27 +155,44 @@ object Main {
       // surface of the extension tier — this makes it reachable without
       // writing Scala)
       case "query" =>
+        def emit(label: String, df: org.apache.spark.sql.DataFrame): Int = {
+          if (cli.path.nonEmpty) {
+            df.write.mode("overwrite").parquet(cli.path)
+            out(s"$label: written to ${cli.path}")
+          } else {
+            out(df.columns.mkString("\t"))
+            // fetch one extra row so truncation is detectable without a
+            // separate count job
+            val rows = df.limit(21).collect()
+            rows.take(20).foreach(r => out(r.mkString("\t")))
+            if (rows.length > 20)
+              out(s"... (showing first 20 rows; use -path <dir> for full output)")
+          }
+          0
+        }
         if (cli.query.isEmpty || cli.dsn.isEmpty) { out(usage); 2 }
         else SparkEntry.queries.get(cli.query) match {
+          case None if cli.query.trim.matches("(?is)(select|with)\\b.*") =>
+            // ad-hoc SQL front door: every <dsn>/<table>.parquet becomes a
+            // temp view (events through the schema-adaptive Tables read),
+            // then the statement runs through the full Catalyst stack —
+            // with GraftExtensions' functions and optimizer rule when the
+            // session was built with them
+            val dir = new java.io.File(cli.dsn)
+            val tables = Option(dir.listFiles()).getOrElse(Array.empty)
+              .filter(f => f.getName.endsWith(".parquet"))
+              .map(_.getName.stripSuffix(".parquet")).sorted
+            tables.foreach(t =>
+              Tables(spark, cli.dsn, t).createOrReplaceTempView(t))
+            if (cli.verbose) out(s"views: ${tables.mkString(", ")}")
+            emit("sql", spark.sql(cli.query))
           case None =>
             out(s"unknown query '${cli.query}' " +
-              s"(available: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
+              s"(available: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}; " +
+              "or pass a SELECT/WITH statement to run ad-hoc SQL)")
             2
           case Some(fn) =>
-            val df = fn(spark, cli.dsn)
-            if (cli.path.nonEmpty) {
-              df.write.mode("overwrite").parquet(cli.path)
-              out(s"${cli.query}: written to ${cli.path}")
-            } else {
-              out(df.columns.mkString("\t"))
-              // fetch one extra row so truncation is detectable without a
-              // separate count job
-              val rows = df.limit(21).collect()
-              rows.take(20).foreach(r => out(r.mkString("\t")))
-              if (rows.length > 20)
-                out(s"... (showing first 20 rows; use -path <dir> for full output)")
-            }
-            0
+            emit(cli.query, fn(spark, cli.dsn))
         }
       // artifact maintenance (beyond the reference's verb set): collapse
       // the small files a streaming sink / wide writer leaves behind

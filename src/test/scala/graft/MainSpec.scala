@@ -278,6 +278,31 @@ class MainSpec extends SparkSpec {
     assert(rc3 == 2 && out3.exists(_.contains("unknown query")))
   }
 
+  test("query verb: ad-hoc SQL over the dsn's tables") {
+    val (rc, out) = capture(Main.Cli(action = "query", dsn = dsn,
+      query = "SELECT COUNT(*) AS n, COUNT(DISTINCT c_nationkey) AS nk FROM customer"))
+    assert(rc == 0, out.mkString("\n"))
+    assert(out.head == "n\tnk")
+    assert(out(1).split("\t")(1) == "25")
+    // a join across views, written to parquet
+    val outDir = Files.createTempDirectory("main-sql").toString + "/res"
+    val (rc2, _) = capture(Main.Cli(action = "query", dsn = dsn, path = outDir,
+      query = """WITH r AS (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+                |SELECT COUNT(*) AS n FROM customer c
+                |JOIN r ON r.n_nationkey = c.c_nationkey""".stripMargin))
+    assert(rc2 == 0)
+    val n = spark.read.parquet(outDir).head().getLong(0)
+    val want = spark.read.parquet(s"$dsn/customer.parquet")
+      .join(spark.read.parquet(s"$dsn/nation.parquet")
+        .filter("n_regionkey = 0"),
+        org.apache.spark.sql.functions.expr("n_nationkey = c_nationkey"))
+      .count()
+    assert(n == want && n > 0)
+    // a non-SELECT non-operator string still fails cleanly
+    assert(capture(Main.Cli(action = "query", dsn = dsn,
+      query = "DROP TABLE customer"))._1 == 2)
+  }
+
   test("check verb: clean dsn exits 0, extracted artifact audits, violation exits 1") {
     // source tables are referentially intact
     val (rc, out) = capture(Main.Cli(action = "check", dsn = dsn))
