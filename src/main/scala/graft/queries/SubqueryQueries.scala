@@ -152,7 +152,58 @@ object SubqueryQueries {
       |           LIMIT 2) t
       |ORDER BY n.n_name, t.bal DESC, t.c_custkey""".stripMargin
 
+  /** TPC-H Q2 shape (min-cost supplier): the per-part supplier(s)
+    * achieving the MINIMUM supply total, selected by EQUALITY to a
+    * correlated aggregate — `total = (SELECT MIN(…) WHERE same part)`,
+    * the third correlated-comparison class after Q17's `<` and Q22's
+    * counted predicate. Catalyst decorrelates the MIN into a per-part
+    * aggregate joined back on the correlation key; the shared `ps` CTE
+    * keeps both sides on one definition. Exactness: totals stay
+    * DECIMAL through the MIN and the equality (ties — multiple
+    * suppliers at the exact minimum — are all kept, like Q2), cast to
+    * double only for display.
+    */
+  def corrMinCost(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir, "lineitem")
+    spark.sql(corrMinCostSql)
+  }
+
+  val corrMinCostSql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS total
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+      |SELECT a.l_partkey, a.l_suppkey, CAST(a.total AS DOUBLE) AS total
+      |FROM ps a
+      |WHERE a.l_partkey <= 50
+      |  AND a.total = (SELECT MIN(b.total) FROM ps b
+      |                 WHERE b.l_partkey = a.l_partkey)
+      |ORDER BY a.l_partkey, a.l_suppkey""".stripMargin
+
+  /** Nested EXISTS (returning customers per nation): the predicate
+    * subquery holds a JOIN — orders to returned lineitems — so the
+    * rewrite (`RewritePredicateSubquery`) must plan a left-semi join
+    * whose build side is itself a two-table join, pushed filters and
+    * all. The count-per-nation rollup keeps the output dimension-sized.
+    */
+  def existsReturned(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir, "customer", "orders", "lineitem")
+    spark.sql(existsReturnedSql)
+  }
+
+  val existsReturnedSql: String =
+    """SELECT c.c_nationkey, COUNT(*) AS n_returners
+      |FROM customer c
+      |WHERE EXISTS (
+      |  SELECT 1 FROM orders o
+      |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R')
+      |GROUP BY c.c_nationkey
+      |ORDER BY c.c_nationkey""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "corr_min_cost" -> ((corrMinCost _, corrMinCostSql)),
+    "exists_returned" -> ((existsReturned _, existsReturnedSql)),
     "lateral_topk" -> ((lateralTopk _, lateralTopkSql)),
     "corr_small_qty" -> ((corrSmallQty _, corrSmallQtySql)),
     "corr_big_orders" -> ((corrBigOrders _, corrBigOrdersSql)),
