@@ -51,7 +51,7 @@ object Main {
       version: Boolean = false)
 
   val usage: String =
-    """usage: graft.Main -action extract|load|describe|query|compact|merge|profile|check|diff|forget|index
+    """usage: graft.Main -action extract|load|describe|query|explain|compact|merge|profile|check|diff|forget|index
       |  -dsn <parquet table dir>   source tables (or jdbc: target for load)
       |  -query <sql|name>          seed query (extract) / operator name or
       |                             ad-hoc SELECT/WITH statement (query)
@@ -236,6 +236,31 @@ object Main {
           0
         }
       // ANALYZE-style stats over an artifact's tables (or one parquet
+      // the plan a query WOULD run — the tuning loop's first tool, for
+      // registered operators and ad-hoc SQL alike
+      case "explain" =>
+        if (cli.query.isEmpty || cli.dsn.isEmpty) { out(usage); 2 }
+        else {
+          val df = SparkEntry.queries.get(cli.query) match {
+            case Some(fn) => Some(fn(spark, cli.dsn))
+            case None if cli.query.trim.matches("(?is)(select|with)\\b.*") =>
+              val dir = new java.io.File(cli.dsn)
+              Option(dir.listFiles()).getOrElse(Array.empty)
+                .filter(_.getName.endsWith(".parquet"))
+                .map(_.getName.stripSuffix(".parquet"))
+                .foreach(t => Tables(spark, cli.dsn, t).createOrReplaceTempView(t))
+              Some(spark.sql(cli.query))
+            case None => None
+          }
+          df match {
+            case Some(d) =>
+              out(d.queryExecution.explainString(
+                org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+              0
+            case None =>
+              out(s"unknown query '${cli.query}'"); 2
+          }
+        }
       // table): the first look a migration/pipeline user takes at data
       // they just extracted — row/null/distinct counts, min/max
       case "profile" =>

@@ -428,6 +428,45 @@ object CurationQueries {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Weighted sampling WITHOUT replacement, exact-k — Efraimidis &
+    * Spirakis 2006 (IPL 97(5), the A-ES scheme): each item draws an
+    * exponential race clock `−ln(u)/w` and the k smallest clocks win,
+    * which provably samples k items without replacement with
+    * probability proportional to weight. The distributed form is ONE
+    * scan + TakeOrdered (the clock is a pure projection; no global
+    * sort, no sequential reservoir — the classic single-machine
+    * reservoir algorithm serializes on state, A-ES is
+    * embarrassingly parallel and is what you run at 100 TB).
+    * Complements [[sampleQualityWeighted]] (Bernoulli, random SIZE) by
+    * returning an EXACT sample size with the same weight semantics.
+    *
+    * Determinism: `u` is the doc_id-hash uniform over (0, 2⁶⁰] — the
+    * +1 happens in BIGINT and ONE int→double conversion follows, so
+    * both engines divide identical doubles — and the clock is rounded
+    * at 6 dp (the ln discipline) with the doc_id tiebreak, so the
+    * top-50 cut is reproducible across engines, runs, and partitionings
+    * (weights floored at 0.05 to keep zero-quality docs drawable and
+    * the division finite).
+    */
+  def sampleWeightedAes(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextQueries.qualityScore.as("q"))
+      .withColumn("aes_key", round(expr(
+        """-ln(cast(cast(conv(substring(md5(concat('aes:', cast(doc_id AS string))), 1, 15), 16, 10) AS bigint) + 1 AS double)
+           |  / cast(1152921504606846976 AS double))
+           |/ greatest(q, cast(0.05 AS double))""".stripMargin), 6))
+      .select(col("doc_id"), col("q").as("quality_score"), col("aes_key"))
+      .orderBy(asc("aes_key"), asc("doc_id")).limit(50)
+  }
+
+  val sampleWeightedAesSql: String =
+    s"""SELECT doc_id, q AS quality_score,
+      |  ROUND(-LN(CAST(CAST(('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1 AS DOUBLE)
+      |      / CAST(1152921504606846976 AS DOUBLE))
+      |    / GREATEST(q, CAST(0.05 AS DOUBLE)), 6) AS aes_key
+      |FROM (SELECT doc_id, ${TextQueries.qualityScoreSql} AS q FROM documents)
+      |ORDER BY aes_key, doc_id LIMIT 50""".stripMargin
+
   /** Population-stability-index drift monitor over `events.value` — the
     * distribution check a recurring 100 TB ingest runs before promoting
     * a new batch: the corpus is split into a reference window (first
@@ -489,6 +528,7 @@ object CurationQueries {
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "drift_psi" -> ((driftPsi _, driftPsiSql)),
     "sample_quality_weighted" -> ((sampleQualityWeighted _, sampleQualityWeightedSql)),
+    "sample_weighted_aes" -> ((sampleWeightedAes _, sampleWeightedAesSql)),
     "skew_report" -> ((skewReport _, skewReportSql)),
     "k_anonymity" -> ((kAnonymity _, kAnonymitySql)),
     "corpus_curation" -> ((corpusCuration _, corpusCurationSql)),

@@ -303,6 +303,20 @@ class MainSpec extends SparkSpec {
       query = "DROP TABLE customer"))._1 == 2)
   }
 
+  test("explain verb: formatted plan for operators and ad-hoc SQL") {
+    val (rc, out) = capture(Main.Cli(action = "explain", dsn = dsn,
+      query = "q1_agg"))
+    assert(rc == 0 && out.mkString.contains("HashAggregate"))
+    val (rc2, out2) = capture(Main.Cli(action = "explain", dsn = dsn,
+      query = "SELECT c_name FROM customer WHERE c_custkey = 7"))
+    assert(rc2 == 0, out2.mkString("\n"))
+    // the plan, not the rows — and the point lookup pushed into the scan
+    assert(out2.mkString.contains("PushedFilters") &&
+      out2.mkString.contains("c_custkey"))
+    assert(capture(Main.Cli(action = "explain", dsn = dsn,
+      query = "nope"))._1 == 2)
+  }
+
   test("check verb: clean dsn exits 0, extracted artifact audits, violation exits 1") {
     // source tables are referentially intact
     val (rc, out) = capture(Main.Cli(action = "check", dsn = dsn))
