@@ -318,8 +318,18 @@ object TextQueries {
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 2)
       .withColumn("n", size(col("words")))
+      // max word frequency as the longest RUN in the sorted array —
+      // O(n log n) per doc where the distinct×words double loop the
+      // oracle (and the r7 form) runs is O(d·n): same integer by
+      // construction (a word's occurrences are exactly one run once
+      // sorted), ~2× the stage at sf0.1 and growing with doc length
       .withColumn("top_word_n", expr(
-        "array_max(transform(array_distinct(words), w -> size(filter(words, x -> x = w))))"))
+        """aggregate(array_sort(words),
+           |  struct('' AS prev, 0 AS run, 0 AS best),
+           |  (acc, w) -> struct(w AS prev,
+           |    IF(w = acc.prev, acc.run + 1, 1) AS run,
+           |    greatest(acc.best, IF(w = acc.prev, acc.run + 1, 1)) AS best),
+           |  acc -> acc.best)""".stripMargin))
       .withColumn("bigrams", expr(
         "transform(sequence(1, size(words) - 1), i -> concat(words[i - 1], ' ', words[i]))"))
       .withColumn("dup_word_frac",

@@ -277,6 +277,40 @@ object CoreQueries {
       |  SELECT nk, 'union' AS op FROM (SELECT nk FROM cn UNION SELECT nk FROM sn)
       |) ORDER BY op, nk""".stripMargin
 
+  /** BAG-semantics set operations (§2.7's other half): `INTERSECT ALL`
+    * / `EXCEPT ALL` keep MULTIPLICITY — per key the intersection
+    * carries `min(m₁, m₂)` copies and the difference `max(0, m₁ − m₂)`
+    * — which is what reconciliation between two fact extracts actually
+    * needs (the distinct forms of [[setOps]] collapse counts and can't
+    * see a short-shipped row). Spark plans both as ONE aggregate
+    * computing both multiplicities plus a generate — no join — and the
+    * rolled-up per-key counts here hash-pin the multiplicity arithmetic
+    * against DuckDB's bag algebra.
+    */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val cn = Tables(spark, dir, "customer")
+      .select(col("c_nationkey").cast("int").as("nk"))
+    val sn = Tables(spark, dir, "supplier")
+      .select(col("s_nationkey").cast("int").as("nk"))
+    cn.intersectAll(sn).groupBy("nk").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+      .unionByName(cn.exceptAll(sn).groupBy("nk").agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("except_all")))
+      .select("op", "nk", "n")
+      .orderBy("op", "nk")
+  }
+
+  val setOpsAllSql: String =
+    """WITH cn AS (SELECT CAST(c_nationkey AS INT) AS nk FROM customer),
+      |     sn AS (SELECT CAST(s_nationkey AS INT) AS nk FROM supplier)
+      |SELECT op, nk, n FROM (
+      |  SELECT 'intersect_all' AS op, nk, COUNT(*) AS n
+      |  FROM (SELECT nk FROM cn INTERSECT ALL SELECT nk FROM sn) GROUP BY nk
+      |  UNION ALL
+      |  SELECT 'except_all', nk, COUNT(*)
+      |  FROM (SELECT nk FROM cn EXCEPT ALL SELECT nk FROM sn) GROUP BY nk
+      |) ORDER BY op, nk""".stripMargin
+
   /** Running-sum window over a totally ordered partition (§2.6). */
   def windowRunning(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem").filter(col("l_suppkey") <= 3)
@@ -835,6 +869,7 @@ object CoreQueries {
     "skew_salted_join" -> ((skewSaltedJoin _, skewSaltedJoinSql)),
     "skew_salted_agg" -> ((skewSaltedAgg _, skewSaltedAggSql)),
     "set_ops" -> ((setOps _, setOpsSql)),
+    "set_ops_all" -> ((setOpsAll _, setOpsAllSql)),
     "window_running" -> ((windowRunning _, windowRunningSql)),
     "topk_per_group" -> ((topkPerGroup _, topkPerGroupSql)),
     "json_extract" -> ((jsonExtract _, jsonExtractSql)),
