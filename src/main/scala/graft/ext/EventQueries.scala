@@ -763,6 +763,63 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** LINEAR multi-touch attribution: each purchase's value is split
+    * EQUALLY across the user's clicks in the preceding 7 days, credited
+    * to the click's day — the credit-assignment semantics a marketing /
+    * reward-modeling pipeline runs on top of the [[rangeJoin]]
+    * first-touch shape (which can only answer "was there a click",
+    * not "how much is each click worth"). One user-keyed range join
+    * (equi key carries it, the 7-day window is a residual), the
+    * per-purchase touch count as a count window on the SAME exchange,
+    * then a day rollup. Purchases with no preceding click drop out
+    * (unattributed — the inner-join semantics every MTA tool uses).
+    * Exactness: per-touch credit is rounded at 6 dp and summed as
+    * DECIMAL(18,6), so the day totals are order-free and
+    * hash-identical in the oracle.
+    */
+  def attributionLinear(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    val joined = purchases.join(clicks, Seq("user_id"))
+      .filter(col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+    val wTouch = Window.partitionBy(col("p_id"))
+    joined
+      .withColumn("n_touches", count(lit(1)).over(wTouch))
+      .withColumn("credit", round(col("value") / col("n_touches"), 6)
+        .cast("decimal(18,6)"))
+      .groupBy(to_date(col("c_ts")).as("click_day"))
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("credit")).cast("double").as("credited_value"))
+      .orderBy("click_day")
+  }
+
+  val attributionLinearSql: String =
+    """WITH p AS (
+      |  SELECT event_id AS p_id, user_id, ts AS p_ts, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+      |j AS (
+      |  SELECT p.p_id, p.value, c.c_ts
+      |  FROM p JOIN c ON c.user_id = p.user_id
+      |   AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 7 DAY),
+      |t AS (
+      |  SELECT c_ts,
+      |    CAST(ROUND(value / (COUNT(*) OVER (PARTITION BY p_id)), 6)
+      |      AS DECIMAL(18,6)) AS credit
+      |  FROM j)
+      |SELECT CAST(date_trunc('day', c_ts) AS DATE) AS click_day,
+      |  COUNT(*) AS n_credits,
+      |  CAST(SUM(credit) AS DOUBLE) AS credited_value
+      |FROM t
+      |GROUP BY 1
+      |ORDER BY click_day""".stripMargin
+
   /** Approximate AUDIENCE OVERLAP between event-type pairs via HLL
     * inclusion–exclusion: `|A∩B| ≈ est(A) + est(B) − est(A∪B)`, where
     * every term is a mergeable sketch — the union estimate is
@@ -860,6 +917,7 @@ object EventQueries {
     "cdc_apply" -> ((cdcApply _, cdcApplySql)),
     "events_overlap_approx" ->
       ((eventsOverlapApprox _, eventsOverlapApproxSql)),
+    "attribution_linear" -> ((attributionLinear _, attributionLinearSql)),
     "stream_events_tumbling" ->
       ((graft.streaming.StreamingOps.streamTumblingReplay _,
         streamTumblingSql)),

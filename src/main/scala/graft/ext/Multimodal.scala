@@ -17,8 +17,11 @@ import graft.Tables
   * fall back to the byte-level stand-ins (`decodeStub` histogram, byte
   * subsample), which keeps the oracle-gated queries exactly replayable
   * in DuckDB while MultimodalSpec drives real PNGs through the same
-  * entry points end-to-end. An audio/video model embedding would slot in
-  * at the same `mapPartitions` boundary.
+  * entry points end-to-end. Decode is REAL for audio too: WAV/PCM
+  * payloads parse through JDK `javax.sound.sampled` into a 16-slice RMS
+  * energy envelope (same 16-dim feature slot as the image histogram;
+  * MultimodalSpec drives a synthesized PCM WAV through it). A video
+  * model embedding would slot in at the same `mapPartitions` boundary.
   *
   * Scale notes: media bytes never shuffle — the pipeline is scan →
   * narrow mapPartitions → write. Partition sizing comes from
@@ -110,11 +113,72 @@ object Multimodal {
     hist
   }
 
+  private def looksLikeWav(d: Array[Byte]): Boolean =
+    d.length >= 12 &&
+      d(0) == 'R' && d(1) == 'I' && d(2) == 'F' && d(3) == 'F' &&
+      d(8) == 'W' && d(9) == 'A' && d(10) == 'V' && d(11) == 'E'
+
+  /** REAL audio decode through the JDK's `javax.sound.sampled` (WAV/PCM
+    * readers ship with every JVM — no external dependency, mirroring the
+    * ImageIO path): parses the RIFF header and streams the PCM frames.
+    * Returns the 16-slice RMS ENERGY envelope — the audio analogue of
+    * the luminance histogram (the feature a framing/VAD stage consumes)
+    * — plus (sample_rate, channels, n_frames) metadata. Deterministic:
+    * integer PCM samples, fixed slice boundaries, one sqrt per slice.
+    */
+  private[ext] final case class AudioMeta(sampleRate: Int, channels: Int,
+      frames: Long, energy: Array[Double])
+
+  private[ext] def decodeAudio(data: Array[Byte]): Option[AudioMeta] =
+    if (!looksLikeWav(data)) None
+    else
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(data))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16) None
+          else {
+            val bytes = in.readAllBytes()
+            val n = bytes.length / 2 // 16-bit little-endian samples
+            val energy = new Array[Double](16)
+            val counts = new Array[Long](16)
+            var i = 0
+            while (i < n) {
+              val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort
+              val slice = math.min(15, (i.toLong * 16 / math.max(1, n)).toInt)
+              val v = s / 32768.0
+              energy(slice) += v * v
+              counts(slice) += 1
+              i += 1
+            }
+            var j = 0
+            while (j < 16) {
+              energy(j) = if (counts(j) > 0) math.sqrt(energy(j) / counts(j)) else 0.0
+              j += 1
+            }
+            Some(AudioMeta(fmt.getSampleRate.toInt, fmt.getChannels,
+              n.toLong / math.max(1, fmt.getChannels), energy))
+          }
+        } finally in.close()
+      } catch { case _: Exception => None }
+
+  /** What the payload IS — the dispatch a mixed-modality table routes
+    * on: image readers, audio readers, then the byte-level fallback.
+    */
+  private[ext] def mediaKind(data: Array[Byte]): String =
+    if (looksLikeImage(data)) "image"
+    else if (looksLikeWav(data)) "audio"
+    else "other"
+
   /** Per-payload features: a real raster decode when the bytes are an
-    * image, the byte histogram otherwise.
+    * image, the PCM energy envelope when they are WAV audio, the byte
+    * histogram otherwise — one 16-dim feature slot either way.
     */
   private[ext] def decode(data: Array[Byte]): Array[Double] =
-    decodeImage(data).map(lumHistogram).getOrElse(decodeStub(data))
+    decodeImage(data).map(lumHistogram)
+      .orElse(decodeAudio(data).map(_.energy))
+      .getOrElse(decodeStub(data))
 
   /** Feature extraction over the media table via partition-batched map. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {

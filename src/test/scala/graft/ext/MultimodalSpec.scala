@@ -135,6 +135,44 @@ class MultimodalSpec extends SparkSpec {
     assert(!s.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  /** A genuine 16-bit mono PCM WAV, synthesized through the JDK's own
+    * writer so the reader sees a spec-conformant RIFF container.
+    */
+  private def wav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val bytes = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      bytes(2 * i) = (s & 0xff).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    buf.toByteArray
+  }
+
+  test("decodeAudio parses a real WAV: metadata and RMS energy envelope") {
+    // first half silence, second half a full-scale square wave
+    val n = 1600
+    val samples = Array.tabulate[Short](n)(i =>
+      if (i < n / 2) 0
+      else if (i % 2 == 0) 16384 else -16384)
+    val bytes = wav(8000, samples)
+    val meta = Multimodal.decodeAudio(bytes).get
+    assert(meta.sampleRate == 8000 && meta.channels == 1 && meta.frames == n)
+    // silent slices ~0, loud slices = 16384/32768 = 0.5 RMS exactly
+    assert(meta.energy.take(8).forall(_ == 0.0))
+    assert(meta.energy.drop(8).forall(e => math.abs(e - 0.5) < 1e-9))
+    // kind dispatch + the shared 16-dim feature slot routes audio
+    assert(Multimodal.mediaKind(bytes) == "audio")
+    assert(Multimodal.decode(bytes).toSeq == meta.energy.toSeq)
+    // non-audio bytes fall through to the byte histogram
+    assert(Multimodal.mediaKind("plain text".getBytes) == "other")
+    assert(Multimodal.decodeAudio("RIFFxxxxJUNK".getBytes).isEmpty)
+  }
+
   test("to_json/from_json round-trip of metadata (F5 encode side)") {
     val enc = media.select(col("doc_id"), to_json(col("meta")).as("j"))
     val dec = enc.select(col("doc_id"),
