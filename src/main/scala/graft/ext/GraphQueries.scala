@@ -86,7 +86,97 @@ object GraphQueries {
        |SELECT node, rank FROM fin ORDER BY rank DESC, node LIMIT 20""".stripMargin
   }
 
+  /** EXACT TRIANGLE COUNTING over the supplier CO-SUPPLY BACKBONE
+    * (suppliers adjacent iff they supply a common part — the bipartite
+    * supply graph itself has no triangles), with per-supplier
+    * participation counts: the clustering/community signal next to
+    * [[pageRank]]'s centrality.
+    *
+    * Two scale decisions:
+    *  - the raw co-supply graph is near-COMPLETE on dense catalogs
+    *    (at sf0.1 every supplier pair shares a part — C(1000,2) edges,
+    *    ~1.7·10⁸ degenerate triangles), so the analyzed graph is the
+    *    STRONGEST-M BACKBONE: the top 2000 edges by shared-part count
+    *    (TakeOrdered with the (w DESC, u, v) total order — the
+    *    corpus-scale stage is only the pair-weight aggregation, linear
+    *    in distinct (part, supplier) co-occurrences);
+    *  - counting runs the DEGREE-ORDERED node-iterator — the form that
+    *    survives skew: each edge is oriented from its (degree, id)-
+    *    smaller endpoint, two out-edges of a node propose a wedge, and
+    *    a semi-join against the oriented edges closes it. Orientation
+    *    bounds out-degree by O(√m) (arboricity), so wedge fanout is
+    *    Σ out-deg², polynomially below the naive Σ deg² a celebrity
+    *    node causes. Every triangle is generated exactly once (by its
+    *    (deg,id)-minimal vertex). Pure integers end to end; bit-exact
+    *    DuckDB replay.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val sp = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+    // strongest-M backbone of the weighted co-supply graph, u < v
+    val und = sp.as("a").join(sp.as("b"), Seq("p"))
+      .filter(col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("u"), col("b.s").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .orderBy(desc("w"), asc("u"), asc("v")).limit(2000)
+      .select("u", "v")
+    val deg = und.select(col("u").as("n")).unionAll(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient from (deg, id)-smaller to larger
+    val oriented = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("a"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("b"))
+    val wedges = oriented.select(col("a"), col("b").as("x"))
+      .join(oriented.select(col("a"), col("b").as("y")), Seq("a"))
+      .filter(col("x") < col("y"))
+    val tris = wedges.join(
+      oriented.select(col("a").as("x"), col("b").as("y"))
+        .unionAll(oriented.select(col("b").as("x"), col("a").as("y"))),
+      Seq("x", "y"), "left_semi")
+    tris.select(explode(array(col("a"), col("x"), col("y"))).as("supplier"))
+      .groupBy("supplier").agg(count(lit(1)).as("n_triangles"))
+      .orderBy(desc("n_triangles"), asc("supplier")).limit(10)
+  }
+
+  val trianglesSql: String =
+    """WITH sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+      |und AS (
+      |  SELECT u, v FROM (
+      |    SELECT a.s AS u, b.s AS v, COUNT(*) AS w
+      |    FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+      |    GROUP BY 1, 2)
+      |  ORDER BY w DESC, u, v LIMIT 2000),
+      |deg AS (
+      |  SELECT n, COUNT(*) AS d FROM (
+      |    SELECT u AS n FROM und UNION ALL SELECT v FROM und) GROUP BY n),
+      |o AS (
+      |  SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND u < v) THEN u ELSE v END AS a,
+      |         CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND u < v) THEN v ELSE u END AS b
+      |  FROM und
+      |  JOIN deg d1 ON d1.n = und.u
+      |  JOIN deg d2 ON d2.n = und.v),
+      |w AS (
+      |  SELECT e1.a, e1.b AS x, e2.b AS y
+      |  FROM o e1 JOIN o e2 ON e1.a = e2.a AND e1.b < e2.b),
+      |tri AS (
+      |  SELECT w.a, w.x, w.y FROM w
+      |  WHERE EXISTS (SELECT 1 FROM o
+      |    WHERE (o.a = w.x AND o.b = w.y) OR (o.a = w.y AND o.b = w.x))),
+      |m AS (
+      |  SELECT unnest([a, x, y]) AS supplier FROM tri)
+      |SELECT supplier, COUNT(*) AS n_triangles
+      |FROM m GROUP BY supplier
+      |ORDER BY n_triangles DESC, supplier LIMIT 10""".stripMargin
+
   def all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
-    "pagerank_supply" -> ((pageRank _, pageRankSql))
+    "pagerank_supply" -> ((pageRank _, pageRankSql)),
+    "triangles_cosupply" -> ((triangles _, trianglesSql))
   )
 }
