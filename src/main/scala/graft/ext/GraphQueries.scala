@@ -111,6 +111,10 @@ object GraphQueries {
     *    DuckDB replay.
     */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
+    // NOT persisted, on measurement: caching this projection regressed
+    // the query 4.5 s → 30+ s at sf0.1 (the InMemoryRelation starves
+    // AQE's runtime re-planning of the self-join); two column-pruned
+    // scans of the fact table are the cheaper side of the trade here
     val sp = Tables(spark, dir, "lineitem")
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
     // strongest-M backbone of the weighted co-supply graph, u < v
