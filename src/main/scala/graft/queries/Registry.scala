@@ -15,7 +15,8 @@ object Registry {
       graft.ext.SimilarityQueries.all, graft.ext.KMeans.all,
       graft.ext.EventQueries.all,
       graft.ext.Multimodal.all, graft.ext.CurationQueries.all,
-      graft.ext.Bucketing.all, graft.ext.GraphQueries.all)
+      graft.ext.Bucketing.all, graft.ext.GraphQueries.all,
+      graft.ext.RollupIndex.all)
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
     val all = suites.flatten
