@@ -618,7 +618,48 @@ object OlapQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Join-cardinality PRE-FLIGHT: the exact output size of
+    * `orders ⋈ lineitem` computed WITHOUT running the join —
+    * `Σₖ c_orders(k) · c_lineitem(k)` over the per-key count tables,
+    * plus the fanout diagnostics (distinct keys per side, the worst
+    * key's contribution). This is the guard a 100 TB pipeline runs
+    * before an unfamiliar join: the two count aggregates are map-side-
+    * combined scans, their join is key-cardinality-sized (not
+    * row-sized), and a blow-up shows up as a number — with the skewed
+    * key identified — instead of a dead cluster. The same per-key
+    * count-sketch shape powers `skew_report`'s remedy side; here it
+    * closes the loop as a registered, exactly-checkable estimate
+    * (OlapQueriesSpec pins it equal to the materialized join's count).
+    */
+  def joinCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val co = Tables(spark, dir, "orders")
+      .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("c_o"))
+    val cl = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("c_l"))
+    co.join(cl, Seq("k"))
+      .agg(
+        sum(col("c_o") * col("c_l")).as("join_rows"),
+        count(lit(1)).as("n_matching_keys"),
+        max(col("c_o") * col("c_l")).as("max_key_rows"))
+      .crossJoin(broadcast(co.agg(count(lit(1)).as("keys_orders"))))
+      .crossJoin(broadcast(cl.agg(count(lit(1)).as("keys_lineitem"))))
+  }
+
+  val joinCardinalitySql: String =
+    """WITH co AS (SELECT o_orderkey AS k, COUNT(*) AS c_o FROM orders GROUP BY 1),
+      |cl AS (SELECT l_orderkey AS k, COUNT(*) AS c_l FROM lineitem GROUP BY 1),
+      |m AS (
+      |  SELECT CAST(SUM(c_o * c_l) AS BIGINT) AS join_rows,
+      |    COUNT(*) AS n_matching_keys,
+      |    CAST(MAX(c_o * c_l) AS BIGINT) AS max_key_rows
+      |  FROM co JOIN cl USING (k))
+      |SELECT join_rows, n_matching_keys, max_key_rows,
+      |  (SELECT COUNT(*) FROM co) AS keys_orders,
+      |  (SELECT COUNT(*) FROM cl) AS keys_lineitem
+      |FROM m""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "join_cardinality" -> ((joinCardinality _, joinCardinalitySql)),
     "pivot_dynamic" -> ((pivotDynamic _, pivotDynamicSql)),
     "window_rank_stats" -> ((windowRankStats _, windowRankStatsSql)),
     "table_profile" -> ((tableProfile _, tableProfileApproxSql)),
