@@ -109,6 +109,13 @@ object RollupIndex {
     spark.read.parquet(s"$r/$seg").count()
   }
 
+  /** Build-or-append — the idempotent entry a streaming ingest calls
+    * per micro-batch (first batch creates the index).
+    */
+  def fold(events: DataFrame, dir: String): Long =
+    if (SegmentLog.read(root(dir)).isEmpty) build(events, dir)
+    else append(events, dir)
+
   /** Registered query: the rollup maintained INCREMENTALLY (build on
     * one batch, two appends) must hash-match the plain GROUP BY oracle
     * over the raw events — the merge-on-read exactness contract,

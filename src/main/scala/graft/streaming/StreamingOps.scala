@@ -446,6 +446,27 @@ object StreamingOps {
     finally graft.io.SegmentLog.deleteRecursively(tmp.toString)
   }
 
+  /** Streaming MAINTENANCE of the materialized rollup
+    * ([[graft.ext.RollupIndex]]): each micro-batch folds in as one
+    * partial-aggregate segment — the cost is the batch's own
+    * aggregation, never a history re-scan, and foreachBatch's serial
+    * execution satisfies the segment log's single-writer contract.
+    * At-least-once delivery caveat: a batch REPLAYED after a crash
+    * between the segment commit and the checkpoint write would fold
+    * twice; production pairs this with the batch-id-named segment
+    * guard (commit records the epoch, replays of a committed epoch
+    * skip) — here StreamingSpec pins the clean-run streamed == batch
+    * equality, the same contract the dedup ingest pipeline documents.
+    */
+  def rollupIngestStream(events: DataFrame, indexDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { graft.ext.RollupIndex.fold(batch, indexDir); () }
+      }
+      .start()
+
   /** The SECOND driver-gated streaming path (next to
     * [[streamDedupReplay]]): the registered `stream_events_tumbling`
     * query replays the REAL [[tumblingCounts]] pipeline — file-source

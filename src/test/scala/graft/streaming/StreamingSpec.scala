@@ -315,6 +315,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming rollup maintenance: streamed segments == one-shot batch build") {
+    implicit val sqlCtx = spark.sqlContext
+    val idxDir = java.nio.file.Files.createTempDirectory("rollidx").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("rollck").toString
+    val all = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val rows = all.as[(Long, Timestamp, Long, String, Double)].collect()
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = StreamingOps.rollupIngestStream(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      idxDir, ckDir)
+    try {
+      // three micro-batches scattering every (type, day) cell
+      mem.addData(rows.filter(_._1 % 3 == 0).toSeq); q.processAllAvailable()
+      mem.addData(rows.filter(_._1 % 3 == 1).toSeq); q.processAllAvailable()
+      mem.addData(rows.filter(_._1 % 3 == 2).toSeq); q.processAllAvailable()
+      val oneDir = java.nio.file.Files.createTempDirectory("rollone").toString
+      graft.ext.RollupIndex.build(all, oneDir)
+      def rowsOf(d: String) = graft.ext.RollupIndex.read(spark, d)
+        .select(col("event_type"), col("day"), col("n"),
+          col("sum_value").cast("double"),
+          expr("hll_sketch_estimate(users_sketch)").as("u"))
+        .orderBy("event_type", "day").collect().map(_.toSeq).toSeq
+      val streamed = rowsOf(idxDir)
+      assert(streamed == rowsOf(oneDir) && streamed.nonEmpty)
+      assert(graft.io.SegmentLog.read(s"$idxDir/rollup_index").get.segments.size == 3)
+    } finally q.stop()
+  }
+
   test("streamed daily HLL sketches merge to the batch weekly estimates") {
     // the mergeable-sketch rollup on the REAL events table (timestamp[us]
     // ts): stream builds daily hll_sketch_agg state across micro-batches
