@@ -763,6 +763,93 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** Period-over-period reporting (week-over-week growth): weekly
+    * volume per event type with the previous week's value and the
+    * growth percentage — the standard dashboard delta, as a lag window
+    * over the ALREADY-AGGREGATED weekly rollup (weeks × types rows;
+    * the corpus touches only the first aggregate). Growth is one IEEE
+    * division of exact BIGINTs rounded at 4 dp; the first week of each
+    * type reports NULL growth (no prior period), pinning lag's
+    * leading-edge semantics cross-engine.
+    */
+  def eventsWowGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekly = Tables(spark, dir, "events")
+      .groupBy(col("event_type"),
+        date_trunc("week", col("ts")).as("week"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+    weekly
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .withColumn("growth_pct", round(
+        (col("n") - col("prev_n")).cast("double") * 100.0
+          / col("prev_n").cast("double"), 4))
+      .select(col("event_type"), col("week"), col("n"), col("prev_n"),
+        col("growth_pct"))
+      .orderBy("event_type", "week")
+  }
+
+  val eventsWowGrowthSql: String =
+    """WITH weekly AS (
+      |  SELECT event_type, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, week, n,
+      |  lag(n, 1) OVER w AS prev_n,
+      |  ROUND(CAST(n - lag(n, 1) OVER w AS DOUBLE) * 100.0
+      |    / CAST(lag(n, 1) OVER w AS DOUBLE), 4) AS growth_pct
+      |FROM weekly
+      |WINDOW w AS (PARTITION BY event_type ORDER BY week)
+      |ORDER BY event_type, week""".stripMargin
+
+  /** Conversion-latency percentiles: per converting user, the seconds
+    * from FIRST view to the first purchase AFTER it, summarized as
+    * exact interpolated p50/p90 — the "how long does the funnel take"
+    * number next to [[eventsFunnel]]'s "how many convert". The heavy
+    * stage is one user-keyed conditional-min aggregate (first view,
+    * then first qualifying purchase via a min over a filtered
+    * column); the percentile runs on the bounded converted-users
+    * rows. Latencies are exact integer seconds, so the interpolated
+    * percentiles are identical IEEE arithmetic in both engines
+    * (rounded at 4 dp like the percentiles query).
+    */
+  def funnelTimePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val perUser = ev
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view",
+        unix_timestamp(col("ts")))).as("first_view"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("pts"))
+    val lat = perUser.filter(col("first_view").isNotNull)
+      .join(purch, Seq("user_id"))
+      .filter(col("pts") >= col("first_view"))
+      .groupBy("user_id")
+      .agg((min(col("pts")) - min(col("first_view"))).as("latency_s"))
+    lat.agg(
+      count(lit(1)).as("n_converted"),
+      round(expr("percentile(latency_s, 0.5)"), 4).as("p50_s"),
+      round(expr("percentile(latency_s, 0.9)"), 4).as("p90_s"))
+  }
+
+  val funnelTimePercentilesSql: String =
+    """WITH fv AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view'
+      |        THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS first_view
+      |  FROM events GROUP BY user_id),
+      |lat AS (
+      |  SELECT e.user_id,
+      |    MIN(CAST(floor(epoch(e.ts)) AS BIGINT)) - MIN(fv.first_view) AS latency_s
+      |  FROM events e JOIN fv ON fv.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND fv.first_view IS NOT NULL
+      |    AND CAST(floor(epoch(e.ts)) AS BIGINT) >= fv.first_view
+      |  GROUP BY e.user_id)
+      |SELECT COUNT(*) AS n_converted,
+      |  ROUND(quantile_cont(latency_s, 0.5), 4) AS p50_s,
+      |  ROUND(quantile_cont(latency_s, 0.9), 4) AS p90_s
+      |FROM lat""".stripMargin
+
   /** LINEAR multi-touch attribution: each purchase's value is split
     * EQUALLY across the user's clicks in the preceding 7 days, credited
     * to the click's day — the credit-assignment semantics a marketing /
@@ -918,6 +1005,9 @@ object EventQueries {
     "events_overlap_approx" ->
       ((eventsOverlapApprox _, eventsOverlapApproxSql)),
     "attribution_linear" -> ((attributionLinear _, attributionLinearSql)),
+    "events_wow_growth" -> ((eventsWowGrowth _, eventsWowGrowthSql)),
+    "funnel_time_percentiles" ->
+      ((funnelTimePercentiles _, funnelTimePercentilesSql)),
     "stream_events_tumbling" ->
       ((graft.streaming.StreamingOps.streamTumblingReplay _,
         streamTumblingSql)),
