@@ -124,6 +124,17 @@ object GraphQueries {
       .agg(count(lit(1)).as("w"))
       .orderBy(desc("w"), asc("u"), asc("v")).limit(2000)
       .select("u", "v")
+    trianglesOn(und)
+      .withColumnRenamed("node", "supplier")
+      .orderBy(desc("n_triangles"), asc("supplier")).limit(10)
+  }
+
+  /** The degree-ordered iterator core over an arbitrary undirected edge
+    * list `(u, v)` with `u < v`, no duplicates: per-node triangle
+    * participation counts. Extracted so GraphQueriesSpec can pin it
+    * against brute-force enumeration on random graphs.
+    */
+  private[ext] def trianglesOn(und: DataFrame): DataFrame = {
     val deg = und.select(col("u").as("n")).unionAll(und.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // orient from (deg, id)-smaller to larger
@@ -144,9 +155,8 @@ object GraphQueries {
       oriented.select(col("a").as("x"), col("b").as("y"))
         .unionAll(oriented.select(col("b").as("x"), col("a").as("y"))),
       Seq("x", "y"), "left_semi")
-    tris.select(explode(array(col("a"), col("x"), col("y"))).as("supplier"))
-      .groupBy("supplier").agg(count(lit(1)).as("n_triangles"))
-      .orderBy(desc("n_triangles"), asc("supplier")).limit(10)
+    tris.select(explode(array(col("a"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
   val trianglesSql: String =

@@ -49,4 +49,27 @@ class GraphQueriesSpec extends SparkSpec {
     val ranks = rows.map(_._2).toSeq
     assert(ranks.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
+  test("degree-ordered triangle counts == brute force on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 8 + rnd.nextInt(8)
+      val edges = (for {
+        u <- 0L until n; v <- (u + 1) until n
+        if rnd.nextDouble() < 0.35
+      } yield (u, v)).toSeq
+      if (edges.nonEmpty) {
+        val adj = edges.toSet
+        def has(a: Long, b: Long) = adj.contains(if (a < b) (a, b) else (b, a))
+        val brute = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        for {
+          a <- 0L until n; b <- (a + 1) until n; c <- (b + 1) until n
+          if has(a, b) && has(a, c) && has(b, c)
+        } { brute(a) += 1; brute(b) += 1; brute(c) += 1 }
+        val got = GraphQueries.trianglesOn(edges.toDF("u", "v"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == brute.toMap, s"trial $trial, n=$n, edges=$edges")
+      }
+    }
+  }
 }
