@@ -658,7 +658,50 @@ object OlapQueries {
       |  (SELECT COUNT(*) FROM cl) AS keys_lineitem
       |FROM m""".stripMargin
 
+  /** WINSORIZATION (outlier clipping at p01/p99): the robust-stats
+    * preprocessing step in front of any mean-based model — exact
+    * interpolated percentile bounds computed ONCE (a 2-scalar
+    * broadcast; at 100 TB the same query swaps in the mergeable
+    * GK-sketch bounds from `events_quantile_weekly`'s tier), values
+    * clipped against the 4dp-ROUNDED bounds so both engines branch on
+    * identical doubles, and the per-day before/after means report what
+    * the clipping did — the diagnostic that catches over-aggressive
+    * bounds. One corpus scan for the bounds, one for the clip+rollup.
+    */
+  def winsorizeValues(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val bounds = ev.agg(
+      round(expr("percentile(value, 0.01)"), 4).as("lo"),
+      round(expr("percentile(value, 0.99)"), 4).as("hi"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("clipped", least(greatest(col("value"), col("lo")), col("hi")))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+          .otherwise(0L)).as("n_clipped"),
+        sum(dec(col("value"))).cast("double").as("sum_raw"),
+        sum(dec(col("clipped"))).cast("double").as("sum_winsorized"))
+      .orderBy("day")
+  }
+
+  val winsorizeValuesSql: String =
+    """WITH b AS (
+      |  SELECT ROUND(quantile_cont(value, 0.01), 4) AS lo,
+      |         ROUND(quantile_cont(value, 0.99), 4) AS hi
+      |  FROM events)
+      |SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_raw,
+      |  CAST(SUM(CAST(LEAST(GREATEST(value, lo), hi) AS DECIMAL(18,4))) AS DOUBLE)
+      |    AS sum_winsorized
+      |FROM events CROSS JOIN b
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "winsorize_values" -> ((winsorizeValues _, winsorizeValuesSql)),
     "join_cardinality" -> ((joinCardinality _, joinCardinalitySql)),
     "pivot_dynamic" -> ((pivotDynamic _, pivotDynamicSql)),
     "window_rank_stats" -> ((windowRankStats _, windowRankStatsSql)),
