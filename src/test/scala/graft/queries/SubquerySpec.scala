@@ -77,6 +77,41 @@ class SubquerySpec extends SparkSpec {
     assert(df.collect().toSeq == manual.collect().toSeq)
   }
 
+  test("corr_min_cost keeps ALL suppliers tied at the exact minimum") {
+    val tmp = java.nio.file.Files.createTempDirectory("subqmin").toString
+    try {
+      import spark.implicits._
+      // part 1: suppliers 10 and 11 tie at total 5.00 (two rows summing
+      // for 11 — the sum must be exact for the tie to register);
+      // supplier 12 is higher. part 2: a single cheapest supplier.
+      Seq(
+        (1L, 10L, 5.00), (1L, 11L, 2.25), (1L, 11L, 2.75), (1L, 12L, 9.0),
+        (2L, 20L, 1.0), (2L, 21L, 3.0))
+        .toDF("l_partkey", "l_suppkey", "l_extendedprice")
+        .write.parquet(s"$tmp/lineitem.parquet")
+      val rows = SubqueryQueries.corrMinCost(spark, tmp)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq((1L, 10L, 5.0), (1L, 11L, 5.0), (2L, 20L, 1.0)))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
+  test("exists_returned == explicit semi-join formulation") {
+    val sql = SubqueryQueries.existsReturned(spark, dir).collect().toSeq
+    val li = graft.Tables(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R").select("l_orderkey")
+    val manual = graft.Tables(spark, dir, "customer")
+      .join(graft.Tables(spark, dir, "orders")
+          .join(li, col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .select("o_custkey").distinct(),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_returners"))
+      .orderBy("c_nationkey")
+    assert(sql == manual.collect().toSeq && sql.nonEmpty)
+  }
+
   test("corr_idle_customers counts zero-order customers as 0, not NULL") {
     val tmp = java.nio.file.Files.createTempDirectory("subq").toString
     try {
