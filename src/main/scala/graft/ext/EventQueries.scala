@@ -763,6 +763,54 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** Session PATH analysis: the top-20 most common full within-session
+    * event sequences — the whole-journey view that
+    * [[eventsTransitions]]' pairwise counts can't reconstruct (distinct
+    * paths can share every bigram). Sessions reuse the 30-minute-gap
+    * rule; each session's path is the '>'-joined event-type sequence in
+    * `(ts, event_id)` order — built by sorting the session's collected
+    * `(ts, event_id, type)` structs, NOT by a collect_list over a
+    * sorted partition (aggregation order after a shuffle is undefined;
+    * the in-array sort is the deterministic form). One user-keyed
+    * exchange serves sessionization and collection; path strings are
+    * bounded by session length; the global top-20 is TakeOrdered with
+    * full tiebreaks.
+    */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type"))).as("evs"))
+      .select(concat_ws(">",
+        expr("transform(array_sort(evs), e -> e.event_type)")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), asc("path")).limit(20)
+  }
+
+  val sessionPathsSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |           >= INTERVAL 30 MINUTE
+      |         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked),
+      |paths AS (
+      |  SELECT array_to_string(
+      |    list(event_type ORDER BY ts, event_id), '>') AS path
+      |  FROM sessions
+      |  GROUP BY user_id, session_id)
+      |SELECT path, COUNT(*) AS n_sessions
+      |FROM paths
+      |GROUP BY path
+      |ORDER BY n_sessions DESC, path
+      |LIMIT 20""".stripMargin
+
   /** Period-over-period reporting (week-over-week growth): weekly
     * volume per event type with the previous week's value and the
     * growth percentage — the standard dashboard delta, as a lag window
@@ -1006,6 +1054,7 @@ object EventQueries {
       ((eventsOverlapApprox _, eventsOverlapApproxSql)),
     "attribution_linear" -> ((attributionLinear _, attributionLinearSql)),
     "events_wow_growth" -> ((eventsWowGrowth _, eventsWowGrowthSql)),
+    "session_paths" -> ((sessionPaths _, sessionPathsSql)),
     "funnel_time_percentiles" ->
       ((funnelTimePercentiles _, funnelTimePercentilesSql)),
     "stream_events_tumbling" ->

@@ -949,9 +949,61 @@ object SimilarityQueries {
       |GROUP BY label, pos
       |ORDER BY label, pos""".stripMargin
 
+  /** Embedding-norm QUALITY AUDIT: per-label vector-norm distribution —
+    * the degenerate-embedding detector (zero/near-zero norms from
+    * failed encoder calls, label-level norm drift from mixed encoder
+    * versions) a pipeline runs before any cosine-based stage trusts the
+    * table. Exactness via quantize-FIRST (the kmeans_train discipline):
+    * each element becomes `floor(x·10⁶)` BIGINT before squaring, so the
+    * per-vector sum of squares is an exact integer in ANY fold order,
+    * the norm is one IEEE sqrt of that integer floored back to 10⁻⁶
+    * units, and the per-label mass sums are order-free BIGINTs — the
+    * only float emitted is the final mean division. Pure projection +
+    * one label-keyed aggregate.
+    */
+  def embedNormAudit(spark: SparkSession, dir: String): DataFrame = {
+    vecs(spark, dir)
+      .withColumn("ssq", expr(
+        """aggregate(v, 0L, (acc, x) ->
+           |  acc + cast(floor(x * 1000000) AS bigint)
+           |      * cast(floor(x * 1000000) AS bigint))""".stripMargin))
+      .withColumn("norm_u", expr("cast(floor(sqrt(ssq)) AS bigint)"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ssq") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        min(col("norm_u")).as("min_norm_u"),
+        max(col("norm_u")).as("max_norm_u"),
+        sum(col("norm_u")).as("mass"))
+      .withColumn("mean_norm", round(
+        col("mass").cast("double") / col("n").cast("double") / 1000000.0, 6))
+      .orderBy("label")
+  }
+
+  val embedNormAuditSql: String =
+    """WITH e AS (
+      |  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (
+      |  SELECT label,
+      |    CAST(list_sum(list_transform(v, x ->
+      |      CAST(FLOOR(x * 1000000) AS BIGINT)
+      |        * CAST(FLOOR(x * 1000000) AS BIGINT))) AS BIGINT) AS ssq
+      |  FROM e),
+      |n AS (SELECT label, ssq,
+      |    CAST(FLOOR(SQRT(ssq)) AS BIGINT) AS norm_u FROM q)
+      |SELECT label, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN ssq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |  MIN(norm_u) AS min_norm_u,
+      |  MAX(norm_u) AS max_norm_u,
+      |  CAST(SUM(norm_u) AS BIGINT) AS mass,
+      |  ROUND(CAST(SUM(norm_u) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS mean_norm
+      |FROM n
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "knn_brute" -> ((knnBrute _, knnBruteSql)),
     "hard_negatives" -> ((hardNegatives _, hardNegativesSql)),
+    "embed_norm_audit" -> ((embedNormAudit _, embedNormAuditSql)),
     "embed_centroids" -> ((embedCentroids _, embedCentroidsSql)),
     "ann_ivf" -> ((annIvf _, annIvfSql)),
     "ann_index_search" -> ((annIndexSearch _, annIvfSql)),
