@@ -54,6 +54,27 @@ class SearchIndexSpec extends SparkSpec {
     assert(idxScan.metadata.get("PartitionFilters").exists(_.contains("bucket")))
   }
 
+  test("random batch splits == one-shot (seeded property)") {
+    // append==rebuild must hold for ANY partition of the corpus into
+    // batches, not just the mod-3 split — three seeded random 3-way
+    // splits via a doc_id hash
+    for (seed <- Seq(7, 23, 99)) {
+      val d = Files.createTempDirectory(s"search-idx-p$seed").toString
+      val bucket = org.apache.spark.sql.functions
+        .pmod(org.apache.spark.sql.functions.xxhash64(col("doc_id"),
+          org.apache.spark.sql.functions.lit(seed)),
+          org.apache.spark.sql.functions.lit(3))
+      SearchIndex.build(docs.filter(bucket === 0), d)
+      SearchIndex.append(docs.filter(bucket === 1), d)
+      SearchIndex.append(docs.filter(bucket === 2), d)
+      val got = SearchIndex.search(spark, d, terms, k = 20)
+        .collect().map(_.toSeq).toSeq
+      val want = TextQueries.bm25Search(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(got == want, s"seed $seed")
+    }
+  }
+
   test("append batches == one-shot build; compaction preserves results") {
     val incDir = Files.createTempDirectory("search-idx-inc").toString
     SearchIndex.build(docs.filter(col("doc_id") % 3 < 2), incDir)
