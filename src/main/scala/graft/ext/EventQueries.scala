@@ -1048,7 +1048,74 @@ object EventQueries {
       |WHERE rk = 1 AND event_type != 'error'
       |ORDER BY user_id""".stripMargin
 
+  /** CAPPED RUNNING BALANCE — the inventory/wallet fold no window
+    * frame can express: per user, events in `(ts, event_id)` order
+    * credit (even event_id) or debit (odd) `round(value·100)` integer
+    * cents, and the balance CLAMPS to [0, 1,000,000] at every step, so
+    * each step depends on the clamped outcome of the previous one
+    * (running sums with a floor are non-linear — `sum() over` cannot
+    * compute them). The distributed form: ONE user-keyed exchange,
+    * per-user history collected + array-sorted (deterministic — not a
+    * collect_list over a sorted partition), then a sequential
+    * `aggregate` HOF fold with struct state carrying (balance,
+    * floor-hits, cap-hits). State is bounded per key — the same
+    * assumption sessionization makes; at 100 TB a key whose history
+    * outgrows memory gets time-bucketed segment folds whose end-states
+    * chain (the balance fold is associative over segments given the
+    * carried state). Integer cents end to end: both engines replay the
+    * fold bit-for-bit.
+    */
+  def runningCappedBalance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (when(col("event_id") % 2 === 0, lit(1L)).otherwise(lit(-1L)) *
+          round(col("value") * 100, 0).cast("long")).as("delta_c"))
+    ev.groupBy("user_id")
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("delta_c")))).as("seq"))
+      .select(col("user_id"),
+        expr("""aggregate(seq,
+          named_struct('bal', 0L, 'floored', 0L, 'capped', 0L),
+          (acc, x) -> named_struct(
+            'bal', LEAST(GREATEST(acc.bal + x.delta_c, 0L), 1000000L),
+            'floored', acc.floored + IF(acc.bal + x.delta_c < 0L, 1L, 0L),
+            'capped', acc.capped + IF(acc.bal + x.delta_c > 1000000L, 1L, 0L)))
+          """).as("st"))
+      .select(col("user_id"), col("st.bal").as("final_cents"),
+        col("st.floored").as("n_floored"), col("st.capped").as("n_capped"))
+      .orderBy("user_id")
+  }
+
+  val runningCappedBalanceSql: String =
+    """WITH RECURSIVE seq AS (
+      |  SELECT user_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |    (CASE WHEN event_id % 2 = 0 THEN 1 ELSE -1 END)
+      |      * CAST(ROUND(value * 100, 0) AS BIGINT) AS delta_c
+      |  FROM events),
+      |rec AS (
+      |  SELECT user_id, rn,
+      |    LEAST(GREATEST(delta_c, 0), 1000000) AS bal,
+      |    CAST(CASE WHEN delta_c < 0 THEN 1 ELSE 0 END AS BIGINT) AS n_floored,
+      |    CAST(CASE WHEN delta_c > 1000000 THEN 1 ELSE 0 END AS BIGINT) AS n_capped
+      |  FROM seq WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.user_id, s.rn,
+      |    LEAST(GREATEST(r.bal + s.delta_c, 0), 1000000),
+      |    r.n_floored + CASE WHEN r.bal + s.delta_c < 0 THEN 1 ELSE 0 END,
+      |    r.n_capped + CASE WHEN r.bal + s.delta_c > 1000000 THEN 1 ELSE 0 END
+      |  FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1),
+      |fin AS (
+      |  SELECT *, MAX(rn) OVER (PARTITION BY user_id) AS mx FROM rec)
+      |SELECT user_id, CAST(bal AS BIGINT) AS final_cents,
+      |  CAST(n_floored AS BIGINT) AS n_floored,
+      |  CAST(n_capped AS BIGINT) AS n_capped
+      |FROM fin WHERE rn = mx
+      |ORDER BY user_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "running_capped_balance" ->
+      ((runningCappedBalance _, runningCappedBalanceSql)),
     "cdc_apply" -> ((cdcApply _, cdcApplySql)),
     "events_overlap_approx" ->
       ((eventsOverlapApprox _, eventsOverlapApproxSql)),

@@ -189,8 +189,88 @@ object GraphQueries {
       |FROM m GROUP BY supplier
       |ORDER BY n_triangles DESC, supplier LIMIT 10""".stripMargin
 
+  private val MaxHops = 3
+
+  /** BREADTH-FIRST HOP DISTANCE from a seed set — the reachability
+    * metric next to [[pageRank]]'s centrality and [[triangles]]'
+    * clustering: minimum hops from nation-0's suppliers to every node
+    * of the symmetrized part↔supplier supply graph (same shared node
+    * encoding as [[pageRank]]), capped at [[MaxHops]].
+    *
+    * The distributed form is frontier BFS, the shape every Pregel BFS
+    * compiles to: per round ONE join of the (persisted, pre-partitioned)
+    * edge list against the current frontier + a distinct, then an
+    * anti-join against the seen-set so each node is labeled with its
+    * FIRST (= minimal) hop — the [[graft.closure.ClosureExtractor]]
+    * traversal discipline applied to an analytics graph. Edges are
+    * repartitioned on the join key once and reused every round; the
+    * frontier is localCheckpointed per round to cut the growing lineage.
+    * Output is the tiny per-hop profile (node counts + id range), never
+    * the node set itself.
+    */
+  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables(spark, dir, "lineitem")
+      .select((col("l_partkey").cast("long") * 2).as("s"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("t"))
+      .distinct()
+    val e = e0.unionByName(e0.select(col("t").as("s"), col("s").as("t")))
+    val seeds = Tables(spark, dir, "supplier")
+      .filter(col("s_nationkey") === 0)
+      .select((col("s_suppkey").cast("long") * 2 + 1).as("node"))
+    bfsHopsOn(e, seeds, MaxHops)
+      .groupBy("hop")
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+      .orderBy("hop")
+      .localCheckpoint(true)
+  }
+
+  /** The frontier-BFS core over a DIRECTED edge list `(s, t)` and a
+    * seed frame `(node)`: `(node, hop)` with each node's MINIMUM hop
+    * from any seed, capped at `maxHops`. Extracted so GraphQueriesSpec
+    * can pin it against brute-force BFS on random graphs.
+    */
+  private[ext] def bfsHopsOn(e0: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    val e = e0.repartition(col("s")).persist()
+    try {
+      var seen = seeds.select(col("node"), lit(0).as("hop"))
+        .distinct().localCheckpoint(true)
+      var frontier = seen
+      var hop = 0
+      while (hop < maxHops && !frontier.isEmpty) {
+        hop += 1
+        val next = e.join(frontier.select(col("node").as("s")), Seq("s"), "left_semi")
+          .select(col("t").as("node")).distinct()
+          .join(seen, Seq("node"), "left_anti")
+          .select(col("node"), lit(hop).as("hop"))
+          .localCheckpoint(true)
+        seen = seen.unionByName(next).localCheckpoint(true)
+        frontier = next
+      }
+      seen
+    } finally e.unpersist()
+  }
+
+  val bfsHopsSql: String =
+    s"""WITH RECURSIVE
+       |e0 AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 AS s,
+       |              CAST(l_suppkey AS BIGINT) * 2 + 1 AS t FROM lineitem),
+       |e AS (SELECT s, t FROM e0 UNION ALL SELECT t AS s, s AS t FROM e0),
+       |bfs(node, hop) AS (
+       |  SELECT CAST(s_suppkey AS BIGINT) * 2 + 1 AS node, 0 AS hop
+       |  FROM supplier WHERE s_nationkey = 0
+       |  UNION
+       |  SELECT e.t, b.hop + 1 FROM bfs b JOIN e ON e.s = b.node
+       |  WHERE b.hop < $MaxHops),
+       |mh AS (SELECT node, MIN(hop) AS hop FROM bfs GROUP BY node)
+       |SELECT hop, COUNT(*) AS n_nodes,
+       |  MIN(node) AS min_node, MAX(node) AS max_node
+       |FROM mh GROUP BY hop ORDER BY hop""".stripMargin
+
   def all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "pagerank_supply" -> ((pageRank _, pageRankSql)),
-    "triangles_cosupply" -> ((triangles _, trianglesSql))
+    "triangles_cosupply" -> ((triangles _, trianglesSql)),
+    "graph_bfs_hops" -> ((bfsHops _, bfsHopsSql))
   )
 }

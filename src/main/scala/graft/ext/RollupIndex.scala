@@ -149,7 +149,56 @@ object RollupIndex {
       |GROUP BY 1, 2
       |ORDER BY event_type, day""".stripMargin
 
+  /** Registered query for [[graft.plans.RollupRewriteRule]] — the
+    * MATERIALIZED-VIEW AUTO-REWRITE proven under the driver's oracle:
+    * build the index, register the events→index mapping, then run the
+    * PLAIN corpus aggregate (`events.groupBy(event_type, to_date(ts))
+    * .agg(count, sum)`) with the rule active. The optimizer swaps the
+    * corpus scan for the segment-partial merge; a `require` on the
+    * optimized plan PROVES the events relation is gone (a silent
+    * non-fire would still pass the oracle — the assert is what makes
+    * this a rewrite test, not an aggregation test). The oracle replays
+    * the ORIGINAL query over raw events in DuckDB, so the hash gate
+    * certifies rewrite == original. Index built from nothing per run
+    * (the replay-by-design pattern); production registers a mapping
+    * once per maintenance cycle.
+    */
+  def rollupRewrite(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{RollupRewrite, RollupRewriteRule}
+    if (!spark.experimental.extraOptimizations.contains(RollupRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RollupRewriteRule
+    val events = graft.Tables(spark, dir, "events")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-mvidx-").toString
+    try {
+      build(events, idxDir)
+      RollupRewrite.register(s"$dir/events.parquet", idxDir)
+      val q = events
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+      val scanned = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString).mkString(",")
+            case _ => ""
+          }
+      }
+      require(!scanned.exists(_.contains("events.parquet")),
+        s"rollup rewrite did not fire; still scanning: $scanned")
+      q.select(col("event_type"), col("day"), col("n"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("event_type", "day")
+        .localCheckpoint(true)
+    } finally {
+      RollupRewrite.unregister(s"$dir/events.parquet")
+      SegmentLog.deleteRecursively(idxDir)
+    }
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
-    "rollup_incremental" -> ((rollupIncremental _, rollupIncrementalSql))
+    "rollup_incremental" -> ((rollupIncremental _, rollupIncrementalSql)),
+    "rollup_rewrite" -> ((rollupRewrite _, rollupIncrementalSql))
   )
 }

@@ -1000,7 +1000,110 @@ object SimilarityQueries {
       |GROUP BY label
       |ORDER BY label""".stripMargin
 
+  private val MmrK = 8          // results to return
+  private val MmrShortlist = 30 // relevance shortlist fed to the greedy
+  // λ=0.5 as an exact binary double: rel − 0.5·maxsim is bit-identical
+  // on both engines given the 6dp-rounded inputs
+  private val MmrLambda = 0.5
+
+  /** MAXIMAL MARGINAL RELEVANCE (Carbonell & Goldstein, SIGIR'98) —
+    * DIVERSIFIED top-k: greedily pick the candidate maximizing
+    * `rel(c) − λ·max_{s∈selected} sim(c, s)`, so near-duplicates of an
+    * already-selected result are pushed down. The retrieval pattern
+    * every RAG stack runs after ANN.
+    *
+    * Scale shape: the corpus-scale stage is the RELEVANCE SHORTLIST
+    * (here brute-force top-[[MmrShortlist]]; at 100 TB the ANN tier's
+    * partition-pruned probe produces it), planned as TakeOrdered with
+    * full tiebreaks. The greedy itself is inherently sequential but
+    * runs on the BOUNDED shortlist: its ≤30 (rel) + ≤900 (pairwise
+    * sim) 6dp-ROUNDED scores are computed IN SPARK (the
+    * `round(cosine, 6)` parity contract knn_brute pins) and pulled to
+    * the driver — a documented bounded collect, the centroid-literal
+    * discipline. Score arithmetic past the rounding is plain IEEE
+    * double ops, so the unrolled DuckDB greedy replays every selection
+    * (including ties, broken by vec_id) bit-for-bit.
+    */
+  def mmrDiversify(spark: SparkSession, dir: String): DataFrame = {
+    val base = vecs(spark, dir)
+    val q = base.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"))
+    val cand = base.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("v"), round(cosineExpr("qv", "v"), 6).as("rel"))
+      .orderBy(desc("rel"), asc("vec_id")).limit(MmrShortlist)
+      .localCheckpoint(true)
+    // pairwise 6dp sims among the bounded shortlist (≤ 30×30 rows)
+    val a = cand.select(col("vec_id").as("a_id"), col("v").as("av"))
+    val b = cand.select(col("vec_id").as("b_id"), col("v").as("bv"))
+    val sims = a.join(broadcast(b), col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), round(cosineExpr("av", "bv"), 6).as("sim"))
+    val rels: Array[(Long, Double)] = cand.select("vec_id", "rel").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val simMap: Map[(Long, Long), Double] = sims.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // greedy over rounded doubles only — the DuckDB unrolled replay
+    // computes the identical rel − λ·max(sim) expression per step
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val remaining = scala.collection.mutable.LinkedHashMap(rels.sortBy { case (id, rel) => (-rel, id) }: _*)
+    var rank = 0
+    while (rank < MmrK && remaining.nonEmpty) {
+      rank += 1
+      val best = remaining.iterator.map { case (id, rel) =>
+        val score =
+          if (selected.isEmpty) rel
+          else rel - MmrLambda * selected.iterator
+            .map(s => simMap((id, s._1))).max
+        (id, rel, score)
+      }.minBy { case (id, _, score) => (-score, id) }
+      selected += best
+      remaining.remove(best._1)
+    }
+    import spark.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case ((id, rel, score), i) => (i + 1L, id, rel, score) }
+      .toDF("rank", "vec_id", "rel", "score")
+  }
+
+  val mmrDiversifySql: String = {
+    val steps = (2 to MmrK).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT c.vec_id, c.rel, c.rel - $MmrLambda * MAX(p.sim) AS score,
+         |    CAST($i AS BIGINT) AS rank
+         |  FROM cand c
+         |  JOIN pairs p ON p.a_id = c.vec_id
+         |  JOIN sel${i - 1} s ON p.b_id = s.vec_id
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+         |  GROUP BY c.vec_id, c.rel
+         |  ORDER BY score DESC, c.vec_id LIMIT 1),
+         |sel$i AS MATERIALIZED (SELECT vec_id FROM sel${i - 1}
+         |  UNION ALL SELECT vec_id FROM s$i),""".stripMargin
+    }.mkString("\n")
+    val union = (1 to MmrK).map(i => s"SELECT rank, vec_id, rel, score FROM s$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |cand AS MATERIALIZED (
+       |  SELECT e.vec_id, e.v,
+       |    ROUND(list_cosine_similarity(qv, v), 6) AS rel
+       |  FROM e CROSS JOIN q WHERE e.vec_id != 0
+       |  ORDER BY rel DESC, e.vec_id LIMIT $MmrShortlist),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+       |  FROM cand a JOIN cand b ON a.vec_id != b.vec_id),
+       |s1 AS MATERIALIZED (
+       |  SELECT vec_id, rel, rel AS score, CAST(1 AS BIGINT) AS rank
+       |  FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+       |sel1 AS MATERIALIZED (SELECT vec_id FROM s1),
+       |$steps
+       |fin AS (
+       |$union)
+       |SELECT rank, vec_id, rel, score FROM fin ORDER BY rank""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "mmr_diversify" -> ((mmrDiversify _, mmrDiversifySql)),
     "knn_brute" -> ((knnBrute _, knnBruteSql)),
     "hard_negatives" -> ((hardNegatives _, hardNegativesSql)),
     "embed_norm_audit" -> ((embedNormAudit _, embedNormAuditSql)),

@@ -15,16 +15,19 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * }}}
   *
   * This is the supported injection surface for custom Catalyst pieces:
-  * the codegen'd expression tier (functions below) and ONE optimizer
-  * rule — [[graft.plans.LevenshteinThresholdRule]], which rewrites
-  * bounded edit-distance predicates to the length-guarded banded form
-  * (see its Scaladoc for the correctness argument). Planner strategies
-  * remain unnecessary: every operator composes from built-in physical
-  * operators (SURVEY.md §7.3).
+  * the codegen'd expression tier (functions below) and TWO optimizer
+  * rules — [[graft.plans.LevenshteinThresholdRule]] (bounded
+  * edit-distance predicates → the length-guarded banded form) and
+  * [[graft.plans.RollupRewriteRule]] (materialized-view auto-rewrite:
+  * the maintained rollup's query shape → a merge of its segment
+  * partials); see each rule's Scaladoc for its correctness argument.
+  * Planner strategies remain unnecessary: every operator composes from
+  * built-in physical operators (SURVEY.md §7.3).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
+    e.injectOptimizerRule(_ => graft.plans.RollupRewriteRule)
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

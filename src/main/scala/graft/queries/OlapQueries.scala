@@ -700,7 +700,90 @@ object OlapQueries {
       |GROUP BY 1
       |ORDER BY day""".stripMargin
 
+  /** DETERMINISTIC MODE (most frequent value) per group — the modal
+    * order priority of each market segment. Spark 3.4's built-in
+    * `mode` leaves ties implementation-defined, so the operator is the
+    * two-level aggregate instead: count per (segment, priority) cell,
+    * then `min(struct(-cnt, priority))` picks highest-count /
+    * lexicographically-smallest in ONE struct-ordered agg — no window
+    * over the corpus, both shuffles reduce (cells ≤ segments ×
+    * priorities, then segments), and ties resolve identically on both
+    * engines. The same shape computes the mode of any categorical at
+    * 100 TB: the corpus-scale stage is the first map-side-combined
+    * count.
+    */
+  def modeAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders").select("o_custkey", "o_orderpriority")
+    val c = Tables(spark, dir, "customer").select("c_custkey", "c_mktsegment")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("segment")
+      .agg(min(struct((-col("cnt")).as("nc"), col("priority").as("p"))).as("m"))
+      .select(col("segment"), col("m.p").as("mode_priority"),
+        (-col("m.nc")).as("n_mode"))
+      .orderBy("segment")
+  }
+
+  val modeAggSql: String =
+    """WITH pc AS (
+      |  SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+      |    COUNT(*) AS cnt
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2)
+      |SELECT segment, priority AS mode_priority, cnt AS n_mode
+      |FROM (SELECT *, ROW_NUMBER() OVER
+      |        (PARTITION BY segment ORDER BY cnt DESC, priority) AS rn
+      |      FROM pc)
+      |WHERE rn = 1
+      |ORDER BY segment""".stripMargin
+
+  /** EQUI-WIDTH HISTOGRAM of `events.value`: 20 buckets between the
+    * global min/max (a 2-scalar broadcast, the winsorize discipline),
+    * per-bucket row count and exact decimal sum. Bucket arithmetic is
+    * written as the SAME left-to-right double expression both engines
+    * evaluate — `floor((value - lo) / (hi - lo) * 20)` — so boundary
+    * values land in the same bucket bit-for-bit; the top edge folds
+    * into bucket 19 (the standard right-closed last bucket). One scan
+    * for the bounds, one map-side-combined pass for the buckets; at
+    * 100 TB the bounds come from the profile tier instead of a scan.
+    */
+  def histogramValues(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events").select("value")
+    val bounds = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        least(greatest(
+          floor((col("value") - col("lo")) / (col("hi") - col("lo")) * 20),
+          lit(0L)), lit(19L)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("lo")) + col("bucket") * ((min(col("hi")) - min(col("lo"))) / 20), 4)
+          .as("bucket_lo"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select("bucket", "bucket_lo", "n", "sum_value")
+      .orderBy("bucket")
+  }
+
+  val histogramValuesSql: String =
+    """WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+      |h AS (
+      |  SELECT LEAST(GREATEST(
+      |      CAST(FLOOR((value - lo) / (hi - lo) * 20) AS BIGINT), 0), 19) AS bucket,
+      |    value, lo, hi
+      |  FROM events CROSS JOIN b)
+      |SELECT bucket,
+      |  ROUND(MIN(lo) + bucket * ((MIN(hi) - MIN(lo)) / 20), 4) AS bucket_lo,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM h
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "mode_agg" -> ((modeAgg _, modeAggSql)),
+    "histogram_values" -> ((histogramValues _, histogramValuesSql)),
     "winsorize_values" -> ((winsorizeValues _, winsorizeValuesSql)),
     "join_cardinality" -> ((joinCardinality _, joinCardinalitySql)),
     "pivot_dynamic" -> ((pivotDynamic _, pivotDynamicSql)),

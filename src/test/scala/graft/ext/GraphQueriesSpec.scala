@@ -72,4 +72,34 @@ class GraphQueriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("frontier BFS min-hops == brute force on random directed graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 10 + rnd.nextInt(10)
+      val edges = (for {
+        u <- 0L until n; v <- 0L until n
+        if u != v && rnd.nextDouble() < 0.15
+      } yield (u, v)).toSeq
+      val seeds = (0L until n).filter(_ => rnd.nextDouble() < 0.2) match {
+        case s if s.isEmpty => Seq(0L)
+        case s => s
+      }
+      val maxHops = 1 + rnd.nextInt(3)
+      // brute force: level-synchronous BFS over the adjacency map
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val dist = scala.collection.mutable.Map(seeds.map(_ -> 0): _*)
+      var frontier = seeds.toSet
+      for (h <- 1 to maxHops) {
+        frontier = frontier.flatMap(u => adj.getOrElse(u, Set.empty))
+          .filterNot(dist.contains)
+        frontier.foreach(v => dist(v) = h)
+      }
+      val got = GraphQueries.bfsHopsOn(edges.toDF("s", "t"),
+          seeds.toDF("node"), maxHops)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == dist.toMap, s"trial $trial, n=$n, seeds=$seeds, maxHops=$maxHops")
+    }
+  }
 }
