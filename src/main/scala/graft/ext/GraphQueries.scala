@@ -268,9 +268,90 @@ object GraphQueries {
        |  MIN(node) AS min_node, MAX(node) AS max_node
        |FROM mh GROUP BY hop ORDER BY hop""".stripMargin
 
+  private val LpaRounds = 2
+
+  /** SYNCHRONOUS LABEL PROPAGATION (Raghavan et al. 2007) over the
+    * symmetrized part↔supplier supply graph — the community-detection
+    * member of the graph family (centrality = [[pageRank]], clustering
+    * = [[triangles]], reachability = [[bfsHops]]). Every node starts
+    * as its own label; each round it adopts the MOST FREQUENT label
+    * among its neighbors, ties broken by smallest label — the
+    * deterministic variant (classic LPA breaks ties randomly and
+    * doesn't replay; [[LpaRounds]] fixed rounds make both engines
+    * bit-identical, the integer-PageRank discipline).
+    *
+    * Scale shape per round: one join of the label table against the
+    * (pre-partitioned, persisted) edge list, one map-side-combined
+    * count per (node, neighbor-label), and the same `min(struct(-cnt,
+    * label))` single-pass argmax [[graft.queries.OlapQueries.modeAgg]]
+    * uses — never a window over the corpus. Labels never collect to
+    * the driver; output is the top-20 community profile.
+    */
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables(spark, dir, "lineitem")
+      .select((col("l_partkey").cast("long") * 2).as("s"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("t"))
+      .distinct()
+    val e = e0.unionByName(e0.select(col("t").as("s"), col("s").as("t")))
+    lpaOn(e, LpaRounds)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
+      .orderBy(desc("n_nodes"), asc("label")).limit(20)
+      .localCheckpoint(true)
+  }
+
+  /** The synchronous-LPA core over a DIRECTED (pre-symmetrized) edge
+    * list `(s, t)`: `(node, label)` after `rounds` deterministic
+    * most-frequent-neighbor-label updates (ties → smallest label).
+    * Extracted so GraphQueriesSpec can pin it against a brute-force
+    * replica on random graphs.
+    */
+  private[ext] def lpaOn(e0: DataFrame, rounds: Int): DataFrame = {
+    val e = e0.repartition(col("s")).persist()
+    try {
+      val init = e.select(col("s").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      val fin = (1 to rounds).foldLeft(init) { (l, _) =>
+        e.join(l.select(col("node").as("t"), col("label")), Seq("t"))
+          .groupBy(col("s").as("node"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("node")
+          .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
+          .select(col("node"), col("m.l").as("label"))
+      }
+      // single-chain lineage (each round feeds exactly one consumer), so
+      // no per-round checkpoint: one job runs the whole unrolled plan.
+      // A long-horizon LPA (tens of rounds) would checkpoint every ~5
+      // rounds to bound the plan — at LpaRounds=2 that's pure overhead.
+      fin.localCheckpoint(true)
+    } finally e.unpersist()
+  }
+
+  private def lpaRoundSql(i: Int): String =
+    s"""c$i AS (SELECT e.s AS node, l.label, COUNT(*) AS cnt
+       |  FROM e JOIN l${i - 1} l ON l.node = e.t GROUP BY 1, 2),
+       |l$i AS (SELECT node, label FROM (
+       |    SELECT node, label, ROW_NUMBER() OVER
+       |      (PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM c$i)
+       |  WHERE rn = 1),""".stripMargin
+
+  val labelPropagationSql: String = {
+    val rounds = (1 to LpaRounds).map(lpaRoundSql).mkString("\n")
+    s"""WITH e0 AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 AS s,
+       |                   CAST(l_suppkey AS BIGINT) * 2 + 1 AS t FROM lineitem),
+       |e AS (SELECT s, t FROM e0 UNION ALL SELECT t AS s, s AS t FROM e0),
+       |l0 AS (SELECT DISTINCT s AS node, s AS label FROM e),
+       |$rounds
+       |fin AS (SELECT node, label FROM l$LpaRounds)
+       |SELECT label, COUNT(*) AS n_nodes, MIN(node) AS min_node
+       |FROM fin GROUP BY label
+       |ORDER BY n_nodes DESC, label LIMIT 20""".stripMargin
+  }
+
   def all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "pagerank_supply" -> ((pageRank _, pageRankSql)),
     "triangles_cosupply" -> ((triangles _, trianglesSql)),
-    "graph_bfs_hops" -> ((bfsHops _, bfsHopsSql))
+    "graph_bfs_hops" -> ((bfsHops _, bfsHopsSql)),
+    "label_propagation" -> ((labelPropagation _, labelPropagationSql))
   )
 }

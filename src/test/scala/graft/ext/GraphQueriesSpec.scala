@@ -102,4 +102,34 @@ class GraphQueriesSpec extends SparkSpec {
       assert(got == dist.toMap, s"trial $trial, n=$n, seeds=$seeds, maxHops=$maxHops")
     }
   }
+
+  test("synchronous LPA labels == brute force on random symmetric graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val n = 8 + rnd.nextInt(10)
+      val und = (for {
+        u <- 0L until n; v <- (u + 1) until n
+        if rnd.nextDouble() < 0.3
+      } yield (u, v)).toSeq
+      if (und.nonEmpty) {
+        val edges = und ++ und.map(_.swap)
+        val rounds = 1 + rnd.nextInt(3)
+        // brute force: synchronous most-frequent-neighbor, tie → min label
+        val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        var label: Map[Long, Long] =
+          edges.map(_._1).distinct.map(v => v -> v).toMap
+        for (_ <- 1 to rounds) {
+          label = label.map { case (v, _) =>
+            val counts = adj(v).map(label).groupBy(identity)
+              .map { case (l, occ) => (l, occ.size) }
+            v -> counts.minBy { case (l, c) => (-c, l) }._1
+          }
+        }
+        val got = GraphQueries.lpaOn(edges.toDF("s", "t"), rounds)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == label, s"trial $trial, n=$n, rounds=$rounds, edges=$und")
+      }
+    }
+  }
 }
