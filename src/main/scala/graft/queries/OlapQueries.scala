@@ -781,7 +781,75 @@ object OlapQueries {
       |GROUP BY bucket
       |ORDER BY bucket""".stripMargin
 
+  private val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val CorrPairs: Seq[(String, String)] =
+    for { i <- CorrCols.indices; j <- (i + 1) until CorrCols.size }
+      yield (CorrCols(i), CorrCols(j))
+
+  /** PAIRWISE CORRELATION MATRIX over the fact table's numeric columns
+    * in ONE corpus pass — the feature-screening step in front of any
+    * model: ALL sums / sum-squares / cross-products (4 + 4 + 6 decimal
+    * aggregates + the count) come from a single map-side-combined
+    * aggregate, then each of the 6 Pearson coefficients is pure scalar
+    * arithmetic on the one-row result. The [[statsAgg]] exact-moment
+    * discipline widened to a matrix: decimal sums are order-free, so
+    * the double-valued corr is bit-identical on both engines; a naive
+    * per-pair `corr()` would scan the corpus 6 times and still not
+    * replay. At 100 TB: one shuffle of 15 decimals, nothing else.
+    */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    def sq(c: String) = sum((dec(col(c)) * dec(col(c))).cast("decimal(38,8)"))
+    val m = Tables(spark, dir, "lineitem").agg(
+      count(lit(1)).as("n"),
+      CorrCols.map(c => sum(dec(col(c))).as(s"s_$c")) ++
+        CorrCols.map(c => sq(c).as(s"q_$c")) ++
+        CorrPairs.map { case (a, b) =>
+          sum((dec(col(a)) * dec(col(b))).cast("decimal(38,8)")).as(s"x_${a}_$b")
+        }: _*)
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val pairRows = CorrPairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        round((d(col(s"x_${a}_$b")) - d(col(s"s_$a")) * d(col(s"s_$b")) / col("n"))
+          / sqrt((d(col(s"q_$a")) - d(col(s"s_$a")) * d(col(s"s_$a")) / col("n"))
+            * (d(col(s"q_$b")) - d(col(s"s_$b")) * d(col(s"s_$b")) / col("n"))), 6)
+          .as("corr"))
+    }
+    m.select(col("n"), explode(array(pairRows: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("n"), col("p.corr"))
+      .orderBy("col_a", "col_b")
+  }
+
+  val corrMatrixSql: String = {
+    val sums = CorrCols.map(c =>
+      s"SUM(CAST($c AS DECIMAL(18,4))) AS s_$c").mkString(",\n    ")
+    // inner casts widened to DECIMAL(28,4) for DuckDB only: same 4dp
+    // rounding as (18,4), but the product runs in HUGEINT instead of
+    // overflowing INT64 on l_extendedprice² (~1.02e18 unscaled)
+    val sqs = CorrCols.map(c =>
+      s"SUM(CAST(CAST($c AS DECIMAL(28,4)) * CAST($c AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS q_$c")
+      .mkString(",\n    ")
+    val crosses = CorrPairs.map { case (a, b) =>
+      s"SUM(CAST(CAST($a AS DECIMAL(28,4)) * CAST($b AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS x_${a}_$b"
+    }.mkString(",\n    ")
+    val rows = CorrPairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+         |  ROUND((CAST(x_${a}_$b AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE) / n)
+         |    / SQRT((CAST(q_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE) / n)
+         |      * (CAST(q_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE) / n)), 6) AS corr
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH m AS (
+       |  SELECT COUNT(*) AS n,
+       |    $sums,
+       |    $sqs,
+       |    $crosses
+       |  FROM lineitem)
+       |$rows
+       |ORDER BY col_a, col_b""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "corr_matrix" -> ((corrMatrix _, corrMatrixSql)),
     "mode_agg" -> ((modeAgg _, modeAggSql)),
     "histogram_values" -> ((histogramValues _, histogramValuesSql)),
     "winsorize_values" -> ((winsorizeValues _, winsorizeValuesSql)),
