@@ -1127,6 +1127,12 @@ object EventQueries {
     "stream_events_tumbling" ->
       ((graft.streaming.StreamingOps.streamTumblingReplay _,
         streamTumblingSql)),
+    // session-window replay hash-checks against the BATCH session oracle:
+    // streamed micro-batch state merges must land on the gaps-and-islands
+    // answer exactly
+    "stream_events_session" ->
+      ((graft.streaming.StreamingOps.streamSessionReplay _,
+        eventsSessionSql)),
     "events_gapfill" -> ((eventsGapfill _, eventsGapfillSql)),
     "scd2_state" -> ((scd2State _, scd2StateSql)),
     "events_transitions" -> ((eventsTransitions _, eventsTransitionsSql)),

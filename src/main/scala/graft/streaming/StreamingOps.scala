@@ -411,6 +411,23 @@ object StreamingOps {
     * reads `maxFilesPerTrigger=1` (FileStreamSource orders by mtime).
     * All row data stays distributed — the driver only moves file paths.
     */
+  /** Stage a DataFrame as ONE parquet file with a pinned mtime under
+    * `inDir` — FileStreamSource orders files by modification time, so
+    * replay callers get a deterministic micro-batch order with
+    * `maxFilesPerTrigger=1`. Only file paths move through the driver.
+    */
+  private def writeReplayBatch(tmp: java.nio.file.Path, inDir: String)(
+      b: DataFrame, name: String, mtime: Long): Unit = {
+    val staged = s"$tmp/stage-$name"
+    b.coalesce(1).write.parquet(staged)
+    val src = new java.io.File(staged).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    val dst = new java.io.File(s"$inDir/$name.parquet")
+    dst.getParentFile.mkdirs()
+    java.nio.file.Files.move(src.toPath, dst.toPath)
+    dst.setLastModified(mtime)
+  }
+
   def streamDedupReplay(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables(spark, dir, "documents").select("doc_id", "text")
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-ingest-")
@@ -422,16 +439,7 @@ object StreamingOps {
     // two id-ranged batch files (same split as DedupIndexSpec), mtimes
     // 1s apart so the file source's batch order is pinned
     val mid = newDocs.agg(expr("percentile(doc_id, 0.5)")).head().getDouble(0)
-    def writeBatch(b: DataFrame, name: String, mtime: Long): Unit = {
-      val staged = s"$tmp/stage-$name"
-      b.coalesce(1).write.parquet(staged)
-      val src = new java.io.File(staged).listFiles()
-        .filter(f => f.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(s"$inDir/$name.parquet")
-      dst.getParentFile.mkdirs()
-      java.nio.file.Files.move(src.toPath, dst.toPath)
-      dst.setLastModified(mtime)
-    }
+    val writeBatch = writeReplayBatch(tmp, inDir) _
     writeBatch(newDocs.filter(col("doc_id") <= mid), "b1", 1000000L)
     writeBatch(newDocs.filter(col("doc_id") > mid), "b2", 2000000L)
     val stream = spark.readStream.schema(newDocs.schema)
@@ -490,16 +498,7 @@ object StreamingOps {
     val (ckpt, inDir) = (s"$tmp/ckpt", s"$tmp/in")
     val mid = events.agg(expr("percentile(unix_micros(ts), 0.5)"))
       .head().getDouble(0)
-    def writeBatch(b: DataFrame, name: String, mtime: Long): Unit = {
-      val staged = s"$tmp/stage-$name"
-      b.coalesce(1).write.parquet(staged)
-      val src = new java.io.File(staged).listFiles()
-        .filter(f => f.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(s"$inDir/$name.parquet")
-      dst.getParentFile.mkdirs()
-      java.nio.file.Files.move(src.toPath, dst.toPath)
-      dst.setLastModified(mtime)
-    }
+    val writeBatch = writeReplayBatch(tmp, inDir) _
     writeBatch(events.filter(expr(s"unix_micros(ts) <= $mid")), "b1", 1000000L)
     writeBatch(events.filter(expr(s"unix_micros(ts) > $mid")), "b2", 2000000L)
     val stream = spark.readStream.schema(events.schema)
@@ -516,6 +515,51 @@ object StreamingOps {
     // eager checkpoint of the bounded aggregate, then drop the replay tree
     try spark.table("graft_stream_tumbling")
       .orderBy("window_start", "event_type").localCheckpoint(true)
+    finally graft.io.SegmentLog.deleteRecursively(tmp.toString)
+  }
+
+  /** The THIRD driver-gated streaming path: the registered
+    * `stream_events_session` query replays SESSION-WINDOW aggregation —
+    * the hardest streaming state shape, because sessions are not fixed
+    * calendar cells: the state store must MERGE windows when a later
+    * micro-batch's event falls inside (or bridges) an earlier batch's
+    * session. The corpus splits mid-timeline exactly as
+    * [[streamTumblingReplay]], so every session straddling the split
+    * exercises that merge; the result must hash-match the batch
+    * `events_session` oracle (gaps-and-islands SQL). Complete mode into
+    * a memory sink for the same reason as the tumbling replay: a bounded
+    * replay's watermark never passes the final sessions' end, so append
+    * mode would hold them open; the sink materializes only the session
+    * aggregate (users × sessions rows), never event rows. Decimal
+    * partial sums keep `sum_value` exact across the batch boundary.
+    */
+  def streamSessionReplay(spark: SparkSession, dir: String): DataFrame = {
+    val events = graft.Tables(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-session-")
+    val (ckpt, inDir) = (s"$tmp/ckpt", s"$tmp/in")
+    val mid = events.agg(expr("percentile(unix_micros(ts), 0.5)"))
+      .head().getDouble(0)
+    val writeBatch = writeReplayBatch(tmp, inDir) _
+    writeBatch(events.filter(expr(s"unix_micros(ts) <= $mid")), "b1", 1000000L)
+    writeBatch(events.filter(expr(s"unix_micros(ts) > $mid")), "b2", 2000000L)
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    spark.catalog.dropTempView("graft_stream_session")
+    val agg = stream
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("graft_stream_session")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    try spark.table("graft_stream_session")
+      .orderBy("user_id", "session_start").localCheckpoint(true)
     finally graft.io.SegmentLog.deleteRecursively(tmp.toString)
   }
 
