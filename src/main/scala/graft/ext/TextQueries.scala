@@ -721,14 +721,21 @@ object TextQueries {
     * a leaf exactly as the CC loop does. Ties break by pair string so
     * runs/engines/partitionings agree. Returns the merge list in order.
     */
-  def bpeTrain(docs: DataFrame, merges: Int): Seq[(String, String)] = {
+  def bpeTrain(docs: DataFrame, merges: Int): Seq[(String, String)] =
+    bpeTrainDetail(docs, merges).map { case (_, a, b, _) => (a, b) }
+
+  /** [[bpeTrain]] with the full per-round record `(round, a, b, cnt)` —
+    * the form the `bpe_train_merges` driver gate registers, so the
+    * winning pair AND its corpus count are hash-checked every round.
+    */
+  def bpeTrainDetail(docs: DataFrame, merges: Int): Seq[(Int, String, String, Long)] = {
     var vocab = docs
       .select(explode(expr("filter(split(lower(text), ' +'), w -> w != '')")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .withColumn("syms", expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
       .select("n", "syms")
       .localCheckpoint(false)
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var round = 0
     var exhausted = false
     while (round < merges && !exhausted) {
@@ -744,7 +751,7 @@ object TextQueries {
       if (top.isEmpty) exhausted = true
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
-        out += ((a, b))
+        out += ((round + 1, a, b, top(0).getLong(2)))
         val merged = lit(a + b)
         // EAGER checkpoint: the old vocab's blocks are released right
         // below, so the new round must be materialized first (a lazy
@@ -794,6 +801,97 @@ object TextQueries {
       .withColumn("n_bpe_tokens", size(col("tokens")))
       .drop("words", "seqs")
   }
+
+  /** Rounds for the DRIVER-GATED BPE queries — small enough that the
+    * oracle's k-stage CTE replay stays readable; BpeSpec pins deeper
+    * runs against the reference encoder. */
+  private val BpeGateRounds = 8
+
+  /** [[bpeTrainDetail]] under the hard correctness gate: the trained
+    * merge table `(round, a, b, cnt)`. The Spark side runs the
+    * production trainer — per-round distributed pair aggregation + the
+    * greedy in-word `aggregate` fold; the oracle replays training with
+    * an INDEPENDENT formulation (space-joined symbol strings merged by
+    * a left-to-right double-`replace` — two passes reach the greedy
+    * fixpoint, because a pass-1 miss consumes nothing and so is never
+    * adjacent to another miss). A hash match therefore pins, for every
+    * round, the winning pair, its exact corpus count, and the
+    * fold == string-replace greedy equivalence across engines. The
+    * output is bounded trained metadata (k rows) — the
+    * centroid-literal discipline, never row data.
+    */
+  def bpeTrainMerges(spark: SparkSession, dir: String): DataFrame = {
+    val detail = bpeTrainDetail(Tables(spark, dir, "documents"), BpeGateRounds)
+    spark.createDataFrame(detail.map { case (r, a, b, c) => (r.toLong, a, b, c) })
+      .toDF("round", "a", "b", "cnt")
+      .orderBy("round")
+  }
+
+  /** Train-then-ENCODE under the gate: apply the [[BpeGateRounds]]
+    * learned merges to the whole corpus ([[bpeEncode]] — the k-nested
+    * codegen fold projection) and emit the top-30 token frequencies.
+    * The oracle never sees the encoder: it finishes its replayed
+    * training chain and counts symbols in the final vocabulary state
+    * weighted by word frequency — equality proves corpus-encode ==
+    * vocabulary-state, i.e. the projection path tokenizes exactly as
+    * training left the vocabulary.
+    */
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val merges = bpeTrain(docs, BpeGateRounds)
+    bpeEncode(docs, merges)
+      .select(explode(col("tokens")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("token")).limit(30)
+  }
+
+  /** Shared oracle CTE chain: `v1` = the word-frequency table as padded
+    * space-joined character strings; per round i, `p$i` pair counts,
+    * `b$i` the winning pair (count desc, pair asc), `v${i+1}` the
+    * double-replace greedy merge applied. */
+  private def bpeOracleCtes(rounds: Int): String = {
+    val v1 =
+      """v1 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS w
+        |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |                x -> x != '')) AS w
+        |        FROM documents)
+        |  GROUP BY 2)""".stripMargin
+    val perRound = (1 to rounds).map { i =>
+      s"""p$i AS (
+         |  SELECT pr.a AS a, pr.b AS b, CAST(SUM(n) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT n, unnest(list_transform(range(1, len(l)),
+         |      j -> struct_pack(a := l[j], b := l[j + 1]))) AS pr
+         |    FROM (SELECT n, string_split(trim(w), ' ') AS l FROM v$i))
+         |  GROUP BY pr.a, pr.b),
+         |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |v${i + 1} AS (
+         |  SELECT n, replace(replace(w,
+         |      ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+         |      ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS w
+         |  FROM v$i, b$i)""".stripMargin
+    }
+    (v1 +: perRound).mkString("WITH ", ",\n", "")
+  }
+
+  val bpeTrainMergesSql: String = {
+    val rows = (1 to BpeGateRounds).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS round, a, b, cnt FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""${bpeOracleCtes(BpeGateRounds)}
+       |$rows
+       |ORDER BY round""".stripMargin
+  }
+
+  val bpeTokensSql: String =
+    s"""${bpeOracleCtes(BpeGateRounds)}
+       |SELECT t AS token, CAST(SUM(n) AS BIGINT) AS cnt
+       |FROM (SELECT n, unnest(string_split(trim(w), ' ')) AS t
+       |      FROM v${BpeGateRounds + 1})
+       |GROUP BY t
+       |ORDER BY cnt DESC, token LIMIT 30""".stripMargin
 
   /** Text canonicalization — the normalization stage that runs in FRONT
     * of fingerprint dedup (without it, case/whitespace variants of the
@@ -1036,6 +1134,8 @@ object TextQueries {
     "lm_perplexity_persisted" -> ((lmPerplexityPersisted _, lmPerplexitySql)),
     "text_normalize" -> ((textNormalize _, textNormalizeSql)),
     "bpe_top_pairs" -> ((bpeTopPairs _, bpeTopPairsSql)),
+    "bpe_train_merges" -> ((bpeTrainMerges _, bpeTrainMergesSql)),
+    "bpe_tokens" -> ((bpeTokens _, bpeTokensSql)),
     "quality_classifier" -> ((qualityClassifier _, qualityClassifierSql)),
     "text_stats" -> ((textStats _, textStatsSql)),
     "lang_id" -> ((langId _, langIdSql)),
