@@ -525,7 +525,105 @@ object CurationQueries {
       |      FROM c)
       |SELECT bin, n_ref, n_cur, ROUND((p - q) * LN(p / q), 6) AS psi_term FROM t""".stripMargin
 
+  private val DsirBuckets = 1024
+  private val DsirTopK = 100
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.,
+    * arXiv:2302.03169): score every raw document by how much more
+    * likely its hashed-n-gram features are under a TARGET (in-domain)
+    * bag-of-features model than under the RAW-corpus model, and keep
+    * the top-K. Features are unigrams + word bigrams hashed into
+    * [[DsirBuckets]] buckets (the paper's feature hashing — the model
+    * stays B-bounded at ANY corpus size); both models are
+    * Laplace-smoothed bucket frequencies; a document's score is its
+    * mean per-feature log importance ratio
+    * `ln(p_target(b)/p_raw(b))`. Target slice = `lang = 'en'` (the
+    * [[TextQueries]] lm_perplexity in-domain proxy).
+    *
+    * Shapes for 100 TB: pass 1 scans the corpus once and aggregates
+    * to B rows (both models in the same aggregate via a conditional
+    * count — the target model costs no second scan because the target
+    * is a slice of the corpus; an external target corpus would be its
+    * own cheap scan); pass 2 re-scans, reduces each doc to its
+    * (bucket, count) profile, joins the BROADCAST λ table, and sums
+    * exactly. Selection is TakeOrdered top-K, never a global sort.
+    *
+    * Float contract: each bucket's λ is one `ln` on a
+    * deterministically-computed double ratio, rounded at 6dp into
+    * DECIMAL(18,6) (the drift_psi / lm_perplexity ln discipline); the
+    * per-doc sum Σ k_b·λ_b is then EXACT decimal arithmetic — order-
+    * free, partitioning-independent — and only the final mean divides
+    * on doubles.
+    */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Tables(spark, dir, "documents")
+      .withColumn("ws", expr("filter(split(lower(text), ' +'), w -> w != '')"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        s"""transform(
+           |  concat(ws, CASE WHEN size(ws) >= 2
+           |    THEN transform(sequence(0, size(ws) - 2),
+           |                   i -> concat(ws[i], ' ', ws[i + 1]))
+           |    ELSE array() END),
+           |  f -> cast(conv(substring(md5(f), 1, 15), 16, 10) AS bigint)
+           |         % $DsirBuckets)""".stripMargin)).as("b"))
+    val model = feats.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      count(when(col("lang") === "en", 1)).as("ct"))
+    // totals reduce the B-row model, never the corpus
+    val tot = model.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    val lam = model.crossJoin(broadcast(tot))
+      .select(col("b"), round(log(
+        ((col("ct") + 1).cast("double") * (col("nr") + DsirBuckets).cast("double"))
+          / ((col("nt") + DsirBuckets).cast("double") * (col("cr") + 1).cast("double"))), 6)
+        .cast("decimal(18,6)").as("lam"))
+    val docProfile = feats.groupBy("doc_id", "b").agg(count(lit(1)).as("k"))
+    docProfile.join(broadcast(lam), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("k") * col("lam")).as("s"), sum("k").as("nf"))
+      .select(col("doc_id"), col("nf").cast("long").as("n_feats"),
+        round(col("s").cast("double") / col("nf"), 6).as("dsir_score"))
+      .orderBy(desc("dsir_score"), asc("doc_id")).limit(DsirTopK)
+  }
+
+  val dsirSelectSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split(lower(text), ' '), x -> x != '') AS ws
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, lang,
+       |    unnest(ws || list_transform(range(1, len(ws)),
+       |      i -> ws[i] || ' ' || ws[i + 1])) AS ft
+       |  FROM d),
+       |h AS (
+       |  SELECT doc_id, lang,
+       |    CAST(('0x' || substr(md5(ft), 1, 15)) AS BIGINT) % $DsirBuckets AS b
+       |  FROM f),
+       |model AS (
+       |  SELECT b, CAST(COUNT(*) AS BIGINT) AS cr,
+       |    CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ct
+       |  FROM h GROUP BY b),
+       |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr,
+       |               CAST(SUM(ct) AS BIGINT) AS nt FROM model),
+       |lam AS (
+       |  SELECT b, CAST(ROUND(LN(
+       |      (CAST(ct + 1 AS DOUBLE) * CAST(nr + $DsirBuckets AS DOUBLE))
+       |      / (CAST(nt + $DsirBuckets AS DOUBLE) * CAST(cr + 1 AS DOUBLE))), 6)
+       |    AS DECIMAL(18,6)) AS lam
+       |  FROM model CROSS JOIN tot),
+       |profile AS (
+       |  SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS k
+       |  FROM h GROUP BY doc_id, b),
+       |score AS (
+       |  SELECT doc_id, SUM(k * lam) AS s, CAST(SUM(k) AS BIGINT) AS nf
+       |  FROM profile JOIN lam USING (b) GROUP BY doc_id)
+       |SELECT doc_id, nf AS n_feats,
+       |  ROUND(CAST(s AS DOUBLE) / nf, 6) AS dsir_score
+       |FROM score
+       |ORDER BY dsir_score DESC, doc_id LIMIT $DsirTopK""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "dsir_select" -> ((dsirSelect _, dsirSelectSql)),
     "drift_psi" -> ((driftPsi _, driftPsiSql)),
     "sample_quality_weighted" -> ((sampleQualityWeighted _, sampleQualityWeightedSql)),
     "sample_weighted_aes" -> ((sampleWeightedAes _, sampleWeightedAesSql)),
