@@ -622,8 +622,65 @@ object CurationQueries {
        |FROM score
        |ORDER BY dsir_score DESC, doc_id LIMIT $DsirTopK""".stripMargin
 
+  /** GOLDEN-RECORD survivorship — the entity-resolution step after
+    * clustering: every near-dup cluster elects ONE canonical document
+    * by an explicit total survivorship order (quality desc, length
+    * desc, doc_id asc — the last key makes election deterministic even
+    * between byte-identical twins), and every member maps to it. This
+    * is the artifact downstream consumers join against to rewrite
+    * references; [[corpusCuration]]'s keep/drop decision is the
+    * DEGENERATE form (min-doc_id rep) — here the representative is
+    * quality-chosen and the full mapping ships.
+    *
+    * Scale: reads the persisted [[ClusterIndex]] (the one CC fixpoint
+    * per session), so the cost is one corpus-scan quality projection +
+    * ONE exchange on cluster_id serving both window functions
+    * (election and member count ride the same sort). Singletons never
+    * enter the index; `coalesce(cluster_id, doc_id)` folds them in
+    * without densifying anything.
+    */
+  def goldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), TextQueries.qualityScore.as("q"))
+    val withCluster = docs
+      .join(ClusterIndex.forCorpus(spark, dir), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val byCluster = Window.partitionBy("cluster_id")
+    withCluster
+      .withColumn("canonical_id", first("doc_id").over(
+        byCluster.orderBy(desc("q"), desc("n_chars"), asc("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"),
+        col("n_members"))
+      .orderBy("doc_id")
+  }
+
+  val goldenRecordSql: String =
+    s"""WITH RECURSIVE ${DedupQueries.ccSqlCtes},
+       |q AS (
+       |  SELECT doc_id, n_chars,
+       |    ${TextQueries.qualityScoreSql} AS q
+       |  FROM documents),
+       |a AS (
+       |  SELECT q.doc_id, COALESCE(c.cluster_id, q.doc_id) AS cluster_id,
+       |    q.q, q.n_chars
+       |  FROM q LEFT JOIN clusters c ON c.doc_id = q.doc_id),
+       |r AS (
+       |  SELECT doc_id, cluster_id,
+       |    FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id
+       |      ORDER BY q DESC, n_chars DESC, doc_id) AS canonical_id,
+       |    CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+       |  FROM a)
+       |SELECT doc_id, cluster_id, canonical_id,
+       |  doc_id = canonical_id AS is_canonical, n_members
+       |FROM r
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "dsir_select" -> ((dsirSelect _, dsirSelectSql)),
+    "golden_record" -> ((goldenRecord _, goldenRecordSql)),
     "drift_psi" -> ((driftPsi _, driftPsiSql)),
     "sample_quality_weighted" -> ((sampleQualityWeighted _, sampleQualityWeightedSql)),
     "sample_weighted_aes" -> ((sampleWeightedAes _, sampleWeightedAesSql)),
