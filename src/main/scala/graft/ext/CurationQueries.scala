@@ -678,9 +678,55 @@ object CurationQueries {
        |FROM r
        |ORDER BY doc_id""".stripMargin
 
+  /** PER-SOURCE QUALITY CALIBRATION: map every document's quality score
+    * to its percentile WITHIN its source, and keep the top 60% of each
+    * source — the cross-source comparability fix. A single global
+    * threshold over-prunes sources whose scorer runs systematically low
+    * (different boilerplate, different language mix) and under-prunes
+    * high-scoring ones; ranking within source makes "keep the best X%"
+    * mean the same thing everywhere, which is how mixed-corpus
+    * pipelines actually apply quality filters before [[sourceMix]]
+    * rebalances volumes.
+    *
+    * Scale: one corpus-scan quality projection, then ONE exchange on
+    * `source` serving the percent_rank window — no global sort, no
+    * unpartitioned window anywhere. Float contract: q is 6dp-rounded
+    * decimal-backed, percent_rank is the exact rational (rank−1)/(n−1)
+    * evaluated identically by both engines, rounded at 6dp; the keep
+    * predicate compares the UNROUNDED rational against 0.4 on both
+    * sides.
+    */
+  def qualityCalibrate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("q")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), TextQueries.qualityScore.as("q"))
+      .withColumn("pr", percent_rank().over(w))
+      .select(col("doc_id"), col("source"), col("q"),
+        round(col("pr"), 6).as("pct_in_source"),
+        (col("pr") >= 0.4).as("keep_calibrated"))
+      .orderBy("doc_id")
+  }
+
+  val qualityCalibrateSql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id, source,
+       |    ${TextQueries.qualityScoreSql} AS q
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, source, q,
+       |    PERCENT_RANK() OVER (PARTITION BY source ORDER BY q) AS pr
+       |  FROM q)
+       |SELECT doc_id, source, q,
+       |  ROUND(pr, 6) AS pct_in_source,
+       |  pr >= 0.4 AS keep_calibrated
+       |FROM r
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "dsir_select" -> ((dsirSelect _, dsirSelectSql)),
     "golden_record" -> ((goldenRecord _, goldenRecordSql)),
+    "quality_calibrate" -> ((qualityCalibrate _, qualityCalibrateSql)),
     "drift_psi" -> ((driftPsi _, driftPsiSql)),
     "sample_quality_weighted" -> ((sampleQualityWeighted _, sampleQualityWeightedSql)),
     "sample_weighted_aes" -> ((sampleWeightedAes _, sampleWeightedAesSql)),
