@@ -200,20 +200,11 @@ object SimilarityQueries {
     * cent_id order makes the fold's first-wins tie-break identical to the
     * oracle's ORDER BY cos DESC, cent_id ASC.
     */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = vecs(spark, dir)
-    // bounded driver-side collect (nlist=16 rows), like the J3 tuples
-    val centArr = centroidLit(base, 16)
-
-    // cell assignment: per-row argmax-cosine fold, no shuffle
-    val assigned = base
-      .withColumn("cell", bestCellStruct(centArr, col("v")).getField("cell"))
-      .select(col("vec_id"), col("v"), col("cell"))
-
-    // probe list: top-2 cells per query via the same fold carrying
-    // (best, second-best); explode to (query, cell) rows
-    val probeFold = aggregate(scoredCents(centArr, col("qv")),
+  /** Top-2 probe cells for query vector `qcol` via one fold carrying
+    * (best, second-best) — shared by [[annIvf]] (fixed probe set) and
+    * [[annJoin]] (corpus-scale query side). */
+  private def probeTop2Fold(centArr: Column, qcol: Column): Column =
+    aggregate(scoredCents(centArr, qcol),
       struct(lit(-1L).as("c1"), lit(-3.0).as("s1"),
              lit(-1L).as("c2"), lit(-3.0).as("s2")),
       (acc, c) => {
@@ -226,9 +217,21 @@ object SimilarityQueries {
                  c.getField("cell").as("c2"), s.as("s2")))
         .otherwise(acc)
       })
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = vecs(spark, dir)
+    // bounded driver-side collect (nlist=16 rows), like the J3 tuples
+    val centArr = centroidLit(base, 16)
+
+    // cell assignment: per-row argmax-cosine fold, no shuffle
+    val assigned = base
+      .withColumn("cell", bestCellStruct(centArr, col("v")).getField("cell"))
+      .select(col("vec_id"), col("v"), col("cell"))
+
     val probes = base.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      .withColumn("pf", probeFold)
+      .withColumn("pf", probeTop2Fold(centArr, col("qv")))
       .select(col("query_id"), col("qv"),
         explode(array(col("pf.c1"), col("pf.c2"))).as("cell"))
 
@@ -270,6 +273,72 @@ object SimilarityQueries {
       |  WHERE a.vec_id != p.query_id)
       |SELECT query_id, rank, vec_id, cell, cos FROM ranked
       |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** ANN JOIN — the corpus×corpus form of [[annIvf]]: EVERY query-side
+    * vector (`vec_id % 10 == 0`, a corpus-scale side, not a fixed probe
+    * set) finds its top-3 neighbors among the rest, through the same
+    * IVF cell structure. This is the shape embedding-level cross-corpus
+    * linkage runs at 100 TB — "for each new document, its nearest
+    * existing documents" — where broadcasting the query side is no
+    * longer an option.
+    *
+    * Plan: both sides get their cells from the ZERO-shuffle centroid
+    * fold; the probe explode (top-2 cells/query) doubles only the query
+    * side; then ONE shuffle join co-partitions both sides on `cell` —
+    * the key space is nlist-bounded, so partition counts stay planned,
+    * and a hot cell is the standard AQE-skew / salting case, not a
+    * cartesian. Scoring is intra-partition; per-query top-3 is the one
+    * further exchange (window on query_id). Nothing is ever
+    * all-pairs: each query meets only its probed cells' members —
+    * nprobe/nlist of the corpus.
+    */
+  def annJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = vecs(spark, dir)
+    val centArr = centroidLit(base, 16)
+    val corpus = base.filter(col("vec_id") % 10 =!= 0)
+      .withColumn("cell", bestCellStruct(centArr, col("v")).getField("cell"))
+      .select(col("vec_id"), col("v"), col("cell"))
+    val queries = base.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .withColumn("pf", probeTop2Fold(centArr, col("qv")))
+      .select(col("query_id"), col("qv"),
+        explode(array(col("pf.c1"), col("pf.c2"))).as("cell"))
+    val wRank = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+    corpus.join(queries, Seq("cell"))
+      .withColumn("cos", round(cosineExpr("qv", "v"), 6))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cell"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annJoinSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+      |corpus AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT e.vec_id, e.v, c.cent_id AS cell,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ROUND(list_cosine_similarity(c.cv, e.v), 6) DESC, c.cent_id) AS arn
+      |    FROM e CROSS JOIN c WHERE e.vec_id % 10 != 0)
+      |  WHERE arn = 1),
+      |probes AS (
+      |  SELECT query_id, qv, cell FROM (
+      |    SELECT e.vec_id AS query_id, e.v AS qv, c.cent_id AS cell,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ROUND(list_cosine_similarity(c.cv, e.v), 6) DESC, c.cent_id) AS prn
+      |    FROM e CROSS JOIN c WHERE e.vec_id % 10 = 0)
+      |  WHERE prn <= 2),
+      |ranked AS (
+      |  SELECT p.query_id, a.vec_id, a.cell,
+      |    ROUND(list_cosine_similarity(p.qv, a.v), 6) AS cos,
+      |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+      |      ORDER BY ROUND(list_cosine_similarity(p.qv, a.v), 6) DESC, a.vec_id) AS rank
+      |  FROM corpus a JOIN probes p ON a.cell = p.cell)
+      |SELECT query_id, rank, vec_id, cell, cos FROM ranked
+      |WHERE rank <= 3
       |ORDER BY query_id, rank""".stripMargin
 
   /** Product quantization + asymmetric distance (Jégou et al., PAMI'11) —
@@ -1109,6 +1178,7 @@ object SimilarityQueries {
     "embed_norm_audit" -> ((embedNormAudit _, embedNormAuditSql)),
     "embed_centroids" -> ((embedCentroids _, embedCentroidsSql)),
     "ann_ivf" -> ((annIvf _, annIvfSql)),
+    "ann_join" -> ((annJoin _, annJoinSql)),
     "ann_index_search" -> ((annIndexSearch _, annIvfSql)),
     "pq_topk" -> ((pqTopk _, pqTopkSql)),
     "ann_ivf_pq" -> ((annIvfPq _, annIvfPqSql)),
