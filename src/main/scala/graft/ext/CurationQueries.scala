@@ -723,10 +723,112 @@ object CurationQueries {
        |FROM r
        |ORDER BY doc_id""".stripMargin
 
+  /** CURATION REPORT — the rollup a pipeline owner actually reads after
+    * [[corpusCuration]] runs: per (source, decision), document and
+    * token counts — "how much of each source did quality drop, how much
+    * did dedup drop, what survives". Reuses the session's persisted
+    * [[ClusterIndex]] like every cluster consumer; the rollup itself is
+    * one exchange on (source, decision) over the already-decided rows,
+    * so the report rides the curation pass's cost, not its own.
+    */
+  def curationReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        TextQueries.qualityScore.as("q"))
+    val clusters = ClusterIndex.forCorpus(spark, dir)
+    docs.join(clusters, Seq("doc_id"), "left")
+      .select(col("source"), col("n_tokens"),
+        when(col("q") < threshold, "low_quality")
+          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"),
+            "near_dup")
+          .otherwise("keep").as("decision"))
+      .groupBy("source", "decision")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .orderBy("source", "decision")
+  }
+
+  val curationReportSql: String =
+    s"""WITH RECURSIVE ${DedupQueries.ccSqlCtes},
+       |quality AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ${TextQueries.qualityScoreSql} AS q
+       |  FROM documents),
+       |decided AS (
+       |  SELECT d.source, d.n_tokens,
+       |    CASE WHEN d.q < $threshold THEN 'low_quality'
+       |         WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> d.doc_id
+       |           THEN 'near_dup'
+       |         ELSE 'keep' END AS decision
+       |  FROM quality d LEFT JOIN clusters c ON c.doc_id = d.doc_id)
+       |SELECT source, decision, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+       |FROM decided
+       |GROUP BY source, decision
+       |ORDER BY source, decision""".stripMargin
+
+  /** LSH PARAMETER PLANNER — the design-time dual of the MinHash
+    * pipeline: for a k-hash signature, every (rows r, bands b = k/r)
+    * split has collision threshold t ≈ (1/b)^(1/r) and an S-curve
+    * P(candidate | sim s) = 1 − (1 − s^r)^b; the planner tabulates the
+    * curve for the shipped k=8 and a production k=128 and marks the
+    * split whose threshold lands closest to the 0.8 near-dup target —
+    * exactly how [[DedupQueries]]' 4×2 banding was chosen. Pure bounded
+    * scalar math (the index-advisor tier): ~12 rows, no corpus access
+    * at any scale.
+    */
+  def lshParamPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ks = Seq(8, 128)
+    val grid: Seq[(Int, Int)] =
+      for { k <- ks; r <- Seq(1, 2, 4, 8, 16, 32, 64, 128) if k % r == 0 && r <= k }
+        yield (k, r)
+    def curve(s: Double) =
+      round(lit(1.0) - pow(lit(1.0) - pow(lit(s), col("r")), col("b")), 6)
+    val base = spark.createDataFrame(grid).toDF("k", "r")
+      .select(col("k").cast("long").as("k"), col("r").cast("long").as("r"))
+      .withColumn("b", (col("k") / col("r")).cast("long"))
+      .withColumn("threshold", round(pow(lit(1.0) / col("b"), lit(1.0) / col("r")), 6))
+    base
+      .withColumn("p_at_50", curve(0.5))
+      .withColumn("p_at_70", curve(0.7))
+      .withColumn("p_at_90", curve(0.9))
+      .withColumn("dist", abs(col("threshold") - lit(0.8)))
+      .withColumn("chosen",
+        col("dist") === min("dist").over(Window.partitionBy("k")))
+      .drop("dist")
+      .orderBy("k", "r")
+  }
+
+  val lshParamPlanSql: String =
+    """WITH grid AS (
+      |  SELECT CAST(k AS BIGINT) AS k, CAST(r AS BIGINT) AS r
+      |  FROM (VALUES (8,1),(8,2),(8,4),(8,8),
+      |               (128,1),(128,2),(128,4),(128,8),
+      |               (128,16),(128,32),(128,64),(128,128)) AS t(k, r)),
+      |b AS (
+      |  SELECT k, r, k // r AS b,
+      |    ROUND(POW(1.0 / (k // r), 1.0 / r), 6) AS threshold
+      |  FROM grid),
+      |c AS (
+      |  SELECT k, r, b, threshold,
+      |    ROUND(1.0 - POW(1.0 - POW(0.5, r), b), 6) AS p_at_50,
+      |    ROUND(1.0 - POW(1.0 - POW(0.7, r), b), 6) AS p_at_70,
+      |    ROUND(1.0 - POW(1.0 - POW(0.9, r), b), 6) AS p_at_90,
+      |    ABS(threshold - 0.8) AS dist
+      |  FROM b)
+      |SELECT k, r, b, threshold, p_at_50, p_at_70, p_at_90,
+      |  dist = MIN(dist) OVER (PARTITION BY k) AS chosen
+      |FROM c
+      |ORDER BY k, r""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "dsir_select" -> ((dsirSelect _, dsirSelectSql)),
     "golden_record" -> ((goldenRecord _, goldenRecordSql)),
     "quality_calibrate" -> ((qualityCalibrate _, qualityCalibrateSql)),
+    "curation_report" -> ((curationReport _, curationReportSql)),
+    "lsh_param_plan" -> ((lshParamPlan _, lshParamPlanSql)),
     "drift_psi" -> ((driftPsi _, driftPsiSql)),
     "sample_quality_weighted" -> ((sampleQualityWeighted _, sampleQualityWeightedSql)),
     "sample_weighted_aes" -> ((sampleWeightedAes _, sampleWeightedAesSql)),
