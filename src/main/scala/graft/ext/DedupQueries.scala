@@ -776,6 +776,85 @@ object DedupQueries {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** CONTENT-DEFINED CHUNKING dedup — the byte-level, SHIFT-RESISTANT
+    * complement to [[dupSpans]]' word-5-gram spans: chunk boundaries are
+    * cut wherever the hash of the trailing w=8-char window satisfies
+    * `h % 64 == 0` (expected chunk ≈ 64 chars), so a boundary depends
+    * only on LOCAL content — insert a byte at the front of a document
+    * and every downstream chunk still re-aligns at the same windows,
+    * where fixed-offset chunking ([[graft.ext.TextQueries]]
+    * `chunk_overlap`) would shift every chunk and miss every duplicate.
+    * This is the storage-dedup idea (LBFS/rsync lineage) applied to
+    * corpus text; emitted are the cross-document duplicated chunks —
+    * the "boilerplate blocks" a byte-level pass catches that
+    * word-shingles may straddle.
+    *
+    * Scale: boundary detection + chunk carving is a pure per-doc
+    * projection (each position hashes its OWN window — embarrassingly
+    * parallel, no sequential rolling state to thread through a
+    * distributed scan, which is what makes the windowed form the
+    * distributed-friendly CDC variant); the only exchange is the
+    * groupBy on chunk fingerprint, with `HAVING n_occ >= 2` pruning in
+    * the partial aggregate and top-50 as TakeOrdered.
+    */
+  /** (doc_id, chunk) rows of the content-defined carving — shared by
+    * [[cdcChunks]] and CdcSpec's shift-resistance pin. */
+  private[ext] def cdcCarve(docs: DataFrame): DataFrame = {
+    val w = 8
+    val mod = 64
+    docs
+      .withColumn("len", length(col("text")).cast("int"))
+      // cut positions: window END positions whose window-hash ≡ 0 (mod 64),
+      // interior only; the doc end always closes the final chunk
+      .withColumn("ends", expr(
+        s"""concat(
+           |  filter(sequence($w, len),
+           |    i -> i < len AND
+           |      cast(conv(substring(md5(substring(text, i - $w + 1, $w)), 1, 15),
+           |                16, 10) AS bigint) % $mod = 0),
+           |  array(len))""".stripMargin))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(ends) - 1),
+          |  j -> substring(text,
+          |    (CASE WHEN j = 0 THEN 0 ELSE ends[j - 1] END) + 1,
+          |    ends[j] - CASE WHEN j = 0 THEN 0 ELSE ends[j - 1] END))"""
+          .stripMargin)).as("chunk"))
+  }
+
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    cdcCarve(Tables(spark, dir, "documents").repartition(col("doc_id")))
+      .select(col("doc_id"), md5(col("chunk")).as("chunk_fp"),
+        length(col("chunk")).cast("long").as("chunk_len"))
+      .groupBy("chunk_fp", "chunk_len")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .orderBy(desc("n_occ"), asc("chunk_fp")).limit(50)
+  }
+
+  val cdcChunksSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, text, LENGTH(text) AS len,
+      |    list_filter(range(8, LENGTH(text) + 1),
+      |      i -> i < LENGTH(text) AND
+      |        CAST(('0x' || substr(md5(substr(text, i - 7, 8)), 1, 15))
+      |          AS BIGINT) % 64 = 0) || [CAST(LENGTH(text) AS BIGINT)] AS ends
+      |  FROM documents),
+      |chunks AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(ends) + 1),
+      |      j -> substr(text,
+      |        CAST((CASE WHEN j = 1 THEN 0 ELSE ends[j - 1] END) + 1 AS INT),
+      |        CAST(ends[j] - CASE WHEN j = 1 THEN 0 ELSE ends[j - 1] END AS INT))))
+      |      AS chunk
+      |  FROM c)
+      |SELECT md5(chunk) AS chunk_fp, CAST(LENGTH(chunk) AS BIGINT) AS chunk_len,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_occ
+      |FROM chunks
+      |GROUP BY chunk_fp, chunk_len
+      |HAVING COUNT(*) >= 2
+      |ORDER BY n_occ DESC, chunk_fp LIMIT 50""".stripMargin
+
   /** Incremental dedup — the recurring-ingest form of [[dedupExact]] +
     * [[minhashPairs]]: NEW documents (doc_id % 5 >= 3 stands in for
     * "this batch") are deduplicated against the ALREADY-INGESTED corpus
@@ -1073,6 +1152,7 @@ object DedupQueries {
     "simhash_pairs" -> ((simhashPairs _, simhashPairsSql)),
     "jaccard_pairs" -> ((jaccardPairs _, jaccardPairsSql)),
     "dup_spans" -> ((dupSpans _, dupSpansSql)),
+    "cdc_chunks" -> ((cdcChunks _, cdcChunksSql)),
     "embed_dup_pairs" -> ((embedDupPairs _, embedDupPairsSql)),
     "semdedup" -> ((semDedup _, semDedupSql)),
     "dedup_incremental" -> ((dedupIncremental _, dedupIncrementalSql)),
