@@ -807,6 +807,18 @@ object TextQueries {
     * runs against the reference encoder. */
   private val BpeGateRounds = 8
 
+  /** Per-(JVM, corpus dir) memo of the gate-round training result —
+    * the merge table is deterministic bounded metadata, so the two
+    * gated consumers ([[bpeTrainMerges]], [[bpeTokens]]) train ONCE per
+    * session, like [[ClusterIndex.forCorpus]] shares its CC fixpoint.
+    */
+  private val bpeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String, Long)]]()
+
+  private def gateMerges(spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
+    bpeMemo.computeIfAbsent(dir,
+      _ => bpeTrainDetail(Tables(spark, dir, "documents"), BpeGateRounds))
+
   /** [[bpeTrainDetail]] under the hard correctness gate: the trained
     * merge table `(round, a, b, cnt)`. The Spark side runs the
     * production trainer — per-round distributed pair aggregation + the
@@ -821,7 +833,7 @@ object TextQueries {
     * centroid-literal discipline, never row data.
     */
   def bpeTrainMerges(spark: SparkSession, dir: String): DataFrame = {
-    val detail = bpeTrainDetail(Tables(spark, dir, "documents"), BpeGateRounds)
+    val detail = gateMerges(spark, dir)
     spark.createDataFrame(detail.map { case (r, a, b, c) => (r.toLong, a, b, c) })
       .toDF("round", "a", "b", "cnt")
       .orderBy("round")
@@ -838,7 +850,7 @@ object TextQueries {
     */
   def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val merges = bpeTrain(docs, BpeGateRounds)
+    val merges = gateMerges(spark, dir).map { case (_, a, b, _) => (a, b) }
     bpeEncode(docs, merges)
       .select(explode(col("tokens")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
