@@ -781,6 +781,78 @@ object OlapQueries {
       |GROUP BY bucket
       |ORDER BY bucket""".stripMargin
 
+  /** TPC-H Q8 shape (national market share): the TWO-ROLE dimension
+    * join — `nation` enters once through the CUSTOMER side (restricting
+    * demand to region AMERICA) and once through the SUPPLIER side (whose
+    * share is measured), so the planner must keep two independent
+    * broadcast copies of the same table without conflating them. Fact
+    * side: lineitem × date-filtered orders is the one genuine shuffle
+    * join; part (selective `p_type` filter), supplier, and both nation
+    * roles broadcast; the date and type predicates push into the
+    * parquet scans. Share = ROUND(double(Σ decimal NATION_6 volume) /
+    * double(Σ decimal volume), 6) per order-year — sums exact, one
+    * division at the end on two already-exact scalars.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val part = Tables(spark, dir, "part")
+      .filter(col("p_type") === "ECONOMY").select("p_partkey")
+    val supp = Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val cust = Tables(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val nat = Tables(spark, dir, "nation")
+    val amerNations = nat
+      .join(broadcast(Tables(spark, dir, "region")
+        .filter(col("r_name") === "AMERICA").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val suppNation = nat.select(col("n_nationkey").as("sn_key"),
+      col("n_name").as("supp_nation"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(amerNations), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .withColumn("volume", dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_6", col("volume"))
+          .otherwise(lit(0).cast("decimal(18,4)"))).as("v6"),
+        sum(col("volume")).as("vall"))
+      .select(col("o_year"),
+        round(col("v6").cast("double") / col("vall").cast("double"), 6)
+          .as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  val q8MarketShareSql: String =
+    """WITH vol AS (
+      |  SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+      |    CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS volume,
+      |    n2.n_name AS supp_nation
+      |  FROM lineitem l
+      |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      |  JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+      |  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey)
+      |SELECT CAST(o_year AS BIGINT) AS o_year,
+      |  ROUND(
+      |    CAST(SUM(CASE WHEN supp_nation = 'NATION_6' THEN volume
+      |                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+      |    / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+      |FROM vol
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
   private val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
   private val CorrPairs: Seq[(String, String)] =
     for { i <- CorrCols.indices; j <- (i + 1) until CorrCols.size }
@@ -849,6 +921,7 @@ object OlapQueries {
   }
 
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "q8_market_share" -> ((q8MarketShare _, q8MarketShareSql)),
     "corr_matrix" -> ((corrMatrix _, corrMatrixSql)),
     "mode_agg" -> ((modeAgg _, modeAggSql)),
     "histogram_values" -> ((histogramValues _, histogramValuesSql)),

@@ -201,7 +201,47 @@ object SubqueryQueries {
       |GROUP BY c.c_nationkey
       |ORDER BY c.c_nationkey""".stripMargin
 
+  /** TPC-H Q21 shape (waiting suppliers): the EXISTS + NOT-EXISTS pair
+    * over the SAME fact table, both correlated to the outer row's order
+    * — the hardest decorrelation shape in the TPC-H suite. Adapted to
+    * this schema's columns: "late" is `l_shipdate > o_orderdate + 60
+    * days` (no receipt/commit dates in the synthetic lineitem), order
+    * status 'F'. Semantics: count, per supplier, the late lines in
+    * multi-supplier orders where that supplier was the ONLY late one.
+    * The NOT-EXISTS branch correlates on BOTH l1 (the sibling filter)
+    * and o (the lateness bound) — Catalyst rewrites the pair into a
+    * left-semi and a left-anti join against lineitem with the non-equi
+    * lateness predicate folded into the join condition; SubquerySpec
+    * pins equality with a hand-decorrelated per-order aggregate
+    * (n_suppliers ≥ 2 ∧ n_late_suppliers = 1), which is also the form
+    * that proves the counts rather than re-asserting them.
+    */
+  def corrLateSupplier(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir, "supplier", "lineitem", "orders")
+    spark.sql(corrLateSupplierSql)
+  }
+
+  val corrLateSupplierSql: String =
+    """SELECT s.s_name, COUNT(*) AS numwait
+      |FROM supplier s
+      |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+      |WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s.s_name
+      |ORDER BY numwait DESC, s.s_name
+      |LIMIT 20""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "corr_late_supplier" -> ((corrLateSupplier _, corrLateSupplierSql)),
     "corr_min_cost" -> ((corrMinCost _, corrMinCostSql)),
     "exists_returned" -> ((existsReturned _, existsReturnedSql)),
     "lateral_topk" -> ((lateralTopk _, lateralTopkSql)),

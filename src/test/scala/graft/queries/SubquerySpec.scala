@@ -135,4 +135,35 @@ class SubquerySpec extends SparkSpec {
       new Directory(new java.io.File(tmp)).deleteRecursively()
     }
   }
+
+  test("corr_late_supplier: EXISTS pair becomes semi+anti joins, == aggregate form") {
+    val df = SubqueryQueries.corrLateSupplier(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the EXISTS became a left-semi, the NOT EXISTS a left-anti — with
+    // the non-equi lateness predicate folded into the join, never a
+    // per-outer-row subquery
+    assert(plan.contains("LeftSemi"), "EXISTS did not rewrite to a semi join")
+    assert(plan.contains("LeftAnti"), "NOT EXISTS did not rewrite to an anti join")
+    // hand-decorrelated per-order aggregate of the same semantics:
+    // late lines in 'F' multi-supplier orders whose supplier is the
+    // only late one
+    val li = graft.Tables(spark, dir, "lineitem")
+    val ord = graft.Tables(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val late = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("is_late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+    val perOrder = late.groupBy("l_orderkey")
+      .agg(countDistinct("l_suppkey").as("n_supp"),
+        countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late_supp"))
+    val manual = late.filter(col("is_late"))
+      .join(perOrder.filter(col("n_supp") >= 2 && col("n_late_supp") === 1),
+        "l_orderkey")
+      .join(graft.Tables(spark, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), asc("s_name")).limit(20)
+    assert(df.collect().toSeq == manual.collect().toSeq)
+  }
 }
