@@ -327,6 +327,22 @@ object EventQueries {
       .orderBy("purchase_id")
   }
 
+  /** Inner-join dual of [[rangeJoinSql]] for the stream-stream replay
+    * gate: only matched (purchase, click) pairs — exactly what an
+    * append-mode inner interval join emits. */
+  val streamAttributionSql: String =
+    """SELECT p.event_id AS purchase_id, CAST(COUNT(*) AS BIGINT) AS n_clicks,
+      |  CAST(SUM(CAST(c.value AS DECIMAL(18,4))) AS DOUBLE) AS click_value
+      |FROM (SELECT event_id, user_id, date_trunc('microseconds', ts) AS pts
+      |      FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT user_id, date_trunc('microseconds', ts) AS cts, value
+      |      FROM events WHERE event_type = 'click') c
+      |  ON c.user_id = p.user_id
+      | AND c.cts <= p.pts
+      | AND c.cts > p.pts - INTERVAL 1 HOUR
+      |GROUP BY p.event_id
+      |ORDER BY purchase_id""".stripMargin
+
   val rangeJoinSql: String =
     """SELECT p.event_id AS purchase_id, COUNT(c.cts) AS n_clicks,
       |  COALESCE(CAST(SUM(CAST(c.value AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS click_value
@@ -1133,6 +1149,11 @@ object EventQueries {
     "stream_events_session" ->
       ((graft.streaming.StreamingOps.streamSessionReplay _,
         eventsSessionSql)),
+    // stream-stream interval join replay, per-purchase rollup of the
+    // matched pairs against an inner-join interval oracle
+    "stream_click_attribution" ->
+      ((graft.streaming.StreamingOps.streamAttributionReplay _,
+        streamAttributionSql)),
     "events_gapfill" -> ((eventsGapfill _, eventsGapfillSql)),
     "scd2_state" -> ((scd2State _, scd2StateSql)),
     "events_transitions" -> ((eventsTransitions _, eventsTransitionsSql)),

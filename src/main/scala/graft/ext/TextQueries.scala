@@ -840,20 +840,30 @@ object TextQueries {
   }
 
   /** Train-then-ENCODE under the gate: apply the [[BpeGateRounds]]
-    * learned merges to the whole corpus ([[bpeEncode]] — the k-nested
-    * codegen fold projection) and emit the top-30 token frequencies.
-    * The oracle never sees the encoder: it finishes its replayed
-    * training chain and counts symbols in the final vocabulary state
-    * weighted by word frequency — equality proves corpus-encode ==
-    * vocabulary-state, i.e. the projection path tokenizes exactly as
-    * training left the vocabulary.
+    * learned merges and emit the corpus top-30 token frequencies. The
+    * encoder ([[bpeEncode]]'s k-nested fold) runs over the WORD-
+    * FREQUENCY table, not the raw corpus — for token COUNTING that is
+    * the 100 TB shape: one groupBy(word) shuffle collapses the corpus
+    * to its vocabulary (orders of magnitude smaller), the fold then
+    * pays per word TYPE, and counts weight by frequency. (An early
+    * corpus-wide encode measured 24 s at sf0.1 — all interpreted-
+    * lambda cost on repeated words; this form is linear in the
+    * vocabulary.) The oracle never sees the encoder: it finishes its
+    * replayed training chain and counts symbols in the final
+    * vocabulary state weighted by word frequency — equality proves
+    * encode == vocabulary-state, i.e. the projection path tokenizes
+    * exactly as training left the vocabulary. BpeSpec separately pins
+    * the per-document corpus encoder against a reference
+    * implementation.
     */
   def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
     val merges = gateMerges(spark, dir).map { case (_, a, b, _) => (a, b) }
-    bpeEncode(docs, merges)
-      .select(explode(col("tokens")).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val wordFreq = Tables(spark, dir, "documents")
+      .select(explode(expr("filter(split(lower(text), ' +'), w -> w != '')")).as("text"))
+      .groupBy("text").agg(count(lit(1)).as("n"))
+    bpeEncode(wordFreq, merges)
+      .select(explode(col("tokens")).as("token"), col("n"))
+      .groupBy("token").agg(sum("n").as("cnt"))
       .orderBy(desc("cnt"), asc("token")).limit(30)
   }
 

@@ -563,6 +563,50 @@ object StreamingOps {
     finally graft.io.SegmentLog.deleteRecursively(tmp.toString)
   }
 
+  /** The FOURTH driver-gated streaming path: STREAM-STREAM interval
+    * join. [[clickAttribution]] (purchases ⋈ same-user clicks in the
+    * preceding hour, both sides watermarked, two-sided interval so the
+    * buffered state stays bounded) replays over the mid-timeline
+    * micro-batch split — a batch-2 purchase matching a batch-1 click
+    * exercises exactly the cross-batch state retention the watermark
+    * math must get right: clicks are only evicted once the watermark
+    * proves no future purchase's 1-hour window can reach them. Inner
+    * join rows emit eagerly (append mode needs no final-watermark
+    * flush), the memory sink holds matched pairs, and the registered
+    * result is the per-purchase batch rollup of those pairs — hash-
+    * checked against an inner-join DuckDB replay of the same interval
+    * semantics. Zero-click purchases are the LEFT-OUTER form's concern
+    * ([[clickAttributionOuter]], StreamingSpec); the inner gate pins
+    * the matched set.
+    */
+  def streamAttributionReplay(spark: SparkSession, dir: String): DataFrame = {
+    val events = graft.Tables(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-attr-")
+    val (ckpt, inDir) = (s"$tmp/ckpt", s"$tmp/in")
+    val mid = events.agg(expr("percentile(unix_micros(ts), 0.5)"))
+      .head().getDouble(0)
+    val writeBatch = writeReplayBatch(tmp, inDir) _
+    writeBatch(events.filter(expr(s"unix_micros(ts) <= $mid")), "b1", 1000000L)
+    writeBatch(events.filter(expr(s"unix_micros(ts) > $mid")), "b2", 2000000L)
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    spark.catalog.dropTempView("graft_stream_attr")
+    val q = clickAttribution(stream).writeStream
+      .outputMode("append")
+      .format("memory").queryName("graft_stream_attr")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    try spark.table("graft_stream_attr")
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(col("click_value").cast("decimal(18,4)")).cast("double")
+          .as("click_value"))
+      .orderBy("purchase_id").localCheckpoint(true)
+    finally graft.io.SegmentLog.deleteRecursively(tmp.toString)
+  }
+
   /** Stream → JSON table artifact: the streaming form of the export sink
     * ([[graft.io.JsonTableIO.write]]), via Spark's native file sink —
     * its `_spark_metadata` commit log gives EXACTLY-once file visibility
