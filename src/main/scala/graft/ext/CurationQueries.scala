@@ -566,9 +566,13 @@ object CurationQueries {
            |    ELSE array() END),
            |  f -> cast(conv(substring(md5(f), 1, 15), 16, 10) AS bigint)
            |         % $DsirBuckets)""".stripMargin)).as("b"))
+    // persisted: the B-row model feeds BOTH the totals scalar and the
+    // λ table — without the cache the corpus model pass plans twice
+    // (PlanAuditSpec pins dsir_select at 2 scans)
     val model = feats.groupBy("b").agg(
       count(lit(1)).as("cr"),
       count(when(col("lang") === "en", 1)).as("ct"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // totals reduce the B-row model, never the corpus
     val tot = model.agg(sum("cr").as("nr"), sum("ct").as("nt"))
     val lam = model.crossJoin(broadcast(tot))

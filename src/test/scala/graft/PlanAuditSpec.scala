@@ -121,6 +121,21 @@ class PlanAuditSpec extends SparkSpec {
                                // here means the corpus re-entered the
                                // output plan
 
+    "cdc_chunks" -> 1,         // carve is a per-doc projection; one scan
+    "quality_calibrate" -> 1,  // quality projection + one source window
+    "corr_matrix" -> 1,        // all 15 moments in one aggregate pass
+    "golden_record" -> 2,      // documents + the persisted ClusterIndex;
+                               // a 3rd scan means the CC loop crept back
+    "curation_report" -> 2,    // same pair as golden_record
+    "ann_join" -> 2,           // corpus side + query side; cells are
+                               // centroid-literal folds, never a join
+    "q8_market_share" -> 8,    // 7 tables with nation scanned twice (two
+                               // dimension roles) — all dims broadcast
+    "lsh_param_plan" -> 0,     // bounded scalar math, no table access
+    "dsir_select" -> 2,        // model pass + scoring pass; the persisted
+                               // B-row model serves totals AND λ from one
+                               // cache — 3 scans means it unpersisted
+
     "ann_index_search" -> 3    // probed index segment + the query-side
                                // embeddings scan + that same probe subtree
                                // AGAIN inside the dynamic-partition-pruning
