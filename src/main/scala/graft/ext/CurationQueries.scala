@@ -508,6 +508,85 @@ object CurationQueries {
       .select(col("bin"), col("n_ref"), col("n_cur"), col("psi_term"))
   }
 
+  /** TIME-SERIES form of [[driftPsi]]: PSI of each day's value
+    * distribution against the PREVIOUS OBSERVED day — the monitoring
+    * query a production ingest runs continuously, where the static
+    * form is the one-shot audit. The (day × bin) grid is DENSIFIED
+    * (explode of bins 0–9 against the distinct days) so a bin that
+    * empties out hits the 1e-6 floor instead of silently vanishing
+    * from the comparison, and "previous day" is a lag window per bin —
+    * calendar gaps compare against the last day that actually has
+    * data. Per-day PSI sums the 6dp-rounded terms as exact decimal.
+    *
+    * Scale: ONE corpus aggregate to (day, bin) counts; everything
+    * after — grid, lag, rollup — runs on calendar-bounded rows.
+    */
+  def driftPsiDaily(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(to_date(col("ts")).as("d"), col("value"))
+    val bounds = ev.agg(min("value").as("minv"), max("value").as("maxv"))
+    val daily = ev.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        least(floor((col("value") - col("minv")) * lit(10.0)
+          / (col("maxv") - col("minv"))), lit(9L)).cast("long"))
+      .groupBy("d", "bin").agg(count(lit(1)).as("n"))
+    val grid = daily.select("d").distinct()
+      .crossJoin(broadcast(
+        spark.range(0, 10).select(col("id").as("bin"))))
+    val dense = grid.join(daily, Seq("d", "bin"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("p", greatest(
+        col("n") / sum("n").over(Window.partitionBy("d")), lit(1e-6)))
+    val lagged = dense.withColumn("p_prev",
+      lag("p", 1).over(Window.partitionBy("bin").orderBy("d")))
+    lagged.filter(col("p_prev").isNotNull)
+      .withColumn("term", round((col("p") - col("p_prev"))
+        * log(col("p") / col("p_prev")), 6).cast("decimal(18,6)"))
+      .groupBy("d").agg(
+        sum("term").cast("double").as("psi"),
+        sum("n").as("n_events"))
+      .select(col("d"), col("psi"), col("n_events"),
+        (col("psi") > 0.2).as("alert"))
+      .orderBy("d")
+  }
+
+  val driftPsiDailySql: String =
+    """WITH ev AS (
+      |  SELECT CAST(ts AS DATE) AS d, value FROM events
+      |  WHERE value IS NOT NULL),
+      |bounds AS (SELECT MIN(value) AS minv, MAX(value) AS maxv FROM ev),
+      |daily AS (
+      |  SELECT d,
+      |    CAST(LEAST(FLOOR((value - minv) * 10.0 / (maxv - minv)), 9)
+      |      AS BIGINT) AS bin,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM ev CROSS JOIN bounds
+      |  GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT d, bin FROM (SELECT DISTINCT d FROM daily)
+      |  CROSS JOIN (SELECT unnest(range(0, 10)) AS bin)),
+      |dense AS (
+      |  SELECT g.d, g.bin, COALESCE(daily.n, 0) AS n,
+      |    GREATEST(COALESCE(daily.n, 0)
+      |      / SUM(COALESCE(daily.n, 0)) OVER (PARTITION BY g.d), 1e-6) AS p
+      |  FROM grid g LEFT JOIN daily ON daily.d = g.d AND daily.bin = g.bin),
+      |lagged AS (
+      |  SELECT d, n, p,
+      |    LAG(p) OVER (PARTITION BY bin ORDER BY d) AS p_prev
+      |  FROM dense)
+      |SELECT d,
+      |  CAST(SUM(CAST(ROUND((p - p_prev) * LN(p / p_prev), 6)
+      |    AS DECIMAL(18,6))) AS DOUBLE) AS psi,
+      |  CAST(SUM(n) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(ROUND((p - p_prev) * LN(p / p_prev), 6)
+      |    AS DECIMAL(18,6))) AS DOUBLE) > 0.2 AS alert
+      |FROM lagged
+      |WHERE p_prev IS NOT NULL
+      |GROUP BY d
+      |ORDER BY d""".stripMargin
+
   val driftPsiSql: String =
     """WITH ev AS (SELECT CAST(ts AS DATE) AS d, value FROM events WHERE value IS NOT NULL),
       |b AS (SELECT MIN(d) AS mind, MAX(d) AS maxd, MIN(value) AS minv, MAX(value) AS maxv
@@ -834,6 +913,7 @@ object CurationQueries {
     "curation_report" -> ((curationReport _, curationReportSql)),
     "lsh_param_plan" -> ((lshParamPlan _, lshParamPlanSql)),
     "drift_psi" -> ((driftPsi _, driftPsiSql)),
+    "drift_psi_daily" -> ((driftPsiDaily _, driftPsiDailySql)),
     "sample_quality_weighted" -> ((sampleQualityWeighted _, sampleQualityWeightedSql)),
     "sample_weighted_aes" -> ((sampleWeightedAes _, sampleWeightedAesSql)),
     "skew_report" -> ((skewReport _, skewReportSql)),

@@ -1171,6 +1171,68 @@ object SimilarityQueries {
        |SELECT rank, vec_id, rel, score FROM fin ORDER BY rank""".stripMargin
   }
 
+  private val CovDims = 8
+  private val CovPairs: Seq[(Int, Int)] =
+    for { i <- 0 until CovDims; j <- i until CovDims } yield (i, j)
+
+  /** EMBEDDING COVARIANCE — the moment pass in front of whitening/PCA:
+    * the upper-triangular covariance of the first [[CovDims]] embedding
+    * dimensions (36 entries incl. variances) from ONE corpus
+    * aggregate, the [[graft.queries.OlapQueries]] `corr_matrix`
+    * discipline applied to ARRAY columns. Float elements are quantized
+    * to integer MICROS first (`round(x·1e6)` — identical on both
+    * engines), so every sum is order-free integer arithmetic — the
+    * only way a float-element aggregate replays exactly under
+    * arbitrary partitioning; cross-products accumulate as
+    * DECIMAL(38,0) (a corpus-scale row count overflows BIGINT there),
+    * and the covariance divides back by 1e12 in one final double step.
+    * At 100 TB: one shuffle of 8 + 36 + 1 scalars, nothing else; the
+    * eigen step on the resulting d×d matrix is bounded driver math
+    * (the centroid-literal discipline).
+    */
+  def embedCovariance(spark: SparkSession, dir: String): DataFrame = {
+    def m(i: Int) = s"cast(round(cast(embedding[$i] AS double) * 1000000) AS bigint)"
+    val agg = Tables(spark, dir, "embeddings").agg(
+      count(lit(1)).as("n"),
+      (0 until CovDims).map(i => sum(expr(m(i))).as(s"s_$i")) ++
+        CovPairs.map { case (i, j) =>
+          sum(expr(s"cast(${m(i)} * ${m(j)} AS decimal(38,0))")).as(s"x_${i}_$j")
+        }: _*)
+    val rows = CovPairs.map { case (i, j) =>
+      struct(lit(i).cast("long").as("dim_i"), lit(j).cast("long").as("dim_j"),
+        round(((col(s"x_${i}_$j").cast("double")
+          - col(s"s_$i").cast("double") * col(s"s_$j").cast("double") / col("n"))
+          / col("n")) / 1e12, 6).as("cov"))
+    }
+    agg.select(col("n"), explode(array(rows: _*)).as("p"))
+      .select(col("p.dim_i"), col("p.dim_j"), col("n"), col("p.cov"))
+      .orderBy("dim_i", "dim_j")
+  }
+
+  val embedCovarianceSql: String = {
+    def m(i: Int) =
+      s"CAST(ROUND(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000) AS BIGINT)"
+    val sums = (0 until CovDims).map(i =>
+      s"CAST(SUM(${m(i)}) AS BIGINT) AS s_$i").mkString(",\n    ")
+    val crosses = CovPairs.map { case (i, j) =>
+      s"CAST(SUM(CAST(${m(i)} * ${m(j)} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS x_${i}_$j"
+    }.mkString(",\n    ")
+    val rows = CovPairs.map { case (i, j) =>
+      s"""SELECT CAST($i AS BIGINT) AS dim_i, CAST($j AS BIGINT) AS dim_j, n,
+         |  ROUND(((CAST(x_${i}_$j AS DOUBLE)
+         |    - CAST(s_$i AS DOUBLE) * CAST(s_$j AS DOUBLE) / n) / n)
+         |    / 1e12, 6) AS cov
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    $sums,
+       |    $crosses
+       |  FROM embeddings)
+       |$rows
+       |ORDER BY dim_i, dim_j""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "mmr_diversify" -> ((mmrDiversify _, mmrDiversifySql)),
     "knn_brute" -> ((knnBrute _, knnBruteSql)),
@@ -1184,6 +1246,7 @@ object SimilarityQueries {
     "ann_ivf_pq" -> ((annIvfPq _, annIvfPqSql)),
     "ann_rerank" -> ((annRerank _, annRerankSql)),
     "embed_quantize" -> ((embedQuantize _, embedQuantizeSql)),
+    "embed_covariance" -> ((embedCovariance _, embedCovarianceSql)),
     "hybrid_search_rrf" -> ((hybridSearchRrf _, hybridSearchRrfSql)),
     "embed_lsh_pairs" -> ((embedLshPairs _, embedLshPairsSql))
   )
