@@ -348,7 +348,81 @@ object GraphQueries {
        |ORDER BY n_nodes DESC, label LIMIT 20""".stripMargin
   }
 
+  private val CostRounds = 3
+
+  /** BOUNDED-HOP MIN-COST ROUTE (Bellman-Ford, k synchronous rounds) —
+    * the WEIGHTED member of the graph family next to [[bfsHops]]'
+    * unweighted reachability: edge weight = the minimum line quantity
+    * ever shipped on that (part, supplier) link (an exact BIGINT, so
+    * every path cost is order-free integer arithmetic), seeds =
+    * nation-0 suppliers at cost 0, and k relaxation rounds give each
+    * node its cheapest route of ≤ k edges. The DuckDB oracle is an
+    * INDEPENDENT formulation — hop-bounded recursive path enumeration
+    * + MIN per node — so a hash match proves the distributed
+    * relaxation == exhaustive path search on the bounded radius.
+    *
+    * Scale shape per round (identical to [[pageRankOn]]): the weighted
+    * edge list is built once, pre-partitioned on `s` and persisted;
+    * each round joins the (node-sized) distance table against it and
+    * folds with one map-side-combined `min` — the frontier never
+    * enumerates paths, which is why relaxation, not path recursion, is
+    * the 100 TB form.
+    */
+  def minCostRoute(spark: SparkSession, dir: String): DataFrame = {
+    val ew = Tables(spark, dir, "lineitem")
+      .groupBy((col("l_partkey").cast("long") * 2).as("s"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("t"))
+      .agg(min(col("l_quantity").cast("long")).as("w"))
+    val e = ew.unionByName(
+      ew.select(col("t").as("s"), col("s").as("t"), col("w")))
+    val seeds = Tables(spark, dir, "supplier")
+      .filter(col("s_nationkey") === 0)
+      .select((col("s_suppkey").cast("long") * 2 + 1).as("node"))
+    minCostOn(e, seeds, CostRounds)
+      .orderBy(asc("cost"), asc("node")).limit(20)
+      .localCheckpoint(true)
+  }
+
+  /** The relaxation core over a weighted directed edge list `(s, t, w)`
+    * — extracted so GraphQueriesSpec can pin it against brute-force
+    * path enumeration on random graphs. */
+  private[ext] def minCostOn(e0: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val e = e0.repartition(col("s")).persist()
+    try {
+      var dist = seeds.select(col("node"), lit(0L).as("cost"))
+        .distinct().localCheckpoint(true)
+      for (_ <- 1 to rounds) {
+        val relaxed = e
+          .join(dist.select(col("node").as("s"), col("cost")), Seq("s"))
+          .select(col("t").as("node"), (col("cost") + col("w")).as("cost"))
+        dist = dist.unionByName(relaxed)
+          .groupBy("node").agg(min("cost").as("cost"))
+          .localCheckpoint(true)
+      }
+      dist
+    } finally e.unpersist()
+  }
+
+  val minCostRouteSql: String =
+    s"""WITH RECURSIVE
+       |ew AS (SELECT CAST(l_partkey AS BIGINT) * 2 AS s,
+       |              CAST(l_suppkey AS BIGINT) * 2 + 1 AS t,
+       |              MIN(CAST(l_quantity AS BIGINT)) AS w
+       |       FROM lineitem GROUP BY 1, 2),
+       |e AS (SELECT s, t, w FROM ew UNION ALL SELECT t, s, w FROM ew),
+       |p(node, cost, hop) AS (
+       |  SELECT CAST(s_suppkey AS BIGINT) * 2 + 1, CAST(0 AS BIGINT), 0
+       |  FROM supplier WHERE s_nationkey = 0
+       |  UNION
+       |  SELECT e.t, p.cost + e.w, p.hop + 1
+       |  FROM p JOIN e ON e.s = p.node WHERE p.hop < $CostRounds),
+       |md AS (SELECT node, MIN(cost) AS cost FROM p GROUP BY node)
+       |SELECT node, cost FROM md
+       |ORDER BY cost, node LIMIT 20""".stripMargin
+
   def all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "min_cost_route" -> ((minCostRoute _, minCostRouteSql)),
     "pagerank_supply" -> ((pageRank _, pageRankSql)),
     "triangles_cosupply" -> ((triangles _, trianglesSql)),
     "graph_bfs_hops" -> ((bfsHops _, bfsHopsSql)),

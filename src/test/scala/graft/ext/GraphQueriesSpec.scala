@@ -132,4 +132,38 @@ class GraphQueriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("k-round relaxation == exhaustive ≤k-edge path search on random weighted graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val n = 8 + rnd.nextInt(8)
+      val edges = (for {
+        u <- 0L until n; v <- 0L until n
+        if u != v && rnd.nextDouble() < 0.2
+      } yield (u, v, 1L + rnd.nextInt(9))).toSeq
+      val seeds = (0L until n).filter(_ => rnd.nextDouble() < 0.25) match {
+        case s if s.isEmpty => Seq(0L)
+        case s => s
+      }
+      val rounds = 1 + rnd.nextInt(3)
+      // brute force: min cost over ALL paths of ≤ rounds edges
+      val adj = edges.groupBy(_._1).view
+        .mapValues(_.map(e => (e._2, e._3))).toMap
+      val best = scala.collection.mutable.Map(seeds.map(_ -> 0L): _*)
+      var level = seeds.map(s => (s, 0L))
+      for (_ <- 1 to rounds) {
+        level = level.flatMap { case (u, c) =>
+          adj.getOrElse(u, Seq.empty).map { case (v, w) => (v, c + w) }
+        }
+        level.foreach { case (v, c) =>
+          if (!best.contains(v) || c < best(v)) best(v) = c
+        }
+      }
+      val got = GraphQueries.minCostOn(edges.toDF("s", "t", "w"),
+          seeds.toDF("node"), rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == best.toMap, s"trial $trial, n=$n, seeds=$seeds, rounds=$rounds")
+    }
+  }
 }
