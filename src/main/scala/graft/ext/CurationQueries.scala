@@ -906,7 +906,48 @@ object CurationQueries {
       |FROM c
       |ORDER BY k, r""".stripMargin
 
+  /** LANGUAGE-MIX REPORT with Shannon entropy per source — the balance
+    * metric next to [[sourceMix]]'s volume table: a source whose
+    * language entropy collapses between ingests has changed character
+    * (crawler drift, upstream filter change) even if its volume
+    * didn't. p·ln p terms are 6dp-rounded and summed as exact decimal
+    * (the [[driftPsiDaily]] discipline); one corpus aggregate to
+    * (source × lang), everything else bounded.
+    */
+  def sourceEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Tables(spark, dir, "documents")
+      .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("source")
+    byLang
+      .withColumn("p", col("n") / sum("n").over(w))
+      .withColumn("term",
+        round(-col("p") * log(col("p")), 6).cast("decimal(18,6)"))
+      .groupBy("source").agg(
+        sum("n").as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sum("term").cast("double").as("lang_entropy"))
+      .orderBy("source")
+  }
+
+  val sourceEntropySql: String =
+    """WITH c AS (
+      |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY source, lang),
+      |p AS (
+      |  SELECT source, n,
+      |    n / SUM(n) OVER (PARTITION BY source) AS p
+      |  FROM c)
+      |SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_langs,
+      |  CAST(SUM(CAST(ROUND(-p * LN(p), 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |    AS lang_entropy
+      |FROM p
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "source_entropy" -> ((sourceEntropy _, sourceEntropySql)),
     "dsir_select" -> ((dsirSelect _, dsirSelectSql)),
     "golden_record" -> ((goldenRecord _, goldenRecordSql)),
     "quality_calibrate" -> ((qualityCalibrate _, qualityCalibrateSql)),
