@@ -605,7 +605,17 @@ object TextQueries {
            |  AS string))), 1, 15), 16, 10) AS bigint) % 2001 - 1000),
            |  0L, (acc, x) -> acc + x)""".stripMargin))
       .select(col("doc_id"), col("n_words"), col("logit_millis"),
-        round(col("logit_millis") / (col("n_words") * 1000.0), 6).as("logit"),
+        // 6dp rounding done in EXACT integer micros, not on the double
+        // quotient: round(p/q, 6) ties exactly when q is 2-5-smooth
+        // (n_words=80 → q=80000 made sf0.1 doc 506 a tie), and on a tie
+        // Spark's BigDecimal-shortest-repr rounding and DuckDB's binary
+        // rounding disagree. Half-away-from-zero on |p|·10⁶/q as pure
+        // integer arithmetic is engine-independent by construction.
+        expr("""CASE WHEN logit_millis >= 0
+                THEN (2 * logit_millis * 1000000 + n_words * 1000)
+                       div (2 * n_words * 1000)
+                ELSE -((2 * -logit_millis * 1000000 + n_words * 1000)
+                       div (2 * n_words * 1000)) END / 1e6""").as("logit"),
         (col("logit_millis") > 0).as("keep"))
       .orderBy("doc_id")
   }
@@ -673,7 +683,11 @@ object TextQueries {
       |      AS logit_millis
       |  FROM d)
       |SELECT doc_id, n_words, logit_millis,
-      |  ROUND(logit_millis / (n_words * 1000.0), 6) AS logit,
+      |  CASE WHEN logit_millis >= 0
+      |    THEN (2 * logit_millis * 1000000 + n_words * 1000)
+      |           // (2 * n_words * 1000)
+      |    ELSE -((2 * -logit_millis * 1000000 + n_words * 1000)
+      |           // (2 * n_words * 1000)) END / 1e6 AS logit,
       |  logit_millis > 0 AS keep
       |FROM s
       |ORDER BY doc_id""".stripMargin
@@ -1028,7 +1042,11 @@ object TextQueries {
       .agg(sum(col("m")).as("n_bigrams"),
         sum(col("nll") * col("m")).as("sum_nll"))
       .select(col("doc_id"), col("lang"), col("n_bigrams"),
-        round(col("sum_nll").cast("double") / col("n_bigrams"), 6).as("avg_nll"))
+        // 6dp mean in EXACT integer micros (half-away) — round(double/int)
+        // ties on 2-5-smooth counts (n_bigrams=20 tied at sf0.1) and the
+        // engines' rounding disagrees on ties; see qualityClassifier
+        expr("""(2 * cast(sum_nll * 1000000 AS bigint) + n_bigrams)
+                  div (2 * n_bigrams) / 1e6""").as("avg_nll"))
       .withColumn("ppl", round(exp(col("avg_nll")), 4))
       .withColumn("keep", col("avg_nll") <= keepCutoff)
       .orderBy("doc_id")
@@ -1086,9 +1104,12 @@ object TextQueries {
       |  CROSS JOIN vv
       |  GROUP BY 1, 2)
       |SELECT doc_id, lang, n_bigrams,
-      |  ROUND(CAST(sum_nll AS DOUBLE) / n_bigrams, 6) AS avg_nll,
-      |  ROUND(EXP(ROUND(CAST(sum_nll AS DOUBLE) / n_bigrams, 6)), 4) AS ppl,
-      |  ROUND(CAST(sum_nll AS DOUBLE) / n_bigrams, 6) <= 3.42 AS keep
+      |  (2 * CAST(sum_nll * 1000000 AS BIGINT) + n_bigrams)
+      |    // (2 * n_bigrams) / 1e6 AS avg_nll,
+      |  ROUND(EXP((2 * CAST(sum_nll * 1000000 AS BIGINT) + n_bigrams)
+      |    // (2 * n_bigrams) / 1e6), 4) AS ppl,
+      |  (2 * CAST(sum_nll * 1000000 AS BIGINT) + n_bigrams)
+      |    // (2 * n_bigrams) / 1e6 <= 3.42 AS keep
       |FROM sc ORDER BY doc_id""".stripMargin
 
   /** Vocabulary heavy hitters through the mergeable Misra–Gries sketch
