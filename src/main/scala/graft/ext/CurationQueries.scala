@@ -664,7 +664,13 @@ object CurationQueries {
       .groupBy("doc_id")
       .agg(sum(col("k") * col("lam")).as("s"), sum("k").as("nf"))
       .select(col("doc_id"), col("nf").cast("long").as("n_feats"),
-        round(col("s").cast("double") / col("nf"), 6).as("dsir_score"))
+        // signed exact integer-micros rounding of Σk·λ / nf (the
+        // qualityClassifier tie discipline — the decimal sum is already
+        // micros-exact, the mean must not round a double quotient)
+        expr("""CASE WHEN s >= 0
+                THEN (2 * cast(s * 1000000 AS bigint) + nf) div (2 * nf)
+                ELSE -((2 * cast(-s * 1000000 AS bigint) + nf) div (2 * nf))
+                END / 1e6""").as("dsir_score"))
       .orderBy(desc("dsir_score"), asc("doc_id")).limit(DsirTopK)
   }
 
@@ -701,7 +707,10 @@ object CurationQueries {
        |  SELECT doc_id, SUM(k * lam) AS s, CAST(SUM(k) AS BIGINT) AS nf
        |  FROM profile JOIN lam USING (b) GROUP BY doc_id)
        |SELECT doc_id, nf AS n_feats,
-       |  ROUND(CAST(s AS DOUBLE) / nf, 6) AS dsir_score
+       |  CASE WHEN s >= 0
+       |    THEN (2 * CAST(s * 1000000 AS BIGINT) + nf) // (2 * nf)
+       |    ELSE -((2 * CAST(-s * 1000000 AS BIGINT) + nf) // (2 * nf))
+       |    END / 1e6 AS dsir_score
        |FROM score
        |ORDER BY dsir_score DESC, doc_id LIMIT $DsirTopK""".stripMargin
 
@@ -782,12 +791,19 @@ object CurationQueries {
   def qualityCalibrate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("source").orderBy("q")
+    // percent_rank recomputed from its exact integer parts (rank−1)/(n−1)
+    // so the 6dp rounding and the 0.4 keep-cut are pure integer
+    // arithmetic — round(double,6) ties on 2-5-smooth source sizes
+    // (n−1=128) and ≥ on the double is one ulp from wrong either way
     Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"), TextQueries.qualityScore.as("q"))
-      .withColumn("pr", percent_rank().over(w))
+      .withColumn("r", rank().over(w) - 1)
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("source")) - 1)
       .select(col("doc_id"), col("source"), col("q"),
-        round(col("pr"), 6).as("pct_in_source"),
-        (col("pr") >= 0.4).as("keep_calibrated"))
+        expr("""CASE WHEN m = 0 THEN 0.0
+                ELSE (2 * r * 1000000 + m) div (2 * m) / 1e6
+                END""").as("pct_in_source"),
+        expr("m > 0 AND r * 5 >= m * 2").as("keep_calibrated"))
       .orderBy("doc_id")
   }
 
@@ -798,11 +814,13 @@ object CurationQueries {
        |  FROM documents),
        |r AS (
        |  SELECT doc_id, source, q,
-       |    PERCENT_RANK() OVER (PARTITION BY source ORDER BY q) AS pr
+       |    RANK() OVER (PARTITION BY source ORDER BY q) - 1 AS r,
+       |    COUNT(*) OVER (PARTITION BY source) - 1 AS m
        |  FROM q)
        |SELECT doc_id, source, q,
-       |  ROUND(pr, 6) AS pct_in_source,
-       |  pr >= 0.4 AS keep_calibrated
+       |  CASE WHEN m = 0 THEN 0.0
+       |    ELSE (2 * r * 1000000 + m) // (2 * m) / 1e6 END AS pct_in_source,
+       |  m > 0 AND r * 5 >= m * 2 AS keep_calibrated
        |FROM r
        |ORDER BY doc_id""".stripMargin
 

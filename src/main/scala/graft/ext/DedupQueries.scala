@@ -755,7 +755,8 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
       .select(col("doc_id"), col("n_dup_spans"),
-        round(col("n_dup_spans").cast("double") / col("n_spans"), 6)
+        // exact integer-micros rounding (qualityClassifier tie discipline)
+        expr("(2 * n_dup_spans * 1000000 + n_spans) div (2 * n_spans) / 1e6")
           .as("dup_frac"))
       .orderBy("doc_id")
   }
@@ -770,8 +771,8 @@ object DedupQueries {
       |d AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY sh) AS nd FROM sh)
       |SELECT doc_id,
       |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
-      |  ROUND(CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / COUNT(*), 6) AS dup_frac
+      |  (2 * SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1000000 + COUNT(*))
+      |    // (2 * COUNT(*)) / 1e6 AS dup_frac
       |FROM d
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin

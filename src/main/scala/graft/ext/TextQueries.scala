@@ -332,11 +332,18 @@ object TextQueries {
            |  acc -> acc.best)""".stripMargin))
       .withColumn("bigrams", expr(
         "transform(sequence(1, size(words) - 1), i -> concat(words[i - 1], ' ', words[i]))"))
-      .withColumn("dup_word_frac",
-        round(lit(1.0) - size(array_distinct(col("words"))).cast("double") / col("n"), 6))
-      .withColumn("top_word_frac", round(col("top_word_n").cast("double") / col("n"), 6))
-      .withColumn("dup_bigram_frac",
-        round(lit(1.0) - size(array_distinct(col("bigrams"))).cast("double") / size(col("bigrams")), 6))
+      // 6dp fractions in EXACT integer micros (the qualityClassifier
+      // tie discipline): round(p/q, 6) on the double quotient ties on
+      // 2-5-smooth q (e.g. a 128-word doc) and the engines' rounding
+      // disagrees on ties
+      .withColumn("dup_word_frac", expr(
+        """(2 * (n - size(array_distinct(words))) * 1000000 + n)
+             div (2 * n) / 1e6"""))
+      .withColumn("top_word_frac", expr(
+        "(2 * top_word_n * 1000000 + n) div (2 * n) / 1e6"))
+      .withColumn("dup_bigram_frac", expr(
+        """(2 * (size(bigrams) - size(array_distinct(bigrams))) * 1000000
+             + size(bigrams)) div (2 * size(bigrams)) / 1e6"""))
       .select(col("doc_id"), col("dup_word_frac"), col("top_word_frac"),
         col("dup_bigram_frac"),
         when(col("dup_word_frac") > 0.75 || col("top_word_frac") > 0.2
@@ -351,11 +358,14 @@ object TextQueries {
       |    OR dup_bigram_frac > 0.3 THEN 'repetitive' ELSE 'keep' END AS verdict
       |FROM (
       |  SELECT doc_id,
-      |    ROUND(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS dup_word_frac,
-      |    ROUND(CAST(list_max(list_transform(list_distinct(ws),
-      |      w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / len(ws), 6) AS top_word_frac,
-      |    ROUND(1.0 - CAST(len(list_distinct(list_transform(range(1, len(ws)),
-      |      i -> ws[i] || ' ' || ws[i + 1]))) AS DOUBLE) / (len(ws) - 1), 6) AS dup_bigram_frac
+      |    (2 * (len(ws) - len(list_distinct(ws))) * 1000000 + len(ws))
+      |      // (2 * len(ws)) / 1e6 AS dup_word_frac,
+      |    (2 * list_max(list_transform(list_distinct(ws),
+      |        w -> len(list_filter(ws, x -> x = w)))) * 1000000 + len(ws))
+      |      // (2 * len(ws)) / 1e6 AS top_word_frac,
+      |    (2 * ((len(ws) - 1) - len(list_distinct(list_transform(range(1, len(ws)),
+      |        i -> ws[i] || ' ' || ws[i + 1])))) * 1000000 + (len(ws) - 1))
+      |      // (2 * (len(ws) - 1)) / 1e6 AS dup_bigram_frac
       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
       |  WHERE len(ws) >= 2)
       |ORDER BY doc_id""".stripMargin
