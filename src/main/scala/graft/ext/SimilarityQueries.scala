@@ -341,6 +341,132 @@ object SimilarityQueries {
       |WHERE rank <= 3
       |ORDER BY query_id, rank""".stripMargin
 
+  /** kNN CLASSIFICATION over the [[annJoin]] structure: every held-out
+    * vector (`vec_id % 10 == 0`) takes the majority label of its top-3
+    * IVF-probed neighbors (ties by smallest label — the
+    * `min(struct(-cnt, label))` single-pass argmax, never a window),
+    * and the row carries the vector's own label so accuracy is a
+    * `sum(correct)/count` away. This is the eval loop a labeled
+    * embedding store runs — same plan as the ANN join plus ONE
+    * bounded aggregate over k·|queries| rows.
+    */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables(spark, dir, "embeddings")
+      .select(col("vec_id").as("query_id"), col("label").cast("long").as("actual"))
+    val neigh = annJoin(spark, dir)
+      .join(Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("nlabel")), Seq("vec_id"))
+    neigh.groupBy("query_id", "nlabel").agg(count(lit(1)).as("cnt"))
+      .groupBy("query_id")
+      .agg(min(struct((-col("cnt")).as("nc"), col("nlabel").as("l"))).as("m"))
+      .select(col("query_id"), col("m.l").as("predicted"))
+      .join(broadcast(labels), Seq("query_id"))
+      .select(col("query_id"), col("predicted"), col("actual"),
+        (col("predicted") === col("actual")).as("correct"))
+      .orderBy("query_id")
+  }
+
+  val knnClassifySql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+      |corpus AS (
+      |  SELECT vec_id, label, v, cell FROM (
+      |    SELECT e.vec_id, e.label, e.v, c.cent_id AS cell,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ROUND(list_cosine_similarity(c.cv, e.v), 6) DESC, c.cent_id) AS arn
+      |    FROM e CROSS JOIN c WHERE e.vec_id % 10 != 0)
+      |  WHERE arn = 1),
+      |probes AS (
+      |  SELECT query_id, qv, cell FROM (
+      |    SELECT e.vec_id AS query_id, e.v AS qv, c.cent_id AS cell,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ROUND(list_cosine_similarity(c.cv, e.v), 6) DESC, c.cent_id) AS prn
+      |    FROM e CROSS JOIN c WHERE e.vec_id % 10 = 0)
+      |  WHERE prn <= 2),
+      |ranked AS (
+      |  SELECT p.query_id, a.vec_id, CAST(a.label AS BIGINT) AS nlabel,
+      |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+      |      ORDER BY ROUND(list_cosine_similarity(p.qv, a.v), 6) DESC, a.vec_id) AS rank
+      |  FROM corpus a JOIN probes p ON a.cell = p.cell),
+      |votes AS (
+      |  SELECT query_id, nlabel, COUNT(*) AS cnt FROM ranked
+      |  WHERE rank <= 3 GROUP BY query_id, nlabel),
+      |pred AS (
+      |  SELECT query_id, nlabel AS predicted FROM (
+      |    SELECT query_id, nlabel,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY cnt DESC, nlabel) AS vr
+      |    FROM votes) WHERE vr = 1)
+      |SELECT p.query_id, p.predicted,
+      |  CAST(e.label AS BIGINT) AS actual,
+      |  p.predicted = CAST(e.label AS BIGINT) AS correct
+      |FROM pred p JOIN e ON e.vec_id = p.query_id
+      |ORDER BY p.query_id""".stripMargin
+
+  /** ANN RECALL REPORT — the index-quality eval: for the 5 fixed probe
+    * queries, exact brute-force top-5 vs the IVF nprobe=2 top-5, per-
+    * query overlap and recall@5. This is the measurement that justifies
+    * (or rejects) an index's nprobe/nlist setting before a fleet adopts
+    * it; at 100 TB the brute side runs on a SAMPLE of queries exactly
+    * like this fixed probe set, never the full query load. Recall is an
+    * exact small rational (overlap/5) — no float hazard.
+    */
+  def annRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    val brute = knnBrute(spark, dir)
+      .select(col("query_id"), col("vec_id"))
+    val ivf = annIvf(spark, dir)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    // LEFT join, not semi: a query whose IVF list misses ALL brute
+    // neighbors must report recall 0, not vanish
+    brute.join(ivf, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id").agg(count(col("hit")).as("n_overlap"))
+      .select(col("query_id"), col("n_overlap"),
+        expr("(2 * n_overlap * 1000000 + 5) div 10 / 1e6").as("recall_at_5"))
+      .orderBy("query_id")
+  }
+
+  val annRecallReportSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      |brute AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT q.query_id, e.vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+      |        ORDER BY ROUND(list_cosine_similarity(q.qv, e.v), 6) DESC,
+      |                 e.vec_id) AS rank
+      |    FROM e CROSS JOIN q WHERE e.vec_id != q.query_id)
+      |  WHERE rank <= 5),
+      |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+      |assigned AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT e.vec_id, e.v, c.cent_id AS cell,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ROUND(list_cosine_similarity(c.cv, e.v), 6) DESC, c.cent_id) AS arn
+      |    FROM e CROSS JOIN c)
+      |  WHERE arn = 1),
+      |probes AS (
+      |  SELECT query_id, qv, cell FROM (
+      |    SELECT e.vec_id AS query_id, e.v AS qv, c.cent_id AS cell,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ROUND(list_cosine_similarity(c.cv, e.v), 6) DESC, c.cent_id) AS prn
+      |    FROM e CROSS JOIN c WHERE e.vec_id < 5)
+      |  WHERE prn <= 2),
+      |ivf AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT p.query_id, a.vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+      |        ORDER BY ROUND(list_cosine_similarity(p.qv, a.v), 6) DESC, a.vec_id) AS rank
+      |    FROM assigned a JOIN probes p ON a.cell = p.cell
+      |    WHERE a.vec_id != p.query_id)
+      |  WHERE rank <= 5)
+      |SELECT b.query_id,
+      |  CAST(COUNT(i.vec_id) AS BIGINT) AS n_overlap,
+      |  (2 * COUNT(i.vec_id) * 1000000 + 5) // 10 / 1e6 AS recall_at_5
+      |FROM brute b LEFT JOIN ivf i
+      |  ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+      |GROUP BY b.query_id
+      |ORDER BY b.query_id""".stripMargin
+
   /** Product quantization + asymmetric distance (Jégou et al., PAMI'11) —
     * the third ANN scale path next to IVF cells and sign-LSH bands, and
     * the memory form real billion-vector indexes ship: each vector is
@@ -1241,6 +1367,8 @@ object SimilarityQueries {
     "embed_centroids" -> ((embedCentroids _, embedCentroidsSql)),
     "ann_ivf" -> ((annIvf _, annIvfSql)),
     "ann_join" -> ((annJoin _, annJoinSql)),
+    "knn_classify" -> ((knnClassify _, knnClassifySql)),
+    "ann_recall_report" -> ((annRecallReport _, annRecallReportSql)),
     "ann_index_search" -> ((annIndexSearch _, annIvfSql)),
     "pq_topk" -> ((pqTopk _, pqTopkSql)),
     "ann_ivf_pq" -> ((annIvfPq _, annIvfPqSql)),
