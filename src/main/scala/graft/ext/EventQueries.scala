@@ -523,6 +523,133 @@ object EventQueries {
     * real (large-negative-z) row. The spine is |types| × |days| rows —
     * broadcast-sized at any event volume.
     */
+  /** CUSUM-style CHANGE-POINT detection per event type: over the daily
+    * count series, the statistic |S_t·n − t·S_n| (cumulative sum
+    * drift against the uniform-rate line, cross-multiplied so it stays
+    * PURE BIGINT — no mean, no division) peaks at the day where the
+    * rate shifts; the argmax (ties → earliest day) is the change-point
+    * candidate and the peak value its strength. The monitoring sibling
+    * of [[eventsAnomaly]]'s z-scores: z flags outlier DAYS, CUSUM
+    * locates a LEVEL SHIFT. One corpus aggregate to (type, day);
+    * windows and the argmax run on calendar-bounded rows; the argmax
+    * is the single-pass `min(struct(−stat, day))`, never a sort.
+    */
+  def eventsChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val byType = Window.partitionBy("event_type")
+    val series = daily
+      .withColumn("t", row_number().over(byType.orderBy("d")).cast("long"))
+      .withColumn("s", sum("x").over(byType.orderBy("d")))
+      .withColumn("n", count(lit(1)).over(byType))
+      .withColumn("sn", sum("x").over(byType))
+      .withColumn("stat", abs(col("s") * col("n") - col("t") * col("sn")))
+    series.groupBy("event_type")
+      .agg(min(struct((-col("stat")).as("ns"), col("d").as("d"))).as("m"),
+        max("n").as("n_days"), max("sn").as("n_events"))
+      .select(col("event_type"), col("m.d").as("change_day"),
+        (-col("m.ns")).as("stat_max"), col("n_days"), col("n_events"))
+      .orderBy("event_type")
+  }
+
+  val eventsChangepointSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |series AS (
+      |  SELECT event_type, d,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS t,
+      |    SUM(x) OVER (PARTITION BY event_type ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+      |    SUM(x) OVER (PARTITION BY event_type) AS sn
+      |  FROM daily),
+      |stats AS (
+      |  SELECT event_type, d, n, sn,
+      |    ABS(s * n - t * sn) AS stat
+      |  FROM series),
+      |best AS (
+      |  SELECT event_type, d AS change_day, stat AS stat_max, n, sn,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY stat DESC, d) AS rn
+      |  FROM stats)
+      |SELECT event_type, change_day, CAST(stat_max AS BIGINT) AS stat_max,
+      |  n AS n_days, CAST(sn AS BIGINT) AS n_events
+      |FROM best WHERE rn = 1
+      |ORDER BY event_type""".stripMargin
+
+  /** Deterministic A/B EXPERIMENT readout: users hash into two variants
+    * (the [[graft.queries.CoreQueries]] train_test_split discipline —
+    * stable across runs/engines/partitionings, no random()), and each
+    * event type reports per-variant event counts, user counts, and the
+    * 6dp mean value with the A−B difference. Means round in EXACT
+    * integer arithmetic from the decimal(18,4) sums (the
+    * qualityClassifier tie discipline). One corpus scan, one
+    * (type)-keyed aggregate with conditional branches — adding variants
+    * or metrics never adds scans.
+    */
+  def abAssign(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .withColumn("variant", expr(
+        "cast(conv(substring(md5(concat('ab:', cast(user_id AS string))), 1, 15), 16, 10) AS bigint) % 2"))
+      .withColumn("v4", col("value").cast("decimal(18,4)"))
+    def meanMicros(sumCol: String, nCol: String) = expr(
+      s"""CASE WHEN $nCol = 0 THEN NULL
+          ELSE (2 * cast($sumCol * 10000 AS bigint) * 100 + $nCol)
+                 div (2 * $nCol) / 1e6 END""")
+    ev.groupBy("event_type")
+      .agg(
+        count(when(col("variant") === 0, 1)).as("n_a"),
+        count(when(col("variant") === 1, 1)).as("n_b"),
+        countDistinct(when(col("variant") === 0, col("user_id"))).as("users_a"),
+        countDistinct(when(col("variant") === 1, col("user_id"))).as("users_b"),
+        sum(when(col("variant") === 0, col("v4"))
+          .otherwise(lit(0).cast("decimal(18,4)"))).as("sum_a"),
+        sum(when(col("variant") === 1, col("v4"))
+          .otherwise(lit(0).cast("decimal(18,4)"))).as("sum_b"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        col("users_a"), col("users_b"),
+        meanMicros("sum_a", "n_a").as("mean_a"),
+        meanMicros("sum_b", "n_b").as("mean_b"),
+        (meanMicros("sum_a", "n_a") - meanMicros("sum_b", "n_b")).as("mean_diff"))
+      .orderBy("event_type")
+  }
+
+  val abAssignSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, user_id,
+      |    CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 2 AS variant,
+      |    CAST(value AS DECIMAL(18,4)) AS v4
+      |  FROM events),
+      |agg AS (
+      |  SELECT event_type,
+      |    CAST(COUNT(*) FILTER (WHERE variant = 0) AS BIGINT) AS n_a,
+      |    CAST(COUNT(*) FILTER (WHERE variant = 1) AS BIGINT) AS n_b,
+      |    CAST(COUNT(DISTINCT user_id) FILTER (WHERE variant = 0) AS BIGINT) AS users_a,
+      |    CAST(COUNT(DISTINCT user_id) FILTER (WHERE variant = 1) AS BIGINT) AS users_b,
+      |    COALESCE(SUM(v4) FILTER (WHERE variant = 0), 0) AS sum_a,
+      |    COALESCE(SUM(v4) FILTER (WHERE variant = 1), 0) AS sum_b
+      |  FROM ev GROUP BY event_type)
+      |SELECT event_type, n_a, n_b, users_a, users_b,
+      |  CASE WHEN n_a = 0 THEN NULL
+      |    ELSE (2 * CAST(sum_a * 10000 AS BIGINT) * 100 + n_a)
+      |           // (2 * n_a) / 1e6 END AS mean_a,
+      |  CASE WHEN n_b = 0 THEN NULL
+      |    ELSE (2 * CAST(sum_b * 10000 AS BIGINT) * 100 + n_b)
+      |           // (2 * n_b) / 1e6 END AS mean_b,
+      |  CASE WHEN n_a = 0 THEN NULL
+      |    ELSE (2 * CAST(sum_a * 10000 AS BIGINT) * 100 + n_a)
+      |           // (2 * n_a) / 1e6 END
+      |  - CASE WHEN n_b = 0 THEN NULL
+      |    ELSE (2 * CAST(sum_b * 10000 AS BIGINT) * 100 + n_b)
+      |           // (2 * n_b) / 1e6 END AS mean_diff
+      |FROM agg
+      |ORDER BY event_type""".stripMargin
+
   def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // persisted: the spine aggregation AND the zero-fill join both read
@@ -1158,6 +1285,8 @@ object EventQueries {
     "scd2_state" -> ((scd2State _, scd2StateSql)),
     "events_transitions" -> ((eventsTransitions _, eventsTransitionsSql)),
     "events_anomaly" -> ((eventsAnomaly _, eventsAnomalySql)),
+    "events_changepoint" -> ((eventsChangepoint _, eventsChangepointSql)),
+    "ab_assign" -> ((abAssign _, abAssignSql)),
     "events_funnel" -> ((eventsFunnel _, eventsFunnelSql)),
     "events_approx_users" -> ((eventsApproxUsers _, eventsApproxUsersSql)),
     "events_sketch_weekly" -> ((eventsSketchWeekly _, eventsSketchWeeklySql)),
