@@ -581,6 +581,64 @@ object EventQueries {
       |FROM best WHERE rn = 1
       |ORDER BY event_type""".stripMargin
 
+  /** 6dp-integer EWMA weights 0.8^m·10⁶, m = 0..13 — computed ONCE in
+    * exact BigDecimal and inlined as literals into BOTH engines' plans,
+    * so the smoothing is pure integer arithmetic end to end (a window
+    * sum of pow() doubles would differ between Spark's running
+    * accumulation and DuckDB's segment-tree window order). */
+  private val EwmaW: Seq[Long] = (0 until 14).map(m =>
+    (BigDecimal("0.8").pow(m)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      * 1000000).toLongExact)
+
+  /** EWMA level per (type, day) — time-decay smoothing, the forecasting
+    * sibling of [[eventsAnomaly]]'s global z-scores: each day's
+    * expected level is the exponentially-weighted mean of the trailing
+    * 14 days (α=0.2), and `spike` flags days at >2× their own smoothed
+    * level via the EXACT cross-multiplied compare `x·Σw > 2·Σwx` — no
+    * division, no floats, until the display value. The bounded lag
+    * join (days × ≤14 lags) replaces the sequential EWMA recurrence —
+    * the recurrence doesn't distribute; the windowed weighted mean
+    * does, and on calendar-bounded rows it costs nothing.
+    */
+  def eventsEwma(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val wArr = array(EwmaW.map(lit): _*)
+    val lag = daily.select(col("event_type"), col("d").as("bd"), col("x").as("bx"))
+    daily.join(lag, Seq("event_type"))
+      .withColumn("dd", datediff(col("d"), col("bd")))
+      .filter(col("dd") >= 0 && col("dd") <= 13)
+      .withColumn("w", element_at(wArr, col("dd") + 1))
+      .groupBy(col("event_type"), col("d"), col("x"))
+      .agg(sum(col("w") * col("bx")).as("num"), sum("w").as("den"))
+      .select(col("event_type"), col("d"), col("x"),
+        expr("(2 * num * 1000000 + den) div (2 * den) / 1e6").as("ewma"),
+        (col("x") * col("den") > col("num") * 2).as("spike"))
+      .orderBy("event_type", "d")
+  }
+
+  val eventsEwmaSql: String = {
+    val lits = EwmaW.mkString("[", ", ", "]")
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS d,
+       |    CAST(COUNT(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |lagged AS (
+       |  SELECT a.event_type, a.d, a.x,
+       |    ($lits)[CAST(date_diff('day', b.d, a.d) + 1 AS INT)] AS w,
+       |    b.x AS bx
+       |  FROM daily a JOIN daily b ON a.event_type = b.event_type
+       |    AND date_diff('day', b.d, a.d) BETWEEN 0 AND 13)
+       |SELECT event_type, d, x,
+       |  (2 * SUM(w * bx) * 1000000 + SUM(w)) // (2 * SUM(w)) / 1e6 AS ewma,
+       |  x * SUM(w) > SUM(w * bx) * 2 AS spike
+       |FROM lagged
+       |GROUP BY event_type, d, x
+       |ORDER BY event_type, d""".stripMargin
+  }
+
   /** Deterministic A/B EXPERIMENT readout: users hash into two variants
     * (the [[graft.queries.CoreQueries]] train_test_split discipline —
     * stable across runs/engines/partitionings, no random()), and each
@@ -1286,6 +1344,7 @@ object EventQueries {
     "events_transitions" -> ((eventsTransitions _, eventsTransitionsSql)),
     "events_anomaly" -> ((eventsAnomaly _, eventsAnomalySql)),
     "events_changepoint" -> ((eventsChangepoint _, eventsChangepointSql)),
+    "events_ewma" -> ((eventsEwma _, eventsEwmaSql)),
     "ab_assign" -> ((abAssign _, abAssignSql)),
     "events_funnel" -> ((eventsFunnel _, eventsFunnelSql)),
     "events_approx_users" -> ((eventsApproxUsers _, eventsApproxUsersSql)),
