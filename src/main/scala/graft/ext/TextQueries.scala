@@ -753,6 +753,17 @@ object TextQueries {
     * winning pair AND its corpus count are hash-checked every round.
     */
   def bpeTrainDetail(docs: DataFrame, merges: Int): Seq[(Int, String, String, Long)] = {
+    val (detail, vocab) = bpeTrainState(docs, merges)
+    graft.SparkUtil.release(vocab)
+    detail
+  }
+
+  /** Trainer core returning the merge record AND the final vocabulary
+    * state `(n, syms)` as an (eagerly checkpointed, NOT released)
+    * DataFrame — the artifact [[bpeTokens]] counts tokens from. Callers
+    * who don't keep the state must release it. */
+  private def bpeTrainState(docs: DataFrame,
+      merges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
     var vocab = docs
       .select(explode(expr("filter(split(lower(text), ' +'), w -> w != '')")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
@@ -794,8 +805,7 @@ object TextQueries {
         round += 1
       }
     }
-    graft.SparkUtil.release(vocab)
-    out.toSeq
+    (out.toSeq, vocab)
   }
 
   /** Apply a trained BPE merge list ([[bpeTrain]]'s output, in training
@@ -836,12 +846,16 @@ object TextQueries {
     * gated consumers ([[bpeTrainMerges]], [[bpeTokens]]) train ONCE per
     * session, like [[ClusterIndex.forCorpus]] shares its CC fixpoint.
     */
-  private val bpeMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String, Long)]]()
+  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Int, String, String, Long)], DataFrame)]()
+
+  private def gateTrained(spark: SparkSession,
+      dir: String): (Seq[(Int, String, String, Long)], DataFrame) =
+    bpeMemo.computeIfAbsent(dir,
+      _ => bpeTrainState(Tables(spark, dir, "documents"), BpeGateRounds))
 
   private def gateMerges(spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
-    bpeMemo.computeIfAbsent(dir,
-      _ => bpeTrainDetail(Tables(spark, dir, "documents"), BpeGateRounds))
+    gateTrained(spark, dir)._1
 
   /** [[bpeTrainDetail]] under the hard correctness gate: the trained
     * merge table `(round, a, b, cnt)`. The Spark side runs the
@@ -863,30 +877,24 @@ object TextQueries {
       .orderBy("round")
   }
 
-  /** Train-then-ENCODE under the gate: apply the [[BpeGateRounds]]
-    * learned merges and emit the corpus top-30 token frequencies. The
-    * encoder ([[bpeEncode]]'s k-nested fold) runs over the WORD-
-    * FREQUENCY table, not the raw corpus — for token COUNTING that is
-    * the 100 TB shape: one groupBy(word) shuffle collapses the corpus
-    * to its vocabulary (orders of magnitude smaller), the fold then
-    * pays per word TYPE, and counts weight by frequency. (An early
-    * corpus-wide encode measured 24 s at sf0.1 — all interpreted-
-    * lambda cost on repeated words; this form is linear in the
-    * vocabulary.) The oracle never sees the encoder: it finishes its
-    * replayed training chain and counts symbols in the final
-    * vocabulary state weighted by word frequency — equality proves
-    * encode == vocabulary-state, i.e. the projection path tokenizes
-    * exactly as training left the vocabulary. BpeSpec separately pins
-    * the per-document corpus encoder against a reference
-    * implementation.
+  /** Corpus token frequencies after the [[BpeGateRounds]] learned
+    * merges: the top-30 symbols of the trainer's FINAL VOCABULARY
+    * STATE, weighted by word frequency — the artifact the training
+    * loop already materializes round-by-round, read, never recomputed
+    * (one training per session via the memo). The oracle independently
+    * replays the whole training chain (double-replace greedy) and
+    * counts ITS final state — a hash match pins every round's merge
+    * application, not just the winning pairs. Two rejected forms, for
+    * the record: corpus-wide [[bpeEncode]] measured 24 s at sf0.1
+    * (k-nested interpreted folds over every word instance), and the
+    * word-TYPE-table encode still paid ~13 s/run of OPTIMIZER time on
+    * 31 rows — an 8-deep nested-lambda plan is quadratic to analyze
+    * regardless of data size. The per-document projection encoder
+    * stays BpeSpec-pinned against a reference implementation.
     */
   def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
-    val merges = gateMerges(spark, dir).map { case (_, a, b, _) => (a, b) }
-    val wordFreq = Tables(spark, dir, "documents")
-      .select(explode(expr("filter(split(lower(text), ' +'), w -> w != '')")).as("text"))
-      .groupBy("text").agg(count(lit(1)).as("n"))
-    bpeEncode(wordFreq, merges)
-      .select(explode(col("tokens")).as("token"), col("n"))
+    val vocab = gateTrained(spark, dir)._2
+    vocab.select(explode(col("syms")).as("token"), col("n"))
       .groupBy("token").agg(sum("n").as("cnt"))
       .orderBy(desc("cnt"), asc("token")).limit(30)
   }
