@@ -853,6 +853,119 @@ object OlapQueries {
       |GROUP BY o_year
       |ORDER BY o_year""".stripMargin
 
+  /** TPC-H Q14 shape (promotion revenue share): the two-branch
+    * conditional aggregate over ONE scan — promo revenue and total
+    * revenue come from the same pass (a `SUM(CASE …)/SUM(…)` pair), the
+    * month window pushes into the orders scan, part broadcasts. Exact
+    * decimal sums; one division on the two final scalars.
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val part = Tables(spark, dir, "part").select("p_partkey", "p_type")
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-04-01"))
+      .select("o_orderkey")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .withColumn("rev", dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev"))
+          .otherwise(lit(0).cast("decimal(18,4)"))).as("promo_rev"),
+        sum(col("rev")).as("total_rev"))
+      .select(
+        col("promo_rev").cast("double").as("promo_rev"),
+        col("total_rev").cast("double").as("total_rev"),
+        round(col("promo_rev").cast("double") * 100.0
+          / col("total_rev").cast("double"), 6).as("promo_pct"))
+  }
+
+  val q14PromoShareSql: String =
+    """SELECT
+      |  CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN
+      |    CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+      |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_rev,
+      |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS total_rev,
+      |  ROUND(CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN
+      |      CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+      |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100.0
+      |    / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+      |      AS DOUBLE), 6) AS promo_pct
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      |JOIN part p ON l.l_partkey = p.p_partkey""".stripMargin
+
+  /** TPC-H Q12 shape (late-shipment severity by mode): `l_linestatus`
+    * stands in for shipmode (the synthetic schema has no l_shipmode).
+    * One fact shuffle join, severity split as two conditional counts in
+    * one aggregate — the plan never scans per severity class.
+    */
+  def q12LateBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val ord = Tables(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+          .as("high_line_count"),
+        count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+          .as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  val q12LateBucketsSql: String =
+    """SELECT l.l_linestatus,
+      |  CAST(COUNT(*) FILTER (WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+      |    AS BIGINT) AS high_line_count,
+      |  CAST(COUNT(*) FILTER (WHERE o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+      |    AS BIGINT) AS low_line_count
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      |GROUP BY l.l_linestatus
+      |ORDER BY l.l_linestatus""".stripMargin
+
+  /** TPC-H Q19 shape (disjunctive join predicate): an OR of three
+    * brand/size/quantity conjunctions ACROSS the join — the classic
+    * test that the planner (a) keeps the disjunction as a join residual
+    * rather than exploding the join, and (b) still pushes the
+    * single-table parts of each disjunct into the scans where common
+    * (quantity ≤ 30 and size ≤ 35 hold in every branch and prune
+    * row groups).
+    */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val part = Tables(spark, dir, "part").select("p_partkey", "p_brand", "p_size")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 10)) ||
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#25" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30)))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double").as("revenue"))
+  }
+
+  val q19DisjunctiveSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS revenue
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+      |       AND l.l_quantity BETWEEN 1 AND 10)
+      |   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+      |       AND l.l_quantity BETWEEN 10 AND 20)
+      |   OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 1 AND 35
+      |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   private val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
   private val CorrPairs: Seq[(String, String)] =
     for { i <- CorrCols.indices; j <- (i + 1) until CorrCols.size }
@@ -922,6 +1035,9 @@ object OlapQueries {
 
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q8_market_share" -> ((q8MarketShare _, q8MarketShareSql)),
+    "q14_promo_share" -> ((q14PromoShare _, q14PromoShareSql)),
+    "q12_late_buckets" -> ((q12LateBuckets _, q12LateBucketsSql)),
+    "q19_disjunctive" -> ((q19Disjunctive _, q19DisjunctiveSql)),
     "corr_matrix" -> ((corrMatrix _, corrMatrixSql)),
     "mode_agg" -> ((modeAgg _, modeAggSql)),
     "histogram_values" -> ((histogramValues _, histogramValuesSql)),

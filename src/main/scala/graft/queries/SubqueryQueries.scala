@@ -240,8 +240,57 @@ object SubqueryQueries {
       |ORDER BY numwait DESC, s.s_name
       |LIMIT 20""".stripMargin
 
+  /** TPC-H Q4 shape (order priority checking): EXISTS correlated on the
+    * order key AND a non-equi lateness bound on the outer's own date
+    * column — rewritten to one left-semi join against lineitem with the
+    * bound in the join condition; the date window pushes into the
+    * orders scan. The simplest member of the EXISTS family, registered
+    * so the rewrite is pinned from simple (Q4) through hard (Q21).
+    */
+  def q4PriorityCheck(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir, "orders", "lineitem")
+    spark.sql(q4PriorityCheckSql)
+  }
+
+  val q4PriorityCheckSql: String =
+    """SELECT o.o_orderpriority, COUNT(*) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o.o_orderpriority
+      |ORDER BY o.o_orderpriority""".stripMargin
+
+  /** TPC-H Q16 shape (parts/supplier relationship): COUNT(DISTINCT)
+    * per group behind a NOT IN whose subquery is an uncorrelated
+    * selective set — Catalyst turns the NOT IN into a null-aware
+    * left-anti join (safe here: keys are non-null), and the distinct
+    * count shuffles once on the group keys. Top-20 with a full tie
+    * order.
+    */
+  def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir, "part", "lineitem", "supplier")
+    spark.sql(q16SupplierCntSql)
+  }
+
+  val q16SupplierCntSql: String =
+    """SELECT p.p_brand, p.p_size,
+      |  COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+      |FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+      |WHERE p.p_brand <> 'Brand#1'
+      |  AND l.l_suppkey NOT IN
+      |    (SELECT s_suppkey FROM supplier WHERE s_nationkey = 0)
+      |GROUP BY p.p_brand, p.p_size
+      |ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+      |LIMIT 20""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "corr_late_supplier" -> ((corrLateSupplier _, corrLateSupplierSql)),
+    "q4_priority_check" -> ((q4PriorityCheck _, q4PriorityCheckSql)),
+    "q16_supplier_cnt" -> ((q16SupplierCnt _, q16SupplierCntSql)),
     "corr_min_cost" -> ((corrMinCost _, corrMinCostSql)),
     "exists_returned" -> ((existsReturned _, existsReturnedSql)),
     "lateral_topk" -> ((lateralTopk _, lateralTopkSql)),
