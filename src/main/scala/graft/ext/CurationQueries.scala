@@ -527,11 +527,15 @@ object CurationQueries {
       .filter(col("value").isNotNull)
       .select(to_date(col("ts")).as("d"), col("value"))
     val bounds = ev.agg(min("value").as("minv"), max("value").as("maxv"))
+    // persisted: the calendar-bounded (day, bin) rollup feeds the grid's
+    // distinct-days side AND the dense left join — uncached, the corpus
+    // bin pass plans twice (PlanAuditSpec pins 2 scans total)
     val daily = ev.crossJoin(broadcast(bounds))
       .withColumn("bin",
         least(floor((col("value") - col("minv")) * lit(10.0)
           / (col("maxv") - col("minv"))), lit(9L)).cast("long"))
       .groupBy("d", "bin").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grid = daily.select("d").distinct()
       .crossJoin(broadcast(
         spark.range(0, 10).select(col("id").as("bin"))))

@@ -602,9 +602,12 @@ object EventQueries {
     * does, and on calendar-bounded rows it costs nothing.
     */
   def eventsEwma(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the calendar-bounded rollup feeds BOTH lag-join sides —
+    // without the cache the corpus aggregate plans twice (PlanAuditSpec)
     val daily = Tables(spark, dir, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wArr = array(EwmaW.map(lit): _*)
     val lag = daily.select(col("event_type"), col("d").as("bd"), col("x").as("bx"))
     daily.join(lag, Seq("event_type"))

@@ -135,6 +135,21 @@ class PlanAuditSpec extends SparkSpec {
     "dsir_select" -> 2,        // model pass + scoring pass; the persisted
                                // B-row model serves totals AND λ from one
                                // cache — 3 scans means it unpersisted
+    "q19_disjunctive" -> 2,    // lineitem + broadcast part; the OR stays a
+                               // residual — extra scans mean it exploded
+                               // into a union of per-branch joins
+    "q14_promo_share" -> 3,    // fact + date-pruned orders + part; both
+                               // sums share one conditional aggregate
+    "q12_late_buckets" -> 2,   // fact join + one conditional aggregate
+    "events_changepoint" -> 1, // one (type, day) aggregate; windows +
+                               // argmax on calendar-bounded rows
+    "events_ewma" -> 1,        // daily rollup persisted? no — one scan,
+                               // the lag join is rollup × rollup
+    "ab_assign" -> 1,          // everything in one conditional aggregate
+    "source_entropy" -> 1,
+    "drift_psi_daily" -> 1,    // the persisted (day,bin) rollup subsumes
+                               // both the bounds scalar and the bin pass;
+                               // grid + dense + lag all read the cache
 
     "ann_index_search" -> 3    // probed index segment + the query-side
                                // embeddings scan + that same probe subtree
