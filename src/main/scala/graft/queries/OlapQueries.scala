@@ -853,6 +853,182 @@ object OlapQueries {
       |GROUP BY o_year
       |ORDER BY o_year""".stripMargin
 
+  /** TPC-H Q6 (forecasting revenue change): the canonical PURE-SCAN
+    * aggregate — three range predicates, no join, one pass; every
+    * predicate must reach the parquet reader (`PushedFilters`), which
+    * is the entire point of the query at 100 TB.
+    */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice") * col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q6ForecastSql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    * on RETURNED lines in a quarter — fact⋈fact shuffle join with the
+    * returnflag and date predicates pushed, customer + nation
+    * broadcast, top-k as TakeOrdered with a full tie order.
+    */
+  def q10Returned(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-04-01"))
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    val nat = Tables(spark, dir, "nation").select("n_nationkey", "n_name")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .cast("double").as("revenue"),
+        max(col("c_acctbal").cast("double")).as("acctbal"))
+      .orderBy(desc("revenue"), asc("c_custkey")).limit(20)
+  }
+
+  val q10ReturnedSql: String =
+    """SELECT c.c_custkey, c.c_name, n.n_name,
+      |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS revenue,
+      |  MAX(CAST(c.c_acctbal AS DOUBLE)) AS acctbal
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE l.l_returnflag = 'R'
+      |GROUP BY c.c_custkey, c.c_name, n.n_name
+      |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q13 (customer distribution): the OUTER-JOIN COUNT histogram —
+    * customers with ZERO orders must land in the c_count=0 bucket, which
+    * is exactly what a naive inner-join formulation silently drops (the
+    * COUNT-bug family, here in its group-then-histogram form). One
+    * customer-keyed outer aggregate, then a bounded histogram shuffle.
+    */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer").select("c_custkey")
+    val ord = Tables(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    cust.join(ord, col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  val q13CustDistSql: String =
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      |  GROUP BY c.c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q15 (top supplier): equality against the MAX of an
+    * aggregate — every supplier tied at the exact maximum survives,
+    * which only works because revenue stays DECIMAL through the
+    * aggregate, the MAX, and the equality (the corr_min_cost
+    * discipline applied to a derived aggregate instead of a base
+    * column).
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-07-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("total_rev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val best = rev.agg(max("total_rev").as("mx"))
+    Tables(spark, dir, "supplier").select("s_suppkey", "s_name")
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(best), col("total_rev") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  val q15TopSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-07-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+      |FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+      |WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+      |ORDER BY s.s_suppkey""".stripMargin
+
+  /** TPC-H Q9 shape (product-type profit by nation and year), adapted
+    * to this schema: no partsupp table, so unit cost is the published
+    * retail price at a 90% wholesale discount (`0.9·p_retailprice` —
+    * deterministic, engine-identical arithmetic). Profit stays exact:
+    * revenue and cost each round to DECIMAL(18,4) per line BEFORE the
+    * subtraction and the sums, so the (nation, year) totals are
+    * order-free. Part filter pushes; nation enters through the
+    * SUPPLIER side (the Q9 role).
+    */
+  def q9Profit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val part = Tables(spark, dir, "part")
+      .filter(col("p_type") === "STANDARD")
+      .select("p_partkey", "p_retailprice")
+    val supp = Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val nat = Tables(spark, dir, "nation").select("n_nationkey", "n_name")
+    val ord = Tables(spark, dir, "orders").select("o_orderkey", "o_orderdate")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("profit",
+        dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          - dec(col("l_quantity") * col("p_retailprice") * lit(0.9)))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(col("profit")).cast("double").as("profit"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(asc("nation"), desc("o_year"))
+  }
+
+  val q9ProfitSql: String =
+    """SELECT n.n_name AS nation,
+      |  CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(SUM(
+      |    CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+      |    - CAST(l.l_quantity * p.p_retailprice * 0.9 AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS profit,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'STANDARD'
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
+      |ORDER BY nation, o_year DESC""".stripMargin
+
   /** TPC-H Q14 shape (promotion revenue share): the two-branch
     * conditional aggregate over ONE scan — promo revenue and total
     * revenue come from the same pass (a `SUM(CASE …)/SUM(…)` pair), the
@@ -1036,6 +1212,11 @@ object OlapQueries {
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q8_market_share" -> ((q8MarketShare _, q8MarketShareSql)),
     "q14_promo_share" -> ((q14PromoShare _, q14PromoShareSql)),
+    "q6_forecast" -> ((q6Forecast _, q6ForecastSql)),
+    "q10_returned" -> ((q10Returned _, q10ReturnedSql)),
+    "q13_custdist" -> ((q13CustDist _, q13CustDistSql)),
+    "q15_top_supplier" -> ((q15TopSupplier _, q15TopSupplierSql)),
+    "q9_profit" -> ((q9Profit _, q9ProfitSql)),
     "q12_late_buckets" -> ((q12LateBuckets _, q12LateBucketsSql)),
     "q19_disjunctive" -> ((q19Disjunctive _, q19DisjunctiveSql)),
     "corr_matrix" -> ((corrMatrix _, corrMatrixSql)),
