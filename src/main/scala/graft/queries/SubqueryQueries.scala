@@ -287,8 +287,68 @@ object SubqueryQueries {
       |ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
       |LIMIT 20""".stripMargin
 
+  /** TPC-H Q11 shape (important stock): a grouped aggregate filtered
+    * against a SCALAR SUBQUERY over the same fact (group value >
+    * 1.5× the average per-part quantity) — the uncorrelated-scalar
+    * HAVING case with TWO scalar subqueries (total and distinct-part
+    * count), the comparison cross-multiplied to exact BIGINT
+    * (`2·group·n_parts > 3·total`) so no division ever runs. (No
+    * partsupp in this schema; shipped quantity stands in for stock
+    * value, and the relative threshold keeps the result non-empty at
+    * every scale where TPC-H's absolute 0.1% would return nothing on
+    * this flat synthetic distribution.)
+    */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir, "lineitem")
+    spark.sql(q11ImportantPartsSql)
+  }
+
+  val q11ImportantPartsSql: String =
+    """SELECT l_partkey,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS part_qty
+      |FROM lineitem
+      |GROUP BY l_partkey
+      |HAVING SUM(CAST(l_quantity AS BIGINT))
+      |    * (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) * 2 >
+      |  (SELECT SUM(CAST(l_quantity AS BIGINT)) FROM lineitem) * 3
+      |ORDER BY part_qty DESC, l_partkey
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q20 shape (excess volume): IN whose subquery filters on a
+    * CORRELATED scalar aggregate over a DERIVED grouped table — the
+    * supplier-part pairs holding their part's MAXIMUM shipped volume
+    * (the plurality holders, non-empty by construction), then the
+    * suppliers behind them. Two decorrelation layers: the correlated
+    * MAX over the derived aggregate becomes a per-part aggregate
+    * joined back on the correlation key, the IN becomes a left-semi
+    * join. Exact BIGINT volumes; `>=` against the max keeps every
+    * tied pair.
+    */
+  def q20VolumeShare(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir, "supplier", "lineitem")
+    spark.sql(q20VolumeShareSql)
+  }
+
+  val q20VolumeShareSql: String =
+    """SELECT s.s_suppkey, s.s_name
+      |FROM supplier s
+      |WHERE s.s_suppkey IN (
+      |  SELECT lp.l_suppkey FROM (
+      |    SELECT l_suppkey, l_partkey,
+      |      SUM(CAST(l_quantity AS BIGINT)) AS vol
+      |    FROM lineitem GROUP BY l_suppkey, l_partkey) lp
+      |  WHERE lp.vol >= (
+      |    SELECT MAX(lp2.vol) FROM (
+      |      SELECT l_suppkey, l_partkey,
+      |        SUM(CAST(l_quantity AS BIGINT)) AS vol
+      |      FROM lineitem GROUP BY l_suppkey, l_partkey) lp2
+      |    WHERE lp2.l_partkey = lp.l_partkey))
+      |ORDER BY s.s_suppkey""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "corr_late_supplier" -> ((corrLateSupplier _, corrLateSupplierSql)),
+    "q11_important_parts" -> ((q11ImportantParts _, q11ImportantPartsSql)),
+    "q20_volume_share" -> ((q20VolumeShare _, q20VolumeShareSql)),
     "q4_priority_check" -> ((q4PriorityCheck _, q4PriorityCheckSql)),
     "q16_supplier_cnt" -> ((q16SupplierCnt _, q16SupplierCntSql)),
     "corr_min_cost" -> ((corrMinCost _, corrMinCostSql)),
