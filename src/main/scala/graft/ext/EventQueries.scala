@@ -581,6 +581,91 @@ object EventQueries {
       |FROM best WHERE rn = 1
       |ORDER BY event_type""".stripMargin
 
+  /** SEASONALITY PROFILE — the day-of-week × hour-of-day load matrix
+    * with each cell's share of its day (integer-micros rounding): the
+    * capacity-planning readout every event store serves. One corpus
+    * aggregate to ≤ 7×24 cells; the share window runs on those cells.
+    * Day-of-week via `dayofweek` (1=Sunday — matches DuckDB's
+    * `dayofweek`+1 once aligned below).
+    */
+  def eventsSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables(spark, dir, "events")
+      .groupBy(dayofweek(col("ts")).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("day_total", sum("n").over(Window.partitionBy("dow")))
+      .select(col("dow"), col("hod"), col("n"),
+        expr("(2 * n * 1000000 + day_total) div (2 * day_total) / 1e6")
+          .as("share_of_day"))
+      .orderBy("dow", "hod")
+  }
+
+  val eventsSeasonalitySql: String =
+    """WITH c AS (
+      |  SELECT dayofweek(ts) + 1 AS dow, EXTRACT(HOUR FROM ts) AS hod,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod, n,
+      |  (2 * n * 1000000 + SUM(n) OVER (PARTITION BY dow))
+      |    // (2 * SUM(n) OVER (PARTITION BY dow)) / 1e6 AS share_of_day
+      |FROM c
+      |ORDER BY dow, hod""".stripMargin
+
+  /** RFM SEGMENTATION — recency / frequency / monetary quintiles per
+    * customer, the classic marketing cut: one orders aggregate per
+    * customer (days-since-last vs the corpus max date, order count,
+    * decimal spend), three NTILE(5) windows sharing full deterministic
+    * tie orders (metric, then custkey), and the 555…111 segment code.
+    * The max-date scalar broadcasts back — never a global sort of
+    * customers; the NTILE windows are unpartitioned BY DEFINITION
+    * (global quintiles) but run on the customer-level AGGREGATE, which
+    * is the smallest frame carrying the answer; at 100 TB you'd trade
+    * exact quintiles for approx-percentile cuts — the documented swap.
+    */
+  def ordersRfm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Tables(spark, dir, "orders")
+    val maxd = ord.agg(max(col("o_orderdate")).as("maxd"))
+    val per = ord.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).as("monetary"))
+      .crossJoin(broadcast(maxd))
+      .select(col("o_custkey"),
+        datediff(col("maxd"), col("last_order")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary"))
+    per
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(desc("recency_days"), asc("o_custkey"))))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(asc("frequency"), asc("o_custkey"))))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(asc("monetary"), asc("o_custkey"))))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary").cast("double").as("monetary"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .cast("long").as("rfm_segment"))
+      .orderBy("o_custkey")
+  }
+
+  val ordersRfmSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    date_diff('day', MAX(o_orderdate),
+      |      (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+      |    CAST(COUNT(*) AS BIGINT) AS frequency,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS monetary
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+      |  frequency, CAST(monetary AS DOUBLE) AS monetary,
+      |  CAST(NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey) * 100
+      |    + NTILE(5) OVER (ORDER BY frequency, o_custkey) * 10
+      |    + NTILE(5) OVER (ORDER BY monetary, o_custkey) AS BIGINT)
+      |    AS rfm_segment
+      |FROM per
+      |ORDER BY o_custkey""".stripMargin
+
   /** 6dp-integer EWMA weights 0.8^m·10⁶, m = 0..13 — computed ONCE in
     * exact BigDecimal and inlined as literals into BOTH engines' plans,
     * so the smoothing is pure integer arithmetic end to end (a window
@@ -1348,6 +1433,8 @@ object EventQueries {
     "events_anomaly" -> ((eventsAnomaly _, eventsAnomalySql)),
     "events_changepoint" -> ((eventsChangepoint _, eventsChangepointSql)),
     "events_ewma" -> ((eventsEwma _, eventsEwmaSql)),
+    "events_seasonality" -> ((eventsSeasonality _, eventsSeasonalitySql)),
+    "orders_rfm" -> ((ordersRfm _, ordersRfmSql)),
     "ab_assign" -> ((abAssign _, abAssignSql)),
     "events_funnel" -> ((eventsFunnel _, eventsFunnelSql)),
     "events_approx_users" -> ((eventsApproxUsers _, eventsApproxUsersSql)),
