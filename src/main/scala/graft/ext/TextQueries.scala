@@ -433,6 +433,52 @@ object TextQueries {
       |WHERE rank <= 5
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** N-GRAM NOVELTY — the dataset-saturation diagnostic: in doc_id
+    * (ingest) order, what fraction of each document's distinct word
+    * 3-grams has never appeared in ANY earlier document? A corpus whose
+    * novelty curve collapses is re-crawling itself — the macro signal
+    * the per-pair dedup tier can't see. Each 3-gram's FIRST OWNER is
+    * one `min(doc_id)` aggregate on the shingle hash (no ordering, no
+    * window over the corpus); novelty is then a per-doc count ratio in
+    * exact integer micros. Two shuffles total (shingle, doc) at any
+    * corpus size.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val shingles = Tables(spark, dir, "documents")
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, size(words) - 2),
+             i -> md5(concat_ws(' ', slice(words, i, 3)))))""")).as("sh"))
+    val firstOwner = shingles.groupBy("sh").agg(min("doc_id").as("first_doc"))
+    shingles.join(firstOwner, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("(2 * n_novel * 1000000 + n_grams) div (2 * n_grams) / 1e6")
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  val ngramNoveltySql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |      i -> md5(array_to_string(ws[i:i+2], ' '))))) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 3),
+      |fo AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh)
+      |SELECT s.doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(COUNT(*) FILTER (WHERE fo.first_doc = s.doc_id) AS BIGINT)
+      |    AS n_novel,
+      |  (2 * COUNT(*) FILTER (WHERE fo.first_doc = s.doc_id) * 1000000
+      |    + COUNT(*)) // (2 * COUNT(*)) / 1e6 AS novelty
+      |FROM sh s JOIN fo ON fo.sh = s.sh
+      |GROUP BY s.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
   /** Sparse TF-IDF document-similarity self-join via an inverted index
     * with a POSTING-LIST CAP — the lexical counterpart of
     * [[SimilarityQueries.embedLshPairs]]: candidate pairs are generated
@@ -1196,6 +1242,7 @@ object TextQueries {
     "text_normalize" -> ((textNormalize _, textNormalizeSql)),
     "bpe_top_pairs" -> ((bpeTopPairs _, bpeTopPairsSql)),
     "bpe_train_merges" -> ((bpeTrainMerges _, bpeTrainMergesSql)),
+    "ngram_novelty" -> ((ngramNovelty _, ngramNoveltySql)),
     "bpe_tokens" -> ((bpeTokens _, bpeTokensSql)),
     "quality_classifier" -> ((qualityClassifier _, qualityClassifierSql)),
     "text_stats" -> ((textStats _, textStatsSql)),
