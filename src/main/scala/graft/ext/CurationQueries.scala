@@ -968,8 +968,51 @@ object CurationQueries {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** CROSS-SOURCE OVERLAP MATRIX — which source pairs share CONTENT
+    * SPANS: each source's distinct word-5-gram fingerprints (the
+    * [[DedupQueries.dupSpans]] span unit, lifted to source
+    * granularity) self-joined on the span hash and counted per source
+    * pair. The macro contamination diagnostic in front of the
+    * cross-source dedup tier: a pair sharing many spans means one
+    * source mirrors or quotes another and should be down-weighted at
+    * the SOURCE level, not just per-document. (Whole-document md5
+    * would be the exact form, but mirrored corpora rarely share exact
+    * bytes — they share passages.) One corpus scan + one span-keyed
+    * exchange; join fan-out per span is bounded by |sources|.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val fs = Tables(spark, dir, "documents")
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 5)
+      .select(col("source"), explode(expr(
+        """array_distinct(transform(sequence(1, size(words) - 4),
+             i -> md5(concat_ws(' ', slice(words, i, 5)))))""")).as("sh"))
+      .distinct()
+    val a = fs.select(col("sh"), col("source").as("source_a"))
+    val b = fs.select(col("sh"), col("source").as("source_b"))
+    a.join(b, Seq("sh"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared_spans"))
+      .orderBy(desc("n_shared_spans"), asc("source_a"), asc("source_b"))
+  }
+
+  val sourceOverlapSql: String =
+    """WITH fs AS (
+      |  SELECT DISTINCT source,
+      |    unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+      |      i -> md5(array_to_string(ws[i:i+4], ' '))))) AS sh
+      |  FROM (SELECT source, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 5)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shared_spans
+      |FROM fs a JOIN fs b ON a.sh = b.sh AND a.source < b.source
+      |GROUP BY a.source, b.source
+      |ORDER BY n_shared_spans DESC, source_a, source_b""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "source_entropy" -> ((sourceEntropy _, sourceEntropySql)),
+    "source_overlap" -> ((sourceOverlap _, sourceOverlapSql)),
     "dsir_select" -> ((dsirSelect _, dsirSelectSql)),
     "golden_record" -> ((goldenRecord _, goldenRecordSql)),
     "quality_calibrate" -> ((qualityCalibrate _, qualityCalibrateSql)),

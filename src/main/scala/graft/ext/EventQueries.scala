@@ -581,6 +581,37 @@ object EventQueries {
       |FROM best WHERE rn = 1
       |ORDER BY event_type""".stripMargin
 
+  /** FRESHNESS MONITOR — per event type: last event time, minutes
+    * behind the newest event anywhere, and last-day volume. The
+    * liveness row every ingest dashboard leads with; a type whose lag
+    * grows while its last-day count collapses is a dead upstream. One
+    * corpus aggregate; the global max rides back as a broadcast
+    * scalar.
+    */
+  def eventsFreshness(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val global = ev.agg(max(col("ts")).as("gmax"))
+    ev.groupBy("event_type")
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_total"))
+      .crossJoin(broadcast(global))
+      .select(col("event_type"), col("last_ts"),
+        ((unix_micros(col("gmax")) - unix_micros(col("last_ts")))
+          / lit(60000000L)).cast("long").as("minutes_behind"),
+        col("n_total"))
+      .orderBy("event_type")
+  }
+
+  val eventsFreshnessSql: String =
+    """WITH g AS (SELECT MAX(ts) AS gmax FROM events)
+      |SELECT event_type,
+      |  MAX(ts) AS last_ts,
+      |  CAST(epoch_us((SELECT gmax FROM g) - MAX(ts)) // 60000000
+      |    AS BIGINT) AS minutes_behind,
+      |  CAST(COUNT(*) AS BIGINT) AS n_total
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** SEASONALITY PROFILE — the day-of-week × hour-of-day load matrix
     * with each cell's share of its day (integer-micros rounding): the
     * capacity-planning readout every event store serves. One corpus
@@ -1434,6 +1465,7 @@ object EventQueries {
     "events_changepoint" -> ((eventsChangepoint _, eventsChangepointSql)),
     "events_ewma" -> ((eventsEwma _, eventsEwmaSql)),
     "events_seasonality" -> ((eventsSeasonality _, eventsSeasonalitySql)),
+    "events_freshness" -> ((eventsFreshness _, eventsFreshnessSql)),
     "orders_rfm" -> ((ordersRfm _, ordersRfmSql)),
     "ab_assign" -> ((abAssign _, abAssignSql)),
     "events_funnel" -> ((eventsFunnel _, eventsFunnelSql)),
