@@ -697,6 +697,65 @@ object EventQueries {
       |FROM per
       |ORDER BY o_custkey""".stripMargin
 
+  /** AUTOCORRELATION FUNCTION of the daily event-count series at lags
+    * 1..7 — the is-there-weekly-structure statistic in front of any
+    * forecasting model ([[eventsSeasonality]] shows WHERE the load
+    * sits; the ACF shows whether yesterday predicts today). One corpus
+    * aggregate to the calendar-bounded daily rollup (persisted — it
+    * feeds both sides of the lag join); the lag pairing is a
+    * days×days range join on that bounded frame, so at 100 TB the
+    * quadratic term is in CALENDAR DAYS, never rows. Pearson per lag
+    * follows the [[graft.queries.OlapQueries]] corrMatrix float
+    * contract: all moments are exact BIGINT sums (order-free), the
+    * only float ops are the final division and two sqrts on products
+    * < 2⁵³ (exact in doubles), rounded at 6dp.
+    */
+  def eventsAcf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = daily.select(col("d").as("bd"), col("x").as("xb"))
+    daily.join(b, datediff(col("bd"), col("d")).between(1, 7))
+      .select(datediff(col("bd"), col("d")).cast("long").as("lag"),
+        col("x").as("xa"), col("xb"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum("xa").as("sa"), sum("xb").as("sb"),
+        sum(col("xa") * col("xa")).as("qa"),
+        sum(col("xb") * col("xb")).as("qb"),
+        sum(col("xa") * col("xb")).as("sxy"))
+      .select(col("lag"), col("n"),
+        round((col("n") * col("sxy") - col("sa") * col("sb")).cast("double")
+          / (sqrt((col("n") * col("qa") - col("sa") * col("sa")).cast("double"))
+            * sqrt((col("n") * col("qb") - col("sb") * col("sb")).cast("double"))), 6)
+          .as("acf"))
+      .orderBy("lag")
+  }
+
+  val eventsAcfSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |lagged AS (
+      |  SELECT CAST(date_diff('day', a.d, b.d) AS BIGINT) AS lag,
+      |    a.x AS xa, b.x AS xb
+      |  FROM daily a JOIN daily b
+      |    ON date_diff('day', a.d, b.d) BETWEEN 1 AND 7),
+      |m AS (
+      |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(xa) AS BIGINT) AS sa, CAST(SUM(xb) AS BIGINT) AS sb,
+      |    CAST(SUM(xa * xa) AS BIGINT) AS qa,
+      |    CAST(SUM(xb * xb) AS BIGINT) AS qb,
+      |    CAST(SUM(xa * xb) AS BIGINT) AS sxy
+      |  FROM lagged GROUP BY lag)
+      |SELECT lag, n,
+      |  ROUND(CAST(n * sxy - sa * sb AS DOUBLE)
+      |    / (SQRT(CAST(n * qa - sa * sa AS DOUBLE))
+      |      * SQRT(CAST(n * qb - sb * sb AS DOUBLE))), 6) AS acf
+      |FROM m
+      |ORDER BY lag""".stripMargin
+
   /** 6dp-integer EWMA weights 0.8^m·10⁶, m = 0..13 — computed ONCE in
     * exact BigDecimal and inlined as literals into BOTH engines' plans,
     * so the smoothing is pure integer arithmetic end to end (a window
@@ -1464,6 +1523,7 @@ object EventQueries {
     "events_anomaly" -> ((eventsAnomaly _, eventsAnomalySql)),
     "events_changepoint" -> ((eventsChangepoint _, eventsChangepointSql)),
     "events_ewma" -> ((eventsEwma _, eventsEwmaSql)),
+    "events_acf" -> ((eventsAcf _, eventsAcfSql)),
     "events_seasonality" -> ((eventsSeasonality _, eventsSeasonalitySql)),
     "events_freshness" -> ((eventsFreshness _, eventsFreshnessSql)),
     "orders_rfm" -> ((ordersRfm _, ordersRfmSql)),

@@ -749,6 +749,95 @@ object TextQueries {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** CLASSIFIER AUC — the ranking-quality metric for the
+    * [[qualityClassifier]] filter model against the corpus's `lang`
+    * ground truth (positive = 'en'), computed EXACTLY by the rank-sum /
+    * Mann–Whitney identity on a SCORE HISTOGRAM, never a global sort of
+    * documents: scores are the 6dp integer-micros logits (bounded grid,
+    * ≤ 2·10⁶ + 1 distinct values at ANY corpus size), so one corpus
+    * aggregate collapses N docs to the bounded histogram and the rank
+    * window runs on that. Tie handling is the textbook average-rank
+    * form, kept in INTEGERS by doubling: a score group with `cb` items
+    * below it and `c` members has doubled-average-rank 2·cb + c + 1,
+    * so 2·Σranks₊ = Σ p·(2·cb + c + 1) and
+    * AUC = (2·Σranks₊ − n₊(n₊+1)) / (2·n₊·n₋) — one exact
+    * integer-micros division at the end, zero floats anywhere.
+    */
+  def classifierAuc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = 4096
+    val scored = Tables(spark, dir, "documents")
+      .withColumn("words", expr("filter(split(lower(text), ' +'), w -> w != '')"))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("logit_millis", expr(
+        s"""aggregate(transform(words, w ->
+           |  cast(conv(substring(md5(concat('w:', cast(
+           |    cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint) % $B
+           |  AS string))), 1, 15), 16, 10) AS bigint) % 2001 - 1000),
+           |  0L, (acc, x) -> acc + x)""".stripMargin))
+      .select(
+        expr("""CASE WHEN logit_millis >= 0
+                THEN (2 * logit_millis * 1000000 + n_words * 1000)
+                       div (2 * n_words * 1000)
+                ELSE -((2 * -logit_millis * 1000000 + n_words * 1000)
+                       div (2 * n_words * 1000)) END""").as("score_micros"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    val hist = scored.groupBy("score_micros")
+      .agg(count(lit(1)).as("c"), sum("pos").as("p"))
+    val below = Window.orderBy("score_micros")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cb", coalesce(sum("c").over(below), lit(0L)))
+      .agg(sum("p").as("np"), sum(col("c") - col("p")).as("nn"),
+        sum(col("p") * (col("cb") * 2 + col("c") + 1)).as("s2"))
+      .select(col("np"), col("nn"),
+        expr("""(2 * (s2 - np * (np + 1)) * 1000000 + 2 * np * nn)
+                div (2 * 2 * np * nn) / 1e6""").as("auc"))
+  }
+
+  val classifierAucSql: String = {
+    val B = 4096
+    s"""WITH d AS (
+      |  SELECT lang,
+      |    list_filter(string_split(lower(text), ' '), w -> w != '') AS words
+      |  FROM documents),
+      |s AS (
+      |  SELECT CAST(len(words) AS BIGINT) AS n_words,
+      |    CAST(COALESCE(list_sum(list_transform(words, w ->
+      |      CAST(('0x' || substr(md5('w:' || CAST(
+      |        CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % $B
+      |      AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000)), 0) AS BIGINT)
+      |      AS logit_millis,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      |  FROM d),
+      |sc AS (
+      |  SELECT CASE WHEN logit_millis >= 0
+      |      THEN (2 * logit_millis * 1000000 + n_words * 1000)
+      |             // (2 * n_words * 1000)
+      |      ELSE -((2 * -logit_millis * 1000000 + n_words * 1000)
+      |             // (2 * n_words * 1000)) END AS score_micros,
+      |    CAST(pos AS BIGINT) AS pos
+      |  FROM s),
+      |hist AS (
+      |  SELECT score_micros, CAST(COUNT(*) AS BIGINT) AS c,
+      |    CAST(SUM(pos) AS BIGINT) AS p
+      |  FROM sc GROUP BY score_micros),
+      |w AS (
+      |  SELECT c, p, COALESCE(CAST(SUM(c) OVER (ORDER BY score_micros
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      |    AS cb
+      |  FROM hist),
+      |m AS (
+      |  SELECT CAST(SUM(p) AS BIGINT) AS np,
+      |    CAST(SUM(c - p) AS BIGINT) AS nn,
+      |    CAST(SUM(p * (cb * 2 + c + 1)) AS BIGINT) AS s2
+      |  FROM w)
+      |SELECT np, nn,
+      |  (2 * (s2 - np * (np + 1)) * 1000000 + 2 * np * nn)
+      |    // (2 * 2 * np * nn) / 1e6 AS auc
+      |FROM m""".stripMargin
+  }
+
   /** The first BPE-training step under the driver gate: corpus-wide
     * adjacent-CHARACTER pair counts over word occurrences (lowercased,
     * whitespace-tokenized — the same token stream as
@@ -1245,6 +1334,7 @@ object TextQueries {
     "ngram_novelty" -> ((ngramNovelty _, ngramNoveltySql)),
     "bpe_tokens" -> ((bpeTokens _, bpeTokensSql)),
     "quality_classifier" -> ((qualityClassifier _, qualityClassifierSql)),
+    "classifier_auc" -> ((classifierAuc _, classifierAucSql)),
     "text_stats" -> ((textStats _, textStatsSql)),
     "lang_id" -> ((langId _, langIdSql)),
     "doc_fingerprint" -> ((docFingerprint _, docFingerprintSql)),

@@ -1209,7 +1209,90 @@ object OlapQueries {
        |ORDER BY col_a, col_b""".stripMargin
   }
 
+  /** MARKET-BASKET ASSOCIATION RULES (support / confidence / lift) at
+    * the brand level — the recommender-bootstrap statistic every
+    * retail store computes: "baskets with brand A also contain brand
+    * B". Scale decisions: (1) items are the BOUNDED dimension attribute
+    * (25 brands), not raw part keys — co-occurrence on a key with
+    * basket-level frequency ~1 is noise, and the distinct
+    * (basket, item) projection caps the per-basket pair fan-out at
+    * item-vocabulary width, not line count; (2) pairing is a
+    * basket-keyed self-join of that deduped projection — per-basket
+    * quadratic in its ≤|items| distinct brands, NEVER a corpus×corpus
+    * join; (3) the rollup feeds three consumers (basket count, item
+    * supports, pair counts), so it persists once. All three rule
+    * metrics are exact-integer micros (the [[graft.ext.TextQueries]]
+    * qualityClassifier tie discipline); the lift numerator
+    * n_baskets·n_ab·2e6 stays < 2⁶³ through ~sf1 — past that, widen to
+    * decimal(38,0)/HUGEINT. Support floor 1% of baskets keeps the
+    * output scale-invariant.
+    */
+  def marketBasket(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables(spark, dir, "part").select("p_partkey", "p_brand")
+    val ob = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = ob.agg(countDistinct(col("basket")).as("n_baskets"))
+    val supp = ob.groupBy("item").agg(count(lit(1)).as("s"))
+    val b = ob.select(col("basket"), col("item").as("item_b"))
+    val pairs = ob.join(b, Seq("basket"))
+      .filter(col("item") < col("item_b"))
+      .groupBy(col("item").as("ia"), col("item_b").as("ib"))
+      .agg(count(lit(1)).as("n_ab"))
+    val rules = pairs.select(explode(array(
+        struct(col("ia").as("antecedent"), col("ib").as("consequent"), col("n_ab")),
+        struct(col("ib").as("antecedent"), col("ia").as("consequent"), col("n_ab"))))
+        .as("r"))
+      .select(col("r.antecedent"), col("r.consequent"), col("r.n_ab"))
+    rules
+      .join(broadcast(supp.select(col("item").as("antecedent"), col("s").as("supp_a"))),
+        Seq("antecedent"))
+      .join(broadcast(supp.select(col("item").as("consequent"), col("s").as("supp_b"))),
+        Seq("consequent"))
+      .crossJoin(broadcast(n))
+      .filter(col("n_ab") * 100 >= col("n_baskets"))
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        expr("(2 * n_ab * 1000000 + n_baskets) div (2 * n_baskets) / 1e6")
+          .as("support"),
+        expr("(2 * n_ab * 1000000 + supp_a) div (2 * supp_a) / 1e6")
+          .as("confidence"),
+        expr("""(2 * n_baskets * n_ab * 1000000 + supp_a * supp_b)
+                div (2 * supp_a * supp_b) / 1e6""").as("lift"))
+      .orderBy("antecedent", "consequent")
+  }
+
+  val marketBasketSql: String =
+    """WITH ob AS (
+      |  SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |n AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets FROM ob),
+      |supp AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS s FROM ob GROUP BY item),
+      |pr AS (
+      |  SELECT a.item AS ia, b.item AS ib, CAST(COUNT(*) AS BIGINT) AS n_ab
+      |  FROM ob a JOIN ob b ON a.basket = b.basket AND a.item < b.item
+      |  GROUP BY 1, 2),
+      |rules AS (
+      |  SELECT ia AS antecedent, ib AS consequent, n_ab FROM pr
+      |  UNION ALL
+      |  SELECT ib AS antecedent, ia AS consequent, n_ab FROM pr)
+      |SELECT r.antecedent, r.consequent, r.n_ab,
+      |  (2 * r.n_ab * 1000000 + n.n_baskets) // (2 * n.n_baskets) / 1e6
+      |    AS support,
+      |  (2 * r.n_ab * 1000000 + sa.s) // (2 * sa.s) / 1e6 AS confidence,
+      |  (2 * n.n_baskets * r.n_ab * 1000000 + sa.s * sb.s)
+      |    // (2 * sa.s * sb.s) / 1e6 AS lift
+      |FROM rules r
+      |JOIN supp sa ON sa.item = r.antecedent
+      |JOIN supp sb ON sb.item = r.consequent
+      |CROSS JOIN n
+      |WHERE r.n_ab * 100 >= n.n_baskets
+      |ORDER BY antecedent, consequent""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "market_basket" -> ((marketBasket _, marketBasketSql)),
     "q8_market_share" -> ((q8MarketShare _, q8MarketShareSql)),
     "q14_promo_share" -> ((q14PromoShare _, q14PromoShareSql)),
     "q6_forecast" -> ((q6Forecast _, q6ForecastSql)),

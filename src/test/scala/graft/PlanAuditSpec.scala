@@ -151,6 +151,15 @@ class PlanAuditSpec extends SparkSpec {
                                // both the bounds scalar and the bin pass;
                                // grid + dense + lag all read the cache
 
+    "market_basket" -> 1,      // the distinct (basket, brand) projection
+                               // persists once and feeds all three
+                               // consumers (basket count, supports,
+                               // pairs); 25-row support sides broadcast
+    "events_acf" -> 1,         // daily rollup persisted; both lag-join
+                               // sides read the cache
+    "classifier_auc" -> 1,     // one documents scan to the bounded score
+                               // histogram; rank window runs on that
+
     "ann_index_search" -> 3    // probed index segment + the query-side
                                // embeddings scan + that same probe subtree
                                // AGAIN inside the dynamic-partition-pruning
