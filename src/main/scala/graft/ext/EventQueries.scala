@@ -697,6 +697,113 @@ object EventQueries {
       |FROM per
       |ORDER BY o_custkey""".stripMargin
 
+  /** COUNT-MIN SKETCH count estimation (Cormode & Muthukrishnan 2005)
+    * for the top per-user event counts — the third mergeable-sketch
+    * tier next to HLL (distincts) and GK (quantiles): bounded D×W
+    * integer counters that merge by cell-wise ADDITION, the shape a
+    * 100 TB store keeps per source/day and rolls up without rescans.
+    * Hashes are md5-derived (the cross-engine idiom), so the estimate
+    * is a pure deterministic function of the data — the RAW estimates
+    * sit under the full DuckDB hash oracle, no envelope needed (unlike
+    * Misra–Gries, whose stored counters are merge-order-dependent).
+    * One corpus scan to the per-user rollup (persisted — counters,
+    * exact top-10, and the probe hashes all read it); the D×W counter
+    * table (3×32) broadcasts. est ≥ true always (CMS one-sided
+    * guarantee); `overcount` shows the collision error the width
+    * bounds.
+    */
+  def cmsUserCounts(spark: SparkSession, dir: String): DataFrame = {
+    val D = 3; val W = 32
+    val users = Tables(spark, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def withBucket(df: DataFrame): DataFrame = df
+      .select(col("user_id"), col("n"),
+        explode(array((0 until D).map(r => lit(r.toLong)): _*)).as("r"))
+      .withColumn("b", expr(
+        s"""cast(conv(substring(md5(concat('cms', cast(r AS string), ':',
+           |  cast(user_id AS string))), 1, 15), 16, 10) AS bigint) % $W"""
+          .stripMargin))
+    val counters = withBucket(users)
+      .groupBy("r", "b").agg(sum("n").as("cnt"))
+    val top = users.orderBy(desc("n"), asc("user_id")).limit(10)
+    withBucket(top)
+      .join(broadcast(counters), Seq("r", "b"))
+      .groupBy(col("user_id"), col("n"))
+      .agg(min("cnt").as("est"))
+      .select(col("user_id"), col("n").as("true_n"), col("est"),
+        (col("est") - col("n")).as("overcount"))
+      .filter(expr(
+        "assert_true(est >= true_n, 'CMS one-sided guarantee violated') IS NULL"))
+      .orderBy(desc("true_n"), asc("user_id"))
+  }
+
+  val cmsUserCountsSql: String =
+    """WITH u AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |h AS (
+      |  SELECT user_id, n, r,
+      |    CAST(('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || ':'
+      |      || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 32 AS b
+      |  FROM u CROSS JOIN (VALUES (0), (1), (2)) AS t(r)),
+      |c AS (SELECT r, b, CAST(SUM(n) AS BIGINT) AS cnt FROM h GROUP BY r, b),
+      |top AS (SELECT user_id, n FROM u ORDER BY n DESC, user_id LIMIT 10),
+      |est AS (
+      |  SELECT t.user_id, t.n, MIN(c.cnt) AS est
+      |  FROM top t
+      |  JOIN h ON h.user_id = t.user_id
+      |  JOIN c ON c.r = h.r AND c.b = h.b
+      |  GROUP BY t.user_id, t.n)
+      |SELECT user_id, n AS true_n, CAST(est AS BIGINT) AS est,
+      |  CAST(est - n AS BIGINT) AS overcount
+      |FROM est
+      |ORDER BY true_n DESC, user_id""".stripMargin
+
+  /** MUTUAL INFORMATION between two categorical columns (event type ×
+    * day-of-week) — the feature-screening statistic in front of any
+    * model: does knowing the weekday tell you anything about the event
+    * mix? Reported per CELL (n_xy and its MI term) rather than one
+    * scalar, so the output is deterministic — the total would be an
+    * order-dependent double sum; downstream sums the ≤|X|·|Y| rows
+    * however it likes. One corpus aggregate to the bounded cell table;
+    * marginals are window sums OVER THE CELLS, never a second scan.
+    * ln runs on exact-integer ratios (products < 2⁵³, exact in
+    * doubles), rounded 6dp — the lm_perplexity float precedent.
+    */
+  def featureMi(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_xy"))
+      .withColumn("n_x", sum("n_xy").over(Window.partitionBy("event_type")))
+      .withColumn("n_y", sum("n_xy").over(Window.partitionBy("dow")))
+      .withColumn("n", sum("n_xy").over(Window.partitionBy()))
+      .select(col("event_type"), col("dow"), col("n_xy"),
+        round((col("n_xy").cast("double") / col("n").cast("double"))
+          * log((col("n_xy") * col("n")).cast("double")
+            / (col("n_x") * col("n_y")).cast("double")), 6).as("mi_term"))
+      .orderBy("event_type", "dow")
+  }
+
+  val featureMiSql: String =
+    """WITH cells AS (
+      |  SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+      |    CAST(COUNT(*) AS BIGINT) AS n_xy
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, dow, n_xy,
+      |    CAST(SUM(n_xy) OVER (PARTITION BY event_type) AS BIGINT) AS n_x,
+      |    CAST(SUM(n_xy) OVER (PARTITION BY dow) AS BIGINT) AS n_y,
+      |    CAST(SUM(n_xy) OVER () AS BIGINT) AS n
+      |  FROM cells)
+      |SELECT event_type, dow, n_xy,
+      |  ROUND((CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE))
+      |    * LN(CAST(n_xy * n AS DOUBLE) / CAST(n_x * n_y AS DOUBLE)), 6)
+      |    AS mi_term
+      |FROM m
+      |ORDER BY event_type, dow""".stripMargin
+
   /** AUTOCORRELATION FUNCTION of the daily event-count series at lags
     * 1..7 — the is-there-weekly-structure statistic in front of any
     * forecasting model ([[eventsSeasonality]] shows WHERE the load
@@ -1524,6 +1631,8 @@ object EventQueries {
     "events_changepoint" -> ((eventsChangepoint _, eventsChangepointSql)),
     "events_ewma" -> ((eventsEwma _, eventsEwmaSql)),
     "events_acf" -> ((eventsAcf _, eventsAcfSql)),
+    "cms_user_counts" -> ((cmsUserCounts _, cmsUserCountsSql)),
+    "feature_mi" -> ((featureMi _, featureMiSql)),
     "events_seasonality" -> ((eventsSeasonality _, eventsSeasonalitySql)),
     "events_freshness" -> ((eventsFreshness _, eventsFreshnessSql)),
     "orders_rfm" -> ((ordersRfm _, ordersRfmSql)),

@@ -1291,8 +1291,83 @@ object OlapQueries {
       |WHERE r.n_ab * 100 >= n.n_baskets
       |ORDER BY antecedent, consequent""".stripMargin
 
+  /** Benford first-digit probabilities log₁₀(1+1/d), d = 1..9, as 6dp
+    * integer micros — computed ONCE here and inlined as literals into
+    * BOTH engines' plans (the [[graft.ext.EventQueries]] EwmaW
+    * discipline). They sum to exactly 10⁶. */
+  private val BenfordMicros: Seq[Long] =
+    (1 to 9).map(d => math.round(math.log10(1.0 + 1.0 / d) * 1e6))
+
+  /** BENFORD FIRST-DIGIT AUDIT over order totals — the
+    * forensic-accounting / synthetic-data smoke test: natural
+    * multi-scale amounts follow P(d) = log₁₀(1+1/d); a uniform price
+    * generator (or fabricated ledger) deviates loudly. Reports, per
+    * digit, observed count, Benford-expected count, and the χ² term —
+    * per-digit rows rather than one χ² scalar so the output is
+    * deterministic (a 9-term double sum would depend on aggregation
+    * order). First digit via string-of-decimal(18,4) (both engines
+    * render plain digits at scale 4; amounts ≥ 1 so no leading "0."),
+    * never via log10 of a double (binary log at power-of-10 boundaries
+    * can misbucket). One orders scan to a ≤9-row rollup (persisted —
+    * it feeds the total AND the join); everything downstream is
+    * digit-bounded. Expected counts are exact BIGINT micros; the only
+    * floats are the final per-row division (diff² / expected), exact
+    * inputs < 2⁵³, rounded 6dp.
+    */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Tables(spark, dir, "orders")
+      .select(substring(dec(col("o_totalprice")).cast("string"), 1, 1).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("observed"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = obs.agg(sum("observed").as("n"))
+    val dig = n.select(col("n"), explode(array(
+      BenfordMicros.zipWithIndex.map { case (p, i) =>
+        struct(lit((i + 1).toString).as("digit"), lit(p).as("p_micros"))
+      }: _*)).as("d"))
+      .select(col("n"), col("d.digit"), col("d.p_micros"))
+    dig.join(obs, Seq("digit"), "left")
+      .select(col("digit"),
+        coalesce(col("observed"), lit(0L)).as("observed"),
+        (col("n") * col("p_micros")).as("exp_micros"))
+      .withColumn("diffd",
+        (col("observed") * 1000000L - col("exp_micros")).cast("double"))
+      .select(col("digit"), col("observed"),
+        (col("exp_micros").cast("double") / 1e6).as("expected"),
+        round(col("diffd") * col("diffd")
+          / (col("exp_micros").cast("double") * 1e6), 6).as("chi2_term"))
+      .orderBy("digit")
+  }
+
+  val benfordAuditSql: String = {
+    val vals = BenfordMicros.zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, ${p})" }.mkString(", ")
+    s"""WITH obs AS (
+      |  SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR),
+      |      1, 1) AS digit,
+      |    CAST(COUNT(*) AS BIGINT) AS observed
+      |  FROM orders GROUP BY 1),
+      |n AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM obs),
+      |dig AS (SELECT CAST(d AS VARCHAR) AS digit, CAST(p AS BIGINT) AS p_micros
+      |  FROM (VALUES $vals) AS t(d, p)),
+      |j AS (
+      |  SELECT dig.digit, COALESCE(obs.observed, 0) AS observed,
+      |    n.n * dig.p_micros AS exp_micros
+      |  FROM dig LEFT JOIN obs ON obs.digit = dig.digit CROSS JOIN n),
+      |k AS (
+      |  SELECT digit, observed, exp_micros,
+      |    CAST(observed * 1000000 - exp_micros AS DOUBLE) AS diffd
+      |  FROM j)
+      |SELECT digit, CAST(observed AS BIGINT) AS observed,
+      |  CAST(exp_micros AS DOUBLE) / 1e6 AS expected,
+      |  ROUND(diffd * diffd / (CAST(exp_micros AS DOUBLE) * 1e6), 6)
+      |    AS chi2_term
+      |FROM k
+      |ORDER BY digit""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "market_basket" -> ((marketBasket _, marketBasketSql)),
+    "benford_audit" -> ((benfordAudit _, benfordAuditSql)),
     "q8_market_share" -> ((q8MarketShare _, q8MarketShareSql)),
     "q14_promo_share" -> ((q14PromoShare _, q14PromoShareSql)),
     "q6_forecast" -> ((q6Forecast _, q6ForecastSql)),

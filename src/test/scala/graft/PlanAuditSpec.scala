@@ -159,6 +159,12 @@ class PlanAuditSpec extends SparkSpec {
                                // sides read the cache
     "classifier_auc" -> 1,     // one documents scan to the bounded score
                                // histogram; rank window runs on that
+    "benford_audit" -> 1,      // orders rollup persisted; digit frame is
+                               // a literal explode on the 1-row total
+    "cms_user_counts" -> 1,    // per-user rollup persisted; counters,
+                               // top-10, and probe hashes all read it
+    "feature_mi" -> 1,         // one corpus aggregate; marginals are
+                               // windows over the bounded cell table
 
     "ann_index_search" -> 3    // probed index segment + the query-side
                                // embeddings scan + that same probe subtree
