@@ -697,6 +697,55 @@ object EventQueries {
       |FROM per
       |ORDER BY o_custkey""".stripMargin
 
+  /** MAD ROBUST OUTLIERS — median absolute deviation per event type
+    * over the daily series, flagging days beyond 3·MAD: the
+    * breakdown-resistant sibling of [[eventsAnomaly]]'s mean/σ
+    * z-scores (one monster day inflates a mean and hides itself; it
+    * cannot move a median). Exact cross-engine floats BY CONSTRUCTION:
+    * daily counts are integers, so the interpolated median lands on
+    * halves, deviations on halves, the MAD on quarters — all exact in
+    * doubles, and `percentile` (Spark) == `quantile_cont` (DuckDB) on
+    * those grids. One corpus scan to the persisted calendar-bounded
+    * rollup; the two median aggregates and both join-backs run on
+    * ≤ types×days rows.
+    */
+  def eventsMad(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val med = daily.groupBy("event_type")
+      .agg(expr("percentile(x, 0.5)").as("med"))
+    val dev = daily.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("x") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_type"), col("d"), col("x"),
+        col("med"), col("mad"),
+        (col("dev") > col("mad") * 3).as("is_outlier"))
+      .orderBy("event_type", "d")
+  }
+
+  val eventsMadSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |med AS (
+      |  SELECT event_type, quantile_cont(x, 0.5) AS med
+      |  FROM daily GROUP BY event_type),
+      |dev AS (
+      |  SELECT daily.event_type, d, x, med, ABS(x - med) AS dev
+      |  FROM daily JOIN med ON daily.event_type = med.event_type),
+      |mad AS (
+      |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      |  FROM dev GROUP BY event_type)
+      |SELECT dev.event_type AS event_type, d, x, med, mad,
+      |  dev > mad * 3 AS is_outlier
+      |FROM dev JOIN mad ON dev.event_type = mad.event_type
+      |ORDER BY dev.event_type, d""".stripMargin
+
   /** COUNT-MIN SKETCH count estimation (Cormode & Muthukrishnan 2005)
     * for the top per-user event counts — the third mergeable-sketch
     * tier next to HLL (distincts) and GK (quantiles): bounded D×W
@@ -1632,6 +1681,7 @@ object EventQueries {
     "events_ewma" -> ((eventsEwma _, eventsEwmaSql)),
     "events_acf" -> ((eventsAcf _, eventsAcfSql)),
     "cms_user_counts" -> ((cmsUserCounts _, cmsUserCountsSql)),
+    "events_mad" -> ((eventsMad _, eventsMadSql)),
     "feature_mi" -> ((featureMi _, featureMiSql)),
     "events_seasonality" -> ((eventsSeasonality _, eventsSeasonalitySql)),
     "events_freshness" -> ((eventsFreshness _, eventsFreshnessSql)),

@@ -1365,9 +1365,80 @@ object OlapQueries {
       |ORDER BY digit""".stripMargin
   }
 
+  /** PARETO / ABC ANALYSIS of revenue concentration across parts — the
+    * inventory-management classic: rank parts by revenue, class A =
+    * the head covering ≤80% of cumulative revenue, B to 95%, C the
+    * tail; report each class's size, revenue, and share. Class
+    * boundaries are CROSS-MULTIPLIED decimal compares (cum·20 ≤
+    * tot·16, cum·20 ≤ tot·19), never ratios — exact in both engines at
+    * any magnitude. The ranking window runs over the part-level
+    * aggregate (the bounded frame — parts, not lineitems; at 100 TB
+    * swap the exact cumulative window for range-partitioned prefix
+    * sums, the documented [[graft.ext.CurationQueries]] shuffle_shard
+    * discipline). Shares come out as integer micros over exact cents
+    * (floor(·100) — identical truncation both engines; BIGINT-safe
+    * through sf0.1's ~10¹² cent totals, widen to decimal past ~sf1).
+    */
+  def paretoAbc(spark: SparkSession, dir: String): DataFrame = {
+    val byPart = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("rev"))
+    val w = Window.orderBy(desc("rev"), asc("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byPart
+      .withColumn("cum", sum("rev").over(w))
+      .withColumn("tot", sum("rev").over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("abc_class",
+        when(col("cum") * 20 <= col("tot") * 16, "A")
+          .when(col("cum") * 20 <= col("tot") * 19, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        sum("rev").as("class_rev"),
+        max("tot").as("tot"))
+      .select(col("abc_class"), col("n_parts"),
+        col("class_rev").cast("double").as("revenue"),
+        expr("""(2 * cast(floor(class_rev * 100) AS bigint) * 1000000
+                  + cast(floor(tot * 100) AS bigint))
+                div (2 * cast(floor(tot * 100) AS bigint)) / 1e6""")
+          .as("share"))
+      .orderBy("abc_class")
+  }
+
+  val paretoAbcSql: String =
+    """WITH byp AS (
+      |  SELECT l_partkey,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |      AS rev
+      |  FROM lineitem GROUP BY l_partkey),
+      |ranked AS (
+      |  SELECT l_partkey, rev,
+      |    SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(rev) OVER () AS tot
+      |  FROM byp),
+      |classed AS (
+      |  SELECT CASE WHEN cum * 20 <= tot * 16 THEN 'A'
+      |              WHEN cum * 20 <= tot * 19 THEN 'B'
+      |              ELSE 'C' END AS abc_class,
+      |    rev, tot
+      |  FROM ranked)
+      |SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  CAST(SUM(rev) AS DOUBLE) AS revenue,
+      |  (2 * CAST(FLOOR(SUM(rev) * 100) AS BIGINT) * 1000000
+      |     + CAST(FLOOR(MAX(tot) * 100) AS BIGINT))
+      |    // (2 * CAST(FLOOR(MAX(tot) * 100) AS BIGINT)) / 1e6 AS share
+      |FROM classed
+      |GROUP BY abc_class
+      |ORDER BY abc_class""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "market_basket" -> ((marketBasket _, marketBasketSql)),
     "benford_audit" -> ((benfordAudit _, benfordAuditSql)),
+    "pareto_abc" -> ((paretoAbc _, paretoAbcSql)),
     "q8_market_share" -> ((q8MarketShare _, q8MarketShareSql)),
     "q14_promo_share" -> ((q14PromoShare _, q14PromoShareSql)),
     "q6_forecast" -> ((q6Forecast _, q6ForecastSql)),

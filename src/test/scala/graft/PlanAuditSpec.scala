@@ -165,6 +165,11 @@ class PlanAuditSpec extends SparkSpec {
                                // top-10, and probe hashes all read it
     "feature_mi" -> 1,         // one corpus aggregate; marginals are
                                // windows over the bounded cell table
+    "events_mad" -> 1,         // daily rollup persisted; both median
+                               // aggregates and join-backs read it
+    "pareto_abc" -> 1,         // one fact scan to the part rollup;
+                               // rank/cum windows and the class
+                               // aggregate run on that bounded frame
 
     "ann_index_search" -> 3    // probed index segment + the query-side
                                // embeddings scan + that same probe subtree
