@@ -697,6 +697,59 @@ object EventQueries {
       |FROM per
       |ORDER BY o_custkey""".stripMargin
 
+  /** THEIL–SEN ROBUST TREND per event type — the median of all
+    * pairwise day-to-day slopes of the daily series: up to ~29% of the
+    * days can be wild (outages, bot storms) without moving the
+    * estimate, where the OLS slope chases every spike. The pair
+    * enumeration is quadratic in CALENDAR DAYS on the persisted
+    * rollup, never rows — the same bound as [[eventsAcf]]. Each pair
+    * slope is rounded to exact integer micros FIRST (signed
+    * half-away-from-zero, the qualityClassifier discipline), so the
+    * median runs on integers and lands on halves — exact in doubles on
+    * both engines.
+    */
+  def eventsTheilsen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = daily.select(col("event_type"),
+      col("d").as("bd"), col("x").as("bx"))
+    daily.join(b, Seq("event_type"))
+      .filter(col("bd") > col("d"))
+      .select(col("event_type"),
+        (col("bx") - col("x")).as("p"),
+        datediff(col("bd"), col("d")).cast("long").as("q"))
+      .withColumn("slope_micros", expr(
+        """CASE WHEN p >= 0 THEN (2 * p * 1000000 + q) div (2 * q)
+           ELSE -((2 * -p * 1000000 + q) div (2 * q)) END"""))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        (expr("percentile(slope_micros, 0.5)") / 1e6).as("slope_per_day"))
+      .orderBy("event_type")
+  }
+
+  val eventsTheilsenSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.event_type, b.x - a.x AS p,
+      |    CAST(date_diff('day', a.d, b.d) AS BIGINT) AS q
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND b.d > a.d),
+      |slopes AS (
+      |  SELECT event_type,
+      |    CASE WHEN p >= 0 THEN (2 * p * 1000000 + q) // (2 * q)
+      |    ELSE -((2 * -p * 1000000 + q) // (2 * q)) END AS slope_micros
+      |  FROM pairs)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  quantile_cont(slope_micros, 0.5) / 1e6 AS slope_per_day
+      |FROM slopes
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** MAD ROBUST OUTLIERS — median absolute deviation per event type
     * over the daily series, flagging days beyond 3·MAD: the
     * breakdown-resistant sibling of [[eventsAnomaly]]'s mean/σ
@@ -1682,6 +1735,7 @@ object EventQueries {
     "events_acf" -> ((eventsAcf _, eventsAcfSql)),
     "cms_user_counts" -> ((cmsUserCounts _, cmsUserCountsSql)),
     "events_mad" -> ((eventsMad _, eventsMadSql)),
+    "events_theilsen" -> ((eventsTheilsen _, eventsTheilsenSql)),
     "feature_mi" -> ((featureMi _, featureMiSql)),
     "events_seasonality" -> ((eventsSeasonality _, eventsSeasonalitySql)),
     "events_freshness" -> ((eventsFreshness _, eventsFreshnessSql)),

@@ -1435,10 +1435,95 @@ object OlapQueries {
       |GROUP BY abc_class
       |ORDER BY abc_class""".stripMargin
 
+  /** HERFINDAHL–HIRSCHMAN CONCENTRATION INDEX of supplier revenue per
+    * nation — the supply-risk audit (a nation whose parts flow through
+    * one dominant supplier is a single point of failure; HHI > 0.25 is
+    * the regulator's red line). One fact scan to the supplier-level
+    * rollup; nation enrichment broadcasts. Each supplier's share is
+    * integer-micros over exact cents FIRST (the [[paretoAbc]] floor
+    * discipline), then HHI = Σ share² runs entirely in BIGINT
+    * (micros² ≤ 10¹² per supplier, exact in doubles after the final
+    * /10¹²) — no order-dependent float sum anywhere.
+    */
+  def supplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    val bySup = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("rev"))
+    val sup = Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val nat = Tables(spark, dir, "nation").select("n_nationkey", "n_name")
+    bySup
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .withColumn("rev_cents", floor(col("rev") * 100).cast("long"))
+      .withColumn("nat_cents",
+        sum("rev_cents").over(Window.partitionBy("n_name")))
+      .withColumn("share_micros", expr(
+        "(2 * rev_cents * 1000000 + nat_cents) div (2 * nat_cents)"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        (sum(col("share_micros") * col("share_micros")) / 1e12).as("hhi"))
+      .orderBy("nation")
+  }
+
+  val supplierHhiSql: String =
+    """WITH bys AS (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |      AS rev
+      |  FROM lineitem GROUP BY l_suppkey),
+      |j AS (
+      |  SELECT n.n_name AS nation,
+      |    CAST(FLOOR(rev * 100) AS BIGINT) AS rev_cents
+      |  FROM bys
+      |  JOIN supplier s ON s.s_suppkey = bys.l_suppkey
+      |  JOIN nation n ON n.n_nationkey = s.s_nationkey),
+      |sh AS (
+      |  SELECT nation,
+      |    (2 * rev_cents * 1000000 + SUM(rev_cents) OVER (PARTITION BY nation))
+      |      // (2 * SUM(rev_cents) OVER (PARTITION BY nation)) AS share_micros
+      |  FROM j)
+      |SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+      |  CAST(SUM(share_micros * share_micros) AS BIGINT) / 1e12 AS hhi
+      |FROM sh
+      |GROUP BY nation
+      |ORDER BY nation""".stripMargin
+
+  /** SAME-DAY DUPLICATE-TRANSACTION AUDIT — customers placing more
+    * than one order on one day, with the repeated-identical-amount
+    * signal (`n_distinct_prices < n_orders` is the double-charge /
+    * replayed-submission pattern every payments pipeline screens for).
+    * One keyed aggregate on (customer, day) — the candidate key — with
+    * a HAVING filter; never a self-join of the fact table on a fuzzy
+    * time predicate.
+    */
+  def sameDayOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(dec(col("o_totalprice"))).as("n_distinct_prices"),
+        sum(dec(col("o_totalprice"))).cast("double").as("day_total"))
+      .filter(col("n_orders") > 1)
+      .orderBy("o_custkey", "o_orderdate")
+  }
+
+  val sameDayOrdersSql: String =
+    """SELECT o_custkey, o_orderdate,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(COUNT(DISTINCT CAST(o_totalprice AS DECIMAL(18,4))) AS BIGINT)
+      |    AS n_distinct_prices,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS day_total
+      |FROM orders
+      |GROUP BY o_custkey, o_orderdate
+      |HAVING COUNT(*) > 1
+      |ORDER BY o_custkey, o_orderdate""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "market_basket" -> ((marketBasket _, marketBasketSql)),
     "benford_audit" -> ((benfordAudit _, benfordAuditSql)),
     "pareto_abc" -> ((paretoAbc _, paretoAbcSql)),
+    "supplier_hhi" -> ((supplierHhi _, supplierHhiSql)),
+    "same_day_orders" -> ((sameDayOrders _, sameDayOrdersSql)),
     "q8_market_share" -> ((q8MarketShare _, q8MarketShareSql)),
     "q14_promo_share" -> ((q14PromoShare _, q14PromoShareSql)),
     "q6_forecast" -> ((q6Forecast _, q6ForecastSql)),

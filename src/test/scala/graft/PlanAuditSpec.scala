@@ -170,6 +170,11 @@ class PlanAuditSpec extends SparkSpec {
     "pareto_abc" -> 1,         // one fact scan to the part rollup;
                                // rank/cum windows and the class
                                // aggregate run on that bounded frame
+    "events_theilsen" -> 1,    // daily rollup persisted; both pair
+                               // sides read the cache
+    "supplier_hhi" -> 3,       // fact + two broadcast dims; shares and
+                               // HHI on the supplier rollup
+    "same_day_orders" -> 1,    // one keyed aggregate with HAVING
 
     "ann_index_search" -> 3    // probed index segment + the query-side
                                // embeddings scan + that same probe subtree
