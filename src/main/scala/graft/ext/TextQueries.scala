@@ -795,6 +795,91 @@ object TextQueries {
                 div (2 * 2 * np * nn) / 1e6""").as("auc"))
   }
 
+  /** CLASSIFIER CALIBRATION / RELIABILITY TABLE — the companion
+    * diagnostic to [[classifierAuc]]: AUC says the score RANKS
+    * positives above negatives; calibration says what a score LEVEL
+    * means. Documents are bucketed into 10 fixed-width score bins over
+    * the logit range [−1, 1] (micros grid, so binning is pure integer
+    * arithmetic), and each bin reports its observed positive rate
+    * (lang = 'en' ground truth) next to its mean score — a monotone
+    * pos_rate column is a calibrated ranker; a flat one means the
+    * threshold is meaningless. Same one-corpus-aggregate shape as the
+    * AUC histogram: N docs collapse to ≤10 rows, every ratio by the
+    * exact integer-micros idiom (mean score signed, rate nonneg), zero
+    * order-sensitive floats.
+    */
+  def classifierCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val B = 4096
+    Tables(spark, dir, "documents")
+      .withColumn("words", expr("filter(split(lower(text), ' +'), w -> w != '')"))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("logit_millis", expr(
+        s"""aggregate(transform(words, w ->
+           |  cast(conv(substring(md5(concat('w:', cast(
+           |    cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint) % $B
+           |  AS string))), 1, 15), 16, 10) AS bigint) % 2001 - 1000),
+           |  0L, (acc, x) -> acc + x)""".stripMargin))
+      .select(
+        expr("""CASE WHEN logit_millis >= 0
+                THEN (2 * logit_millis * 1000000 + n_words * 1000)
+                       div (2 * n_words * 1000)
+                ELSE -((2 * -logit_millis * 1000000 + n_words * 1000)
+                       div (2 * n_words * 1000)) END""").as("score_micros"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .withColumn("bin",
+        least(expr("(score_micros + 1000000) div 200000"), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"),
+        sum("score_micros").as("ssm"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("""CASE WHEN ssm >= 0 THEN (2 * ssm * 1000000 + n) div (2 * n)
+                ELSE -((2 * -ssm * 1000000 + n) div (2 * n)) END
+                / 1e12""").as("avg_score"),
+        expr("(2 * n_pos * 1000000 + n) div (2 * n) / 1e6").as("pos_rate"))
+      .orderBy("bin")
+  }
+
+  val classifierCalibrationSql: String = {
+    val B = 4096
+    s"""WITH d AS (
+      |  SELECT lang,
+      |    list_filter(string_split(lower(text), ' '), w -> w != '') AS words
+      |  FROM documents),
+      |s AS (
+      |  SELECT CAST(len(words) AS BIGINT) AS n_words,
+      |    CAST(COALESCE(list_sum(list_transform(words, w ->
+      |      CAST(('0x' || substr(md5('w:' || CAST(
+      |        CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % $B
+      |      AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000)), 0) AS BIGINT)
+      |      AS logit_millis,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      |  FROM d),
+      |sc AS (
+      |  SELECT CASE WHEN logit_millis >= 0
+      |      THEN (2 * logit_millis * 1000000 + n_words * 1000)
+      |             // (2 * n_words * 1000)
+      |      ELSE -((2 * -logit_millis * 1000000 + n_words * 1000)
+      |             // (2 * n_words * 1000)) END AS score_micros,
+      |    CAST(pos AS BIGINT) AS pos
+      |  FROM s),
+      |binned AS (
+      |  SELECT LEAST((score_micros + 1000000) // 200000, 9) AS bin,
+      |    pos, score_micros
+      |  FROM sc)
+      |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |  CASE WHEN SUM(score_micros) >= 0
+      |    THEN (2 * CAST(SUM(score_micros) AS BIGINT) * 1000000
+      |            + COUNT(*)) // (2 * COUNT(*))
+      |    ELSE -((2 * -CAST(SUM(score_micros) AS BIGINT) * 1000000
+      |            + COUNT(*)) // (2 * COUNT(*))) END / 1e12 AS avg_score,
+      |  (2 * CAST(SUM(pos) AS BIGINT) * 1000000 + COUNT(*))
+      |    // (2 * COUNT(*)) / 1e6 AS pos_rate
+      |FROM binned
+      |GROUP BY bin
+      |ORDER BY bin""".stripMargin
+  }
+
   val classifierAucSql: String = {
     val B = 4096
     s"""WITH d AS (
@@ -1335,6 +1420,8 @@ object TextQueries {
     "bpe_tokens" -> ((bpeTokens _, bpeTokensSql)),
     "quality_classifier" -> ((qualityClassifier _, qualityClassifierSql)),
     "classifier_auc" -> ((classifierAuc _, classifierAucSql)),
+    "classifier_calibration" ->
+      ((classifierCalibration _, classifierCalibrationSql)),
     "text_stats" -> ((textStats _, textStatsSql)),
     "lang_id" -> ((langId _, langIdSql)),
     "doc_fingerprint" -> ((docFingerprint _, docFingerprintSql)),

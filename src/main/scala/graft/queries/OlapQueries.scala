@@ -1518,12 +1518,171 @@ object OlapQueries {
       |HAVING COUNT(*) > 1
       |ORDER BY o_custkey, o_orderdate""".stripMargin
 
+  /** KAPLAN–MEIER SURVIVAL of the inter-order gap — "how long until a
+    * customer orders again", with customers who never reorder (or whose
+    * last order is simply near the end of the observation window)
+    * handled as RIGHT-CENSORED instead of discarded: the estimator the
+    * naive mean-gap report silently biases low without. Gap = days to
+    * the customer's next order (event); last order per customer =
+    * days to the dataset's max order date (censored). The risk table is
+    * keyed by DISTINCT GAP LENGTH in days — bounded by the calendar
+    * span at ANY corpus size — so the corpus-scale work is ONE
+    * (duration, event) histogram aggregate and everything after (risk
+    * counts, the product-limit fold) runs on calendar-bounded rows.
+    *
+    * Cross-engine float contract: the product Π(1 − dᵢ/nᵢ) runs in LOG
+    * space as a cumulative INTEGER sum of `floor(ln((n−d)/n)·10⁶)`
+    * terms (ln-at-6dp, the drift_psi/BM25 discipline; d=0 rows
+    * contribute exactly 0), then one final exp + round — so the only
+    * order-sensitive float accumulation is eliminated. A d=n terminal
+    * event (everyone at risk dies) pins the sentinel −2·10⁷ micros
+    * (exp → 2·10⁻⁹, rounds to survival 0 at 6dp) rather than ln(0).
+    */
+  def survivalKm(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"),
+        col("o_orderkey"))
+    val dmax = orders.agg(max(col("od")).as("dmax"))
+    val w = Window.partitionBy("o_custkey").orderBy(col("od"), col("o_orderkey"))
+    val durs = orders
+      .withColumn("nxt", lead(col("od"), 1).over(w))
+      .crossJoin(broadcast(dmax))
+      .select(
+        when(col("nxt").isNotNull, datediff(col("nxt"), col("od")))
+          .otherwise(datediff(col("dmax"), col("od"))).cast("long").as("t"),
+        col("nxt").isNotNull.cast("long").as("evt"))
+    val hist = durs.groupBy("t")
+      .agg(sum("evt").as("d"), count(lit(1)).as("nall"))
+    val atRisk = Window.orderBy("t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val cum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("n_risk", sum("nall").over(atRisk))
+      .withColumn("term_micros", expr(
+        """CASE WHEN d >= n_risk THEN -20000000
+           ELSE CAST(FLOOR(LN(CAST(n_risk - d AS DOUBLE) / n_risk) * 1000000)
+                     AS BIGINT) END"""))
+      .withColumn("cum_micros", sum("term_micros").over(cum))
+      .filter(col("d") > 0)
+      .select(col("t").as("gap_days"), col("n_risk"), col("d").as("d_events"),
+        round(exp(col("cum_micros") / 1e6), 6).as("survival"))
+      .orderBy("gap_days")
+  }
+
+  val survivalKmSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, o_orderkey
+      |  FROM orders),
+      |durs AS (
+      |  SELECT
+      |    CAST(COALESCE(
+      |      date_diff('day', od, LEAD(od) OVER (PARTITION BY o_custkey
+      |        ORDER BY od, o_orderkey)),
+      |      date_diff('day', od, (SELECT MAX(od) FROM o))) AS BIGINT) AS t,
+      |    CASE WHEN LEAD(od) OVER (PARTITION BY o_custkey
+      |      ORDER BY od, o_orderkey) IS NULL THEN 0 ELSE 1 END AS evt
+      |  FROM o),
+      |hist AS (
+      |  SELECT t, CAST(SUM(evt) AS BIGINT) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS nall
+      |  FROM durs GROUP BY t),
+      |risk AS (
+      |  SELECT t, d,
+      |    CAST(SUM(nall) OVER (ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+      |      AS n_risk
+      |  FROM hist),
+      |terms AS (
+      |  SELECT t, d, n_risk,
+      |    CASE WHEN d >= n_risk THEN -20000000
+      |    ELSE CAST(FLOOR(LN(CAST(n_risk - d AS DOUBLE) / n_risk) * 1000000)
+      |              AS BIGINT) END AS term_micros
+      |  FROM risk),
+      |km AS (
+      |  SELECT t, d, n_risk,
+      |    CAST(SUM(term_micros) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_micros
+      |  FROM terms)
+      |SELECT t AS gap_days, n_risk, d AS d_events,
+      |  ROUND(EXP(cum_micros / 1e6), 6) AS survival
+      |FROM km
+      |WHERE d > 0
+      |ORDER BY gap_days""".stripMargin
+
+  /** GINI COEFFICIENT of customer revenue per nation — the Lorenz-curve
+    * inequality audit next to [[supplierHhi]]'s top-heaviness index:
+    * HHI asks "is one player dominant", Gini asks "how unequal is the
+    * whole distribution". Uses the exact rank identity
+    * G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over revenues sorted ascending
+    * (custkey tiebreak), computed ENTIRELY in exact arithmetic:
+    * revenues as BIGINT cents, the rank-weighted sum as DECIMAL(38,0)
+    * (i·x reaches ~10¹⁹ at sf100 — past BIGINT, nowhere near 38
+    * digits), the final ratio by the half-up integer-micros idiom
+    * (numerator ≥ 0 by the sort). The corpus-scale stage is the
+    * per-customer rollup; the rank window is partitioned by nation
+    * (range-partition the rank at 100 TB).
+    */
+  def giniNation(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev"))
+      .withColumn("cents", floor(col("rev") * 100).cast("long"))
+    val cust = Tables(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val nat = Tables(spark, dir, "nation").select("n_nationkey", "n_name")
+    val ranked = byCust
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy("n_name").orderBy(col("cents"), col("o_custkey"))))
+    ranked
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents").cast("decimal(38,0)")).as("sx"),
+        sum((col("i").cast("decimal(38,0)")) * col("cents")).as("six"))
+      .select(col("nation"), col("n_customers"),
+        col("sx").cast("double").as("total_cents"),
+        expr("""(2 * (2 * six - (n_customers + 1) * sx) * 1000000
+                  + n_customers * sx)
+                div (2 * n_customers * sx) / 1e6""").as("gini"))
+      .orderBy("nation")
+  }
+
+  val giniNationSql: String =
+    """WITH byc AS (
+      |  SELECT o_custkey,
+      |    CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100)
+      |         AS BIGINT) AS cents
+      |  FROM orders GROUP BY o_custkey),
+      |ranked AS (
+      |  SELECT n.n_name AS nation, cents,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY n.n_name
+      |      ORDER BY cents, o_custkey) AS BIGINT) AS i
+      |  FROM byc
+      |  JOIN customer c ON c.c_custkey = byc.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey),
+      |agg AS (
+      |  SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |    CAST(SUM(cents) AS HUGEINT) AS sx,
+      |    CAST(SUM(i * cents) AS HUGEINT) AS six
+      |  FROM ranked GROUP BY nation)
+      |SELECT nation, n_customers,
+      |  CAST(sx AS DOUBLE) AS total_cents,
+      |  CAST((2 * (2 * six - (n_customers + 1) * sx) * 1000000
+      |          + n_customers * sx)
+      |        // (2 * n_customers * sx) AS BIGINT) / 1e6 AS gini
+      |FROM agg
+      |ORDER BY nation""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "market_basket" -> ((marketBasket _, marketBasketSql)),
     "benford_audit" -> ((benfordAudit _, benfordAuditSql)),
     "pareto_abc" -> ((paretoAbc _, paretoAbcSql)),
     "supplier_hhi" -> ((supplierHhi _, supplierHhiSql)),
     "same_day_orders" -> ((sameDayOrders _, sameDayOrdersSql)),
+    "survival_km" -> ((survivalKm _, survivalKmSql)),
+    "gini_nation" -> ((giniNation _, giniNationSql)),
     "q8_market_share" -> ((q8MarketShare _, q8MarketShareSql)),
     "q14_promo_share" -> ((q14PromoShare _, q14PromoShareSql)),
     "q6_forecast" -> ((q6Forecast _, q6ForecastSql)),

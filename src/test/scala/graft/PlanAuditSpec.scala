@@ -175,6 +175,11 @@ class PlanAuditSpec extends SparkSpec {
     "supplier_hhi" -> 3,       // fact + two broadcast dims; shares and
                                // HHI on the supplier rollup
     "same_day_orders" -> 1,    // one keyed aggregate with HAVING
+    "survival_km" -> 2,        // durations scan + the broadcast
+                               // max-date scalar; risk/product-limit
+                               // windows run on the bounded gap hist
+    "gini_nation" -> 3,        // orders rollup + two broadcast dims
+    "classifier_calibration" -> 1, // one corpus scan to ≤10 bins
 
     "ann_index_search" -> 3    // probed index segment + the query-side
                                // embeddings scan + that same probe subtree
