@@ -1010,6 +1010,109 @@ object CurationQueries {
       |GROUP BY a.source, b.source
       |ORDER BY n_shared_spans DESC, source_a, source_b""".stripMargin
 
+  /** POISSON-BOOTSTRAP CONFIDENCE INTERVAL for the corpus mean token
+    * count — the published way to bootstrap AT SCALE (Chamandy et al.,
+    * "Estimating Uncertainty for Massive Data Streams", Google 2012):
+    * classical resampling needs N draws per replicate from a global
+    * index (undistributable), Poisson bootstrap gives each row an
+    * independent Poisson(1) replicate weight, so B=100 replicates are
+    * ONE corpus scan with a bounded explode — no global state, no
+    * second pass, weights a pure function of (doc_id, replicate).
+    *
+    * Determinism: the Poisson draw inverts the CDF on an md5-derived
+    * integer-nanos uniform against INTEGER literal thresholds
+    * (e⁻¹-cumulative series truncated at 6 — P(>6) < 10⁻⁴ at nano
+    * resolution), replicate means use the exact half-up micros idiom
+    * (zero-weight replicates guarded to 0, impossible at any real
+    * corpus size), and the 95% CI is the nearest-rank 3rd/98th order
+    * statistic of the 100 replicate means — everything integer until
+    * the final display divisions.
+    */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = 100
+    def x = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(expr("filter(split(lower(text), ' +'), w -> w != '')"))
+          .cast("long").as("x"))
+    val point = x.agg(sum("x").as("sx"), count(lit(1)).as("nx"))
+    val reps = x
+      .select(col("doc_id"), col("x"),
+        explode(expr(s"sequence(0, ${B - 1})")).as("r"))
+      .withColumn("u", expr(
+        """cast(conv(substring(md5(concat(cast(doc_id AS string), ':',
+          |cast(r AS string))), 1, 15), 16, 10) AS bigint)
+          |% 1000000000""".stripMargin))
+      .withColumn("w", expr(
+        """CASE WHEN u < 367879441 THEN 0 WHEN u < 735758882 THEN 1
+          |WHEN u < 919698603 THEN 2 WHEN u < 981011843 THEN 3
+          |WHEN u < 996340153 THEN 4 WHEN u < 999405815 THEN 5
+          |ELSE 6 END""".stripMargin))
+      .groupBy("r")
+      .agg(sum(col("w") * col("x")).as("swx"), sum("w").as("sw"))
+      .select(col("r"), expr(
+        """CASE WHEN sw = 0 THEN 0
+          |ELSE (2 * swx * 1000000 + sw) div (2 * sw) END""".stripMargin)
+        .as("mean_micros"))
+    reps
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("mean_micros"), col("r"))))
+      .agg(max(when(col("rk") === 3, col("mean_micros"))).as("lo_micros"),
+        max(when(col("rk") === 98, col("mean_micros"))).as("hi_micros"))
+      .crossJoin(broadcast(point))
+      .select(col("nx").as("n_docs"), lit(B.toLong).as("b"),
+        expr("(2 * sx * 1000000 + nx) div (2 * nx) / 1e6").as("mean_tokens"),
+        (col("lo_micros") / 1e6).as("ci_lo"),
+        (col("hi_micros") / 1e6).as("ci_hi"))
+  }
+
+  val bootstrapCiSql: String =
+    """WITH x AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(lower(text), ' '),
+      |      w -> w != '')) AS BIGINT) AS x
+      |  FROM documents),
+      |pt AS (
+      |  SELECT CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(COUNT(*) AS BIGINT) AS nx
+      |  FROM x),
+      |draws AS (
+      |  SELECT t.r AS r, x.x,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+      |      CAST(t.r AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000000 AS u
+      |  FROM x CROSS JOIN range(0, 100) t(r)),
+      |wtd AS (
+      |  SELECT r, x,
+      |    CASE WHEN u < 367879441 THEN 0 WHEN u < 735758882 THEN 1
+      |    WHEN u < 919698603 THEN 2 WHEN u < 981011843 THEN 3
+      |    WHEN u < 996340153 THEN 4 WHEN u < 999405815 THEN 5
+      |    ELSE 6 END AS w
+      |  FROM draws),
+      |reps AS (
+      |  SELECT r, CAST(SUM(w * x) AS BIGINT) AS swx,
+      |    CAST(SUM(w) AS BIGINT) AS sw
+      |  FROM wtd GROUP BY r),
+      |means AS (
+      |  SELECT r,
+      |    CASE WHEN sw = 0 THEN 0
+      |    ELSE (2 * swx * 1000000 + sw) // (2 * sw) END AS mean_micros
+      |  FROM reps),
+      |ranked AS (
+      |  SELECT mean_micros,
+      |    ROW_NUMBER() OVER (ORDER BY mean_micros, r) AS rk
+      |  FROM means),
+      |ci AS (
+      |  SELECT CAST(MAX(CASE WHEN rk = 3 THEN mean_micros END) AS BIGINT)
+      |      AS lo_micros,
+      |    CAST(MAX(CASE WHEN rk = 98 THEN mean_micros END) AS BIGINT)
+      |      AS hi_micros
+      |  FROM ranked)
+      |SELECT nx AS n_docs, CAST(100 AS BIGINT) AS b,
+      |  (2 * sx * 1000000 + nx) // (2 * nx) / 1e6 AS mean_tokens,
+      |  lo_micros / 1e6 AS ci_lo,
+      |  hi_micros / 1e6 AS ci_hi
+      |FROM ci CROSS JOIN pt""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "source_entropy" -> ((sourceEntropy _, sourceEntropySql)),
     "source_overlap" -> ((sourceOverlap _, sourceOverlapSql)),
@@ -1030,6 +1133,7 @@ object CurationQueries {
     "pii_redact" -> ((piiRedact _, piiRedactSql)),
     "shuffle_shard" -> ((shuffleShard _, shuffleShardSql)),
     "source_mix" -> ((sourceMix _, sourceMixSql)),
-    "source_temperature" -> ((sourceTemperature _, sourceTemperatureSql))
+    "source_temperature" -> ((sourceTemperature _, sourceTemperatureSql)),
+    "bootstrap_ci" -> ((bootstrapCi _, bootstrapCiSql))
   )
 }

@@ -795,6 +795,206 @@ object TextQueries {
                 div (2 * 2 * np * nn) / 1e6""").as("auc"))
   }
 
+  /** MULTINOMIAL NAIVE BAYES language classifier — TRAINED AND RUN
+    * inside the engine under the full hash oracle, the third
+    * learned-model tier next to [[qualityClassifier]] (fixed hashed
+    * weights) and [[graft.ext.KMeans]] (iterative centroids): per-word
+    * per-language counts with Laplace smoothing become integer-micros
+    * log-probabilities (`floor(ln((c+1)/(tot+V))·10⁶)`, the ln-at-6dp
+    * discipline), a document's per-language score is the exact BIGINT
+    * sum of its tokens' terms plus the class-prior term, and the
+    * argmax breaks ties alphabetically — so train → classify → confuse
+    * is deterministic end to end with zero order-sensitive floats.
+    *
+    * Scale shape: the model (vocab × 5 langs) is built by ONE
+    * word-keyed aggregate and persisted — it feeds the scalar totals
+    * AND the inference join, so the corpus is read exactly twice
+    * (model build, token-join inference) plus one column-pruned pass
+    * for priors; smoothing totals derive from the model, never a third
+    * token pass. Tokenless documents are unclassifiable and drop from
+    * the confusion matrix in both engines (inner token join). Output =
+    * the (true, predicted) confusion matrix, ≤25 rows at any corpus
+    * size.
+    */
+  def nbLangClassify(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    def tok = Tables(spark, dir, "documents")
+      .withColumn("words", expr("filter(split(lower(text), ' +'), w -> w != '')"))
+      .select(col("doc_id"), col("lang"), explode(col("words")).as("word"))
+    val cAggs = langs.map(l =>
+      sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"c_$l"))
+    val wl = tok.groupBy("word").agg(cAggs.head, cAggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scal = wl.agg(count(lit(1)).as("v"),
+      langs.map(l => sum(col(s"c_$l")).as(s"tot_$l")): _*)
+    val priors = Tables(spark, dir, "documents").agg(count(lit(1)).as("nd"),
+      langs.map(l =>
+        sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"nd_$l")): _*)
+    val model = wl.crossJoin(broadcast(scal))
+      .select(col("word") +: langs.map(l => expr(
+        s"CAST(FLOOR(LN(CAST(c_$l + 1 AS DOUBLE) / (tot_$l + v)) * 1000000) AS BIGINT)"
+      ).as(s"lp_$l")): _*)
+    val scored = tok.join(model, "word")
+      .groupBy(col("doc_id"), col("lang").as("lang_true"))
+      .agg(sum(col(s"lp_${langs.head}")).as(s"s_${langs.head}"),
+        langs.tail.map(l => sum(col(s"lp_$l")).as(s"s_$l")): _*)
+      .crossJoin(broadcast(priors))
+      .select(col("doc_id") +: col("lang_true") +: langs.map(l => expr(
+        s"s_$l + CAST(FLOOR(LN(CAST(nd_$l AS DOUBLE) / nd) * 1000000) AS BIGINT)"
+      ).as(s"t_$l")): _*)
+    val m = greatest(langs.map(l => col(s"t_$l")): _*)
+    scored
+      .withColumn("pred",
+        langs.init.foldLeft(when(lit(false), "")) { (acc, l) =>
+          acc.when(col(s"t_$l") === m, l)
+        }.otherwise(langs.last))
+      .groupBy(col("lang_true"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang_true", "pred")
+  }
+
+  val nbLangClassifySql: String = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val cCols = langs.map(l =>
+      s"CAST(SUM(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS c_$l")
+      .mkString(",\n      |    ")
+    val totCols = langs.map(l =>
+      s"CAST(SUM(c_$l) AS BIGINT) AS tot_$l").mkString(",\n      |    ")
+    val ndCols = langs.map(l =>
+      s"CAST(SUM(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS nd_$l")
+      .mkString(",\n      |    ")
+    val lpCols = langs.map(l =>
+      s"CAST(FLOOR(LN(CAST(c_$l + 1 AS DOUBLE) / (tot_$l + v)) * 1000000) AS BIGINT) AS lp_$l")
+      .mkString(",\n      |    ")
+    val sCols = langs.map(l =>
+      s"CAST(SUM(lp_$l) AS BIGINT) AS s_$l").mkString(",\n      |    ")
+    val tCols = langs.map(l =>
+      s"s_$l + CAST(FLOOR(LN(CAST(nd_$l AS DOUBLE) / nd) * 1000000) AS BIGINT) AS t_$l")
+      .mkString(",\n      |    ")
+    val gr = langs.map(l => s"t_$l").mkString(", ")
+    val predCase = langs.init.map(l =>
+      s"WHEN t_$l = GREATEST($gr) THEN '$l'").mkString("\n      |      ") +
+      s"\n      |      ELSE '${langs.last}'"
+    s"""WITH d AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split(lower(text), ' '), w -> w != '') AS words
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, lang, unnest(words) AS word FROM d),
+      |wl AS (
+      |  SELECT word,
+      |    $cCols
+      |  FROM tok GROUP BY word),
+      |scal AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS v,
+      |    $totCols
+      |  FROM wl),
+      |pri AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+      |    $ndCols
+      |  FROM documents),
+      |model AS (
+      |  SELECT word,
+      |    $lpCols
+      |  FROM wl CROSS JOIN scal),
+      |sc AS (
+      |  SELECT doc_id, lang AS lang_true,
+      |    $sCols
+      |  FROM tok JOIN model USING (word)
+      |  GROUP BY doc_id, lang),
+      |tot AS (
+      |  SELECT lang_true,
+      |    $tCols
+      |  FROM sc CROSS JOIN pri),
+      |p AS (
+      |  SELECT lang_true,
+      |    CASE $predCase END AS pred
+      |  FROM tot)
+      |SELECT lang_true, pred, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM p
+      |GROUP BY lang_true, pred
+      |ORDER BY lang_true, pred""".stripMargin
+  }
+
+  /** FLESCH READING-EASE scoring — the readability tier of the quality
+    * stack ([[textStats]] measures surface shape, [[qualityRepetition]]
+    * degeneracy, this one audience difficulty): words per sentence and
+    * syllables per word (vowel-group heuristic, the standard
+    * dictionary-free approximation), combined by the published formula
+    * 206.835 − 1.015·WPS − 84.6·SPW. Pure per-document projection,
+    * zero shuffle.
+    *
+    * Cross-engine float contract: WPS and SPW are exact integer micros
+    * (half-up idiom), and the formula itself runs in integer NANOS
+    * (206835·10⁶ − 1015·wps_micros − 84600·spw_micros) — a 4dp-rounded
+    * double product of a 6dp value can land exactly on a rounding
+    * boundary where Spark's BigDecimal and DuckDB's binary rounding
+    * disagree, so no float ever enters; the one division is the final
+    * /10⁹ display conversion and the difficulty bands compare nanos.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(expr("filter(split(lower(text), ' +'), w -> w != '')"))
+          .cast("long").as("n_words"),
+        greatest(lit(1L),
+          regexp_count(col("text"), lit("[.!?]+")).cast("long"))
+          .as("n_sentences"),
+        greatest(lit(1L),
+          regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long"))
+          .as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("wps_micros",
+        expr("(2 * n_words * 1000000 + n_sentences) div (2 * n_sentences)"))
+      .withColumn("spw_micros",
+        expr("(2 * n_syllables * 1000000 + n_words) div (2 * n_words)"))
+      .withColumn("flesch_nanos", expr(
+        "206835000000 - 1015 * wps_micros - 84600 * spw_micros"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        (col("wps_micros") / 1e6).as("words_per_sentence"),
+        (col("spw_micros") / 1e6).as("syllables_per_word"),
+        (col("flesch_nanos") / 1e9).as("flesch"),
+        when(col("flesch_nanos") >= 90000000000L, "easy")
+          .when(col("flesch_nanos") >= 60000000000L, "standard")
+          .when(col("flesch_nanos") >= 30000000000L, "difficult")
+          .otherwise("very_difficult").as("level"))
+      .orderBy("doc_id")
+  }
+
+  val readabilitySql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(lower(text), ' '),
+      |      w -> w != '')) AS BIGINT) AS n_words,
+      |    GREATEST(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+      |      AS BIGINT)) AS n_sentences,
+      |    GREATEST(1, CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      |      AS BIGINT)) AS n_syllables
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, n_words, n_sentences, n_syllables,
+      |    (2 * n_words * 1000000 + n_sentences) // (2 * n_sentences)
+      |      AS wps_micros,
+      |    (2 * n_syllables * 1000000 + n_words) // (2 * n_words)
+      |      AS spw_micros
+      |  FROM m WHERE n_words > 0),
+      |f AS (
+      |  SELECT *,
+      |    206835000000 - 1015 * wps_micros - 84600 * spw_micros
+      |      AS flesch_nanos
+      |  FROM r)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  wps_micros / 1e6 AS words_per_sentence,
+      |  spw_micros / 1e6 AS syllables_per_word,
+      |  flesch_nanos / 1e9 AS flesch,
+      |  CASE WHEN flesch_nanos >= 90000000000 THEN 'easy'
+      |       WHEN flesch_nanos >= 60000000000 THEN 'standard'
+      |       WHEN flesch_nanos >= 30000000000 THEN 'difficult'
+      |       ELSE 'very_difficult' END AS level
+      |FROM f
+      |ORDER BY doc_id""".stripMargin
+
   /** CLASSIFIER CALIBRATION / RELIABILITY TABLE — the companion
     * diagnostic to [[classifierAuc]]: AUC says the score RANKS
     * positives above negatives; calibration says what a score LEVEL
@@ -1422,6 +1622,8 @@ object TextQueries {
     "classifier_auc" -> ((classifierAuc _, classifierAucSql)),
     "classifier_calibration" ->
       ((classifierCalibration _, classifierCalibrationSql)),
+    "nb_lang_classify" -> ((nbLangClassify _, nbLangClassifySql)),
+    "readability" -> ((readability _, readabilitySql)),
     "text_stats" -> ((textStats _, textStatsSql)),
     "lang_id" -> ((langId _, langIdSql)),
     "doc_fingerprint" -> ((docFingerprint _, docFingerprintSql)),

@@ -180,6 +180,14 @@ class PlanAuditSpec extends SparkSpec {
                                // windows run on the bounded gap hist
     "gini_nation" -> 3,        // orders rollup + two broadcast dims
     "classifier_calibration" -> 1, // one corpus scan to ≤10 bins
+    "nb_lang_classify" -> 3,   // model-build scan + inference-token
+                               // scan + column-pruned prior scan;
+                               // vocab model persisted (totals derive
+                               // from it, never a 4th token pass)
+    "readability" -> 1,        // pure projection
+    "bootstrap_ci" -> 2,       // point-estimate scan + the B=100
+                               // replicate scan (one pass, bounded
+                               // explode)
 
     "ann_index_search" -> 3    // probed index segment + the query-side
                                // embeddings scan + that same probe subtree
