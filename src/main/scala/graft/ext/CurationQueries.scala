@@ -1010,6 +1010,97 @@ object CurationQueries {
       |GROUP BY a.source, b.source
       |ORDER BY n_shared_spans DESC, source_a, source_b""".stripMargin
 
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV drift test on `events.value` —
+    * the distribution-free companion to [[driftPsi]]: PSI needs a bin
+    * choice and reports WHERE mass moved; KS is binless and gives a
+    * yes/no with a critical value. Reference = first half of the date
+    * span (the driftPsi split). Computed EXACTLY: values quantize to
+    * their cents grid (they are 2dp amounts, so ROUND(v·100) is
+    * lossless and the grid is bounded by the value RANGE — ~49k rows
+    * here — at any corpus size), the D statistic maximizes the integer
+    * cross-product |F₁·n₂ − F₂·n₁| over the grid, and the α=0.05
+    * decision compares 10⁶·D²ₙᵤₘ against 1.844164·(n₁+n₂)·n₁·n₂
+    * (1.358² = 1.844164 exactly) in DECIMAL(38,0)/HUGEINT — no sqrt,
+    * no float anywhere but the display divisions.
+    *
+    * Scale: one corpus aggregate to the cents histogram; the
+    * cumulative windows run single-partition on that bounded grid
+    * (range-partitioned prefix sums past ~10⁶ grid rows).
+    */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(to_date(col("ts")).as("d"),
+        expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+    val bounds = ev.agg(min("d").as("mind"), max("d").as("maxd"))
+    val hist = ev.crossJoin(broadcast(bounds))
+      .withColumn("is_ref",
+        datediff(col("d"), col("mind")) * 2 < datediff(col("maxd"), col("mind")))
+      .groupBy("cents")
+      .agg(count(when(col("is_ref"), lit(1))).as("c1"),
+        count(when(!col("is_ref"), lit(1))).as("c2"))
+    val cum = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    hist
+      .withColumn("f1", sum("c1").over(cum))
+      .withColumn("f2", sum("c2").over(cum))
+      .withColumn("n1", sum("c1").over(tot))
+      .withColumn("n2", sum("c2").over(tot))
+      .withColumn("dnum", abs(col("f1") * col("n2") - col("f2") * col("n1")))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(desc("dnum"), asc("cents"))))
+      .filter(col("rk") === 1)
+      .select(col("n1"), col("n2"),
+        (col("cents") / 100.0).as("at_value"),
+        expr("""(2 * CAST(dnum AS DECIMAL(38,0)) * 1000000
+                  + CAST(n1 AS DECIMAL(38,0)) * n2)
+                div (2 * CAST(n1 AS DECIMAL(38,0)) * n2) / 1e6""").as("ks"),
+        expr("""CAST(1000000 AS DECIMAL(38,0)) * dnum * dnum
+                > CAST(1844164 AS DECIMAL(38,0)) * (n1 + n2) * n1 * n2""")
+          .as("reject_05"))
+  }
+
+  val ksDriftSql: String =
+    """WITH ev AS (
+      |  SELECT CAST(ts AS DATE) AS d,
+      |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events WHERE value IS NOT NULL),
+      |b AS (SELECT MIN(d) AS mind, MAX(d) AS maxd FROM ev),
+      |hist AS (
+      |  SELECT cents,
+      |    CAST(COUNT(CASE WHEN date_diff('day', mind, d) * 2
+      |      < date_diff('day', mind, maxd) THEN 1 END) AS BIGINT) AS c1,
+      |    CAST(COUNT(CASE WHEN date_diff('day', mind, d) * 2
+      |      >= date_diff('day', mind, maxd) THEN 1 END) AS BIGINT) AS c2
+      |  FROM ev CROSS JOIN b
+      |  GROUP BY cents),
+      |cumed AS (
+      |  SELECT cents,
+      |    CAST(SUM(c1) OVER (ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS f1,
+      |    CAST(SUM(c2) OVER (ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS f2,
+      |    CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+      |    CAST(SUM(c2) OVER () AS BIGINT) AS n2
+      |  FROM hist),
+      |d AS (
+      |  SELECT cents, n1, n2, ABS(f1 * n2 - f2 * n1) AS dnum,
+      |    ROW_NUMBER() OVER (ORDER BY ABS(f1 * n2 - f2 * n1) DESC, cents)
+      |      AS rk
+      |  FROM cumed)
+      |SELECT n1, n2, cents / 100.0 AS at_value,
+      |  CAST((2 * CAST(dnum AS HUGEINT) * 1000000
+      |          + CAST(n1 AS HUGEINT) * n2)
+      |        // (2 * CAST(n1 AS HUGEINT) * n2) AS BIGINT) / 1e6 AS ks,
+      |  CAST(1000000 AS HUGEINT) * dnum * dnum
+      |    > CAST(1844164 AS HUGEINT) * (n1 + n2) * n1 * n2 AS reject_05
+      |FROM d
+      |WHERE rk = 1""".stripMargin
+
   /** POISSON-BOOTSTRAP CONFIDENCE INTERVAL for the corpus mean token
     * count — the published way to bootstrap AT SCALE (Chamandy et al.,
     * "Estimating Uncertainty for Massive Data Streams", Google 2012):
@@ -1134,6 +1225,7 @@ object CurationQueries {
     "shuffle_shard" -> ((shuffleShard _, shuffleShardSql)),
     "source_mix" -> ((sourceMix _, sourceMixSql)),
     "source_temperature" -> ((sourceTemperature _, sourceTemperatureSql)),
-    "bootstrap_ci" -> ((bootstrapCi _, bootstrapCiSql))
+    "bootstrap_ci" -> ((bootstrapCi _, bootstrapCiSql)),
+    "ks_drift" -> ((ksDrift _, ksDriftSql))
   )
 }

@@ -750,6 +750,71 @@ object EventQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** 5% TRIMMED MEAN of `value` per event type — the third robust
+    * estimator next to [[eventsMad]] (robust spread) and
+    * [[eventsTheilsen]] (robust trend): drop the bottom and top
+    * floor(n·5%) observations by rank and average the middle, shown
+    * against the untrimmed mean so the tail influence is the visible
+    * delta. Values quantize to their lossless cents grid, rank is
+    * fully tie-broken by event_id, sums are BIGINT, and each mean is
+    * one half-up micros division — zero float accumulation.
+    *
+    * Scale: one event_type-keyed exchange serves both rank windows and
+    * the final aggregate; within-type rank becomes a range-partitioned
+    * rank at 100 TB (same note as gini_nation).
+    */
+  def trimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+    val byType = Window.partitionBy("event_type")
+    ev
+      .withColumn("rk", row_number().over(
+        byType.orderBy(col("cents"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(byType))
+      .withColumn("lo", expr("n * 5 div 100"))
+      .withColumn("keep", col("rk") > col("lo") && col("rk") <= col("n") - col("lo"))
+      .groupBy("event_type")
+      .agg(max("n").as("n"), max("lo").as("n_trimmed_each_side"),
+        sum("cents").as("s_all"),
+        sum(when(col("keep"), col("cents"))).as("s_trim"),
+        sum(when(col("keep"), 1L)).as("n_trim"))
+      .select(col("event_type"), col("n"), col("n_trimmed_each_side"),
+        expr("(2 * s_all * 1000000 + n) div (2 * n) / 1e8").as("mean_all"),
+        expr("(2 * s_trim * 1000000 + n_trim) div (2 * n_trim) / 1e8")
+          .as("mean_trimmed"))
+      .orderBy("event_type")
+  }
+
+  val trimmedMeanSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, event_id,
+      |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events WHERE value IS NOT NULL),
+      |ranked AS (
+      |  SELECT event_type, cents,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY cents, event_id) AS BIGINT) AS rk,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM ev),
+      |flagged AS (
+      |  SELECT event_type, cents, n, n * 5 // 100 AS lo,
+      |    rk > n * 5 // 100 AND rk <= n - n * 5 // 100 AS keep
+      |  FROM ranked)
+      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+      |  CAST(MAX(lo) AS BIGINT) AS n_trimmed_each_side,
+      |  (2 * CAST(SUM(cents) AS BIGINT) * 1000000 + MAX(n))
+      |    // (2 * MAX(n)) / 1e8 AS mean_all,
+      |  (2 * CAST(SUM(CASE WHEN keep THEN cents END) AS BIGINT) * 1000000
+      |     + CAST(SUM(CASE WHEN keep THEN 1 END) AS BIGINT))
+      |    // (2 * CAST(SUM(CASE WHEN keep THEN 1 END) AS BIGINT)) / 1e8
+      |    AS mean_trimmed
+      |FROM flagged
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** MAD ROBUST OUTLIERS — median absolute deviation per event type
     * over the daily series, flagging days beyond 3·MAD: the
     * breakdown-resistant sibling of [[eventsAnomaly]]'s mean/σ
@@ -1735,6 +1800,7 @@ object EventQueries {
     "events_acf" -> ((eventsAcf _, eventsAcfSql)),
     "cms_user_counts" -> ((cmsUserCounts _, cmsUserCountsSql)),
     "events_mad" -> ((eventsMad _, eventsMadSql)),
+    "trimmed_mean" -> ((trimmedMean _, trimmedMeanSql)),
     "events_theilsen" -> ((eventsTheilsen _, eventsTheilsenSql)),
     "feature_mi" -> ((featureMi _, featureMiSql)),
     "events_seasonality" -> ((eventsSeasonality _, eventsSeasonalitySql)),

@@ -1675,6 +1675,58 @@ object OlapQueries {
       |FROM agg
       |ORDER BY nation""".stripMargin
 
+  /** RECIPROCAL BEST MATCH over the part↔supplier revenue bipartite —
+    * the greedy core of entity-pairing problems (each part's top
+    * supplier AND that supplier's top part must agree): the pairs a
+    * sourcing team can consolidate without contention, and the
+    * one-round deterministic kernel of stable-matching. One fact
+    * rollup to (part, supplier) revenue cents, then an argmax window
+    * on EACH side (full key tiebreaks) and the pairs where both ranks
+    * are 1. Revenue in exact BIGINT cents.
+    *
+    * Scale: the rollup is one fact shuffle; the two rank windows are
+    * two exchanges of the ROLLUP (bounded by distinct observed pairs,
+    * not rows). Top-1-per-key needs no global sort.
+    */
+  def reciprocalBest(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("rev"))
+      .withColumn("cents", floor(col("rev") * 100).cast("long"))
+    val wp = Window.partitionBy("l_partkey")
+      .orderBy(desc("cents"), asc("l_suppkey"))
+    val ws = Window.partitionBy("l_suppkey")
+      .orderBy(desc("cents"), asc("l_partkey"))
+    ps
+      .withColumn("rp", row_number().over(wp))
+      .withColumn("rs", row_number().over(ws))
+      .filter(col("rp") === 1 && col("rs") === 1)
+      .select(col("l_partkey").as("partkey"),
+        col("l_suppkey").as("suppkey"),
+        (col("cents") / 100.0).as("pair_revenue"))
+      .orderBy("partkey")
+  }
+
+  val reciprocalBestSql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |      AS DECIMAL(18,4))) * 100) AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+      |ranked AS (
+      |  SELECT l_partkey, l_suppkey, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY l_partkey
+      |      ORDER BY cents DESC, l_suppkey) AS rp,
+      |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+      |      ORDER BY cents DESC, l_partkey) AS rs
+      |  FROM ps)
+      |SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+      |  cents / 100.0 AS pair_revenue
+      |FROM ranked
+      |WHERE rp = 1 AND rs = 1
+      |ORDER BY partkey""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "market_basket" -> ((marketBasket _, marketBasketSql)),
     "benford_audit" -> ((benfordAudit _, benfordAuditSql)),
@@ -1683,6 +1735,7 @@ object OlapQueries {
     "same_day_orders" -> ((sameDayOrders _, sameDayOrdersSql)),
     "survival_km" -> ((survivalKm _, survivalKmSql)),
     "gini_nation" -> ((giniNation _, giniNationSql)),
+    "reciprocal_best" -> ((reciprocalBest _, reciprocalBestSql)),
     "q8_market_share" -> ((q8MarketShare _, q8MarketShareSql)),
     "q14_promo_share" -> ((q14PromoShare _, q14PromoShareSql)),
     "q6_forecast" -> ((q6Forecast _, q6ForecastSql)),

@@ -188,6 +188,13 @@ class PlanAuditSpec extends SparkSpec {
     "bootstrap_ci" -> 2,       // point-estimate scan + the B=100
                                // replicate scan (one pass, bounded
                                // explode)
+    "ks_drift" -> 2,           // events scan + broadcast date bounds;
+                               // cumulative windows on the bounded
+                               // cents histogram
+    "trimmed_mean" -> 1,       // one type-keyed exchange serves both
+                               // rank windows and the aggregate
+    "reciprocal_best" -> 1,    // one fact rollup; both argmax windows
+                               // run on the bounded pair table
 
     "ann_index_search" -> 3    // probed index segment + the query-side
                                // embeddings scan + that same probe subtree
