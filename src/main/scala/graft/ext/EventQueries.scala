@@ -750,6 +750,157 @@ object EventQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** COHORT LTV CURVES — cumulative purchase revenue per cohort user by
+    * weeks-since-signup: the REVENUE companion to
+    * [[eventsCohortRetention]]'s user counts (retention says who came
+    * back, LTV says what they were worth — the pair every growth
+    * dashboard plots together). Cohort = the user's first event week
+    * (any type); revenue = purchase-event cents (lossless 2dp grid).
+    * The corpus stage is one user-keyed min window + one (cohort,
+    * offset) aggregate; the cumulative-revenue window and the
+    * per-cohort-size division run on the calendar-bounded grid
+    * (weeks × offsets). BIGINT cents, half-up micros division, /10⁸
+    * display conversion — zero float accumulation.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        to_date(date_trunc("week", col("ts"))).as("wk"),
+        expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+      .withColumn("cohort_week",
+        min(col("wk")).over(Window.partitionBy("user_id")))
+    val cells = e.groupBy(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("int")
+          .as("week_offset"))
+      .agg(coalesce(sum(when(col("event_type") === "purchase",
+        col("cents"))), lit(0L)).as("rev_cents"))
+    val sizes = e.groupBy("cohort_week")
+      .agg(countDistinct(col("user_id")).as("cohort_users"))
+    val cum = Window.partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .withColumn("cum_cents", sum("rev_cents").over(cum))
+      .select(col("cohort_week"), col("week_offset"), col("cohort_users"),
+        (col("rev_cents") / 100.0).as("week_revenue"),
+        expr("(2 * cum_cents * 1000000 + cohort_users) div (2 * cohort_users) / 1e8")
+          .as("cum_ltv_per_user"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val cohortLtvSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    CAST(date_trunc('week', ts) AS DATE) AS wk,
+      |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |c AS (
+      |  SELECT *, MIN(wk) OVER (PARTITION BY user_id) AS cohort_week
+      |  FROM e),
+      |cells AS (
+      |  SELECT cohort_week,
+      |    CAST((wk - cohort_week) // 7 AS INT) AS week_offset,
+      |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN cents END), 0) AS BIGINT) AS rev_cents
+      |  FROM c GROUP BY 1, 2),
+      |sizes AS (
+      |  SELECT cohort_week, COUNT(DISTINCT user_id) AS cohort_users
+      |  FROM c GROUP BY 1),
+      |cumed AS (
+      |  SELECT cells.cohort_week, week_offset, cohort_users, rev_cents,
+      |    CAST(SUM(rev_cents) OVER (PARTITION BY cells.cohort_week
+      |      ORDER BY week_offset
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_cents
+      |  FROM cells JOIN sizes ON sizes.cohort_week = cells.cohort_week)
+      |SELECT cohort_week, week_offset, cohort_users,
+      |  rev_cents / 100.0 AS week_revenue,
+      |  (2 * cum_cents * 1000000 + cohort_users) // (2 * cohort_users) / 1e8
+      |    AS cum_ltv_per_user
+      |FROM cumed
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
+  /** SESSION BOUNCE RATE by entry event type — the engagement audit on
+    * top of the sessionization tier ([[eventsSession]] builds sessions,
+    * [[sessionPaths]] reads their shapes, this one scores their
+    * QUALITY): a bounce is a single-event session, attributed to the
+    * event type that OPENED the session — the "which landing
+    * experience loses people" question. Sessions are the same
+    * 30-minute-gap islands as [[eventsSession]] (lag + running-sum
+    * form, exactly the oracle's semantics); the entry event is
+    * rank-1 by (ts, event_id) so simultaneous first events break ties
+    * identically in both engines. One user-keyed exchange serves the
+    * lag, the island sum, and the entry rank; the aggregate is ≤5 rows.
+    */
+  def bounceRate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val sessions = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts") >= expr("prev_ts + INTERVAL 30 MINUTE"), 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("user_id", "session_id")
+          .orderBy(col("ts"), col("event_id"))))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("rk") === 1, col("event_type"))).as("entry_type"))
+    sessions
+      .groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"),
+        sum("n_events").as("total_events"))
+      .select(col("entry_type"), col("n_sessions"), col("n_bounces"),
+        expr("(2 * n_bounces * 1000000 + n_sessions) div (2 * n_sessions) / 1e6")
+          .as("bounce_rate"),
+        expr("(2 * total_events * 1000000 + n_sessions) div (2 * n_sessions) / 1e6")
+          .as("events_per_session"))
+      .orderBy("entry_type")
+  }
+
+  val bounceRateSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) IS NULL
+      |      OR ts >= LAG(ts) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) + INTERVAL 30 MINUTE
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked),
+      |entry AS (
+      |  SELECT user_id, session_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+      |      ORDER BY ts, event_id) AS rk
+      |  FROM sess),
+      |per AS (
+      |  SELECT s.user_id, s.session_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    MAX(CASE WHEN e.rk = 1 THEN e.event_type END) AS entry_type
+      |  FROM sess s JOIN entry e ON e.user_id = s.user_id
+      |    AND e.session_id = s.session_id AND e.rk = 1
+      |  GROUP BY s.user_id, s.session_id)
+      |SELECT entry_type, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_bounces,
+      |  (2 * CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |     * 1000000 + COUNT(*)) // (2 * COUNT(*)) / 1e6 AS bounce_rate,
+      |  (2 * CAST(SUM(n_events) AS BIGINT) * 1000000 + COUNT(*))
+      |    // (2 * COUNT(*)) / 1e6 AS events_per_session
+      |FROM per
+      |GROUP BY entry_type
+      |ORDER BY entry_type""".stripMargin
+
   /** 5% TRIMMED MEAN of `value` per event type — the third robust
     * estimator next to [[eventsMad]] (robust spread) and
     * [[eventsTheilsen]] (robust trend): drop the bottom and top
@@ -1801,6 +1952,8 @@ object EventQueries {
     "cms_user_counts" -> ((cmsUserCounts _, cmsUserCountsSql)),
     "events_mad" -> ((eventsMad _, eventsMadSql)),
     "trimmed_mean" -> ((trimmedMean _, trimmedMeanSql)),
+    "cohort_ltv" -> ((cohortLtv _, cohortLtvSql)),
+    "bounce_rate" -> ((bounceRate _, bounceRateSql)),
     "events_theilsen" -> ((eventsTheilsen _, eventsTheilsenSql)),
     "feature_mi" -> ((featureMi _, featureMiSql)),
     "events_seasonality" -> ((eventsSeasonality _, eventsSeasonalitySql)),

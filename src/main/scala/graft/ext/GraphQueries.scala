@@ -421,11 +421,94 @@ object GraphQueries {
        |SELECT node, cost FROM md
        |ORDER BY cost, node LIMIT 20""".stripMargin
 
+  /** DEGREE DISTRIBUTION of the supply graph — the profiling pass run
+    * BEFORE any of the iterative algorithms above (a near-complete or
+    * power-law graph changes which of them is even feasible — see
+    * [[triangles]]' backbone note): per-node degrees bucketed into
+    * power-of-two bins, with an exact DEGREE-ASSORTATIVITY coefficient
+    * (Pearson r of endpoint degrees over directed edges, Newman 2002)
+    * as a ride-along scalar column. log₂ bins are
+    * computed STRUCTURALLY — `length(bin(deg)) − 1`, the binary-string
+    * length, never FLOOR(LOG2(x)) whose double can land an ulp below
+    * an exact power — and r's four moment sums are exact
+    * DECIMAL(38,0)/HUGEINT with IEEE-exact sqrt at the end (sqrt IS
+    * correctly rounded, unlike ln/exp), rounded at 6dp.
+    *
+    * Scale: one fact distinct + one degree aggregate; bins and moments
+    * are map-side-combined folds. Nothing iterative.
+    */
+  def degreeDist(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables(spark, dir, "lineitem")
+      .select((col("l_partkey").cast("long") * 2).as("s"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("t"))
+      .distinct()
+    val e = e0.unionByName(e0.select(col("t").as("s"), col("s").as("t")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("s").agg(count(lit(1)).as("deg"))
+    val bins = deg
+      .withColumn("b", (length(bin(col("deg"))) - 1).cast("long"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("n_nodes"),
+        min("deg").as("min_deg"), max("deg").as("max_deg"))
+    // assortativity over directed edges: x = deg(s), y = deg(t)
+    val dd = e
+      .join(deg.select(col("s"), col("deg").as("x")), Seq("s"))
+      .join(deg.select(col("s").as("t"), col("deg").as("y")), Seq("t"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("m"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+      .select(round(
+        (col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double"))),
+        6).as("assortativity"))
+    bins.crossJoin(broadcast(dd))
+      .select(col("b").as("log2_degree_bin"), col("n_nodes"),
+        col("min_deg"), col("max_deg"), col("assortativity"))
+      .orderBy("log2_degree_bin")
+  }
+
+  val degreeDistSql: String =
+    """WITH e0 AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 AS s,
+      |                   CAST(l_suppkey AS BIGINT) * 2 + 1 AS t FROM lineitem),
+      |e AS (SELECT s, t FROM e0 UNION ALL SELECT t AS s, s AS t FROM e0),
+      |deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY s),
+      |bins AS (
+      |  SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |    CAST(MIN(deg) AS BIGINT) AS min_deg,
+      |    CAST(MAX(deg) AS BIGINT) AS max_deg
+      |  FROM deg GROUP BY 1),
+      |mom AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+      |    CAST(SUM(dx.deg) AS HUGEINT) AS sx,
+      |    CAST(SUM(dy.deg) AS HUGEINT) AS sy,
+      |    CAST(SUM(CAST(dx.deg AS HUGEINT) * dy.deg) AS HUGEINT) AS sxy,
+      |    CAST(SUM(CAST(dx.deg AS HUGEINT) * dx.deg) AS HUGEINT) AS sxx,
+      |    CAST(SUM(CAST(dy.deg AS HUGEINT) * dy.deg) AS HUGEINT) AS syy
+      |  FROM e
+      |  JOIN deg dx ON dx.s = e.s
+      |  JOIN deg dy ON dy.s = e.t),
+      |a AS (
+      |  SELECT ROUND(
+      |    CAST(m * sxy - sx * sy AS DOUBLE)
+      |      / (SQRT(CAST(m * sxx - sx * sx AS DOUBLE))
+      |         * SQRT(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+      |    AS assortativity
+      |  FROM mom)
+      |SELECT b AS log2_degree_bin, n_nodes, min_deg, max_deg, assortativity
+      |FROM bins CROSS JOIN a
+      |ORDER BY log2_degree_bin""".stripMargin
+
   def all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "min_cost_route" -> ((minCostRoute _, minCostRouteSql)),
     "pagerank_supply" -> ((pageRank _, pageRankSql)),
     "triangles_cosupply" -> ((triangles _, trianglesSql)),
     "graph_bfs_hops" -> ((bfsHops _, bfsHopsSql)),
-    "label_propagation" -> ((labelPropagation _, labelPropagationSql))
+    "label_propagation" -> ((labelPropagation _, labelPropagationSql)),
+    "degree_dist" -> ((degreeDist _, degreeDistSql))
   )
 }

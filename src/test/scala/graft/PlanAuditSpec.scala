@@ -195,6 +195,13 @@ class PlanAuditSpec extends SparkSpec {
                                // rank windows and the aggregate
     "reciprocal_best" -> 1,    // one fact rollup; both argmax windows
                                // run on the bounded pair table
+    "degree_dist" -> 1,        // one scan feeds the persisted
+                               // symmetrized edge cache; degrees, bins
+                               // and moments all fold off it
+    "cohort_ltv" -> 2,         // cohort cells + the broadcast cohort
+                               // sizes; windows on the bounded grid
+    "bounce_rate" -> 1,        // one user-keyed exchange serves lag,
+                               // island sum, and entry rank
 
     "ann_index_search" -> 3    // probed index segment + the query-side
                                // embeddings scan + that same probe subtree
