@@ -750,6 +750,59 @@ object EventQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** AUDIENCE OVERLAP MATRIX — exact Jaccard similarity between the
+    * USER SETS of every event-type pair ("do the people who click also
+    * purchase?"): the set-similarity tier applied to audiences instead
+    * of documents. The corpus collapses to the distinct (user, type)
+    * incidence — ONE exchange, persisted — and both the pair
+    * intersections (per-user type pairs, fanout ≤ C(5,2) = 10 per
+    * user) and the per-type totals fold off it; |A∪B| comes from
+    * inclusion-exclusion, never a union materialization. All integer
+    * until the final half-up micros division; output ≤10 rows.
+    */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val inter = ut.as("a")
+      .join(ut.as("b"), Seq("user_id"))
+      .filter(col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(broadcast(totals.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(totals.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        expr("""(2 * n_both * 1000000 + (n_a + n_b - n_both))
+                div (2 * (n_a + n_b - n_both)) / 1e6""").as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val audienceOverlapSql: String =
+    """WITH ut AS (
+      |  SELECT DISTINCT user_id, event_type FROM events),
+      |totals AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM ut GROUP BY 1),
+      |inter AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_both
+      |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+      |    AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, ta.n AS n_a, tb.n AS n_b, n_both,
+      |  (2 * n_both * 1000000 + (ta.n + tb.n - n_both))
+      |    // (2 * (ta.n + tb.n - n_both)) / 1e6 AS jaccard
+      |FROM inter
+      |JOIN totals ta ON ta.event_type = type_a
+      |JOIN totals tb ON tb.event_type = type_b
+      |ORDER BY type_a, type_b""".stripMargin
+
   /** COHORT LTV CURVES — cumulative purchase revenue per cohort user by
     * weeks-since-signup: the REVENUE companion to
     * [[eventsCohortRetention]]'s user counts (retention says who came
@@ -1953,6 +2006,7 @@ object EventQueries {
     "events_mad" -> ((eventsMad _, eventsMadSql)),
     "trimmed_mean" -> ((trimmedMean _, trimmedMeanSql)),
     "cohort_ltv" -> ((cohortLtv _, cohortLtvSql)),
+    "audience_overlap" -> ((audienceOverlap _, audienceOverlapSql)),
     "bounce_rate" -> ((bounceRate _, bounceRateSql)),
     "events_theilsen" -> ((eventsTheilsen _, eventsTheilsenSql)),
     "feature_mi" -> ((featureMi _, featureMiSql)),

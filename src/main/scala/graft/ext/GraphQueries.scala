@@ -503,12 +503,88 @@ object GraphQueries {
       |FROM bins CROSS JOIN a
       |ORDER BY log2_degree_bin""".stripMargin
 
+  private val CoreK = 8
+  private val PeelRounds = 3
+
+  /** BOUNDED-ROUND k-CORE PEELING (k = [[CoreK]], [[PeelRounds]]
+    * synchronous rounds) — the density/cohesion member of the graph
+    * family: repeatedly drop nodes whose degree IN THE SURVIVING
+    * SUBGRAPH is < k; what survives all peels is (an over-approximation
+    * converging to) the k-core, the standard "dense engagement core"
+    * cut. Fixed synchronous rounds are the deterministic, replayable
+    * form (the [[labelPropagation]] discipline — classic peeling is
+    * sequential and order-dependent); the output's per-round profile
+    * carries `n_nodes` so convergence is VISIBLE (equal consecutive
+    * rows ⇒ the true k-core was reached).
+    *
+    * Scale shape per round: two semi-joins of the (pre-partitioned,
+    * persisted) edge list against the (node-sized) survivor set + one
+    * map-side-combined degree count — never an induced-subgraph
+    * materialization. Pure integers.
+    */
+  def kcorePeel(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables(spark, dir, "lineitem")
+      .select((col("l_partkey").cast("long") * 2).as("s"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("t"))
+      .distinct()
+    val e = e0.unionByName(e0.select(col("t").as("s"), col("s").as("t")))
+      .repartition(col("s")).persist()
+    try {
+      var surv = e.select(col("s").as("node")).distinct()
+        .localCheckpoint(true)
+      val profile = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      def prof(round: Int, sv: DataFrame): DataFrame =
+        sv.agg(count(lit(1)).as("n_nodes"),
+            sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("n_parts"),
+            sum(col("node") % 2).as("n_suppliers"))
+          .select(lit(round.toLong).as("round"), col("n_nodes"),
+            col("n_parts"), col("n_suppliers"))
+      profile += prof(0, surv)
+      for (r <- 1 to PeelRounds) {
+        val deg = e
+          .join(surv.select(col("node").as("s")), Seq("s"), "left_semi")
+          .join(surv.select(col("node").as("t")), Seq("t"), "left_semi")
+          .groupBy(col("s").as("node")).agg(count(lit(1)).as("deg"))
+        surv = deg.filter(col("deg") >= CoreK).select("node")
+          .localCheckpoint(true)
+        profile += prof(r, surv)
+      }
+      profile.reduce(_ unionByName _).orderBy("round")
+    } finally e.unpersist()
+  }
+
+  val kcorePeelSql: String = {
+    def round(i: Int): String =
+      s"""d$i AS (SELECT e.s AS node, COUNT(*) AS deg FROM e
+         |  WHERE EXISTS (SELECT 1 FROM s${i - 1} WHERE s${i - 1}.node = e.s)
+         |    AND EXISTS (SELECT 1 FROM s${i - 1} WHERE s${i - 1}.node = e.t)
+         |  GROUP BY e.s),
+         |s$i AS (SELECT node FROM d$i WHERE deg >= $CoreK),""".stripMargin
+    val rounds = (1 to PeelRounds).map(round).mkString("\n")
+    val profs = (0 to PeelRounds).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS round,
+         |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |  CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_parts,
+         |  CAST(SUM(node % 2) AS BIGINT) AS n_suppliers
+         |FROM s$i""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH e0 AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 AS s,
+       |                   CAST(l_suppkey AS BIGINT) * 2 + 1 AS t FROM lineitem),
+       |e AS (SELECT s, t FROM e0 UNION ALL SELECT t AS s, s AS t FROM e0),
+       |s0 AS (SELECT DISTINCT s AS node FROM e),
+       |$rounds
+       |z AS (SELECT 1)
+       |$profs
+       |ORDER BY round""".stripMargin
+  }
+
   def all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "min_cost_route" -> ((minCostRoute _, minCostRouteSql)),
     "pagerank_supply" -> ((pageRank _, pageRankSql)),
     "triangles_cosupply" -> ((triangles _, trianglesSql)),
     "graph_bfs_hops" -> ((bfsHops _, bfsHopsSql)),
     "label_propagation" -> ((labelPropagation _, labelPropagationSql)),
-    "degree_dist" -> ((degreeDist _, degreeDistSql))
+    "degree_dist" -> ((degreeDist _, degreeDistSql)),
+    "kcore_peel" -> ((kcorePeel _, kcorePeelSql))
   )
 }

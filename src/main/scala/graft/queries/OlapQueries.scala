@@ -1727,6 +1727,69 @@ object OlapQueries {
       |WHERE rp = 1 AND rs = 1
       |ORDER BY partkey""".stripMargin
 
+  /** GROUPED OLS — DISCOUNT ELASTICITY of demand per brand: the
+    * closed-form least-squares slope of quantity on discount points,
+    * fit independently for every p_brand in ONE aggregate pass (the
+    * million-models-in-one-groupBy shape — no per-group solver, no
+    * iteration). The global-trend sibling of [[graft.ext.EventQueries
+    * .eventsTheilsen]]'s robust estimator. x = discount in integer
+    * points (lossless: TPC-H discounts are 2dp), y = integer quantity,
+    * the five moment sums are DECIMAL(38,0)-exact, and the slope
+    * closes with the signed half-up micros idiom on the cross-product
+    * ratio (m·Σxy − Σx·Σy)/(m·Σxx − (Σx)²) — zero floats anywhere.
+    * Degenerate groups (all rows at one discount) report NULL.
+    */
+  def discountElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        expr("CAST(ROUND(l_discount * 100, 0) AS DECIMAL(38,0))").as("x"),
+        expr("CAST(ROUND(l_quantity, 0) AS DECIMAL(38,0))").as("y"))
+    val part = Tables(spark, dir, "part").select("p_partkey", "p_brand")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("brand"), col("m").cast("long").as("n"),
+        expr("""CASE WHEN m * sxx - sx * sx = 0 THEN NULL
+                ELSE CASE WHEN (m * sxy - sx * sy) >= 0
+                  THEN (2 * (m * sxy - sx * sy) * 1000000
+                          + (m * sxx - sx * sx))
+                       div (2 * (m * sxx - sx * sx))
+                  ELSE -((2 * -(m * sxy - sx * sy) * 1000000
+                          + (m * sxx - sx * sx))
+                       div (2 * (m * sxx - sx * sx))) END / 1e6
+                END""").as("qty_per_discount_pt"))
+      .orderBy("brand")
+  }
+
+  val discountElasticitySql: String =
+    """WITH li AS (
+      |  SELECT l_partkey,
+      |    CAST(ROUND(l_discount * 100, 0) AS HUGEINT) AS x,
+      |    CAST(ROUND(l_quantity, 0) AS HUGEINT) AS y
+      |  FROM lineitem),
+      |agg AS (
+      |  SELECT p.p_brand AS brand,
+      |    CAST(COUNT(*) AS HUGEINT) AS m,
+      |    SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      |  FROM li JOIN part p ON p.p_partkey = li.l_partkey
+      |  GROUP BY 1)
+      |SELECT brand, CAST(m AS BIGINT) AS n,
+      |  CASE WHEN m * sxx - sx * sx = 0 THEN NULL
+      |  ELSE CAST(CASE WHEN (m * sxy - sx * sy) >= 0
+      |    THEN (2 * (m * sxy - sx * sy) * 1000000
+      |            + (m * sxx - sx * sx))
+      |         // (2 * (m * sxx - sx * sx))
+      |    ELSE -((2 * -(m * sxy - sx * sy) * 1000000
+      |            + (m * sxx - sx * sx))
+      |         // (2 * (m * sxx - sx * sx))) END AS BIGINT) / 1e6
+      |  END AS qty_per_discount_pt
+      |FROM agg
+      |ORDER BY brand""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "market_basket" -> ((marketBasket _, marketBasketSql)),
     "benford_audit" -> ((benfordAudit _, benfordAuditSql)),
@@ -1736,6 +1799,7 @@ object OlapQueries {
     "survival_km" -> ((survivalKm _, survivalKmSql)),
     "gini_nation" -> ((giniNation _, giniNationSql)),
     "reciprocal_best" -> ((reciprocalBest _, reciprocalBestSql)),
+    "discount_elasticity" -> ((discountElasticity _, discountElasticitySql)),
     "q8_market_share" -> ((q8MarketShare _, q8MarketShareSql)),
     "q14_promo_share" -> ((q14PromoShare _, q14PromoShareSql)),
     "q6_forecast" -> ((q6Forecast _, q6ForecastSql)),

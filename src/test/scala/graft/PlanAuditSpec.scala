@@ -202,6 +202,14 @@ class PlanAuditSpec extends SparkSpec {
                                // sizes; windows on the bounded grid
     "bounce_rate" -> 1,        // one user-keyed exchange serves lag,
                                // island sum, and entry rank
+    "kcore_peel" -> 0,         // rounds run through the persisted edge
+                               // cache onto checkpointed survivor sets;
+                               // the output plan is the 4-row union of
+                               // leaf aggregates
+    "audience_overlap" -> 1,   // one distinct (user,type) incidence,
+                               // persisted; pairs + totals fold off it
+    "discount_elasticity" -> 2, // fact + broadcast part dim; all five
+                               // moments in one aggregate pass
 
     "ann_index_search" -> 3    // probed index segment + the query-side
                                // embeddings scan + that same probe subtree
