@@ -750,6 +750,133 @@ object EventQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** MULTI-TOUCH ATTRIBUTION — first-touch, last-touch, and linear
+    * credit per touch type for every purchase conversion (7-day
+    * lookback): the batch credit-model family on top of the streaming
+    * [[graft.streaming.StreamingOps]] click-attribution join and the
+    * single-model [[graft.queries.OlapQueries]] range join. ONE
+    * user-keyed range join builds the (purchase, touch) frame; ONE
+    * purchase-keyed exchange serves all three models — first/last are
+    * rank-1 flags under fully tie-broken (ts, event_id) orders, linear
+    * is the per-touch 1/n share in half-up integer micros (each
+    * conversion distributes exactly ~10⁶ micros across its touches) —
+    * then one ≤3-row aggregate. The equi user key carries the join;
+    * the time window is a residual (the range_join discipline).
+    */
+  def touchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+    val touches = ev
+      .filter(col("event_type").isin("view", "click", "signup"))
+      .select(col("user_id"), col("ts").as("t_ts"),
+        col("event_id").as("t_id"), col("event_type").as("touch_type"))
+    val byPurchase = Window.partitionBy("p_id")
+    purchases.join(touches, Seq("user_id"))
+      .filter(col("t_ts") < col("p_ts") &&
+        col("t_ts") >= expr("p_ts - INTERVAL 7 DAY"))
+      .withColumn("n", count(lit(1)).over(byPurchase))
+      .withColumn("rk_first", row_number().over(
+        byPurchase.orderBy(col("t_ts"), col("t_id"))))
+      .withColumn("rk_last", row_number().over(
+        byPurchase.orderBy(col("t_ts").desc, col("t_id").desc)))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_touches"),
+        sum(when(col("rk_first") === 1, 1L).otherwise(0L)).as("first_touch"),
+        sum(when(col("rk_last") === 1, 1L).otherwise(0L)).as("last_touch"),
+        sum(expr("(2 * 1000000 + n) div (2 * n)")).as("linear_micros"))
+      .select(col("touch_type"), col("n_touches"), col("first_touch"),
+        col("last_touch"),
+        (col("linear_micros") / 1e6).as("linear_credit"))
+      .orderBy("touch_type")
+  }
+
+  val touchAttributionSql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id AS p_id, ts AS p_ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT user_id, ts AS t_ts, event_id AS t_id,
+      |    event_type AS touch_type
+      |  FROM events WHERE event_type IN ('view', 'click', 'signup')),
+      |j AS (
+      |  SELECT p.p_id, t.t_ts, t.t_id, t.touch_type
+      |  FROM p JOIN t ON t.user_id = p.user_id
+      |    AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY),
+      |w AS (
+      |  SELECT touch_type,
+      |    CAST(COUNT(*) OVER (PARTITION BY p_id) AS BIGINT) AS n,
+      |    ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY t_ts, t_id)
+      |      AS rk_first,
+      |    ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY t_ts DESC,
+      |      t_id DESC) AS rk_last
+      |  FROM j)
+      |SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+      |  CAST(SUM(CASE WHEN rk_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS first_touch,
+      |  CAST(SUM(CASE WHEN rk_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS last_touch,
+      |  CAST(SUM((2 * 1000000 + n) // (2 * n)) AS BIGINT) / 1e6
+      |    AS linear_credit
+      |FROM w
+      |GROUP BY touch_type
+      |ORDER BY touch_type""".stripMargin
+
+  /** SEASONAL-NAIVE FORECAST EVALUATION — forecast every day's count
+    * per event type as "same weekday last week" and score the forecast
+    * with MAE and MAPE: the baseline every real forecasting deployment
+    * must beat, and the error-metric machinery (exact, per-type) that
+    * scoring any better model reuses. Only days whose d−7 was observed
+    * are scored (join against the shifted rollup — no imputation). The
+    * corpus stage is the daily rollup (persisted — it is both the
+    * actual AND, shifted, the forecast); per-day APE and the means are
+    * half-up integer micros.
+    */
+  def forecastEval(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val f = daily.select(col("event_type"), date_add(col("d"), 7).as("d"),
+      col("y").as("yhat"))
+    daily.join(f, Seq("event_type", "d"))
+      .select(col("event_type"), abs(col("y") - col("yhat")).as("ae"),
+        expr("""(2 * abs(y - yhat) * 1000000 + y) div (2 * y)""").as("ape"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum("ae").as("sae"), sum("ape").as("sape"))
+      .select(col("event_type"), col("n_days"),
+        expr("(2 * sae * 1000000 + n_days) div (2 * n_days) / 1e6")
+          .as("mae"),
+        expr("(2 * sape * 1000000 + n_days) div (2 * n_days) / 1e12")
+          .as("mape"))
+      .orderBy("event_type")
+  }
+
+  val forecastEvalSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |f AS (
+      |  SELECT event_type, d + 7 AS d, y AS yhat FROM daily),
+      |scored AS (
+      |  SELECT daily.event_type, ABS(daily.y - f.yhat) AS ae,
+      |    (2 * ABS(daily.y - f.yhat) * 1000000 + daily.y)
+      |      // (2 * daily.y) AS ape
+      |  FROM daily JOIN f ON f.event_type = daily.event_type
+      |    AND f.d = daily.d)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  (2 * CAST(SUM(ae) AS BIGINT) * 1000000 + COUNT(*))
+      |    // (2 * COUNT(*)) / 1e6 AS mae,
+      |  (2 * CAST(SUM(ape) AS BIGINT) * 1000000 + COUNT(*))
+      |    // (2 * COUNT(*)) / 1e12 AS mape
+      |FROM scored
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** AUDIENCE OVERLAP MATRIX — exact Jaccard similarity between the
     * USER SETS of every event-type pair ("do the people who click also
     * purchase?"): the set-similarity tier applied to audiences instead
@@ -2007,6 +2134,8 @@ object EventQueries {
     "trimmed_mean" -> ((trimmedMean _, trimmedMeanSql)),
     "cohort_ltv" -> ((cohortLtv _, cohortLtvSql)),
     "audience_overlap" -> ((audienceOverlap _, audienceOverlapSql)),
+    "touch_attribution" -> ((touchAttribution _, touchAttributionSql)),
+    "forecast_eval" -> ((forecastEval _, forecastEvalSql)),
     "bounce_rate" -> ((bounceRate _, bounceRateSql)),
     "events_theilsen" -> ((eventsTheilsen _, eventsTheilsenSql)),
     "feature_mi" -> ((featureMi _, featureMiSql)),

@@ -1790,6 +1790,48 @@ object OlapQueries {
       |FROM agg
       |ORDER BY brand""".stripMargin
 
+  /** BLOOM-PREFILTERED JOIN — the sideways-information-passing
+    * optimization for selective joins whose build side is too big to
+    * broadcast as a hash table but whose KEY SET fits a sketch: the
+    * high-balance customer keys collapse to a distributed-built Bloom
+    * filter (`stat.bloomFilter`'s treeAggregate), the fact table is
+    * prefiltered by the broadcast codegen
+    * [[graft.functions.BloomMightContain]] BEFORE its shuffle — at 1%
+    * fpp that is ~99% of non-matching fact rows never exchanged — and
+    * the exact join then removes the false positives. The ORACLE IS
+    * THE PLAIN JOIN: a hash match proves the optimization is invisible
+    * in the result (the skew_salted_join discipline). Revenue per
+    * nation of high-balance customers' orders.
+    */
+  def bloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val vip = Tables(spark, dir, "customer")
+      .filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val n = math.max(vip.count(), 1L) // bounded driver scalar
+    val bf = vip.stat.bloomFilter("c_custkey", n, 0.01)
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice"))
+      .filter(graft.functions.BloomMightContain
+        .might_contain(spark, bf, col("o_custkey")))
+    val nat = Tables(spark, dir, "nation").select("n_nationkey", "n_name")
+    orders
+      .join(vip, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy("nation")
+  }
+
+  val bloomJoinSql: String =
+    """SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders o
+      |JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_acctbal > 9000
+      |JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "market_basket" -> ((marketBasket _, marketBasketSql)),
     "benford_audit" -> ((benfordAudit _, benfordAuditSql)),
@@ -1800,6 +1842,7 @@ object OlapQueries {
     "gini_nation" -> ((giniNation _, giniNationSql)),
     "reciprocal_best" -> ((reciprocalBest _, reciprocalBestSql)),
     "discount_elasticity" -> ((discountElasticity _, discountElasticitySql)),
+    "bloom_join" -> ((bloomJoin _, bloomJoinSql)),
     "q8_market_share" -> ((q8MarketShare _, q8MarketShareSql)),
     "q14_promo_share" -> ((q14PromoShare _, q14PromoShareSql)),
     "q6_forecast" -> ((q6Forecast _, q6ForecastSql)),

@@ -210,6 +210,15 @@ class PlanAuditSpec extends SparkSpec {
                                // persisted; pairs + totals fold off it
     "discount_elasticity" -> 2, // fact + broadcast part dim; all five
                                // moments in one aggregate pass
+    "touch_attribution" -> 2,  // purchase side + touch side of the one
+                               // range join; all three credit models
+                               // share the purchase exchange
+    "forecast_eval" -> 1,      // the persisted daily rollup is both
+                               // actual and (shifted) forecast
+    "bloom_join" -> 3,         // prefiltered fact + exact-join customer
+                               // side + broadcast nation; the sketch
+                               // build is an eager action, not a plan
+                               // subtree
 
     "ann_index_search" -> 3    // probed index segment + the query-side
                                // embeddings scan + that same probe subtree
