@@ -1359,6 +1359,146 @@ object SimilarityQueries {
        |ORDER BY dim_i, dim_j""".stripMargin
   }
 
+  private val PcaIters = 3
+
+  /** PRINCIPAL COMPONENT via POWER ITERATION over the [[CovDims]]-dim
+    * covariance block — PCA TRAINED IN-ENGINE under the hash gate, the
+    * eigen sibling of [[graft.ext.KMeans]]: one corpus pass computes
+    * the exact moment sums (the [[embedCovariance]] pass), the SCALED
+    * covariance `n·Σxy − Σx·Σy` stays in DECIMAL(38,0) (eigenvectors
+    * are scale-invariant, so the /n²·10¹² display normalization is
+    * never needed), and [[PcaIters]] unrolled power steps run as pure
+    * integer column arithmetic ON THE ONE-ROW AGGREGATE — matrix×vector
+    * products in exact decimal, each iterate renormalized to ±10⁶ by
+    * the max-|component| signed integer division. No join, no loop
+    * job, no float until the final loading/Rayleigh display columns.
+    * Output: the 8 loadings + the explained-variance ratio
+    * (Rayleigh/trace, both exact decimals, one rounded double ratio).
+    */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    def m(i: Int) = s"cast(round(cast(embedding[$i] AS double) * 1000000) AS bigint)"
+    val agg = Tables(spark, dir, "embeddings").agg(
+      count(lit(1)).as("n"),
+      (0 until CovDims).map(i => sum(expr(m(i))).as(s"s_$i")) ++
+        CovPairs.map { case (i, j) =>
+          sum(expr(s"cast(${m(i)} * ${m(j)} AS decimal(38,0))")).as(s"x_${i}_$j")
+        }: _*)
+    def cCell(i: Int, j: Int): String = {
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      s"(cast(n AS decimal(38,0)) * x_${a}_$b" +
+        s" - cast(s_$i AS decimal(38,0)) * cast(s_$j AS decimal(38,0)))"
+    }
+    var df = agg
+    for (i <- 0 until CovDims; j <- i until CovDims)
+      df = df.withColumn(s"c_${i}_$j", expr(cCell(i, j)))
+    def cRef(i: Int, j: Int): String =
+      if (i <= j) s"c_${i}_$j" else s"c_${j}_$i"
+    // v0 = 10^6 on every axis; each step: w = C·v, v' = ±(|w|·10^6 div max|w|)
+    var v: Seq[String] = Seq.fill(CovDims)("cast(1000000 AS decimal(38,0))")
+    for (k <- 1 to PcaIters) {
+      for (i <- 0 until CovDims)
+        df = df.withColumn(s"w${k}_$i", expr(
+          (0 until CovDims).map(j => s"${cRef(i, j)} * (${v(j)})")
+            .mkString(" + ")))
+      df = df.withColumn(s"mx$k", expr(
+        s"greatest(${(0 until CovDims).map(i => s"abs(w${k}_$i)").mkString(", ")})"))
+      for (i <- 0 until CovDims)
+        df = df.withColumn(s"v${k}_$i", expr(
+          s"""CASE WHEN mx$k = 0 THEN 0
+             |WHEN w${k}_$i >= 0 THEN (w${k}_$i * 1000000) div mx$k
+             |ELSE -((-w${k}_$i * 1000000) div mx$k) END""".stripMargin))
+      v = (0 until CovDims).map(i => s"cast(v${PcaIters.min(k)}_$i AS decimal(38,0))")
+    }
+    // Rayleigh in scaled units: R = (v·Cv)/(v·v); ratio = R / trace(C)
+    for (i <- 0 until CovDims)
+      df = df.withColumn(s"wf_$i", expr(
+        (0 until CovDims).map(j => s"${cRef(i, j)} * (${v(j)})").mkString(" + ")))
+    df = df
+      .withColumn("svw", expr((0 until CovDims)
+        .map(i => s"(${v(i)}) * wf_$i").mkString(" + ")))
+      .withColumn("svv", expr((0 until CovDims)
+        .map(i => s"(${v(i)}) * (${v(i)})").mkString(" + ")))
+      .withColumn("tr", expr((0 until CovDims)
+        .map(i => s"c_${i}_$i").mkString(" + ")))
+      .withColumn("explained_ratio", expr(
+        """round(cast(svw AS double)
+          |  / (cast(svv AS double) * cast(tr AS double)), 6)""".stripMargin))
+    val rows = (0 until CovDims).map(i =>
+      struct(lit(i.toLong).as("dim"),
+        expr(s"v${PcaIters}_$i / 1e6").as("loading")))
+    df.select(col("n"), col("explained_ratio"),
+        explode(array(rows: _*)).as("p"))
+      .select(col("p.dim"), col("p.loading"), col("explained_ratio"), col("n"))
+      .orderBy("dim")
+  }
+
+  val pcaPowerSql: String = {
+    def m(i: Int) =
+      s"CAST(ROUND(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000) AS BIGINT)"
+    val sums = (0 until CovDims).map(i =>
+      s"CAST(SUM(${m(i)}) AS BIGINT) AS s_$i").mkString(",\n    ")
+    val crosses = CovPairs.map { case (i, j) =>
+      s"CAST(SUM(CAST(${m(i)} * ${m(j)} AS HUGEINT)) AS HUGEINT) AS x_${i}_$j"
+    }.mkString(",\n    ")
+    def cRef(i: Int, j: Int): String =
+      if (i <= j) s"c_${i}_$j" else s"c_${j}_$i"
+    val cCells = (for (i <- 0 until CovDims; j <- i until CovDims) yield
+      s"CAST(n AS HUGEINT) * x_${i}_$j" +
+        s" - CAST(s_$i AS HUGEINT) * CAST(s_$j AS HUGEINT) AS c_${i}_$j")
+      .mkString(",\n    ")
+    var vRef: Seq[String] = Seq.fill(CovDims)("CAST(1000000 AS HUGEINT)")
+    val iterCtes = new StringBuilder
+    for (k <- 1 to PcaIters) {
+      val ws = (0 until CovDims).map(i =>
+        (0 until CovDims).map(j => s"${cRef(i, j)} * (${vRef(j)})")
+          .mkString(" + ") + s" AS w${k}_$i").mkString(",\n    ")
+      val mx = (0 until CovDims).map(i => s"ABS(w${k}_$i)").mkString(", ")
+      val vs = (0 until CovDims).map(i =>
+        s"""CASE WHEN mx$k = 0 THEN 0
+           |WHEN w${k}_$i >= 0 THEN (w${k}_$i * 1000000) // mx$k
+           |ELSE -((-w${k}_$i * 1000000) // mx$k) END AS v${k}_$i""".stripMargin)
+        .mkString(",\n    ")
+      iterCtes.append(
+        s"""w$k AS (SELECT *,
+           |    $ws
+           |  FROM ${if (k == 1) "c" else s"i${k - 1}"}),
+           |m$k AS (SELECT *, GREATEST($mx) AS mx$k FROM w$k),
+           |i$k AS (SELECT *,
+           |    $vs
+           |  FROM m$k),
+           |""".stripMargin)
+      vRef = (0 until CovDims).map(i => s"CAST(v${k}_$i AS HUGEINT)")
+    }
+    val wf = (0 until CovDims).map(i =>
+      (0 until CovDims).map(j => s"${cRef(i, j)} * (${vRef(j)})")
+        .mkString(" + ") + s" AS wf_$i").mkString(",\n    ")
+    val svw = (0 until CovDims).map(i => s"(${vRef(i)}) * wf_$i").mkString(" + ")
+    val svv = (0 until CovDims).map(i => s"(${vRef(i)}) * (${vRef(i)})").mkString(" + ")
+    val tr = (0 until CovDims).map(i => s"c_${i}_$i").mkString(" + ")
+    val rows = (0 until CovDims).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS dim, v${PcaIters}_$i / 1e6 AS loading,
+         |  explained_ratio, n FROM fin""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH mom AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    $sums,
+       |    $crosses
+       |  FROM embeddings),
+       |c AS (SELECT *,
+       |    $cCells
+       |  FROM mom),
+       |${iterCtes.toString}
+       |pre AS (SELECT *,
+       |    $wf
+       |  FROM i$PcaIters),
+       |fin AS (SELECT *,
+       |  ROUND(CAST($svw AS DOUBLE)
+       |    / (CAST($svv AS DOUBLE) * CAST(($tr) AS DOUBLE)), 6)
+       |    AS explained_ratio
+       |  FROM pre)
+       |$rows
+       |ORDER BY dim""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "mmr_diversify" -> ((mmrDiversify _, mmrDiversifySql)),
     "knn_brute" -> ((knnBrute _, knnBruteSql)),
@@ -1375,6 +1515,7 @@ object SimilarityQueries {
     "ann_rerank" -> ((annRerank _, annRerankSql)),
     "embed_quantize" -> ((embedQuantize _, embedQuantizeSql)),
     "embed_covariance" -> ((embedCovariance _, embedCovarianceSql)),
+    "pca_power" -> ((pcaPower _, pcaPowerSql)),
     "hybrid_search_rrf" -> ((hybridSearchRrf _, hybridSearchRrfSql)),
     "embed_lsh_pairs" -> ((embedLshPairs _, embedLshPairsSql))
   )

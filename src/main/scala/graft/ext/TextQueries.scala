@@ -795,6 +795,73 @@ object TextQueries {
                 div (2 * 2 * np * nn) / 1e6""").as("auc"))
   }
 
+  /** TOP COLLOCATIONS by POINTWISE MUTUAL INFORMATION — which word
+    * pairs co-occur in documents far beyond chance: the association
+    * signal under phrase mining and tokenizer-merge heuristics, next
+    * to [[bpeTopPairs]]' adjacency counts (PMI is document-level and
+    * frequency-normalized, so it surfaces "strong but rare" pairs BPE
+    * counts drown). Same scale discipline as [[tfidfSimPairs]], with a
+    * RELATIVE ceiling: only terms with 2 ≤ df ≤ 0.8·N generate
+    * candidates — near-ubiquitous words both explode the pair space
+    * quadratically AND carry no association signal (an absolute cap
+    * like tfidf's 50 assumes a long-tail vocabulary; this corpus's is
+    * 31 words, all near-ubiquitous, so the ceiling must scale with N).
+    * PMI = ln(N·c_xy/(c_x·c_y)) as floor-at-6dp micros on exact
+    * integer ratios (the [[nbLangClassify]] discipline); pairs need
+    * c_xy ≥ 3 support; top-20 by (pmi, x, y) as TakeOrdered.
+    */
+  def tokenPmi(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dw = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " +")).as("word"))
+      .filter(col("word") =!= "")
+      .distinct()
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= 2 && col("df") * 5 <= col("n_docs") * 4)
+      .select("doc_id", "word", "df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = dw.as("a").join(dw.as("b"), Seq("doc_id"))
+      .filter(col("a.word") < col("b.word"))
+      .groupBy(col("a.word").as("x"), col("b.word").as("y"),
+        col("a.df").as("cx"), col("b.df").as("cy"))
+      .agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= 3)
+    pairs.crossJoin(broadcast(nDocs))
+      .select(col("x"), col("y"), col("cx"), col("cy"), col("cxy"),
+        expr("""CAST(FLOOR(LN(CAST(cxy AS DOUBLE) * n_docs / (cx * cy))
+                * 1000000) AS BIGINT) / 1e6""").as("pmi"))
+      .orderBy(desc("pmi"), asc("x"), asc("y")).limit(20)
+  }
+
+  val tokenPmiSql: String =
+    """WITH dw0 AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_filter(string_split(lower(text), ' '),
+      |      w -> w != '')) AS word
+      |  FROM documents),
+      |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      |dw AS (
+      |  SELECT doc_id, word, df FROM (
+      |    SELECT doc_id, word,
+      |      CAST(COUNT(*) OVER (PARTITION BY word) AS BIGINT) AS df
+      |    FROM dw0) CROSS JOIN nd
+      |  WHERE df >= 2 AND df * 5 <= n_docs * 4),
+      |pairs AS (
+      |  SELECT a.word AS x, b.word AS y, a.df AS cx, b.df AS cy,
+      |    CAST(COUNT(*) AS BIGINT) AS cxy
+      |  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.word < b.word
+      |  GROUP BY 1, 2, 3, 4
+      |  HAVING COUNT(*) >= 3)
+      |SELECT x, y, cx, cy, cxy,
+      |  CAST(FLOOR(LN(CAST(cxy AS DOUBLE) * n_docs / (cx * cy))
+      |    * 1000000) AS BIGINT) / 1e6 AS pmi
+      |FROM pairs CROSS JOIN nd
+      |ORDER BY pmi DESC, x, y
+      |LIMIT 20""".stripMargin
+
   /** MULTINOMIAL NAIVE BAYES language classifier — TRAINED AND RUN
     * inside the engine under the full hash oracle, the third
     * learned-model tier next to [[qualityClassifier]] (fixed hashed
@@ -1623,6 +1690,7 @@ object TextQueries {
     "classifier_calibration" ->
       ((classifierCalibration _, classifierCalibrationSql)),
     "nb_lang_classify" -> ((nbLangClassify _, nbLangClassifySql)),
+    "token_pmi" -> ((tokenPmi _, tokenPmiSql)),
     "readability" -> ((readability _, readabilitySql)),
     "text_stats" -> ((textStats _, textStatsSql)),
     "lang_id" -> ((langId _, langIdSql)),

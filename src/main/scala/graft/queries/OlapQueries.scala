@@ -1832,6 +1832,73 @@ object OlapQueries {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** NET REVENUE RETENTION by month — the subscription-economy health
+    * metric read over the order stream: of month m−1's customers, how
+    * much did they spend in month m, as a fraction of m−1's total
+    * (NRR > 1 = expansion), with the month's NEW-customer revenue
+    * split out. One (customer, month) rollup — persisted, it is both
+    * sides of the month-shift self-join AND the monthly base totals —
+    * then calendar-bounded joins and one aggregate per month. BIGINT
+    * cents, half-up micros ratio.
+    */
+  def revenueRetention(spark: SparkSession, dir: String): DataFrame = {
+    val mc = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("mo"))
+      .agg(floor(sum(dec(col("o_totalprice"))) * 100).cast("long").as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = mc.select(col("o_custkey"),
+      add_months(col("mo"), 1).as("mo"), col("cents").as("prev_cents"))
+    val base = prev.groupBy("mo").agg(sum("prev_cents").as("base_cents"))
+    mc.join(prev.select(col("o_custkey"), col("mo"), lit(1L).as("was_active")),
+        Seq("o_custkey", "mo"), "left")
+      .groupBy("mo")
+      .agg(sum(when(col("was_active") === 1, col("cents"))).as("retained_c"),
+        sum(when(col("was_active").isNull, col("cents"))).as("new_c"))
+      .join(base, Seq("mo"))
+      .select(col("mo").as("month"),
+        (col("base_cents") / 100.0).as("prev_month_revenue"),
+        (coalesce(col("retained_c"), lit(0L)) / 100.0).as("retained_revenue"),
+        (coalesce(col("new_c"), lit(0L)) / 100.0).as("new_revenue"),
+        expr("""(2 * coalesce(retained_c, 0L) * 1000000 + base_cents)
+                div (2 * base_cents) / 1e6""").as("nrr"))
+      .orderBy("month")
+  }
+
+  val revenueRetentionSql: String =
+    """WITH mc AS (
+      |  SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+      |    CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100)
+      |         AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1, 2),
+      |prev AS (
+      |  SELECT o_custkey, mo + INTERVAL 1 MONTH AS ts_mo, cents AS prev_cents
+      |  FROM mc),
+      |prevd AS (
+      |  SELECT o_custkey, CAST(ts_mo AS DATE) AS mo, prev_cents FROM prev),
+      |base AS (
+      |  SELECT mo, CAST(SUM(prev_cents) AS BIGINT) AS base_cents
+      |  FROM prevd GROUP BY mo),
+      |flagged AS (
+      |  SELECT mc.mo, mc.cents, p.prev_cents IS NOT NULL AS was_active
+      |  FROM mc LEFT JOIN prevd p
+      |    ON p.o_custkey = mc.o_custkey AND p.mo = mc.mo),
+      |agg AS (
+      |  SELECT mo,
+      |    CAST(SUM(CASE WHEN was_active THEN cents END) AS BIGINT)
+      |      AS retained_c,
+      |    CAST(SUM(CASE WHEN NOT was_active THEN cents END) AS BIGINT)
+      |      AS new_c
+      |  FROM flagged GROUP BY mo)
+      |SELECT agg.mo AS month,
+      |  base_cents / 100.0 AS prev_month_revenue,
+      |  COALESCE(retained_c, 0) / 100.0 AS retained_revenue,
+      |  COALESCE(new_c, 0) / 100.0 AS new_revenue,
+      |  (2 * COALESCE(retained_c, 0) * 1000000 + base_cents)
+      |    // (2 * base_cents) / 1e6 AS nrr
+      |FROM agg JOIN base ON base.mo = agg.mo
+      |ORDER BY month""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "market_basket" -> ((marketBasket _, marketBasketSql)),
     "benford_audit" -> ((benfordAudit _, benfordAuditSql)),
@@ -1843,6 +1910,7 @@ object OlapQueries {
     "reciprocal_best" -> ((reciprocalBest _, reciprocalBestSql)),
     "discount_elasticity" -> ((discountElasticity _, discountElasticitySql)),
     "bloom_join" -> ((bloomJoin _, bloomJoinSql)),
+    "revenue_retention" -> ((revenueRetention _, revenueRetentionSql)),
     "q8_market_share" -> ((q8MarketShare _, q8MarketShareSql)),
     "q14_promo_share" -> ((q14PromoShare _, q14PromoShareSql)),
     "q6_forecast" -> ((q6Forecast _, q6ForecastSql)),

@@ -219,6 +219,15 @@ class PlanAuditSpec extends SparkSpec {
                                // side + broadcast nation; the sketch
                                // build is an eager action, not a plan
                                // subtree
+    "pca_power" -> 1,          // ONE moment pass; the unrolled power
+                               // steps are column arithmetic on the
+                               // 1-row aggregate — no joins, no loops
+    "token_pmi" -> 2,          // the capped incidence is persisted
+                               // (both pair sides read the cache) +
+                               // the n_docs scalar scan
+    "revenue_retention" -> 1,  // one (customer,month) rollup persisted;
+                               // shift, base totals and the flag join
+                               // all read the cache
 
     "ann_index_search" -> 3    // probed index segment + the query-side
                                // embeddings scan + that same probe subtree
