@@ -1140,9 +1140,89 @@ object DedupQueries {
       |WHERE lev <= 2
       |ORDER BY name_a, name_b""".stripMargin
 
+  /** ASYMMETRIC CONTAINMENT pairs — the near-dup modality Jaccard
+    * structurally misses: when a short document is QUOTED WHOLE inside
+    * a much longer one, |A∩B|/|A∪B| is diluted by the length gap while
+    * containment |A∩B|/|A| stays ~1 (Broder's original resemblance vs
+    * containment split). Runs on distinct 5-word shingle sets (the
+    * [[graft.ext.CurationQueries.decontaminate]] shingle): candidates
+    * from a df-capped shingle inverted index (a shingle in >50 docs is
+    * boilerplate — quadratic fanout, no identity signal), then BOTH
+    * directional containments + Jaccard exactly, integer micros. ONE
+    * shingle projection persisted feeds the index's both sides and the
+    * per-doc set sizes. Top-50 by the larger containment, fully
+    * tie-broken.
+    */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = Tables(spark, dir, "documents")
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, size(words) - 4),
+             i -> md5(concat_ws(' ', slice(words, i, 5)))))""")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val capped = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("df") <= 50)
+      .select("doc_id", "sh")
+    val pairs = capped.as("a").join(capped.as("b"), Seq("sh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc1"), col("nsh").as("n1")), Seq("doc1"))
+      .join(sizes.select(col("doc_id").as("doc2"), col("nsh").as("n2")), Seq("doc2"))
+      .select(col("doc1"), col("doc2"), col("n1"), col("n2"), col("shared"),
+        expr("(2 * shared * 1000000 + n1) div (2 * n1) / 1e6").as("contain_1"),
+        expr("(2 * shared * 1000000 + n2) div (2 * n2) / 1e6").as("contain_2"),
+        expr("""(2 * shared * 1000000 + (n1 + n2 - shared))
+                div (2 * (n1 + n2 - shared)) / 1e6""").as("jaccard"))
+      .withColumn("max_contain", greatest(col("contain_1"), col("contain_2")))
+      .orderBy(desc("max_contain"), asc("doc1"), asc("doc2")).limit(50)
+  }
+
+  val containmentPairsSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(
+      |      range(1, len(string_split(text, ' ')) - 3),
+      |      i -> md5(array_to_string(string_split(text, ' ')[i:i+4], ' ')))))
+      |      AS sh
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 5),
+      |sizes AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh
+      |  FROM sh GROUP BY doc_id),
+      |capped AS (
+      |  SELECT doc_id, sh FROM (
+      |    SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df
+      |    FROM sh) WHERE df <= 50),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+      |    CAST(COUNT(*) AS BIGINT) AS shared
+      |  FROM capped a JOIN capped b
+      |    ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc1, doc2, n1, n2, shared,
+      |  (2 * shared * 1000000 + n1) // (2 * n1) / 1e6 AS contain_1,
+      |  (2 * shared * 1000000 + n2) // (2 * n2) / 1e6 AS contain_2,
+      |  (2 * shared * 1000000 + (n1 + n2 - shared))
+      |    // (2 * (n1 + n2 - shared)) / 1e6 AS jaccard,
+      |  GREATEST((2 * shared * 1000000 + n1) // (2 * n1) / 1e6,
+      |           (2 * shared * 1000000 + n2) // (2 * n2) / 1e6)
+      |    AS max_contain
+      |FROM pairs
+      |JOIN (SELECT doc_id AS doc1, nsh AS n1 FROM sizes) s1 USING (doc1)
+      |JOIN (SELECT doc_id AS doc2, nsh AS n2 FROM sizes) s2 USING (doc2)
+      |ORDER BY max_contain DESC, doc1, doc2
+      |LIMIT 50""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "dedup_bloom" -> ((dedupBloom _, dedupBloomSql)),
     "fuzzy_dup_pairs" -> ((fuzzyDupPairs _, fuzzyDupPairsSql)),
+    "containment_pairs" -> ((containmentPairs _, containmentPairsSql)),
     "dedup_clusters_persisted" -> ((dedupClustersPersisted _, dedupClustersSql)),
     "dedup_clusters_incremental" -> ((dedupClustersIncremental _, dedupClustersSql)),
     "dedup_exact" -> ((dedupExact _, dedupExactSql)),

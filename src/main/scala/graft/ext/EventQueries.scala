@@ -877,6 +877,87 @@ object EventQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** CONFORMAL PREDICTION BAND for the seasonal-naive forecast — the
+    * split-conformal recipe on top of [[forecastEval]]'s point metrics:
+    * the q95 of CALIBRATION |errors| (all but the last 14 days) becomes
+    * the per-type ±band, and the band's EMPIRICAL COVERAGE on the
+    * held-out 14 days is reported next to it — the distribution-free
+    * guarantee check every forecast consumer should demand. The
+    * quantile is the NEAREST-RANK order statistic (first |e| whose
+    * rank·20 ≥ n·19) — pure integers, no interpolated percentile whose
+    * fractional position drifts by an ulp across engines. Same
+    * persisted daily rollup as forecastEval; everything after runs on
+    * calendar-bounded rows.
+    */
+  def forecastInterval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val f = daily.select(col("event_type"), date_add(col("d"), 7).as("d"),
+      col("y").as("yhat"))
+    val bounds = daily.agg(max("d").as("dmax"))
+    val errs = daily.join(f, Seq("event_type", "d"))
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), col("d"),
+        abs(col("y") - col("yhat")).as("ae"),
+        (col("d") <= date_sub(col("dmax"), 14)).as("is_cal"))
+    val byType = Window.partitionBy("event_type")
+    val cal = errs.filter(col("is_cal"))
+      .withColumn("rk", row_number().over(byType.orderBy(col("ae"), col("d"))))
+      .withColumn("n", count(lit(1)).over(byType))
+      .groupBy("event_type")
+      .agg(max("n").as("n_cal"),
+        min(when(col("rk") * 20 >= col("n") * 19, col("ae"))).as("band"))
+    errs.filter(!col("is_cal"))
+      .join(broadcast(cal), Seq("event_type"))
+      .groupBy(col("event_type"), col("n_cal"), col("band"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("ae") <= col("band"), 1L).otherwise(0L)).as("n_covered"))
+      .select(col("event_type"), col("n_cal"), col("band"), col("n_eval"),
+        col("n_covered"),
+        expr("(2 * n_covered * 1000000 + n_eval) div (2 * n_eval) / 1e6")
+          .as("coverage"))
+      .orderBy("event_type")
+  }
+
+  val forecastIntervalSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |f AS (
+      |  SELECT event_type, d + 7 AS d, y AS yhat FROM daily),
+      |b AS (SELECT MAX(d) AS dmax FROM daily),
+      |errs AS (
+      |  SELECT daily.event_type, daily.d,
+      |    ABS(daily.y - f.yhat) AS ae,
+      |    daily.d <= dmax - 14 AS is_cal
+      |  FROM daily JOIN f ON f.event_type = daily.event_type
+      |    AND f.d = daily.d
+      |  CROSS JOIN b),
+      |ranked AS (
+      |  SELECT event_type, ae,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ae, d) AS rk,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM errs WHERE is_cal),
+      |cal AS (
+      |  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_cal,
+      |    CAST(MIN(CASE WHEN rk * 20 >= n * 19 THEN ae END) AS BIGINT)
+      |      AS band
+      |  FROM ranked GROUP BY event_type)
+      |SELECT e.event_type, n_cal, band,
+      |  CAST(COUNT(*) AS BIGINT) AS n_eval,
+      |  CAST(SUM(CASE WHEN ae <= band THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_covered,
+      |  (2 * CAST(SUM(CASE WHEN ae <= band THEN 1 ELSE 0 END) AS BIGINT)
+      |     * 1000000 + COUNT(*)) // (2 * COUNT(*)) / 1e6 AS coverage
+      |FROM errs e JOIN cal ON cal.event_type = e.event_type
+      |WHERE NOT is_cal
+      |GROUP BY e.event_type, n_cal, band
+      |ORDER BY e.event_type""".stripMargin
+
   /** AUDIENCE OVERLAP MATRIX — exact Jaccard similarity between the
     * USER SETS of every event-type pair ("do the people who click also
     * purchase?"): the set-similarity tier applied to audiences instead
@@ -2136,6 +2217,7 @@ object EventQueries {
     "audience_overlap" -> ((audienceOverlap _, audienceOverlapSql)),
     "touch_attribution" -> ((touchAttribution _, touchAttributionSql)),
     "forecast_eval" -> ((forecastEval _, forecastEvalSql)),
+    "forecast_interval" -> ((forecastInterval _, forecastIntervalSql)),
     "bounce_rate" -> ((bounceRate _, bounceRateSql)),
     "events_theilsen" -> ((eventsTheilsen _, eventsTheilsenSql)),
     "feature_mi" -> ((featureMi _, featureMiSql)),

@@ -1359,6 +1359,108 @@ object SimilarityQueries {
        |ORDER BY dim_i, dim_j""".stripMargin
   }
 
+  private val StdDims = 16
+
+  /** PER-DIMENSION FEATURE STATISTICS + OUTLIER AUDIT over the first
+    * [[StdDims]] embedding dimensions — the standardization pass in
+    * front of any distance-based model (a dimension with 100× the
+    * variance silently owns every Euclidean distance): mean, std,
+    * min/max, and the count of |x − μ| > 3σ outliers per dimension.
+    * TWO corpus passes — moments, then the outlier count against the
+    * broadcast moment row — and the outlier test itself is EXACT
+    * integer arithmetic, cross-multiplied to kill the division AND the
+    * square root: `(n·x − Σx)² > 9·n·(n·Σx² − (Σx)²)` over the
+    * quantized grid (DECIMAL(38)/HUGEINT — widths proven past sf100);
+    * std is displayed via the IEEE-exact sqrt, rounded 6dp.
+    */
+  def embedStandardize(spark: SparkSession, dir: String): DataFrame = {
+    def m(i: Int) = s"cast(round(cast(embedding[$i] AS double) * 1000000) AS bigint)"
+    val mom = Tables(spark, dir, "embeddings").agg(
+      count(lit(1)).as("n"),
+      (0 until StdDims).flatMap(i => Seq(
+        sum(expr(m(i))).as(s"s_$i"),
+        sum(expr(s"cast(${m(i)} * ${m(i)} AS decimal(38,0))")).as(s"q_$i"),
+        min(expr(m(i))).as(s"mn_$i"),
+        max(expr(m(i))).as(s"mx_$i"))): _*)
+      // 1-row moment frame: checkpointed so the final plan references a
+      // leaf — without this the aggregate subtree (and its corpus scan)
+      // plans TWICE, once under the outlier crossJoin and once in the
+      // output row (PlanAuditSpec)
+      .localCheckpoint(true)
+    val out = Tables(spark, dir, "embeddings")
+      .crossJoin(broadcast(mom))
+      .select((0 until StdDims).map(i => expr(
+        s"""CASE WHEN
+           |  cast(cast(n AS decimal(38,0)) * ${m(i)}
+           |    - cast(s_$i AS decimal(38,0)) AS decimal(38,0))
+           |  * cast(cast(n AS decimal(38,0)) * ${m(i)}
+           |    - cast(s_$i AS decimal(38,0)) AS decimal(38,0))
+           |  > 9 * cast(n AS decimal(38,0))
+           |    * (cast(n AS decimal(38,0)) * q_$i
+           |       - cast(s_$i AS decimal(38,0)) * cast(s_$i AS decimal(38,0)))
+           |THEN 1L ELSE 0L END""".stripMargin).as(s"o_$i")): _*)
+      .agg(sum(col("o_0")).as("no_0"),
+        (1 until StdDims).map(i => sum(col(s"o_$i")).as(s"no_$i")): _*)
+    val rows = (0 until StdDims).map(i =>
+      struct(lit(i.toLong).as("dim"),
+        expr(s"""CASE WHEN s_$i >= 0
+                 THEN (2 * s_$i * 1000000 + n) div (2 * n)
+                 ELSE -((2 * -s_$i * 1000000 + n) div (2 * n)) END / 1e12""")
+          .as("mean"),
+        expr(s"""round(sqrt(cast(cast(n AS decimal(38,0)) * q_$i
+                 - cast(s_$i AS decimal(38,0)) * cast(s_$i AS decimal(38,0))
+                 AS double)) / n / 1e6, 6)""").as("std"),
+        expr(s"mn_$i / 1e6").as("min_v"),
+        expr(s"mx_$i / 1e6").as("max_v"),
+        col(s"no_$i").as("n_outliers")))
+    mom.crossJoin(broadcast(out))
+      .select(col("n"), explode(array(rows: _*)).as("p"))
+      .select(col("p.dim"), col("n"), col("p.mean"), col("p.std"),
+        col("p.min_v"), col("p.max_v"), col("p.n_outliers"))
+      .orderBy("dim")
+  }
+
+  val embedStandardizeSql: String = {
+    def m(i: Int) =
+      s"CAST(ROUND(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000) AS BIGINT)"
+    val moms = (0 until StdDims).map(i =>
+      s"""CAST(SUM(${m(i)}) AS BIGINT) AS s_$i,
+         |    CAST(SUM(CAST(${m(i)} * ${m(i)} AS HUGEINT)) AS HUGEINT) AS q_$i,
+         |    CAST(MIN(${m(i)}) AS BIGINT) AS mn_$i,
+         |    CAST(MAX(${m(i)}) AS BIGINT) AS mx_$i""".stripMargin)
+      .mkString(",\n    ")
+    val outs = (0 until StdDims).map(i =>
+      s"""CAST(SUM(CASE WHEN
+         |  (CAST(n AS HUGEINT) * ${m(i)} - CAST(s_$i AS HUGEINT))
+         |    * (CAST(n AS HUGEINT) * ${m(i)} - CAST(s_$i AS HUGEINT))
+         |  > 9 * CAST(n AS HUGEINT)
+         |    * (CAST(n AS HUGEINT) * q_$i
+         |       - CAST(s_$i AS HUGEINT) * CAST(s_$i AS HUGEINT))
+         |THEN 1 ELSE 0 END) AS BIGINT) AS no_$i""".stripMargin)
+      .mkString(",\n    ")
+    val rows = (0 until StdDims).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS dim, n,
+         |  CASE WHEN s_$i >= 0
+         |    THEN (2 * s_$i * 1000000 + n) // (2 * n)
+         |    ELSE -((2 * -s_$i * 1000000 + n) // (2 * n)) END / 1e12 AS mean,
+         |  ROUND(SQRT(CAST(CAST(n AS HUGEINT) * q_$i
+         |    - CAST(s_$i AS HUGEINT) * CAST(s_$i AS HUGEINT) AS DOUBLE))
+         |    / n / 1e6, 6) AS std,
+         |  mn_$i / 1e6 AS min_v, mx_$i / 1e6 AS max_v, no_$i AS n_outliers
+         |FROM j""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH mom AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    $moms
+       |  FROM embeddings),
+       |o AS (
+       |  SELECT
+       |    $outs
+       |  FROM embeddings CROSS JOIN mom),
+       |j AS (SELECT * FROM mom CROSS JOIN o)
+       |$rows
+       |ORDER BY dim""".stripMargin
+  }
+
   private val PcaIters = 3
 
   /** PRINCIPAL COMPONENT via POWER ITERATION over the [[CovDims]]-dim
@@ -1516,6 +1618,7 @@ object SimilarityQueries {
     "embed_quantize" -> ((embedQuantize _, embedQuantizeSql)),
     "embed_covariance" -> ((embedCovariance _, embedCovarianceSql)),
     "pca_power" -> ((pcaPower _, pcaPowerSql)),
+    "embed_standardize" -> ((embedStandardize _, embedStandardizeSql)),
     "hybrid_search_rrf" -> ((hybridSearchRrf _, hybridSearchRrfSql)),
     "embed_lsh_pairs" -> ((embedLshPairs _, embedLshPairsSql))
   )

@@ -228,6 +228,13 @@ class PlanAuditSpec extends SparkSpec {
     "revenue_retention" -> 1,  // one (customer,month) rollup persisted;
                                // shift, base totals and the flag join
                                // all read the cache
+    "containment_pairs" -> 1,  // one shingle projection persisted feeds
+                               // the index's both sides + set sizes
+    "forecast_interval" -> 1,  // same persisted rollup is actual,
+                               // forecast, and the date bound
+    "embed_standardize" -> 1,  // the moment pass runs eagerly into a
+                               // checkpointed 1-row leaf; the final
+                               // plan scans only the outlier pass
 
     "ann_index_search" -> 3    // probed index segment + the query-side
                                // embeddings scan + that same probe subtree
