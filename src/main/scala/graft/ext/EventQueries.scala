@@ -877,6 +877,126 @@ object EventQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** CLASSICAL SEASONAL DECOMPOSITION (trend + weekly seasonal +
+    * residual) of the per-type daily series — the additive STL-lite
+    * every monitoring stack wants behind its charts: trend = the ±3-day
+    * centered moving average (a RANGE window over the integer day
+    * number, so calendar gaps average only the neighbors that exist —
+    * never "7 rows" silently spanning a hole), seasonal = the mean
+    * detrended value of the series' day-of-week, residual = the rest.
+    * Day-of-week is `datediff(d, epoch) % 7` — pure integer, immune to
+    * the engines' different dayofweek numbering conventions. All three
+    * components are exact integer micros (signed half-up means);
+    * everything runs on the persisted calendar-bounded rollup.
+    */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("dn",
+        datediff(col("d"), lit("1995-01-01")).cast("long"))
+      .withColumn("dow", expr("dn % 7"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ma = Window.partitionBy("event_type").orderBy("dn")
+      .rangeBetween(-3, 3)
+    val trended = daily
+      .withColumn("tsum", sum("y").over(ma))
+      .withColumn("tn", count(lit(1)).over(ma))
+      .withColumn("trend_micros",
+        expr("(2 * tsum * 1000000 + tn) div (2 * tn)"))
+      .withColumn("det_micros", col("y") * 1000000L - col("trend_micros"))
+    val seas = Window.partitionBy("event_type", "dow")
+    trended
+      .withColumn("ssum", sum("det_micros").over(seas))
+      .withColumn("sn", count(lit(1)).over(seas))
+      .withColumn("seasonal_micros", expr(
+        """CASE WHEN ssum >= 0 THEN (2 * ssum + sn) div (2 * sn)
+           ELSE -((2 * -ssum + sn) div (2 * sn)) END"""))
+      .select(col("event_type"), col("d"), col("y"),
+        (col("trend_micros") / 1e6).as("trend"),
+        (col("seasonal_micros") / 1e6).as("seasonal"),
+        ((col("det_micros") - col("seasonal_micros")) / 1e6).as("residual"))
+      .orderBy("event_type", "d")
+  }
+
+  val seasonalDecomposeSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS y,
+      |    CAST(date_diff('day', DATE '1995-01-01', CAST(ts AS DATE))
+      |         AS BIGINT) AS dn
+      |  FROM events GROUP BY 1, 2, 4),
+      |tr AS (
+      |  SELECT event_type, d, y, dn, dn % 7 AS dow,
+      |    CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY dn
+      |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS tsum,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY dn
+      |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS tn
+      |  FROM daily),
+      |det AS (
+      |  SELECT *,
+      |    (2 * tsum * 1000000 + tn) // (2 * tn) AS trend_micros,
+      |    y * 1000000 - (2 * tsum * 1000000 + tn) // (2 * tn) AS det_micros
+      |  FROM tr),
+      |seas AS (
+      |  SELECT *,
+      |    CAST(SUM(det_micros) OVER (PARTITION BY event_type, dow)
+      |         AS BIGINT) AS ssum,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type, dow) AS BIGINT)
+      |      AS sn
+      |  FROM det),
+      |fin AS (
+      |  SELECT *,
+      |    CASE WHEN ssum >= 0 THEN (2 * ssum + sn) // (2 * sn)
+      |    ELSE -((2 * -ssum + sn) // (2 * sn)) END AS seasonal_micros
+      |  FROM seas)
+      |SELECT event_type, d, y,
+      |  trend_micros / 1e6 AS trend,
+      |  seasonal_micros / 1e6 AS seasonal,
+      |  (det_micros - seasonal_micros) / 1e6 AS residual
+      |FROM fin
+      |ORDER BY event_type, d""".stripMargin
+
+  /** LONGEST ACTIVITY STREAKS — consecutive-day runs per user (the
+    * engagement metric product teams pin to retention), as the classic
+    * gaps-and-islands: island id = day number − dense day rank, one
+    * user-keyed exchange for the rank, one aggregate per island,
+    * global top-20 as TakeOrdered with the full (len, user, start)
+    * tiebreak.
+    */
+  def activityStreaks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .withColumn("dn", datediff(col("d"), lit("1995-01-01")).cast("long"))
+    val w = Window.partitionBy("user_id").orderBy("dn")
+    days
+      .withColumn("grp", col("dn") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("streak_days"),
+        min("d").as("streak_start"), max("d").as("streak_end"))
+      .select("user_id", "streak_days", "streak_start", "streak_end")
+      .orderBy(desc("streak_days"), asc("user_id"), asc("streak_start"))
+      .limit(20)
+  }
+
+  val activityStreaksSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, d,
+      |    CAST(date_diff('day', DATE '1995-01-01', d) AS BIGINT)
+      |      - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      |  FROM days)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak_days,
+      |  MIN(d) AS streak_start, MAX(d) AS streak_end
+      |FROM marked
+      |GROUP BY user_id, grp
+      |ORDER BY streak_days DESC, user_id, streak_start
+      |LIMIT 20""".stripMargin
+
   /** CONFORMAL PREDICTION BAND for the seasonal-naive forecast — the
     * split-conformal recipe on top of [[forecastEval]]'s point metrics:
     * the q95 of CALIBRATION |errors| (all but the last 14 days) becomes
@@ -2218,6 +2338,8 @@ object EventQueries {
     "touch_attribution" -> ((touchAttribution _, touchAttributionSql)),
     "forecast_eval" -> ((forecastEval _, forecastEvalSql)),
     "forecast_interval" -> ((forecastInterval _, forecastIntervalSql)),
+    "seasonal_decompose" -> ((seasonalDecompose _, seasonalDecomposeSql)),
+    "activity_streaks" -> ((activityStreaks _, activityStreaksSql)),
     "bounce_rate" -> ((bounceRate _, bounceRateSql)),
     "events_theilsen" -> ((eventsTheilsen _, eventsTheilsenSql)),
     "feature_mi" -> ((featureMi _, featureMiSql)),

@@ -1899,6 +1899,72 @@ object OlapQueries {
       |FROM agg JOIN base ON base.mo = agg.mo
       |ORDER BY month""".stripMargin
 
+  /** SIMPSON'S PARADOX DETECTOR — does the aggregate trend between
+    * customer account balance and order size survive stratification by
+    * nation, or is it an artifact of the mix? The audit every
+    * observational readout needs before anyone acts on a correlation:
+    * the same exact-integer OLS moments as [[discountElasticity]],
+    * computed once per stratum AND once overall (broadcast scalar),
+    * with the disagreement = sign(stratum slope) ≠ sign(overall
+    * slope). Slope signs come from the cross-product numerator — no
+    * division, no float, no tie ambiguity.
+    */
+  def simpsonCheck(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "orders")
+      .join(broadcast(Tables(spark, dir, "customer")
+        .select("c_custkey", "c_acctbal", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(spark, dir, "nation")
+        .select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        expr("CAST(ROUND(c_acctbal * 100, 0) AS DECIMAL(38,0))").as("x"),
+        expr("CAST(ROUND(o_totalprice * 100, 0) AS DECIMAL(38,0))").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perNation = base.groupBy("nation")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("m"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("num", expr("m * sxy - sx * sy"))
+    val overall = base
+      .agg(count(lit(1)).cast("decimal(38,0)").as("mo"),
+        sum("x").as("sxo"), sum("y").as("syo"),
+        sum(col("x") * col("y")).as("sxyo"))
+      .select(expr("mo * sxyo - sxo * syo").as("num_overall"))
+    perNation.crossJoin(broadcast(overall))
+      .select(col("nation"), col("m").cast("long").as("n"),
+        signum(col("num").cast("double")).cast("long").as("slope_sign"),
+        signum(col("num_overall").cast("double")).cast("long")
+          .as("overall_sign"))
+      .withColumn("disagrees", col("slope_sign") =!= col("overall_sign"))
+      .orderBy("nation")
+  }
+
+  val simpsonCheckSql: String =
+    """WITH base AS (
+      |  SELECT n.n_name AS nation,
+      |    CAST(ROUND(c.c_acctbal * 100, 0) AS HUGEINT) AS x,
+      |    CAST(ROUND(o.o_totalprice * 100, 0) AS HUGEINT) AS y
+      |  FROM orders o
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey),
+      |per AS (
+      |  SELECT nation, CAST(COUNT(*) AS HUGEINT) AS m,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy
+      |  FROM base GROUP BY 1),
+      |o AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) * SUM(x * y)
+      |    - SUM(x) * SUM(y) AS num_overall
+      |  FROM base)
+      |SELECT nation, CAST(m AS BIGINT) AS n,
+      |  CAST(SIGN(CAST(m * sxy - sx * sy AS DOUBLE)) AS BIGINT)
+      |    AS slope_sign,
+      |  CAST(SIGN(CAST(num_overall AS DOUBLE)) AS BIGINT) AS overall_sign,
+      |  CAST(SIGN(CAST(m * sxy - sx * sy AS DOUBLE)) AS BIGINT)
+      |    <> CAST(SIGN(CAST(num_overall AS DOUBLE)) AS BIGINT) AS disagrees
+      |FROM per CROSS JOIN o
+      |ORDER BY nation""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "market_basket" -> ((marketBasket _, marketBasketSql)),
     "benford_audit" -> ((benfordAudit _, benfordAuditSql)),
@@ -1911,6 +1977,7 @@ object OlapQueries {
     "discount_elasticity" -> ((discountElasticity _, discountElasticitySql)),
     "bloom_join" -> ((bloomJoin _, bloomJoinSql)),
     "revenue_retention" -> ((revenueRetention _, revenueRetentionSql)),
+    "simpson_check" -> ((simpsonCheck _, simpsonCheckSql)),
     "q8_market_share" -> ((q8MarketShare _, q8MarketShareSql)),
     "q14_promo_share" -> ((q14PromoShare _, q14PromoShareSql)),
     "q6_forecast" -> ((q6Forecast _, q6ForecastSql)),

@@ -235,6 +235,13 @@ class PlanAuditSpec extends SparkSpec {
     "embed_standardize" -> 1,  // the moment pass runs eagerly into a
                                // checkpointed 1-row leaf; the final
                                // plan scans only the outlier pass
+    "simpson_check" -> 1,      // ONE persisted joined projection feeds
+                               // both the stratified and the overall
+                               // moment aggregates
+    "seasonal_decompose" -> 1, // persisted daily rollup; all three
+                               // component windows run on it
+    "activity_streaks" -> 1,   // one user-keyed exchange; islands are
+                               // a rank + aggregate, top-20 TakeOrdered
 
     "ann_index_search" -> 3    // probed index segment + the query-side
                                // embeddings scan + that same probe subtree
