@@ -958,6 +958,55 @@ object EventQueries {
       |FROM fin
       |ORDER BY event_type, d""".stripMargin
 
+  /** ROLLING ACTIVE USERS — DAU, trailing-7-day WAU, and the
+    * DAU/WAU stickiness ratio per day: the engagement triple on every
+    * product dashboard. A rolling DISTINCT count can't ride a window
+    * frame (distinct doesn't decompose), so the scalable form is the
+    * COVERAGE EXPLODE: each (user, active-day) pair contributes to the
+    * 7 calendar days it covers — a bounded ×7 blowup of the distinct
+    * incidence, then ONE day-keyed distinct aggregate (dau rides along
+    * as the offset-0 conditional distinct). Days past the data's max
+    * date are clipped via the broadcast bound.
+    */
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val bounds = ud.agg(max("d").as("dmax"))
+    ud
+      .select(col("user_id"), col("d"),
+        explode(expr("sequence(0, 6)")).as("k"))
+      .withColumn("day", date_add(col("d"), col("k")))
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") <= col("dmax"))
+      .groupBy("day")
+      .agg(countDistinct(when(col("k") === 0, col("user_id"))).as("dau"),
+        countDistinct(col("user_id")).as("wau"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("(2 * dau * 1000000 + wau) div (2 * wau) / 1e6")
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
+  val rollingActiveUsersSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |b AS (SELECT MAX(d) AS dmax FROM ud),
+      |cov AS (
+      |  SELECT user_id, d + CAST(t.k AS INTEGER) AS day, t.k
+      |  FROM ud CROSS JOIN range(0, 7) t(k)),
+      |g AS (
+      |  SELECT day,
+      |    CAST(COUNT(DISTINCT CASE WHEN k = 0 THEN user_id END) AS BIGINT)
+      |      AS dau,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      |  FROM cov CROSS JOIN b
+      |  WHERE day <= dmax
+      |  GROUP BY day)
+      |SELECT day, dau, wau,
+      |  (2 * dau * 1000000 + wau) // (2 * wau) / 1e6 AS stickiness
+      |FROM g
+      |ORDER BY day""".stripMargin
+
   /** LONGEST ACTIVITY STREAKS — consecutive-day runs per user (the
     * engagement metric product teams pin to retention), as the classic
     * gaps-and-islands: island id = day number − dense day rank, one
@@ -2340,6 +2389,7 @@ object EventQueries {
     "forecast_interval" -> ((forecastInterval _, forecastIntervalSql)),
     "seasonal_decompose" -> ((seasonalDecompose _, seasonalDecomposeSql)),
     "activity_streaks" -> ((activityStreaks _, activityStreaksSql)),
+    "rolling_active_users" -> ((rollingActiveUsers _, rollingActiveUsersSql)),
     "bounce_rate" -> ((bounceRate _, bounceRateSql)),
     "events_theilsen" -> ((eventsTheilsen _, eventsTheilsenSql)),
     "feature_mi" -> ((featureMi _, featureMiSql)),

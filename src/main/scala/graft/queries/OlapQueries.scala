@@ -1965,6 +1965,129 @@ object OlapQueries {
       |FROM per CROSS JOIN o
       |ORDER BY nation""".stripMargin
 
+  /** CROSS-TABLE FINANCIAL RECONCILIATION — does each order's header
+    * total equal the sum of its lines' `extendedprice·(1−disc)·(1+tax)`?
+    * The audit [[graft.queries.CoreQueries]] `dq_checks` can't express
+    * (its expectations are single-table): per-status counts of exact
+    * matches, ≤1-cent rounding drift, and real mismatches, with the
+    * total and max absolute drift. One line-level rollup joined to the
+    * header — full outer would also catch headerless lines, but
+    * orphans are `fk_orphans`' job; this one audits the AMOUNTS.
+    * Exact BIGINT cents on both sides.
+    */
+  def orderReconcile(spark: SparkSession, dir: String): DataFrame = {
+    // every factor is a 2dp amount: quantize EACH to its integer grid
+    // first, so the line value pc·(100−dk)·(100+tk) is an exact BIGINT
+    // in 10⁻⁶-dollar units — a decimal cast of the 3-factor double
+    // product ties at the 4th decimal and the engines round ties
+    // differently (caught by the sf0.01 gate)
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), expr(
+        """CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+           * (100 + CAST(ROUND(l_tax * 100, 0) AS BIGINT))""").as("lm"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum("lm").as("li_micros"))
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) * 10000")
+          .as("o_micros"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("delta", col("o_micros") - col("li_micros"))
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("delta") === 0, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(abs(col("delta")) <= 10000 && col("delta") =!= 0, 1L)
+          .otherwise(0L)).as("n_rounding"),
+        sum(when(abs(col("delta")) > 10000, 1L).otherwise(0L))
+          .as("n_mismatch"),
+        (sum(abs(col("delta"))) / 1e6).as("total_abs_drift"),
+        (max(abs(col("delta"))) / 1e6).as("max_abs_drift"))
+      .orderBy("status")
+  }
+
+  val orderReconcileSql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+      |      * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+      |      * (100 + CAST(ROUND(l_tax * 100, 0) AS BIGINT))) AS BIGINT)
+      |      AS li_micros
+      |  FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT o.o_orderstatus AS status,
+      |    CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) * 10000
+      |      - li_micros AS delta
+      |  FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey)
+      |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CASE WHEN delta = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_exact,
+      |  CAST(SUM(CASE WHEN ABS(delta) <= 10000 AND delta <> 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_rounding,
+      |  CAST(SUM(CASE WHEN ABS(delta) > 10000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_mismatch,
+      |  CAST(SUM(ABS(delta)) AS BIGINT) / 1e6 AS total_abs_drift,
+      |  CAST(MAX(ABS(delta)) AS BIGINT) / 1e6 AS max_abs_drift
+      |FROM j
+      |GROUP BY status
+      |ORDER BY status""".stripMargin
+
+  /** FULFILLMENT LATENCY PERCENTILES — order-date → ship-date lag per
+    * order priority as NEAREST-RANK p50/p90/p99 (the
+    * [[graft.ext.EventQueries]] forecast_interval order-statistic
+    * discipline — no interpolated percentile whose fractional position
+    * can drift an ulp between engines): one fact join, one
+    * priority-keyed rank exchange (range-partitioned rank at 100 TB),
+    * conditional mins collapse each priority to one row.
+    */
+  def shipLatency(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lat = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        to_date(col("l_shipdate")).as("sd"))
+      .join(Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          to_date(col("o_orderdate")).as("od")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("sd"), col("od")).cast("long").as("lat"),
+        col("l_orderkey"), col("l_linenumber"))
+    val byP = Window.partitionBy("priority")
+    lat
+      .withColumn("rk", row_number().over(
+        byP.orderBy(col("lat"), col("l_orderkey"), col("l_linenumber"))))
+      .withColumn("n", count(lit(1)).over(byP))
+      .groupBy("priority")
+      .agg(max("n").as("n_lines"),
+        min(when(col("rk") * 2 >= col("n"), col("lat"))).as("p50_days"),
+        min(when(col("rk") * 10 >= col("n") * 9, col("lat"))).as("p90_days"),
+        min(when(col("rk") * 100 >= col("n") * 99, col("lat"))).as("p99_days"))
+      .orderBy("priority")
+  }
+
+  val shipLatencySql: String =
+    """WITH lat AS (
+      |  SELECT o.o_orderpriority AS priority,
+      |    CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+      |      CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lat,
+      |    l.l_orderkey, l.l_linenumber
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+      |ranked AS (
+      |  SELECT priority, lat,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY priority
+      |      ORDER BY lat, l_orderkey, l_linenumber) AS BIGINT) AS rk,
+      |    CAST(COUNT(*) OVER (PARTITION BY priority) AS BIGINT) AS n
+      |  FROM lat)
+      |SELECT priority, CAST(MAX(n) AS BIGINT) AS n_lines,
+      |  CAST(MIN(CASE WHEN rk * 2 >= n THEN lat END) AS BIGINT) AS p50_days,
+      |  CAST(MIN(CASE WHEN rk * 10 >= n * 9 THEN lat END) AS BIGINT)
+      |    AS p90_days,
+      |  CAST(MIN(CASE WHEN rk * 100 >= n * 99 THEN lat END) AS BIGINT)
+      |    AS p99_days
+      |FROM ranked
+      |GROUP BY priority
+      |ORDER BY priority""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "market_basket" -> ((marketBasket _, marketBasketSql)),
     "benford_audit" -> ((benfordAudit _, benfordAuditSql)),
@@ -1978,6 +2101,8 @@ object OlapQueries {
     "bloom_join" -> ((bloomJoin _, bloomJoinSql)),
     "revenue_retention" -> ((revenueRetention _, revenueRetentionSql)),
     "simpson_check" -> ((simpsonCheck _, simpsonCheckSql)),
+    "order_reconcile" -> ((orderReconcile _, orderReconcileSql)),
+    "ship_latency" -> ((shipLatency _, shipLatencySql)),
     "q8_market_share" -> ((q8MarketShare _, q8MarketShareSql)),
     "q14_promo_share" -> ((q14PromoShare _, q14PromoShareSql)),
     "q6_forecast" -> ((q6Forecast _, q6ForecastSql)),

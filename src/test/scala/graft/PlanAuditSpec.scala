@@ -242,6 +242,12 @@ class PlanAuditSpec extends SparkSpec {
                                // component windows run on it
     "activity_streaks" -> 1,   // one user-keyed exchange; islands are
                                // a rank + aggregate, top-20 TakeOrdered
+    "rolling_active_users" -> 2, // the distinct incidence + its 1-row
+                               // date-bound scan; coverage explode is a
+                               // bounded ×7 of the incidence
+    "order_reconcile" -> 2,    // line rollup + header scan, one join
+    "ship_latency" -> 2,       // fact + header join; percentiles are
+                               // conditional mins on one rank exchange
 
     "ann_index_search" -> 3    // probed index segment + the query-side
                                // embeddings scan + that same probe subtree
