@@ -1682,6 +1682,112 @@ object EventQueries {
     * (type)-keyed aggregate with conditional branches — adding variants
     * or metrics never adds scans.
     */
+  /** SAMPLE-RATIO MISMATCH (SRM) check for the A/B assignment — the
+    * experiment-VALIDITY gate in front of [[abAssign]]'s effect
+    * readout: if the md5 split doesn't actually deliver ~50/50 exposed
+    * USERS, every downstream p-value is garbage (the single most
+    * common silent A/B failure in production — biased triggering,
+    * variant-correlated crashes, bot filtering). χ² for two equal
+    * cells reduces to (n_a−n_b)²/n, so the α=0.05 decision is the pure
+    * integer comparison `(n_a−n_b)²·1000 > 3841·n` — no distribution
+    * lookup, no float. Reported overall and per event type (a
+    * per-surface imbalance with a clean global ratio is the classic
+    * triggering bug). Distinct (user, type) incidence in one exchange.
+    */
+  def abSrm(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+      .withColumn("variant", expr(
+        "cast(conv(substring(md5(concat('ab:', cast(user_id AS string))), 1, 15), 16, 10) AS bigint) % 2"))
+    val perType = ut.groupBy(col("event_type").as("scope"))
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"))
+    val overall = ut.select(col("user_id"), col("variant")).distinct()
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(lit("ALL").as("scope"), col("n_a"), col("n_b"))
+    perType.unionByName(overall)
+      .select(col("scope"), col("n_a"), col("n_b"),
+        expr("""(2 * (n_a - n_b) * (n_a - n_b) * 1000000 + (n_a + n_b))
+                div (2 * (n_a + n_b)) / 1e6""").as("chi2"),
+        expr("(n_a - n_b) * (n_a - n_b) * 1000 > 3841 * (n_a + n_b)")
+          .as("srm_detected"))
+      .orderBy("scope")
+  }
+
+  val abSrmSql: String =
+    """WITH ut AS (
+      |  SELECT DISTINCT user_id, event_type,
+      |    CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+      |      1, 15)) AS BIGINT) % 2 AS variant
+      |  FROM events),
+      |per AS (
+      |  SELECT event_type AS scope,
+      |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_a,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_b
+      |  FROM ut GROUP BY 1),
+      |ov AS (
+      |  SELECT 'ALL' AS scope,
+      |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_a,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_b
+      |  FROM (SELECT DISTINCT user_id, variant FROM ut)),
+      |u AS (SELECT * FROM per UNION ALL SELECT * FROM ov)
+      |SELECT scope, n_a, n_b,
+      |  (2 * (n_a - n_b) * (n_a - n_b) * 1000000 + (n_a + n_b))
+      |    // (2 * (n_a + n_b)) / 1e6 AS chi2,
+      |  (n_a - n_b) * (n_a - n_b) * 1000 > 3841 * (n_a + n_b)
+      |    AS srm_detected
+      |FROM u
+      |ORDER BY scope""".stripMargin
+
+  /** TIME-WINDOW INGEST DEDUP — the double-fire audit: the same user
+    * emitting the same event type within 5 seconds is (in a clickstream
+    * pipeline) a retry/double-submit artifact, not signal. A row is a
+    * duplicate iff it lands ≤5s after the PREVIOUS KEPT-OR-NOT row of
+    * its (user, type) lane — the lag form, one exchange; the report is
+    * per-type kept/dropped with the dup rate. The row-level decision
+    * stays distributed; only the ≤|types| summary comes back.
+    */
+  def dedupTimeWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("is_dup",
+        col("prev_ts").isNotNull &&
+          col("ts") <= expr("prev_ts + INTERVAL 5 SECOND"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
+      .select(col("event_type"), col("n_events"), col("n_dups"),
+        expr("(2 * n_dups * 1000000 + n_events) div (2 * n_events) / 1e6")
+          .as("dup_rate"))
+      .orderBy("event_type")
+  }
+
+  val dedupTimeWindowSql: String =
+    """WITH lagged AS (
+      |  SELECT event_type,
+      |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id, event_type
+      |        ORDER BY ts, event_id) IS NOT NULL
+      |      AND ts <= LAG(ts) OVER (PARTITION BY user_id, event_type
+      |        ORDER BY ts, event_id) + INTERVAL 5 SECOND
+      |    THEN 1 ELSE 0 END AS is_dup
+      |  FROM events)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+      |  (2 * CAST(SUM(is_dup) AS BIGINT) * 1000000 + COUNT(*))
+      |    // (2 * COUNT(*)) / 1e6 AS dup_rate
+      |FROM lagged
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   def abAssign(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir, "events")
       .withColumn("variant", expr(
@@ -2390,6 +2496,8 @@ object EventQueries {
     "seasonal_decompose" -> ((seasonalDecompose _, seasonalDecomposeSql)),
     "activity_streaks" -> ((activityStreaks _, activityStreaksSql)),
     "rolling_active_users" -> ((rollingActiveUsers _, rollingActiveUsersSql)),
+    "ab_srm" -> ((abSrm _, abSrmSql)),
+    "dedup_time_window" -> ((dedupTimeWindow _, dedupTimeWindowSql)),
     "bounce_rate" -> ((bounceRate _, bounceRateSql)),
     "events_theilsen" -> ((eventsTheilsen _, eventsTheilsenSql)),
     "feature_mi" -> ((featureMi _, featureMiSql)),

@@ -2088,6 +2088,83 @@ object OlapQueries {
       |GROUP BY priority
       |ORDER BY priority""".stripMargin
 
+  /** REVENUE WATERFALL — the month-over-month bridge every finance
+    * review opens with, decomposing ΔMRR into its four named parts:
+    * NEW (customers absent last month), EXPANSION (returning customers
+    * spending more), CONTRACTION (returning, spending less), CHURNED
+    * (last month's customers gone this month). The identity
+    * `this_month = last_month + new + expansion − contraction −
+    * churned` holds EXACTLY in BIGINT cents — the waterfall is a
+    * partition of the delta, not an approximation (pinned in
+    * RoundOpsInvariantSpec). Full-outer month-shift self-join of the
+    * one persisted (customer, month) rollup, the
+    * [[revenueRetention]] artifact read a second way.
+    */
+  def revenueWaterfall(spark: SparkSession, dir: String): DataFrame = {
+    val mc = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("mo"))
+      .agg(floor(sum(dec(col("o_totalprice"))) * 100).cast("long").as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = mc.select(col("o_custkey"),
+      add_months(col("mo"), 1).as("mo"), col("cents").as("prev_cents"))
+    mc.join(prev, Seq("o_custkey", "mo"), "full_outer")
+      .groupBy("mo")
+      .agg(
+        sum(when(col("prev_cents").isNull, col("cents"))).as("new_c"),
+        sum(when(col("cents").isNotNull && col("prev_cents").isNotNull
+          && col("cents") > col("prev_cents"),
+          col("cents") - col("prev_cents"))).as("expansion_c"),
+        sum(when(col("cents").isNotNull && col("prev_cents").isNotNull
+          && col("cents") < col("prev_cents"),
+          col("prev_cents") - col("cents"))).as("contraction_c"),
+        sum(when(col("cents").isNull, col("prev_cents"))).as("churned_c"),
+        sum(coalesce(col("cents"), lit(0L))).as("cur_c"),
+        sum(coalesce(col("prev_cents"), lit(0L))).as("prev_c"))
+      .select(col("mo").as("month"),
+        (col("prev_c") / 100.0).as("prev_revenue"),
+        (coalesce(col("new_c"), lit(0L)) / 100.0).as("new_revenue"),
+        (coalesce(col("expansion_c"), lit(0L)) / 100.0).as("expansion"),
+        (coalesce(col("contraction_c"), lit(0L)) / 100.0).as("contraction"),
+        (coalesce(col("churned_c"), lit(0L)) / 100.0).as("churned"),
+        (col("cur_c") / 100.0).as("revenue"))
+      .orderBy("month")
+  }
+
+  val revenueWaterfallSql: String =
+    """WITH mc AS (
+      |  SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+      |    CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100)
+      |         AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1, 2),
+      |prev AS (
+      |  SELECT o_custkey, CAST(mo + INTERVAL 1 MONTH AS DATE) AS mo,
+      |    cents AS prev_cents
+      |  FROM mc),
+      |j AS (
+      |  SELECT COALESCE(mc.o_custkey, p.o_custkey) AS o_custkey,
+      |    COALESCE(mc.mo, p.mo) AS mo, mc.cents, p.prev_cents
+      |  FROM mc FULL OUTER JOIN prev p
+      |    ON p.o_custkey = mc.o_custkey AND p.mo = mc.mo)
+      |SELECT mo AS month,
+      |  CAST(SUM(COALESCE(prev_cents, 0)) AS BIGINT) / 100.0
+      |    AS prev_revenue,
+      |  CAST(COALESCE(SUM(CASE WHEN prev_cents IS NULL THEN cents END), 0)
+      |       AS BIGINT) / 100.0 AS new_revenue,
+      |  CAST(COALESCE(SUM(CASE WHEN cents IS NOT NULL
+      |    AND prev_cents IS NOT NULL AND cents > prev_cents
+      |    THEN cents - prev_cents END), 0) AS BIGINT) / 100.0 AS expansion,
+      |  CAST(COALESCE(SUM(CASE WHEN cents IS NOT NULL
+      |    AND prev_cents IS NOT NULL AND cents < prev_cents
+      |    THEN prev_cents - cents END), 0) AS BIGINT) / 100.0
+      |    AS contraction,
+      |  CAST(COALESCE(SUM(CASE WHEN cents IS NULL THEN prev_cents END), 0)
+      |       AS BIGINT) / 100.0 AS churned,
+      |  CAST(SUM(COALESCE(cents, 0)) AS BIGINT) / 100.0 AS revenue
+      |FROM j
+      |GROUP BY mo
+      |ORDER BY month""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "market_basket" -> ((marketBasket _, marketBasketSql)),
     "benford_audit" -> ((benfordAudit _, benfordAuditSql)),
@@ -2100,6 +2177,7 @@ object OlapQueries {
     "discount_elasticity" -> ((discountElasticity _, discountElasticitySql)),
     "bloom_join" -> ((bloomJoin _, bloomJoinSql)),
     "revenue_retention" -> ((revenueRetention _, revenueRetentionSql)),
+    "revenue_waterfall" -> ((revenueWaterfall _, revenueWaterfallSql)),
     "simpson_check" -> ((simpsonCheck _, simpsonCheckSql)),
     "order_reconcile" -> ((orderReconcile _, orderReconcileSql)),
     "ship_latency" -> ((shipLatency _, shipLatencySql)),

@@ -248,6 +248,12 @@ class PlanAuditSpec extends SparkSpec {
     "order_reconcile" -> 2,    // line rollup + header scan, one join
     "ship_latency" -> 2,       // fact + header join; percentiles are
                                // conditional mins on one rank exchange
+    "ab_srm" -> 1,             // Spark reuses ONE exchange for the
+                               // per-type incidence and the per-user
+                               // overall distinct (ReusedExchange)
+    "dedup_time_window" -> 1,  // one (user,type) lag exchange
+    "revenue_waterfall" -> 1,  // the persisted (customer,month) rollup
+                               // is both sides of the full-outer shift
 
     "ann_index_search" -> 3    // probed index segment + the query-side
                                // embeddings scan + that same probe subtree

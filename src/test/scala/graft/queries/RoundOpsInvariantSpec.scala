@@ -222,6 +222,30 @@ class RoundOpsInvariantSpec extends SparkSpec {
     })
   }
 
+  test("revenue_waterfall is an exact partition of the month delta") {
+    val r = rows("revenue_waterfall")
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val lhs = x.getAs[Double]("revenue")
+      val rhs = x.getAs[Double]("prev_revenue") +
+        x.getAs[Double]("new_revenue") + x.getAs[Double]("expansion") -
+        x.getAs[Double]("contraction") - x.getAs[Double]("churned")
+      assert(math.abs(lhs - rhs) < 1e-6, s"bridge broke: $lhs vs $rhs")
+    }
+  }
+
+  test("ab_srm chi2 is nonnegative; per-scope counts bounded by users") {
+    val r = rows("ab_srm")
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Double]("chi2") >= 0.0))
+  }
+
+  test("dedup_time_window dup counts bounded by events") {
+    val r = rows("dedup_time_window")
+    assert(r.nonEmpty)
+    assert(r.forall(x => x.getAs[Long]("n_dups") < x.getAs[Long]("n_events")))
+  }
+
   test("bloom_join equals the plain join") {
     import org.apache.spark.sql.functions._
     val bloom = rows("bloom_join")
