@@ -1682,6 +1682,73 @@ object EventQueries {
     * (type)-keyed aggregate with conditional branches — adding variants
     * or metrics never adds scans.
     */
+  /** USER GROWTH ACCOUNTING — weekly NEW / RETAINED / RESURRECTED /
+    * CHURNED user counts (the Social-Capital/a16z growth-accounting
+    * standard): new = first week ever, retained = also active the
+    * previous week, resurrected = inactive last week but seen before,
+    * churned = last week's users who went quiet — the USER-count dual
+    * of [[graft.queries.OlapQueries]] revenue_waterfall, with the
+    * extra "seen before" memory that needs the per-user FIRST week
+    * (one min window) next to the week-shift self-join. Two exact
+    * identities hold and are spec-pinned: active(w) = new + retained +
+    * resurrected, and churned(w) = active(w−1) − retained(w).
+    */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uw = Tables(spark, dir, "events")
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk")).distinct()
+      .withColumn("first_wk", min("wk").over(Window.partitionBy("user_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = uw.select(col("user_id"),
+      date_add(col("wk"), 7).as("wk"), lit(1L).as("was_prev"))
+    val cur = uw.join(prev, Seq("user_id", "wk"), "full_outer")
+      .withColumn("active", col("first_wk").isNotNull)
+    cur.groupBy("wk")
+      .agg(
+        sum(when(col("active") && col("wk") === col("first_wk"), 1L)
+          .otherwise(0L)).as("new_users"),
+        sum(when(col("active") && col("was_prev") === 1, 1L)
+          .otherwise(0L)).as("retained"),
+        sum(when(col("active") && col("was_prev").isNull
+          && col("wk") > col("first_wk"), 1L).otherwise(0L))
+          .as("resurrected"),
+        sum(when(!col("active"), 1L).otherwise(0L)).as("churned"),
+        sum(when(col("active"), 1L).otherwise(0L)).as("active_users"))
+      .orderBy("wk")
+  }
+
+  val growthAccountingSql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |fw AS (
+      |  SELECT user_id, wk,
+      |    MIN(wk) OVER (PARTITION BY user_id) AS first_wk
+      |  FROM uw),
+      |prev AS (
+      |  SELECT user_id, wk + 7 AS wk, 1 AS was_prev FROM uw),
+      |cur AS (
+      |  SELECT COALESCE(f.user_id, p.user_id) AS user_id,
+      |    COALESCE(f.wk, p.wk) AS wk, f.first_wk, p.was_prev,
+      |    f.first_wk IS NOT NULL AS active
+      |  FROM fw f FULL OUTER JOIN prev p
+      |    ON p.user_id = f.user_id AND p.wk = f.wk)
+      |SELECT wk,
+      |  CAST(SUM(CASE WHEN active AND wk = first_wk THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS new_users,
+      |  CAST(SUM(CASE WHEN active AND was_prev = 1 THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS retained,
+      |  CAST(SUM(CASE WHEN active AND was_prev IS NULL AND wk > first_wk
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS resurrected,
+      |  CAST(SUM(CASE WHEN NOT active THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS churned,
+      |  CAST(SUM(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS active_users
+      |FROM cur
+      |GROUP BY wk
+      |ORDER BY wk""".stripMargin
+
   /** SAMPLE-RATIO MISMATCH (SRM) check for the A/B assignment — the
     * experiment-VALIDITY gate in front of [[abAssign]]'s effect
     * readout: if the md5 split doesn't actually deliver ~50/50 exposed
@@ -2497,6 +2564,7 @@ object EventQueries {
     "activity_streaks" -> ((activityStreaks _, activityStreaksSql)),
     "rolling_active_users" -> ((rollingActiveUsers _, rollingActiveUsersSql)),
     "ab_srm" -> ((abSrm _, abSrmSql)),
+    "growth_accounting" -> ((growthAccounting _, growthAccountingSql)),
     "dedup_time_window" -> ((dedupTimeWindow _, dedupTimeWindowSql)),
     "bounce_rate" -> ((bounceRate _, bounceRateSql)),
     "events_theilsen" -> ((eventsTheilsen _, eventsTheilsenSql)),

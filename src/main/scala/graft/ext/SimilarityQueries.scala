@@ -1461,6 +1461,68 @@ object SimilarityQueries {
        |ORDER BY dim""".stripMargin
   }
 
+  /** INTER-CLASS CENTROID DISTANCE MATRIX — how separated the label
+    * clusters are in embedding space, the one-number-per-pair audit in
+    * front of training a classifier on these labels (two classes whose
+    * centroids nearly coincide will never separate linearly). The
+    * EXACT form of "distance between means" without ever materializing
+    * a mean: d(a,b)² = Σᵢ (sₐᵢ·n_b − s_bᵢ·nₐ)² / (nₐ·n_b)², where the
+    * numerator is a pure DECIMAL(38)/HUGEINT fold over the per-label
+    * quantized coordinate sums — the float division that makes means
+    * engine-fragile is deferred to ONE final sqrt/division pair.
+    * Corpus work: one posexplode aggregate to (label, pos) sums; the
+    * pair matrix is labels²·dims bounded.
+    */
+  def centroidDistances(spark: SparkSession, dir: String): DataFrame = {
+    val sums = Tables(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(sum(expr("cast(round(cast(x AS double) * 1000000) AS bigint)"))
+        .as("s"), count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = sums.select(col("pos"), col("label").as("label_a"),
+      col("s").as("sa"), col("n").as("na"))
+    val b = sums.select(col("pos"), col("label").as("label_b"),
+      col("s").as("sb"), col("n").as("nb"))
+    a.join(b, Seq("pos"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(max("na").as("na"), max("nb").as("nb"),
+        sum(expr("""(cast(sa AS decimal(38,0)) * nb
+                     - cast(sb AS decimal(38,0)) * na)
+                    * (cast(sa AS decimal(38,0)) * nb
+                     - cast(sb AS decimal(38,0)) * na)""")).as("num"))
+      .select(col("label_a"), col("label_b"), col("na"), col("nb"),
+        expr("round(sqrt(cast(num AS double)) / (cast(na AS double) * nb) / 1e6, 6)")
+          .as("centroid_dist"))
+      .orderBy("label_a", "label_b")
+  }
+
+  val centroidDistancesSql: String =
+    """WITH e AS (
+      |  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ex AS (
+      |  SELECT label, generate_subscripts(v, 1) - 1 AS pos,
+      |    CAST(ROUND(unnest(v) * 1000000) AS BIGINT) AS q
+      |  FROM e),
+      |sums AS (
+      |  SELECT label, pos, CAST(SUM(q) AS BIGINT) AS s,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM ex GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.label AS label_a, b.label AS label_b,
+      |    CAST(MAX(a.n) AS BIGINT) AS na, CAST(MAX(b.n) AS BIGINT) AS nb,
+      |    SUM((CAST(a.s AS HUGEINT) * b.n - CAST(b.s AS HUGEINT) * a.n)
+      |      * (CAST(a.s AS HUGEINT) * b.n - CAST(b.s AS HUGEINT) * a.n))
+      |      AS num
+      |  FROM sums a JOIN sums b ON a.pos = b.pos AND a.label < b.label
+      |  GROUP BY 1, 2)
+      |SELECT label_a, label_b, na, nb,
+      |  ROUND(SQRT(CAST(num AS DOUBLE))
+      |    / (CAST(na AS DOUBLE) * nb) / 1e6, 6) AS centroid_dist
+      |FROM pairs
+      |ORDER BY label_a, label_b""".stripMargin
+
   private val PcaIters = 3
 
   /** PRINCIPAL COMPONENT via POWER ITERATION over the [[CovDims]]-dim
@@ -1619,6 +1681,7 @@ object SimilarityQueries {
     "embed_covariance" -> ((embedCovariance _, embedCovarianceSql)),
     "pca_power" -> ((pcaPower _, pcaPowerSql)),
     "embed_standardize" -> ((embedStandardize _, embedStandardizeSql)),
+    "centroid_distances" -> ((centroidDistances _, centroidDistancesSql)),
     "hybrid_search_rrf" -> ((hybridSearchRrf _, hybridSearchRrfSql)),
     "embed_lsh_pairs" -> ((embedLshPairs _, embedLshPairsSql))
   )

@@ -2165,6 +2165,94 @@ object OlapQueries {
       |GROUP BY mo
       |ORDER BY month""".stripMargin
 
+  /** PRICE–VOLUME VARIANCE DECOMPOSITION per brand — the FP&A bridge
+    * explaining WHY revenue moved between the first and second half of
+    * the date span (the [[graft.ext.CurationQueries]] drift_psi split):
+    * price effect = q₂·(p₂−p₁), volume effect = p₁·(q₂−q₁), and by
+    * construction price + volume = ΔRev exactly up to the two half-up
+    * micro roundings (each effect carries one rational p = rev/qty,
+    * computed by the signed integer-micros idiom — never a float
+    * average price). Brands absent from either half are excluded (no
+    * p to compare); `new_dropped` flags them upstream via the fact
+    * that Σ brand deltas ≠ total delta.
+    */
+  def mixVariance(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey"), to_date(col("l_shipdate")).as("d"),
+        expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").as("q"),
+        expr("""CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))""")
+          .as("rev_u"))
+    val part = Tables(spark, dir, "part").select("p_partkey", "p_brand")
+    val bounds = li.agg(min("d").as("mind"), max("d").as("maxd"))
+    val halves = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("h1",
+        datediff(col("d"), col("mind")) * 2 < datediff(col("maxd"), col("mind")))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(when(col("h1"), col("q"))).as("q1"),
+        sum(when(col("h1"), col("rev_u")).cast("decimal(38,0)")).as("r1"),
+        sum(when(!col("h1"), col("q"))).as("q2"),
+        sum(when(!col("h1"), col("rev_u")).cast("decimal(38,0)")).as("r2"))
+      .filter(col("q1").isNotNull && col("q2").isNotNull &&
+        col("q1") > 0 && col("q2") > 0)
+    // effects stay in rev_u units (10⁻⁴ $): q·r products ride DECIMAL(38)
+    // and the one rational p = rev/qty closes with the half-up idiom —
+    // a ·10⁶ micros inflation here would push the LONG result past 2⁶³
+    // at sf100, so the unit IS the precision
+    def halfDiv(p: String, q: String) =
+      s"""CASE WHEN $p >= 0 THEN (2 * ($p) + $q) div (2 * ($q))
+         |ELSE -((2 * -($p) + $q) div (2 * ($q))) END""".stripMargin
+    halves
+      .withColumn("price_eff_u", expr(
+        s"cast(r2 AS long) - ${halfDiv("q2 * r1", "q1")}"))
+      .withColumn("vol_eff_u", expr(halfDiv("(q2 - q1) * r1", "q1")))
+      .select(col("brand"), col("q1"), col("q2"),
+        (col("r1").cast("double") / 1e4).as("rev_h1"),
+        (col("r2").cast("double") / 1e4).as("rev_h2"),
+        ((col("r2") - col("r1")).cast("double") / 1e4).as("delta"),
+        (col("price_eff_u") / 1e4).as("price_effect"),
+        (col("vol_eff_u") / 1e4).as("volume_effect"))
+      .orderBy("brand")
+  }
+
+  val mixVarianceSql: String = {
+    def halfDiv(p: String, q: String) =
+      s"""CASE WHEN $p >= 0 THEN (2 * ($p) + $q) // (2 * ($q))
+         |ELSE -((2 * -($p) + $q) // (2 * ($q))) END""".stripMargin
+    s"""WITH li AS (
+      |  SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
+      |    CAST(ROUND(l_quantity, 0) AS BIGINT) AS q,
+      |    CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+      |      * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS rev_u
+      |  FROM lineitem),
+      |b AS (SELECT MIN(d) AS mind, MAX(d) AS maxd FROM li),
+      |halves AS (
+      |  SELECT p.p_brand AS brand,
+      |    CAST(SUM(CASE WHEN date_diff('day', mind, d) * 2
+      |      < date_diff('day', mind, maxd) THEN q END) AS BIGINT) AS q1,
+      |    CAST(SUM(CASE WHEN date_diff('day', mind, d) * 2
+      |      < date_diff('day', mind, maxd) THEN rev_u END) AS HUGEINT) AS r1,
+      |    CAST(SUM(CASE WHEN date_diff('day', mind, d) * 2
+      |      >= date_diff('day', mind, maxd) THEN q END) AS BIGINT) AS q2,
+      |    CAST(SUM(CASE WHEN date_diff('day', mind, d) * 2
+      |      >= date_diff('day', mind, maxd) THEN rev_u END) AS HUGEINT) AS r2
+      |  FROM li JOIN part p ON p.p_partkey = li.l_partkey
+      |  CROSS JOIN b
+      |  GROUP BY 1
+      |  HAVING q1 IS NOT NULL AND q2 IS NOT NULL AND q1 > 0 AND q2 > 0)
+      |SELECT brand, q1, q2,
+      |  CAST(r1 AS DOUBLE) / 1e4 AS rev_h1,
+      |  CAST(r2 AS DOUBLE) / 1e4 AS rev_h2,
+      |  CAST(r2 - r1 AS DOUBLE) / 1e4 AS delta,
+      |  CAST(CAST(r2 AS BIGINT) - ${halfDiv("q2 * r1", "q1")} AS BIGINT)
+      |    / 1e4 AS price_effect,
+      |  CAST(${halfDiv("(q2 - q1) * r1", "q1")} AS BIGINT) / 1e4
+      |    AS volume_effect
+      |FROM halves
+      |ORDER BY brand""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "market_basket" -> ((marketBasket _, marketBasketSql)),
     "benford_audit" -> ((benfordAudit _, benfordAuditSql)),
@@ -2178,6 +2266,7 @@ object OlapQueries {
     "bloom_join" -> ((bloomJoin _, bloomJoinSql)),
     "revenue_retention" -> ((revenueRetention _, revenueRetentionSql)),
     "revenue_waterfall" -> ((revenueWaterfall _, revenueWaterfallSql)),
+    "mix_variance" -> ((mixVariance _, mixVarianceSql)),
     "simpson_check" -> ((simpsonCheck _, simpsonCheckSql)),
     "order_reconcile" -> ((orderReconcile _, orderReconcileSql)),
     "ship_latency" -> ((shipLatency _, shipLatencySql)),

@@ -254,6 +254,12 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_time_window" -> 1,  // one (user,type) lag exchange
     "revenue_waterfall" -> 1,  // the persisted (customer,month) rollup
                                // is both sides of the full-outer shift
+    "centroid_distances" -> 1, // one posexplode aggregate, persisted;
+                               // the pair fold reads the cache twice
+    "mix_variance" -> 3,       // fact + broadcast part + the 1-row
+                               // date-bounds scan
+    "growth_accounting" -> 1,  // the persisted (user,week,first_wk)
+                               // incidence is both sides of the shift
 
     "ann_index_search" -> 3    // probed index segment + the query-side
                                // embeddings scan + that same probe subtree

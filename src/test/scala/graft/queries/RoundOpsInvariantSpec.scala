@@ -246,6 +246,42 @@ class RoundOpsInvariantSpec extends SparkSpec {
     assert(r.forall(x => x.getAs[Long]("n_dups") < x.getAs[Long]("n_events")))
   }
 
+  test("mix_variance: price + volume effects bridge the delta") {
+    val r = rows("mix_variance")
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val bridge = x.getAs[Double]("price_effect") +
+        x.getAs[Double]("volume_effect")
+      // two half-up unit roundings → bridge within 2 rev-units (2e-4 $)
+      assert(math.abs(bridge - x.getAs[Double]("delta")) < 3e-4,
+        s"bridge ${bridge} vs ${x.getAs[Double]("delta")}")
+    }
+  }
+
+  test("growth_accounting identities hold exactly") {
+    val r = rows("growth_accounting").sortBy(_.getAs[java.sql.Date]("wk").getTime)
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x.getAs[Long]("active_users") ==
+        x.getAs[Long]("new_users") + x.getAs[Long]("retained") +
+          x.getAs[Long]("resurrected"))
+    }
+    r.zip(r.tail).foreach { case (p, c) =>
+      // churned(w) = active(w−1) − retained(w) when weeks are contiguous
+      if (java.time.temporal.ChronoUnit.DAYS.between(
+          p.getAs[java.sql.Date]("wk").toLocalDate,
+          c.getAs[java.sql.Date]("wk").toLocalDate) == 7)
+        assert(c.getAs[Long]("churned") ==
+          p.getAs[Long]("active_users") - c.getAs[Long]("retained"))
+    }
+  }
+
+  test("centroid_distances: full matrix, nonnegative") {
+    val r = rows("centroid_distances")
+    assert(r.length == 45) // C(10,2)
+    assert(r.forall(_.getAs[Double]("centroid_dist") >= 0.0))
+  }
+
   test("bloom_join equals the plain join") {
     import org.apache.spark.sql.functions._
     val bloom = rows("bloom_join")
