@@ -1219,10 +1219,52 @@ object DedupQueries {
       |ORDER BY max_contain DESC, doc1, doc2
       |LIMIT 50""".stripMargin
 
+  /** NEAR-DUP CLUSTER SIZE PROFILE — the shape report over the
+    * [[ClusterIndex]] assignments that tells an operator what kind of
+    * duplication the corpus actually has: many tiny clusters (crawl
+    * noise — dedup cheaply), or a few giant ones (template/boilerplate
+    * — investigate before deleting half the corpus). Sizes bucket into
+    * power-of-two bins via binary-string length (the
+    * [[GraphQueries.degreeDist]] rule — never FLOOR(LOG2)); singleton
+    * "clusters" (unclustered docs) are excluded so the profile is
+    * about DUPLICATION, with the doc mass per bin alongside. Reads the
+    * persisted index — the CC fixpoint never recomputes here; the
+    * oracle replays the full recursive-CTE pipeline and must land on
+    * the identical histogram.
+    */
+  def dedupClusterProfile(spark: SparkSession, dir: String): DataFrame = {
+    ClusterIndex.forCorpus(spark, dir)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("size"))
+      .filter(col("size") >= 2)
+      .withColumn("log2_size_bin",
+        (length(bin(col("size"))) - 1).cast("long"))
+      .groupBy("log2_size_bin")
+      .agg(count(lit(1)).as("n_clusters"), sum("size").as("n_docs"),
+        min("size").as("min_size"), max("size").as("max_size"))
+      .orderBy("log2_size_bin")
+  }
+
+  val dedupClusterProfileSql: String =
+    s"""WITH RECURSIVE $ccSqlCtes,
+      |sizes AS (
+      |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size
+      |  FROM clusters GROUP BY 1)
+      |SELECT CAST(length(bin(size)) - 1 AS BIGINT) AS log2_size_bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+      |  CAST(SUM(size) AS BIGINT) AS n_docs,
+      |  CAST(MIN(size) AS BIGINT) AS min_size,
+      |  CAST(MAX(size) AS BIGINT) AS max_size
+      |FROM sizes
+      |WHERE size >= 2
+      |GROUP BY 1
+      |ORDER BY log2_size_bin""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "dedup_bloom" -> ((dedupBloom _, dedupBloomSql)),
     "fuzzy_dup_pairs" -> ((fuzzyDupPairs _, fuzzyDupPairsSql)),
     "containment_pairs" -> ((containmentPairs _, containmentPairsSql)),
+    "dedup_cluster_profile" -> ((dedupClusterProfile _, dedupClusterProfileSql)),
     "dedup_clusters_persisted" -> ((dedupClustersPersisted _, dedupClustersSql)),
     "dedup_clusters_incremental" -> ((dedupClustersIncremental _, dedupClustersSql)),
     "dedup_exact" -> ((dedupExact _, dedupExactSql)),

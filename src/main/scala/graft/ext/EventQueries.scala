@@ -1682,6 +1682,120 @@ object EventQueries {
     * (type)-keyed aggregate with conditional branches — adding variants
     * or metrics never adds scans.
     */
+  /** ANOMALY ENSEMBLE — the three detector families this engine ships
+    * ([[eventsAnomaly]]'s trailing z-score, [[eventsMad]]'s robust MAD,
+    * [[eventsEwma]]'s decay-weighted spike) voted per (type, day): a
+    * 2-of-3 majority trades each detector's pathology (z chases its
+    * own spikes, MAD is blind to slow drifts, EWMA overweights
+    * yesterday) against the others. Every flag is an exact
+    * deterministic comparison — the z test is the cross-multiplied
+    * integer `(n·x−s)² > 9·(n·q−s²)` (no σ, no sqrt), MAD runs on the
+    * half-exact doubles the events_mad gate already proved, the EWMA
+    * spike is the integer cross-product — so the vote is bit-identical
+    * in both engines. One persisted daily rollup feeds all three
+    * detectors.
+    */
+  def anomalyEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("dn", datediff(col("d"), lit("1995-01-01")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trail = Window.partitionBy("event_type").orderBy("dn")
+      .rangeBetween(-7, -1)
+    val med = daily.groupBy("event_type")
+      .agg(expr("percentile(x, 0.5)").as("med"))
+    val dev = daily.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("x") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    val wArr = array(EwmaW.map(lit): _*)
+    val lagS = daily.select(col("event_type"), col("d").as("bd"),
+      col("x").as("bx"))
+    val ew = daily.join(lagS, Seq("event_type"))
+      .withColumn("dd", datediff(col("d"), col("bd")))
+      .filter(col("dd") >= 0 && col("dd") <= 13)
+      .withColumn("w", element_at(wArr, (col("dd") + 1).cast("int")))
+      .groupBy("event_type", "d")
+      .agg(sum(col("w") * col("bx")).as("num"), sum("w").as("den"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .join(ew, Seq("event_type", "d"))
+      .withColumn("s", sum("x").over(trail))
+      .withColumn("q", sum(col("x") * col("x")).over(trail))
+      .withColumn("nw", count(lit(1)).over(trail))
+      .withColumn("flag_z",
+        coalesce(col("nw") >= 3 &&
+          expr("""(nw * x - s) * (nw * x - s) > 9 * (nw * q - s * s)
+                  AND nw * x > s"""), lit(false)))
+      .withColumn("flag_mad", col("dev") > col("mad") * 3)
+      .withColumn("flag_ewma", col("x") * col("den") > col("num") * 2)
+      .withColumn("n_flags",
+        col("flag_z").cast("long") + col("flag_mad").cast("long") +
+          col("flag_ewma").cast("long"))
+      .select(col("event_type"), col("d"), col("x"), col("flag_z"),
+        col("flag_mad"), col("flag_ewma"), col("n_flags"),
+        (col("n_flags") >= 2).as("is_anomaly"))
+      .orderBy("event_type", "d")
+  }
+
+  val anomalyEnsembleSql: String = {
+    val lits = (0 until 14).map(m =>
+      (BigDecimal("0.8").pow(m)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        * 1000000).toLongExact).mkString("[", ", ", "]")
+    s"""WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS x,
+      |    CAST(date_diff('day', DATE '1995-01-01', CAST(ts AS DATE))
+      |         AS BIGINT) AS dn
+      |  FROM events GROUP BY 1, 2, 4),
+      |med AS (
+      |  SELECT event_type, quantile_cont(x, 0.5) AS med
+      |  FROM daily GROUP BY event_type),
+      |dev AS (
+      |  SELECT daily.*, ABS(x - med) AS dev
+      |  FROM daily JOIN med USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      |  FROM dev GROUP BY event_type),
+      |ew AS (
+      |  SELECT a.event_type, a.d,
+      |    CAST(SUM(($lits)[CAST(date_diff('day', b.d, a.d) + 1 AS INT)]
+      |      * b.x) AS BIGINT) AS num,
+      |    CAST(SUM(($lits)[CAST(date_diff('day', b.d, a.d) + 1 AS INT)])
+      |      AS BIGINT) AS den
+      |  FROM daily a JOIN daily b ON a.event_type = b.event_type
+      |    AND date_diff('day', b.d, a.d) BETWEEN 0 AND 13
+      |  GROUP BY 1, 2),
+      |z AS (
+      |  SELECT dev.event_type, dev.d, dev.x, dev.dev, mad.mad,
+      |    ew.num, ew.den,
+      |    CAST(SUM(x) OVER tw AS BIGINT) AS s,
+      |    CAST(SUM(x * x) OVER tw AS BIGINT) AS q,
+      |    CAST(COUNT(*) OVER tw AS BIGINT) AS nw
+      |  FROM dev
+      |  JOIN mad USING (event_type)
+      |  JOIN ew ON ew.event_type = dev.event_type AND ew.d = dev.d
+      |  WINDOW tw AS (PARTITION BY dev.event_type ORDER BY dev.dn
+      |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |flags AS (
+      |  SELECT event_type, d, x,
+      |    COALESCE(nw >= 3
+      |      AND (nw * x - s) * (nw * x - s) > 9 * (nw * q - s * s)
+      |      AND nw * x > s, FALSE) AS flag_z,
+      |    dev > mad * 3 AS flag_mad,
+      |    x * den > num * 2 AS flag_ewma
+      |  FROM z)
+      |SELECT event_type, d, x, flag_z, flag_mad, flag_ewma,
+      |  CAST(flag_z AS BIGINT) + CAST(flag_mad AS BIGINT)
+      |    + CAST(flag_ewma AS BIGINT) AS n_flags,
+      |  CAST(flag_z AS BIGINT) + CAST(flag_mad AS BIGINT)
+      |    + CAST(flag_ewma AS BIGINT) >= 2 AS is_anomaly
+      |FROM flags
+      |ORDER BY event_type, d""".stripMargin
+  }
+
   /** USER GROWTH ACCOUNTING — weekly NEW / RETAINED / RESURRECTED /
     * CHURNED user counts (the Social-Capital/a16z growth-accounting
     * standard): new = first week ever, retained = also active the
@@ -2565,6 +2679,7 @@ object EventQueries {
     "rolling_active_users" -> ((rollingActiveUsers _, rollingActiveUsersSql)),
     "ab_srm" -> ((abSrm _, abSrmSql)),
     "growth_accounting" -> ((growthAccounting _, growthAccountingSql)),
+    "anomaly_ensemble" -> ((anomalyEnsemble _, anomalyEnsembleSql)),
     "dedup_time_window" -> ((dedupTimeWindow _, dedupTimeWindowSql)),
     "bounce_rate" -> ((bounceRate _, bounceRateSql)),
     "events_theilsen" -> ((eventsTheilsen _, eventsTheilsenSql)),

@@ -578,6 +578,93 @@ object GraphQueries {
        |ORDER BY round""".stripMargin
   }
 
+  private val HitsRounds = 2
+
+  /** HITS HUBS & AUTHORITIES (Kleinberg 1999) on the DIRECTED
+    * part→supplier supply graph — the two-sided centrality PageRank's
+    * single score can't express: a part is a strong HUB when it is
+    * sourced from many strong suppliers, a supplier a strong AUTHORITY
+    * when many strong hub-parts flow through it (mutual
+    * reinforcement). [[HitsRounds]] synchronous rounds in EXACT
+    * integers: authority = Σ in-neighbor hubs, hub = Σ out-neighbor
+    * authorities, each side renormalized to max 10⁶ by the signed
+    * integer division ([[graft.ext.SimilarityQueries]] pca_power's
+    * discipline — scores are nonneg so it's one `div`); the max rides
+    * a 1-row broadcast. Output: top-10 hubs and top-10 authorities,
+    * two TakeOrdered legs unioned.
+    *
+    * Scale shape per round: one join of the (pre-partitioned,
+    * persisted) edge list against the node-sized score table per side
+    * — identical to [[pageRankOn]]'s step.
+    */
+  def hitsScores(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey").cast("long").as("p"),
+        col("l_suppkey").cast("long").as("s"))
+      .distinct()
+      .repartition(col("p")).persist()
+    try {
+      var hub = e.select(col("p")).distinct()
+        .select(col("p"), lit(1000000L).as("h"))
+        .localCheckpoint(true)
+      var auth: DataFrame = null
+      for (_ <- 1 to HitsRounds) {
+        val a0 = e.join(hub, Seq("p"))
+          .groupBy("s").agg(sum("h").as("a"))
+        val amax = a0.agg(max("a").as("mx"))
+        auth = a0.crossJoin(broadcast(amax))
+          .select(col("s"),
+            expr("(cast(a AS decimal(38,0)) * 1000000) div mx").as("a"))
+          .localCheckpoint(true)
+        val h0 = e.join(auth, Seq("s"))
+          .groupBy("p").agg(sum("a").as("h"))
+        val hmax = h0.agg(max("h").as("mx"))
+        hub = h0.crossJoin(broadcast(hmax))
+          .select(col("p"),
+            expr("(cast(h AS decimal(38,0)) * 1000000) div mx").as("h"))
+          .localCheckpoint(true)
+      }
+      val topH = hub.select(lit("hub").as("role"), col("p").as("node"),
+          (col("h") / 1e6).as("score"))
+        .orderBy(desc("score"), asc("node")).limit(10)
+      val topA = auth.select(lit("authority").as("role"),
+          col("s").as("node"), (col("a") / 1e6).as("score"))
+        .orderBy(desc("score"), asc("node")).limit(10)
+      topH.unionByName(topA).orderBy(col("role"), desc("score"), asc("node"))
+        .localCheckpoint(true)
+    } finally e.unpersist()
+  }
+
+  val hitsScoresSql: String = {
+    def round(i: Int): String =
+      s"""a${i}0 AS (SELECT e.s, CAST(SUM(h${i - 1}.h) AS BIGINT) AS a
+         |  FROM e JOIN h${i - 1} ON h${i - 1}.p = e.p GROUP BY e.s),
+         |a$i AS (SELECT s, CAST((CAST(a AS HUGEINT) * 1000000)
+         |    // (SELECT MAX(a) FROM a${i}0) AS BIGINT) AS a FROM a${i}0),
+         |h${i}0 AS (SELECT e.p, CAST(SUM(a$i.a) AS BIGINT) AS h
+         |  FROM e JOIN a$i ON a$i.s = e.s GROUP BY e.p),
+         |h$i AS (SELECT p, CAST((CAST(h AS HUGEINT) * 1000000)
+         |    // (SELECT MAX(h) FROM h${i}0) AS BIGINT) AS h FROM h${i}0),""".stripMargin
+    val rounds = (1 to HitsRounds).map(round).mkString("\n")
+    s"""WITH e AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS p,
+       |                  CAST(l_suppkey AS BIGINT) AS s FROM lineitem),
+       |h0 AS (SELECT DISTINCT p, CAST(1000000 AS BIGINT) AS h FROM e),
+       |$rounds
+       |z AS (SELECT 1),
+       |toph AS (
+       |  SELECT 'hub' AS role, p AS node,
+       |    CAST(h AS BIGINT) / 1e6 AS score
+       |  FROM h$HitsRounds ORDER BY score DESC, node LIMIT 10),
+       |topa AS (
+       |  SELECT 'authority' AS role, s AS node,
+       |    CAST(a AS BIGINT) / 1e6 AS score
+       |  FROM a$HitsRounds ORDER BY score DESC, node LIMIT 10)
+       |SELECT * FROM toph
+       |UNION ALL
+       |SELECT * FROM topa
+       |ORDER BY role, score DESC, node""".stripMargin
+  }
+
   def all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "min_cost_route" -> ((minCostRoute _, minCostRouteSql)),
     "pagerank_supply" -> ((pageRank _, pageRankSql)),
@@ -585,6 +672,7 @@ object GraphQueries {
     "graph_bfs_hops" -> ((bfsHops _, bfsHopsSql)),
     "label_propagation" -> ((labelPropagation _, labelPropagationSql)),
     "degree_dist" -> ((degreeDist _, degreeDistSql)),
-    "kcore_peel" -> ((kcorePeel _, kcorePeelSql))
+    "kcore_peel" -> ((kcorePeel _, kcorePeelSql)),
+    "hits_scores" -> ((hitsScores _, hitsScoresSql))
   )
 }

@@ -260,6 +260,13 @@ class PlanAuditSpec extends SparkSpec {
                                // date-bounds scan
     "growth_accounting" -> 1,  // the persisted (user,week,first_wk)
                                // incidence is both sides of the shift
+    "hits_scores" -> 0,        // rounds run through the persisted edge
+                               // cache onto checkpointed score tables;
+                               // the output is two TakeOrdered leaves
+    "anomaly_ensemble" -> 1,   // one persisted daily rollup feeds all
+                               // three detectors
+    "dedup_cluster_profile" -> 1, // a bare parquet read of the
+                               // persisted ClusterIndex
 
     "ann_index_search" -> 3    // probed index segment + the query-side
                                // embeddings scan + that same probe subtree
