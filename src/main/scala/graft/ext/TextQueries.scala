@@ -862,6 +862,111 @@ object TextQueries {
       |ORDER BY pmi DESC, x, y
       |LIMIT 20""".stripMargin
 
+  /** WORD BURSTINESS — variance-to-mean ratio of per-document counts
+    * (Church & Gale's burstiness: a content word appears many times in
+    * the few documents that are ABOUT it, a function word sprinkles
+    * uniformly — VMR ≈ 1 is Poisson/function-like, VMR ≫ 1 is bursty/
+    * topical): the statistical complement to [[tokenPmi]]'s pair
+    * association for keyword and stopword discovery. Zero-count
+    * documents are part of the definition, handled WITHOUT densifying:
+    * VMR = (N·Σc² − (Σc)²)/(N·Σc) over each word's nonzero counts plus
+    * the implicit zeros — exact integer moments, one half-up micros
+    * division, same relative df ceiling as tokenPmi, top-20
+    * TakeOrdered.
+    */
+  def textBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    docs
+      .select(col("doc_id"),
+        explode(expr("filter(split(lower(text), ' +'), w -> w != '')"))
+          .as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("df"), sum("c").as("sc"),
+        sum(col("c") * col("c")).as("sc2"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= 2 && col("df") * 5 <= col("n_docs") * 4)
+      .select(col("word"), col("df"), col("sc").as("total_count"),
+        expr("""(2 * (n_docs * sc2 - sc * sc) * 1000000 + n_docs * sc)
+                div (2 * n_docs * sc) / 1e6""").as("vmr"))
+      .orderBy(desc("vmr"), asc("word")).limit(20)
+  }
+
+  val textBurstinessSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(lower(text), ' '),
+      |      w -> w != '')) AS word
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM tok GROUP BY 1, 2),
+      |m AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS df,
+      |    CAST(SUM(c) AS BIGINT) AS sc,
+      |    CAST(SUM(c * c) AS BIGINT) AS sc2
+      |  FROM tf GROUP BY 1),
+      |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+      |SELECT word, df, sc AS total_count,
+      |  (2 * (n_docs * sc2 - sc * sc) * 1000000 + n_docs * sc)
+      |    // (2 * n_docs * sc) / 1e6 AS vmr
+      |FROM m CROSS JOIN nd
+      |WHERE df >= 2 AND df * 5 <= n_docs * 4
+      |ORDER BY vmr DESC, word
+      |LIMIT 20""".stripMargin
+
+  /** BOILERPLATE / TEMPLATE DETECTION per source — the share of a
+    * source's documents opening with its single most common 5-word
+    * prefix: crawl pipelines use exactly this to find injected
+    * headers, cookie banners and scraper artifacts BEFORE they skew
+    * dedup (a shared template turns distinct pages into near-dups).
+    * Prefix = md5 of the first 5 words (the shingle idiom); mode per
+    * source via one count aggregate + rank window on the bounded
+    * (source, prefix) rollup; share by the half-up micros idiom.
+    */
+  def boilerplateDetect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pre = Tables(spark, dir, "documents")
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 5)
+      .select(col("source"),
+        expr("md5(concat_ws(' ', slice(words, 1, 5)))").as("prefix"))
+    val counts = pre.groupBy("source", "prefix")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n_docs",
+        sum("c").over(Window.partitionBy("source")))
+      .withColumn("rk", row_number().over(Window.partitionBy("source")
+        .orderBy(desc("c"), asc("prefix"))))
+    counts.filter(col("rk") === 1)
+      .select(col("source"), col("n_docs"), col("c").as("n_top_prefix"),
+        col("prefix").as("top_prefix"),
+        expr("(2 * c * 1000000 + n_docs) div (2 * n_docs) / 1e6")
+          .as("share"))
+      .orderBy("source")
+  }
+
+  val boilerplateDetectSql: String =
+    """WITH pre AS (
+      |  SELECT source,
+      |    md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS prefix
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 5),
+      |counts AS (
+      |  SELECT source, prefix, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM pre GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT source, prefix, c,
+      |    CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n_docs,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY c DESC, prefix) AS rk
+      |  FROM counts)
+      |SELECT source, n_docs, c AS n_top_prefix, prefix AS top_prefix,
+      |  (2 * c * 1000000 + n_docs) // (2 * n_docs) / 1e6 AS share
+      |FROM ranked
+      |WHERE rk = 1
+      |ORDER BY source""".stripMargin
+
   /** MULTINOMIAL NAIVE BAYES language classifier — TRAINED AND RUN
     * inside the engine under the full hash oracle, the third
     * learned-model tier next to [[qualityClassifier]] (fixed hashed
@@ -1691,6 +1796,8 @@ object TextQueries {
       ((classifierCalibration _, classifierCalibrationSql)),
     "nb_lang_classify" -> ((nbLangClassify _, nbLangClassifySql)),
     "token_pmi" -> ((tokenPmi _, tokenPmiSql)),
+    "text_burstiness" -> ((textBurstiness _, textBurstinessSql)),
+    "boilerplate_detect" -> ((boilerplateDetect _, boilerplateDetectSql)),
     "readability" -> ((readability _, readabilitySql)),
     "text_stats" -> ((textStats _, textStatsSql)),
     "lang_id" -> ((langId _, langIdSql)),

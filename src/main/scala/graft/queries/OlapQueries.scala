@@ -2253,6 +2253,70 @@ object OlapQueries {
       |ORDER BY brand""".stripMargin
   }
 
+  /** DISTRIBUTION WINDOW FUNCTIONS — the four ANSI ranking/distribution
+    * windows the rest of the registry never needed (`ntile`,
+    * `percent_rank`, `cume_dist`, `nth_value`), exercised together
+    * over the fully tie-broken (value-cents, event_id) order and
+    * collapsed to a per-(type, decile) profile. The float-safety rule
+    * for the two RATIO windows: their p/q doubles are correctly-rounded
+    * identical in both engines, so COMPARISONS against constants are
+    * deterministic — but they are never emitted raw (round(p/q, 6)
+    * ties are the documented cross-engine trap); the output carries
+    * only integer counts derived from them.
+    */
+  def windowDist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("cents"), col("event_id"))
+    val full = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+      .withColumn("decile", ntile(10).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("nv100", nth_value(col("event_id"), 100).over(full))
+      .groupBy(col("event_type"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        (min("cents") / 100.0).as("lo"),
+        (max("cents") / 100.0).as("hi"),
+        sum(when(col("cd") <= 0.5, 1L).otherwise(0L)).as("n_below_median"),
+        sum(when(col("pr") < 0.1, 1L).otherwise(0L)).as("n_bottom_decile_pr"),
+        max("nv100").as("id_100th"))
+      .orderBy("event_type", "decile")
+  }
+
+  val windowDistSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, event_id,
+      |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events WHERE value IS NOT NULL),
+      |wd AS (
+      |  SELECT event_type, cents,
+      |    NTILE(10) OVER tw AS decile,
+      |    PERCENT_RANK() OVER tw AS pr,
+      |    CUME_DIST() OVER tw AS cd,
+      |    NTH_VALUE(event_id, 100) OVER (PARTITION BY event_type
+      |      ORDER BY cents, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |      AS nv100
+      |  FROM ev
+      |  WINDOW tw AS (PARTITION BY event_type ORDER BY cents, event_id))
+      |SELECT event_type, CAST(decile AS INT) AS decile,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(cents) / 100.0 AS lo,
+      |  MAX(cents) / 100.0 AS hi,
+      |  CAST(SUM(CASE WHEN cd <= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_below_median,
+      |  CAST(SUM(CASE WHEN pr < 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_bottom_decile_pr,
+      |  CAST(MAX(nv100) AS BIGINT) AS id_100th
+      |FROM wd
+      |GROUP BY event_type, decile
+      |ORDER BY event_type, decile""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "market_basket" -> ((marketBasket _, marketBasketSql)),
     "benford_audit" -> ((benfordAudit _, benfordAuditSql)),
@@ -2267,6 +2331,7 @@ object OlapQueries {
     "revenue_retention" -> ((revenueRetention _, revenueRetentionSql)),
     "revenue_waterfall" -> ((revenueWaterfall _, revenueWaterfallSql)),
     "mix_variance" -> ((mixVariance _, mixVarianceSql)),
+    "window_dist" -> ((windowDist _, windowDistSql)),
     "simpson_check" -> ((simpsonCheck _, simpsonCheckSql)),
     "order_reconcile" -> ((orderReconcile _, orderReconcileSql)),
     "ship_latency" -> ((shipLatency _, shipLatencySql)),

@@ -267,6 +267,11 @@ class PlanAuditSpec extends SparkSpec {
                                // three detectors
     "dedup_cluster_profile" -> 1, // a bare parquet read of the
                                // persisted ClusterIndex
+    "window_dist" -> 1,        // all four distribution windows share
+                               // one type-keyed exchange
+    "text_burstiness" -> 2,    // token moments + the n_docs scalar
+    "boilerplate_detect" -> 1, // prefix projection; mode on the
+                               // bounded (source,prefix) rollup
 
     "ann_index_search" -> 3    // probed index segment + the query-side
                                // embeddings scan + that same probe subtree
