@@ -340,8 +340,49 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** PERCEPTUAL MEDIA DEDUP — duplicate groups keyed by the fingerprint
+    * of the DECODED-AND-RESIZED content (the [[resizeMedia]] 32-column
+    * normalization), not the raw bytes: two assets that differ only in
+    * resolution/container collapse to one fingerprint, which byte-hash
+    * dedup ([[DedupQueries.dedupExact]]) structurally misses — the
+    * image analogue of text near-dup, with the resize as the
+    * canonicalizer (a coarse perceptual hash). One decode+resize pass
+    * to (doc_id, fp), one fingerprint shuffle; groups of ≥2 report
+    * size + representative + member range.
+    */
+  def mediaDupGroups(spark: SparkSession, dir: String): DataFrame = {
+    // width 4 = the aggressive "thumbnail hash" end of the
+    // precision/recall dial (dHash's 8×8 in text mode): recall-heavy
+    // buckets a production pipeline re-verifies at higher width
+    resizeMedia(spark, mediaTable(spark, dir), 4)
+      .select(col("doc_id"), md5(col("data")).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_dups"),
+        min("doc_id").as("keep_doc"), max("doc_id").as("max_doc"))
+      .filter(col("n_dups") >= 2)
+      .orderBy(desc("n_dups"), asc("fp"))
+  }
+
+  val mediaDupGroupsSql: String =
+    """WITH fps AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN n_chars <= 4 THEN text ELSE
+      |      array_to_string(list_transform(range(0, 4),
+      |        i -> substr(text, CAST(floor(i * n_chars / 4.0) AS INT) + 1,
+      |          1)), '')
+      |    END) AS fp
+      |  FROM documents)
+      |SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_dups,
+      |  CAST(MIN(doc_id) AS BIGINT) AS keep_doc,
+      |  CAST(MAX(doc_id) AS BIGINT) AS max_doc
+      |FROM fps
+      |GROUP BY fp
+      |HAVING COUNT(*) >= 2
+      |ORDER BY n_dups DESC, fp""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "multimodal_features" -> ((multimodalFeatures _, multimodalFeaturesSql)),
+    "media_dup_groups" -> ((mediaDupGroups _, mediaDupGroupsSql)),
     "multimodal_resize" -> ((multimodalResize _, multimodalResizeSql))
   )
 }

@@ -2317,6 +2317,58 @@ object OlapQueries {
       |GROUP BY event_type, decile
       |ORDER BY event_type, decile""".stripMargin
 
+  /** RETURN RATES with WILSON 95% INTERVALS per brand — the proportion
+    * estimate done right: at small n the naive p̂ ± z·SE interval dips
+    * below zero and over-trusts tiny brands, Wilson's score interval
+    * (1927) stays in [0,1] and is the recommended default (Brown,
+    * Cai & DasGupta 2001). Numerically: r and n are exact integers,
+    * z² = 3.8416 enters as the exact literal 38416/10⁴, both engines
+    * evaluate the IDENTICAL expression tree over correctly-rounded
+    * doubles (sqrt is IEEE-exact), and only the final 6dp round is a
+    * display choice — the assortativity discipline. One fact+dim
+    * aggregate.
+    */
+  def returnRates(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"))
+    val part = Tables(spark, dir, "part").select("p_partkey", "p_brand")
+    def wilson(sign: String) =
+      s"""round((p + 19208.0 / 10000 / n
+         |  $sign 1.96 * sqrt((p * (1 - p) + 9604.0 / 10000 / n) / n))
+         |  / (1 + 38416.0 / 10000 / n), 6)""".stripMargin
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n"), sum("r").as("n_returned"))
+      .withColumn("p", col("n_returned").cast("double") / col("n"))
+      .select(col("brand"), col("n"), col("n_returned"),
+        expr("round(p, 6)").as("return_rate"),
+        expr(wilson("-")).as("wilson_lo"),
+        expr(wilson("+")).as("wilson_hi"))
+      .orderBy("brand")
+  }
+
+  val returnRatesSql: String = {
+    def wilson(sign: String) =
+      s"""ROUND((p + 19208.0 / 10000 / n
+         |  $sign 1.96 * SQRT((p * (1 - p) + 9604.0 / 10000 / n) / n))
+         |  / (1 + 38416.0 / 10000 / n), 6)""".stripMargin
+    s"""WITH agg AS (
+      |  SELECT p.p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_returned
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |  GROUP BY 1),
+      |wp AS (
+      |  SELECT *, CAST(n_returned AS DOUBLE) / n AS p FROM agg)
+      |SELECT brand, n, n_returned,
+      |  ROUND(p, 6) AS return_rate,
+      |  ${wilson("-")} AS wilson_lo,
+      |  ${wilson("+")} AS wilson_hi
+      |FROM wp
+      |ORDER BY brand""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "market_basket" -> ((marketBasket _, marketBasketSql)),
     "benford_audit" -> ((benfordAudit _, benfordAuditSql)),
@@ -2332,6 +2384,7 @@ object OlapQueries {
     "revenue_waterfall" -> ((revenueWaterfall _, revenueWaterfallSql)),
     "mix_variance" -> ((mixVariance _, mixVarianceSql)),
     "window_dist" -> ((windowDist _, windowDistSql)),
+    "return_rates" -> ((returnRates _, returnRatesSql)),
     "simpson_check" -> ((simpsonCheck _, simpsonCheckSql)),
     "order_reconcile" -> ((orderReconcile _, orderReconcileSql)),
     "ship_latency" -> ((shipLatency _, shipLatencySql)),

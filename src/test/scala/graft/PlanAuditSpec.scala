@@ -272,6 +272,10 @@ class PlanAuditSpec extends SparkSpec {
     "text_burstiness" -> 2,    // token moments + the n_docs scalar
     "boilerplate_detect" -> 1, // prefix projection; mode on the
                                // bounded (source,prefix) rollup
+    "return_rates" -> 2,       // fact + broadcast part; Wilson closes
+                               // on the ≤|brands| aggregate
+    "media_dup_groups" -> 1,   // one decode+resize pass, one
+                               // fingerprint shuffle
 
     "ann_index_search" -> 3    // probed index segment + the query-side
                                // embeddings scan + that same probe subtree
