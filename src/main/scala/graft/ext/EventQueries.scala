@@ -1682,6 +1682,90 @@ object EventQueries {
     * (type)-keyed aggregate with conditional branches — adding variants
     * or metrics never adds scans.
     */
+  /** PEAK CONCURRENCY — the maximum number of SIMULTANEOUS 30-minute
+    * sessions per day, by the classic interval sweep: every session
+    * contributes a (+1 at start, −1 at end) boundary event, the
+    * running sum over the time-ordered boundaries IS the concurrency
+    * curve, and the per-day max (with its earliest peak instant) is
+    * the capacity-planning number. Ends sort before starts at the same
+    * instant (delta ascending), so touching sessions don't overlap —
+    * and within an equal-(t, delta) group the running sum's maximum is
+    * permutation-invariant, which is what makes the sweep
+    * deterministic without a full total order. Sessions come from the
+    * same lag/islands form as [[bounceRate]]; the sweep is one window
+    * over session-bounded rows (2 per session — range-partition the
+    * sweep at 100 TB).
+    */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val sessions = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts") >= expr("prev_ts + INTERVAL 30 MINUTE"), 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("s"), expr("max(ts) + INTERVAL 30 MINUTE").as("e"))
+      // persisted: the session rollup feeds BOTH boundary branches —
+      // without the cache the whole lag/island pipeline plans twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = sessions
+      .select(col("s").as("t"), lit(1L).as("delta"))
+      .unionByName(sessions.select(col("e").as("t"), lit(-1L).as("delta")))
+    val sweep = Window.orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds
+      .withColumn("cum", sum("delta").over(sweep))
+      .withColumn("day", to_date(col("t")))
+      .withColumn("daypeak", max("cum").over(Window.partitionBy("day")))
+      .groupBy("day")
+      .agg(max("cum").as("peak_concurrent"),
+        min(when(col("cum") === col("daypeak"), col("t"))).as("peak_at"))
+      .orderBy("day")
+  }
+
+  val peakConcurrencySql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) IS NULL
+      |      OR ts >= LAG(ts) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) + INTERVAL 30 MINUTE
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
+      |    ts
+      |  FROM marked),
+      |iv AS (
+      |  SELECT user_id, session_id, MIN(ts) AS s,
+      |    MAX(ts) + INTERVAL 30 MINUTE AS e
+      |  FROM sess GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT s AS t, 1 AS delta FROM iv
+      |  UNION ALL
+      |  SELECT e AS t, -1 AS delta FROM iv),
+      |curve AS (
+      |  SELECT t, CAST(SUM(delta) OVER (ORDER BY t, delta
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum
+      |  FROM bounds),
+      |dmax AS (
+      |  SELECT CAST(t AS DATE) AS day, t, cum,
+      |    MAX(cum) OVER (PARTITION BY CAST(t AS DATE)) AS daypeak
+      |  FROM curve)
+      |SELECT day, CAST(MAX(cum) AS BIGINT) AS peak_concurrent,
+      |  MIN(CASE WHEN cum = daypeak THEN t END) AS peak_at
+      |FROM dmax
+      |GROUP BY day
+      |ORDER BY day""".stripMargin
+
   /** ANOMALY ENSEMBLE — the three detector families this engine ships
     * ([[eventsAnomaly]]'s trailing z-score, [[eventsMad]]'s robust MAD,
     * [[eventsEwma]]'s decay-weighted spike) voted per (type, day): a
@@ -2680,6 +2764,7 @@ object EventQueries {
     "ab_srm" -> ((abSrm _, abSrmSql)),
     "growth_accounting" -> ((growthAccounting _, growthAccountingSql)),
     "anomaly_ensemble" -> ((anomalyEnsemble _, anomalyEnsembleSql)),
+    "peak_concurrency" -> ((peakConcurrency _, peakConcurrencySql)),
     "dedup_time_window" -> ((dedupTimeWindow _, dedupTimeWindowSql)),
     "bounce_rate" -> ((bounceRate _, bounceRateSql)),
     "events_theilsen" -> ((eventsTheilsen _, eventsTheilsenSql)),

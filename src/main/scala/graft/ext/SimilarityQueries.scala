@@ -1523,6 +1523,71 @@ object SimilarityQueries {
       |FROM pairs
       |ORDER BY label_a, label_b""".stripMargin
 
+  /** EMBEDDING OUTLIERS — the 20 vectors farthest from the GLOBAL
+    * centroid: the junk-embedding detector at the vector level (failed
+    * encoder calls, wrong-modality rows, adversarial inputs), next to
+    * [[embedStandardize]]'s per-dimension view. Mean-free exactness as
+    * in [[centroidDistances]]: dist²·n² = Σᵢ (n·qᵢ − sᵢ)² with the
+    * per-dim sums shipped as a broadcast 1-row array — the squared
+    * terms ride DECIMAL(38)/HUGEINT inside the fold (they pass 2⁶³ at
+    * ~10⁴ rows), and the only floats are the final sqrt + display
+    * division. One moment pass + one scoring pass; top-20 TakeOrdered.
+    */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val dims = 64
+    def q = "cast(round(cast(x AS double) * 1000000) AS bigint)"
+    val sums = Tables(spark, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(sum(expr(q)).as("s"), count(lit(1)).as("n"))
+      // collect_list order is NOT execution-stable: sort the structs
+      // inside the aggregate, then project — position-true by key
+      .agg(expr("transform(array_sort(collect_list(struct(pos, s))), p -> p.s)")
+        .as("sarr"), max("n").as("n"))
+      .localCheckpoint(true)
+    Tables(spark, dir, "embeddings")
+      .crossJoin(broadcast(sums))
+      .select(col("vec_id"), col("label"), col("n"), expr(
+        s"""aggregate(sequence(0, ${dims - 1}),
+           |  cast(0 AS decimal(38,0)),
+           |  (acc, i) -> acc +
+           |    cast(n * cast(round(cast(embedding[i] AS double) * 1000000)
+           |           AS bigint) - sarr[i] AS decimal(38,0))
+           |    * (n * cast(round(cast(embedding[i] AS double) * 1000000)
+           |           AS bigint) - sarr[i]))""".stripMargin).as("num"))
+      .select(col("vec_id"), col("label"),
+        expr("round(sqrt(cast(num AS double)) / n / 1e6, 6)")
+          .as("dist_from_centroid"))
+      .orderBy(desc("dist_from_centroid"), asc("vec_id")).limit(20)
+  }
+
+  val embedOutliersSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |x AS (
+      |  SELECT generate_subscripts(v, 1) - 1 AS pos,
+      |    CAST(ROUND(unnest(v) * 1000000) AS BIGINT) AS q
+      |  FROM e),
+      |sums AS (
+      |  SELECT pos, CAST(SUM(q) AS BIGINT) AS s,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM x GROUP BY pos),
+      |agg AS (
+      |  SELECT list(s ORDER BY pos) AS sarr, MAX(n) AS n FROM sums),
+      |scored AS (
+      |  SELECT vec_id, label,
+      |    list_sum(list_transform(range(1, 65), i ->
+      |      CAST(n * CAST(ROUND(v[i] * 1000000) AS BIGINT) - sarr[i]
+      |           AS HUGEINT)
+      |      * (n * CAST(ROUND(v[i] * 1000000) AS BIGINT) - sarr[i])))
+      |      AS num, n
+      |  FROM e CROSS JOIN agg)
+      |SELECT vec_id, label,
+      |  ROUND(SQRT(CAST(num AS DOUBLE)) / n / 1e6, 6) AS dist_from_centroid
+      |FROM scored
+      |ORDER BY dist_from_centroid DESC, vec_id
+      |LIMIT 20""".stripMargin
+
   private val PcaIters = 3
 
   /** PRINCIPAL COMPONENT via POWER ITERATION over the [[CovDims]]-dim
@@ -1682,6 +1747,7 @@ object SimilarityQueries {
     "pca_power" -> ((pcaPower _, pcaPowerSql)),
     "embed_standardize" -> ((embedStandardize _, embedStandardizeSql)),
     "centroid_distances" -> ((centroidDistances _, centroidDistancesSql)),
+    "embed_outliers" -> ((embedOutliers _, embedOutliersSql)),
     "hybrid_search_rrf" -> ((hybridSearchRrf _, hybridSearchRrfSql)),
     "embed_lsh_pairs" -> ((embedLshPairs _, embedLshPairsSql))
   )

@@ -2369,6 +2369,57 @@ object OlapQueries {
       |ORDER BY brand""".stripMargin
   }
 
+  /** MAXIMUM DRAWDOWN of the daily revenue series — the
+    * worst-peak-to-trough finance metric read over the order stream:
+    * per day, revenue, the running peak so far, the drawdown (peak −
+    * today, exact cents), and the flag marking the day the WORST
+    * drawdown bottomed out. Two cumulative windows on the
+    * calendar-bounded daily rollup; cents all the way, the display
+    * division last.
+    */
+  def revenueDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(floor(sum(dec(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    val runPeak = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    daily
+      .withColumn("peak", max("cents").over(runPeak))
+      .withColumn("dd", col("peak") - col("cents"))
+      .withColumn("maxdd", max("dd").over(all))
+      .select(col("d").as("day"),
+        (col("cents") / 100.0).as("revenue"),
+        (col("peak") / 100.0).as("running_peak"),
+        (col("dd") / 100.0).as("drawdown"),
+        (col("dd") === col("maxdd") && col("maxdd") > 0).as("is_max_drawdown"))
+      .orderBy("day")
+  }
+
+  val revenueDrawdownSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100)
+      |         AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |dd AS (
+      |  SELECT d, cents,
+      |    CAST(MAX(cents) OVER (ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS peak
+      |  FROM daily),
+      |m AS (
+      |  SELECT *, peak - cents AS drawdown,
+      |    MAX(peak - cents) OVER () AS maxdd
+      |  FROM dd)
+      |SELECT d AS day, cents / 100.0 AS revenue,
+      |  peak / 100.0 AS running_peak,
+      |  drawdown / 100.0 AS drawdown,
+      |  drawdown = maxdd AND maxdd > 0 AS is_max_drawdown
+      |FROM m
+      |ORDER BY day""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "market_basket" -> ((marketBasket _, marketBasketSql)),
     "benford_audit" -> ((benfordAudit _, benfordAuditSql)),
@@ -2385,6 +2436,7 @@ object OlapQueries {
     "mix_variance" -> ((mixVariance _, mixVarianceSql)),
     "window_dist" -> ((windowDist _, windowDistSql)),
     "return_rates" -> ((returnRates _, returnRatesSql)),
+    "revenue_drawdown" -> ((revenueDrawdown _, revenueDrawdownSql)),
     "simpson_check" -> ((simpsonCheck _, simpsonCheckSql)),
     "order_reconcile" -> ((orderReconcile _, orderReconcileSql)),
     "ship_latency" -> ((shipLatency _, shipLatencySql)),

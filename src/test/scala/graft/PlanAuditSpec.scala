@@ -276,6 +276,12 @@ class PlanAuditSpec extends SparkSpec {
                                // on the ≤|brands| aggregate
     "media_dup_groups" -> 1,   // one decode+resize pass, one
                                // fingerprint shuffle
+    "peak_concurrency" -> 1,   // one user exchange builds sessions;
+                               // the sweep runs on 2 rows per session
+    "revenue_drawdown" -> 1,   // two cumulative windows on the daily
+                               // rollup
+    "embed_outliers" -> 1,     // moment pass checkpointed to a 1-row
+                               // leaf; the plan scans the scoring pass
 
     "ann_index_search" -> 3    // probed index segment + the query-side
                                // embeddings scan + that same probe subtree
