@@ -1682,6 +1682,92 @@ object EventQueries {
     * (type)-keyed aggregate with conditional branches — adding variants
     * or metrics never adds scans.
     */
+  /** ONE-WAY ANOVA F — is day-of-week a REAL effect on daily volume,
+    * per event type? The between/within variance ratio over the daily
+    * series grouped by weekday (k = 7 groups): the hypothesis-test
+    * companion to [[eventsSeasonality]]'s descriptive heatmap. Exact
+    * arithmetic end to end: SSB·n²  and SSW·n² come out of integer
+    * moment sums (per-group Σ, Σ², sizes), the F statistic closes with
+    * one half-up micros division of the cross-multiplied ratio
+    * F = (SSB/(k−1)) / (SSW/(n−k)), and the α≈0.05 decision compares
+    * integer cross-products against the F(6, large) critical value
+    * 2.1 (the asymptotic 2.0993 at ±0.1% — documented approximation,
+    * exact arithmetic). Day-of-week is the engine-neutral `dn % 7`.
+    *
+    * Scale: corpus → persisted daily rollup; the 7-group moments are
+    * one further aggregate; everything after is per-type scalars.
+    */
+  def weekdayAnova(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("dow",
+        expr("CAST(datediff(d, DATE '1995-01-01') AS BIGINT) % 7"))
+    val g = daily.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("m"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("q"))
+    g.groupBy("event_type")
+      .agg(sum("m").as("n"), count(lit(1)).as("k"),
+        sum("s").as("st"), sum("q").as("qt"),
+        // computational identity SSB = Σ s²/m − (Σs)²/n, carried in
+        // exact micros: each s²·10⁶ div m truncates identically in
+        // both engines (defined semantics, the pageRank contrib rule)
+        sum(expr("cast(s AS decimal(38,0)) * s * 1000000 div m"))
+          .as("sb_micros"))
+      .select(col("event_type"), col("n"), col("k"),
+        // SSB·10⁶ = Σ(s²·10⁶ div m) − (Σs)²·10⁶/n  (each term half-
+        // truncated identically in both engines — defined semantics)
+        expr("""sb_micros - cast(st AS decimal(38,0)) * st * 1000000
+                div n""").as("ssb_m"),
+        // SSW·10⁶ = (Σq)·10⁶ − Σ(s²·10⁶ div m)
+        expr("cast(qt AS decimal(38,0)) * 1000000 - sb_micros").as("ssw_m"))
+      .select(col("event_type"), col("n"),
+        expr("""CASE WHEN ssw_m <= 0 THEN NULL ELSE
+                (2 * cast(ssb_m AS decimal(38,0)) * (n - k) * 1000000
+                   + cast(ssw_m AS decimal(38,0)) * (k - 1))
+                  div (2 * cast(ssw_m AS decimal(38,0)) * (k - 1))
+                  / 1e6 END""").as("f_stat"),
+        expr("""cast(ssb_m AS decimal(38,0)) * (n - k) * 10
+                > cast(ssw_m AS decimal(38,0)) * (k - 1) * 21""")
+          .as("dow_effect_05"))
+      .orderBy("event_type")
+  }
+
+  val weekdayAnovaSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |dowd AS (
+      |  SELECT event_type, x,
+      |    CAST(date_diff('day', DATE '1995-01-01', d) AS BIGINT) % 7
+      |      AS dow
+      |  FROM daily),
+      |g AS (
+      |  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS m,
+      |    CAST(SUM(x) AS BIGINT) AS s,
+      |    CAST(SUM(x * x) AS BIGINT) AS q
+      |  FROM dowd GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT event_type, CAST(SUM(m) AS BIGINT) AS n,
+      |    CAST(COUNT(*) AS BIGINT) AS k,
+      |    CAST(SUM(s) AS HUGEINT) AS st, CAST(SUM(q) AS HUGEINT) AS qt,
+      |    CAST(SUM(CAST(s AS HUGEINT) * s * 1000000 // m) AS HUGEINT)
+      |      AS sb_micros
+      |  FROM g GROUP BY 1),
+      |ss AS (
+      |  SELECT event_type, n, k,
+      |    sb_micros - st * st * 1000000 // n AS ssb_m,
+      |    qt * 1000000 - sb_micros AS ssw_m
+      |  FROM agg)
+      |SELECT event_type, n,
+      |  CASE WHEN ssw_m <= 0 THEN NULL ELSE
+      |    CAST((2 * ssb_m * (n - k) * 1000000 + ssw_m * (k - 1))
+      |      // (2 * ssw_m * (k - 1)) AS BIGINT) / 1e6 END AS f_stat,
+      |  ssb_m * (n - k) * 10 > ssw_m * (k - 1) * 21 AS dow_effect_05
+      |FROM ss
+      |ORDER BY event_type""".stripMargin
+
   /** PEAK CONCURRENCY — the maximum number of SIMULTANEOUS 30-minute
     * sessions per day, by the classic interval sweep: every session
     * contributes a (+1 at start, −1 at end) boundary event, the
@@ -2765,6 +2851,7 @@ object EventQueries {
     "growth_accounting" -> ((growthAccounting _, growthAccountingSql)),
     "anomaly_ensemble" -> ((anomalyEnsemble _, anomalyEnsembleSql)),
     "peak_concurrency" -> ((peakConcurrency _, peakConcurrencySql)),
+    "weekday_anova" -> ((weekdayAnova _, weekdayAnovaSql)),
     "dedup_time_window" -> ((dedupTimeWindow _, dedupTimeWindowSql)),
     "bounce_rate" -> ((bounceRate _, bounceRateSql)),
     "events_theilsen" -> ((eventsTheilsen _, eventsTheilsenSql)),

@@ -862,6 +862,79 @@ object TextQueries {
       |ORDER BY pmi DESC, x, y
       |LIMIT 20""".stripMargin
 
+  /** ZIPF FIT — the log-log rank–frequency slope of the vocabulary
+    * (Zipf's law predicts ≈ −1; a corpus that fits badly is either
+    * templated/synthetic or tokenized wrong — a cheap generation-
+    * artifact detector for LLM-produced text, whose rank curves run
+    * flatter than natural language). Frequencies from one token
+    * aggregate; ranks fully tie-broken by (freq DESC, word); ln(rank)
+    * and ln(freq) floor-quantized to integer micros (the
+    * [[nbLangClassify]] discipline) so the closed-form OLS slope runs
+    * on exact DECIMAL(38) moments with ONE signed half-up division at
+    * the end. The rank window is single-partition on the vocabulary —
+    * range-partition the rank at a 100 TB vocabulary.
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables(spark, dir, "documents")
+      .select(explode(expr("filter(split(lower(text), ' +'), w -> w != '')"))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      .withColumn("r", row_number().over(
+        Window.orderBy(desc("f"), asc("word"))))
+      .select(
+        expr("CAST(FLOOR(LN(CAST(r AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("lx"),
+        expr("CAST(FLOOR(LN(CAST(f AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("ly"))
+    freq.agg(count(lit(1)).cast("decimal(38,0)").as("m"),
+        sum(col("lx").cast("decimal(38,0)")).as("sx"),
+        sum(col("ly").cast("decimal(38,0)")).as("sy"),
+        sum(col("lx").cast("decimal(38,0)") * col("ly")).as("sxy"),
+        sum(col("lx").cast("decimal(38,0)") * col("lx")).as("sxx"))
+      .select(col("m").cast("long").as("vocab"),
+        expr("""CASE WHEN m * sxx - sx * sx = 0 THEN NULL
+                ELSE CASE WHEN (m * sxy - sx * sy) >= 0
+                  THEN (2 * (m * sxy - sx * sy) * 1000000
+                          + (m * sxx - sx * sx))
+                       div (2 * (m * sxx - sx * sx))
+                  ELSE -((2 * -(m * sxy - sx * sy) * 1000000
+                          + (m * sxx - sx * sx))
+                       div (2 * (m * sxx - sx * sx))) END / 1e6
+                END""").as("zipf_slope"))
+  }
+
+  val zipfFitSql: String =
+    """WITH tok AS (
+      |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+      |    w -> w != '')) AS word
+      |  FROM documents),
+      |freq AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS f
+      |  FROM tok GROUP BY 1),
+      |ranked AS (
+      |  SELECT CAST(FLOOR(LN(CAST(ROW_NUMBER() OVER (ORDER BY f DESC, word)
+      |      AS DOUBLE)) * 1000000) AS BIGINT) AS lx,
+      |    CAST(FLOOR(LN(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS ly
+      |  FROM freq),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+      |    CAST(SUM(lx) AS HUGEINT) AS sx, CAST(SUM(ly) AS HUGEINT) AS sy,
+      |    CAST(SUM(CAST(lx AS HUGEINT) * ly) AS HUGEINT) AS sxy,
+      |    CAST(SUM(CAST(lx AS HUGEINT) * lx) AS HUGEINT) AS sxx
+      |  FROM ranked)
+      |SELECT CAST(m AS BIGINT) AS vocab,
+      |  CASE WHEN m * sxx - sx * sx = 0 THEN NULL
+      |  ELSE CAST(CASE WHEN (m * sxy - sx * sy) >= 0
+      |    THEN (2 * (m * sxy - sx * sy) * 1000000
+      |            + (m * sxx - sx * sx))
+      |         // (2 * (m * sxx - sx * sx))
+      |    ELSE -((2 * -(m * sxy - sx * sy) * 1000000
+      |            + (m * sxx - sx * sx))
+      |         // (2 * (m * sxx - sx * sx))) END AS BIGINT) / 1e6
+      |  END AS zipf_slope
+      |FROM m""".stripMargin
+
   /** WORD BURSTINESS — variance-to-mean ratio of per-document counts
     * (Church & Gale's burstiness: a content word appears many times in
     * the few documents that are ABOUT it, a function word sprinkles
@@ -1797,6 +1870,7 @@ object TextQueries {
     "nb_lang_classify" -> ((nbLangClassify _, nbLangClassifySql)),
     "token_pmi" -> ((tokenPmi _, tokenPmiSql)),
     "text_burstiness" -> ((textBurstiness _, textBurstinessSql)),
+    "zipf_fit" -> ((zipfFit _, zipfFitSql)),
     "boilerplate_detect" -> ((boilerplateDetect _, boilerplateDetectSql)),
     "readability" -> ((readability _, readabilitySql)),
     "text_stats" -> ((textStats _, textStatsSql)),

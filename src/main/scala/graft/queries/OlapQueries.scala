@@ -2420,6 +2420,62 @@ object OlapQueries {
       |FROM m
       |ORDER BY day""".stripMargin
 
+  /** OPEN-ORDER AGING — the unfulfilled backlog bucketed by how long
+    * each open order ('O' status) has been waiting, measured against
+    * the dataset's max order date (the "as of" instant a live system
+    * takes from the clock): the operational WIP report next to
+    * [[shipLatency]]'s completed-work percentiles. Fixed 30/90/365-day
+    * buckets as integer datediff comparisons; one conditional
+    * aggregate over the filtered fact + the broadcast as-of scalar.
+    */
+  def openOrderAging(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val asOf = orders.agg(max(to_date(col("o_orderdate"))).as("asof"))
+    orders
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("od"),
+        dec(col("o_totalprice")).as("v"))
+      .crossJoin(broadcast(asOf))
+      .withColumn("age", datediff(col("asof"), col("od")).cast("long"))
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_open"),
+        sum(when(col("age") <= 30, 1L).otherwise(0L)).as("n_0_30d"),
+        sum(when(col("age") > 30 && col("age") <= 90, 1L).otherwise(0L))
+          .as("n_31_90d"),
+        sum(when(col("age") > 90 && col("age") <= 365, 1L).otherwise(0L))
+          .as("n_91_365d"),
+        sum(when(col("age") > 365, 1L).otherwise(0L)).as("n_over_1y"),
+        sum(col("v")).cast("double").as("open_value"),
+        max("age").as("oldest_days"))
+      .orderBy("priority")
+  }
+
+  val openOrderAgingSql: String =
+    """WITH cutoff AS (
+      |  SELECT MAX(CAST(o_orderdate AS DATE)) AS cod FROM orders),
+      |o AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST(date_diff('day', CAST(o_orderdate AS DATE), cod)
+      |         AS BIGINT) AS age,
+      |    CAST(o_totalprice AS DECIMAL(18,4)) AS v
+      |  FROM orders CROSS JOIN cutoff
+      |  WHERE o_orderstatus = 'O')
+      |SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_open,
+      |  CAST(SUM(CASE WHEN age <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_0_30d,
+      |  CAST(SUM(CASE WHEN age > 30 AND age <= 90 THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS n_31_90d,
+      |  CAST(SUM(CASE WHEN age > 90 AND age <= 365 THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS n_91_365d,
+      |  CAST(SUM(CASE WHEN age > 365 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_over_1y,
+      |  CAST(SUM(v) AS DOUBLE) AS open_value,
+      |  CAST(MAX(age) AS BIGINT) AS oldest_days
+      |FROM o
+      |GROUP BY priority
+      |ORDER BY priority""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "market_basket" -> ((marketBasket _, marketBasketSql)),
     "benford_audit" -> ((benfordAudit _, benfordAuditSql)),
@@ -2437,6 +2493,7 @@ object OlapQueries {
     "window_dist" -> ((windowDist _, windowDistSql)),
     "return_rates" -> ((returnRates _, returnRatesSql)),
     "revenue_drawdown" -> ((revenueDrawdown _, revenueDrawdownSql)),
+    "open_order_aging" -> ((openOrderAging _, openOrderAgingSql)),
     "simpson_check" -> ((simpsonCheck _, simpsonCheckSql)),
     "order_reconcile" -> ((orderReconcile _, orderReconcileSql)),
     "ship_latency" -> ((shipLatency _, shipLatencySql)),

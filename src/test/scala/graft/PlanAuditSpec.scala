@@ -282,6 +282,11 @@ class PlanAuditSpec extends SparkSpec {
                                // rollup
     "embed_outliers" -> 1,     // moment pass checkpointed to a 1-row
                                // leaf; the plan scans the scoring pass
+    "weekday_anova" -> 1,      // daily rollup → 7-group moments →
+                               // per-type scalars, one scan
+    "zipf_fit" -> 1,           // one token aggregate; rank + moments
+                               // on the vocabulary
+    "open_order_aging" -> 2,   // filtered fact + the as-of scalar scan
 
     "ann_index_search" -> 3    // probed index segment + the query-side
                                // embeddings scan + that same probe subtree
