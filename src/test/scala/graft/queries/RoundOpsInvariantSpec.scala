@@ -282,6 +282,76 @@ class RoundOpsInvariantSpec extends SparkSpec {
     assert(r.forall(_.getAs[Double]("centroid_dist") >= 0.0))
   }
 
+  test("hits_scores are max-normalized per role") {
+    val r = rows("hits_scores")
+    assert(r.length == 20)
+    val byRole = r.groupBy(_.getAs[String]("role"))
+    assert(byRole.keySet == Set("hub", "authority"))
+    byRole.values.foreach { rs =>
+      assert(math.abs(rs.map(_.getAs[Double]("score")).max - 1.0) < 1e-9)
+      assert(rs.forall(_.getAs[Double]("score") > 0.0))
+    }
+  }
+
+  test("anomaly_ensemble vote equals its flags") {
+    val r = rows("anomaly_ensemble")
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val n = Seq("flag_z", "flag_mad", "flag_ewma")
+        .count(x.getAs[Boolean](_))
+      assert(x.getAs[Long]("n_flags") == n)
+      assert(x.getAs[Boolean]("is_anomaly") == (n >= 2))
+    }
+  }
+
+  test("peak_concurrency is at least 1 on active days") {
+    val r = rows("peak_concurrency")
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Long]("peak_concurrent") >= 1L))
+  }
+
+  test("revenue_drawdown: peak dominates, drawdown nonnegative") {
+    val r = rows("revenue_drawdown")
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x.getAs[Double]("running_peak") >= x.getAs[Double]("revenue") - 1e-9)
+      assert(x.getAs[Double]("drawdown") >= -1e-9)
+    }
+  }
+
+  test("embed_outliers distances are nonneg and sorted desc") {
+    val r = rows("embed_outliers")
+    assert(r.length == 20)
+    val d = r.map(_.getAs[Double]("dist_from_centroid"))
+    assert(d.forall(_ >= 0.0))
+    assert(d.zip(d.tail).forall { case (a, b) => b <= a + 1e-12 })
+  }
+
+  test("zipf_fit slope is negative on natural-ish text") {
+    val r = rows("zipf_fit").head
+    assert(r.getAs[Long]("vocab") > 0)
+    assert(r.getAs[Double]("zipf_slope") < 0.0)
+  }
+
+  test("weekday_anova F is nonnegative where defined") {
+    val r = rows("weekday_anova")
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val f = x.getAs[Any]("f_stat")
+      if (f != null) assert(f.asInstanceOf[Double] >= 0.0)
+    }
+  }
+
+  test("open_order_aging buckets partition the backlog") {
+    val r = rows("open_order_aging")
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x.getAs[Long]("n_0_30d") + x.getAs[Long]("n_31_90d") +
+        x.getAs[Long]("n_91_365d") + x.getAs[Long]("n_over_1y") ==
+        x.getAs[Long]("n_open"))
+    }
+  }
+
   test("bloom_join equals the plain join") {
     import org.apache.spark.sql.functions._
     val bloom = rows("bloom_join")
