@@ -862,6 +862,74 @@ object TextQueries {
       |ORDER BY pmi DESC, x, y
       |LIMIT 20""".stripMargin
 
+  /** CHARACTER-BIGRAM ENTROPY per document — the randomness axis of
+    * quality filtering ([[textStats]] measures shape, [[readability]]
+    * difficulty, this one INFORMATION): binary-ish garbage and
+    * key-mash score high, degenerate repetition scores near zero, and
+    * both tails are what a curation pass drops. Exact construction:
+    * H = ln n − (Σ c·ln c)/n over the per-doc bigram histogram,
+    * carried as floor-at-6dp ln micros times exact counts (BIGINT
+    * sums, order-free), closed with one signed half-up division. Two
+    * keyed aggregates ((doc, gram) then doc), no window, no explode
+    * beyond the bigram stream.
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables(spark, dir, "documents")
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .filter(length(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
+        .as("g"))
+    grams
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n"),
+        sum(expr(
+          "c * CAST(FLOOR(LN(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)"))
+          .as("sclc"))
+      .select(col("doc_id"), col("n").as("n_bigrams"),
+        expr("""CAST(FLOOR(LN(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+                - CASE WHEN sclc >= 0 THEN (2 * sclc + n) div (2 * n)
+                  ELSE -((2 * -sclc + n) div (2 * n)) END""").as("h_micros"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("h_micros") / 1e6).as("entropy_nats"),
+        when(col("h_micros") < 2000000, "degenerate")
+          .when(col("h_micros") > 4500000, "high")
+          .otherwise("normal").as("band"))
+      .orderBy("doc_id")
+  }
+
+  val charEntropySql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lower(text) AS t FROM documents
+      |  WHERE length(lower(text)) >= 2),
+      |grams AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, length(t)),
+      |      i -> substr(t, CAST(i AS INT), 2))) AS g
+      |  FROM d),
+      |cnt AS (
+      |  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM grams GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(SUM(c * CAST(FLOOR(LN(CAST(c AS DOUBLE)) * 1000000)
+      |      AS BIGINT)) AS BIGINT) AS sclc
+      |  FROM cnt GROUP BY 1),
+      |h AS (
+      |  SELECT doc_id, n,
+      |    CAST(FLOOR(LN(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+      |      - CASE WHEN sclc >= 0 THEN (2 * sclc + n) // (2 * n)
+      |        ELSE -((2 * -sclc + n) // (2 * n)) END AS h_micros
+      |  FROM agg)
+      |SELECT doc_id, n AS n_bigrams,
+      |  h_micros / 1e6 AS entropy_nats,
+      |  CASE WHEN h_micros < 2000000 THEN 'degenerate'
+      |       WHEN h_micros > 4500000 THEN 'high'
+      |       ELSE 'normal' END AS band
+      |FROM h
+      |ORDER BY doc_id""".stripMargin
+
   /** ZIPF FIT — the log-log rank–frequency slope of the vocabulary
     * (Zipf's law predicts ≈ −1; a corpus that fits badly is either
     * templated/synthetic or tokenized wrong — a cheap generation-
@@ -1871,6 +1939,7 @@ object TextQueries {
     "token_pmi" -> ((tokenPmi _, tokenPmiSql)),
     "text_burstiness" -> ((textBurstiness _, textBurstinessSql)),
     "zipf_fit" -> ((zipfFit _, zipfFitSql)),
+    "char_entropy" -> ((charEntropy _, charEntropySql)),
     "boilerplate_detect" -> ((boilerplateDetect _, boilerplateDetectSql)),
     "readability" -> ((readability _, readabilitySql)),
     "text_stats" -> ((textStats _, textStatsSql)),

@@ -2476,6 +2476,100 @@ object OlapQueries {
       |GROUP BY priority
       |ORDER BY priority""".stripMargin
 
+  /** χ² HOMOGENEITY — did the ORDER-PRIORITY MIX shift between the
+    * first and second half of the date span? The k×2 contingency
+    * sibling of [[graft.ext.EventQueries]] ab_srm's 2-cell test and
+    * the drift family's distribution checks: per-cell terms
+    * (o·n − rt·ct)²/(n·rt·ct) are micros-rounded exact rationals
+    * (DECIMAL(38)/HUGEINT numerators — they clear 2⁶³ at sf1), summed
+    * order-free as integers, and the α=0.05 decision for df = k−1 = 4
+    * compares the micros sum against 9 488 000 (χ²crit 9.488). Output:
+    * per-priority half counts + shares and the ride-along verdict.
+    */
+  def priorityMixShift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("d"))
+    val bounds = o.agg(min("d").as("mind"), max("d").as("maxd"))
+    val cells = o.crossJoin(broadcast(bounds))
+      .withColumn("h1",
+        datediff(col("d"), col("mind")) * 2 < datediff(col("maxd"), col("mind")))
+      .groupBy("priority")
+      .agg(sum(when(col("h1"), 1L).otherwise(0L)).as("o1"),
+        sum(when(!col("h1"), 1L).otherwise(0L)).as("o2"))
+    val tot = Window.partitionBy()
+    cells
+      .withColumn("c1", sum("o1").over(tot))
+      .withColumn("c2", sum("o2").over(tot))
+      .withColumn("n", col("c1") + col("c2"))
+      .withColumn("rt", col("o1") + col("o2"))
+      .withColumn("t1", expr(
+        """(2 * (cast(o1 AS decimal(38,0)) * n - cast(rt AS decimal(38,0)) * c1)
+             * (cast(o1 AS decimal(38,0)) * n - cast(rt AS decimal(38,0)) * c1)
+             * 1000000
+           + cast(n AS decimal(38,0)) * rt * c1)
+          div (2 * cast(n AS decimal(38,0)) * rt * c1)"""))
+      .withColumn("t2", expr(
+        """(2 * (cast(o2 AS decimal(38,0)) * n - cast(rt AS decimal(38,0)) * c2)
+             * (cast(o2 AS decimal(38,0)) * n - cast(rt AS decimal(38,0)) * c2)
+             * 1000000
+           + cast(n AS decimal(38,0)) * rt * c2)
+          div (2 * cast(n AS decimal(38,0)) * rt * c2)"""))
+      .withColumn("chi2_micros", sum(col("t1") + col("t2")).over(tot))
+      .select(col("priority"), col("o1").as("n_h1"), col("o2").as("n_h2"),
+        expr("(2 * o1 * 1000000 + c1) div (2 * c1) / 1e6").as("share_h1"),
+        expr("(2 * o2 * 1000000 + c2) div (2 * c2) / 1e6").as("share_h2"),
+        (col("chi2_micros") / 1e6).as("chi2"),
+        (col("chi2_micros") > 9488000L).as("mix_shift_05"))
+      .orderBy("priority")
+  }
+
+  val priorityMixShiftSql: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST(o_orderdate AS DATE) AS d
+      |  FROM orders),
+      |b AS (SELECT MIN(d) AS mind, MAX(d) AS maxd FROM o),
+      |cells AS (
+      |  SELECT priority,
+      |    CAST(SUM(CASE WHEN date_diff('day', mind, d) * 2
+      |      < date_diff('day', mind, maxd) THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS o1,
+      |    CAST(SUM(CASE WHEN date_diff('day', mind, d) * 2
+      |      >= date_diff('day', mind, maxd) THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS o2
+      |  FROM o CROSS JOIN b
+      |  GROUP BY 1),
+      |w AS (
+      |  SELECT *,
+      |    CAST(SUM(o1) OVER () AS HUGEINT) AS c1,
+      |    CAST(SUM(o2) OVER () AS HUGEINT) AS c2,
+      |    CAST(SUM(o1) OVER () + SUM(o2) OVER () AS HUGEINT) AS n,
+      |    CAST(o1 + o2 AS HUGEINT) AS rt
+      |  FROM cells),
+      |terms AS (
+      |  SELECT *,
+      |    (2 * (CAST(o1 AS HUGEINT) * n - rt * c1)
+      |       * (CAST(o1 AS HUGEINT) * n - rt * c1) * 1000000
+      |     + n * rt * c1) // (2 * n * rt * c1) AS t1,
+      |    (2 * (CAST(o2 AS HUGEINT) * n - rt * c2)
+      |       * (CAST(o2 AS HUGEINT) * n - rt * c2) * 1000000
+      |     + n * rt * c2) // (2 * n * rt * c2) AS t2
+      |  FROM w),
+      |f AS (
+      |  SELECT *, CAST(SUM(t1 + t2) OVER () AS BIGINT) AS chi2_micros
+      |  FROM terms)
+      |SELECT priority, o1 AS n_h1, o2 AS n_h2,
+      |  CAST((2 * o1 * 1000000 + c1) // (2 * c1) AS BIGINT) / 1e6
+      |    AS share_h1,
+      |  CAST((2 * o2 * 1000000 + c2) // (2 * c2) AS BIGINT) / 1e6
+      |    AS share_h2,
+      |  chi2_micros / 1e6 AS chi2,
+      |  chi2_micros > 9488000 AS mix_shift_05
+      |FROM f
+      |ORDER BY priority""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "market_basket" -> ((marketBasket _, marketBasketSql)),
     "benford_audit" -> ((benfordAudit _, benfordAuditSql)),
@@ -2494,6 +2588,7 @@ object OlapQueries {
     "return_rates" -> ((returnRates _, returnRatesSql)),
     "revenue_drawdown" -> ((revenueDrawdown _, revenueDrawdownSql)),
     "open_order_aging" -> ((openOrderAging _, openOrderAgingSql)),
+    "priority_mix_shift" -> ((priorityMixShift _, priorityMixShiftSql)),
     "simpson_check" -> ((simpsonCheck _, simpsonCheckSql)),
     "order_reconcile" -> ((orderReconcile _, orderReconcileSql)),
     "ship_latency" -> ((shipLatency _, shipLatencySql)),

@@ -287,6 +287,9 @@ class PlanAuditSpec extends SparkSpec {
     "zipf_fit" -> 1,           // one token aggregate; rank + moments
                                // on the vocabulary
     "open_order_aging" -> 2,   // filtered fact + the as-of scalar scan
+    "char_entropy" -> 1,       // bigram stream → two keyed aggregates
+    "priority_mix_shift" -> 2, // orders + the date-bounds scalar;
+                               // χ² terms on the 5-row cell table
 
     "ann_index_search" -> 3    // probed index segment + the query-side
                                // embeddings scan + that same probe subtree
