@@ -62,7 +62,17 @@ object Bench {
       // behind a clean median
       (name, median(timings.map(_._1)), timings.flatMap(_._2).headOption)
     }
-    println(renderJson(results, sfDir, runs))
+    val json = renderJson(results, sfDir, runs)
+    println(json)
+    // The driver's round artifact keeps only a ~2000-char stdout TAIL —
+    // at 260+ queries most per-query medians fall off it (r9 lost all
+    // entries before 'r'). The repo-local copy is the durable record:
+    // committed per round, it keeps round-over-round per-query
+    // comparison possible from git history alone. Best-effort — a
+    // read-only checkout must not fail the bench.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 
@@ -86,8 +96,12 @@ object Bench {
                  runs: Int = 1): String = {
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
+    // 3 dp: sub-millisecond digits are pure noise on a shared host, and
+    // every digit costs tail budget in the driver's truncated capture
+    def r3(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val ok = results.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = ok.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val errsJson =
@@ -95,6 +109,6 @@ object Bench {
         results.collect { case (k, _, Some(m)) => s"\"" + k + "\":\"" + esc(m) + "\"" }
           .mkString(""","errors":{""", ",", "}")
       else ""
-    s"""{"queries":$qs$errsJson,"sf":"$sfDir","runs":$runs,"n_queries":${ok.size},"unit":"sec","metric":"total","value":$total}"""
+    s"""{"queries":$qs$errsJson,"sf":"$sfDir","runs":$runs,"n_queries":${ok.size},"unit":"sec","metric":"total","value":${r3(total)}}"""
   }
 }

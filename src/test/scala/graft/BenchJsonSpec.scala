@@ -12,8 +12,8 @@ class BenchJsonSpec extends AnyFunSuite {
       ("good", 1.5, None),
       ("broken", 0.01, Some("""java.lang.RuntimeException: boom "quoted"""")),
       ("fine", 0.5, None)), "/sf")
-    assert(json.contains(""""good":1.5"""))
-    assert(json.contains(""""value":2.0""")) // broken's 0.01 excluded
+    assert(json.contains(""""good":1.500"""))
+    assert(json.contains(""""value":2.000""")) // broken's 0.01 excluded
     assert(!json.contains(""""broken":0.01"""))
     assert(json.contains(""""errors":{"broken":"java.lang.RuntimeException: boom \"quoted\""}"""))
   }
@@ -21,7 +21,7 @@ class BenchJsonSpec extends AnyFunSuite {
   test("all-green run emits no errors field") {
     val json = Bench.renderJson(Seq(("q", 1.0, None)), "/sf")
     assert(!json.contains("errors"))
-    assert(json.contains(""""q":1.0"""))
+    assert(json.contains(""""q":1.000"""))
   }
 
   test("runs count is recorded and median is the middle timing") {
@@ -42,6 +42,15 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(tail.contains("\"value\":150.0"))
     assert(tail.contains("\"n_queries\":150"))
     assert(json.endsWith("}"))
+  }
+
+  test("timings render at exactly 3 dp — the tail-budget contract") {
+    val json = Bench.renderJson(Seq(
+      ("a", 0.740762124, None), ("b", 10.043765014, None)), "/sf")
+    assert(json.contains(""""a":0.741"""))
+    assert(json.contains(""""b":10.044"""))
+    // no full-precision double leaks into the line
+    assert(!json.contains("0.740762124"))
   }
 
   test("rendered line is parseable JSON (driver ingests it verbatim)") {
