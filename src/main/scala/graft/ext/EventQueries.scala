@@ -1336,32 +1336,47 @@ object EventQueries {
     * [[eventsTheilsen]] (robust trend): drop the bottom and top
     * floor(n·5%) observations by rank and average the middle, shown
     * against the untrimmed mean so the tail influence is the visible
-    * delta. Values quantize to their lossless cents grid, rank is
-    * fully tie-broken by event_id, sums are BIGINT, and each mean is
-    * one half-up micros division — zero float accumulation.
+    * delta. Values quantize to their lossless cents grid, sums are
+    * BIGINT, and each mean is one half-up micros division — zero float
+    * accumulation.
     *
-    * Scale: one event_type-keyed exchange serves both rank windows and
-    * the final aggregate; within-type rank becomes a range-partitioned
-    * rank at 100 TB (same note as gini_nation).
+    * Computed on the BOUNDED cents-grid histogram (the [[graft.ext
+    * .CurationQueries.ksDrift]] idiom), never a corpus-wide rank: the
+    * trim keeps the contiguous rank range (lo, n−lo], and every row
+    * tied at the boundary carries the same cents value, so the kept
+    * count per bucket is `max(0, min(cum, hi) − max(cum − cnt, lo))`
+    * from cumulative bucket counts — identical sums to the tie-broken
+    * rank form, exactly.
+    *
+    * Scale: one corpus aggregate to the per-type cents histogram; the
+    * cumulative window runs per event_type over the bounded grid
+    * (≤ types × value-range rows at ANY corpus size), then one
+    * aggregate back. The corpus-sized exchange is the histogram
+    * groupBy with map-side partial aggregation — no window ever sees
+    * a corpus-proportional partition.
     */
   def trimmedMean(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = Tables(spark, dir, "events")
+    val hist = Tables(spark, dir, "events")
       .filter(col("value").isNotNull)
-      .select(col("event_type"), col("event_id"),
+      .groupBy(col("event_type"),
         expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+      .agg(count(lit(1)).as("cnt"))
     val byType = Window.partitionBy("event_type")
-    ev
-      .withColumn("rk", row_number().over(
-        byType.orderBy(col("cents"), col("event_id"))))
-      .withColumn("n", count(lit(1)).over(byType))
+    val cum = byType.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum("cnt").over(cum))
+      .withColumn("n", sum("cnt").over(byType))
       .withColumn("lo", expr("n * 5 div 100"))
-      .withColumn("keep", col("rk") > col("lo") && col("rk") <= col("n") - col("lo"))
+      .withColumn("kept", greatest(lit(0L),
+        least(col("cum"), col("n") - col("lo"))
+          - greatest(col("cum") - col("cnt"), col("lo"))))
       .groupBy("event_type")
       .agg(max("n").as("n"), max("lo").as("n_trimmed_each_side"),
-        sum("cents").as("s_all"),
-        sum(when(col("keep"), col("cents"))).as("s_trim"),
-        sum(when(col("keep"), 1L)).as("n_trim"))
+        sum(col("cents") * col("cnt")).as("s_all"),
+        sum(col("cents") * col("kept")).as("s_trim"),
+        sum("kept").as("n_trim"))
       .select(col("event_type"), col("n"), col("n_trimmed_each_side"),
         expr("(2 * s_all * 1000000 + n) div (2 * n) / 1e8").as("mean_all"),
         expr("(2 * s_trim * 1000000 + n_trim) div (2 * n_trim) / 1e8")
@@ -2551,8 +2566,22 @@ object EventQueries {
     * rows. Latencies are exact integer seconds, so the interpolated
     * percentiles are identical IEEE arithmetic in both engines
     * (rounded at 4 dp like the percentiles query).
+    *
+    * The percentile itself is computed on the latency HISTOGRAM with
+    * cumulative-count windows — never Spark's sort-collect
+    * `percentile` buffer, which materializes every converted user in
+    * one aggregation buffer (users grow with the corpus; distinct
+    * integer latencies are bounded by the timespan). The interpolation
+    * mirrors Spark's `Percentile` bit for bit: position `(n−1)·q`,
+    * 1-based ranks `floor(pos)+1`/`ceil(pos)+1` looked up as
+    * first-bucket-with-cum≥k, the equal-position and equal-key early
+    * returns, then `(ceil−pos)·lo + (pos−floor)·hi` — both weights
+    * Sterbenz-exact, so the value is the builtin's to the last ulp
+    * (and the 4 dp round matched DuckDB's quantile_cont in r9; the
+    * hash is unchanged).
     */
   def funnelTimePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ev = Tables(spark, dir, "events")
     val perUser = ev
       .groupBy(col("user_id"))
@@ -2565,10 +2594,34 @@ object EventQueries {
       .filter(col("pts") >= col("first_view"))
       .groupBy("user_id")
       .agg((min(col("pts")) - min(col("first_view"))).as("latency_s"))
-    lat.agg(
-      count(lit(1)).as("n_converted"),
-      round(expr("percentile(latency_s, 0.5)"), 4).as("p50_s"),
-      round(expr("percentile(latency_s, 0.9)"), 4).as("p90_s"))
+    val cumW = Window.orderBy("latency_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val interp = (q: String, lo: String, hi: String) => expr(
+      s"""CASE WHEN n IS NULL THEN CAST(NULL AS DOUBLE)
+         |  WHEN ceil(pos$q) = floor(pos$q) OR $hi = $lo
+         |    THEN CAST($lo AS DOUBLE)
+         |  ELSE (ceil(pos$q) - pos$q) * $lo + (pos$q - floor(pos$q)) * $hi
+         |END""".stripMargin)
+    lat.groupBy("latency_s").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(cumW))
+      .withColumn("n", sum("cnt").over(Window.partitionBy()))
+      .withColumn("pos50", expr("(n - 1) * 0.5D"))
+      .withColumn("pos90", expr("(n - 1) * 0.9D"))
+      .groupBy()
+      .agg(coalesce(max("n"), lit(0L)).as("n_converted"),
+        min(when(col("cum") >= floor(col("pos50")) + 1, col("latency_s")))
+          .as("lo50"),
+        min(when(col("cum") >= ceil(col("pos50")) + 1, col("latency_s")))
+          .as("hi50"),
+        min(when(col("cum") >= floor(col("pos90")) + 1, col("latency_s")))
+          .as("lo90"),
+        min(when(col("cum") >= ceil(col("pos90")) + 1, col("latency_s")))
+          .as("hi90"),
+        max("pos50").as("pos50"), max("pos90").as("pos90"),
+        max("n").as("n"))
+      .select(col("n_converted"),
+        round(interp("50", "lo50", "hi50"), 4).as("p50_s"),
+        round(interp("90", "lo90", "hi90"), 4).as("p90_s"))
   }
 
   val funnelTimePercentilesSql: String =

@@ -2036,32 +2036,40 @@ object OlapQueries {
     * order priority as NEAREST-RANK p50/p90/p99 (the
     * [[graft.ext.EventQueries]] forecast_interval order-statistic
     * discipline — no interpolated percentile whose fractional position
-    * can drift an ulp between engines): one fact join, one
-    * priority-keyed rank exchange (range-partitioned rank at 100 TB),
-    * conditional mins collapse each priority to one row.
+    * can drift an ulp between engines). Computed on the BOUNDED
+    * day-lag histogram, never a corpus-wide rank: a nearest-rank
+    * percentile `min(lat | rk·k ≥ n·m)` is the first lag bucket whose
+    * CUMULATIVE count satisfies `cum·k ≥ n·m` (the bucket's max rank
+    * IS its cum, so it holds a qualifying rank iff the cum does) —
+    * identical to the tie-broken rank form, exactly.
+    *
+    * Scale: one fact join, one partial-aggregated groupBy to the
+    * per-priority lag histogram (lags are calendar-bounded — the grid
+    * never grows with the corpus), cumulative windows on that bounded
+    * grid, one aggregate back. No few-key corpus-wide sort anywhere.
     */
   def shipLatency(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lat = Tables(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_linenumber"),
-        to_date(col("l_shipdate")).as("sd"))
+    val hist = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
       .join(Tables(spark, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"),
           to_date(col("o_orderdate")).as("od")),
         col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_orderpriority").as("priority"),
-        datediff(col("sd"), col("od")).cast("long").as("lat"),
-        col("l_orderkey"), col("l_linenumber"))
+      .groupBy(col("o_orderpriority").as("priority"),
+        datediff(col("sd"), col("od")).cast("long").as("lat"))
+      .agg(count(lit(1)).as("cnt"))
     val byP = Window.partitionBy("priority")
-    lat
-      .withColumn("rk", row_number().over(
-        byP.orderBy(col("lat"), col("l_orderkey"), col("l_linenumber"))))
-      .withColumn("n", count(lit(1)).over(byP))
+    val cum = byP.orderBy("lat")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum("cnt").over(cum))
+      .withColumn("n", sum("cnt").over(byP))
       .groupBy("priority")
       .agg(max("n").as("n_lines"),
-        min(when(col("rk") * 2 >= col("n"), col("lat"))).as("p50_days"),
-        min(when(col("rk") * 10 >= col("n") * 9, col("lat"))).as("p90_days"),
-        min(when(col("rk") * 100 >= col("n") * 99, col("lat"))).as("p99_days"))
+        min(when(col("cum") * 2 >= col("n"), col("lat"))).as("p50_days"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("lat"))).as("p90_days"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("lat"))).as("p99_days"))
       .orderBy("priority")
   }
 
