@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -28,7 +29,7 @@ object Bench {
     // One try PER warmup: a failure in one must not skip the others.
     def warm(q: String, dir: String): Unit =
       try SparkEntry.queries.get(q).foreach(f => run(f(spark, dir)))
-      catch { case _: Throwable => () }
+      catch { case NonFatal(_) => () }
     warm("q1_agg", sfDir)
     warm("closure_extract", "/root/testdata/sf0.001")
     warm("dedup_clusters", "/root/testdata/sf0.001")
@@ -46,21 +47,32 @@ object Bench {
     // abort the whole suite with an opaque IndexOutOfBounds
     val runs = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val timings = (1 to runs).map { _ =>
-        // each run pays its own reads: no cached tables/views leak from
-        // one measurement into the next
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        val err = try { run(fn(spark, sfDir)); None }
-                  catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
-        ((System.nanoTime() - t0) / 1e9, err)
+    // INTERLEAVED sweeps: run the FULL suite `runs` times and take each
+    // query's median ACROSS sweeps, rather than timing one query's runs
+    // back-to-back. Back-to-back runs share any transient host stall, so
+    // a single multi-second hiccup poisoned all three samples of one
+    // query (r10 recorded corr_matrix at 25.8 s; the identical code
+    // re-benched at 1.44 s in r11). With sweeps ~4 min apart, a stall
+    // lands in at most one sample per query and the median discards it.
+    val sweeps: Seq[Map[String, (Double, Option[String])]] =
+      (1 to runs).map { _ =>
+        queryList.map { case (name, fn) =>
+          // each run pays its own reads: no cached tables/views leak from
+          // one measurement into the next
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val err = try { run(fn(spark, sfDir)); None }
+                    catch { case NonFatal(e) => Some(e.toString.takeWhile(_ != '\n').take(200)) }
+          name -> (((System.nanoTime() - t0) / 1e9, err))
+        }.toMap
       }
+    val results = queryList.map { case (name, _) =>
+      val samples = sweeps.map(_(name))
       // any failed run fails the query — a flaky query must not hide
       // behind a clean median
-      (name, median(timings.map(_._1)), timings.flatMap(_._2).headOption)
+      (name, median(samples.map(_._1)), samples.flatMap(_._2).headOption)
     }
     val json = renderJson(results, sfDir, runs)
     println(json)
@@ -71,8 +83,9 @@ object Bench {
     // comparison possible from git history alone. Best-effort — a
     // read-only checkout must not fail the bench.
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), json + "\n")
-    catch { case _: Throwable => () }
+      java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."))
+        .resolve("BENCH_LOCAL.json"), json + "\n")
+    catch { case NonFatal(_) => () }
     spark.stop()
   }
 

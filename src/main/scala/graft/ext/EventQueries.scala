@@ -646,16 +646,25 @@ object EventQueries {
   /** RFM SEGMENTATION — recency / frequency / monetary quintiles per
     * customer, the classic marketing cut: one orders aggregate per
     * customer (days-since-last vs the corpus max date, order count,
-    * decimal spend), three NTILE(5) windows sharing full deterministic
-    * tie orders (metric, then custkey), and the 555…111 segment code.
-    * The max-date scalar broadcasts back — never a global sort of
-    * customers; the NTILE windows are unpartitioned BY DEFINITION
-    * (global quintiles) but run on the customer-level AGGREGATE, which
-    * is the smallest frame carrying the answer; at 100 TB you'd trade
-    * exact quintiles for approx-percentile cuts — the documented swap.
+    * decimal spend), exact global quintiles per metric with full
+    * deterministic tie orders (metric, then custkey), and the
+    * 555…111 segment code. The max-date scalar broadcasts back.
+    *
+    * Scale shape: quintiles are global BY DEFINITION, but NTILE(5)
+    * OVER (ORDER BY …) as an unpartitioned window is a single-task
+    * sort of every customer — a scale-killer once customers grow with
+    * the corpus. Instead each score comes from [[globalRank]]'s exact
+    * two-phase distributed rank (range-partition → per-partition
+    * row_number → partition-count-bounded offset prefix) and the NTILE
+    * bucket is then PURE ARITHMETIC on (rank, n): with q = n div 5 and
+    * r = n mod 5, SQL NTILE gives the first r buckets q+1 rows and the
+    * rest q, so bucket(p) = p div (q+1) + 1 for p < r·(q+1), else
+    * r + (p − r·(q+1)) div q + 1 — bit-identical to the window form
+    * (the oracle keeps the three NTILE windows) with no single-task
+    * sort anywhere. The rank keys (metric, custkey) are unique, so the
+    * rank — and therefore the bucket — is fully deterministic.
     */
   def ordersRfm(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ord = Tables(spark, dir, "orders")
     val maxd = ord.agg(max(col("o_orderdate")).as("maxd"))
     val per = ord.groupBy(col("o_custkey"))
@@ -666,18 +675,63 @@ object EventQueries {
       .select(col("o_custkey"),
         datediff(col("maxd"), col("last_order")).cast("long").as("recency_days"),
         col("frequency"), col("monetary"))
-    per
-      .withColumn("r_score", ntile(5).over(
-        Window.orderBy(desc("recency_days"), asc("o_custkey"))))
-      .withColumn("f_score", ntile(5).over(
-        Window.orderBy(asc("frequency"), asc("o_custkey"))))
-      .withColumn("m_score", ntile(5).over(
-        Window.orderBy(asc("monetary"), asc("o_custkey"))))
-      .select(col("o_custkey"), col("recency_days"), col("frequency"),
-        col("monetary").cast("double").as("monetary"),
-        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
-          .cast("long").as("rfm_segment"))
+      // feeds three rank pipelines plus the n_total scalar — persisted so
+      // the orders aggregate is computed once, not five times
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranked = Seq[(String, Seq[org.apache.spark.sql.Column])](
+      ("_r0", Seq(col("recency_days").desc, col("o_custkey").asc)),
+      ("_f0", Seq(col("frequency").asc, col("o_custkey").asc)),
+      ("_m0", Seq(col("monetary").asc, col("o_custkey").asc)))
+      .foldLeft(per.toDF) { case (df, (c, ks)) => globalRank(df, c, ks) }
+    // NTILE(5) from the 0-based rank: CASE branches are evaluated
+    // lazily per row, so the q = 0 (n < 5) case never divides by zero —
+    // r = n, every p < r·(q+1) = n, the THEN branch always fires
+    def nt(rk: String): String =
+      s"""(CASE WHEN $rk < (_n_total % 5) * (_n_total div 5 + 1)
+         | THEN $rk div (_n_total div 5 + 1) + 1
+         | ELSE (_n_total % 5)
+         |   + ($rk - (_n_total % 5) * (_n_total div 5 + 1)) div (_n_total div 5)
+         |   + 1 END)""".stripMargin.replaceAll("\n", " ")
+    ranked
+      .crossJoin(broadcast(per.agg(count(lit(1)).as("_n_total"))))
+      .selectExpr("o_custkey", "recency_days", "frequency",
+        "CAST(monetary AS DOUBLE) AS monetary",
+        s"CAST(${nt("_r0")} * 100 + ${nt("_f0")} * 10 + ${nt("_m0")} AS BIGINT)" +
+          " AS rfm_segment")
       .orderBy("o_custkey")
+  }
+
+  /** Exact 0-based global rank by `keys` with NO single-task sort — the
+    * two-phase distributed ranking pattern: (1) range-partition by the
+    * keys (contiguous, ordered key ranges; the sampler balances
+    * partition sizes, so no task sorts more than ~n/P rows), stamp each
+    * row with its partition id, and take row_number() WITHIN each
+    * partition; (2) the cross-partition offsets are a prefix sum over
+    * the per-partition counts — P rows, bounded by the shuffle
+    * partition count whatever the corpus size — broadcast back. Range
+    * partition i precedes i+1 in key order, so offset(pid) + local − 1
+    * IS the global rank, exactly, for any sampled bounds; with unique
+    * keys the result is fully deterministic. The stamped intermediate
+    * is persisted because both phases consume it — unpersisted, the
+    * range exchange would plan (and run) twice.
+    */
+  private def globalRank(df: DataFrame, rankCol: String,
+      keys: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val local = df.repartitionByRange(parts, keys: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lr", row_number().over(
+        Window.partitionBy("_pid").orderBy(keys: _*)).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offsets = local.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+      .withColumn("_off", coalesce(sum("_cnt").over(
+        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("_pid", "_off")
+    local.join(broadcast(offsets), Seq("_pid"))
+      .withColumn(rankCol, col("_off") + col("_lr") - 1)
+      .drop("_pid", "_lr", "_off")
   }
 
   val ordersRfmSql: String =
@@ -1793,9 +1847,20 @@ object EventQueries {
     * and within an equal-(t, delta) group the running sum's maximum is
     * permutation-invariant, which is what makes the sweep
     * deterministic without a full total order. Sessions come from the
-    * same lag/islands form as [[bounceRate]]; the sweep is one window
-    * over session-bounded rows (2 per session — range-partition the
-    * sweep at 100 TB).
+    * same lag/islands form as [[bounceRate]].
+    *
+    * Scale shape: the sweep is a TWO-PHASE prefix sum, not one global
+    * window. Phase 1 runs the running sum PARTITIONED BY day (day is a
+    * function of t, so the within-day (t, delta) order is exactly the
+    * global order restricted to the partition). Phase 2 computes each
+    * day's carry-in — the sum of all prior days' net deltas — with a
+    * window over the per-day aggregate, which has one row per calendar
+    * day (calendar-bounded: ~3.7k rows for a decade of data, whatever
+    * the corpus size), then broadcasts it back. carry_in(day) +
+    * within-day running sum == the global running sum, row for row, so
+    * the result is bit-identical to the single-window form while the
+    * only unpartitioned sort is over O(#days) rows. PlanAuditSpec pins
+    * that every corpus-proportional window here carries a partition key.
     */
   def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1817,11 +1882,21 @@ object EventQueries {
     val bounds = sessions
       .select(col("s").as("t"), lit(1L).as("delta"))
       .unionByName(sessions.select(col("e").as("t"), lit(-1L).as("delta")))
-    val sweep = Window.orderBy(col("t"), col("delta"))
+      .withColumn("day", to_date(col("t")))
+    // phase 2 input: one row per calendar day — the ONLY unpartitioned
+    // window in the plan runs over this calendar-bounded aggregate
+    val carry = bounds.groupBy("day").agg(sum("delta").as("day_sum"))
+      .withColumn("carry_in", coalesce(
+        sum("day_sum").over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("day", "carry_in")
+    // phase 1: the corpus-proportional running sum, partitioned by day
+    val withinDay = Window.partitionBy("day").orderBy(col("t"), col("delta"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bounds
-      .withColumn("cum", sum("delta").over(sweep))
-      .withColumn("day", to_date(col("t")))
+      .withColumn("cum_day", sum("delta").over(withinDay))
+      .join(broadcast(carry), Seq("day"))
+      .withColumn("cum", col("carry_in") + col("cum_day"))
       .withColumn("daypeak", max("cum").over(Window.partitionBy("day")))
       .groupBy("day")
       .agg(max("cum").as("peak_concurrent"),

@@ -869,23 +869,40 @@ object TextQueries {
     * both tails are what a curation pass drops. Exact construction:
     * H = ln n − (Σ c·ln c)/n over the per-doc bigram histogram,
     * carried as floor-at-6dp ln micros times exact counts (BIGINT
-    * sums, order-free), closed with one signed half-up division. Two
-    * keyed aggregates ((doc, gram) then doc), no window, no explode
-    * beyond the bigram stream.
+    * sums, order-free), closed with one signed half-up division.
+    *
+    * ZERO-EXCHANGE shape: a per-document statistic never needs a
+    * corpus-wide shuffle, so the histogram is computed IN-ROW — sort
+    * the bigram array, find the run-end indices, and fold run lengths
+    * into Σ c·ln_micros(c) with `aggregate` — O(len·log len) per doc
+    * and no explode, no (doc, gram) exchange; the only exchange in the
+    * plan is the final presentation orderBy. (The earlier form paid a
+    * corpus-wide explode + (doc_id, gram) hash aggregate for the same
+    * per-row answer.) The run counts are exactly the groupBy counts,
+    * so the result is bit-identical; the DuckDB oracle keeps the
+    * explode+groupBy spelling.
     */
   def charEntropy(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables(spark, dir, "documents")
+    Tables(spark, dir, "documents")
       .select(col("doc_id"), lower(col("text")).as("t"))
       .filter(length(col("t")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
-        .as("g"))
-    grams
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum("c").as("n"),
-        sum(expr(
-          "c * CAST(FLOOR(LN(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .select(col("doc_id"),
+        (length(col("t")) - 1).cast("long").as("n"),
+        expr("array_sort(transform(sequence(1, length(t) - 1)," +
+          " i -> substring(t, i, 2)))").as("s"))
+      // run-END indices in the sorted gram array (0-based subscripts);
+      // consecutive ends difference = the run's count c
+      .select(col("doc_id"), col("n"),
+        expr("filter(sequence(0, size(s) - 1)," +
+          " i -> i = size(s) - 1 OR s[i] != s[i + 1])").as("b"))
+      .select(col("doc_id"), col("n"),
+        expr("""aggregate(
+            transform(sequence(0, size(b) - 1),
+              j -> CAST(b[j] - (CASE WHEN j = 0 THEN -1
+                                ELSE b[j - 1] END) AS BIGINT)),
+            0L,
+            (acc, c) -> acc +
+              c * CAST(FLOOR(LN(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))""")
           .as("sclc"))
       .select(col("doc_id"), col("n").as("n_bigrams"),
         expr("""CAST(FLOOR(LN(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)

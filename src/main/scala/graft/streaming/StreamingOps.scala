@@ -462,7 +462,10 @@ object StreamingOps {
         .select("event_id", "ts", "user_id", "event_type", "value")
       val r = events.agg(
         min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
-      val mid = (r.getLong(0) + r.getLong(1)) / 2
+      // empty corpus: min/max aggregate to NULL — split at 0 and stage
+      // two empty batch files rather than NPE on getLong; the replay
+      // then streams an empty input to an empty (still valid) result
+      val mid = if (r.isNullAt(0)) 0L else (r.getLong(0) + r.getLong(1)) / 2
       val writeBatch = writeReplayBatch(tmp, s"$tmp/in") _
       writeBatch(events.filter(expr(s"unix_micros(ts) <= $mid")), "b1", 1000000L)
       writeBatch(events.filter(expr(s"unix_micros(ts) > $mid")), "b2", 2000000L)
@@ -473,18 +476,19 @@ object StreamingOps {
     * micro-batch. Each replay starts from a FRESH checkpoint, so the
     * partition count is free to differ from the session's batch
     * setting — state-store layout is pinned per checkpoint, not per
-    * session. Restored in finally; results are partition-invariant
+    * session. The narrowed setting lives on an ISOLATED child session
+    * (`newSession`: same SparkContext, cluster, and builder-time
+    * options — timezone, nanosAsLong — but a fresh runtime SQLConf and
+    * temp-view catalog), so the caller's session conf is never mutated
+    * and concurrent queries on it can never observe the replay
+    * setting; the child's fresh catalog also means the memory-sink
+    * view name needs no pre-drop. Results are partition-invariant
     * (exact decimal partials, hash-gate sorts).
     */
-  private def withReplayShufflePartitions[T](spark: SparkSession)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "8")
-    try f
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+  private def withReplaySession[T](spark: SparkSession)(f: SparkSession => T): T = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    f(s)
   }
 
   def streamDedupReplay(spark: SparkSession, dir: String): DataFrame = {
@@ -499,7 +503,8 @@ object StreamingOps {
       graft.ext.DedupIndex.writeBloom(spark, s"$tmp/idx0")
       val newDocs = docs.filter(col("doc_id") % 5 >= 3)
       val r = newDocs.agg(min(col("doc_id")), max(col("doc_id"))).head()
-      val mid = (r.getLong(0) + r.getLong(1)) / 2
+      // same empty-input guard as stagedEventsInput: NULL min/max → 0
+      val mid = if (r.isNullAt(0)) 0L else (r.getLong(0) + r.getLong(1)) / 2
       val writeBatch = writeReplayBatch(tmp, s"$tmp/in") _
       writeBatch(newDocs.filter(col("doc_id") <= mid), "b1", 1000000L)
       writeBatch(newDocs.filter(col("doc_id") > mid), "b2", 2000000L)
@@ -513,15 +518,15 @@ object StreamingOps {
       java.nio.file.Paths.get(idxDir))
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
-    withReplayShufflePartitions(spark) {
-      val stream = spark.readStream.schema(schema)
+    withReplaySession(spark) { s =>
+      val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$staged/in")
       val q = dedupIngestStream(stream, idxDir, outDir, ckpt)
       try q.processAllAvailable() finally q.stop()
       // eager checkpoint of the (tiny) survivor ids, then drop the
       // per-run tree — repeated bench/verify invocations must not leak
       // an index copy + checkpoint dir per run
-      try spark.read.parquet(outDir).select("doc_id").orderBy("doc_id")
+      try s.read.parquet(outDir).select("doc_id").orderBy("doc_id")
         .localCheckpoint(true)
       finally graft.io.SegmentLog.deleteRecursively(tmp.toString)
     }
@@ -577,12 +582,9 @@ object StreamingOps {
   def streamTumblingReplay(spark: SparkSession, dir: String): DataFrame = {
     val inDir = stagedEventsInput(spark, dir)
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-tumble-")
-    withReplayShufflePartitions(spark) {
-      val stream = spark.readStream.schema(eventSchemaNoProps)
+    withReplaySession(spark) { s =>
+      val stream = s.readStream.schema(eventSchemaNoProps)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
-      // bench/verify re-invoke this in one session: clear the previous
-      // replay's sink view before binding the name again
-      spark.catalog.dropTempView("graft_stream_tumbling")
       val q = tumblingCounts(stream).writeStream
         .outputMode("complete")
         .format("memory").queryName("graft_stream_tumbling")
@@ -591,7 +593,7 @@ object StreamingOps {
       try q.processAllAvailable() finally q.stop()
       // eager checkpoint of the bounded aggregate, then drop the
       // per-run checkpoint tree
-      try spark.table("graft_stream_tumbling")
+      try s.table("graft_stream_tumbling")
         .orderBy("window_start", "event_type").localCheckpoint(true)
       finally graft.io.SegmentLog.deleteRecursively(tmp.toString)
     }
@@ -620,10 +622,9 @@ object StreamingOps {
   def streamSessionReplay(spark: SparkSession, dir: String): DataFrame = {
     val inDir = stagedEventsInput(spark, dir)
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-session-")
-    withReplayShufflePartitions(spark) {
-      val stream = spark.readStream.schema(eventSchemaNoProps)
+    withReplaySession(spark) { s =>
+      val stream = s.readStream.schema(eventSchemaNoProps)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
-      spark.catalog.dropTempView("graft_stream_session")
       val agg = stream
         .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
         .agg(count(lit(1)).as("n_events"),
@@ -636,7 +637,7 @@ object StreamingOps {
         .option("checkpointLocation", s"$tmp/ckpt")
         .start()
       try q.processAllAvailable() finally q.stop()
-      try spark.table("graft_stream_session")
+      try s.table("graft_stream_session")
         .orderBy("user_id", "session_start").localCheckpoint(true)
       finally graft.io.SegmentLog.deleteRecursively(tmp.toString)
     }
@@ -661,17 +662,16 @@ object StreamingOps {
   def streamAttributionReplay(spark: SparkSession, dir: String): DataFrame = {
     val inDir = stagedEventsInput(spark, dir)
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-attr-")
-    withReplayShufflePartitions(spark) {
-      val stream = spark.readStream.schema(eventSchemaNoProps)
+    withReplaySession(spark) { s =>
+      val stream = s.readStream.schema(eventSchemaNoProps)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
-      spark.catalog.dropTempView("graft_stream_attr")
       val q = clickAttribution(stream).writeStream
         .outputMode("append")
         .format("memory").queryName("graft_stream_attr")
         .option("checkpointLocation", s"$tmp/ckpt")
         .start()
       try q.processAllAvailable() finally q.stop()
-      try spark.table("graft_stream_attr")
+      try s.table("graft_stream_attr")
         .groupBy(col("purchase_id"))
         .agg(count(lit(1)).as("n_clicks"),
           sum(col("click_value").cast("decimal(18,4)")).cast("double")

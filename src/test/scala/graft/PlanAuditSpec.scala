@@ -276,8 +276,10 @@ class PlanAuditSpec extends SparkSpec {
                                // on the ≤|brands| aggregate
     "media_dup_groups" -> 1,   // one decode+resize pass, one
                                // fingerprint shuffle
-    "peak_concurrency" -> 1,   // one user exchange builds sessions;
-                               // the sweep runs on 2 rows per session
+    "peak_concurrency" -> 1,   // one user exchange builds the persisted
+                               // sessions; boundary rows, the day-carry
+                               // aggregate, and the day-partitioned
+                               // sweep all read that cache
     "revenue_drawdown" -> 1,   // two cumulative windows on the daily
                                // rollup
     "embed_outliers" -> 1,     // moment pass checkpointed to a 1-row
@@ -287,9 +289,18 @@ class PlanAuditSpec extends SparkSpec {
     "zipf_fit" -> 1,           // one token aggregate; rank + moments
                                // on the vocabulary
     "open_order_aging" -> 2,   // filtered fact + the as-of scalar scan
-    "char_entropy" -> 1,       // bigram stream → two keyed aggregates
+    "char_entropy" -> 1,       // in-row sorted-run histogram: zero
+                               // exchange before the final orderBy
     "priority_mix_shift" -> 2, // orders + the date-bounds scalar;
                                // χ² terms on the 5-row cell table
+
+    "orders_rfm" -> 2,         // the persisted per-customer aggregate +
+                               // the LAST rank stage's persisted stamped
+                               // intermediate (each rank stage persists
+                               // its range-stamped rows; stages 1–2 hide
+                               // inside stage 3's cached plan) — more
+                               // means a rank stage lost its persist and
+                               // its range exchange runs twice
 
     "ann_index_search" -> 3    // probed index segment + the query-side
                                // embeddings scan + that same probe subtree
@@ -322,5 +333,35 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache() // release builder-persisted projections
     assert(bad.isEmpty, "plan regressions (duplicated subtrees?):\n" +
       bad.mkString("\n"))
+  }
+
+  // query -> the exact orderBy keys its UNPARTITIONED windows are allowed
+  // to use. Both queries compute globally-ordered statistics, so some
+  // unpartitioned window is unavoidable — but it must run over a BOUNDED
+  // frame: `day` (one row per calendar day: peak_concurrency's carry) or
+  // `_pid` (one row per shuffle partition: orders_rfm's two-phase rank
+  // offsets). An unpartitioned window ordered by anything else — t, a
+  // metric, a custkey tiebreak — means a corpus-proportional single-task
+  // sort regressed into the plan (the exact r9–r11 scale-killer shape
+  // this pin exists to keep out).
+  private val boundedGlobalWindows = Seq(
+    "peak_concurrency" -> Set("day"),
+    "orders_rfm" -> Set("_pid"))
+
+  test("global windows only ever order bounded frames (day / _pid)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val bad = boundedGlobalWindows.flatMap { case (name, allowed) =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.optimizedPlan
+      plan.collectWithSubqueries {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          val keys = w.orderSpec.map(_.child.references.map(_.name).mkString)
+          if (keys.forall(allowed.contains)) None
+          else Some(s"$name: unpartitioned window over ${keys.mkString(",")}")
+      }.flatten
+    }
+    spark.catalog.clearCache()
+    assert(bad.isEmpty,
+      "corpus-proportional global sort crept back:\n" + bad.mkString("\n"))
   }
 }
