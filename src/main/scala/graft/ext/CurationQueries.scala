@@ -798,10 +798,13 @@ object CurationQueries {
     // percent_rank recomputed from its exact integer parts (rank−1)/(n−1)
     // so the 6dp rounding and the 0.4 keep-cut are pure integer
     // arithmetic — round(double,6) ties on 2-5-smooth source sizes
-    // (n−1=128) and ≥ on the double is one ulp from wrong either way
+    // (n−1=128) and ≥ on the double is one ulp from wrong either way.
+    // r rides BIGINT: Spark's rank() is 32-bit and `2·r·10⁶` overflows
+    // INT once a source holds ≥ ~1074 docs (the sf1 rehearsal hit it;
+    // DuckDB's RANK() is already BIGINT, so only Spark needed the cast)
     Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"), TextQueries.qualityScore.as("q"))
-      .withColumn("r", rank().over(w) - 1)
+      .withColumn("r", (rank().over(w) - 1).cast("long"))
       .withColumn("m", count(lit(1)).over(Window.partitionBy("source")) - 1)
       .select(col("doc_id"), col("source"), col("q"),
         expr("""CASE WHEN m = 0 THEN 0.0

@@ -1140,6 +1140,92 @@ object DedupQueries {
       |WHERE lev <= 2
       |ORDER BY name_a, name_b""".stripMargin
 
+  /** [[fuzzyDupPairs]]' corpus-scale sibling: LSH over character
+    * q-grams instead of a hand-picked blocking key. The blocked form
+    * assumes the SECOND token is typo-free — a typo in the blocking
+    * key itself ("old bolt" vs "old blot") lands the pair in different
+    * blocks and it is silently lost, and messier vocabularies (vendor
+    * strings, addresses) have no clean blocking column at all. Here
+    * candidates come from MinHash-LSH over the name's character
+    * 3-gram set — [[sigExpr]]'s K=8 affine family over md5 gram
+    * hashes, banded 8×1 (each signature component its own bucket)
+    * rather than [[minhashPairs]]' 4×2: two edits on a ~10-char name
+    * can kill 6 of its ~8 grams, so pair Jaccard runs as low as
+    * ~0.3 and the document banding's J² per band would miss it;
+    * single-row bands give P(candidate) = 1−(1−J)⁸ ≈ 0.94 even at
+    * J = 0.3 (measured 24/24 of the brute-force lev ≤ 2 pairs at
+    * sf0.01, vs 15/24 under 4×2 — DedupClustersSpec pins full recall
+    * on the fixed vocabulary). The looser buckets are exactly what
+    * the 64-member skew cap is for. Verification is exact Levenshtein
+    * ≤ 2 on candidates only; same one-groupBy in-bucket pair
+    * generation (no self-join) — per-bucket quadratic, never global:
+    * the 100 TB shape.
+    */
+  def fuzzyDupPairsLsh(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables(spark, dir, "part")
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_rows"))
+      .filter(length(col("p_name")) >= 3)
+      .repartition(col("p_name"))
+      .withColumn("hs", expr(
+        s"""transform(sequence(1, length(p_name) - 2),
+             i -> cast(conv(substring(md5(substring(p_name, i, 3)), 1, 15), 16, 10) AS bigint) % $P)"""))
+      .withColumn("sig", expr(s"array(${(0 until K).map(sigExpr).mkString(", ")})"))
+      .select("p_name", "n_rows", "sig")
+    names.select(col("p_name"), col("n_rows"),
+        explode(expr(s"transform(sequence(0, ${K - 1}), " +
+          "b -> struct(b AS band, cast(sig[b] AS string) AS bucket))")).as("bb"))
+      .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .agg(expr("array_sort(collect_list(struct(p_name, n_rows)))").as("ds"))
+      .filter(size(col("ds")).between(2, 64))
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+             transform(slice(ds, i + 2, size(ds)), b ->
+               named_struct('name_a', a.p_name, 'name_b', b.p_name,
+                 'rows_a', a.n_rows, 'rows_b', b.n_rows))))""")).as("p"))
+      .select(col("p.name_a").as("name_a"), col("p.name_b").as("name_b"),
+        col("p.rows_a").as("rows_a"), col("p.rows_b").as("rows_b"))
+      .distinct() // the same pair can collide in several bands
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("lev") <= 2)
+      .select("name_a", "name_b", "lev", "rows_a", "rows_b")
+      .orderBy("name_a", "name_b")
+  }
+
+  val fuzzyDupPairsLshSql: String = {
+    val sigs = (0 until K).map { i =>
+      val (a, b) = affine(i)
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % $P))"
+    }.mkString(", ")
+    s"""WITH names AS (
+      |  SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_rows
+      |  FROM part GROUP BY p_name),
+      |grams AS (
+      |  SELECT p_name, n_rows,
+      |    list_transform(range(1, length(p_name) - 1),
+      |      i -> CAST(('0x' || substr(md5(substr(p_name, CAST(i AS INT), 3)), 1, 15)) AS BIGINT) % $P) AS hs
+      |  FROM names WHERE length(p_name) >= 3),
+      |sigs AS (SELECT p_name, n_rows, [$sigs] AS sig FROM grams),
+      |banded0 AS (
+      |  SELECT p_name, n_rows, b.band,
+      |    CAST(sig[b.band + 1] AS VARCHAR) AS bucket
+      |  FROM sigs CROSS JOIN (SELECT unnest(range(0, $K)) AS band) b),
+      |banded AS (
+      |  SELECT * FROM (SELECT p_name, n_rows, band, bucket,
+      |    COUNT(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded0)
+      |  WHERE bsz <= 64),
+      |cand AS (
+      |  SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b,
+      |    a.n_rows AS rows_a, b.n_rows AS rows_b
+      |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+      |    AND a.p_name < b.p_name)
+      |SELECT name_a, name_b,
+      |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev,
+      |  rows_a, rows_b
+      |FROM cand
+      |WHERE levenshtein(name_a, name_b) <= 2
+      |ORDER BY name_a, name_b""".stripMargin
+  }
+
   /** ASYMMETRIC CONTAINMENT pairs — the near-dup modality Jaccard
     * structurally misses: when a short document is QUOTED WHOLE inside
     * a much longer one, |A∩B|/|A∪B| is diluted by the length gap while
@@ -1263,6 +1349,7 @@ object DedupQueries {
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "dedup_bloom" -> ((dedupBloom _, dedupBloomSql)),
     "fuzzy_dup_pairs" -> ((fuzzyDupPairs _, fuzzyDupPairsSql)),
+    "fuzzy_dup_pairs_lsh" -> ((fuzzyDupPairsLsh _, fuzzyDupPairsLshSql)),
     "containment_pairs" -> ((containmentPairs _, containmentPairsSql)),
     "dedup_cluster_profile" -> ((dedupClusterProfile _, dedupClusterProfileSql)),
     "dedup_clusters_persisted" -> ((dedupClustersPersisted _, dedupClustersSql)),

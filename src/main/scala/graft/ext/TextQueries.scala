@@ -1599,10 +1599,22 @@ object TextQueries {
   private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[(Int, String, String, Long)], DataFrame)]()
 
+  /** A memoized DataFrame is only valid while its owning SparkContext
+    * lives — a test suite (or CLI run) that stops the shared session
+    * orphans the checkpointed blocks, and a later consumer collecting
+    * the stale frame dies on a dead context. Rebuild on a fresh
+    * session instead of returning the orphan. */
+  private def memoFresh[V](memo: java.util.concurrent.ConcurrentHashMap[String, V],
+      key: String, frameOf: V => DataFrame)(build: => V): V = {
+    val cur = memo.get(key)
+    if (cur != null && !frameOf(cur).sparkSession.sparkContext.isStopped) cur
+    else { val fresh = build; memo.put(key, fresh); fresh }
+  }
+
   private def gateTrained(spark: SparkSession,
       dir: String): (Seq[(Int, String, String, Long)], DataFrame) =
-    bpeMemo.computeIfAbsent(dir,
-      _ => bpeTrainState(Tables(spark, dir, "documents"), BpeGateRounds))
+    memoFresh(bpeMemo, dir, (v: (Seq[(Int, String, String, Long)], DataFrame)) => v._2)(
+      bpeTrainState(Tables(spark, dir, "documents"), BpeGateRounds))
 
   private def gateMerges(spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
     gateTrained(spark, dir)._1
@@ -1696,6 +1708,231 @@ object TextQueries {
        |      FROM v${BpeGateRounds + 1})
        |GROUP BY t
        |ORDER BY cnt DESC, token LIMIT 30""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // UNIGRAM-LM tokenizer (SentencePiece-style), beside the BPE trainer:
+  // the OTHER major subword family. BPE grows a vocabulary bottom-up by
+  // merging frequent pairs; a unigram LM starts from a large seeded
+  // candidate vocabulary and segments every word by VITERBI — the
+  // minimum-cost split under per-piece costs −ln p(piece) — then
+  // re-estimates piece probabilities from the segmentation (one hard-EM
+  // round here; SentencePiece iterates and prunes, same structure).
+  //
+  // Determinism discipline (both engines, bit-identical): costs are
+  // floor-at-6dp ln micros; the Viterbi DP carries ENCODED cells
+  // cost·64 + backpointer (positions < 64 by the 60-char word cap), so
+  // `array_min`/`MIN` breaks cost ties toward the SMALLEST backpointer
+  // — i.e. the longest piece — with pure BIGINT comparisons. The oracle
+  // replays seeding, DP (recursive CTE carrying the best-cost list) and
+  // the backwalk independently in DuckDB.
+  //
+  // Scale shape: everything trains on the word-TYPE table (bounded
+  // vocabulary, like the BPE trainer) — the corpus is touched once for
+  // the type counts and once per registered consumer. The Viterbi DP is
+  // IN-ROW HOF arithmetic per type (no join, no shuffle); only the
+  // seeded vocabulary — bounded metadata: the alphabet + top-40
+  // multi-char pieces — moves through the driver (the centroid-literal
+  // discipline). Segmentations are memoized per (JVM, dir) and
+  // checkpointed, exactly like the BPE gate's trained state.
+  // ---------------------------------------------------------------------
+
+  private val UniL = 6  // max candidate piece length
+  private val UniM = 40 // top-M multi-char seed pieces (chars always kept)
+
+  private def floorLnMicros(x: Long): Long =
+    math.floor(math.log(x.toDouble) * 1000000).toLong
+
+  /** Per-(JVM, dir) memo of the trained segmentation table
+    * `(w, n, pieces)` — word types with frequencies and their Viterbi
+    * split under the seeded unigram costs; eagerly checkpointed
+    * (bounded: one row per word type). */
+  private val unigramMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[ext] def unigramSegments(spark: SparkSession, dir: String): DataFrame =
+    memoFresh(unigramMemo, dir, (v: DataFrame) => v) {
+      val words = Tables(spark, dir, "documents")
+        .select(explode(expr(
+          "filter(split(lower(text), ' +'), w -> w != '')")).as("w"))
+        .filter(length(col("w")) <= 60)
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // feeds seeding AND the DP below
+      // seed scores: every substring occurrence of length 1..UniL,
+      // weighted by word frequency (overlapping occurrences count)
+      val occ = words
+        .select(col("n"), explode(expr(
+          s"""flatten(transform(sequence(1, length(w)),
+                i -> transform(sequence(1, least($UniL, length(w) - i + 1)),
+                  l -> substring(w, i, l))))""")).as("piece"))
+        .groupBy("piece").agg(sum("n").as("score"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val chars = occ.filter(length(col("piece")) === 1)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val multi = occ.filter(length(col("piece")) >= 2)
+        .orderBy(desc("score"), asc("piece")).limit(UniM)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      occ.unpersist()
+      // initial cost −ln p = ln(total) − ln(score), floor micros: the
+      // JVM's Math.log IS Spark's LN, and the 6dp floor is the repo's
+      // accepted cross-engine ln discipline
+      val seed = chars ++ multi
+      val t = seed.map(_._2).sum
+      val vocab = seed.map { case (p, s) =>
+        (p, floorLnMicros(t) - floorLnMicros(s)) }
+      val vmLit = map(vocab.flatMap { case (p, c) =>
+        Seq(lit(p), lit(c)) }.toIndexedSeq: _*)
+      words
+        .withColumn("vm", vmLit)
+        // Viterbi: best[i] encodes (min cost to segment w[1..i]) · 64 +
+        // backpointer j; candidates are vocab pieces covering (j, i]
+        .withColumn("dp", expr(
+          s"""aggregate(sequence(1, length(w)), array(CAST(0 AS BIGINT)),
+                (acc, i) -> concat(acc, array(
+                  array_min(transform(
+                    filter(sequence(greatest(0, i - $UniL), i - 1),
+                      j -> map_contains_key(vm, substring(w, j + 1, i - j))),
+                    j -> (acc[j] div 64 + vm[substring(w, j + 1, i - j)])
+                         * 64 + CAST(j AS BIGINT))))))"""))
+        // backwalk: prepend each head position's backpointer until 0
+        .withColumn("pos", expr(
+          """aggregate(sequence(1, length(w)),
+               array(CAST(length(w) AS INT)),
+               (acc, x) -> CASE WHEN acc[0] > 0
+                 THEN concat(array(CAST(dp[acc[0]] % 64 AS INT)), acc)
+                 ELSE acc END)"""))
+        .withColumn("pieces", expr(
+          """transform(sequence(0, size(pos) - 2),
+               k -> substring(w, pos[k] + 1, pos[k + 1] - pos[k]))"""))
+        .select("w", "n", "pieces")
+        .localCheckpoint(true)
+    }
+
+  /** The unigram-LM VOCABULARY after one hard-EM round, under the hard
+    * correctness gate: top-30 pieces by segmentation usage (frequency-
+    * weighted over word types), with the re-estimated cost −ln p in
+    * integer micros. The oracle independently replays seeding, the
+    * encoded-cell Viterbi (recursive CTE), the backwalk, and the
+    * usage re-estimate — a hash match pins every split decision of
+    * every word type across engines.
+    */
+  def unigramLmVocab(spark: SparkSession, dir: String): DataFrame = {
+    val segs = unigramSegments(spark, dir)
+    val usage = segs
+      .select(col("n"), explode(col("pieces")).as("piece"))
+      .groupBy("piece").agg(sum("n").as("usage"))
+    usage
+      .crossJoin(broadcast(usage.agg(sum("usage").as("u"))))
+      .select(col("piece"), col("usage"),
+        expr("""CAST(FLOOR(LN(CAST(u AS DOUBLE)) * 1000000) AS BIGINT)
+                - CAST(FLOOR(LN(CAST(usage AS DOUBLE)) * 1000000) AS BIGINT)""")
+          .as("cost_micros"))
+      .orderBy(desc("usage"), asc("piece")).limit(30)
+  }
+
+  /** Unigram tokenization statistics per document — the ENCODE path:
+    * each document's words map to their type's memoized Viterbi
+    * segmentation (a broadcast join against the bounded type table —
+    * tokenizing never re-runs the DP per occurrence), yielding token
+    * counts next to [[textStats]]' whitespace/BPE-regex counts.
+    * Words over the 60-char training cap are excluded on both sides.
+    */
+  def unigramTokens(spark: SparkSession, dir: String): DataFrame = {
+    val segs = unigramSegments(spark, dir)
+      .select(col("w"), size(col("pieces")).cast("long").as("pcs"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(expr(
+        "filter(split(lower(text), ' +'), w -> w != '')")).as("w"))
+      .join(broadcast(segs), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("pcs").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared oracle chain through the segmentation table: words → seed
+    * scores → vocab costs → match table → recursive encoded-cell DP →
+    * recursive backwalk → `segs(w, n, pieces)`. */
+  private val unigramOracleCtes: String =
+    s"""WITH RECURSIVE
+      |words AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+      |                x -> x != '')) AS w
+      |        FROM documents)
+      |  WHERE length(w) <= 60
+      |  GROUP BY w),
+      |occ AS (
+      |  SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece,
+      |    CAST(SUM(n) AS BIGINT) AS score
+      |  FROM words,
+      |    (SELECT unnest(range(1, 61)) AS i) pos,
+      |    (SELECT unnest(range(1, ${UniL + 1})) AS l) len
+      |  WHERE i + l - 1 <= length(w)
+      |  GROUP BY 1),
+      |chars AS (SELECT piece, score FROM occ WHERE length(piece) = 1),
+      |multi AS (
+      |  SELECT piece, score FROM occ WHERE length(piece) >= 2
+      |  ORDER BY score DESC, piece LIMIT $UniM),
+      |seed AS (SELECT * FROM chars UNION ALL SELECT * FROM multi),
+      |tot AS (SELECT CAST(SUM(score) AS BIGINT) AS t FROM seed),
+      |vocab AS (
+      |  SELECT piece,
+      |    CAST(FLOOR(LN(CAST(t AS DOUBLE)) * 1000000) AS BIGINT)
+      |      - CAST(FLOOR(LN(CAST(score AS DOUBLE)) * 1000000) AS BIGINT)
+      |      AS cost
+      |  FROM seed CROSS JOIN tot),
+      |m AS (
+      |  SELECT w.w, CAST(j.j AS INT) + length(v.piece) AS i,
+      |    CAST(j.j AS INT) AS j, v.cost
+      |  FROM words w,
+      |    (SELECT unnest(range(0, 60)) AS j) j,
+      |    vocab v
+      |  WHERE j.j + length(v.piece) <= length(w.w)
+      |    AND substr(w.w, CAST(j.j AS INT) + 1, length(v.piece)) = v.piece),
+      |dp AS (
+      |  SELECT w, n, 0 AS i, [CAST(0 AS BIGINT)] AS best FROM words
+      |  UNION ALL
+      |  SELECT d.w, d.n, d.i + 1,
+      |    list_append(d.best, (
+      |      SELECT MIN((d.best[m.j + 1] // 64 + m.cost) * 64 + m.j)
+      |      FROM m WHERE m.w = d.w AND m.i = d.i + 1))
+      |  FROM dp d WHERE d.i < length(d.w)),
+      |dpf AS (SELECT w, n, best FROM dp WHERE i = length(w)),
+      |wb AS (
+      |  SELECT w, n, CAST(length(w) AS INT) AS pos, best,
+      |    CAST([] AS VARCHAR[]) AS pieces
+      |  FROM dpf
+      |  UNION ALL
+      |  SELECT w, n, CAST(best[pos + 1] % 64 AS INT), best,
+      |    list_prepend(substr(w, CAST(best[pos + 1] % 64 AS INT) + 1,
+      |      pos - CAST(best[pos + 1] % 64 AS INT)), pieces)
+      |  FROM wb WHERE pos > 0),
+      |segs AS (SELECT w, n, pieces FROM wb WHERE pos = 0)""".stripMargin
+
+  val unigramLmVocabSql: String =
+    s"""$unigramOracleCtes,
+      |usage AS (
+      |  SELECT piece, CAST(SUM(n) AS BIGINT) AS usage
+      |  FROM (SELECT n, unnest(pieces) AS piece FROM segs)
+      |  GROUP BY piece),
+      |ut AS (SELECT CAST(SUM(usage) AS BIGINT) AS u FROM usage)
+      |SELECT piece, usage,
+      |  CAST(FLOOR(LN(CAST(u AS DOUBLE)) * 1000000) AS BIGINT)
+      |    - CAST(FLOOR(LN(CAST(usage AS DOUBLE)) * 1000000) AS BIGINT)
+      |    AS cost_micros
+      |FROM usage CROSS JOIN ut
+      |ORDER BY usage DESC, piece LIMIT 30""".stripMargin
+
+  val unigramTokensSql: String =
+    s"""$unigramOracleCtes,
+      |docwords AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+      |    x -> x != '')) AS w
+      |  FROM documents)
+      |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(len(s.pieces)) AS BIGINT) AS n_tokens
+      |FROM docwords d JOIN segs s ON d.w = s.w
+      |GROUP BY d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   /** Text canonicalization — the normalization stage that runs in FRONT
     * of fingerprint dedup (without it, case/whitespace variants of the
@@ -1948,6 +2185,8 @@ object TextQueries {
     "bpe_train_merges" -> ((bpeTrainMerges _, bpeTrainMergesSql)),
     "ngram_novelty" -> ((ngramNovelty _, ngramNoveltySql)),
     "bpe_tokens" -> ((bpeTokens _, bpeTokensSql)),
+    "unigram_lm_vocab" -> ((unigramLmVocab _, unigramLmVocabSql)),
+    "unigram_tokens" -> ((unigramTokens _, unigramTokensSql)),
     "quality_classifier" -> ((qualityClassifier _, qualityClassifierSql)),
     "classifier_auc" -> ((classifierAuc _, classifierAucSql)),
     "classifier_calibration" ->

@@ -1376,8 +1376,10 @@ object OlapQueries {
     * swap the exact cumulative window for range-partitioned prefix
     * sums, the documented [[graft.ext.CurationQueries]] shuffle_shard
     * discipline). Shares come out as integer micros over exact cents
-    * (floor(·100) — identical truncation both engines; BIGINT-safe
-    * through sf0.1's ~10¹² cent totals, widen to decimal past ~sf1).
+    * (floor(·100) — identical truncation both engines); the micros
+    * numerator rides DECIMAL(38)/HUGEINT — 2·cents·10⁶ clears 2⁶³ at
+    * ~10¹³ total cents, which the sf1 rehearsal hit (the BIGINT form
+    * overflowed at exactly the magnitude the original note predicted).
     */
   def paretoAbc(spark: SparkSession, dir: String): DataFrame = {
     val byPart = Tables(spark, dir, "lineitem")
@@ -1401,9 +1403,9 @@ object OlapQueries {
         max("tot").as("tot"))
       .select(col("abc_class"), col("n_parts"),
         col("class_rev").cast("double").as("revenue"),
-        expr("""(2 * cast(floor(class_rev * 100) AS bigint) * 1000000
-                  + cast(floor(tot * 100) AS bigint))
-                div (2 * cast(floor(tot * 100) AS bigint)) / 1e6""")
+        expr("""(2 * cast(floor(class_rev * 100) AS decimal(38,0)) * 1000000
+                  + cast(floor(tot * 100) AS decimal(38,0)))
+                div (2 * cast(floor(tot * 100) AS decimal(38,0))) / 1e6""")
           .as("share"))
       .orderBy("abc_class")
   }
@@ -1428,9 +1430,9 @@ object OlapQueries {
       |  FROM ranked)
       |SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
       |  CAST(SUM(rev) AS DOUBLE) AS revenue,
-      |  (2 * CAST(FLOOR(SUM(rev) * 100) AS BIGINT) * 1000000
-      |     + CAST(FLOOR(MAX(tot) * 100) AS BIGINT))
-      |    // (2 * CAST(FLOOR(MAX(tot) * 100) AS BIGINT)) / 1e6 AS share
+      |  (2 * CAST(FLOOR(SUM(rev) * 100) AS HUGEINT) * 1000000
+      |     + CAST(FLOOR(MAX(tot) * 100) AS HUGEINT))
+      |    // (2 * CAST(FLOOR(MAX(tot) * 100) AS HUGEINT)) / 1e6 AS share
       |FROM classed
       |GROUP BY abc_class
       |ORDER BY abc_class""".stripMargin
