@@ -294,6 +294,14 @@ class PlanAuditSpec extends SparkSpec {
     "priority_mix_shift" -> 2, // orders + the date-bounds scalar;
                                // χ² terms on the 5-row cell table
 
+    "fuzzy_dup_pairs_lsh" -> 1, // ONE part scan: name rollup → sigs →
+                               // in-bucket pairs, no join-backs
+    "unigram_lm_vocab" -> 0,   // usage folds off the checkpointed
+                               // segmentation leaf — a LogicalRelation
+                               // here means training crept into the plan
+    "unigram_tokens" -> 1,     // the documents scan + the broadcast
+                               // segmentation leaf (tokenize never
+                               // re-runs the DP per occurrence)
     "orders_rfm" -> 2,         // the persisted per-customer aggregate +
                                // the LAST rank stage's persisted stamped
                                // intermediate (each rank stage persists
