@@ -872,38 +872,32 @@ object TextQueries {
     * sums, order-free), closed with one signed half-up division.
     *
     * ZERO-EXCHANGE shape: a per-document statistic never needs a
-    * corpus-wide shuffle, so the histogram is computed IN-ROW — sort
-    * the bigram array, find the run-end indices, and fold run lengths
-    * into Σ c·ln_micros(c) with `aggregate` — O(len·log len) per doc
-    * and no explode, no (doc, gram) exchange; the only exchange in the
-    * plan is the final presentation orderBy. (The earlier form paid a
-    * corpus-wide explode + (doc_id, gram) hash aggregate for the same
-    * per-row answer.) The run counts are exactly the groupBy counts,
-    * so the result is bit-identical; the DuckDB oracle keeps the
-    * explode+groupBy spelling.
+    * corpus-wide shuffle, so the histogram is computed IN-ROW by the
+    * native codegen'd [[graft.functions.BigramSclc]] expression (one
+    * primitive-long sort + run-length scan per doc, O(len·log len),
+    * inside whole-stage codegen) — no explode, no (doc, gram)
+    * exchange; the only exchange in the plan is the final
+    * presentation orderBy. (The original form paid a corpus-wide
+    * explode + (doc_id, gram) hash aggregate; an intermediate pure-HOF
+    * in-row form paid ~2.4× that in interpreted-lambda CPU — both
+    * recorded in PLANS.md.) The run counts are exactly the groupBy
+    * counts, so the result is bit-identical; the DuckDB oracle keeps
+    * the explode+groupBy spelling.
     */
   def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    // the histogram fold runs in graft.functions.BigramSclc — a native
+    // codegen'd expression (one primitive-long sort + run-length scan
+    // per doc). A pure-HOF spelling of the same fold (code-point
+    // transform → packed-bigram transform → array_sort → run-length
+    // aggregate) measured ~6.8 s on the sf0.1 suite row: every stage is
+    // an interpreted boxed lambda per character. BigramSpec pins the
+    // expression == HOF == explode+groupBy equality.
     Tables(spark, dir, "documents")
       .select(col("doc_id"), lower(col("text")).as("t"))
       .filter(length(col("t")) >= 2)
       .select(col("doc_id"),
         (length(col("t")) - 1).cast("long").as("n"),
-        expr("array_sort(transform(sequence(1, length(t) - 1)," +
-          " i -> substring(t, i, 2)))").as("s"))
-      // run-END indices in the sorted gram array (0-based subscripts);
-      // consecutive ends difference = the run's count c
-      .select(col("doc_id"), col("n"),
-        expr("filter(sequence(0, size(s) - 1)," +
-          " i -> i = size(s) - 1 OR s[i] != s[i + 1])").as("b"))
-      .select(col("doc_id"), col("n"),
-        expr("""aggregate(
-            transform(sequence(0, size(b) - 1),
-              j -> CAST(b[j] - (CASE WHEN j = 0 THEN -1
-                                ELSE b[j - 1] END) AS BIGINT)),
-            0L,
-            (acc, c) -> acc +
-              c * CAST(FLOOR(LN(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))""")
-          .as("sclc"))
+        graft.functions.BigramSclc.bigramSclc(col("t")).as("sclc"))
       .select(col("doc_id"), col("n").as("n_bigrams"),
         expr("""CAST(FLOOR(LN(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
                 - CASE WHEN sclc >= 0 THEN (2 * sclc + n) div (2 * n)
