@@ -1797,7 +1797,23 @@ object TextQueries {
         .withColumn("pieces", expr(
           """transform(sequence(0, size(pos) - 2),
                k -> substring(w, pos[k] + 1, pos[k + 1] - pos[k]))"""))
-        .select("w", "n", "pieces")
+        // the WORDPIECE encoding of the same word under the same vocab:
+        // greedy longest-match forward scan (BERT-style inference) —
+        // positions grow by the longest vocab piece matching at the
+        // head; single chars are always present, so it cannot stall
+        .withColumn("wp_pos", expr(
+          s"""aggregate(sequence(1, length(w)), array(0),
+                (acc, x) -> CASE WHEN element_at(acc, -1) < length(w)
+                  THEN concat(acc, array(element_at(acc, -1) +
+                    array_max(filter(
+                      sequence(1, least($UniL, length(w) - element_at(acc, -1))),
+                      l -> map_contains_key(vm,
+                        substring(w, element_at(acc, -1) + 1, l))))))
+                  ELSE acc END)"""))
+        .withColumn("wp_pieces", expr(
+          """transform(sequence(0, size(wp_pos) - 2),
+               k -> substring(w, wp_pos[k] + 1, wp_pos[k + 1] - wp_pos[k]))"""))
+        .select("w", "n", "pieces", "wp_pieces")
         .localCheckpoint(true)
     }
 
@@ -1840,6 +1856,70 @@ object TextQueries {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("pcs").as("n_tokens"))
       .orderBy("doc_id")
+  }
+
+  /** WORDPIECE tokenization statistics per document — the third
+    * subword family beside [[bpeTokens]] (merge-trained) and
+    * [[unigramTokens]] (Viterbi): BERT-style GREEDY LONGEST-MATCH
+    * inference over the same seeded vocabulary, so the three
+    * tokenizers are directly comparable on one corpus. Greedy picks
+    * the longest vocab piece at each position (single chars always
+    * present → the scan is total); unlike Viterbi it optimizes
+    * nothing globally — the two genuinely disagree where two cheap
+    * short pieces beat one long rare one, which is exactly what
+    * [[tokenizerCompare]] surfaces. Same memoized segmentation
+    * table, same broadcast-join encode path; UnigramSpec pins the
+    * greedy scan against a reference implementation.
+    */
+  def wordpieceTokens(spark: SparkSession, dir: String): DataFrame = {
+    val segs = unigramSegments(spark, dir)
+      .select(col("w"), size(col("wp_pieces")).cast("long").as("pcs"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(expr(
+        "filter(split(lower(text), ' +'), w -> w != '')")).as("w"))
+      .join(broadcast(segs), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("pcs").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** TOKENIZER FERTILITY comparison per source — the readout a
+    * pipeline owner uses to budget token counts: whitespace vs
+    * unigram-LM vs wordpiece token totals for the same text, plus
+    * chars-per-token (integer micros) under each subword scheme.
+    * Sources with systematically high fertility (code, tables,
+    * non-Latin scripts) are exactly where token budgets blow up.
+    * One corpus pass for words (broadcast-joined to the memoized
+    * segmentations), one for per-doc char counts; the rollup is
+    * per-source.
+    */
+  def tokenizerCompare(spark: SparkSession, dir: String): DataFrame = {
+    val segs = unigramSegments(spark, dir).select(col("w"),
+      size(col("pieces")).cast("long").as("uni"),
+      size(col("wp_pieces")).cast("long").as("wp"))
+    val docs = Tables(spark, dir, "documents")
+    val perDoc = docs
+      .select(col("doc_id"), explode(expr(
+        "filter(split(lower(text), ' +'), w -> w != '')")).as("w"))
+      .join(broadcast(segs), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("ws"), sum("uni").as("uni"), sum("wp").as("wp"))
+    perDoc
+      .join(docs.select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("chars")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws").as("ws_tokens"),
+        sum("uni").as("uni_tokens"),
+        sum("wp").as("wp_tokens"),
+        sum("chars").as("n_chars"))
+      .select(col("source"), col("n_docs"), col("ws_tokens"),
+        col("uni_tokens"), col("wp_tokens"),
+        expr("(2 * n_chars * 1000000 + uni_tokens) div (2 * uni_tokens) / 1e6")
+          .as("chars_per_uni"),
+        expr("(2 * n_chars * 1000000 + wp_tokens) div (2 * wp_tokens) / 1e6")
+          .as("chars_per_wp"))
+      .orderBy("source")
   }
 
   /** Shared oracle chain through the segmentation table: words → seed
@@ -1927,6 +2007,67 @@ object TextQueries {
       |FROM docwords d JOIN segs s ON d.w = s.w
       |GROUP BY d.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  /** Greedy longest-match (wordpiece) segmentation of the word types
+    * under the same seeded vocab: a forward recursive pointer — each
+    * step advances by the longest vocab piece matching at the head. */
+  private val wordpieceCte: String =
+    """wp AS (
+      |  SELECT w, n, 0 AS pos, CAST([] AS VARCHAR[]) AS wp_pieces
+      |  FROM words
+      |  UNION ALL
+      |  SELECT d.w, d.n,
+      |    d.pos + (SELECT MAX(length(v.piece)) FROM vocab v
+      |             WHERE v.piece = substr(d.w, d.pos + 1, length(v.piece))),
+      |    list_append(d.wp_pieces, substr(d.w, d.pos + 1,
+      |      (SELECT MAX(length(v.piece)) FROM vocab v
+      |       WHERE v.piece = substr(d.w, d.pos + 1, length(v.piece)))))
+      |  FROM wp d WHERE d.pos < length(d.w)),
+      |wpsegs AS (SELECT w, n, wp_pieces FROM wp WHERE pos = length(w))""".stripMargin
+
+  val wordpieceTokensSql: String =
+    s"""$unigramOracleCtes,
+      |$wordpieceCte,
+      |docwords AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+      |    x -> x != '')) AS w
+      |  FROM documents)
+      |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(len(s.wp_pieces)) AS BIGINT) AS n_tokens
+      |FROM docwords d JOIN wpsegs s ON d.w = s.w
+      |GROUP BY d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  val tokenizerCompareSql: String =
+    s"""$unigramOracleCtes,
+      |$wordpieceCte,
+      |docwords AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+      |    x -> x != '')) AS w
+      |  FROM documents),
+      |perdoc AS (
+      |  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS ws,
+      |    CAST(SUM(len(u.pieces)) AS BIGINT) AS uni,
+      |    CAST(SUM(len(p.wp_pieces)) AS BIGINT) AS wp
+      |  FROM docwords d
+      |  JOIN segs u ON d.w = u.w
+      |  JOIN wpsegs p ON d.w = p.w
+      |  GROUP BY d.doc_id),
+      |rolled AS (
+      |  SELECT doc.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(pd.ws) AS BIGINT) AS ws_tokens,
+      |    CAST(SUM(pd.uni) AS BIGINT) AS uni_tokens,
+      |    CAST(SUM(pd.wp) AS BIGINT) AS wp_tokens,
+      |    CAST(SUM(length(doc.text)) AS BIGINT) AS n_chars
+      |  FROM perdoc pd JOIN documents doc ON doc.doc_id = pd.doc_id
+      |  GROUP BY doc.source)
+      |SELECT source, n_docs, ws_tokens, uni_tokens, wp_tokens,
+      |  (2 * n_chars * 1000000 + uni_tokens) // (2 * uni_tokens) / 1e6
+      |    AS chars_per_uni,
+      |  (2 * n_chars * 1000000 + wp_tokens) // (2 * wp_tokens) / 1e6
+      |    AS chars_per_wp
+      |FROM rolled
+      |ORDER BY source""".stripMargin
 
   /** Text canonicalization — the normalization stage that runs in FRONT
     * of fingerprint dedup (without it, case/whitespace variants of the
@@ -2181,6 +2322,8 @@ object TextQueries {
     "bpe_tokens" -> ((bpeTokens _, bpeTokensSql)),
     "unigram_lm_vocab" -> ((unigramLmVocab _, unigramLmVocabSql)),
     "unigram_tokens" -> ((unigramTokens _, unigramTokensSql)),
+    "wordpiece_tokens" -> ((wordpieceTokens _, wordpieceTokensSql)),
+    "tokenizer_compare" -> ((tokenizerCompare _, tokenizerCompareSql)),
     "quality_classifier" -> ((qualityClassifier _, qualityClassifierSql)),
     "classifier_auc" -> ((classifierAuc _, classifierAucSql)),
     "classifier_calibration" ->

@@ -302,6 +302,10 @@ class PlanAuditSpec extends SparkSpec {
     "unigram_tokens" -> 1,     // the documents scan + the broadcast
                                // segmentation leaf (tokenize never
                                // re-runs the DP per occurrence)
+    "wordpiece_tokens" -> 1,   // same shape over the greedy pieces
+    "tokenizer_compare" -> 2,  // the words scan + the per-doc chars
+                               // scan; both encoders come from the one
+                               // broadcast segmentation leaf
     "orders_rfm" -> 2,         // the persisted per-customer aggregate +
                                // the LAST rank stage's persisted stamped
                                // intermediate (each rank stage persists

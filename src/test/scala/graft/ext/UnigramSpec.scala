@@ -78,6 +78,40 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("wordpiece: lossless greedy splits matching a reference scan") {
+    val segs = TextQueries.unigramSegments(spark, dir)
+      .collect().map(r => (r.getString(0), r.getSeq[String](3).toList))
+    assert(segs.nonEmpty)
+    // reference greedy longest-match under the same seeded vocab
+    val words = TextQueries.unigramSegments(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val vocabPieces: Set[String] = {
+      val occ = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, n) <- words; i <- 0 until w.length;
+           l <- 1 to math.min(6, w.length - i))
+        occ(w.substring(i, i + l)) = occ.getOrElse(w.substring(i, i + l), 0L) + n
+      val chars = occ.keysIterator.filter(_.length == 1).toSet
+      val multi = occ.filter(_._1.length >= 2).toSeq
+        .sortBy { case (p, s) => (-s, p) }.take(40).map(_._1).toSet
+      chars ++ multi
+    }
+    def refGreedy(w: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var pos = 0
+      while (pos < w.length) {
+        val l = (math.min(6, w.length - pos) to 1 by -1)
+          .find(l => vocabPieces(w.substring(pos, pos + l))).get
+        out += w.substring(pos, pos + l)
+        pos += l
+      }
+      out.toList
+    }
+    for ((w, greedy) <- segs) {
+      assert(greedy.mkString == w, s"lossy greedy split of '$w': $greedy")
+      assert(greedy == refGreedy(w), s"greedy mismatch for '$w'")
+    }
+  }
+
   test("q-gram LSH linkage reaches full brute-force recall on the vocabulary") {
     import spark.implicits._
     val names = graft.Tables(spark, dir, "part")
