@@ -358,6 +358,38 @@ object CurationQueries {
       |GROUP BY c_nationkey, c_mktsegment
       |ORDER BY cohort_n, c_nationkey, c_mktsegment""".stripMargin
 
+  /** l-diversity audit — [[kAnonymity]]'s stronger sibling (Machanavajjhala
+    * et al., ICDE 2006): a cohort can be k-anonymous yet still leak if
+    * every member shares the same SENSITIVE value (the homogeneity
+    * attack — "all 12 people in that cohort have the same balance
+    * band"). Each quasi-identifier cohort must contain ≥ l DISTINCT
+    * sensitive values; sensitive here is the account-balance band
+    * (floor(acctbal/1000) — the same IEEE double op in both engines).
+    * One hash aggregation with a distinct count — the k-anonymity
+    * shape plus one distinct; violations lead the output.
+    */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val l = 3
+    Tables(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(FLOOR(c_acctbal / 1000) AS BIGINT)").as("bal_band"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("cohort_n"),
+        countDistinct("bal_band").as("l_distinct"))
+      .withColumn("l_diverse", col("l_distinct") >= l)
+      .orderBy("l_distinct", "c_nationkey", "c_mktsegment")
+  }
+
+  val lDiversitySql: String =
+    """SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cohort_n,
+      |  CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT))
+      |    AS BIGINT) AS l_distinct,
+      |  COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) >= 3
+      |    AS l_diverse
+      |FROM customer
+      |GROUP BY c_nationkey, c_mktsegment
+      |ORDER BY l_distinct, c_nationkey, c_mktsegment""".stripMargin
+
   /** Key-skew diagnosis — the measurement that decides whether
     * [[Skew.saltedJoin]]/[[Skew.saltedAgg]] are needed at all: the
     * heaviest keys with their share of the table, plus the global
@@ -1221,6 +1253,7 @@ object CurationQueries {
     "sample_weighted_aes" -> ((sampleWeightedAes _, sampleWeightedAesSql)),
     "skew_report" -> ((skewReport _, skewReportSql)),
     "k_anonymity" -> ((kAnonymity _, kAnonymitySql)),
+    "l_diversity" -> ((lDiversity _, lDiversitySql)),
     "corpus_curation" -> ((corpusCuration _, corpusCurationSql)),
     "decontaminate" -> ((decontaminate _, decontaminateSql)),
     "sample_stratified" -> ((sampleStratified _, sampleStratifiedSql)),

@@ -665,6 +665,102 @@ object GraphQueries {
        |ORDER BY role, score DESC, node""".stripMargin
   }
 
+  /** LINK PREDICTION by Adamic–Adar over the co-supply backbone — the
+    * classic common-neighbor score (Adamic & Adar 2003): for an UNLINKED
+    * supplier pair (a, b), Σ over their common neighbors z of
+    * 1/ln(deg z) — common neighbors weighted inversely by how
+    * promiscuous they are. The top-scored non-edges are "suppliers that
+    * don't yet co-supply a part but sit in the same dense
+    * neighborhood" — the recommendation/anomaly readout of supply
+    * graphs. Same strongest-2000 backbone as [[triangles]]; the
+    * backbone is EAGERLY checkpointed (2 000 rows) so its corpus-side
+    * aggregation runs once however many times the pipeline references
+    * it. Wedge enumeration is per-z quadratic over backbone adjacency
+    * (bounded by the edge cap, the [[triangles]] argument); the
+    * contribution 10⁶/ln(deg) is half-up integer micros over
+    * floor-6dp ln micros — exact BIGINT sums, bit-identical replay.
+    * deg=1 nodes never form a wedge; their division guards to NULL
+    * rather than divide by ln(1)=0.
+    */
+  def linkPrediction(spark: SparkSession, dir: String): DataFrame = {
+    val sp = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+    val und = sp.as("a").join(sp.as("b"), Seq("p"))
+      .filter(col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("u"), col("b.s").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .orderBy(desc("w"), asc("u"), asc("v")).limit(2000)
+      .select("u", "v")
+      .localCheckpoint(true)
+    adamicAdarOn(und)
+      .orderBy(desc("aa_micros"), asc("a"), asc("b")).limit(20)
+      .select(col("a"), col("b"), col("n_common"),
+        (col("aa_micros") / 1e6).as("aa_score"))
+  }
+
+  /** Adamic–Adar scores of every UNLINKED pair with ≥1 common neighbor,
+    * over an undirected edge list `(u, v)` with `u < v`, no duplicates:
+    * `(a, b, n_common, aa_micros)`. Extracted so GraphQueriesSpec can
+    * pin it against brute-force enumeration on crafted graphs. */
+  private[ext] def adamicAdarOn(und: DataFrame): DataFrame = {
+    val adj = und.select(col("u").as("z"), col("v").as("nb"))
+      .unionAll(und.select(col("v").as("z"), col("u").as("nb")))
+    val deg = adj.groupBy("z").agg(count(lit(1)).as("d"))
+      .withColumn("lnm",
+        expr("CAST(FLOOR(LN(CAST(d AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .withColumn("contrib", expr(
+        "CASE WHEN lnm > 0 THEN (2 * 1000000000000 + lnm) div (2 * lnm) END"))
+      .select("z", "contrib")
+    val wedges = adj
+      .join(adj.select(col("z"), col("nb").as("nb2")), Seq("z"))
+      .filter(col("nb") < col("nb2"))
+      .join(deg, Seq("z"))
+    wedges
+      .groupBy(col("nb").as("a"), col("nb2").as("b"))
+      .agg(count(lit(1)).as("n_common"), sum("contrib").as("aa_micros"))
+      .join(und.select(col("u").as("a"), col("v").as("b")),
+        Seq("a", "b"), "left_anti")
+  }
+
+  val linkPredictionSql: String =
+    """WITH sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+      |und AS (
+      |  SELECT u, v FROM (
+      |    SELECT a.s AS u, b.s AS v, COUNT(*) AS w
+      |    FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+      |    GROUP BY 1, 2)
+      |  ORDER BY w DESC, u, v LIMIT 2000),
+      |adj AS (
+      |  SELECT u AS z, v AS nb FROM und
+      |  UNION ALL SELECT v, u FROM und),
+      |deg AS (
+      |  SELECT z,
+      |    CASE WHEN CAST(FLOOR(LN(CAST(COUNT(*) AS DOUBLE)) * 1000000)
+      |              AS BIGINT) > 0
+      |      THEN (2 * 1000000000000
+      |              + CAST(FLOOR(LN(CAST(COUNT(*) AS DOUBLE)) * 1000000)
+      |                AS BIGINT))
+      |           // (2 * CAST(FLOOR(LN(CAST(COUNT(*) AS DOUBLE)) * 1000000)
+      |                AS BIGINT))
+      |    END AS contrib
+      |  FROM adj GROUP BY z),
+      |wedges AS (
+      |  SELECT a1.nb AS a, a2.nb AS b, d.contrib
+      |  FROM adj a1
+      |  JOIN adj a2 ON a1.z = a2.z AND a1.nb < a2.nb
+      |  JOIN deg d ON d.z = a1.z),
+      |aa AS (
+      |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_common,
+      |    CAST(SUM(contrib) AS BIGINT) AS aa_micros
+      |  FROM wedges GROUP BY a, b),
+      |unlinked AS (
+      |  SELECT aa.* FROM aa
+      |  WHERE NOT EXISTS (SELECT 1 FROM und
+      |                    WHERE und.u = aa.a AND und.v = aa.b))
+      |SELECT a, b, n_common, aa_micros / 1e6 AS aa_score
+      |FROM unlinked
+      |ORDER BY aa_micros DESC, a, b LIMIT 20""".stripMargin
+
   def all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "min_cost_route" -> ((minCostRoute _, minCostRouteSql)),
     "pagerank_supply" -> ((pageRank _, pageRankSql)),
@@ -673,6 +769,7 @@ object GraphQueries {
     "label_propagation" -> ((labelPropagation _, labelPropagationSql)),
     "degree_dist" -> ((degreeDist _, degreeDistSql)),
     "kcore_peel" -> ((kcorePeel _, kcorePeelSql)),
-    "hits_scores" -> ((hitsScores _, hitsScoresSql))
+    "hits_scores" -> ((hitsScores _, hitsScoresSql)),
+    "link_prediction" -> ((linkPrediction _, linkPredictionSql))
   )
 }

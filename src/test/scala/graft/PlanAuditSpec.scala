@@ -296,6 +296,12 @@ class PlanAuditSpec extends SparkSpec {
 
     "fuzzy_dup_pairs_lsh" -> 1, // ONE part scan: name rollup → sigs →
                                // in-bucket pairs, no join-backs
+    "link_prediction" -> 0,    // the 2000-edge backbone is an eager
+                               // checkpoint leaf; adj/deg/wedges/anti
+                               // all read it — a LogicalRelation here
+                               // means the corpus agg re-entered the
+                               // output plan
+    "l_diversity" -> 1,        // one customer hash aggregate
     "unigram_lm_vocab" -> 0,   // usage folds off the checkpointed
                                // segmentation leaf — a LogicalRelation
                                // here means training crept into the plan

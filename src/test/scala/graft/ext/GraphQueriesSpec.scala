@@ -166,4 +166,38 @@ class GraphQueriesSpec extends SparkSpec {
       assert(got == best.toMap, s"trial $trial, n=$n, seeds=$seeds, rounds=$rounds")
     }
   }
+
+  test("Adamic-Adar scores == brute force on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 8 + rnd.nextInt(8)
+      val edges = (for {
+        u <- 0L until n; v <- (u + 1) until n
+        if rnd.nextDouble() < 0.3
+      } yield (u, v)).toSeq
+      if (edges.nonEmpty) {
+        // brute force with the SAME integer-micros contribution
+        val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1).view
+          .mapValues(_.map(_._2).toSet).toMap
+        def contrib(z: Long): Long = {
+          val lnm = math.floor(
+            math.log(nbrs(z).size.toDouble) * 1000000).toLong
+          (2L * 1000000000000L + lnm) / (2L * lnm)
+        }
+        val want = (for {
+          a <- nbrs.keys; b <- nbrs.keys if a < b
+          if !edges.contains((a, b))
+          common = nbrs(a) intersect nbrs(b)
+          if common.nonEmpty
+        } yield ((a, b), (common.size.toLong, common.toSeq.map(contrib).sum)))
+          .toMap
+        val got = GraphQueries.adamicAdarOn(edges.toDF("u", "v"))
+          .collect()
+          .map(r => ((r.getLong(0), r.getLong(1)),
+            (r.getLong(2), r.getLong(3)))).toMap
+        assert(got == want, s"trial $trial, n=$n")
+      }
+    }
+  }
 }
