@@ -1690,6 +1690,130 @@ object EventQueries {
       .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
       * 1000000).toLongExact)
 
+  /** HOLT–WINTERS additive triple smoothing per event type — the
+    * classic seasonal forecaster ([[eventsEwma]] smooths level only;
+    * [[seasonalDecompose]] is descriptive; this one maintains level +
+    * trend + weekly seasonality and emits each day's ONE-STEP-AHEAD
+    * forecast next to the actual): l_t = α(y_t − s_{t−7}) +
+    * (1−α)(l_{t−1} + b_{t−1}), b_t = β·Δl + (1−β)b_{t−1},
+    * s_t = γ(y_t − l_t) + (1−γ)s_{t−7}.
+    *
+    * Determinism discipline: the smoothing parameters are DYADIC
+    * (α=1/2, β=1/4, γ=1/2) and the whole recurrence runs in BIGINT
+    * micros with truncate-toward-zero division — the engine DEFINES
+    * Holt–Winters as this fixed-point recurrence, so the DuckDB oracle
+    * (a recursive CTE carrying (l, b, s-ring) with the identical
+    * integer steps) replays it bit-for-bit; no float accumulates
+    * across steps. Init: l₀ = 7-day mean (micros), b₀ = 0,
+    * s-ring = first week's deviations.
+    *
+    * Scale shape: the corpus-side work is ONE (type, day) aggregation;
+    * the recurrence itself is inherently sequential per type but runs
+    * over CALENDAR-BOUNDED rows (≤3.7k/decade per type), so it folds
+    * on the driver over the collected rollup — the bounded-metadata
+    * discipline ([[graft.ext.TextQueries.bpeTrainMerges]]' shape), not
+    * a corpus collect.
+    */
+  def holtWinters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+    val out = daily.groupBy(_._1).toSeq.flatMap { case (tpe, rows0) =>
+      hwFold(rows0.map(r => (r._2, r._3)).sortBy(_._1.getTime)).map {
+        case (d, y, fit, lNew, bNew) =>
+          (tpe, d, y, fit / 1e6, lNew / 1e6, bNew / 1e6)
+      }
+    }
+    out.toDF("event_type", "day", "y", "forecast", "level", "trend")
+      .orderBy("event_type", "day")
+  }
+
+  /** The fixed-point recurrence core over one day-sorted series:
+    * `(day, y, fit_micros, level_micros, trend_micros)` per day from
+    * the 8th on; empty if the series is shorter. Extracted so
+    * HoltWintersSpec can pin model behavior on crafted series. */
+  private[ext] def hwFold(sr: Seq[(java.sql.Date, Long)])
+      : Seq[(java.sql.Date, Long, Long, Long, Long)] = {
+    def sdiv(x: Long, d: Long): Long = if (x >= 0) x / d else -((-x) / d)
+    val S = 1000000L
+    if (sr.length < 8) Seq.empty
+    else {
+      val l0 = sr.take(7).map(_._2).sum * S / 7
+      var l = l0
+      var b = 0L
+      val s = Array.tabulate(7)(i => sr(i)._2 * S - l0)
+      (7 until sr.length).map { t =>
+        val ym = sr(t)._2 * S
+        val sprev = s(t % 7)
+        val fit = l + b + sprev
+        val lNew = sdiv(ym - sprev + l + b, 2L)
+        val bNew = sdiv(lNew - l + 3 * b, 4L)
+        val sNew = sdiv(ym - lNew + sprev, 2L)
+        l = lNew; b = bNew; s(t % 7) = sNew
+        (sr(t)._1, sr(t)._2, fit, lNew, bNew)
+      }
+    }
+  }
+
+  val holtWintersSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |ser AS (
+      |  SELECT event_type, list(struct_pack(d := d, y := y) ORDER BY d) AS sr
+      |  FROM daily GROUP BY event_type
+      |  HAVING COUNT(*) >= 8),
+      |ini AS (
+      |  SELECT event_type, sr,
+      |    CAST(list_sum(list_transform(sr[1:7], x -> x.y)) * 1000000 // 7
+      |      AS BIGINT) AS l0
+      |  FROM ser),
+      |ini2 AS (
+      |  SELECT event_type, sr, l0,
+      |    list_transform(sr[1:7], x -> x.y * 1000000 - l0) AS s0
+      |  FROM ini),
+      |rec AS (
+      |  SELECT event_type, sr, 7 AS t, l0 AS l, CAST(0 AS BIGINT) AS b,
+      |    s0 AS s,
+      |    CAST([] AS STRUCT(d DATE, y BIGINT, fit BIGINT,
+      |      lvl BIGINT, tr BIGINT)[]) AS outp
+      |  FROM ini2
+      |  UNION ALL
+      |  SELECT event_type, sr, t + 1,
+      |    lnew, bnew, snew_ring, outp_new
+      |  FROM (
+      |    SELECT event_type, sr, t, b, s, outp,
+      |      sr[t + 1].y * 1000000 AS ym,
+      |      s[(t % 7) + 1] AS sprev,
+      |      l + b + s[(t % 7) + 1] AS fit,
+      |      CASE WHEN ym - sprev + l + b >= 0
+      |        THEN (ym - sprev + l + b) // 2
+      |        ELSE -((-(ym - sprev + l + b)) // 2) END AS lnew,
+      |      CASE WHEN lnew - l + 3 * b >= 0
+      |        THEN (lnew - l + 3 * b) // 4
+      |        ELSE -((-(lnew - l + 3 * b)) // 4) END AS bnew,
+      |      CASE WHEN ym - lnew + sprev >= 0
+      |        THEN (ym - lnew + sprev) // 2
+      |        ELSE -((-(ym - lnew + sprev)) // 2) END AS snew,
+      |      list_transform(range(1, 8),
+      |        k -> CASE WHEN k = (t % 7) + 1 THEN snew
+      |             ELSE s[CAST(k AS INT)] END) AS snew_ring,
+      |      list_append(outp, struct_pack(d := sr[t + 1].d,
+      |        y := sr[t + 1].y, fit := fit, lvl := lnew, tr := bnew))
+      |        AS outp_new
+      |    FROM rec WHERE t < len(sr))),
+      |fin AS (
+      |  SELECT event_type, unnest(outp) AS o
+      |  FROM rec WHERE t = len(sr))
+      |SELECT event_type, o.d AS day, o.y AS y,
+      |  o.fit / 1e6 AS forecast, o.lvl / 1e6 AS level,
+      |  o.tr / 1e6 AS trend
+      |FROM fin
+      |ORDER BY event_type, day""".stripMargin
+
   /** EWMA level per (type, day) — time-decay smoothing, the forecasting
     * sibling of [[eventsAnomaly]]'s global z-scores: each day's
     * expected level is the exponentially-weighted mean of the trailing
@@ -2963,6 +3087,7 @@ object EventQueries {
     "events_anomaly" -> ((eventsAnomaly _, eventsAnomalySql)),
     "events_changepoint" -> ((eventsChangepoint _, eventsChangepointSql)),
     "events_ewma" -> ((eventsEwma _, eventsEwmaSql)),
+    "holt_winters" -> ((holtWinters _, holtWintersSql)),
     "events_acf" -> ((eventsAcf _, eventsAcfSql)),
     "cms_user_counts" -> ((cmsUserCounts _, cmsUserCountsSql)),
     "events_mad" -> ((eventsMad _, eventsMadSql)),
