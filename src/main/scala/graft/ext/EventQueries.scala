@@ -2841,6 +2841,183 @@ object EventQueries {
       |  ROUND(quantile_cont(latency_s, 0.9), 4) AS p90_s
       |FROM lat""".stripMargin
 
+  /** MARKOV-CHAIN (removal-effect) attribution — the principled member
+    * of the attribution family ([[attributionLinear]] splits equally;
+    * first-touch takes the earliest; both ignore the PATH): model user
+    * journeys as a first-order Markov chain over channel states
+    * (START → … → CONV | NULL, journeys truncated at the FIRST
+    * purchase), compute the chain's conversion probability, and credit
+    * each channel by its REMOVAL EFFECT — how much conversion drops
+    * when journeys through the channel are broken (the channel's state
+    * absorbs to non-conversion). Shares normalize removal effects
+    * (Anderl et al. 2016's framework).
+    *
+    * Determinism: absorption probabilities come from a FIXED 12-round
+    * synchronous value iteration in integer micros — each round one
+    * floor division per state (all operands non-negative) — so the
+    * driver fold and the oracle's list-carrying recursive CTE replay
+    * identical BIGINT sequences; the final share is signed half-up
+    * micros.
+    *
+    * Scale shape: corpus-side work is the journey pair aggregation
+    * (one user-keyed exchange for ordering + one (src, dst) count);
+    * everything after runs on the ≤(|channels|+3)² transition matrix —
+    * bounded metadata on the driver, the [[holtWinters]] discipline.
+    */
+  def attributionMarkov(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(byUser))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("rn").as("prn"))
+    val evp = ev.join(purch, Seq("user_id"), "left")
+    val j = evp.filter(col("prn").isNull || col("rn") < col("prn"))
+    val pairs1 = j
+      .withColumn("src",
+        coalesce(lag("event_type", 1).over(byUser), lit("START")))
+      .select(col("src"), col("event_type").as("dst"))
+    val ends = evp.groupBy("user_id")
+      .agg(max(when(col("prn").isNull || col("rn") < col("prn"),
+          struct(col("rn"), col("event_type")))).as("lastev"),
+        max("prn").as("prn2"))
+      .select(coalesce(col("lastev.event_type"), lit("START")).as("src"),
+        when(col("prn2").isNotNull, lit("CONV")).otherwise(lit("NULL")).as("dst"))
+    val trans = pairs1.unionByName(ends)
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val out = markovRemoval(trans).map { case (c, base, re, share) =>
+      (c, base / 1e6, re / 1e6, share.map(_ / 1e6))
+    }
+    out.toDF("channel", "p_conv", "removal_effect", "attribution")
+      .orderBy("channel")
+  }
+
+  /** The bounded-matrix removal-effect fold: 12 synchronous
+    * integer-micros value-iteration rounds per scenario (base + one
+    * per removed channel). Returns `(channel, base_micros, re_micros,
+    * share_micros)` sorted by channel. Extracted so MarkovSpec can pin
+    * it against hand-computed chains. */
+  private[ext] def markovRemoval(trans: Seq[(String, String, Long)])
+      : Seq[(String, Long, Long, Option[Long])] = {
+    val states = (trans.map(_._1) ++ trans.map(_._2)).distinct.sorted
+    val channels = states.filterNot(Set("START", "CONV", "NULL"))
+    val tot = trans.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    def conv(removed: Option[String]): Long = {
+      var v = states.map(s => s -> (if (s == "CONV") 1000000L else 0L)).toMap
+      for (_ <- 1 to 12) {
+        v = states.map { s =>
+          s -> (s match {
+            case "CONV" => 1000000L
+            case "NULL" => 0L
+            case x if removed.contains(x) => 0L
+            case x => tot.get(x) match {
+              case Some(t) if t > 0 =>
+                trans.filter(_._1 == x).map { case (_, d, c) => c * v(d) }.sum / t
+              case _ => 0L
+            }
+          })
+        }.toMap
+      }
+      v.getOrElse("START", 0L)
+    }
+    val base = conv(None)
+    val res = channels.map(c => (c, base - conv(Some(c))))
+    val sumRe = res.map(_._2).sum
+    def share(re: Long): Option[Long] =
+      if (sumRe <= 0) None
+      else Some(
+        if (re >= 0) (2 * re * 1000000L + sumRe) / (2 * sumRe)
+        else -((2 * -re * 1000000L + sumRe) / (2 * sumRe)))
+    res.map { case (c, re) => (c, base, re, share(re)) }
+  }
+
+  val attributionMarkovSql: String =
+    """WITH RECURSIVE
+      |ev AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS rn
+      |  FROM events),
+      |purch AS (
+      |  SELECT user_id, MIN(rn) AS prn FROM ev
+      |  WHERE event_type = 'purchase' GROUP BY user_id),
+      |evp AS (SELECT e.*, p.prn FROM ev e LEFT JOIN purch p USING (user_id)),
+      |j AS (SELECT * FROM evp WHERE prn IS NULL OR rn < prn),
+      |pairs1 AS (
+      |  SELECT COALESCE(LAG(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id), 'START') AS src,
+      |    event_type AS dst
+      |  FROM j),
+      |ends AS (
+      |  SELECT COALESCE(max_by(event_type, rn)
+      |      FILTER (WHERE prn IS NULL OR rn < prn), 'START') AS src,
+      |    CASE WHEN MAX(prn) IS NOT NULL THEN 'CONV' ELSE 'NULL' END AS dst
+      |  FROM evp GROUP BY user_id),
+      |trans AS (
+      |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt FROM
+      |    (SELECT src, dst FROM pairs1 UNION ALL SELECT src, dst FROM ends)
+      |  GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT list_sort(list_distinct(list(s))) AS sts FROM
+      |    (SELECT src AS s FROM trans UNION SELECT dst FROM trans)),
+      |tlist AS (
+      |  SELECT list_position(i.sts, t.src) AS si,
+      |    list_position(i.sts, t.dst) AS di, t.cnt
+      |  FROM trans t, idx i),
+      |bysrc AS (
+      |  SELECT si, list(struct_pack(di := di, cnt := cnt) ORDER BY di)
+      |      AS outs,
+      |    CAST(SUM(cnt) AS BIGINT) AS total
+      |  FROM tlist GROUP BY si),
+      |mat AS (
+      |  SELECT i.sts,
+      |    (SELECT list(struct_pack(si := b.si, outs := b.outs,
+      |        total := b.total) ORDER BY b.si) FROM bysrc b) AS rowsl
+      |  FROM idx i),
+      |scen AS (
+      |  SELECT removed FROM
+      |    (SELECT unnest(sts) AS removed FROM idx)
+      |  WHERE removed NOT IN ('START', 'CONV', 'NULL')
+      |  UNION ALL SELECT 'NONE'),
+      |rec AS (
+      |  SELECT s.removed, m.sts, m.rowsl, 0 AS it,
+      |    list_transform(m.sts, x -> CASE WHEN x = 'CONV'
+      |      THEN CAST(1000000 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS v
+      |  FROM scen s, mat m
+      |  UNION ALL
+      |  SELECT removed, sts, rowsl, it + 1,
+      |    list_transform(range(1, len(sts) + 1), k ->
+      |      CASE WHEN sts[CAST(k AS INT)] = 'CONV'
+      |             THEN CAST(1000000 AS BIGINT)
+      |           WHEN sts[CAST(k AS INT)] = 'NULL' THEN CAST(0 AS BIGINT)
+      |           WHEN sts[CAST(k AS INT)] = removed THEN CAST(0 AS BIGINT)
+      |           WHEN len(list_filter(rowsl, r -> r.si = k)) = 0
+      |             THEN CAST(0 AS BIGINT)
+      |           ELSE CAST(list_sum(list_transform(
+      |               list_filter(rowsl, r -> r.si = k)[1].outs,
+      |               e -> e.cnt * v[CAST(e.di AS INT)]))
+      |             // list_filter(rowsl, r -> r.si = k)[1].total AS BIGINT)
+      |      END) AS v
+      |  FROM rec WHERE it < 12),
+      |fin AS (
+      |  SELECT removed, v[list_position(sts, 'START')] AS pstart
+      |  FROM rec WHERE it = 12),
+      |base AS (SELECT pstart AS b FROM fin WHERE removed = 'NONE'),
+      |res AS (
+      |  SELECT f.removed AS channel, b.b AS base, b.b - f.pstart AS re
+      |  FROM fin f, base b WHERE f.removed != 'NONE'),
+      |tot_re AS (SELECT CAST(SUM(re) AS BIGINT) AS s FROM res)
+      |SELECT channel, base / 1e6 AS p_conv, re / 1e6 AS removal_effect,
+      |  CASE WHEN s > 0 THEN
+      |    (CASE WHEN re >= 0 THEN (2 * re * 1000000 + s) // (2 * s)
+      |          ELSE -((2 * (-re) * 1000000 + s) // (2 * s)) END) / 1e6
+      |  END AS attribution
+      |FROM res CROSS JOIN tot_re
+      |ORDER BY channel""".stripMargin
+
   /** LINEAR multi-touch attribution: each purchase's value is split
     * EQUALLY across the user's clicks in the preceding 7 days, credited
     * to the click's day — the credit-assignment semantics a marketing /
@@ -3063,6 +3240,7 @@ object EventQueries {
     "events_overlap_approx" ->
       ((eventsOverlapApprox _, eventsOverlapApproxSql)),
     "attribution_linear" -> ((attributionLinear _, attributionLinearSql)),
+    "attribution_markov" -> ((attributionMarkov _, attributionMarkovSql)),
     "events_wow_growth" -> ((eventsWowGrowth _, eventsWowGrowthSql)),
     "session_paths" -> ((sessionPaths _, sessionPathsSql)),
     "funnel_time_percentiles" ->
