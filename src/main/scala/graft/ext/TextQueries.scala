@@ -597,6 +597,148 @@ object TextQueries {
       .orderBy("rank")
   }
 
+  /** BM25 with PSEUDO-RELEVANCE FEEDBACK (RM-style two-stage
+    * retrieval, Lavrenko & Croft 2001 shape): stage 1 ranks with the
+    * seed query ([[bm25Search]]'s exact scoring); the top-10 docs
+    * become the feedback set; stage 2 picks the 5 heaviest
+    * feedback-set terms (occurrence-weighted, df-ceiling guarded
+    * against boilerplate, minus the seed terms, ties by word) as
+    * expansion terms at half query weight; stage 3 rescores the corpus
+    * with the expanded weighted query. Recall beyond the literal seed
+    * terms — the classic fix for vocabulary mismatch.
+    *
+    * The expansion terms are BOUNDED METADATA (≤5 strings) collected
+    * at build, so stage 3 compiles them into the scan predicate like
+    * the seed terms — no extra corpus join; the oracle runs the whole
+    * chain as CTEs. Determinism: stage-1 cut ties on (rounded score,
+    * doc_id); expansion ties on (weight, word) — both total orders.
+    */
+  def bm25Prf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fb = bm25Search(spark, dir).filter(col("rank") <= 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val docs = Tables(spark, dir, "documents")
+    val tok = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).as("dl"),
+        explode(split(col("text"), " ")).as("word"))
+    val nDocs = docs.count()
+    val dfs = tok.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val expansion = tok
+      .filter(col("doc_id").isin(fb: _*))
+      .filter(!col("word").isin(bm25Terms: _*) && col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("wt"))
+      .join(dfs, Seq("word"))
+      .filter(col("df") * 10 <= lit(nDocs) * 9)
+      .orderBy(desc("wt"), asc("word")).limit(5)
+      .select("word").collect().map(_.getString(0)).toSeq
+    val weights: Seq[(String, Double)] =
+      bm25Terms.map(_ -> 1.0) ++ expansion.map(_ -> 0.5)
+    val inList = weights.map(t => s"'${t._1}'").mkString(",")
+    val qwMap = map(weights.flatMap { case (w, q) =>
+      Seq(lit(w), lit(q)) }.toIndexedSeq: _*)
+    val scalars = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("sum_dl"))
+    val tf = docs
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), size(col("words")).as("dl"),
+        explode(expr(
+          s"filter(words, w -> array_contains(array($inList), w))")).as("word"))
+      .groupBy("doc_id", "dl", "word").agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
+      .crossJoin(broadcast(scalars))
+      .withColumn("qw", element_at(qwMap, col("word")))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf", log(
+        (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("contrib",
+        col("qw") * col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("contrib")), 6).as("score"),
+        count(lit(1)).as("n_terms"))
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(20)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "doc_id", "n_terms", "score")
+      .orderBy("rank")
+  }
+
+  val bm25PrfSql: String = {
+    val inList = bm25Terms.map(t => s"'$t'").mkString(",")
+    val seedVals = bm25Terms.map(t => s"('$t')").mkString(", ")
+    s"""WITH s AS (
+      |  SELECT COUNT(*) AS n_docs,
+      |    SUM(len(string_split(text, ' '))) AS sum_dl
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |    unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |tf1 AS (
+      |  SELECT doc_id, dl, word, COUNT(*) AS tf
+      |  FROM tok WHERE word IN ($inList)
+      |  GROUP BY doc_id, dl, word),
+      |wdf1 AS (
+      |  SELECT doc_id, dl, word, tf,
+      |    COUNT(*) OVER (PARTITION BY word) AS df
+      |  FROM tf1),
+      |sc1 AS (
+      |  SELECT doc_id,
+      |    ROUND(SUM(
+      |      LN((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+      |        * (tf * 2.2)
+      |        / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+      |    ), 6) AS score
+      |  FROM wdf1 CROSS JOIN s
+      |  GROUP BY doc_id),
+      |top10 AS (
+      |  SELECT doc_id FROM sc1 ORDER BY score DESC, doc_id LIMIT 10),
+      |dfs AS (
+      |  SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY word),
+      |cand AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wt
+      |  FROM tok
+      |  WHERE doc_id IN (SELECT doc_id FROM top10)
+      |    AND word NOT IN ($inList) AND word != ''
+      |  GROUP BY word),
+      |exp5 AS (
+      |  SELECT c.word FROM cand c
+      |  JOIN dfs d USING (word) CROSS JOIN s
+      |  WHERE d.df * 10 <= s.n_docs * 9
+      |  ORDER BY c.wt DESC, c.word LIMIT 5),
+      |terms AS (
+      |  SELECT word, 1.0 AS qw FROM (VALUES $seedVals) v(word)
+      |  UNION ALL SELECT word, 0.5 FROM exp5),
+      |tf2 AS (
+      |  SELECT t.doc_id, t.dl, t.word, COUNT(*) AS tf
+      |  FROM tok t JOIN terms q ON q.word = t.word
+      |  GROUP BY t.doc_id, t.dl, t.word),
+      |wdf2 AS (
+      |  SELECT doc_id, dl, word, tf,
+      |    COUNT(*) OVER (PARTITION BY word) AS df
+      |  FROM tf2),
+      |sc2 AS (
+      |  SELECT doc_id,
+      |    ROUND(SUM(
+      |      q.qw
+      |        * LN((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+      |        * (tf * 2.2)
+      |        / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+      |    ), 6) AS score,
+      |    CAST(COUNT(*) AS BIGINT) AS n_terms
+      |  FROM wdf2 JOIN terms q USING (word) CROSS JOIN s
+      |  GROUP BY doc_id)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+      |    AS rank,
+      |  doc_id, n_terms, score
+      |FROM (SELECT * FROM sc2 ORDER BY score DESC, doc_id LIMIT 20)
+      |ORDER BY rank""".stripMargin
+  }
+
   val bm25SearchSql: String = {
     val inList = bm25Terms.map(t => s"'$t'").mkString(",")
     s"""WITH s AS (
@@ -2346,6 +2488,7 @@ object TextQueries {
     "tfidf_top_terms" -> ((tfidfTopTerms _, tfidfTopTermsSql)),
     "tfidf_sim_pairs" -> ((tfidfSimPairs _, tfidfSimPairsSql)),
     "bm25_search" -> ((bm25Search _, bm25SearchSql)),
+    "bm25_prf" -> ((bm25Prf _, bm25PrfSql)),
     "bm25_index_search" -> ((bm25IndexSearch _, bm25SearchSql))
   )
 
