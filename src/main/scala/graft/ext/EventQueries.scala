@@ -682,7 +682,7 @@ object EventQueries {
       ("_r0", Seq(col("recency_days").desc, col("o_custkey").asc)),
       ("_f0", Seq(col("frequency").asc, col("o_custkey").asc)),
       ("_m0", Seq(col("monetary").asc, col("o_custkey").asc)))
-      .foldLeft(per.toDF) { case (df, (c, ks)) => globalRank(df, c, ks) }
+      .foldLeft(per.toDF()) { case (df, (c, ks)) => globalRank(df, c, ks) }
     // NTILE(5) from the 0-based rank: CASE branches are evaluated
     // lazily per row, so the q = 0 (n < 5) case never divides by zero —
     // r = n, every p < r·(q+1) = n, the THEN branch always fires
@@ -1721,7 +1721,7 @@ object EventQueries {
       .agg(count(lit(1)).as("y"))
       .collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
     val out = daily.groupBy(_._1).toSeq.flatMap { case (tpe, rows0) =>
-      hwFold(rows0.map(r => (r._2, r._3)).sortBy(_._1.getTime)).map {
+      hwFold(rows0.toSeq.map(r => (r._2, r._3)).sortBy(_._1.getTime)).map {
         case (d, y, fit, lNew, bNew) =>
           (tpe, d, y, fit / 1e6, lNew / 1e6, bNew / 1e6)
       }

@@ -1240,7 +1240,7 @@ object SimilarityQueries {
     // greedy over rounded doubles only — the DuckDB unrolled replay
     // computes the identical rel − λ·max(sim) expression per step
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
-    val remaining = scala.collection.mutable.LinkedHashMap(rels.sortBy { case (id, rel) => (-rel, id) }: _*)
+    val remaining = scala.collection.mutable.LinkedHashMap(rels.toIndexedSeq.sortBy { case (id, rel) => (-rel, id) }: _*)
     var rank = 0
     while (rank < MmrK && remaining.nonEmpty) {
       rank += 1

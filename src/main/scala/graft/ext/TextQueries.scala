@@ -839,7 +839,7 @@ object TextQueries {
     val B = weights.length
     require(B > 0, "empty weight table")
     docs
-      .withColumn("wt", array(weights.map(lit(_)): _*))
+      .withColumn("wt", array(weights.toIndexedSeq.map(lit(_)): _*))
       .withColumn("words", expr("filter(split(lower(text), ' +'), w -> w != '')"))
       .withColumn("n_words", size(col("words")).cast("long"))
       .withColumn("logit_sum", expr(

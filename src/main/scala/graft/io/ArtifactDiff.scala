@@ -45,7 +45,7 @@ object ArtifactDiff {
           val pk = catalog.tables.get(t).map(_.primaryKey)
             .filter(_.nonEmpty).getOrElse(Seq(b.columns.head))
           def keyed(df: DataFrame, h: String) = {
-            val cols = df.columns.sorted.map(col)
+            val cols = df.columns.sorted.toIndexedSeq.map(col)
             df.select(pk.map(col) :+
               md5(to_json(struct(cols: _*))).as(h): _*)
           }
