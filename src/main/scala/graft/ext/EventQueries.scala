@@ -701,38 +701,14 @@ object EventQueries {
       .orderBy("o_custkey")
   }
 
-  /** Exact 0-based global rank by `keys` with NO single-task sort — the
-    * two-phase distributed ranking pattern: (1) range-partition by the
-    * keys (contiguous, ordered key ranges; the sampler balances
-    * partition sizes, so no task sorts more than ~n/P rows), stamp each
-    * row with its partition id, and take row_number() WITHIN each
-    * partition; (2) the cross-partition offsets are a prefix sum over
-    * the per-partition counts — P rows, bounded by the shuffle
-    * partition count whatever the corpus size — broadcast back. Range
-    * partition i precedes i+1 in key order, so offset(pid) + local − 1
-    * IS the global rank, exactly, for any sampled bounds; with unique
-    * keys the result is fully deterministic. The stamped intermediate
-    * is persisted because both phases consume it — unpersisted, the
-    * range exchange would plan (and run) twice.
+  /** Exact 0-based global rank — delegated to the shared two-phase
+    * distributed ranking helper [[DistRank.globalRank]] (built here in
+    * round 12 for orders_rfm; hoisted so pareto_abc / zipf_fit reuse
+    * the identical discipline).
     */
   private def globalRank(df: DataFrame, rankCol: String,
-      keys: Seq[org.apache.spark.sql.Column]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val local = df.repartitionByRange(parts, keys: _*)
-      .withColumn("_pid", spark_partition_id())
-      .withColumn("_lr", row_number().over(
-        Window.partitionBy("_pid").orderBy(keys: _*)).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val offsets = local.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
-      .withColumn("_off", coalesce(sum("_cnt").over(
-        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select("_pid", "_off")
-    local.join(broadcast(offsets), Seq("_pid"))
-      .withColumn(rankCol, col("_off") + col("_lr") - 1)
-      .drop("_pid", "_lr", "_off")
-  }
+      keys: Seq[org.apache.spark.sql.Column]): DataFrame =
+    DistRank.globalRank(df, rankCol, keys)
 
   val ordersRfmSql: String =
     """WITH per AS (

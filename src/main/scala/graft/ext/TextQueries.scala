@@ -1092,17 +1092,19 @@ object TextQueries {
     * and ln(freq) floor-quantized to integer micros (the
     * [[nbLangClassify]] discipline) so the closed-form OLS slope runs
     * on exact DECIMAL(38) moments with ONE signed half-up division at
-    * the end. The rank window is single-partition on the vocabulary —
-    * range-partition the rank at a 100 TB vocabulary.
+    * the end. Ranks come from the two-phase distributed rank
+    * ([[DistRank.globalRank]], 0-based + 1): the vocabulary grows
+    * sublinearly (Heaps' law) but still corpus-bound, so the old
+    * single-partition `row_number` window would eventually straggle —
+    * now no task sorts more than ~V/P vocabulary rows.
     */
   def zipfFit(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val freq = Tables(spark, dir, "documents")
+    val freq0 = Tables(spark, dir, "documents")
       .select(explode(expr("filter(split(lower(text), ' +'), w -> w != '')"))
         .as("word"))
       .groupBy("word").agg(count(lit(1)).as("f"))
-      .withColumn("r", row_number().over(
-        Window.orderBy(desc("f"), asc("word"))))
+    val freq = DistRank.globalRank(freq0, "r0", Seq(desc("f"), asc("word")))
+      .withColumn("r", col("r0") + 1)
       .select(
         expr("CAST(FLOOR(LN(CAST(r AS DOUBLE)) * 1000000) AS BIGINT)")
           .as("lx"),

@@ -1371,11 +1371,14 @@ object OlapQueries {
     * tail; report each class's size, revenue, and share. Class
     * boundaries are CROSS-MULTIPLIED decimal compares (cum·20 ≤
     * tot·16, cum·20 ≤ tot·19), never ratios — exact in both engines at
-    * any magnitude. The ranking window runs over the part-level
-    * aggregate (the bounded frame — parts, not lineitems; at 100 TB
-    * swap the exact cumulative window for range-partitioned prefix
-    * sums, the documented [[graft.ext.CurationQueries]] shuffle_shard
-    * discipline). Shares come out as integer micros over exact cents
+    * any magnitude. The cumulative revenue is a TWO-PHASE DISTRIBUTED
+    * prefix sum ([[graft.ext.DistRank.globalCumSum]]): parts scale
+    * with the corpus (~billions at 100 TB), so the old single-task
+    * `Window.orderBy(desc(rev))` form was the last named
+    * corpus-proportional global sort in the registry — now each range
+    * partition sums locally and only a P-row offsets frame crosses
+    * partitions (decimal sums are order-free, so the split is exact).
+    * Shares come out as integer micros over exact cents
     * (floor(·100) — identical truncation both engines); the micros
     * numerator rides DECIMAL(38)/HUGEINT — 2·cents·10⁶ clears 2⁶³ at
     * ~10¹³ total cents, which the sf1 rehearsal hit (the BIGINT form
@@ -1386,13 +1389,8 @@ object OlapQueries {
       .groupBy(col("l_partkey"))
       .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
         .as("rev"))
-    val w = Window.orderBy(desc("rev"), asc("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    byPart
-      .withColumn("cum", sum("rev").over(w))
-      .withColumn("tot", sum("rev").over(
-        Window.partitionBy().rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)))
+    graft.ext.DistRank.globalCumSum(byPart, "rev", "cum", "tot",
+        Seq(desc("rev"), asc("l_partkey")))
       .withColumn("abc_class",
         when(col("cum") * 20 <= col("tot") * 16, "A")
           .when(col("cum") * 20 <= col("tot") * 19, "B")

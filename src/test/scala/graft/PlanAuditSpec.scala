@@ -353,33 +353,115 @@ class PlanAuditSpec extends SparkSpec {
       bad.mkString("\n"))
   }
 
-  // query -> the exact orderBy keys its UNPARTITIONED windows are allowed
-  // to use. Both queries compute globally-ordered statistics, so some
-  // unpartitioned window is unavoidable — but it must run over a BOUNDED
-  // frame: `day` (one row per calendar day: peak_concurrency's carry) or
-  // `_pid` (one row per shuffle partition: orders_rfm's two-phase rank
-  // offsets). An unpartitioned window ordered by anything else — t, a
-  // metric, a custkey tiebreak — means a corpus-proportional single-task
-  // sort regressed into the plan (the exact r9–r11 scale-killer shape
-  // this pin exists to keep out).
-  private val boundedGlobalWindows = Seq(
-    "peak_concurrency" -> Set("day"),
-    "orders_rfm" -> Set("_pid"))
+  // REGISTRY-WIDE bounded-global-window audit. An unpartitioned window
+  // moves its whole input through ONE task — fine only when the ordered
+  // frame is PROVEN bounded regardless of corpus size. Every query whose
+  // optimized plan (including persisted/cached subtrees) contains an
+  // unpartitioned window must be adjudicated here with the exact orderBy
+  // reference set it is allowed, plus the boundedness argument; any other
+  // unpartitioned window — over a metric, a timestamp, a key tiebreak —
+  // is a corpus-proportional single-task sort (the r9–r12 scale-killer
+  // class: pareto_abc, zipf_fit, orders_rfm all shipped this shape once)
+  // and fails the build naming the offender.
+  //
+  // Bounded-frame classes admitted:
+  //   top-k LIMIT — a window whose input subtree is a literal LIMIT is
+  //                 bounded by construction (the orderBy+limit+rank
+  //                 shortlist idiom: bm25_search, hybrid_search_rrf…);
+  //                 detected structurally below, no entry needed
+  //   _pid        — one row per shuffle partition (two-phase DistRank
+  //                 offsets; |frame| = spark.sql.shuffle.partitions)
+  //   calendar    — one row per calendar unit / value bounded by the
+  //                 date span, not the corpus (day carry, daily rollup,
+  //                 distinct integer gap/latency in days or seconds)
+  //   value grid  — a histogram keyed by a quantized metric whose
+  //                 distinct-value count is capped by the grid, not the
+  //                 corpus (cents grid, 6dp-micros logits, 1024 bins)
+  //   literal     — a frame whose row count is a literal in the query
+  //                 (B=100 bootstrap replicates, 25-nation aggregate)
+  // Anything else needs a new entry AND a SCALE.md §global-windows note.
+  private val boundedGlobalWindows: Map[String, Set[String]] = Map(
+    "peak_concurrency" -> Set("day"),            // calendar day carry
+    "orders_rfm" -> Set("_pid"),                 // DistRank offsets
+    "pareto_abc" -> Set("_pid"),                 // DistRank offsets
+    "zipf_fit" -> Set("_pid"),                   // DistRank offsets
+    "bootstrap_ci" -> Set("mean_micros", "r"),   // B=100 replicate means
+    "classifier_auc" -> Set("score_micros"),     // ≤2·10⁶+1 micros grid
+    "funnel_time_percentiles" -> Set("latency_s"), // distinct int secs ≤ timespan
+    "ks_drift" -> Set("cents", "dnum"),          // cents value grid
+    "range_partition_bounds" -> Set("bin"),      // 1024 literal bins
+    "revenue_drawdown" -> Set("d"),              // calendar daily rollup
+    "survival_km" -> Set("t"),                   // distinct gap days ≤ timespan
+    "window_rank_stats" -> Set("revenue", "n_name")) // 25-nation aggregate
 
-  test("global windows only ever order bounded frames (day / _pid)") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    val bad = boundedGlobalWindows.flatMap { case (name, allowed) =>
-      val plan = SparkEntry.queries(name)(spark, dir)
-        .queryExecution.optimizedPlan
-      plan.collectWithSubqueries {
-        case w: LWindow if w.partitionSpec.isEmpty =>
-          val keys = w.orderSpec.map(_.child.references.map(_.name).mkString)
-          if (keys.forall(allowed.contains)) None
-          else Some(s"$name: unpartitioned window over ${keys.mkString(",")}")
-      }.flatten
+  test("registry-wide: unpartitioned windows only order proven-bounded frames") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow,
+      LogicalPlan, GlobalLimit, LocalLimit, Project, Filter, Sort}
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec,
+      TakeOrderedAndProjectExec, CollectLimitExec, ProjectExec, FilterExec,
+      SortExec, WholeStageCodegenExec, InputAdapter}
+
+    // a window whose input (through row-preserving-or-shrinking unary
+    // nodes) is a literal LIMIT is bounded by construction — the
+    // orderBy+limit+rank shortlist idiom
+    def limitBoundedL(p: LogicalPlan): Boolean = p match {
+      case _: GlobalLimit | _: LocalLimit => true
+      case n @ (_: Project | _: Filter | _: Sort) => limitBoundedL(n.children.head)
+      case _ => false
+    }
+    def limitBoundedP(p: SparkPlan): Boolean = p match {
+      case _: GlobalLimitExec | _: LocalLimitExec |
+           _: TakeOrderedAndProjectExec | _: CollectLimitExec => true
+      case n @ (_: ProjectExec | _: FilterExec | _: SortExec |
+                _: WholeStageCodegenExec | _: InputAdapter) =>
+        limitBoundedP(n.children.head)
+      case _ => false
+    }
+
+    // unpartitioned-window orderBy key-sets in a PHYSICAL (cached) plan,
+    // descending into nested caches — a window hidden behind .persist()
+    // must not escape the audit
+    def physKeys(p: SparkPlan): Seq[String] = {
+      val here = p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty && !limitBoundedP(w.child) =>
+          w.orderSpec.map(_.child.references.map(_.name).mkString).mkString(",")
+      }
+      val nested = p.collect {
+        case s: InMemoryTableScanExec => s.relation.cacheBuilder.cachedPlan
+      }
+      here ++ nested.flatMap(physKeys)
+    }
+
+    val names = graft.queries.Registry.queries.keys.toSeq.sorted
+    val bad = names.flatMap { name =>
+      val allowed = boundedGlobalWindows.getOrElse(name, Set.empty[String])
+      val windows = try {
+        val plan = SparkEntry.queries(name)(spark, dir)
+          .queryExecution.optimizedPlan
+        val logical = plan.collectWithSubqueries {
+          case w: LWindow if w.partitionSpec.isEmpty && !limitBoundedL(w.child) =>
+            w.orderSpec.map(_.child.references.map(_.name).mkString).mkString(",")
+        }
+        val cached = plan.collectWithSubqueries {
+          case m: InMemoryRelation => m.cacheBuilder.cachedPlan
+        }
+        logical ++ cached.flatMap(physKeys)
+      } catch {
+        case e: Exception =>
+          Seq(s"PLAN BUILD FAILED: ${e.getClass.getSimpleName} ${e.getMessage}")
+      }
+      windows.collect {
+        case keys if !keys.split(",").filter(_.nonEmpty).forall(allowed.contains) =>
+          s"$name: unpartitioned window over [$keys]"
+      }
     }
     spark.catalog.clearCache()
     assert(bad.isEmpty,
-      "corpus-proportional global sort crept back:\n" + bad.mkString("\n"))
+      "corpus-proportional global sort in a registered plan " +
+        "(adjudicate in boundedGlobalWindows + SCALE.md, or fix):\n" +
+        bad.distinct.mkString("\n"))
   }
 }
