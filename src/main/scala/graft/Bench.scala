@@ -45,8 +45,11 @@ object Bench {
     // run and keeps the full 81-query suite under ~5 min.
     // floored at 1: runs=0 would make median() index an empty sequence and
     // abort the whole suite with an opaque IndexOutOfBounds
+    // default 3 separated passes (min-of-3): with 2, one stalled pass
+    // leaves a single sample and a transient host stall reads as a
+    // regression; 3 keeps two independent samples through any one stall
     val runs = math.max(1,
-      sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(2))
+      sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3))
     val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // Two properties the recorded number must have, and how each is won:
@@ -62,7 +65,7 @@ object Bench {
     // its timed run; that is what the old back-to-back median did
     // implicitly (run 1 cold, runs 2–3 warm, median ≈ warm).
     //
-    // STALL-ROBUST — the suite runs as `runs` (default 2) SEPARATED
+    // STALL-ROBUST — the suite runs as `runs` (default 3) SEPARATED
     // full passes, and the recorded value is the MIN of a query's warm
     // samples across passes. Back-to-back samples share any transient
     // host stall: r10 recorded corr_matrix at 25.8 s on all three

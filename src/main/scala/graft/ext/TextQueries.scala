@@ -634,7 +634,11 @@ object TextQueries {
       .select("word").collect().map(_.getString(0)).toSeq
     val weights: Seq[(String, Double)] =
       bm25Terms.map(_ -> 1.0) ++ expansion.map(_ -> 0.5)
-    val inList = weights.map(t => s"'${t._1}'").mkString(",")
+    // expansion terms are corpus-derived (untrusted data): build the
+    // stage-3 term filter with typed Column APIs only — never spliced
+    // into an expr()/SQL string, where a quote in a token would parse
+    // as a literal boundary
+    val termArr = array(weights.map(t => lit(t._1)): _*)
     val qwMap = map(weights.flatMap { case (w, q) =>
       Seq(lit(w), lit(q)) }.toIndexedSeq: _*)
     val scalars = docs.agg(count(lit(1)).as("n_docs"),
@@ -642,8 +646,8 @@ object TextQueries {
     val tf = docs
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), size(col("words")).as("dl"),
-        explode(expr(
-          s"filter(words, w -> array_contains(array($inList), w))")).as("word"))
+        explode(org.apache.spark.sql.functions.filter(
+          col("words"), w => array_contains(termArr, w))).as("word"))
       .groupBy("doc_id", "dl", "word").agg(count(lit(1)).as("tf"))
     val scored = tf
       .withColumn("df", count(lit(1)).over(Window.partitionBy("word")))

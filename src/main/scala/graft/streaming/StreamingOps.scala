@@ -487,6 +487,16 @@ object StreamingOps {
     */
   private def withReplaySession[T](spark: SparkSession)(f: SparkSession => T): T = {
     val s = spark.newSession()
+    // newSession() inherits builder-time/shared conf but NOT runtime
+    // `spark.conf.set` overrides on the caller's session. Copy the
+    // determinism-relevant keys explicitly so a replay can never
+    // silently diverge from the session whose results it must
+    // hash-match (today these are builder-time everywhere in this
+    // repo; this guards the day one is flipped at runtime).
+    Seq("spark.sql.session.timeZone",
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.ansi.enabled")
+      .foreach(k => spark.conf.getOption(k).foreach(s.conf.set(k, _)))
     s.conf.set("spark.sql.shuffle.partitions", "8")
     f(s)
   }

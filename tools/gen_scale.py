@@ -52,9 +52,16 @@ def main(src: str, dst: str, k: int) -> None:
     strides = {}
     for name, key in STRIDE_KEY.items():
         table = STRIDE_TABLE.get(name, name)
-        strides[name] = con.execute(
-            f"SELECT MAX({key}) + 1 FROM '{src}/{table}.parquet'"
-        ).fetchone()[0]
+        # stride = MAX(key)+1 assumes non-negative, non-null keys; a
+        # null or negative key would silently collide shifted copies —
+        # fail loudly instead
+        mn, mx, nulls = con.execute(
+            f"SELECT MIN({key}), MAX({key}), "
+            f"COUNT(*) - COUNT({key}) FROM '{src}/{table}.parquet'"
+        ).fetchone()
+        assert nulls == 0, f"{table}.{key}: {nulls} NULL keys"
+        assert mn is not None and mn >= 0, f"{table}.{key}: MIN={mn} < 0"
+        strides[name] = mx + 1
     import os
     os.makedirs(dst, exist_ok=True)
     for t in FIXED:
