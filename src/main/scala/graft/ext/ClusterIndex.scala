@@ -31,12 +31,27 @@ import org.apache.spark.sql.functions._
   * fixpoint. At 100 TB the recurring cost is the batch scan plus joins
   * sized by the touched-bucket fringe.
   *
-  * PRECISION CAVEAT (same as [[DedupIndex]]): the ≤64 bucket cap — the
-  * LSH skew guard — is evaluated against the bucket's CURRENT population.
-  * Batch-by-batch therefore equals one-shot exactly while buckets stay
-  * under the cap (true at test scale, ClusterIndexSpec pins it); a bucket
-  * that grows past 64 stops yielding new pairs (matching one-shot) but
-  * pairs it produced while small remain folded into earlier labels.
+  * CAP CONSISTENCY (r13): the ≤64 bucket cap — the LSH skew guard — is
+  * RE-EVALUATED on append. The one-shot form drops an over-cap bucket
+  * whole; an appended batch that pushes a previously small bucket past
+  * the cap therefore RETRACTS that bucket's earlier edges: every
+  * cluster holding one of the bucket's pre-batch members is rebuilt
+  * from its members' CURRENT re-derived edge set (pairs regenerated in
+  * every bucket any member touches, cap applied to the current
+  * population) instead of carried by star edges — star edges assert
+  * "all old members stay connected", which is exactly what retraction
+  * breaks. Clusters touched only by NEW pairs keep the cheap star-edge
+  * path. This makes batch-by-batch == one-shot EXACTLY in every cap
+  * regime (the r12 sf1 rehearsal's 10×-replica corpus included), not
+  * just the sub-cap one; the re-derivation cost is proportional to the
+  * overflowed buckets' cluster fringe — zero when no bucket crosses,
+  * which is the steady-state ingest case. Correctness of the
+  * member-member restriction: a current edge from a rebuilt member to
+  * any OLD doc outside the rebuilt set would imply those two docs
+  * already shared an under-cap bucket at some earlier append (bucket
+  * populations only grow, so the pair was generated then) and hence
+  * the same old cluster — contradiction; edges to BATCH docs are in
+  * the delta pairs by construction.
   *
   * Maintenance is CRASH-SAFE via [[graft.io.SegmentLog]]: band batches
   * are immutable `seg-<n>` dirs, the assignments table a versioned
@@ -99,25 +114,67 @@ object ClusterIndex {
     val newBands = DedupQueries.bandedKeys(DedupQueries.sigsOf(batch))
       .localCheckpoint(false)
     val oldBands = spark.read.parquet(st.segmentPaths(indexDir): _*)
-    // only buckets a new doc touches can yield a NEW pair; everything
-    // else in the persisted bands is skipped by the semi-join (at scale
-    // this is the index pruned to the batch's fringe, not a corpus scan)
+    // only buckets a new doc touches can yield a NEW pair — or cross
+    // the cap; everything else in the persisted bands is skipped by the
+    // semi-joins (at scale this is the index pruned to the batch's
+    // fringe, not a corpus scan). The touched old rows feed three
+    // consumers (delta pairs, overflow counts, retracted members), so
+    // they checkpoint once.
     val touched = newBands.select("band", "bucket").distinct()
-    val delta = pairsFromBands(
-        oldBands.unionByName(newBands).join(touched, Seq("band", "bucket"), "left_semi"))
+    val touchedOld = oldBands.join(touched, Seq("band", "bucket"), "left_semi")
+      .localCheckpoint(false)
+    val delta = pairsFromBands(touchedOld.unionByName(newBands))
       .localCheckpoint(false)
     val oldClusters = spark.read.parquet(st.extraPath(indexDir, "clusters"))
-    // clusters with ≥1 member in a delta pair must re-enter the fixpoint
-    // (a batch doc can bridge two of them); star edges member→rep carry
-    // their full membership in one hop
+    // CAP RETRACTION (see class note): buckets this batch pushes past
+    // the cap had yielded edges while small that the one-shot form
+    // never generates — every cluster holding one of their PRE-BATCH
+    // members must be rebuilt from re-derived current edges
+    val overflowed = touchedOld.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("oc"))
+      .join(newBands.groupBy("band", "bucket").agg(count(lit(1)).as("nc")),
+        Seq("band", "bucket"))
+      .filter(col("oc").between(2, 64) && col("oc") + col("nc") > 64)
+      .select("band", "bucket")
+    val retractedDocs = touchedOld
+      .join(overflowed, Seq("band", "bucket"), "left_semi")
+      .select("doc_id").distinct()
+    val rebuildCids = oldClusters.join(retractedDocs, Seq("doc_id"), "left_semi")
+      .select("cluster_id").distinct().localCheckpoint(false)
+    val rebuildMembers = oldClusters
+      .join(rebuildCids, Seq("cluster_id"), "left_semi")
+      .select("doc_id").localCheckpoint(false)
+    // exact current-edge subgraph of the rebuilt clusters: regenerate
+    // pairs in EVERY bucket a rebuilt member touches (cap on the
+    // current merged population — unchanged buckets reproduce exactly
+    // the pairs they yielded originally), restricted to member-member
+    // (closed by the class-note argument; member↔batch edges ride in
+    // `delta`)
+    val allBands = oldBands.unionByName(newBands)
+    val rbBuckets = allBands.join(rebuildMembers, Seq("doc_id"), "left_semi")
+      .select("band", "bucket").distinct()
+    val rbPairs = pairsFromBands(
+        allBands.join(rbBuckets, Seq("band", "bucket"), "left_semi"))
+      .join(rebuildMembers.withColumnRenamed("doc_id", "doc_a"),
+        Seq("doc_a"), "left_semi")
+      .join(rebuildMembers.withColumnRenamed("doc_id", "doc_b"),
+        Seq("doc_b"), "left_semi")
+    // clusters touched by NEW pairs only (no retraction): their old
+    // edges are all still valid, so star edges member→rep carry their
+    // full membership in one hop (a batch doc can still bridge two of
+    // them — the fixpoint below handles merges)
     val deltaNodes = delta.select(col("doc_a").as("doc_id"))
       .union(delta.select(col("doc_b"))).distinct()
-    val touchedCids = oldClusters.join(deltaNodes, Seq("doc_id"), "left_semi")
+    val starCids = oldClusters.join(deltaNodes, Seq("doc_id"), "left_semi")
       .select("cluster_id").distinct()
-    val starEdges = oldClusters.join(touchedCids, Seq("cluster_id"), "left_semi")
+      .join(rebuildCids, Seq("cluster_id"), "left_anti")
+      .localCheckpoint(false)
+    val starEdges = oldClusters.join(starCids, Seq("cluster_id"), "left_semi")
       .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
-    val relabeled = DedupQueries.ccLabels(delta.unionByName(starEdges))
-    val untouched = oldClusters.join(touchedCids, Seq("cluster_id"), "left_anti")
+    val relabeled = DedupQueries.ccLabels(
+      delta.unionByName(starEdges).unionByName(rbPairs))
+    val replacedCids = starCids.unionByName(rebuildCids)
+    val untouched = oldClusters.join(replacedCids, Seq("cluster_id"), "left_anti")
     // the rewrite goes to a FRESH clusters-g<n> (the old generation it
     // reads stays untouched until the commit below supersedes it — no
     // read-under-overwrite hazard, no eager materialization needed).
@@ -131,8 +188,8 @@ object ClusterIndex {
     SegmentLog.commit(indexDir,
       SegmentLog.State(gen, st.segments :+ seg, Map("clusters" -> cl)))
     SegmentLog.cleanup(indexDir)
-    graft.SparkUtil.release(newBands)
-    graft.SparkUtil.release(delta)
+    Seq(newBands, touchedOld, delta, rebuildCids, rebuildMembers, starCids)
+      .foreach(graft.SparkUtil.release)
     spark.read.parquet(s"$indexDir/$cl").count()
   }
 

@@ -77,7 +77,11 @@ object DedupIndex {
     val r = root(dir)
     val gen = SegmentLog.nextGen(SegmentLog.read(r))
     val seg = SegmentLog.segName(gen)
-    DedupQueries.fpSig(docs).write.mode("overwrite").parquet(s"$r/$seg")
+    // seed=true marks the original corpus: resurrection re-checks need
+    // "older than doc m" = seed ∨ smaller doc_id, and seed rows are
+    // older than every ingested row whatever their ids
+    DedupQueries.fpSig(docs).withColumn("seed", lit(true))
+      .write.mode("overwrite").parquet(s"$r/$seg")
     SegmentLog.commit(r, SegmentLog.State(gen, Seq(seg), Map.empty))
     SegmentLog.cleanup(r)
     docs.sparkSession.read.parquet(s"$r/$seg").count()
@@ -91,7 +95,8 @@ object DedupIndex {
     val st = state(dir)
     val gen = SegmentLog.nextGen(Some(st))
     val seg = SegmentLog.segName(gen)
-    DedupQueries.fpSig(docs).write.mode("overwrite").parquet(s"$r/$seg")
+    DedupQueries.fpSig(docs).withColumn("seed", lit(false))
+      .write.mode("overwrite").parquet(s"$r/$seg")
     val n = docs.sparkSession.read.parquet(s"$r/$seg").count()
     SegmentLog.commit(r,
       SegmentLog.State(gen, st.segments :+ seg, st.extras))
@@ -193,5 +198,106 @@ object DedupIndex {
     DedupQueries.dedupIncrementalCore(
         idx.select("doc_id", "is_old", "fp", "sig").unionByName(b))
       .orderBy("doc_id")
+  }
+
+  /** CAP-CONSISTENT streaming ingest step: dedupe `batch` against the
+    * index, fold the whole batch in, and RESURRECT previously dropped
+    * docs whose drop causes this batch retracts — returning every
+    * (doc_id, text) row the survivor sink must emit now (batch
+    * survivors plus resurrections). Makes batch-by-batch ingest equal
+    * the one-shot answer in EVERY cap regime, not just the sub-cap one:
+    *
+    * The near rule's ≤64 bucket cap means a one-shot evaluation over
+    * the FINAL corpus skips buckets the incremental evaluation saw
+    * while small. Per doc m the drop predicate is a pure function of
+    * m's buckets' capped populations, and — given the id-ordered ingest
+    * contract — later batches only ever add NEWER members to a bucket,
+    * so m's cause set can only SHRINK over time, and only at the moment
+    * a bucket CROSSES the cap. So: near-dropped-but-exact-clean docs
+    * persist in a `pending` extra (exact drops are permanent — fp sets
+    * only grow); each batch computes which touched buckets crossed
+    * (index-side population in [2,64], merged past 64) and re-checks
+    * exactly the pending docs in those buckets against the post-append
+    * populations of ALL their buckets (is_old := seed, so ingested
+    * neighbours rank by doc_id as the one-shot frame does). A candidate
+    * with no remaining cause is emitted and leaves pending. Steady
+    * state (no bucket crosses — the designed regime) pays one
+    * per-touched-bucket count on top of the dedupe scan; the re-check
+    * pipeline runs only when a crossing actually strands candidates.
+    */
+  def ingest(spark: SparkSession, batch: DataFrame, dir: String): DataFrame = {
+    val r = root(dir)
+    val st = state(dir)
+    val gen = SegmentLog.nextGen(Some(st))
+    val seg = SegmentLog.segName(gen)
+    val pen = SegmentLog.extraName("pending", gen)
+    val idx = rows(spark, dir)
+    // the batch's md5-per-shingle pipeline runs ONCE into a narrow
+    // checkpoint; text rides along for the emit/pending rows
+    val b = DedupQueries.fpSig(batch)
+      .join(batch.select("doc_id", "text"), Seq("doc_id"))
+      .select("doc_id", "text", "fp", "sig")
+      .localCheckpoint(false)
+    val (survivors, nearOnly) = DedupQueries.dedupIncrementalParts(
+      idx.select(col("doc_id"), lit(true).as("is_old"), col("fp"), col("sig"))
+        .unionByName(b.select(col("doc_id"), lit(false).as("is_old"),
+          col("fp"), col("sig"))))
+    b.select("doc_id", "fp", "sig").withColumn("seed", lit(false))
+      .write.mode("overwrite").parquet(s"$r/$seg")
+    val pendingOld = st.extras.get("pending")
+      .map(_ => spark.read.parquet(st.extraPath(r, "pending")))
+      .getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), b.schema))
+    def bandsOf(df: DataFrame) = DedupQueries.bandedKeys(
+      df.filter(col("sig").isNotNull).select("doc_id", "sig"))
+    val resurrected: DataFrame =
+      if (st.extras.contains("pending") && !pendingOld.isEmpty) {
+        val batchBands = bandsOf(b).localCheckpoint(false)
+        val crossed = bandsOf(idx)
+          .join(batchBands.select("band", "bucket").distinct(),
+            Seq("band", "bucket"), "left_semi")
+          .groupBy("band", "bucket").agg(count(lit(1)).as("oc"))
+          .join(batchBands.groupBy("band", "bucket").agg(count(lit(1)).as("nc")),
+            Seq("band", "bucket"))
+          .filter(col("oc").between(2, 64) && col("oc") + col("nc") > 64)
+          .select("band", "bucket")
+        val candidates = pendingOld.join(
+            bandsOf(pendingOld).join(crossed, Seq("band", "bucket"), "left_semi")
+              .select("doc_id").distinct(),
+            Seq("doc_id"), "left_semi")
+          .localCheckpoint(false)
+        if (candidates.isEmpty) candidates
+        else {
+          val newIdx = idx.unionByName(
+            b.select("doc_id", "fp", "sig").withColumn("seed", lit(false)))
+          // every current member of every candidate bucket, so each
+          // candidate's FULL cause set is re-evaluated at the true
+          // capped populations; foreign buckets these members drag in
+          // are partial, but only candidate verdicts are read
+          val candBuckets = bandsOf(candidates).select("band", "bucket").distinct()
+          val reFrame = newIdx.join(
+              bandsOf(newIdx).join(candBuckets, Seq("band", "bucket"), "left_semi")
+                .select("doc_id").distinct(),
+              Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), col("seed").as("is_old"), col("fp"), col("sig"))
+          candidates.join(DedupQueries.nearDroppedIds(reFrame),
+            Seq("doc_id"), "left_anti")
+        }
+      } else pendingOld.limit(0)
+    // eager: the emit rows read the OLD pending file, which the commit
+    // below supersedes and cleanup deletes
+    val emitted = b.join(survivors, Seq("doc_id"), "left_semi")
+      .select("doc_id", "text")
+      .unionByName(resurrected.select("doc_id", "text"))
+      .localCheckpoint(true)
+    pendingOld.join(resurrected.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(b.join(nearOnly, Seq("doc_id"), "left_semi"))
+      .select("doc_id", "text", "fp", "sig")
+      .write.mode("overwrite").parquet(s"$r/$pen")
+    SegmentLog.commit(r, SegmentLog.State(gen, st.segments :+ seg,
+      st.extras + ("pending" -> pen)))
+    SegmentLog.cleanup(r)
+    graft.SparkUtil.release(b)
+    emitted
   }
 }

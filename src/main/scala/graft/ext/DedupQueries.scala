@@ -916,16 +916,50 @@ object DedupQueries {
     * [[DedupIndex.dedupe]] (where the old side is the persisted index),
     * so the two paths are the same algorithm by construction.
     */
-  private[ext] def dedupIncrementalCore(docs: DataFrame): DataFrame = {
+  private[ext] def dedupIncrementalCore(docs: DataFrame): DataFrame =
+    dedupIncrementalParts(docs)._1
+
+  /** [[dedupIncrementalCore]] with the drop CAUSE exposed:
+    * (survivors, near-only-dropped) — the second frame holds new docs
+    * that pass the exact rule but lose to a near neighbour. The split
+    * matters for cap-consistent ingest ([[DedupIndex.ingest]]): an
+    * exact drop is permanent (fingerprint sets only grow), but a near
+    * drop's causes live in ≤64-member buckets that a later batch can
+    * push PAST the cap — at which point the one-shot form would skip
+    * the bucket and keep the doc, so the near-only-dropped set is
+    * exactly the resurrection candidate pool the ingest path persists.
+    */
+  private[ext] def dedupIncrementalParts(docs: DataFrame): (DataFrame, DataFrame) = {
     // exact rule, one fp shuffle: per fingerprint, does an old doc
     // carry it, and which new doc is first?
     val fpKeep = docs.groupBy("fp").agg(
       max(when(col("is_old"), 1).otherwise(0)).as("fp_has_old"),
       min(when(!col("is_old"), col("doc_id"))).as("fp_first_new"))
-    // near rule, one (band,bucket) shuffle, members gathered inside the
-    // bucket exactly as minhashPairs (no self-join): a new member is
-    // dropped on any qualifying older neighbour
-    val nearDropped = docs.filter(col("sig").isNotNull)
+    val near = nearDroppedIds(docs)
+    // both returned frames read these subtrees; lazy checkpoints keep a
+    // two-consumer caller (ingest) from running the banded pipeline and
+    // the fp aggregate twice, and cost nothing when only one side is
+    // consumed (the registered one-shot query)
+    val exactPass = docs.filter(!col("is_old"))
+      .join(fpKeep, Seq("fp"))
+      .filter(col("fp_has_old") === 0 && col("doc_id") === col("fp_first_new"))
+      .select("doc_id")
+      .localCheckpoint(false)
+    (exactPass.join(near, Seq("doc_id"), "left_anti"),
+      exactPass.join(near, Seq("doc_id"), "left_semi"))
+  }
+
+  /** The NEAR rule alone over any (doc_id, is_old, sig) frame: one
+    * (band,bucket) shuffle, members gathered inside the bucket exactly
+    * as minhashPairs (no self-join); a new member is dropped on any
+    * qualifying older neighbour; buckets past the ≤64 cap are skipped
+    * whole. Shared by [[dedupIncrementalParts]] and
+    * [[DedupIndex.ingest]]'s resurrection re-check so both paths apply
+    * the identical drop predicate. Returns dropped doc_ids, lazily
+    * checkpointed (every caller consumes it at least twice).
+    */
+  private[ext] def nearDroppedIds(docs: DataFrame): DataFrame =
+    docs.filter(col("sig").isNotNull)
       .select(
         col("doc_id"), col("is_old"), col("sig"),
         explode(expr(s"transform(sequence(0, ${K / 2 - 1}), " +
@@ -940,12 +974,7 @@ object DedupQueries {
                  size(filter(sequence(0, 7), k -> o.sig[k] = m.sig[k])) >= 4)),
              m -> m.doc_id)""")).as("doc_id"))
       .distinct()
-    docs.filter(!col("is_old"))
-      .join(fpKeep, Seq("fp"))
-      .filter(col("fp_has_old") === 0 && col("doc_id") === col("fp_first_new"))
-      .join(nearDropped, Seq("doc_id"), "left_anti")
-      .select("doc_id")
-  }
+      .localCheckpoint(false)
 
   val dedupIncrementalSql: String =
     s"""WITH $minhashSqlCtes,

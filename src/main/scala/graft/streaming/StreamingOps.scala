@@ -385,13 +385,15 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          val survivors = graft.ext.DedupIndex.dedupe(spark, batch, indexDir)
-          batch.join(survivors, Seq("doc_id"), "left_semi")
+          // cap-consistent step: survivors of THIS batch plus docs a
+          // bucket crossing the ≤64 cap just resurrected (see
+          // DedupIndex.ingest) — the accumulated sink equals the
+          // one-shot answer in every cap regime
+          graft.ext.DedupIndex.ingest(spark, batch, indexDir)
             .write.mode("append").parquet(outDir)
-          graft.ext.DedupIndex.append(batch, indexDir)
           graft.ext.DedupIndex.writeBloom(spark, indexDir)
         }
-        () // foreachBatch wants Unit; append/writeBloom return counts
+        () // foreachBatch wants Unit; writeBloom returns a count
       }
       .start()
 

@@ -130,4 +130,36 @@ class ClusterIndexSpec extends SparkSpec {
     assert(assignments(ClusterIndex.load(spark, idxDir)) ==
       assignments(ClusterIndex.load(spark, oneShotDir)))
   }
+
+  test("a batch that pushes a bucket past the cap retracts its earlier edges") {
+    import spark.implicits._
+    // the r12 sf1 divergence regime, distilled: 60 EXACT replicas (one
+    // LSH bucket per band, all under the ≤64 cap) cluster at build;
+    // appending 20 more pushes every one of their buckets to 80 — the
+    // one-shot form drops over-cap buckets whole, so the replica family
+    // must DISSOLVE on append (edges retracted), while an untouched
+    // 2-doc cluster survives byte-identically
+    val fam = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val small = "red orange yellow green blue purple brown black"
+    val oldDocs = (1L to 60L).map(_ -> fam) ++ Seq(100L -> small, 101L -> small)
+    val batch = (61L to 80L).map(_ -> fam)
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+
+    val idxDir = Files.createTempDirectory("cidx-overflow").toString
+    ClusterIndex.build(df(oldDocs), idxDir)
+    val before = assignments(ClusterIndex.load(spark, idxDir)).toMap
+    assert((1L to 60L).map(before).distinct == Seq(1L),
+      s"replica family must cluster under the cap: $before")
+    assert(before(100L) == 100L && before(101L) == 100L)
+
+    ClusterIndex.append(df(batch), idxDir)
+    val after = assignments(ClusterIndex.load(spark, idxDir))
+    val oneShotDir = Files.createTempDirectory("cidx-overflow-oneshot").toString
+    ClusterIndex.build(df(oldDocs ++ batch), oneShotDir)
+    assert(after == assignments(ClusterIndex.load(spark, oneShotDir)),
+      "append must equal one-shot in the over-cap regime")
+    val m = after.toMap
+    assert(!m.contains(1L), "retracted family must dissolve")
+    assert(m.get(100L).contains(100L) && m.get(101L).contains(100L))
+  }
 }

@@ -69,4 +69,52 @@ class DedupIndexSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(fps.nonEmpty && fps.forall(bf.mightContain))
   }
+
+  test("ingest resurrects pending docs when a batch pushes a bucket past the cap") {
+    import spark.implicits._
+    // deterministic over-cap construction: a 5-word base repeated k
+    // times has the SAME 3-shingle SET for every k ≥ 2 (the windows are
+    // the base's five rotations), so every doc gets an identical
+    // MinHash signature — one LSH bucket per band holding ALL docs —
+    // while distinct k gives each doc a distinct fingerprint (exact
+    // rule clean). 30 seed docs + batch1's 20 leave the bucket at 50
+    // (under the ≤64 cap → all 20 near-dropped, pending); batch2's 20
+    // push it to 70 — the one-shot form skips the over-cap bucket, so
+    // ALL 40 ingested docs are one-shot survivors: batch2's survive on
+    // the spot and batch1's must RESURRECT.
+    val base = "alpha beta gamma delta epsilon"
+    def doc(i: Long) = i -> Seq.fill(2 + i.toInt)(base).mkString(" ")
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val seeds = (1L to 30L).map(doc)
+    val b1 = (31L to 50L).map(doc)
+    val b2 = (51L to 70L).map(doc)
+
+    val idxDir = Files.createTempDirectory("didx-resurrect").toString
+    DedupIndex.build(df(seeds), idxDir)
+    val e1 = DedupIndex.ingest(spark, df(b1), idxDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(e1.isEmpty, s"under-cap batch must fully near-drop: $e1")
+    val e2 = DedupIndex.ingest(spark, df(b2), idxDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(e2 == (31L to 70L).toSet,
+      s"crossing batch must emit itself AND resurrect batch1: $e2")
+
+    // accumulated emissions equal the one-shot evaluation of the full
+    // frame (seeds old, everything ingested new)
+    val frame = df(seeds).withColumn("is_old", lit(true))
+      .unionByName(df(b1 ++ b2).withColumn("is_old", lit(false)))
+    val oneShot = DedupQueries.dedupIncrementalCore(
+        DedupQueries.fpSig(frame.select("doc_id", "text"))
+          .join(frame.select("doc_id", "is_old"), Seq("doc_id"))
+          .select("doc_id", "is_old", "fp", "sig"))
+      .collect().map(_.getLong(0)).toSet
+    assert((e1 ++ e2) == oneShot)
+
+    // and a third, non-crossing batch behaves (bucket already over cap:
+    // no near causes, distinct fps → all survive; nothing re-resurrects)
+    val b3 = (71L to 75L).map(doc)
+    val e3 = DedupIndex.ingest(spark, df(b3), idxDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(e3 == (71L to 75L).toSet)
+  }
 }
