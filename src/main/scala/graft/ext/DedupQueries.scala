@@ -777,6 +777,98 @@ object DedupQueries {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** MAXIMAL REPEATED SPANS — the distributed stand-in for the
+    * suffix-array exact-substring pass of Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 §4.1, the ExactSubstr dedup), completing the
+    * family beside [[dupSpans]]' per-window duplicate FRACTION: where
+    * dup_spans answers "how much of this doc is duplicated",
+    * lrs_spans answers "WHERE, and how LONG are the repeats" — the
+    * maximal-span geometry the suffix-array emits, which is what you
+    * need to CUT the duplicated text out rather than drop the doc.
+    *
+    * Algorithm: every token position contributes its 5-gram window
+    * hash (positions kept, unlike dup_spans' per-doc distinct); a
+    * window repeated anywhere in the corpus (count ≥ 2 over all
+    * positions — self-repeats included, matching suffix-array
+    * semantics) marks its position duplicated; per doc, maximal RUNS
+    * of consecutive duplicated positions stitch into spans of token
+    * length (run + 4) — exactly the maximal repeated substrings of
+    * length ≥ 5 a suffix array reports, modulo the standard windowed
+    * caveat that adjacent windows may match DIFFERENT partners (the
+    * span is then a cover of overlapping repeats; Lee et al.'s
+    * pipeline merges those too). Gaps-and-islands does the stitching:
+    * island id = pos − row_number() within the doc.
+    *
+    * Scale: the corpus-wide stage is ONE window count keyed by hash
+    * (huge key space — no skew beyond genuine boilerplate, and a
+    * boilerplate hash's partition carries counts, not text); the
+    * stitching windows are PARTITIONED by doc_id (never global); no
+    * driver-side state. A 100 TB corpus adds positions linearly and
+    * nothing quadratic exists anywhere.
+    */
+  def lrsSpans(spark: SparkSession, dir: String): DataFrame =
+    lrsSpansOn(Tables(spark, dir, "documents"))
+
+  /** The windowed span-stitching core over any (doc_id, text) frame —
+    * extracted so LrsSpansSpec can pin the span geometry on crafted
+    * documents with known repeats.
+    */
+  private[ext] def lrsSpansOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs
+      .repartition(col("doc_id"))
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(words) - 4),
+             i -> named_struct('pos', cast(i AS bigint),
+                               'h', md5(concat_ws(' ', slice(words, i, 5)))))"""))
+        .as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+    val dup = pos
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("c") >= 2)
+      .select("doc_id", "pos")
+    val spans = dup
+      .withColumn("g", col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "g")
+      .agg((max("pos") - min("pos") + 5).as("span_len"))
+    spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        max("span_len").as("max_span"),
+        sum("span_len").as("dup_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val lrsSpansSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, len(ws) - 3),
+      |        i -> struct_pack(pos := CAST(i AS BIGINT),
+      |               h := md5(array_to_string(ws[i:i+4], ' '))))) AS u
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |    WHERE len(ws) >= 5)),
+      |dup AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS c FROM w)
+      |  WHERE c >= 2),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      |  FROM dup),
+      |sp AS (
+      |  SELECT doc_id, CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS span_len
+      |  FROM isl GROUP BY doc_id, g)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |  CAST(MAX(span_len) AS BIGINT) AS max_span,
+      |  CAST(SUM(span_len) AS BIGINT) AS dup_tokens
+      |FROM sp
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** CONTENT-DEFINED CHUNKING dedup — the byte-level, SHIFT-RESISTANT
     * complement to [[dupSpans]]' word-5-gram spans: chunk boundaries are
     * cut wherever the hash of the trailing w=8-char window satisfies
@@ -1391,6 +1483,7 @@ object DedupQueries {
     "simhash_pairs" -> ((simhashPairs _, simhashPairsSql)),
     "jaccard_pairs" -> ((jaccardPairs _, jaccardPairsSql)),
     "dup_spans" -> ((dupSpans _, dupSpansSql)),
+    "lrs_spans" -> ((lrsSpans _, lrsSpansSql)),
     "cdc_chunks" -> ((cdcChunks _, cdcChunksSql)),
     "embed_dup_pairs" -> ((embedDupPairs _, embedDupPairsSql)),
     "semdedup" -> ((semDedup _, semDedupSql)),

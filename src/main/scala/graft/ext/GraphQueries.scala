@@ -86,6 +86,94 @@ object GraphQueries {
        |SELECT node, rank FROM fin ORDER BY rank DESC, node LIMIT 20""".stripMargin
   }
 
+  /** PERSONALIZED PageRank over the same supply graph: the teleport
+    * mass lands ONLY on a seed set (nation-0's suppliers) instead of
+    * uniformly, so ranks measure proximity TO THE SEEDS — the
+    * "similar items / local influence" query PageRank's global
+    * centrality can't answer (Page et al.'s personalization vector;
+    * the standard recommender/graph-retrieval form). Same exact
+    * integer discipline as [[pageRank]]: per-node update is
+    * `(15·tp + 85·Σ contrib) div 100` with `tp = 10¹²` for seeds and
+    * `0` elsewhere, so non-seed rank is pure propagated mass and every
+    * iteration replays bit-for-bit in the oracle.
+    *
+    * Scale shape: identical to [[pageRank]] — edges build once, hold
+    * their `s`-partitioning across rounds, only rank tables move; the
+    * teleport table is node-keyed and persists co-partitioned with the
+    * per-round aggregate's key so the post-aggregation join never
+    * re-exchanges the big side. Seeds are a FILTER, never a collected
+    * list — a 10⁹-node seed set works the same way.
+    */
+  def personalizedPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables(spark, dir, "lineitem")
+      .select((col("l_partkey").cast("long") * 2).as("s"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("t"))
+      .distinct()
+    val seeds = Tables(spark, dir, "supplier")
+      .filter(col("s_nationkey") === 0)
+      .select((col("s_suppkey").cast("long") * 2 + 1).as("node"))
+      .distinct()
+    pprOn(e0, seeds)
+  }
+
+  /** The personalized iterative core over a directed edge list `(s, t)`
+    * (symmetrized) and a seed node frame — extracted so
+    * GraphQueriesSpec can pin it against a reference loop.
+    */
+  private[ext] def pprOn(e0: DataFrame, seeds: DataFrame): DataFrame = {
+    val e = e0.unionByName(e0.select(col("t").as("s"), col("s").as("t")))
+    val deg = e.groupBy("s").agg(count(lit(1)).as("deg"))
+    val ed = e.join(deg, "s").repartition(col("s")).persist()
+    val tele = deg.select(col("s").as("node"))
+      .join(seeds.withColumn("is_seed", lit(true)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("is_seed"), lit(RankScale)).otherwise(lit(0L)).as("tp"))
+      .repartition(col("node")).persist()
+    try {
+      val init = tele.select(col("node"), col("tp").as("rank"))
+      val ranks = (1 to Iters).foldLeft(init) { (r, _) =>
+        ed.join(r.withColumnRenamed("node", "s"), "s")
+          .select(col("t"), expr("rank div deg").as("contrib"))
+          .groupBy("t").agg(sum("contrib").as("csum"))
+          .select(col("t").as("node"), col("csum"))
+          .join(tele, Seq("node"))
+          .select(col("node"),
+            expr("(15 * tp + 85 * csum) div 100").as("rank"))
+      }
+      ranks.filter(col("rank") > 0)
+        .orderBy(desc("rank"), asc("node")).limit(20)
+        .localCheckpoint()
+    } finally { ed.unpersist(); tele.unpersist() }
+  }
+
+  private def pprIterSql(i: Int): String =
+    s"""r$i AS (SELECT x.node,
+       |    CAST((15 * tp.tp + 85 * x.csum) // 100 AS BIGINT) AS rank
+       |  FROM (SELECT e.t AS node,
+       |          CAST(SUM(r${i - 1}.rank // d.deg) AS BIGINT) AS csum
+       |        FROM e JOIN r${i - 1} ON e.s = r${i - 1}.node
+       |        JOIN d ON e.s = d.node
+       |        GROUP BY e.t) x
+       |  JOIN tp ON tp.node = x.node),""".stripMargin
+
+  val personalizedPageRankSql: String = {
+    val rounds = (1 to Iters).map(pprIterSql).mkString("\n")
+    s"""WITH e0 AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 AS s,
+       |                   CAST(l_suppkey AS BIGINT) * 2 + 1 AS t FROM lineitem),
+       |e AS (SELECT s, t FROM e0 UNION ALL SELECT t AS s, s AS t FROM e0),
+       |d AS (SELECT s AS node, COUNT(*) AS deg FROM e GROUP BY s),
+       |seeds AS (SELECT DISTINCT CAST(s_suppkey AS BIGINT) * 2 + 1 AS node
+       |          FROM supplier WHERE s_nationkey = 0),
+       |tp AS (SELECT d.node,
+       |    CASE WHEN seeds.node IS NOT NULL
+       |         THEN CAST($RankScale AS BIGINT) ELSE 0 END AS tp
+       |  FROM d LEFT JOIN seeds ON seeds.node = d.node),
+       |r0 AS (SELECT node, tp AS rank FROM tp),
+       |$rounds
+       |fin AS (SELECT node, rank FROM r$Iters WHERE rank > 0)
+       |SELECT node, rank FROM fin ORDER BY rank DESC, node LIMIT 20""".stripMargin
+  }
+
   /** EXACT TRIANGLE COUNTING over the supplier CO-SUPPLY BACKBONE
     * (suppliers adjacent iff they supply a common part — the bipartite
     * supply graph itself has no triangles), with per-supplier
@@ -764,6 +852,7 @@ object GraphQueries {
   def all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "min_cost_route" -> ((minCostRoute _, minCostRouteSql)),
     "pagerank_supply" -> ((pageRank _, pageRankSql)),
+    "ppr_supply" -> ((personalizedPageRank _, personalizedPageRankSql)),
     "triangles_cosupply" -> ((triangles _, trianglesSql)),
     "graph_bfs_hops" -> ((bfsHops _, bfsHopsSql)),
     "label_propagation" -> ((labelPropagation _, labelPropagationSql)),

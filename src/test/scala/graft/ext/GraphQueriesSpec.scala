@@ -40,6 +40,41 @@ class GraphQueriesSpec extends SparkSpec {
     assert(want(0L) > want(1L))
   }
 
+  /** Personalized replica: teleport mass only on seeds, rank0 = seed
+    * indicator · Scale, update `(15·tp + 85·Σ) div 100`.
+    */
+  private def refPpr(edges: Seq[(Long, Long)], seeds: Set[Long]): Map[Long, Long] = {
+    val e = (edges ++ edges.map(_.swap)).distinct
+    val deg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def tp(n: Long) = if (seeds(n)) Scale else 0L
+    var rank = deg.keys.map(n => n -> tp(n)).toMap
+    for (_ <- 1 to 3) {
+      val contribs = e.groupBy(_._2).map { case (t, in) =>
+        t -> in.map { case (s, _) => rank(s) / deg(s) }.sum
+      }
+      rank = contribs.map { case (n, sum) => n -> (15L * tp(n) + 85L * sum) / 100L }
+    }
+    rank.filter(_._2 > 0)
+  }
+
+  test("personalized ranks == reference loop; mass localizes at the seeds") {
+    import spark.implicits._
+    // same crafted graph; seeds = the 3-cycle's nodes — the star and
+    // the pendant pair are unreachable from the seeds, so their rank
+    // must be exactly 0 (filtered out of both forms)
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L),
+      (5L, 6L), (6L, 7L), (7L, 5L), (8L, 9L))
+    val seeds = Set(5L, 6L)
+    val got = GraphQueries.pprOn(edges.toDF("s", "t"),
+        seeds.toSeq.toDF("node"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = refPpr(edges, seeds)
+    assert(got == want)
+    assert(got.keySet == Set(5L, 6L, 7L), s"mass escaped the component: $got")
+    // seeds outrank the non-seed cycle member (teleport bias)
+    assert(got(5L) > got(7L) && got(6L) > got(7L))
+  }
+
   test("corpus ranks are positive, distinct-node, and correctly ordered") {
     val rows = GraphQueries.pageRank(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
