@@ -101,11 +101,15 @@ object Bench {
     // entries before 'r'). The repo-local copy is the durable record:
     // committed per round, it keeps round-over-round per-query
     // comparison possible from git history alone. Best-effort — a
-    // read-only checkout must not fail the bench.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."))
-        .resolve("BENCH_LOCAL.json"), json + "\n")
-    catch { case NonFatal(_) => () }
+    // read-only checkout must not fail the bench. FILTERED runs
+    // (SPARK_GRAFT_BENCH_ONLY set) never touch it: a 2-query iteration
+    // sweep must not clobber the committed full-suite record (it did,
+    // twice, in r13 — the sf1 sweep overwrote the r12 reference).
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."))
+          .resolve("BENCH_LOCAL.json"), json + "\n")
+      catch { case NonFatal(_) => () }
     spark.stop()
   }
 

@@ -869,6 +869,126 @@ object DedupQueries {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** APPLY THE CUT that [[lrsSpans]] detects — the second half of the
+    * Lee-et-al. ExactSubstr pipeline (arXiv:2107.06499 §4.1 removes
+    * all-but-one occurrence of every repeated substring; detection
+    * alone doesn't shrink the corpus): emit each affected document's
+    * CLEANED text with non-canonical repeated spans deleted.
+    *
+    * Keeper rule (deterministic, corpus-order-free): a span's identity
+    * is its FIRST window's hash; the canonical occurrence of a hash is
+    * the lexicographically minimal (doc_id, pos) among all its
+    * positions; a span survives iff its (doc_id, start) IS that
+    * canonical occurrence — every other copy is cut. (A hash whose
+    * canonical occurrence sits MID-island starts no span, so all spans
+    * of that identity are cut — the covering island text survives via
+    * its own identity if it is canonical; this is the defined
+    * semantics, same spirit as ExactSubstr's arbitrary-but-fixed
+    * keeper.) A token is removed iff any removed span covers it.
+    *
+    * Scale: [[lrsSpans]]' two corpus stages plus one hash-keyed
+    * canonical aggregate (computed on the duplicated positions only —
+    * every occurrence of a duplicated hash is itself a duplicated
+    * position, so nothing is lost) and a doc-keyed reconstruction join;
+    * the words projection and the window stream each checkpoint once
+    * (three consumers each — the minhashPairs duplicate-subtree trap).
+    */
+  def lrsDedup(spark: SparkSession, dir: String): DataFrame =
+    lrsDedupOn(Tables(spark, dir, "documents"))
+
+  private[ext] def lrsDedupOn(docsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = docsIn.repartition(col("doc_id"))
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), col("words"),
+        size(col("words")).cast("long").as("n"))
+      .localCheckpoint(false)
+    val pos = docs.filter(col("n") >= 5)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, cast(n AS int) - 4),
+             i -> named_struct('pos', cast(i AS bigint),
+                               'h', md5(concat_ws(' ', slice(words, i, 5)))))"""))
+        .as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+    val dup = pos
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("c") >= 2).select("doc_id", "pos", "h")
+      .localCheckpoint(false)
+    val spans = dup
+      .withColumn("g", col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "g")
+      .agg(min("pos").as("s"), (max("pos") + 4).as("e"),
+        expr("min_by(h, pos)").as("fh"))
+    val canon = dup.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("cn"))
+      .select(col("h").as("fh"),
+        col("cn.doc_id").as("cdoc"), col("cn.pos").as("cpos"))
+    val removed = spans.join(canon, Seq("fh"))
+      .filter(!(col("doc_id") === col("cdoc") && col("s") === col("cpos")))
+      .groupBy("doc_id")
+      .agg(expr("array_sort(collect_list(struct(s, e)))").as("ranges"))
+    docs.join(removed, Seq("doc_id"))
+      .withColumn("kept", expr(
+        """filter(sequence(1, n), j ->
+             NOT exists(ranges, r -> j >= r.s AND j <= r.e))"""))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        (col("n") - size(col("kept"))).cast("long").as("n_removed"),
+        expr("concat_ws(' ', transform(kept, j -> words[cast(j AS int) - 1]))")
+          .as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  val lrsDedupSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, len(ws) - 3),
+      |        i -> struct_pack(pos := CAST(i AS BIGINT),
+      |               h := md5(array_to_string(ws[i:i+4], ' '))))) AS u
+      |    FROM docs WHERE n >= 5)),
+      |dup AS (
+      |  SELECT doc_id, pos, h FROM (
+      |    SELECT doc_id, pos, h, COUNT(*) OVER (PARTITION BY h) AS c FROM w)
+      |  WHERE c >= 2),
+      |isl AS (
+      |  SELECT doc_id, pos, h,
+      |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      |  FROM dup),
+      |sp AS (
+      |  SELECT doc_id, MIN(pos) AS s, CAST(MAX(pos) + 4 AS BIGINT) AS e,
+      |    arg_min(h, pos) AS fh
+      |  FROM isl GROUP BY doc_id, g),
+      |canon AS (
+      |  SELECT h AS fh, doc_id AS cdoc, pos AS cpos FROM (
+      |    SELECT h, doc_id, pos,
+      |      ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      |    FROM dup) WHERE rn = 1),
+      |rem AS (
+      |  SELECT sp.doc_id,
+      |    list(struct_pack(s := sp.s, e := sp.e) ORDER BY sp.s) AS ranges
+      |  FROM sp JOIN canon ON canon.fh = sp.fh
+      |  WHERE NOT (sp.doc_id = canon.cdoc AND sp.s = canon.cpos)
+      |  GROUP BY sp.doc_id),
+      |k AS (
+      |  SELECT d.doc_id, d.n, d.ws,
+      |    list_filter(range(1, d.n + 1), j ->
+      |      len(list_filter(r.ranges, rr -> j >= rr.s AND j <= rr.e)) = 0)
+      |      AS kept
+      |  FROM docs d JOIN rem r USING (doc_id))
+      |SELECT doc_id, n AS n_tokens,
+      |  CAST(n - len(kept) AS BIGINT) AS n_removed,
+      |  -- a fully-removed doc yields the empty string, as Spark's
+      |  -- concat_ws does (DuckDB's array_to_string returns NULL there)
+      |  COALESCE(array_to_string(list_transform(kept, j -> ws[CAST(j AS INT)]),
+      |    ' '), '') AS clean_text
+      |FROM k
+      |ORDER BY doc_id""".stripMargin
+
   /** CONTENT-DEFINED CHUNKING dedup — the byte-level, SHIFT-RESISTANT
     * complement to [[dupSpans]]' word-5-gram spans: chunk boundaries are
     * cut wherever the hash of the trailing w=8-char window satisfies
@@ -1484,6 +1604,7 @@ object DedupQueries {
     "jaccard_pairs" -> ((jaccardPairs _, jaccardPairsSql)),
     "dup_spans" -> ((dupSpans _, dupSpansSql)),
     "lrs_spans" -> ((lrsSpans _, lrsSpansSql)),
+    "lrs_dedup" -> ((lrsDedup _, lrsDedupSql)),
     "cdc_chunks" -> ((cdcChunks _, cdcChunksSql)),
     "embed_dup_pairs" -> ((embedDupPairs _, embedDupPairsSql)),
     "semdedup" -> ((semDedup _, semDedupSql)),

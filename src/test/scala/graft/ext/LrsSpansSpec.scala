@@ -54,4 +54,29 @@ class LrsSpansSpec extends SparkSpec {
     assert(got(10L) == ((2L, 6L, 12L)), s"doc10: ${got.get(10L)}")
     assert(!got.contains(11L))
   }
+
+  test("lrs_dedup cuts every non-canonical copy and keeps the canonical one") {
+    import spark.implicits._
+    val run8 = "k1 k2 k3 k4 k5 k6 k7 k8"
+    val run6 = "s1 s2 s3 s4 s5 s6"
+    val docs = Seq(
+      // cross-doc repeat: canonical = (doc 1, its start) → doc 2's copy cut
+      1L -> s"a1 a2 $run8 a3",
+      2L -> s"b1 $run8 b2",
+      // self-repeat: first copy canonical, second cut
+      10L -> s"x1 x2 $run6 y1 y2 y3 $run6 z1",
+      // untouched doc: absent from the output
+      20L -> "u1 u2 u3 u4 u5 u6 u7"
+    ).toDF("doc_id", "text")
+    val got = DedupQueries.lrsDedupOn(docs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // doc 1 holds only the KEPT copy → no removed span → absent
+    assert(!got.contains(1L), s"canonical doc must be untouched: ${got.get(1L)}")
+    assert(got(2L) == ((10L, 8L, "b1 b2")), s"doc2: ${got.get(2L)}")
+    assert(got(10L) == ((18L, 6L, s"x1 x2 $run6 y1 y2 y3 z1")),
+      s"doc10: ${got.get(10L)}")
+    assert(!got.contains(20L))
+  }
 }
