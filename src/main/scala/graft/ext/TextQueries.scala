@@ -956,6 +956,91 @@ object TextQueries {
     * integer ratios (the [[nbLangClassify]] discipline); pairs need
     * c_xy ≥ 3 support; top-20 by (pmi, x, y) as TakeOrdered.
     */
+  /** TEXTRANK KEYWORDS (Mihalcea & Tarau 2004) — graph-based keyword
+    * extraction: words are nodes, adjacency co-occurrences are weighted
+    * edges, and importance is the stationary rank on that graph — the
+    * unsupervised keyword signal next to [[tokenPmi]]'s pairwise
+    * association (PMI scores PAIRS; TextRank scores WORDS by their
+    * whole neighborhood). Runs the weighted PageRank update in the
+    * EXACT INTEGER discipline of [[GraphQueries.pageRank]]: ranks in
+    * 10¹² mass units, per-edge contribution `rank·w div strength(s)`
+    * on DECIMAL(38)/HUGEINT (rank·w clears 2⁶³ at corpus-scale edge
+    * weights — the pareto_abc overflow lesson pre-applied), damping
+    * `(15·10¹² + 85·Σ) div 100`, 3 rounds, bit-exact oracle replay.
+    *
+    * Scale shape: the bigram edge aggregate is one corpus pass + one
+    * (s,t) shuffle to VOCABULARY-sized tables (Heaps-sublinear);
+    * edges persist with their `s`-partitioning across rounds, only
+    * the rank table moves; top-20 is TakeOrdered.
+    */
+  def keywordTextrank(spark: SparkSession, dir: String): DataFrame = {
+    val bi = Tables(spark, dir, "documents")
+      .select(split(lower(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        """filter(transform(sequence(1, size(ws) - 1),
+             i -> named_struct('a', ws[i-1], 'b', ws[i])),
+           p -> p.a != '' AND p.b != '' AND p.a != p.b)""")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val e = bi.select(col("a").as("s"), col("b").as("t"))
+      .unionAll(bi.select(col("b").as("s"), col("a").as("t")))
+      .groupBy("s", "t").agg(count(lit(1)).as("w"))
+    val strength = e.groupBy("s").agg(sum("w").as("strength"))
+    val ed = e.join(strength, "s").repartition(col("s")).persist()
+    try {
+      val init = strength.select(col("s").as("node"),
+        lit(1000000000000L).as("rank"))
+      val ranks = (1 to 3).foldLeft(init) { (r, _) =>
+        ed.join(r.withColumnRenamed("node", "s"), "s")
+          .select(col("t"), expr(
+            "CAST(rank AS DECIMAL(38,0)) * w div strength").as("contrib"))
+          .groupBy("t")
+          .agg(expr(
+            "CAST((15 * 1000000000000 + 85 * sum(contrib)) div 100 AS BIGINT)")
+            .as("rank"))
+          .select(col("t").as("node"), col("rank"))
+      }
+      ranks.orderBy(desc("rank"), asc("node")).limit(20)
+        .select(col("node").as("word"), col("rank"))
+        .localCheckpoint()
+    } finally ed.unpersist()
+  }
+
+  private def textrankIterSql(i: Int): String =
+    s"""r$i AS (SELECT e.t AS node,
+       |    CAST((15 * 1000000000000 + 85 *
+       |          SUM(CAST(r${i - 1}.rank AS HUGEINT) * e.w // d.strength))
+       |         // 100 AS BIGINT) AS rank
+       |  FROM e JOIN r${i - 1} ON e.s = r${i - 1}.node
+       |  JOIN d ON e.s = d.node
+       |  GROUP BY e.t),""".stripMargin
+
+  val keywordTextrankSql: String = {
+    val rounds = (1 to 3).map(textrankIterSql).mkString("\n")
+    s"""WITH ws0 AS (
+       |  SELECT string_split(lower(text), ' ') AS ws FROM documents
+       |  WHERE len(string_split(lower(text), ' ')) >= 2),
+       |bi AS (
+       |  SELECT a, b FROM (
+       |    SELECT u.a AS a, u.b AS b FROM (
+       |      SELECT unnest(list_transform(range(1, len(ws)),
+       |        i -> struct_pack(a := ws[i], b := ws[i+1]))) AS u
+       |      FROM ws0))
+       |  WHERE a != '' AND b != '' AND a != b),
+       |e AS (
+       |  SELECT s, t, CAST(COUNT(*) AS BIGINT) AS w FROM (
+       |    SELECT a AS s, b AS t FROM bi
+       |    UNION ALL SELECT b AS s, a AS t FROM bi)
+       |  GROUP BY s, t),
+       |d AS (SELECT s AS node, CAST(SUM(w) AS BIGINT) AS strength
+       |      FROM e GROUP BY s),
+       |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM d),
+       |$rounds
+       |fin AS (SELECT node, rank FROM r3)
+       |SELECT node AS word, rank FROM fin
+       |ORDER BY rank DESC, word LIMIT 20""".stripMargin
+  }
+
   def tokenPmi(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir, "documents")
@@ -2478,6 +2563,7 @@ object TextQueries {
       ((classifierCalibration _, classifierCalibrationSql)),
     "nb_lang_classify" -> ((nbLangClassify _, nbLangClassifySql)),
     "token_pmi" -> ((tokenPmi _, tokenPmiSql)),
+    "keyword_textrank" -> ((keywordTextrank _, keywordTextrankSql)),
     "text_burstiness" -> ((textBurstiness _, textBurstinessSql)),
     "zipf_fit" -> ((zipfFit _, zipfFitSql)),
     "char_entropy" -> ((charEntropy _, charEntropySql)),

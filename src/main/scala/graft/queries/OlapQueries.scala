@@ -2428,6 +2428,82 @@ object OlapQueries {
       |FROM m
       |ORDER BY day""".stripMargin
 
+  /** CUSUM CHANGEPOINT on the daily revenue series — WHERE did the
+    * level shift (Page 1954's cumulative-sum statistic, the classic
+    * single-changepoint locator next to [[revenueDrawdown]]'s
+    * peak-to-trough geometry): S_i = Σ_{j≤i}(x_j − x̄), the changepoint
+    * is the day maximizing |S_i|, and the report carries the exact
+    * mean level before and after the split. DIVISION-FREE exactness:
+    * instead of subtracting the fractional mean, every deviation is
+    * scaled by the day count — S'_i = Σ_{j≤i}(x_j·D − T) = D·S_i with
+    * T = Σx — so the argmax runs on exact integers (DECIMAL(38) /
+    * HUGEINT: cents·D·days clears 2⁶³ between sf1 and sf10, the
+    * pareto_abc overflow lesson applied BEFORE the rehearsal finds
+    * it); the two means come out as the half-up integer-micros idiom
+    * at the very end. Ties on |S'| break to the EARLIEST day.
+    *
+    * Scale: one corpus aggregate to the calendar-bounded daily
+    * rollup; the cumulative windows order `d` on that rollup —
+    * the PlanAuditSpec §global-windows calendar class.
+    */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(floor(sum(dec(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    val cum = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    val scored = daily
+      .withColumn("dn", count(lit(1)).over(all))
+      .withColumn("tot", sum(expr("CAST(cents AS DECIMAL(38,0))")).over(all))
+      .withColumn("cumc", sum(expr("CAST(cents AS DECIMAL(38,0))")).over(cum))
+      .withColumn("i", row_number().over(Window.orderBy("d")).cast("long"))
+      .withColumn("s", col("cumc") * col("dn") - col("tot") * col("i"))
+    scored
+      // global argmax as TakeOrdered (never a rank window/total sort)
+      .orderBy(abs(col("s")).desc, col("d")).limit(1)
+      .select(col("d").as("changepoint_day"), col("i").as("day_index"),
+        col("dn").as("n_days"),
+        // |S| in plain (unscaled-by-D) cents, floor division — display
+        expr("CAST(abs(s) div dn AS BIGINT)").as("abs_cusum_cents"),
+        expr("""(2 * cumc * 1000000 + i) div (2 * i) / 1e6""")
+          .as("mean_before_cents"),
+        expr("""CASE WHEN dn = i THEN CAST(NULL AS DOUBLE)
+                ELSE (2 * (tot - cumc) * 1000000 + (dn - i))
+                       div (2 * (dn - i)) / 1e6 END""")
+          .as("mean_after_cents"))
+  }
+
+  val cusumChangepointSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100)
+      |         AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |sc AS (
+      |  SELECT d,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS dn,
+      |    CAST(SUM(CAST(cents AS HUGEINT)) OVER () AS HUGEINT) AS tot,
+      |    CAST(SUM(CAST(cents AS HUGEINT)) OVER (ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+      |      AS cumc,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS i
+      |  FROM daily),
+      |s2 AS (
+      |  SELECT *, cumc * dn - tot * i AS s FROM sc),
+      |top AS (
+      |  SELECT * FROM s2 ORDER BY abs(s) DESC, d LIMIT 1)
+      |SELECT d AS changepoint_day, i AS day_index, dn AS n_days,
+      |  CAST(abs(s) // dn AS BIGINT) AS abs_cusum_cents,
+      |  CAST((2 * cumc * 1000000 + i) // (2 * i) AS BIGINT) / 1e6
+      |    AS mean_before_cents,
+      |  CASE WHEN dn = i THEN CAST(NULL AS DOUBLE)
+      |  ELSE CAST((2 * (tot - cumc) * 1000000 + (dn - i))
+      |            // (2 * (dn - i)) AS BIGINT) / 1e6 END
+      |    AS mean_after_cents
+      |FROM top""".stripMargin
+
   /** OPEN-ORDER AGING — the unfulfilled backlog bucketed by how long
     * each open order ('O' status) has been waiting, measured against
     * the dataset's max order date (the "as of" instant a live system
@@ -2595,6 +2671,7 @@ object OlapQueries {
     "window_dist" -> ((windowDist _, windowDistSql)),
     "return_rates" -> ((returnRates _, returnRatesSql)),
     "revenue_drawdown" -> ((revenueDrawdown _, revenueDrawdownSql)),
+    "cusum_changepoint" -> ((cusumChangepoint _, cusumChangepointSql)),
     "open_order_aging" -> ((openOrderAging _, openOrderAgingSql)),
     "priority_mix_shift" -> ((priorityMixShift _, priorityMixShiftSql)),
     "simpson_check" -> ((simpsonCheck _, simpsonCheckSql)),

@@ -391,6 +391,7 @@ class PlanAuditSpec extends SparkSpec {
     "ks_drift" -> Set("cents", "dnum"),          // cents value grid
     "range_partition_bounds" -> Set("bin"),      // 1024 literal bins
     "revenue_drawdown" -> Set("d"),              // calendar daily rollup
+    "cusum_changepoint" -> Set("d"),             // calendar daily rollup
     "survival_km" -> Set("t"),                   // distinct gap days ≤ timespan
     "window_rank_stats" -> Set("revenue", "n_name")) // 25-nation aggregate
 
