@@ -849,6 +849,88 @@ object GraphQueries {
       |FROM unlinked
       |ORDER BY aa_micros DESC, a, b LIMIT 20""".stripMargin
 
+  /** GRID DBSCAN — density clustering in the distributed-friendly
+    * grid formulation (cells of fixed ε-width stand in for the ε-ball;
+    * the GriDBSCAN/NG-DBSCAN lineage): bucket (extended price,
+    * quantity) into a 2-D grid, mark cells whose density clears a
+    * RELATIVE threshold (≥ 1.15× the average cell count, as the exact
+    * cross-multiply `20·n·#cells ≥ 23·total` — scale-invariant where a
+    * fixed minPts silently flips core↔noise between sf0.01 and sf1),
+    * and connect core cells through their 8-neighborhood with the SAME
+    * min-label CC fixpoint as `dedup_clusters`
+    * ([[DedupQueries.ccLabels]]). Output is the bounded cell-cluster
+    * table: id (= min cell key), cell/point counts, bounding box.
+    *
+    * Scale: ONE corpus aggregate to the value-grid-bounded cell table
+    * (the ks_drift/classifier_auc grid argument — the price×quantity
+    * grid is capped by the VALUE RANGES, not the corpus); everything
+    * after runs on cells. Neighbor edges come from an 8-row broadcast
+    * offset table, never a cell self-join. The oracle replays the
+    * fixpoint as a recursive min-label CTE.
+    */
+  def dbscanGrid(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir, "lineitem")
+      .select(expr("CAST(l_extendedprice * 100 AS BIGINT) div 500000").as("cx"),
+        expr("CAST(l_quantity AS BIGINT) div 5").as("cy"))
+      .groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum("n").as("tot"), count(lit(1)).as("nc"))
+    val core = cells.crossJoin(broadcast(tot))
+      .filter(col("n") * col("nc") * 20 >= col("tot") * 23)
+      .select(col("cx"), col("cy"), col("n"),
+        (col("cx") * 1024 + col("cy")).as("k"))
+      .localCheckpoint(false) // feeds both edge sides + the final agg
+    val offs = Seq((-1L, -1L), (-1L, 0L), (-1L, 1L), (0L, -1L),
+      (0L, 1L), (1L, -1L), (1L, 0L), (1L, 1L))
+    import spark.implicits._
+    val offDf = offs.toDF("dx", "dy")
+    val edges = core.select(col("k").as("src"), col("cx"), col("cy"))
+      .crossJoin(broadcast(offDf))
+      .select(col("src"), (col("cx") + col("dx")).as("nx"),
+        (col("cy") + col("dy")).as("ny"))
+      .join(core.select(col("k").as("dst"), col("cx").as("nx"),
+        col("cy").as("ny")), Seq("nx", "ny"))
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+    val labels = DedupQueries.ccLabels(edges)
+      .withColumnRenamed("doc_id", "k")
+    core
+      .join(labels, Seq("k"), "left")
+      // a core cell with no core neighbor is its own (singleton) cluster
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("k")))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_cells"), sum("n").as("n_points"),
+        min("cx").as("min_cx"), max("cx").as("max_cx"),
+        min("cy").as("min_cy"), max("cy").as("max_cy"))
+      .orderBy("cluster_id")
+  }
+
+  val dbscanGridSql: String =
+    """WITH RECURSIVE cells AS (
+      |  SELECT CAST(l_extendedprice * 100 AS BIGINT) // 500000 AS cx,
+      |    CAST(l_quantity AS BIGINT) // 5 AS cy,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM lineitem GROUP BY 1, 2),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot,
+      |             CAST(COUNT(*) AS BIGINT) AS nc FROM cells),
+      |core AS (
+      |  SELECT cx, cy, n, cx * 1024 + cy AS k FROM cells CROSS JOIN t
+      |  WHERE n * nc * 20 >= tot * 23),
+      |e0 AS (
+      |  SELECT a.k AS src, b.k AS dst FROM core a JOIN core b
+      |  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1 AND a.k != b.k),
+      |lab AS (
+      |  SELECT k AS cell, k AS lab FROM core
+      |  UNION
+      |  SELECT e0.dst, lab.lab FROM lab JOIN e0 ON e0.src = lab.cell),
+      |cl AS (SELECT cell, MIN(lab) AS cluster_id FROM lab GROUP BY cell)
+      |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |  CAST(SUM(n) AS BIGINT) AS n_points,
+      |  MIN(cx) AS min_cx, MAX(cx) AS max_cx,
+      |  MIN(cy) AS min_cy, MAX(cy) AS max_cy
+      |FROM cl JOIN core ON core.k = cl.cell
+      |GROUP BY cluster_id
+      |ORDER BY cluster_id""".stripMargin
+
   def all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "min_cost_route" -> ((minCostRoute _, minCostRouteSql)),
     "pagerank_supply" -> ((pageRank _, pageRankSql)),
@@ -859,6 +941,7 @@ object GraphQueries {
     "degree_dist" -> ((degreeDist _, degreeDistSql)),
     "kcore_peel" -> ((kcorePeel _, kcorePeelSql)),
     "hits_scores" -> ((hitsScores _, hitsScoresSql)),
-    "link_prediction" -> ((linkPrediction _, linkPredictionSql))
+    "link_prediction" -> ((linkPrediction _, linkPredictionSql)),
+    "dbscan_grid" -> ((dbscanGrid _, dbscanGridSql))
   )
 }
