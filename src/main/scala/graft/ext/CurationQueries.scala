@@ -390,6 +390,106 @@ object CurationQueries {
       |GROUP BY c_nationkey, c_mktsegment
       |ORDER BY l_distinct, c_nationkey, c_mktsegment""".stripMargin
 
+  /** t-closeness audit — the third rung of the privacy ladder after
+    * [[kAnonymity]] and [[lDiversity]] (Li, Li & Venkatasubramanian,
+    * ICDE 2007): a cohort can be k-anonymous AND l-diverse yet still
+    * leak if its sensitive-value DISTRIBUTION differs sharply from the
+    * global one (the skewness attack — "that cohort is 90% top-band
+    * balances vs 10% globally"). For the ordered sensitive attribute
+    * (the same balance band as l-diversity) the distance is the Earth
+    * Mover's Distance with unit ground distances, which collapses to
+    * the mean absolute CUMULATIVE gap: EMD = Σᵢ|Σ_{j≤i}(p_j−q_j)| /
+    * (m−1) over the m bands. EXACT integer discipline: p_j−q_j scaled
+    * by cohort_n·N gives D_i = Σ_{j≤i}(cnt_j·N − gb_j·cohort_n) on
+    * DECIMAL(38)/HUGEINT; the final EMD comes out via the micros
+    * `div` idiom, truncating identically in both engines.
+    *
+    * Scale: one corpus aggregation to (cohort × band) cells; cohorts
+    * (nation × segment) and balance bands are both value-grid-bounded,
+    * so the completed grid, the band-ordered cumulative window
+    * (PARTITIONED by cohort), and the broadcast global-band side are
+    * all bounded whatever the corpus size.
+    */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tPpm = 200000L // t = 0.20
+    val cust = Tables(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(FLOOR(c_acctbal / 1000) AS BIGINT)").as("band"))
+    // cohort × band cells feed three bounded rollups; persisted so the
+    // customer scan happens once (the skew_report discipline)
+    val cells = cust
+      .groupBy("c_nationkey", "c_mktsegment", "band")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cells.count()
+    val bands = cells.groupBy("band").agg(sum("cnt").as("gb"))
+    val tot = bands.agg(count(lit(1)).cast("decimal(38,0)").as("m"),
+      sum("gb").as("nn"))
+    val cohorts = cells.groupBy("c_nationkey", "c_mktsegment")
+      .agg(sum("cnt").as("cohort_n"))
+    val grid = cohorts.crossJoin(broadcast(bands))
+      .join(cells, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+      .withColumn("cnt",
+        coalesce(col("cnt"), lit(0).cast("decimal(38,0)")))
+    val w = Window.partitionBy("c_nationkey", "c_mktsegment")
+      .orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.crossJoin(broadcast(tot))
+      .withColumn("d",
+        sum(col("cnt") * col("nn") - col("gb") * col("cohort_n")).over(w))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("cohort_n"),
+        col("m"), col("nn"))
+      .agg(sum(abs(col("d"))).as("sad"))
+      .withColumn("emd_ppm",
+        expr("sad * 1000000 div ((m - 1) * cohort_n * nn)"))
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        col("cohort_n").cast("long").as("cohort_n"),
+        (col("emd_ppm") / 1e6).as("emd"),
+        (col("emd_ppm") <= tPpm).as("t_close"))
+      .orderBy(desc("emd"), asc("c_nationkey"), asc("c_mktsegment"))
+  }
+
+  val tClosenessSql: String =
+    """WITH cust AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS band
+      |  FROM customer),
+      |cells AS (
+      |  SELECT c_nationkey, c_mktsegment, band,
+      |    CAST(COUNT(*) AS HUGEINT) AS cnt
+      |  FROM cust GROUP BY 1, 2, 3),
+      |bands AS (SELECT band, SUM(cnt) AS gb FROM cells GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS m, SUM(gb) AS nn FROM bands),
+      |coh AS (
+      |  SELECT c_nationkey, c_mktsegment, SUM(cnt) AS cohort_n
+      |  FROM cells GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT coh.c_nationkey, coh.c_mktsegment, coh.cohort_n,
+      |    b.band, b.gb, COALESCE(cells.cnt, 0) AS cnt
+      |  FROM coh CROSS JOIN bands b
+      |  LEFT JOIN cells ON cells.c_nationkey = coh.c_nationkey
+      |    AND cells.c_mktsegment = coh.c_mktsegment
+      |    AND cells.band = b.band),
+      |d AS (
+      |  SELECT c_nationkey, c_mktsegment, cohort_n, m, nn,
+      |    SUM(cnt * nn - gb * cohort_n) OVER (
+      |      PARTITION BY c_nationkey, c_mktsegment ORDER BY band
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dd
+      |  FROM grid CROSS JOIN tot),
+      |s AS (
+      |  SELECT c_nationkey, c_mktsegment, cohort_n, m, nn,
+      |    SUM(ABS(dd)) AS sad
+      |  FROM d GROUP BY 1, 2, 3, 4, 5)
+      |SELECT c_nationkey, c_mktsegment,
+      |  CAST(cohort_n AS BIGINT) AS cohort_n,
+      |  CAST(sad * 1000000 // ((m - 1) * cohort_n * nn) AS BIGINT) / 1e6
+      |    AS emd,
+      |  sad * 1000000 // ((m - 1) * cohort_n * nn) <= 200000 AS t_close
+      |FROM s
+      |ORDER BY emd DESC, c_nationkey, c_mktsegment""".stripMargin
+
   /** Key-skew diagnosis — the measurement that decides whether
     * [[Skew.saltedJoin]]/[[Skew.saltedAgg]] are needed at all: the
     * heaviest keys with their share of the table, plus the global
@@ -1254,6 +1354,7 @@ object CurationQueries {
     "skew_report" -> ((skewReport _, skewReportSql)),
     "k_anonymity" -> ((kAnonymity _, kAnonymitySql)),
     "l_diversity" -> ((lDiversity _, lDiversitySql)),
+    "t_closeness" -> ((tCloseness _, tClosenessSql)),
     "corpus_curation" -> ((corpusCuration _, corpusCurationSql)),
     "decontaminate" -> ((decontaminate _, decontaminateSql)),
     "sample_stratified" -> ((sampleStratified _, sampleStratifiedSql)),

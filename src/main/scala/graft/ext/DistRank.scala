@@ -49,6 +49,35 @@ object DistRank {
       .drop("_pid", "_lr", "_off")
   }
 
+  /** Exact EXCLUSIVE prefix minimum of `valueCol` in `keys` order —
+    * for each row, the minimum over all STRICTLY preceding rows (null
+    * for the global first row). The sweep primitive behind skyline /
+    * staircase queries: "is any point ordered before me already at or
+    * below my value?" answered with no single-task sort. Same
+    * two-phase shape as [[globalCumSum]]: partition-local exclusive
+    * cummin, then a P-row exclusive prefix-min of per-partition
+    * minima broadcast back (`least` skips nulls, so partition-first
+    * rows pick up exactly the cross-partition offset).
+    */
+  def globalCumMinExcl(df: DataFrame, valueCol: String, cumCol: String,
+      keys: Seq[Column]): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val local = df.repartitionByRange(parts, keys: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lm", min(col(valueCol)).over(
+        Window.partitionBy("_pid").orderBy(keys: _*)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pmin = local.groupBy("_pid").agg(min(col(valueCol)).as("_pmin"))
+    val offsets = pmin
+      .withColumn("_off", min("_pmin").over(
+        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)))
+      .select("_pid", "_off")
+    local.join(broadcast(offsets), Seq("_pid"))
+      .withColumn(cumCol, least(col("_lm"), col("_off")))
+      .drop("_pid", "_lm", "_off")
+  }
+
   /** Exact inclusive prefix sum of `valueCol` in `keys` order, plus
     * the grand total — both as new columns (`cumCol`, `totCol`). The
     * sum type follows Spark's sum-of-`valueCol` typing (decimal sums

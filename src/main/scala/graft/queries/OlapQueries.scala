@@ -2504,6 +2504,160 @@ object OlapQueries {
       |    AS mean_after_cents
       |FROM top""".stripMargin
 
+  /** SKYLINE (Pareto frontier) over supplier performance — the classic
+    * maximal-vector operator (Börzsönyi, Kossmann & Stocker, ICDE
+    * 2001): which suppliers are NOT dominated on (revenue ↑,
+    * return-rate ↓) — no other supplier has at-least-the-revenue AND
+    * at-most-the-return-rate with one strict. The textbook form is an
+    * O(n²) dominance self-join; the scale-safe exact form is the
+    * SORT-SWEEP: a point survives iff (a) it has the best rate within
+    * its own revenue tie-group and (b) its rate is strictly below the
+    * minimum rate of every HIGHER-revenue point — an exclusive prefix
+    * minimum in revenue-descending order. That prefix min runs on
+    * [[graft.ext.DistRank.globalCumMinExcl]]'s two-phase
+    * range-partitioned sweep, so no task ever sorts more than ~1/P of
+    * the supplier table whatever the corpus size. Metrics are exact:
+    * revenue in floored cents, return rate in `div` ppm.
+    */
+  def skylineSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val sup = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(floor(sum(dec(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount")))) * 100).cast("long")
+          .as("rev_cents"),
+        count(lit(1)).as("n_items"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_ret"))
+      .withColumn("rate_ppm", expr("n_ret * 1000000 div n_items"))
+    val grp = sup.groupBy("rev_cents").agg(min("rate_ppm").as("grp_min"))
+    val swept = graft.ext.DistRank.globalCumMinExcl(
+      grp, "grp_min", "pref_min", Seq(col("rev_cents").desc))
+    sup.join(swept, Seq("rev_cents"))
+      .filter(col("rate_ppm") === col("grp_min") &&
+        (col("pref_min").isNull || col("rate_ppm") < col("pref_min")))
+      .select(col("l_suppkey").as("suppkey"),
+        (col("rev_cents") / 100.0).as("revenue"),
+        (col("rate_ppm") / 1e6).as("return_rate"))
+      .orderBy(desc("revenue"), asc("suppkey"))
+  }
+
+  val skylineSuppliersSql: String =
+    """WITH sup AS (
+      |  SELECT l_suppkey,
+      |    CAST(FLOOR(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |      AS DECIMAL(18,4))) * 100) AS BIGINT) AS rev_cents,
+      |    COUNT(*) AS n_items,
+      |    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_ret
+      |  FROM lineitem GROUP BY 1),
+      |r AS (
+      |  SELECT l_suppkey, rev_cents,
+      |    n_ret * 1000000 // n_items AS rate_ppm
+      |  FROM sup),
+      |g AS (SELECT rev_cents, MIN(rate_ppm) AS grp_min FROM r GROUP BY 1),
+      |sw AS (
+      |  SELECT rev_cents, grp_min,
+      |    MIN(grp_min) OVER (ORDER BY rev_cents DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pref_min
+      |  FROM g)
+      |SELECT l_suppkey AS suppkey, rev_cents / 100.0 AS revenue,
+      |  rate_ppm / 1e6 AS return_rate
+      |FROM r JOIN sw USING (rev_cents)
+      |WHERE rate_ppm = grp_min AND (pref_min IS NULL OR rate_ppm < pref_min)
+      |ORDER BY revenue DESC, suppkey""".stripMargin
+
+  /** CRAMÉR'S V — association strength between the CUSTOMER segment
+    * and the ORDER priority, the cross-table categorical-correlation
+    * readout ([[priorityMixShift]] tests a shift over time within one
+    * table; this measures segment↔priority dependence through the
+    * o_custkey join). χ² carried in the exact-micros `div` discipline:
+    * expected-count micros e6 = r·c·10⁶ div n (≤ n·10⁶, inside
+    * DECIMAL(38) at any survey scale), per-cell contribution
+    * (O·10⁶ − e6)² div e6 — every truncation defined identically in
+    * both engines; only the final √ for V is IEEE double, rounded.
+    *
+    * Scale: one co-partitioned shuffle join on the customer key (both
+    * sides corpus-sized — never broadcast), then one aggregation to
+    * the bounded segment × priority grid (≤ 25 cells); margins and
+    * totals are grid-side rollups of the persisted cells.
+    */
+  def cramersV(spark: SparkSession, dir: String): DataFrame = {
+    val joined = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderpriority"))
+      .join(Tables(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    val cells = joined
+      .groupBy("c_mktsegment", "o_orderpriority")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cells.count()
+    val rows = cells.groupBy("c_mktsegment")
+      .agg(sum("o").as("r"))
+    val colsM = cells.groupBy("o_orderpriority")
+      .agg(sum("o").as("c"))
+    val tot = cells.agg(sum("o").as("nn"),
+      countDistinct("c_mktsegment").as("nr"),
+      countDistinct("o_orderpriority").as("nc"))
+    // COMPLETE the grid from the margins: an empty observed cell still
+    // contributes (0−E)²/E — groupBy alone would silently drop it and
+    // understate χ² (a 1:1-associated 2×2 table would score V=1/√2)
+    rows.crossJoin(broadcast(colsM))
+      .join(cells, Seq("c_mktsegment", "o_orderpriority"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0).cast("decimal(38,0)")))
+      .crossJoin(broadcast(tot))
+      // greatest(…,1): a margin pair below 1e-6 of n truncates to an
+      // expected-micros of 0; clamp so the div stays defined (identical
+      // clamp in the oracle)
+      .withColumn("e6", expr("greatest(r * c * 1000000 div nn, 1)"))
+      .withColumn("cell_micros",
+        expr("""(o * 1000000 - e6) * (o * 1000000 - e6) div e6"""))
+      .groupBy(col("nn"), col("nr"), col("nc"))
+      .agg(sum("cell_micros").as("chi2_micros"))
+      .select(col("nn").cast("long").as("n_pairs"),
+        (col("chi2_micros") / 1e6).as("chi2"),
+        ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+        round(sqrt(col("chi2_micros").cast("double") / 1e6 /
+          (col("nn").cast("double") *
+           least(col("nr") - 1, col("nc") - 1).cast("double"))), 6)
+          .as("cramers_v"))
+  }
+
+  val cramersVSql: String =
+    """WITH j AS (
+      |  SELECT c_mktsegment, o_orderpriority
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |cells AS (
+      |  SELECT c_mktsegment, o_orderpriority,
+      |    CAST(COUNT(*) AS HUGEINT) AS o
+      |  FROM j GROUP BY 1, 2),
+      |r AS (SELECT c_mktsegment, SUM(o) AS r FROM cells GROUP BY 1),
+      |c AS (SELECT o_orderpriority, SUM(o) AS c FROM cells GROUP BY 1),
+      |tot AS (
+      |  SELECT SUM(o) AS nn,
+      |    CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS nr,
+      |    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nc
+      |  FROM cells),
+      |grid AS (
+      |  SELECT r.c_mktsegment, c.o_orderpriority, r.r, c.c,
+      |    COALESCE(cells.o, 0) AS o
+      |  FROM r CROSS JOIN c
+      |  LEFT JOIN cells USING (c_mktsegment, o_orderpriority)),
+      |terms AS (
+      |  SELECT nn, nr, nc,
+      |    (o * 1000000 - GREATEST(r * c * 1000000 // nn, 1))
+      |      * (o * 1000000 - GREATEST(r * c * 1000000 // nn, 1))
+      |      // GREATEST(r * c * 1000000 // nn, 1) AS cell_micros
+      |  FROM grid
+      |  CROSS JOIN tot)
+      |SELECT CAST(nn AS BIGINT) AS n_pairs,
+      |  CAST(SUM(cell_micros) AS BIGINT) / 1e6 AS chi2,
+      |  (nr - 1) * (nc - 1) AS dof,
+      |  ROUND(SQRT(CAST(SUM(cell_micros) AS BIGINT) / 1e6 /
+      |    (CAST(nn AS DOUBLE) *
+      |     CAST(LEAST(nr - 1, nc - 1) AS DOUBLE))), 6) AS cramers_v
+      |FROM terms
+      |GROUP BY nn, nr, nc""".stripMargin
+
   /** OPEN-ORDER AGING — the unfulfilled backlog bucketed by how long
     * each open order ('O' status) has been waiting, measured against
     * the dataset's max order date (the "as of" instant a live system
@@ -2672,6 +2826,8 @@ object OlapQueries {
     "return_rates" -> ((returnRates _, returnRatesSql)),
     "revenue_drawdown" -> ((revenueDrawdown _, revenueDrawdownSql)),
     "cusum_changepoint" -> ((cusumChangepoint _, cusumChangepointSql)),
+    "skyline_suppliers" -> ((skylineSuppliers _, skylineSuppliersSql)),
+    "cramers_v" -> ((cramersV _, cramersVSql)),
     "open_order_aging" -> ((openOrderAging _, openOrderAgingSql)),
     "priority_mix_shift" -> ((priorityMixShift _, priorityMixShiftSql)),
     "simpson_check" -> ((simpsonCheck _, simpsonCheckSql)),
