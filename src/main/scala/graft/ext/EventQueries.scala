@@ -3209,6 +3209,162 @@ object EventQueries {
       |FROM fin WHERE rn = mx
       |ORDER BY user_id""".stripMargin
 
+  /** CROSS-CORRELATION at lags −7…+7 between the daily 'view' and
+    * 'purchase' series — does engagement LEAD conversion, and by how
+    * many days ([[eventsAcf]] is the self-correlation form; this is
+    * the two-series lead/lag readout behind funnel-latency intuition).
+    * corr_L = Pearson(x_d, y_{d+L}) over the days where both sides
+    * exist. All moments (Σx, Σx², Σxy…) are exact DECIMAL(38)
+    * integers; only the final ratio/√ is IEEE double, rounded, with a
+    * zero-variance guard identical in both engines.
+    *
+    * Scale: one corpus aggregation to the calendar-bounded daily
+    * rollup (persisted — it feeds both join sides); the lag explode is
+    * a 15-row literal; everything downstream is calendar × 15 rows.
+    */
+  def eventsXcorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .cast("decimal(38,0)").as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .cast("decimal(38,0)").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    daily.count()
+    val lags = spark.range(1)
+      .select(explode(sequence(lit(-7), lit(7))).as("lag"))
+      .select(col("lag").cast("long").as("lag"))
+    val xs = daily.select(col("d").as("xd"), col("x"))
+    val ys = daily.select(col("d").as("yd"), col("y"))
+    xs.crossJoin(broadcast(lags))
+      .join(ys, expr("yd = date_add(xd, CAST(lag AS INT))"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_days"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("varx", col("n_days") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vary", col("n_days") * col("syy") - col("sy") * col("sy"))
+      .withColumn("cov", col("n_days") * col("sxy") - col("sx") * col("sy"))
+      .select(col("lag"), col("n_days"),
+        when(col("varx") > 0 && col("vary") > 0,
+          round(col("cov").cast("double") /
+            sqrt(col("varx").cast("double") * col("vary").cast("double")),
+            6)).as("xcorr"))
+      .orderBy("lag")
+  }
+
+  val eventsXcorrSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d,
+      |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS HUGEINT) AS x,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS HUGEINT) AS y
+      |  FROM events GROUP BY 1),
+      |lags AS (SELECT unnest(range(-7, 8)) AS lag),
+      |j AS (
+      |  SELECT l.lag, a.x, b.y
+      |  FROM daily a CROSS JOIN lags l
+      |  JOIN daily b ON b.d = a.d + CAST(l.lag AS INT)),
+      |m AS (
+      |  SELECT lag, COUNT(*) AS n_days,
+      |    SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      |  FROM j GROUP BY lag),
+      |v AS (
+      |  SELECT lag, n_days,
+      |    n_days * sxx - sx * sx AS varx,
+      |    n_days * syy - sy * sy AS vary,
+      |    n_days * sxy - sx * sy AS cov
+      |  FROM m)
+      |SELECT lag, n_days,
+      |  CASE WHEN varx > 0 AND vary > 0 THEN
+      |    ROUND(CAST(cov AS DOUBLE) /
+      |      SQRT(CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE)), 6)
+      |  END AS xcorr
+      |FROM v
+      |ORDER BY lag""".stripMargin
+
+  /** FREQUENT GAPPED SEQUENCES — which ordered event pairs (a … then
+    * b, any gap, same session) recur across sessions, with support:
+    * the sequential-pattern-mining readout ([[eventsTransitions]]
+    * counts ADJACENT steps; [[sessionPaths]] counts whole paths; this
+    * is the PrefixSpan-style "a eventually leads to b" signal). Each
+    * session contributes each distinct pair at most once; sessions are
+    * the 30-minute-gap `session_window`, truncated to the first 12
+    * events (documented cap — the pair expansion is ≤ C(12,2) = 66 per
+    * session whatever a bot session's true length). Support as exact
+    * div-ppm over ALL sessions.
+    *
+    * Scale: one session_window shuffle on user_id (the standard
+    * streaming-state layout); the pair expansion is a bounded
+    * per-session HOF (sort → slice 12 → index-transform → distinct) —
+    * no self-join ever touches corpus rows; output ≤ |types|².
+    */
+  def freqSequences(spark: SparkSession, dir: String): DataFrame = {
+    val k = 12
+    val sessions = Tables(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type"))).as("evs"))
+      .select(expr(
+        s"slice(transform(array_sort(evs), e -> e.event_type), 1, $k)")
+        .as("seq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = sessions.agg(count(lit(1)).as("n_total"))
+    sessions
+      .select(explode(expr(
+        """array_distinct(flatten(transform(seq, (a, i) ->
+          |  transform(slice(seq, i + 2, size(seq)),
+          |            b -> struct(a AS a, b AS b)))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as("first_event"), col("p.b").as("then_event"))
+      .groupBy("first_event", "then_event")
+      .agg(count(lit(1)).as("n_sessions"))
+      .crossJoin(broadcast(total))
+      .select(col("first_event"), col("then_event"), col("n_sessions"),
+        (expr("n_sessions * 1000000 div n_total") / 1e6).as("support"))
+      .orderBy(desc("n_sessions"), asc("first_event"), asc("then_event"))
+  }
+
+  val freqSequencesSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |           >= INTERVAL 30 MINUTE
+      |         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked),
+      |numbered AS (
+      |  SELECT user_id, session_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM sessions),
+      |capped AS (SELECT * FROM numbered WHERE rn <= 12),
+      |tot AS (
+      |  SELECT COUNT(*) AS n_total
+      |  FROM (SELECT DISTINCT user_id, session_id FROM sessions)),
+      |pairs AS (
+      |  SELECT DISTINCT a.user_id, a.session_id,
+      |    a.event_type AS first_event, b.event_type AS then_event
+      |  FROM capped a JOIN capped b
+      |    ON a.user_id = b.user_id AND a.session_id = b.session_id
+      |    AND a.rn < b.rn)
+      |SELECT first_event, then_event,
+      |  COUNT(*) AS n_sessions,
+      |  (COUNT(*) * 1000000 // n_total) / 1e6 AS support
+      |FROM pairs CROSS JOIN tot
+      |GROUP BY first_event, then_event, n_total
+      |ORDER BY n_sessions DESC, first_event, then_event""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "running_capped_balance" ->
       ((runningCappedBalance _, runningCappedBalanceSql)),
@@ -3243,6 +3399,8 @@ object EventQueries {
     "events_ewma" -> ((eventsEwma _, eventsEwmaSql)),
     "holt_winters" -> ((holtWinters _, holtWintersSql)),
     "events_acf" -> ((eventsAcf _, eventsAcfSql)),
+    "events_xcorr" -> ((eventsXcorr _, eventsXcorrSql)),
+    "freq_sequences" -> ((freqSequences _, freqSequencesSql)),
     "cms_user_counts" -> ((cmsUserCounts _, cmsUserCountsSql)),
     "events_mad" -> ((eventsMad _, eventsMadSql)),
     "trimmed_mean" -> ((trimmedMean _, trimmedMeanSql)),

@@ -2658,6 +2658,98 @@ object OlapQueries {
       |FROM terms
       |GROUP BY nn, nr, nc""".stripMargin
 
+  /** MANN–WHITNEY U rank-sum test — do fulfilled ('F') and open ('O')
+    * orders draw from the same order-value distribution? The
+    * nonparametric two-sample sibling of [[graft.ext.EventQueries]]'s
+    * weekday ANOVA: no normality assumed, the statistic counts
+    * cross-group value wins. Computed WITHOUT ranks or an n² pair
+    * join: group the corpus by exact cents value, then U_F =
+    * Σ_v n_F(v)·(#O strictly below v) + ½·n_F(v)·n_O(v) — the
+    * "#O below" prefix sum runs on
+    * [[graft.ext.DistRank.globalCumSum]]'s two-phase range-partitioned
+    * sweep. 2U is carried exactly on DECIMAL(38) (the ½-tie term
+    * stays integral); the z-score (normal approximation WITH the tie
+    * correction Σ(t³−t)) and the rank-biserial effect size are the
+    * only doubles, rounded, with a zero-variance guard identical in
+    * both engines.
+    */
+  def mannwhitneyU(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables(spark, dir, "orders")
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .select(floor(dec(col("o_totalprice")) * 100).cast("long")
+        .as("cents"), col("o_orderstatus").as("st"))
+      .groupBy("cents")
+      .agg(sum(when(col("st") === "F", 1L).otherwise(0L))
+          .cast("decimal(38,0)").as("na"),
+        sum(when(col("st") === "O", 1L).otherwise(0L))
+          .cast("decimal(38,0)").as("nb"))
+    val swept = graft.ext.DistRank.globalCumSum(
+      vals, "nb", "cumb", "totb", Seq(col("cents")))
+    swept
+      .agg(sum("na").as("n1"), sum("nb").as("n2"),
+        // 2·U_F: per value, na·(2·(#B strictly below) + ties)
+        sum(expr("na * (2 * cumb - nb)")).as("u2"),
+        // tie correction Σ(t³ − t) over the pooled per-value counts
+        sum(expr("(na + nb) * (na + nb) * (na + nb) - (na + nb)"))
+          .as("ties"))
+      .select(col("n1").cast("long").as("n1"),
+        col("n2").cast("long").as("n2"),
+        (col("u2").cast("double") / 2).as("u"),
+        expr("""CASE WHEN n1 > 0 AND n2 > 0 AND (n1 + n2) > 1 AND
+                  CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12
+                    * (CAST(n1 + n2 + 1 AS DOUBLE)
+                       - CAST(ties AS DOUBLE)
+                         / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))) > 0
+                THEN ROUND(
+                  (CAST(u2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                  / (2 * SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12
+                    * (CAST(n1 + n2 + 1 AS DOUBLE)
+                       - CAST(ties AS DOUBLE)
+                         / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))), 6)
+                END""").as("z"),
+        expr("""ROUND(CAST(u2 AS DOUBLE)
+                / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) - 1, 6)""")
+          .as("rank_biserial"))
+  }
+
+  val mannwhitneyUSql: String =
+    """WITH vals AS (
+      |  SELECT CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,4)) * 100)
+      |      AS BIGINT) AS cents,
+      |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+      |      AS HUGEINT) AS na,
+      |    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+      |      AS HUGEINT) AS nb
+      |  FROM orders WHERE o_orderstatus IN ('F', 'O')
+      |  GROUP BY 1),
+      |sw AS (
+      |  SELECT *, SUM(nb) OVER (ORDER BY cents
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+      |  FROM vals),
+      |agg AS (
+      |  SELECT SUM(na) AS n1, SUM(nb) AS n2,
+      |    SUM(na * (2 * cumb - nb)) AS u2,
+      |    SUM((na + nb) * (na + nb) * (na + nb) - (na + nb)) AS ties
+      |  FROM sw)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST(u2 AS DOUBLE) / 2 AS u,
+      |  CASE WHEN n1 > 0 AND n2 > 0 AND (n1 + n2) > 1 AND
+      |    CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12
+      |      * (CAST(n1 + n2 + 1 AS DOUBLE)
+      |         - CAST(ties AS DOUBLE)
+      |           / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))) > 0
+      |  THEN ROUND(
+      |    (CAST(u2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+      |    / (2 * SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12
+      |      * (CAST(n1 + n2 + 1 AS DOUBLE)
+      |         - CAST(ties AS DOUBLE)
+      |           / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))), 6)
+      |  END AS z,
+      |  ROUND(CAST(u2 AS DOUBLE)
+      |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) - 1, 6)
+      |    AS rank_biserial
+      |FROM agg""".stripMargin
+
   /** OPEN-ORDER AGING — the unfulfilled backlog bucketed by how long
     * each open order ('O' status) has been waiting, measured against
     * the dataset's max order date (the "as of" instant a live system
@@ -2828,6 +2920,7 @@ object OlapQueries {
     "cusum_changepoint" -> ((cusumChangepoint _, cusumChangepointSql)),
     "skyline_suppliers" -> ((skylineSuppliers _, skylineSuppliersSql)),
     "cramers_v" -> ((cramersV _, cramersVSql)),
+    "mannwhitney_u" -> ((mannwhitneyU _, mannwhitneyUSql)),
     "open_order_aging" -> ((openOrderAging _, openOrderAgingSql)),
     "priority_mix_shift" -> ((priorityMixShift _, priorityMixShiftSql)),
     "simpson_check" -> ((simpsonCheck _, simpsonCheckSql)),

@@ -386,6 +386,7 @@ class PlanAuditSpec extends SparkSpec {
     "pareto_abc" -> Set("_pid"),                 // DistRank offsets
     "zipf_fit" -> Set("_pid"),                   // DistRank offsets
     "skyline_suppliers" -> Set("_pid"),          // DistRank offsets
+    "mannwhitney_u" -> Set("_pid"),              // DistRank offsets
     "bootstrap_ci" -> Set("mean_micros", "r"),   // B=100 replicate means
     "classifier_auc" -> Set("score_micros"),     // ≤2·10⁶+1 micros grid
     "funnel_time_percentiles" -> Set("latency_s"), // distinct int secs ≤ timespan

@@ -1,0 +1,94 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Pins the round-13 event/stats batch on hand-computable fixtures:
+  * Mann–Whitney U against the by-hand pair count, cross-correlation at
+  * a planted lag, and gapped-pair sequence support on crafted sessions.
+  */
+class EventStatsSpec extends SparkSpec {
+
+  private def ts(day: Int, hour: Int, min: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:$min%02d:00")
+
+  test("Mann-Whitney U == hand pair count on a crafted two-group set") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mwu").toString
+    // F = {1,2,3}, O = {2,3,4}: U_F = wins + half-ties
+    //   F1: 0; F2: tie with O2 → 0.5; F3: beats O2, ties O3 → 1.5
+    //   → U_F = 2.0, n1 = n2 = 3
+    Seq((1L, "F", 1.0), (2L, "F", 2.0), (3L, "F", 3.0),
+        (4L, "O", 2.0), (5L, "O", 3.0), (6L, "O", 4.0))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = graft.queries.OlapQueries.mannwhitneyU(spark, dir)
+      .select("n1", "n2", "u", "rank_biserial")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(r._1 == 3 && r._2 == 3)
+    assert(r._3 == 2.0, s"U was ${r._3}")
+    // rank-biserial = 2U/(n1·n2) − 1 = 4/9 − 1
+    assert(math.abs(r._4 - (4.0 / 9 - 1)) < 1e-6)
+    // z must be negative (F values sit below O values)
+    val z = graft.queries.OlapQueries.mannwhitneyU(spark, dir)
+      .select("z").as[Double].collect().head
+    assert(z < 0)
+  }
+
+  test("cross-correlation peaks at the planted one-day lead") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("xcorr").toString
+    // views on day d with count c(d); purchases on day d+1 with the SAME
+    // count → corr at lag +1 is exactly 1.0
+    val counts = Seq(3, 1, 4, 1, 5, 9, 2, 6, 5, 3)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      val d = i + 1
+      (1 to c).map(j => (ts(d, 10, j), "view")) ++
+        (1 to c).map(j => (ts(d + 1, 11, j), "purchase"))
+    }
+    rows.toDF("ts", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val byLag = EventQueries.eventsXcorr(spark, dir)
+      .select("lag", "xcorr").as[(Long, Option[Double])].collect().toMap
+    assert(byLag(1L).contains(1.0), s"lag-1 corr was ${byLag(1L)}")
+    // the mirrored lag (purchases lead views) must NOT be perfect
+    assert(!byLag(-1L).contains(1.0))
+  }
+
+  test("gapped-pair support == hand count on crafted sessions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("freq").toString
+    // session 1 (user 1): A,B,C → pairs AB, AC, BC
+    // session 2 (user 2): A,C   → pair AC
+    // support: AC = 2/2, AB = BC = 1/2
+    Seq((1L, 1L, ts(1, 10, 0), "A"), (2L, 1L, ts(1, 10, 5), "B"),
+        (3L, 1L, ts(1, 10, 10), "C"),
+        (4L, 2L, ts(2, 10, 0), "A"), (5L, 2L, ts(2, 10, 5), "C"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventQueries.freqSequences(spark, dir)
+      .select("first_event", "then_event", "n_sessions", "support")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got == Set(("A", "C", 2L, 1.0), ("A", "B", 1L, 0.5),
+      ("B", "C", 1L, 0.5)))
+  }
+
+  test("sequence pairs are distinct per session and capped at 12 events") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("freqcap").toString
+    // one session of 20 alternating A/B events: distinct pairs must be
+    // counted once, and events beyond the 12th must not contribute —
+    // event 13+ are type "Z", which must appear in no pair
+    val rows = (1 to 20).map { i =>
+      val t = if (i <= 12) (if (i % 2 == 1) "A" else "B") else "Z"
+      (i.toLong, 1L, ts(1, 10, i), t)
+    }
+    rows.toDF("event_id", "user_id", "ts", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventQueries.freqSequences(spark, dir)
+      .select("first_event", "then_event").as[(String, String)]
+      .collect().toSet
+    assert(got == Set(("A", "B"), ("B", "A"), ("A", "A"), ("B", "B")))
+  }
+}
