@@ -2544,6 +2544,89 @@ object TextQueries {
       |  ORDER BY n DESC, word LIMIT 10)
       |ORDER BY n DESC, word""".stripMargin
 
+  /** HEAPS'-LAW vocabulary-growth curve — V(T) ≈ K·T^β measured at
+    * GEOMETRIC document checkpoints (after 2⁰, 2¹, … docs in doc_id
+    * order): the corpus-planning readout behind [[zipfFit]]'s rank
+    * curve ("how much new vocabulary does the next 10× of data buy").
+    * Exactness: the checkpoint bucket of 1-based position p is
+    * k = ⌈log₂ p⌉ computed via STRING LENGTH of the binary form
+    * (length(bin(doc_id)) — no float log at bucket boundaries, same
+    * function both engines); each word lands in the bucket of its
+    * FIRST document (bucket is monotone in position, so min-bucket =
+    * bucket-of-min). The per-checkpoint β = ln(V_k/V_{k−1}) /
+    * ln(T_k/T_{k−1}) is the only double, rounded.
+    *
+    * Scale: one documents scan (persisted projection feeds the doc
+    * rollup and the word explode), one vocabulary-sized min-aggregate;
+    * checkpoints are LOG-bounded (≤ 64 buckets for any corpus that
+    * fits in a BIGINT doc_id), so the cumulative self-joins are over
+    * ≤ 64 broadcast rows — never a corpus-proportional window.
+    */
+  def heapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("""CASE WHEN doc_id = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(length(bin(doc_id)) AS BIGINT) END""").as("k"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"),
+        split(col("text"), " ").as("words"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count()
+    val docb = docs.groupBy("k")
+      .agg(count(lit(1)).as("nd"), sum("n_tok").as("nt"))
+    val vocb = docs.select(col("k"), explode(col("words")).as("word"))
+      .groupBy("word").agg(min("k").as("fk"))
+      .groupBy("fk").agg(count(lit(1)).as("nw"))
+    val ks = docb.select(col("k"))
+    val cum = ks.join(broadcast(docb.select(col("k").as("k2"),
+        col("nd"), col("nt"))), expr("k2 <= k"))
+      .groupBy("k")
+      .agg(sum("nd").as("docs_cum"), sum("nt").as("tokens_cum"))
+    val cumv = ks.join(broadcast(vocb), expr("fk <= k"))
+      .groupBy("k").agg(sum("nw").as("vocab_cum"))
+    val full = cum.join(cumv, Seq("k"))
+    val prev = full.select(col("k").as("pk"),
+      col("tokens_cum").as("pt"), col("vocab_cum").as("pv"))
+    full.join(broadcast(prev), expr("pk = k - 1"), "left")
+      .select(col("k"), col("docs_cum"), col("tokens_cum"),
+        col("vocab_cum"),
+        when(col("pt").isNotNull && col("tokens_cum") > col("pt"),
+          round(log(col("vocab_cum") / col("pv")) /
+            log(col("tokens_cum") / col("pt")), 6)).as("beta"))
+      .orderBy("k")
+  }
+
+  val heapsLawSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id = 0 THEN CAST(0 AS BIGINT)
+      |    ELSE CAST(length(bin(doc_id)) AS BIGINT) END AS k,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    string_split(text, ' ') AS words
+      |  FROM documents),
+      |docb AS (
+      |  SELECT k, COUNT(*) AS nd, SUM(n_tok) AS nt FROM d GROUP BY 1),
+      |w AS (SELECT k, unnest(words) AS word FROM d),
+      |vocb AS (
+      |  SELECT fk, COUNT(*) AS nw
+      |  FROM (SELECT word, MIN(k) AS fk FROM w GROUP BY 1) GROUP BY 1),
+      |cum AS (
+      |  SELECT a.k, SUM(b.nd) AS docs_cum, SUM(b.nt) AS tokens_cum
+      |  FROM docb a JOIN docb b ON b.k <= a.k GROUP BY 1),
+      |cumv AS (
+      |  SELECT a.k, SUM(v.nw) AS vocab_cum
+      |  FROM docb a JOIN vocb v ON v.fk <= a.k GROUP BY 1),
+      |f AS (SELECT * FROM cum JOIN cumv USING (k))
+      |SELECT f.k, CAST(f.docs_cum AS BIGINT) AS docs_cum,
+      |  CAST(f.tokens_cum AS BIGINT) AS tokens_cum,
+      |  CAST(f.vocab_cum AS BIGINT) AS vocab_cum,
+      |  CASE WHEN p.tokens_cum IS NOT NULL
+      |        AND f.tokens_cum > p.tokens_cum THEN
+      |    ROUND(LN(CAST(f.vocab_cum AS DOUBLE) / p.vocab_cum) /
+      |          LN(CAST(f.tokens_cum AS DOUBLE) / p.tokens_cum), 6)
+      |  END AS beta
+      |FROM f LEFT JOIN f p ON p.k = f.k - 1
+      |ORDER BY f.k""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "vocab_heavy_hitters" -> ((vocabHeavyHitters _, vocabHeavyHittersSql)),
     "lm_perplexity" -> ((lmPerplexity _, lmPerplexitySql)),
@@ -2566,6 +2649,7 @@ object TextQueries {
     "keyword_textrank" -> ((keywordTextrank _, keywordTextrankSql)),
     "text_burstiness" -> ((textBurstiness _, textBurstinessSql)),
     "zipf_fit" -> ((zipfFit _, zipfFitSql)),
+    "heaps_law" -> ((heapsLaw _, heapsLawSql)),
     "char_entropy" -> ((charEntropy _, charEntropySql)),
     "boilerplate_detect" -> ((boilerplateDetect _, boilerplateDetectSql)),
     "readability" -> ((readability _, readabilitySql)),

@@ -144,4 +144,24 @@ class TextPipelineSpec extends SparkSpec {
     // smoothing direction: the dominant source is damped (q < p)
     assert(out("web").getDouble(4) < out("web").getDouble(3))
   }
+
+  test("heaps_law checkpoints == hand values on a crafted corpus") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("heaps").toString
+    // buckets: doc0→k0, doc1→k1, docs 2-3→k2
+    // vocab: k0 {a,b}=2, k1 +{c}=3, k2 +{d}=4; tokens cum 2,4,8
+    Seq((0L, "a b"), (1L, "a c"), (2L, "c d"), (3L, "a b"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextQueries.heapsLaw(spark, tmp)
+      .select("k", "docs_cum", "tokens_cum", "vocab_cum", "beta")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toList
+    def b(v2: Double, v1: Double, t2: Double, t1: Double) =
+      BigDecimal(math.log(v2 / v1) / math.log(t2 / t1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == List(
+      (0L, 1L, 2L, 2L, None),
+      (1L, 2L, 4L, 3L, Some(b(3, 2, 4, 2))),
+      (2L, 4L, 8L, 4L, Some(b(4, 3, 8, 4)))))
+  }
 }
