@@ -174,6 +174,106 @@ object DedupQueries {
       |  AND a.doc_id < b.doc_id
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** FELLEGI–SUNTER record-linkage scoring (JASA 1969) — the
+    * probabilistic-ER decision model over the LSH-blocked candidate
+    * pairs: each pair gets an AGREEMENT PATTERN over five comparison
+    * fields (language, source, length band, 20-char prefix, MinHash
+    * Jaccard ≥ ½) and the pattern's log-odds score Σ log₂(m/u) with
+    * per-field match/unmatch probabilities. The output is the classic
+    * FS readout: the agreement-pattern HISTOGRAM with its score and
+    * the match / possible / non-match decision per pattern — ≤ 2⁵
+    * rows whatever the corpus size. The m/u weights are fixed model
+    * constants (in production they come from EM or labeled pairs), so
+    * every score is an exact integer-micros sum; nothing here floats.
+    *
+    * Scale: candidates come from the shared banded-bucket pipeline
+    * (bucket cap 64 — never all-pairs); the two feature lookups are
+    * doc_id equi-joins; the histogram is a bounded aggregation.
+    */
+  def fsLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("CAST(FLOOR(n_chars / 100) AS BIGINT)").as("lenband"),
+        substring(col("text"), 1, 20).as("prefix"))
+    val pairs = minhashPairsCore(spark, dir)
+    val scored = pairs
+      .join(feats.select(col("doc_id").as("doc_a"), col("lang").as("la"),
+        col("source").as("sa"), col("lenband").as("ba"),
+        col("prefix").as("pa")), Seq("doc_a"))
+      .join(feats.select(col("doc_id").as("doc_b"), col("lang").as("lb"),
+        col("source").as("sb"), col("lenband").as("bb"),
+        col("prefix").as("pb")), Seq("doc_b"))
+      .select(
+        when(col("la") === col("lb"), 1L).otherwise(0L).as("g1"),
+        when(col("sa") === col("sb"), 1L).otherwise(0L).as("g2"),
+        when(col("ba") === col("bb"), 1L).otherwise(0L).as("g3"),
+        when(col("pa") === col("pb"), 1L).otherwise(0L).as("g4"),
+        when(col("est_jaccard") >= 0.5, 1L).otherwise(0L).as("g5"))
+      // log₂(m/u) agreement / log₂((1−m)/(1−u)) disagreement weights,
+      // floor-6dp micros of the fixed model constants:
+      //   lang (.95/.40), source (.90/.25), lenband (.85/.10),
+      //   prefix (.80/.05), jaccard≥½ (.80/.20)
+      .withColumn("score_micros",
+        expr("""CASE WHEN g1 = 1 THEN 1247927 ELSE -3584963 END +
+                CASE WHEN g2 = 1 THEN 1847996 ELSE -2906891 END +
+                CASE WHEN g3 = 1 THEN 3087462 ELSE -2584963 END +
+                CASE WHEN g4 = 1 THEN 4000000 ELSE -2247928 END +
+                CASE WHEN g5 = 1 THEN 2000000 ELSE -1584963 END"""))
+    scored
+      .groupBy(concat(col("g1"), col("g2"), col("g3"), col("g4"),
+        col("g5")).as("pattern"), col("score_micros"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("pattern"), col("n_pairs"),
+        (col("score_micros") / 1e6).as("score"),
+        expr("""CASE WHEN score_micros >= 4000000 THEN 'match'
+                WHEN score_micros >= 0 THEN 'possible'
+                ELSE 'non_match' END""").as("decision"))
+      .orderBy(desc("score"), asc("pattern"))
+  }
+
+  val fsLinkageSql: String =
+    s"""WITH $minhashSqlCtes,
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_filter(range(1, ${K + 1}), i -> a.sig[i] = b.sig[i])) / 8.0
+      |      AS est_jaccard
+      |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+      |    AND a.doc_id < b.doc_id),
+      |f AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(FLOOR(n_chars / 100) AS BIGINT) AS lenband,
+      |    substr(text, 1, 20) AS prefix
+      |  FROM documents),
+      |g AS (
+      |  SELECT
+      |    CASE WHEN fa.lang = fb.lang THEN 1 ELSE 0 END AS g1,
+      |    CASE WHEN fa.source = fb.source THEN 1 ELSE 0 END AS g2,
+      |    CASE WHEN fa.lenband = fb.lenband THEN 1 ELSE 0 END AS g3,
+      |    CASE WHEN fa.prefix = fb.prefix THEN 1 ELSE 0 END AS g4,
+      |    CASE WHEN p.est_jaccard >= 0.5 THEN 1 ELSE 0 END AS g5
+      |  FROM pairs p
+      |  JOIN f fa ON fa.doc_id = p.doc_a
+      |  JOIN f fb ON fb.doc_id = p.doc_b),
+      |s AS (
+      |  SELECT *,
+      |    (CASE WHEN g1 = 1 THEN 1247927 ELSE -3584963 END +
+      |     CASE WHEN g2 = 1 THEN 1847996 ELSE -2906891 END +
+      |     CASE WHEN g3 = 1 THEN 3087462 ELSE -2584963 END +
+      |     CASE WHEN g4 = 1 THEN 4000000 ELSE -2247928 END +
+      |     CASE WHEN g5 = 1 THEN 2000000 ELSE -1584963 END) AS score_micros
+      |  FROM g)
+      |SELECT CAST(g1 AS VARCHAR) || CAST(g2 AS VARCHAR) ||
+      |    CAST(g3 AS VARCHAR) || CAST(g4 AS VARCHAR) ||
+      |    CAST(g5 AS VARCHAR) AS pattern,
+      |  COUNT(*) AS n_pairs,
+      |  score_micros / 1e6 AS score,
+      |  CASE WHEN score_micros >= 4000000 THEN 'match'
+      |  WHEN score_micros >= 0 THEN 'possible'
+      |  ELSE 'non_match' END AS decision
+      |FROM s
+      |GROUP BY g1, g2, g3, g4, g5, score_micros
+      |ORDER BY score DESC, pattern""".stripMargin
+
   /** Near-dup CLUSTERS: connected components over the LSH candidate-pair
     * graph — the union-find step that turns pairs into dedup decisions
     * (keep cluster_id, drop the rest). Distributed min-label propagation:
@@ -1597,6 +1697,7 @@ object DedupQueries {
     "dedup_clusters_incremental" -> ((dedupClustersIncremental _, dedupClustersSql)),
     "dedup_exact" -> ((dedupExact _, dedupExactSql)),
     "minhash_pairs" -> ((minhashPairs _, minhashPairsSql)),
+    "fs_linkage" -> ((fsLinkage _, fsLinkageSql)),
     "dedup_cross_source" -> ((dedupCrossSource _, dedupCrossSourceSql)),
     "dedup_clusters" -> ((dedupClusters _, dedupClustersSql)),
     "simhash" -> ((simhash _, simhashSql)),

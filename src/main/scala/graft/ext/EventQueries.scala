@@ -3365,6 +3365,85 @@ object EventQueries {
       |GROUP BY first_event, then_event, n_total
       |ORDER BY n_sessions DESC, first_event, then_event""".stripMargin
 
+  /** KLEINBERG-STYLE BURST DETECTION over the daily event series (the
+    * batch 2-state form of Kleinberg, KDD 2002): a base state emitting
+    * at the series' mean daily rate λ₀ and a burst state at 2λ₀, a
+    * switching cost γ to ENTER the burst state, and per-day Poisson
+    * negative-log-likelihood emissions λ − n·ln λ (the n! term is
+    * state-independent and drops). The forward dynamic program runs in
+    * EXACT integer micros — λ as div-micros, ln λ as the floor-6dp
+    * ln-micros idiom ([[graft.ext.TextQueries]] char_entropy /
+    * link_prediction class), so both cost tracks replay bit-for-bit in
+    * the recursive-CTE oracle; a day is in-burst when the burst track
+    * is strictly cheaper.
+    *
+    * Scale: one corpus aggregation to the calendar-bounded daily
+    * rollup; the sequential fold runs on that bounded metadata (the
+    * holt_winters collect class), never on corpus rows.
+    */
+  def burstKleinberg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getDate(0), r.getLong(1)))
+      .sortBy(_._1.getTime)
+    burstFold(daily.toSeq)
+      .toDF("day", "n_events", "cost_base_micros", "cost_burst_micros",
+        "in_burst")
+      .orderBy("day")
+  }
+
+  /** The 2-state DP core over one day-sorted series — extracted so
+    * EventStatsSpec can pin burst behavior on crafted series. */
+  private[ext] def burstFold(sr: Seq[(java.sql.Date, Long)])
+      : Seq[(java.sql.Date, Long, Long, Long, Boolean)] = {
+    if (sr.isEmpty) Seq.empty
+    else {
+      val S = 1000000L
+      val nTot = sr.map(_._2).sum
+      val lam0 = nTot * S / sr.length // ≥ S: every rolled-up day has ≥1
+      val lam1 = 2L * lam0
+      val ln0 = math.floor(math.log(lam0 / 1e6) * 1e6).toLong
+      val ln1 = math.floor(math.log(lam1 / 1e6) * 1e6).toLong
+      val gamma = 2000000L
+      var c0 = 0L
+      var c1 = gamma
+      sr.map { case (d, n) =>
+        val n0 = math.min(c0, c1) + (lam0 - n * ln0)
+        val n1 = math.min(c0 + gamma, c1) + (lam1 - n * ln1)
+        c0 = n0; c1 = n1
+        (d, n, c0, c1, c1 < c0)
+      }
+    }
+  }
+
+  val burstKleinbergSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |ser AS (
+      |  SELECT d, n, ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily),
+      |q AS (
+      |  SELECT lam0, 2 * lam0 AS lam1,
+      |    CAST(FLOOR(LN(lam0 / 1e6) * 1e6) AS BIGINT) AS ln0,
+      |    CAST(FLOOR(LN(2 * lam0 / 1e6) * 1e6) AS BIGINT) AS ln1
+      |  FROM (SELECT CAST(SUM(n) * 1000000 // COUNT(*) AS BIGINT) AS lam0
+      |        FROM daily)),
+      |rec(i, d, n, c0, c1) AS (
+      |  SELECT s.i, s.d, s.n,
+      |    0 + (q.lam0 - s.n * q.ln0),
+      |    2000000 + (q.lam1 - s.n * q.ln1)
+      |  FROM ser s CROSS JOIN q WHERE s.i = 1
+      |  UNION ALL
+      |  SELECT s.i, s.d, s.n,
+      |    LEAST(r.c0, r.c1) + (q.lam0 - s.n * q.ln0),
+      |    LEAST(r.c0 + 2000000, r.c1) + (q.lam1 - s.n * q.ln1)
+      |  FROM rec r JOIN ser s ON s.i = r.i + 1 CROSS JOIN q)
+      |SELECT d AS day, n AS n_events, c0 AS cost_base_micros,
+      |  c1 AS cost_burst_micros, c1 < c0 AS in_burst
+      |FROM rec ORDER BY day""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "running_capped_balance" ->
       ((runningCappedBalance _, runningCappedBalanceSql)),
@@ -3401,6 +3480,7 @@ object EventQueries {
     "events_acf" -> ((eventsAcf _, eventsAcfSql)),
     "events_xcorr" -> ((eventsXcorr _, eventsXcorrSql)),
     "freq_sequences" -> ((freqSequences _, freqSequencesSql)),
+    "burst_kleinberg" -> ((burstKleinberg _, burstKleinbergSql)),
     "cms_user_counts" -> ((cmsUserCounts _, cmsUserCountsSql)),
     "events_mad" -> ((eventsMad _, eventsMadSql)),
     "trimmed_mean" -> ((trimmedMean _, trimmedMeanSql)),

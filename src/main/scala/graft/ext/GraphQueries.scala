@@ -931,8 +931,131 @@ object GraphQueries {
       |GROUP BY cluster_id
       |ORDER BY cluster_id""".stripMargin
 
+  /** MAXIMUM SPANNING FOREST of the co-supply backbone — the classic
+    * network-skeleton extraction: keep, per connected component, the
+    * strongest acyclic subset of co-supply edges (the tree a supply
+    * analyst draws when the full weighted graph is unreadable). The
+    * total order (w DESC, u, v) fully breaks ties, so the MSF is
+    * UNIQUE — which is what lets two different algorithms be the
+    * implementation and the oracle: the engine runs Kruskal with
+    * union-find over the LITERAL-BOUNDED backbone (top-500 edges by
+    * weight — driver-side metadata, the [[graft.ext.EventQueries]]
+    * holt_winters calendar-fold class), the DuckDB oracle replays
+    * BORŮVKA (10 unrolled best-exit-edge rounds, each with a
+    * reachability-closure component labeling — 2¹⁰ ≥ the ≤1000
+    * backbone nodes). Same total order ⇒ bit-identical forests.
+    *
+    * Scale: the corpus-side stage is the distinct-(part,supplier)
+    * projection, the co-occurrence aggregation, and the TakeOrdered
+    * cap — all distributed; only the ≤500-row backbone reaches the
+    * driver. At a larger cap, swap the driver Kruskal for Borůvka
+    * rounds over [[DedupQueries.ccLabels]] (the fixpoint primitive
+    * already exists) — the oracle's algorithm IS that shape.
+    */
+  def msfBackbone(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sp = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+    val backbone = sp.as("a").join(sp.as("b"), Seq("p"))
+      .filter(col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("u"), col("b.s").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .orderBy(desc("w"), asc("u"), asc("v")).limit(500)
+    // ≤500 rows of literal-bounded metadata → driver Kruskal
+    kruskalMsf(backbone.as[(Long, Long, Long)].collect().toSeq)
+      .toDF("u", "v", "w", "tree_id")
+      .orderBy(desc("w"), asc("u"), asc("v"))
+  }
+
+  /** Kruskal max-spanning-forest core under the (w DESC, u, v) total
+    * order, labeling each kept edge with its final component's min
+    * node id. Extracted so GraphQueriesSpec can pin it against an
+    * independent Borůvka reference (the oracle's algorithm) on random
+    * graphs. */
+  private[ext] def kruskalMsf(esIn: Seq[(Long, Long, Long)])
+      : Seq[(Long, Long, Long, Long)] = {
+    val es = esIn.sortBy { case (u, v, w) => (-w, u, v) }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val kept = es.filter { case (u, v, _) =>
+      val (ru, rv) = (find(u), find(v))
+      // union by MIN id: each set's root stays its minimum member, so
+      // find() doubles as the deterministic tree label
+      if (ru == rv) false
+      else { parent(math.max(ru, rv)) = math.min(ru, rv); true }
+    }
+    kept.map { case (u, v, w) => (u, v, w, find(u)) }
+  }
+
+  val msfBackboneSql: String = {
+    val rounds = (1 to 10).map { r =>
+      val prev = s"sel_${r - 1}"
+      // every per-round CTE is MATERIALIZED: each sel_r is referenced
+      // three times by round r+1, and an inlining planner would
+      // otherwise re-evaluate the whole chain 3^R times
+      s"""und_$r AS MATERIALIZED (
+         |  SELECT u AS s, v AS t FROM $prev
+         |  UNION ALL SELECT v, u FROM $prev),
+         |reach_$r(s, t) AS (
+         |  SELECT s, t FROM und_$r
+         |  UNION
+         |  SELECT x.s, y.t FROM reach_$r x JOIN und_$r y ON x.t = y.s),
+         |comp_$r AS MATERIALIZED (
+         |  SELECT n.id, LEAST(n.id, COALESCE(MIN(rc.t), n.id)) AS comp
+         |  FROM nodes n LEFT JOIN reach_$r rc ON rc.s = n.id
+         |  GROUP BY n.id),
+         |out_$r AS MATERIALIZED (
+         |  SELECT e.u, e.v, e.w, cu.comp AS cu, cv.comp AS cv
+         |  FROM backbone e
+         |  JOIN comp_$r cu ON cu.id = e.u
+         |  JOIN comp_$r cv ON cv.id = e.v
+         |  WHERE cu.comp <> cv.comp),
+         |best_$r AS MATERIALIZED (
+         |  SELECT u, v, w FROM (
+         |    SELECT u, v, w,
+         |      ROW_NUMBER() OVER (PARTITION BY comp
+         |        ORDER BY w DESC, u, v) AS rn
+         |    FROM (SELECT cu AS comp, u, v, w FROM out_$r
+         |          UNION ALL SELECT cv, u, v, w FROM out_$r))
+         |  WHERE rn = 1),
+         |sel_$r AS MATERIALIZED (
+         |  SELECT DISTINCT u, v, w FROM
+         |    (SELECT u, v, w FROM $prev
+         |     UNION ALL SELECT u, v, w FROM best_$r))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE sp AS MATERIALIZED (
+       |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+       |backbone AS MATERIALIZED (
+       |  SELECT u, v, w FROM (
+       |    SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS w
+       |    FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+       |    GROUP BY 1, 2)
+       |  ORDER BY w DESC, u, v LIMIT 500),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT u AS id FROM backbone
+       |  UNION SELECT DISTINCT v FROM backbone),
+       |sel_0 AS (SELECT u, v, w FROM backbone WHERE FALSE),
+       |$rounds,
+       |undf AS (
+       |  SELECT u AS s, v AS t FROM sel_10
+       |  UNION ALL SELECT v, u FROM sel_10),
+       |reachf(s, t) AS (
+       |  SELECT s, t FROM undf
+       |  UNION
+       |  SELECT x.s, y.t FROM reachf x JOIN undf y ON x.t = y.s),
+       |compf AS (
+       |  SELECT s AS id, LEAST(s, MIN(t)) AS comp FROM reachf GROUP BY s)
+       |SELECT e.u, e.v, e.w, c.comp AS tree_id
+       |FROM sel_10 e JOIN compf c ON c.id = e.u
+       |ORDER BY e.w DESC, e.u, e.v""".stripMargin
+  }
+
   def all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "min_cost_route" -> ((minCostRoute _, minCostRouteSql)),
+    "msf_backbone" -> ((msfBackbone _, msfBackboneSql)),
     "pagerank_supply" -> ((pageRank _, pageRankSql)),
     "ppr_supply" -> ((personalizedPageRank _, personalizedPageRankSql)),
     "triangles_cosupply" -> ((triangles _, trianglesSql)),

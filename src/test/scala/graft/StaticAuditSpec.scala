@@ -39,6 +39,9 @@ class StaticAuditSpec extends AnyFunSuite {
   //   AnnIndex        — probe shortlist (k×nprobe rows)
   //   DedupQueries    — bm25-feedback doc shortlist (≤10 ids)
   //   EventQueries    — calendar rollup + attribution transition matrix
+  //                     + burst-DP daily rollup (calendar-bounded)
+  //   GraphQueries    — the ≤500-row literal backbone for the driver
+  //                     Kruskal (msf_backbone)
   //   KMeans          — k centroid sums per round (k = literal)
   //   SearchIndex     — query-term postings shortlist
   //   SimilarityQueries — centroids/codebooks/probe sets (literals)
@@ -52,7 +55,8 @@ class StaticAuditSpec extends AnyFunSuite {
     "graft/closure/ClosureExtractor.scala" -> 2,
     "graft/ext/AnnIndex.scala" -> 1,
     "graft/ext/DedupQueries.scala" -> 1,
-    "graft/ext/EventQueries.scala" -> 2,
+    "graft/ext/EventQueries.scala" -> 3,
+    "graft/ext/GraphQueries.scala" -> 1,
     "graft/ext/KMeans.scala" -> 2,
     "graft/ext/SearchIndex.scala" -> 1,
     "graft/ext/SimilarityQueries.scala" -> 6,

@@ -74,6 +74,47 @@ class EventStatsSpec extends SparkSpec {
       ("B", "C", 1L, 0.5)))
   }
 
+  test("FS linkage: pattern scores match the weight table, pairs conserved") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val rows = DedupQueries.fsLinkage(spark, sf)
+      .select("pattern", "n_pairs", "score", "decision")
+      .as[(String, Long, Double, String)].collect()
+    assert(rows.nonEmpty)
+    // every pattern's score re-derives from the literal log₂(m/u) table
+    val agree = Seq(1247927L, 1847996L, 3087462L, 4000000L, 2000000L)
+    val disagree = Seq(-3584963L, -2906891L, -2584963L, -2247928L, -1584963L)
+    rows.foreach { case (pat, _, score, dec) =>
+      val micros = pat.zipWithIndex.map { case (c, i) =>
+        if (c == '1') agree(i) else disagree(i)
+      }.sum
+      assert(score == micros / 1e6, s"pattern $pat")
+      val want = if (micros >= 4000000L) "match"
+        else if (micros >= 0L) "possible" else "non_match"
+      assert(dec == want, s"pattern $pat")
+    }
+    // the histogram partitions the blocked candidate set exactly
+    val nPairs = DedupQueries.minhashPairs(spark, sf).count()
+    assert(rows.map(_._2).sum == nPairs)
+    spark.catalog.clearCache()
+  }
+
+  test("burst DP flags the planted spike and only the spike") {
+    // 20 calm days at 5/day, 3 spike days at 50/day: λ₀ ≈ 10.9 — the
+    // burst track must win exactly on the spike days once entered
+    val series = ((1 to 20).map(d => (ts(d, 1), 5L)) ++
+      (21 to 23).map(d => (ts(d, 1), 50L)))
+      .map { case (t, n) => (new java.sql.Date(t.getTime), n) }
+    val out = EventQueries.burstFold(series)
+    val flags = out.map { case (_, n, _, _, burst) => (n, burst) }
+    assert(flags.count { case (n, b) => n == 50L && b } == 3,
+      s"spike days not all flagged: $flags")
+    assert(flags.forall { case (n, b) => n == 50L || !b },
+      s"calm day flagged: $flags")
+    // determinism: the fold replays bit-identically
+    assert(out == EventQueries.burstFold(series))
+  }
+
   test("sequence pairs are distinct per session and capped at 12 events") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("freqcap").toString

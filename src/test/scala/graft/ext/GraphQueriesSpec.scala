@@ -235,4 +235,57 @@ class GraphQueriesSpec extends SparkSpec {
       }
     }
   }
+
+  /** Borůvka reference under the same (w DESC, u, v) total order — the
+    * oracle's algorithm, independently re-implemented: per round, each
+    * component picks its best exit edge; consistent tie-breaking makes
+    * the result THE unique MSF, so it must equal the engine's Kruskal.
+    */
+  private def boruvkaRef(es: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    var comp = nodes.map(n => n -> n).toMap
+    var sel = Set.empty[(Long, Long, Long)]
+    var changed = true
+    while (changed) {
+      val out = es.filter(e => comp(e._1) != comp(e._2))
+      val best = out.flatMap(e => Seq(comp(e._1) -> e, comp(e._2) -> e))
+        .groupBy(_._1).values
+        .map(_.map(_._2).minBy { case (u, v, w) => (-w, u, v) }).toSet
+      changed = best.nonEmpty
+      sel ++= best
+      // relabel components = CC over selected edges (min label)
+      var stable = false
+      while (!stable) {
+        val next = comp.map { case (n, c) =>
+          val nb = sel.collect {
+            case (u, v, _) if u == n => comp(v)
+            case (u, v, _) if v == n => comp(u)
+          }
+          n -> (nb + c).min
+        }
+        stable = next == comp
+        comp = next
+      }
+    }
+    sel
+  }
+
+  test("Kruskal MSF == Boruvka reference on random weighted graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 12) {
+      val n = 4 + rnd.nextInt(12)
+      val es = (for {
+        a <- 0L until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.45
+      } yield (a, b, (1 + rnd.nextInt(5)).toLong)).toSeq // heavy ties
+      val kruskal = GraphQueries.kruskalMsf(es)
+        .map { case (u, v, w, _) => (u, v, w) }.toSet
+      assert(kruskal == boruvkaRef(es), s"trial $trial, n=$n, es=$es")
+      // forest invariants: |edges| = |nodes| − |components|
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.toSet
+      val trees = GraphQueries.kruskalMsf(es).map(_._4).distinct.size
+      if (nodes.nonEmpty)
+        assert(kruskal.size == nodes.size - trees)
+    }
+  }
 }
