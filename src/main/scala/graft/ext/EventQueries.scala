@@ -3444,6 +3444,90 @@ object EventQueries {
       |  c1 AS cost_burst_micros, c1 < c0 AS in_burst
       |FROM rec ORDER BY day""".stripMargin
 
+  /** DYNAMIC TIME WARPING distance between the daily 'view' and
+    * 'purchase' series — how similar are the two curves' SHAPES when
+    * one may lead, lag, or stretch relative to the other
+    * ([[eventsXcorr]] measures fixed-lag alignment; DTW finds the best
+    * ELASTIC alignment, Sakoe & Chiba 1978). Pure integers end to end:
+    * cell cost |xᵢ − yⱼ|, D(i,j) = cost + min of the three
+    * predecessors — no float ever enters, so the DuckDB replay is
+    * bit-exact. The engine folds the O(n·m) table over the
+    * calendar-bounded day counts (the holt_winters collect class); the
+    * oracle walks the SAME table by anti-diagonals in a recursive CTE
+    * whose state is one row carrying the current and previous diagonal
+    * as lists.
+    */
+  def dtwDaily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables(spark, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+    val xs = daily.filter(_._1 == "view").sortBy(_._2.getTime).map(_._3)
+    val ys = daily.filter(_._1 == "purchase").sortBy(_._2.getTime).map(_._3)
+    val cost = dtwCost(xs.toSeq, ys.toSeq)
+    Seq((xs.length.toLong, ys.length.toLong, cost,
+      (cost * 1000000L / (xs.length + ys.length)) / 1e6))
+      .toDF("n_days_view", "n_days_purchase", "dtw_cost", "cost_per_step")
+  }
+
+  /** The DTW table fold over two integer series — extracted so
+    * EventStatsSpec can pin it against a brute-force path search. */
+  private[ext] def dtwCost(xs: Seq[Long], ys: Seq[Long]): Long = {
+    val (n, m) = (xs.length, ys.length)
+    require(n > 0 && m > 0, "dtw needs two nonempty series")
+    val inf = Long.MaxValue / 4
+    var prev = Array.fill(m + 1)(inf)
+    prev(0) = 0L
+    for (i <- 1 to n) {
+      val cur = Array.fill(m + 1)(inf)
+      for (j <- 1 to m) {
+        val c = math.abs(xs(i - 1) - ys(j - 1))
+        val best = math.min(prev(j), math.min(cur(j - 1), prev(j - 1)))
+        cur(j) = c + best
+      }
+      // D(i, 0) is only reachable as a predecessor of (1,1) via (0,0)
+      prev = cur
+      prev(0) = inf
+    }
+    prev(m)
+  }
+
+  val dtwDailySql: String =
+    """WITH RECURSIVE arrs AS MATERIALIZED (
+      |  SELECT
+      |    (SELECT list(n ORDER BY d) FROM (
+      |      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM events WHERE event_type = 'view' GROUP BY 1)) AS xa,
+      |    (SELECT list(n ORDER BY d) FROM (
+      |      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1)) AS ya),
+      |dims AS MATERIALIZED (
+      |  SELECT xa, ya, len(xa) AS n, len(ya) AS m FROM arrs),
+      |rec(d, cur, prv) AS (
+      |  SELECT 2, [ABS(xa[1] - ya[1])], CAST(NULL AS BIGINT[])
+      |  FROM dims
+      |  UNION ALL
+      |  SELECT r.d + 1,
+      |    list_transform(
+      |      generate_series(GREATEST(1, r.d + 1 - dm.m),
+      |                      LEAST(dm.n, r.d)),
+      |      i -> ABS(dm.xa[CAST(i AS INT)] - dm.ya[CAST(r.d + 1 - i AS INT)]) +
+      |        LEAST(
+      |          r.cur[CAST(i - GREATEST(1, r.d - dm.m) + 1 AS INT)],
+      |          r.cur[CAST(i - GREATEST(1, r.d - dm.m) AS INT)],
+      |          r.prv[CAST(i - GREATEST(1, r.d - 1 - dm.m) AS INT)])),
+      |    r.cur
+      |  FROM rec r CROSS JOIN dims dm
+      |  WHERE r.d < dm.n + dm.m)
+      |SELECT CAST(dm.n AS BIGINT) AS n_days_view,
+      |  CAST(dm.m AS BIGINT) AS n_days_purchase,
+      |  r.cur[1] AS dtw_cost,
+      |  (r.cur[1] * 1000000 // (dm.n + dm.m)) / 1e6 AS cost_per_step
+      |FROM rec r CROSS JOIN dims dm
+      |WHERE r.d = dm.n + dm.m""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "running_capped_balance" ->
       ((runningCappedBalance _, runningCappedBalanceSql)),
@@ -3481,6 +3565,7 @@ object EventQueries {
     "events_xcorr" -> ((eventsXcorr _, eventsXcorrSql)),
     "freq_sequences" -> ((freqSequences _, freqSequencesSql)),
     "burst_kleinberg" -> ((burstKleinberg _, burstKleinbergSql)),
+    "dtw_daily" -> ((dtwDaily _, dtwDailySql)),
     "cms_user_counts" -> ((cmsUserCounts _, cmsUserCountsSql)),
     "events_mad" -> ((eventsMad _, eventsMadSql)),
     "trimmed_mean" -> ((trimmedMean _, trimmedMeanSql)),

@@ -55,7 +55,7 @@ class StaticAuditSpec extends AnyFunSuite {
     "graft/closure/ClosureExtractor.scala" -> 2,
     "graft/ext/AnnIndex.scala" -> 1,
     "graft/ext/DedupQueries.scala" -> 1,
-    "graft/ext/EventQueries.scala" -> 3,
+    "graft/ext/EventQueries.scala" -> 4,
     "graft/ext/GraphQueries.scala" -> 1,
     "graft/ext/KMeans.scala" -> 2,
     "graft/ext/SearchIndex.scala" -> 1,

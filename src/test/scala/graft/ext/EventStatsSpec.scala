@@ -99,6 +99,35 @@ class EventStatsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("DTW fold == exhaustive path search on random short series") {
+    // brute force: min total |x_i − y_j| over all monotone warp paths
+    def brute(xs: Seq[Long], ys: Seq[Long]): Long = {
+      val memo = scala.collection.mutable.Map[(Int, Int), Long]()
+      def go(i: Int, j: Int): Long = memo.getOrElseUpdate((i, j), {
+        val c = math.abs(xs(i) - ys(j))
+        if (i == 0 && j == 0) c
+        else {
+          val opts = Seq(
+            if (i > 0) Some(go(i - 1, j)) else None,
+            if (j > 0) Some(go(i, j - 1)) else None,
+            if (i > 0 && j > 0) Some(go(i - 1, j - 1)) else None).flatten
+          c + opts.min
+        }
+      })
+      go(xs.length - 1, ys.length - 1)
+    }
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 25) {
+      val xs = Seq.fill(1 + rnd.nextInt(8))(rnd.nextInt(20).toLong)
+      val ys = Seq.fill(1 + rnd.nextInt(8))(rnd.nextInt(20).toLong)
+      assert(EventQueries.dtwCost(xs, ys) == brute(xs, ys),
+        s"trial $trial xs=$xs ys=$ys")
+    }
+    // identical series align perfectly
+    val s = Seq(3L, 1L, 4L, 1L, 5L)
+    assert(EventQueries.dtwCost(s, s) == 0L)
+  }
+
   test("burst DP flags the planted spike and only the spike") {
     // 20 calm days at 5/day, 3 spike days at 50/day: λ₀ ≈ 10.9 — the
     // burst track must win exactly on the spike days once entered
