@@ -2627,6 +2627,85 @@ object TextQueries {
       |FROM f LEFT JOIN f p ON p.k = f.k - 1
       |ORDER BY f.k""".stripMargin
 
+  /** FIRST-FIT-DECREASING sequence packing — the packing-efficiency
+    * upgrade over [[packChunks]]' greedy concat: within each 250-doc
+    * stripe, documents (token counts capped at the 2048 context) are
+    * sorted size-descending and placed into the FIRST bin with room,
+    * opening a new bin otherwise — the classic FFD bound of 11/9·OPT
+    * vs greedy's 2·OPT. The fold is a pure `aggregate` HOF over the
+    * stripe's collected struct array: deterministic (order fixed by
+    * (size DESC, doc_id)), replayed step-for-step by a recursive-CTE
+    * oracle using the identical first-fit rule. Per stripe: bins used,
+    * the ⌈tokens/2048⌉ lower bound, and the exact div-ppm fill factor.
+    *
+    * Scale: the stripe key (doc_id div 250) bounds every collected
+    * array at 250 structs whatever the corpus size — stripes scale
+    * OUT (one group per 250 docs), never UP; the per-stripe fold is
+    * O(250·bins) inside codegen, no driver collect, no window.
+    */
+  def packBestFit(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 2048
+    val stripe = 250
+    Tables(spark, dir, "documents")
+      .select(expr(s"doc_id div $stripe").as("stripe"),
+        expr(s"LEAST(CAST(size(split(text, ' ')) AS BIGINT), $cap)")
+          .as("s"),
+        col("doc_id"))
+      .groupBy("stripe")
+      .agg(expr("array_sort(collect_list(struct(-s AS negs, doc_id, s)))")
+        .as("ds"),
+        count(lit(1)).as("n_docs"), sum("s").as("total_tokens"))
+      .withColumn("bins", expr(
+        s"""aggregate(ds, CAST(array() AS ARRAY<BIGINT>),
+           |  (bins, e) -> CASE
+           |    WHEN array_position(transform(bins, b -> b >= e.s), true) = 0
+           |    THEN concat(bins, array(${cap}L - e.s))
+           |    ELSE transform(bins, (b, i) -> IF(
+           |      i = CAST(array_position(
+           |            transform(bins, b2 -> b2 >= e.s), true) AS INT) - 1,
+           |      b - e.s, b)) END)""".stripMargin))
+      .select(col("stripe"), col("n_docs"), col("total_tokens"),
+        expr("CAST(size(bins) AS BIGINT)").as("n_bins"),
+        expr(s"(total_tokens + ${cap - 1}) div $cap").as("bound_bins"),
+        (expr(s"total_tokens * 1000000 div (size(bins) * $cap)") / 1e6)
+          .as("fill"))
+      .orderBy("stripe")
+  }
+
+  val packBestFitSql: String =
+    """WITH RECURSIVE d AS MATERIALIZED (
+      |  SELECT doc_id // 250 AS stripe,
+      |    LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 2048) AS s,
+      |    doc_id
+      |  FROM documents),
+      |numbered AS MATERIALIZED (
+      |  SELECT stripe, s,
+      |    ROW_NUMBER() OVER (PARTITION BY stripe ORDER BY s DESC, doc_id)
+      |      AS k
+      |  FROM d),
+      |counts AS MATERIALIZED (
+      |  SELECT stripe, CAST(COUNT(*) AS BIGINT) AS nd,
+      |    CAST(SUM(s) AS BIGINT) AS tot
+      |  FROM numbered GROUP BY 1),
+      |rec(stripe, k, bins) AS (
+      |  SELECT stripe, CAST(0 AS BIGINT), CAST([] AS BIGINT[]) FROM counts
+      |  UNION ALL
+      |  SELECT r.stripe, r.k + 1,
+      |    CASE
+      |      WHEN list_position(list_transform(r.bins, b -> b >= n.s), true) = 0
+      |      THEN list_append(r.bins, 2048 - n.s)
+      |      ELSE list_transform(r.bins, (b, i) -> CASE
+      |        WHEN i = list_position(
+      |               list_transform(r.bins, b2 -> b2 >= n.s), true)
+      |        THEN b - n.s ELSE b END) END
+      |  FROM rec r JOIN numbered n ON n.stripe = r.stripe AND n.k = r.k + 1)
+      |SELECT c.stripe, c.nd AS n_docs, c.tot AS total_tokens,
+      |  CAST(len(r.bins) AS BIGINT) AS n_bins,
+      |  (c.tot + 2047) // 2048 AS bound_bins,
+      |  (c.tot * 1000000 // (len(r.bins) * 2048)) / 1e6 AS fill
+      |FROM rec r JOIN counts c ON c.stripe = r.stripe AND r.k = c.nd
+      |ORDER BY c.stripe""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "vocab_heavy_hitters" -> ((vocabHeavyHitters _, vocabHeavyHittersSql)),
     "lm_perplexity" -> ((lmPerplexity _, lmPerplexitySql)),
@@ -2650,6 +2729,7 @@ object TextQueries {
     "text_burstiness" -> ((textBurstiness _, textBurstinessSql)),
     "zipf_fit" -> ((zipfFit _, zipfFitSql)),
     "heaps_law" -> ((heapsLaw _, heapsLawSql)),
+    "pack_best_fit" -> ((packBestFit _, packBestFitSql)),
     "char_entropy" -> ((charEntropy _, charEntropySql)),
     "boilerplate_detect" -> ((boilerplateDetect _, boilerplateDetectSql)),
     "readability" -> ((readability _, readabilitySql)),

@@ -145,6 +145,37 @@ class TextPipelineSpec extends SparkSpec {
     assert(out("web").getDouble(4) < out("web").getDouble(3))
   }
 
+  test("pack_best_fit == reference FFD; beats the greedy-concat bound") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ffd").toString
+    val rnd = new scala.util.Random(5)
+    val sizes = Vector.fill(40)(1 + rnd.nextInt(2000))
+    val docs = sizes.zipWithIndex.map { case (s, i) =>
+      (i.toLong, Seq.fill(s)("w").mkString(" ")) // exactly s tokens
+    }
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // reference FFD over (size desc, doc_id) with cap 2048
+    def ffd(ss: Seq[Long]): Int = {
+      val bins = scala.collection.mutable.ArrayBuffer[Long]()
+      ss.foreach { s =>
+        bins.indexWhere(_ >= s) match {
+          case -1 => bins += 2048L - s
+          case i  => bins(i) -= s
+        }
+      }
+      bins.length
+    }
+    val ordered = sizes.zipWithIndex
+      .sortBy { case (s, i) => (-s, i) }.map(_._1.toLong)
+    val row = TextQueries.packBestFit(spark, tmp)
+      .select("n_docs", "total_tokens", "n_bins", "bound_bins")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(row._1 == 40 && row._2 == sizes.map(_.toLong).sum)
+    assert(row._3 == ffd(ordered).toLong, s"bins ${row._3}")
+    assert(row._3 >= row._4) // never below the capacity lower bound
+  }
+
   test("heaps_law checkpoints == hand values on a crafted corpus") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("heaps").toString
