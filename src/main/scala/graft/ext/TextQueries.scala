@@ -2627,6 +2627,83 @@ object TextQueries {
       |FROM f LEFT JOIN f p ON p.k = f.k - 1
       |ORDER BY f.k""".stripMargin
 
+  /** KNESER–NEY smoothed bigram probabilities (Kneser & Ney, ICASSP
+    * 1995; Chen & Goodman 1998) — the LM-smoothing machinery beside
+    * the raw-count [[lmPerplexity]] and the association-score
+    * [[tokenPmi]]: absolute discounting with the CONTINUATION-count
+    * backoff (a word's backoff mass reflects how many distinct
+    * contexts it follows, not how often). With the discount the exact
+    * rational d = ¾, the interpolated probability clears denominators
+    * completely: P(w₂|w₁)·4·c(w₁)·B = max(4·c₁₂−3, 0)·B +
+    * 3·N₁₊(w₁·)·N₁₊(·w₂) with B the distinct-bigram-type count — an
+    * INTEGER numerator, so the top-20 readout is exact div-ppm and
+    * nothing floats.
+    *
+    * Scale: one corpus pass to the bigram count table (Heaps-bounded),
+    * two vocabulary-sized rollups (per-w₁ totals + continuation fanout,
+    * per-w₂ continuation counts), one broadcast scalar, top-20 as
+    * TakeOrdered.
+    */
+  def knBigramTop(spark: SparkSession, dir: String): DataFrame = {
+    val bi = Tables(spark, dir, "documents")
+      .select(split(lower(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        """filter(transform(sequence(1, size(ws) - 1),
+             i -> named_struct('a', ws[i-1], 'b', ws[i])),
+           p -> p.a != '' AND p.b != '')""")).as("p"))
+      .groupBy(col("p.a").as("w1"), col("p.b").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bi.count()
+    val byW1 = bi.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1p_w1"))
+    val byW2 = bi.groupBy("w2").agg(count(lit(1)).as("ncont_w2"))
+    val types = bi.agg(count(lit(1)).as("bb"))
+    bi.join(byW1, Seq("w1")).join(byW2, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("num", expr(
+        """CAST(GREATEST(4 * c12 - 3, 0) AS DECIMAL(38,0)) * bb
+          |+ 3 * CAST(n1p_w1 AS DECIMAL(38,0)) * ncont_w2""".stripMargin))
+      .withColumn("p_ppm",
+        expr("num * 1000000 div (4 * CAST(c1 AS DECIMAL(38,0)) * bb)"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("n1p_w1"), col("ncont_w2"),
+        (col("p_ppm") / 1e6).as("p_kn"))
+      .orderBy(desc("p_kn"), asc("w1"), asc("w2")).limit(20)
+  }
+
+  val knBigramTopSql: String =
+    """WITH bi AS (
+      |  SELECT p.a AS w1, p.b AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+      |  FROM (
+      |    SELECT unnest(list_filter(
+      |      list_transform(range(1, len(ws)),
+      |        i -> struct_pack(a := ws[i], b := ws[i + 1])),
+      |      p -> p.a != '' AND p.b != '')) AS p
+      |    FROM (SELECT string_split(lower(text), ' ') AS ws FROM documents)
+      |    WHERE len(ws) >= 2)
+      |  GROUP BY 1, 2),
+      |w1s AS (
+      |  SELECT w1, CAST(SUM(c12) AS HUGEINT) AS c1,
+      |    CAST(COUNT(*) AS HUGEINT) AS n1p_w1
+      |  FROM bi GROUP BY 1),
+      |w2s AS (
+      |  SELECT w2, CAST(COUNT(*) AS HUGEINT) AS ncont_w2 FROM bi GROUP BY 1),
+      |tt AS (SELECT CAST(COUNT(*) AS HUGEINT) AS bb FROM bi),
+      |s AS (
+      |  SELECT w1, w2, c12, c1, n1p_w1, ncont_w2,
+      |    (GREATEST(4 * CAST(c12 AS HUGEINT) - 3, 0) * bb
+      |     + 3 * n1p_w1 * ncont_w2) * 1000000 // (4 * c1 * bb) AS p_ppm
+      |  FROM bi JOIN w1s USING (w1) JOIN w2s USING (w2) CROSS JOIN tt)
+      |SELECT w1, w2, c12, CAST(c1 AS BIGINT) AS c1,
+      |  CAST(n1p_w1 AS BIGINT) AS n1p_w1,
+      |  CAST(ncont_w2 AS BIGINT) AS ncont_w2,
+      |  p_ppm / 1e6 AS p_kn
+      |FROM s
+      |ORDER BY p_kn DESC, w1, w2
+      |LIMIT 20""".stripMargin
+
   /** FIRST-FIT-DECREASING sequence packing — the packing-efficiency
     * upgrade over [[packChunks]]' greedy concat: within each 250-doc
     * stripe, documents (token counts capped at the 2048 context) are
@@ -2730,6 +2807,7 @@ object TextQueries {
     "zipf_fit" -> ((zipfFit _, zipfFitSql)),
     "heaps_law" -> ((heapsLaw _, heapsLawSql)),
     "pack_best_fit" -> ((packBestFit _, packBestFitSql)),
+    "kn_bigram_top" -> ((knBigramTop _, knBigramTopSql)),
     "char_entropy" -> ((charEntropy _, charEntropySql)),
     "boilerplate_detect" -> ((boilerplateDetect _, boilerplateDetectSql)),
     "readability" -> ((readability _, readabilitySql)),

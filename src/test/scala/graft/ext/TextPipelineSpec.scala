@@ -176,6 +176,23 @@ class TextPipelineSpec extends SparkSpec {
     assert(row._3 >= row._4) // never below the capacity lower bound
   }
 
+  test("Kneser-Ney probabilities == hand rationals on a crafted corpus") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("kn").toString
+    // bigrams: (a,b)×2, (a,c)×1 → B=2; c(a)=3, N1+(a·)=2,
+    // N1+(·b)=N1+(·c)=1; with d=¾:
+    //   P(b|a) = (5·2 + 3·2·1)/(4·3·2) = 16/24 → ppm 666666
+    //   P(c|a) = (1·2 + 6)/24        =  8/24 → ppm 333333
+    Seq((0L, "a b"), (1L, "a b"), (2L, "a c"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextQueries.knBigramTop(spark, tmp)
+      .select("w1", "w2", "p_kn").as[(String, String, Double)]
+      .collect().toList
+    assert(got == List(("a", "b", 0.666666), ("a", "c", 0.333333)))
+    spark.catalog.clearCache()
+  }
+
   test("heaps_law checkpoints == hand values on a crafted corpus") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("heaps").toString
