@@ -3444,6 +3444,87 @@ object EventQueries {
       |  c1 AS cost_burst_micros, c1 < c0 AS in_burst
       |FROM rec ORDER BY day""".stripMargin
 
+  /** WILCOXON SIGNED-RANK test on the PAIRED daily (view, purchase)
+    * counts — the matched-pairs sibling of
+    * [[graft.queries.OlapQueries]]'s Mann–Whitney U: does one series
+    * systematically sit above the other on the same days? Zero diffs
+    * drop (standard), |diff| ranks use AVERAGE ranks carried as the
+    * exact integer 2·rank = 2·cum_before + ties + 1 per tie group, and
+    * 2·W⁺ stays integral all the way; the tie-corrected z is the only
+    * double, rounded, with the usual guard.
+    *
+    * Scale: everything after the first aggregate runs on the
+    * calendar-bounded daily rollup; the single unpartitioned window
+    * orders the per-|diff| tie groups — at most one row per day, the
+    * PlanAuditSpec calendar class.
+    */
+  def wilcoxonSigned(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+      .withColumn("diff", col("x") - col("y"))
+      .filter(col("diff") =!= 0)
+    val groups = daily
+      .groupBy(abs(col("diff")).as("ad"))
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("diff") > 0, 1L).otherwise(0L)).as("p"))
+    val w = Window.orderBy("ad")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    groups
+      .withColumn("c", coalesce(sum("t").over(w), lit(0L)))
+      .agg(sum("t").as("n"),
+        // 2·W⁺ = Σ over positive diffs of (2·cum_before + ties + 1)
+        sum(expr("p * (2 * c + t + 1)")).as("w2"),
+        sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t")).as("ties"))
+      .select(col("n"), (col("w2").cast("double") / 2).as("w_plus"),
+        expr("""CASE WHEN n >= 2 AND
+                  (CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24
+                   - CAST(ties AS DOUBLE) / 48) > 0
+                THEN ROUND(
+                  (CAST(w2 AS DOUBLE) - CAST(n AS DOUBLE) * (n + 1) / 2)
+                  / (2 * SQRT(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24
+                              - CAST(ties AS DOUBLE) / 48)), 6)
+                END""").as("z"))
+  }
+
+  val wilcoxonSignedSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d,
+      |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) -
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS diff
+      |  FROM events WHERE event_type IN ('view', 'purchase')
+      |  GROUP BY 1),
+      |nz AS (SELECT diff FROM daily WHERE diff <> 0),
+      |groups AS (
+      |  SELECT ABS(diff) AS ad, CAST(COUNT(*) AS BIGINT) AS t,
+      |    CAST(SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p
+      |  FROM nz GROUP BY 1),
+      |cum AS (
+      |  SELECT *, COALESCE(SUM(t) OVER (ORDER BY ad
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+      |  FROM groups),
+      |agg AS (
+      |  SELECT CAST(SUM(t) AS BIGINT) AS n,
+      |    CAST(SUM(p * (2 * c + t + 1)) AS BIGINT) AS w2,
+      |    CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS ties
+      |  FROM cum)
+      |SELECT n, CAST(w2 AS DOUBLE) / 2 AS w_plus,
+      |  CASE WHEN n >= 2 AND
+      |    (CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24
+      |     - CAST(ties AS DOUBLE) / 48) > 0
+      |  THEN ROUND(
+      |    (CAST(w2 AS DOUBLE) - CAST(n AS DOUBLE) * (n + 1) / 2)
+      |    / (2 * SQRT(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24
+      |                - CAST(ties AS DOUBLE) / 48)), 6)
+      |  END AS z
+      |FROM agg""".stripMargin
+
   /** DYNAMIC TIME WARPING distance between the daily 'view' and
     * 'purchase' series — how similar are the two curves' SHAPES when
     * one may lead, lag, or stretch relative to the other
@@ -3566,6 +3647,7 @@ object EventQueries {
     "freq_sequences" -> ((freqSequences _, freqSequencesSql)),
     "burst_kleinberg" -> ((burstKleinberg _, burstKleinbergSql)),
     "dtw_daily" -> ((dtwDaily _, dtwDailySql)),
+    "wilcoxon_signed" -> ((wilcoxonSigned _, wilcoxonSignedSql)),
     "cms_user_counts" -> ((cmsUserCounts _, cmsUserCountsSql)),
     "events_mad" -> ((eventsMad _, eventsMadSql)),
     "trimmed_mean" -> ((trimmedMean _, trimmedMeanSql)),

@@ -2750,6 +2750,85 @@ object OlapQueries {
       |    AS rank_biserial
       |FROM agg""".stripMargin
 
+  /** THEIL INEQUALITY DECOMPOSITION of customer revenue by nation —
+    * the DECOMPOSABLE inequality index beside [[giniNation]]'s
+    * per-nation Gini: Theil's T splits exactly into within-nation
+    * inequality plus a between-nation term, which is the analytics
+    * question Gini cannot answer ("is revenue concentration a
+    * within-market or an across-market phenomenon"). Per nation g:
+    * T_g = Σᵢ xᵢ·ln(xᵢ·n_g/X_g) / X_g and the between contribution
+    * (X_g/X)·ln((X_g/X)/(n_g/n)). Carried in the floor-6dp ln-micros
+    * idiom over exact integer cents — both engines evaluate the same
+    * ln inputs and truncations, so the readout hashes exactly.
+    *
+    * Scale: one corpus aggregation to per-customer spend, one
+    * co-partitioned join to nation, a 25-row nation rollup broadcast
+    * back for the group-dependent ln terms, then a second bounded
+    * rollup — the spend projection is persisted so the corpus is
+    * scanned once.
+    */
+  def theilDecomp(spark: SparkSession, dir: String): DataFrame = {
+    def lnm(e: String) =
+      s"CAST(FLOOR(LN(CAST($e AS DOUBLE)) * 1000000) AS BIGINT)"
+    val cust = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(floor(sum(dec(col("o_totalprice"))) * 100)
+        .cast("decimal(38,0)").as("x"))
+      .join(Tables(spark, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        Seq("o_custkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cust.count()
+    val nat = cust.groupBy("c_nationkey")
+      .agg(sum("x").as("xg"), count(lit(1)).cast("decimal(38,0)").as("ng"))
+    val tot = nat.agg(sum("xg").as("xx"), sum("ng").as("nn"))
+    cust
+      .join(broadcast(nat), Seq("c_nationkey"))
+      .withColumn("term",
+        expr(s"x * (${lnm("x * ng")} - ${lnm("xg")})"))
+      .groupBy(col("c_nationkey"), col("xg"), col("ng"))
+      .agg(sum("term").as("sg"))
+      .crossJoin(broadcast(tot))
+      .select(col("c_nationkey"),
+        col("ng").cast("long").as("n_cust"),
+        (expr("xg * 1000000 div xx") / 1e6).as("revenue_share"),
+        (expr("sg div xg") / 1e6).as("t_within"),
+        (expr(s"xg * (${lnm("xg * nn")} - ${lnm("xx * ng")}) div xx")
+          / 1e6).as("between_contrib"))
+      .orderBy("c_nationkey")
+  }
+
+  val theilDecompSql: String =
+    """WITH cust AS (
+      |  SELECT o.o_custkey,
+      |    CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100)
+      |      AS HUGEINT) AS x,
+      |    c.c_nationkey
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY o.o_custkey, c.c_nationkey),
+      |nat AS (
+      |  SELECT c_nationkey, SUM(x) AS xg, CAST(COUNT(*) AS HUGEINT) AS ng
+      |  FROM cust GROUP BY 1),
+      |tot AS (SELECT SUM(xg) AS xx, SUM(ng) AS nn FROM nat),
+      |terms AS (
+      |  SELECT cust.c_nationkey, nat.xg, nat.ng,
+      |    SUM(x * (CAST(FLOOR(LN(CAST(x * ng AS DOUBLE)) * 1000000)
+      |               AS BIGINT)
+      |             - CAST(FLOOR(LN(CAST(xg AS DOUBLE)) * 1000000)
+      |               AS BIGINT))) AS sg
+      |  FROM cust JOIN nat USING (c_nationkey)
+      |  GROUP BY 1, 2, 3)
+      |SELECT c_nationkey, CAST(ng AS BIGINT) AS n_cust,
+      |  CAST(xg * 1000000 // xx AS BIGINT) / 1e6 AS revenue_share,
+      |  CAST(sg // xg AS BIGINT) / 1e6 AS t_within,
+      |  CAST(xg * (CAST(FLOOR(LN(CAST(xg * nn AS DOUBLE)) * 1000000)
+      |               AS BIGINT)
+      |             - CAST(FLOOR(LN(CAST(xx * ng AS DOUBLE)) * 1000000)
+      |               AS BIGINT)) // xx AS BIGINT) / 1e6
+      |    AS between_contrib
+      |FROM terms CROSS JOIN tot
+      |ORDER BY c_nationkey""".stripMargin
+
   /** OPEN-ORDER AGING — the unfulfilled backlog bucketed by how long
     * each open order ('O' status) has been waiting, measured against
     * the dataset's max order date (the "as of" instant a live system
@@ -2921,6 +3000,7 @@ object OlapQueries {
     "skyline_suppliers" -> ((skylineSuppliers _, skylineSuppliersSql)),
     "cramers_v" -> ((cramersV _, cramersVSql)),
     "mannwhitney_u" -> ((mannwhitneyU _, mannwhitneyUSql)),
+    "theil_decomp" -> ((theilDecomp _, theilDecompSql)),
     "open_order_aging" -> ((openOrderAging _, openOrderAgingSql)),
     "priority_mix_shift" -> ((priorityMixShift _, priorityMixShiftSql)),
     "simpson_check" -> ((simpsonCheck _, simpsonCheckSql)),

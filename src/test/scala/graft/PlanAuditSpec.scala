@@ -395,6 +395,7 @@ class PlanAuditSpec extends SparkSpec {
     "revenue_drawdown" -> Set("d"),              // calendar daily rollup
     "cusum_changepoint" -> Set("d"),             // calendar daily rollup
     "survival_km" -> Set("t"),                   // distinct gap days ≤ timespan
+    "wilcoxon_signed" -> Set("ad"),              // distinct |daily diff| ≤ days
     "window_rank_stats" -> Set("revenue", "n_name")) // 25-nation aggregate
 
   test("registry-wide: unpartitioned windows only order proven-bounded frames") {

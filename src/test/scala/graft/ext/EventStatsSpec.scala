@@ -99,6 +99,23 @@ class EventStatsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("Wilcoxon signed-rank == hand ranks on crafted paired days") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wilcx").toString
+    // diffs per day: +2, −1, +1, 0(dropped) → n=3; |1| tie pair gets
+    // 2·avgrank = 3 each, |2| gets 6 → 2·W⁺ = 6 + 3 = 9 → W⁺ = 4.5
+    val rows =
+      (1 to 3).map(j => (ts(1, 10, j), "view")) ++ Seq((ts(1, 11), "purchase")) ++
+      Seq((ts(2, 10), "view")) ++ (1 to 2).map(j => (ts(2, 11, j), "purchase")) ++
+      (1 to 2).map(j => (ts(3, 10, j), "view")) ++ Seq((ts(3, 11), "purchase")) ++
+      Seq((ts(4, 10), "view"), (ts(4, 11), "purchase"))
+    rows.toDF("ts", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = EventQueries.wilcoxonSigned(spark, dir)
+      .select("n", "w_plus").as[(Long, Double)].collect().head
+    assert(r == ((3L, 4.5)), s"got $r")
+  }
+
   test("DTW fold == exhaustive path search on random short series") {
     // brute force: min total |x_i − y_j| over all monotone warp paths
     def brute(xs: Seq[Long], ys: Seq[Long]): Long = {

@@ -85,6 +85,35 @@ class SkylineStatsSpec extends SparkSpec {
     assert(total == nCust)
   }
 
+  test("Theil decomposition: zero within equal nations, hand between-term") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("theil").toString
+    // nation 1: two customers spending 10.00 each; nation 2: two at
+    // 30.00 → within-Theil is EXACTLY 0 (x·n_g = X_g per customer);
+    // the between terms re-derive from the same ln-micros formula
+    Seq((1L, 1), (2L, 1), (3L, 2), (4L, 2))
+      .toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1L, 10.0), (2L, 10.0), (3L, 30.0), (4L, 30.0))
+      .toDF("o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    def lnm(v: Double) = math.floor(math.log(v) * 1e6).toLong
+    def between(xg: Long, ng: Long, xx: Long, nn: Long) = {
+      val num = xg * (lnm(xg.toDouble * nn) - lnm(xx.toDouble * ng))
+      (if (num >= 0) num / xx else -((-num) / xx)) / 1e6
+    }
+    val got = OlapQueries.theilDecomp(spark, dir)
+      .select("c_nationkey", "n_cust", "revenue_share", "t_within",
+        "between_contrib")
+      .as[(Int, Long, Double, Double, Double)].collect().toList
+    assert(got == List(
+      (1, 2L, 0.25, 0.0, between(2000, 2, 8000, 4)),
+      (2, 2L, 0.75, 0.0, between(6000, 2, 8000, 4))), s"got $got")
+    // the between terms sum to (approximately) the population-level
+    // mean-log-deviation of the two nation means — sign sanity only
+    assert(got.map(_._5).sum > 0)
+  }
+
   test("Cramér's V: 1 at perfect association, 0 at exact independence") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cramers").toString
