@@ -2520,6 +2520,9 @@ object OlapQueries {
     * revenue in floored cents, return rate in `div` ppm.
     */
   def skylineSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the supplier aggregate feeds BOTH the tie-group rollup
+    // (via the DistRank sweep) and the final survivor join — without
+    // the cache the corpus scan+aggregation runs once per consumer
     val sup = Tables(spark, dir, "lineitem")
       .groupBy(col("l_suppkey"))
       .agg(floor(sum(dec(col("l_extendedprice") *
@@ -2529,6 +2532,8 @@ object OlapQueries {
         sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
           .as("n_ret"))
       .withColumn("rate_ppm", expr("n_ret * 1000000 div n_items"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sup.count()
     val grp = sup.groupBy("rev_cents").agg(min("rate_ppm").as("grp_min"))
     val swept = graft.ext.DistRank.globalCumMinExcl(
       grp, "grp_min", "pref_min", Seq(col("rev_cents").desc))
