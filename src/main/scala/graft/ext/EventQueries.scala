@@ -3365,6 +3365,77 @@ object EventQueries {
       |GROUP BY first_event, then_event, n_total
       |ORDER BY n_sessions DESC, first_event, then_event""".stripMargin
 
+  /** ENTROPY RATE of the event-type transition chain — how predictable
+    * is the NEXT event given the current one ([[eventsTransitions]]
+    * counts the steps; this is the information-theoretic readout over
+    * them, the sequence-level sibling of source entropy): per state s,
+    * the conditional next-step entropy H(next|s) = Σ_t p(t|s)·ln
+    * 1/p(t|s), and its N-weighted contribution to the chain's entropy
+    * rate Σ_s π_s·H(next|s). Carried as the floor-6dp ln-micros idiom
+    * over exact transition counts — n_st·(lnm n_s − lnm n_st), `div`
+    * by n_s (conditional) or N (contribution) — truncating identically
+    * in both engines.
+    *
+    * Scale: one partitioned lag window (user-keyed — the streaming
+    * state layout), one aggregation to the |types|² transition grid;
+    * everything after is bounded-grid arithmetic.
+    */
+  def entropyRate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def lnm(e: String) =
+      s"CAST(FLOOR(LN(CAST($e AS DOUBLE)) * 1000000) AS BIGINT)"
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("state"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n_st"))
+    val states = trans.groupBy("state").agg(sum("n_st").as("n_s"))
+    val tot = states.agg(sum("n_s").as("nn"))
+    trans.join(broadcast(states), Seq("state"))
+      .crossJoin(broadcast(tot))
+      .withColumn("term",
+        expr(s"n_st * (${lnm("n_s")} - ${lnm("n_st")})"))
+      .groupBy(col("state"), col("n_s"), col("nn"))
+      .agg(sum("term").as("ts_sum"))
+      .select(col("state"), col("n_s"),
+        (expr("n_s * 1000000 div nn") / 1e6).as("pi"),
+        (expr("ts_sum div n_s") / 1e6).as("h_cond"),
+        (expr("ts_sum div nn") / 1e6).as("rate_contrib"))
+      .orderBy("state")
+  }
+
+  val entropyRateSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |trans AS (
+      |  SELECT prev AS state, event_type AS next,
+      |    CAST(COUNT(*) AS BIGINT) AS n_st
+      |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |states AS (
+      |  SELECT state, CAST(SUM(n_st) AS BIGINT) AS n_s
+      |  FROM trans GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS nn FROM states),
+      |terms AS (
+      |  SELECT t.state, s.n_s, x.nn,
+      |    SUM(t.n_st *
+      |      (CAST(FLOOR(LN(CAST(s.n_s AS DOUBLE)) * 1000000) AS BIGINT)
+      |       - CAST(FLOOR(LN(CAST(t.n_st AS DOUBLE)) * 1000000)
+      |         AS BIGINT))) AS ts_sum
+      |  FROM trans t JOIN states s USING (state) CROSS JOIN tot x
+      |  GROUP BY 1, 2, 3)
+      |SELECT state, n_s,
+      |  CAST(n_s * 1000000 // nn AS BIGINT) / 1e6 AS pi,
+      |  CAST(ts_sum // n_s AS BIGINT) / 1e6 AS h_cond,
+      |  CAST(ts_sum // nn AS BIGINT) / 1e6 AS rate_contrib
+      |FROM terms
+      |ORDER BY state""".stripMargin
+
   /** KLEINBERG-STYLE BURST DETECTION over the daily event series (the
     * batch 2-state form of Kleinberg, KDD 2002): a base state emitting
     * at the series' mean daily rate λ₀ and a burst state at 2λ₀, a
@@ -3648,6 +3719,7 @@ object EventQueries {
     "burst_kleinberg" -> ((burstKleinberg _, burstKleinbergSql)),
     "dtw_daily" -> ((dtwDaily _, dtwDailySql)),
     "wilcoxon_signed" -> ((wilcoxonSigned _, wilcoxonSignedSql)),
+    "entropy_rate" -> ((entropyRate _, entropyRateSql)),
     "cms_user_counts" -> ((cmsUserCounts _, cmsUserCountsSql)),
     "events_mad" -> ((eventsMad _, eventsMadSql)),
     "trimmed_mean" -> ((trimmedMean _, trimmedMeanSql)),

@@ -99,6 +99,26 @@ class EventStatsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("entropy rate == hand ln-micros on a crafted transition chain") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("entr").toString
+    // user 1: A→B, B→A, A→B; user 2: A→C
+    // transitions: (A,B)=2, (B,A)=1, (A,C)=1 → A: n_s=3, B: n_s=1
+    Seq((1L, 1L, ts(1, 10, 0), "A"), (2L, 1L, ts(1, 10, 1), "B"),
+        (3L, 1L, ts(1, 10, 2), "A"), (4L, 1L, ts(1, 10, 3), "B"),
+        (5L, 2L, ts(1, 10, 0), "A"), (6L, 2L, ts(1, 10, 1), "C"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def lnm(v: Long) = math.floor(math.log(v.toDouble) * 1e6).toLong
+    val hA = (2 * (lnm(3) - lnm(2)) + 1 * (lnm(3) - lnm(1))) / 3 / 1e6
+    val cA = (2 * (lnm(3) - lnm(2)) + 1 * (lnm(3) - lnm(1))) / 4 / 1e6
+    val got = EventQueries.entropyRate(spark, dir)
+      .select("state", "n_s", "pi", "h_cond", "rate_contrib")
+      .as[(String, Long, Double, Double, Double)].collect().toList
+    assert(got == List(("A", 3L, 0.75, hA, cA), ("B", 1L, 0.25, 0.0, 0.0)),
+      s"got $got want A=($hA,$cA)")
+  }
+
   test("Wilcoxon signed-rank == hand ranks on crafted paired days") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("wilcx").toString
