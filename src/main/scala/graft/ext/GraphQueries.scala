@@ -1053,7 +1053,89 @@ object GraphQueries {
        |ORDER BY e.w DESC, e.u, e.v""".stripMargin
   }
 
+  /** K-TRUSS peeling (k=4) of the strongest-2000 co-supply backbone —
+    * the EDGE-support sibling of [[kcorePeel]]'s node-degree peel: each
+    * round recomputes per-edge triangle support |N(u) ∩ N(v)| on the
+    * surviving subgraph and drops edges supporting fewer than k−2 = 2
+    * triangles, a strictly stronger cohesion filter than k-core (every
+    * k-truss is inside a (k−1)-core). Fixed 4 peel rounds — like
+    * [[pageRank]]'s fixed iterations, the round count is part of the
+    * operator's defined semantics so the unrolled DuckDB oracle replays
+    * it exactly. Output is the per-round (edges, nodes) profile.
+    *
+    * Scale: the backbone is LIMIT-bounded (2000 edges) after one
+    * corpus-side co-supply aggregation — the same bounded-subgraph
+    * discipline as [[triangles]]/[[msfBackbone]]; each round is two
+    * bounded self-joins + one aggregate over a localCheckpointed
+    * ≤2000-row frame (lineage cut per round). The corpus is scanned
+    * twice (the co-supply self-join), never per round.
+    */
+  def kTruss(spark: SparkSession, dir: String): DataFrame = {
+    val sp = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+    val e0 = sp.as("a").join(sp.as("b"), Seq("p"))
+      .filter(col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("u"), col("b.s").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .orderBy(desc("w"), asc("u"), asc("v")).limit(2000)
+      .select("u", "v").localCheckpoint()
+    def peel(e: DataFrame): DataFrame = {
+      val adj = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val supp = e
+        .join(adj.select(col("u").as("su"), col("v").as("x")),
+          col("u") === col("su"))
+        .join(adj.select(col("u").as("sv"), col("v").as("x2")),
+          col("v") === col("sv") && col("x") === col("x2"))
+        .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+      e.join(supp.filter(col("sup") >= 2).select("u", "v"),
+        Seq("u", "v"), "left_semi").localCheckpoint()
+    }
+    val rounds = (1 to 4).scanLeft(e0)((e, _) => peel(e)).zipWithIndex
+    rounds.map { case (e, i) =>
+      e.agg(count(lit(1)).cast("long").as("n_edges"))
+        .crossJoin(
+          e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+            .distinct().agg(count(lit(1)).cast("long").as("n_nodes")))
+        .select(lit(i).cast("long").as("round"), col("n_edges"),
+          col("n_nodes"))
+    }.reduce(_.unionAll(_)).orderBy("round")
+  }
+
+  val kTrussSql: String = {
+    def round(i: Int): String =
+      s"""a$i AS MATERIALIZED (
+         |  SELECT u, v FROM e$i UNION ALL SELECT v, u FROM e$i),
+         |s$i AS MATERIALIZED (
+         |  SELECT e.u, e.v, COUNT(*) AS sup
+         |  FROM e$i e
+         |  JOIN a$i n1 ON n1.u = e.u
+         |  JOIN a$i n2 ON n2.u = e.v AND n2.v = n1.v
+         |  GROUP BY e.u, e.v),
+         |e${i + 1} AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM e$i e
+         |  JOIN s$i s ON s.u = e.u AND s.v = e.v
+         |  WHERE s.sup >= 2)""".stripMargin
+    def prof(i: Int): String =
+      s"""SELECT CAST($i AS BIGINT) AS round,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e$i) AS n_edges,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+         |    (SELECT u AS n FROM e$i UNION SELECT v FROM e$i)) AS n_nodes"""
+        .stripMargin
+    s"""WITH sp AS MATERIALIZED (
+       |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT u, v FROM (
+       |    SELECT a.s AS u, b.s AS v, COUNT(*) AS w
+       |    FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+       |    GROUP BY 1, 2)
+       |  ORDER BY w DESC, u, v LIMIT 2000),
+       |${(0 to 3).map(round).mkString(",\n")}
+       |${(0 to 4).map(prof).mkString("\nUNION ALL\n")}
+       |ORDER BY round""".stripMargin
+  }
+
   def all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "k_truss" -> ((kTruss _, kTrussSql)),
     "min_cost_route" -> ((minCostRoute _, minCostRouteSql)),
     "msf_backbone" -> ((msfBackbone _, msfBackboneSql)),
     "pagerank_supply" -> ((pageRank _, pageRankSql)),

@@ -16,7 +16,8 @@ object Registry {
       graft.ext.EventQueries.all,
       graft.ext.Multimodal.all, graft.ext.CurationQueries.all,
       graft.ext.Bucketing.all, graft.ext.GraphQueries.all,
-      graft.ext.RollupIndex.all)
+      graft.ext.RollupIndex.all, graft.ext.StatsQueries.all,
+      graft.ext.PhraseQueries.all)
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
     val all = suites.flatten

@@ -396,7 +396,10 @@ class PlanAuditSpec extends SparkSpec {
     "cusum_changepoint" -> Set("d"),             // calendar daily rollup
     "survival_km" -> Set("t"),                   // distinct gap days ≤ timespan
     "wilcoxon_signed" -> Set("ad"),              // distinct |daily diff| ≤ days
-    "window_rank_stats" -> Set("revenue", "n_name")) // 25-nation aggregate
+    "window_rank_stats" -> Set("revenue", "n_name"), // 25-nation aggregate
+    "spearman_corr" -> Set("_pid"),              // DistRank offsets ×2
+    "kruskal_wallis" -> Set("_pid"),             // DistRank offsets
+    "logrank_test" -> Set("t"))                  // distinct gap days ≤ timespan
 
   test("registry-wide: unpartitioned windows only order proven-bounded frames") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow,

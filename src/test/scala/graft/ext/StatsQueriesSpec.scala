@@ -1,0 +1,154 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the rank-statistics + Shapley batch: Kendall's τ-b against an
+  * all-pairs brute force on sf0.001, Spearman/Kruskal–Wallis/log-rank
+  * against hand-computed values on crafted tables, and the Shapley
+  * attribution against an independent coalition-enumeration on
+  * sf0.001 plus its efficiency axiom.
+  */
+class StatsQueriesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("kendall_tau == all-pairs brute force on sf0.001") {
+    import spark.implicits._
+    val xs = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_quantity").cast("long"),
+        floor(col("l_discount").cast("decimal(18,4)") * 100).cast("long"))
+      .as[(Long, Long)].collect()
+    var c = 0L; var d = 0L
+    var i = 0
+    while (i < xs.length) {
+      var j = i + 1
+      while (j < xs.length) {
+        val (qa, da) = xs(i); val (qb, db) = xs(j)
+        if (qa != qb && da != db) {
+          if ((qa < qb) == (da < db)) c += 1 else d += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val n = xs.length.toLong
+    val tx2 = xs.groupBy(_._1).values.map(g => g.length.toLong * (g.length - 1)).sum
+    val ty2 = xs.groupBy(_._2).values.map(g => g.length.toLong * (g.length - 1)).sum
+    val n02 = n * (n - 1)
+    val wantTau = BigDecimal(2.0 * (c - d) /
+      math.sqrt((n02 - tx2).toDouble * (n02 - ty2).toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = StatsQueries.kendallTau(spark, sf)
+      .select("n", "concordant_share", "discordant_share", "tau_b")
+      .as[(Long, Double, Double, Double)].head()
+    assert(got._1 == n)
+    assert(got._2 == (2 * c * 1000000L / n02) / 1e6)
+    assert(got._3 == (2 * d * 1000000L / n02) / 1e6)
+    assert(math.abs(got._4 - wantTau) < 1e-9, s"tau got ${got._4} want $wantTau")
+  }
+
+  test("spearman_corr: hand case with a y-tie scores 0.866025") {
+    import spark.implicits._
+    // cust1: 1 order, spend 10.00; cust2: 2 orders, spend 10.00 (y tie
+    // with cust1); cust3: 3 orders, spend 60.00.
+    // x ranks (1,2,3); y tie-averaged ranks (1.5, 1.5, 3)
+    // → ρ = 1.5/√(2·1.5) = 0.8660254 → 0.866025
+    val dir = java.nio.file.Files.createTempDirectory("spearman").toString
+    val rows = Seq((1L, 10.00), (2L, 5.00), (2L, 5.00),
+      (3L, 20.00), (3L, 20.00), (3L, 20.00))
+    rows.toDF("o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = StatsQueries.spearmanCorr(spark, dir)
+      .as[(Long, Double)].head()
+    assert(got == ((3L, 0.866025)))
+  }
+
+  test("spearman_corr: perfectly monotone pair scores exactly 1.0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("spearman1").toString
+    val rows = (1 to 5).flatMap(i => Seq.fill(i)((i.toLong, i * 7.0)))
+    rows.toDF("o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = StatsQueries.spearmanCorr(spark, dir)
+      .as[(Long, Double)].head()
+    assert(got == ((5L, 1.0)))
+  }
+
+  test("kruskal_wallis: two clean-split groups of two score H = 2.4") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kw").toString
+    Seq((1L, 1.00, "A"), (2L, 2.00, "A"), (3L, 3.00, "B"), (4L, 4.00, "B"))
+      .toDF("o_custkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = StatsQueries.kruskalWallis(spark, dir)
+      .select("o_orderpriority", "n_group", "mean_rank", "h", "dof")
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    assert(got == Seq(("A", 2L, 1.5, 2.4, 1L), ("B", 2L, 3.5, 2.4, 1L)))
+  }
+
+  test("logrank_test: hand-crafted two-cohort risk table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("logrank").toString
+    Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // c1 (BUILDING): orders day 0, day 10 → gap 10 (event), censored 0
+    // c2 (other):    orders day 0, day 5  → gap 5 (event), censored 5
+    Seq((1L, "1995-01-01", 1L), (1L, "1995-01-11", 2L),
+      (2L, "1995-01-01", 3L), (2L, "1995-01-06", 4L))
+      .toDF("o_custkey", "o_orderdate", "o_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = StatsQueries.logrankTest(spark, dir)
+      .select("n_building", "n_rest", "observed_events",
+        "expected_events", "chi2")
+      .as[(Long, Long, Long, Double, Double)].head()
+    // risk sets: t=5 → n=3, n1=1 (e1μ = 333333, vμ = 222222);
+    // t=10 → n=1, n1=1 (e1μ = 10⁶, v = 0). O₁ = 1, E₁ = 1.333333
+    assert(got._1 == 1L && got._2 == 2L && got._3 == 1L)
+    assert(got._4 == 1.333333)
+    val wantChi2 = BigDecimal(
+      math.pow(1.0 - 1333333.0 / 1e6, 2) / (222222.0 / 1e6))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._5 == wantChi2)
+  }
+
+  test("attribution_shapley == independent coalition enumeration on sf0.001") {
+    import spark.implicits._
+    // independent journey→mask reduction, then brute Shapley over the
+    // 8-coalition lattice with exact sixth-weights
+    val ev = graft.Tables(spark, sf, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val t = ev.filter(col("event_type").isin("view", "click", "signup"))
+      .select(col("user_id"), col("ts").as("t_ts"), col("event_type").as("tt"))
+    val masks = p.join(t, Seq("user_id"))
+      .filter(col("t_ts") < col("p_ts") &&
+        col("t_ts") >= expr("p_ts - INTERVAL 7 DAY"))
+      .groupBy("p_id")
+      .agg((max(when(col("tt") === "view", 1L).otherwise(0L))
+        + max(when(col("tt") === "click", 2L).otherwise(0L))
+        + max(when(col("tt") === "signup", 4L).otherwise(0L))).as("m"))
+      .groupBy("m").agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    def v(s: Long): Long =
+      masks.collect { case (m, c) if (s & m) == m => c }.sum
+    def phi6(bit: Long): Long =
+      (0L to 7L).filter(s => (s & bit) == 0).map { s =>
+        val w = java.lang.Long.bitCount(s) match {
+          case 0 => 2L; case 1 => 1L; case _ => 2L
+        }
+        w * (v(s | bit) - v(s))
+      }.sum
+    val want = Map("view" -> phi6(1), "click" -> phi6(2),
+      "signup" -> phi6(4))
+    val got = StatsQueries.attributionShapley(spark, sf)
+      .select("channel", "phi_sixths", "n_journeys")
+      .as[(String, Long, Long)].collect()
+    assert(got.map(r => r._1 -> r._2).toMap == want)
+    // efficiency axiom: Σφ = v(full lattice) = all attributed journeys
+    assert(got.map(_._2).sum == 6 * v(7))
+    assert(got.forall(_._3 == v(7)))
+    assert(v(7) > 0)
+  }
+}
