@@ -252,8 +252,78 @@ object KMeans {
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** SIMPLIFIED SILHOUETTE of the trained k-means partition — the
+    * cluster-quality readout over the same Lloyd's model the
+    * [[kmeansTrain]] gate pins: per point, a = distance to its
+    * assigned (nearest) centroid, b = distance to the second-nearest,
+    * s = (b−a)/max(a,b) (the centroid-based simplification of
+    * Rousseeuw 1987 — the exact silhouette's all-pairs a/b is
+    * corpus-quadratic; the simplified form is the one computable at
+    * 100 TB, one pass × k centroids). Cross-engine float contract:
+    * distances are √ of the exact integer-quantized squared fold (IEEE
+    * sqrt is correctly rounded, so both engines hold identical
+    * doubles), each point's s is FLOORED to micros before any
+    * accumulation, and the per-cell mean is an exact integer div — the
+    * only order-sensitive float sum is eliminated.
+    *
+    * Scale: assignment + distance is a pure projection over the
+    * bounded k×dim centroid literal (same crossover note as
+    * [[nearestCell]]); one map-side-combined aggregation to k rows.
+    * Training's bounded k×dim collects per round are model-sized, not
+    * data-sized.
+    */
+  def silhouetteKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val qc = quantized(graft.Tables(spark, dir, "embeddings")).persist()
+    val trained = try trainOn(qc, K, Iters) finally qc.unpersist()
+    val centArr = typedLit(trained.sortBy(_._1))
+    val scored = transform(centArr, c =>
+      struct(
+        aggregate(
+          zip_with(col("qv"), c.getField("_2"), (a, b) => (a - b) * (a - b)),
+          lit(0.0d), (acc, x) => acc + x).as("d"),
+        c.getField("_1").as("cell")))
+    quantized(graft.Tables(spark, dir, "embeddings"))
+      .withColumn("sc", sort_array(scored))
+      .select(col("sc").getItem(0).getField("cell").as("cell"),
+        sqrt(col("sc").getItem(0).getField("d")).as("a"),
+        sqrt(col("sc").getItem(1).getField("d")).as("b"))
+      .withColumn("sm", expr(
+        """CAST(FLOOR(CASE WHEN GREATEST(a, b) > 0
+             THEN (b - a) / GREATEST(a, b) ELSE 0.0 END * 1000000)
+           AS BIGINT)"""))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_points"), sum("sm").as("ssm"))
+      .select(col("cell"), col("n_points"),
+        (expr("ssm div n_points") / 1e6).as("silhouette"))
+      .orderBy("cell")
+  }
+
+  val silhouetteKmeansSql: String =
+    s"""WITH $kmeansCtePrefixSql
+       |dF AS (SELECT q.vec_id, c.cell,
+       |      list_reduce(list_transform(list_zip(q.qv, c.m),
+       |                  s -> (s[1] - s[2]) * (s[1] - s[2])), (a, b) -> a + b) AS d
+       |    FROM q CROSS JOIN c${Iters - 1} c),
+       |r AS (SELECT vec_id, cell, d,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |    FROM dF),
+       |ab AS (SELECT r1.vec_id, r1.cell,
+       |      SQRT(r1.d) AS a, SQRT(r2.d) AS b
+       |    FROM r r1 JOIN r r2 ON r1.vec_id = r2.vec_id
+       |      AND r1.rn = 1 AND r2.rn = 2),
+       |s AS (SELECT cell,
+       |      CAST(FLOOR(CASE WHEN GREATEST(a, b) > 0
+       |        THEN (b - a) / GREATEST(a, b) ELSE 0.0 END * 1000000)
+       |        AS BIGINT) AS sm
+       |    FROM ab)
+       |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_points,
+       |  (SUM(sm) // COUNT(*)) / 1e6 AS silhouette
+       |FROM s GROUP BY cell
+       |ORDER BY cell""".stripMargin
+
   def all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "kmeans_train" -> ((kmeansTrain _, kmeansTrainSql)),
-    "ann_ivf_trained" -> ((annIvfTrained _, annIvfTrainedSql))
+    "ann_ivf_trained" -> ((annIvfTrained _, annIvfTrainedSql)),
+    "silhouette_kmeans" -> ((silhouetteKmeans _, silhouetteKmeansSql))
   )
 }

@@ -32,11 +32,14 @@ object PhraseQueries {
     * as exact ppm with defined truncation, then source-averaged with
     * one more exact div.
     *
-    * Scale: the exemplar table has one row per source (a bounded
-    * category set — broadcast); no window, no sort anywhere. The gram
-    * join is keyed (doc, gram) so each pair moves |grams| rows —
-    * linear in corpus tokens; every division is per-row. No stage
-    * holds more than a partition of grams regardless of corpus size.
+    * Scale: the exemplar-gram table is bounded (one exemplar doc per
+    * source, sources a bounded category set) and BROADCAST, so the
+    * overlap join is map-side on (source, gram) — one pass over the
+    * corpus gram table, no shuffle of a pair table, no window, no
+    * sort anywhere; every division is per-row. (A first form joined
+    * pair→grams on the doc keys; with a small shared vocabulary a
+    * cost-based oracle engine can reorder that into a gram-only join —
+    * quadratic. The (source, gram) keying is immune by construction.)
     */
   def rougePairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
@@ -44,31 +47,38 @@ object PhraseQueries {
       .persist(StorageLevel.MEMORY_AND_DISK)
     docs.count()
     val ex = docs.groupBy("source").agg(min("doc_id").as("a"))
-    val pairs = docs.select(col("doc_id").as("b"), col("source"))
-      .join(broadcast(ex), Seq("source"))
-      .filter(col("b") =!= col("a"))
-    val uni = docs.select(col("doc_id"), explode(col("ws")).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    // each gram table feeds BOTH its exemplar projection and the
+    // overlap join — persist so the explode+aggregate runs once
+    val uni = docs.select(col("doc_id"), col("source"),
+      explode(col("ws")).as("g"))
+      .groupBy("doc_id", "source", "g").agg(count(lit(1)).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val bi = docs.filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), col("source"), explode(expr(
         "transform(sequence(1, size(ws) - 1), i -> concat(ws[i - 1], ' ', ws[i]))"))
         .as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "source", "g").agg(count(lit(1)).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // bounded exemplar-gram tables: one doc per source
+    def exGrams(grams: DataFrame): DataFrame =
+      grams.join(ex, grams("doc_id") === ex("a") &&
+        grams("source") === ex("source"))
+        .select(grams("source"), col("g"), col("c").as("ce"))
+    def overlap(grams: DataFrame, out: String): DataFrame =
+      grams.join(broadcast(exGrams(grams)), Seq("source", "g"))
+        .groupBy(col("doc_id").as("b"))
+        .agg(sum(least(col("c"), col("ce"))).as(out))
     val tot = docs.select(col("doc_id"),
       size(col("ws")).cast("long").as("t1"),
       greatest(size(col("ws")) - 1, lit(0)).cast("long").as("t2"))
-    def overlap(grams: DataFrame, out: String): DataFrame =
-      pairs
-        .join(grams.select(col("doc_id").as("a"), col("g"),
-          col("c").as("ca")), Seq("a"))
-        .join(grams.select(col("doc_id").as("b"), col("g"),
-          col("c").as("cb")), Seq("b", "g"))
-        .groupBy("a", "b").agg(sum(least(col("ca"), col("cb"))).as(out))
-    pairs
-      .join(overlap(uni, "ov1"), Seq("a", "b"), "left")
-      .join(overlap(bi, "ov2"), Seq("a", "b"), "left")
-      .join(tot.select(col("doc_id").as("a"), col("t1").as("t1a"),
-        col("t2").as("t2a")), Seq("a"))
+    docs.select(col("doc_id").as("b"), col("source"))
+      .join(broadcast(ex), Seq("source"))
+      .filter(col("b") =!= col("a"))
+      .join(overlap(uni, "ov1"), Seq("b"), "left")
+      .join(overlap(bi, "ov2"), Seq("b"), "left")
+      .join(broadcast(tot.join(ex, tot("doc_id") === ex("a"))
+        .select(col("source"), col("t1").as("t1a"), col("t2").as("t2a"))),
+        Seq("source"))
       .join(tot.select(col("doc_id").as("b"), col("t1").as("t1b"),
         col("t2").as("t2b")), Seq("b"))
       .select(col("source"),
@@ -88,49 +98,53 @@ object PhraseQueries {
   }
 
   val rougePairsSql: String =
-    """WITH docs AS (
+    """WITH docs AS MATERIALIZED (
       |  SELECT doc_id, source, string_split(text, ' ') AS ws
       |  FROM documents),
-      |ex AS (SELECT source, MIN(doc_id) AS a FROM docs GROUP BY source),
-      |pairs AS (
-      |  SELECT ex.a, d.doc_id AS b, d.source
-      |  FROM docs d JOIN ex USING (source)
-      |  WHERE d.doc_id <> ex.a),
-      |uni AS (
-      |  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM (
-      |    SELECT doc_id, unnest(ws) AS g FROM docs) GROUP BY 1, 2),
-      |bi AS (
-      |  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM (
-      |    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |ex AS MATERIALIZED (
+      |  SELECT source, MIN(doc_id) AS a FROM docs GROUP BY source),
+      |uni AS MATERIALIZED (
+      |  SELECT doc_id, source, g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |    SELECT doc_id, source, unnest(ws) AS g FROM docs)
+      |  GROUP BY 1, 2, 3),
+      |bi AS MATERIALIZED (
+      |  SELECT doc_id, source, g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |    SELECT doc_id, source, unnest(list_transform(range(1, len(ws)),
       |      i -> ws[i] || ' ' || ws[i + 1])) AS g
-      |    FROM docs WHERE len(ws) >= 2) GROUP BY 1, 2),
-      |tot AS (
+      |    FROM docs WHERE len(ws) >= 2) GROUP BY 1, 2, 3),
+      |exu AS MATERIALIZED (
+      |  SELECT u.source, u.g, u.c AS ce
+      |  FROM uni u JOIN ex ON ex.a = u.doc_id AND ex.source = u.source),
+      |exb AS MATERIALIZED (
+      |  SELECT b.source, b.g, b.c AS ce
+      |  FROM bi b JOIN ex ON ex.a = b.doc_id AND ex.source = b.source),
+      |o1 AS (
+      |  SELECT u.doc_id AS b, CAST(SUM(LEAST(u.c, e.ce)) AS BIGINT) AS ov
+      |  FROM uni u JOIN exu e ON e.source = u.source AND e.g = u.g
+      |  GROUP BY 1),
+      |o2 AS (
+      |  SELECT b.doc_id AS b, CAST(SUM(LEAST(b.c, e.ce)) AS BIGINT) AS ov
+      |  FROM bi b JOIN exb e ON e.source = b.source AND e.g = b.g
+      |  GROUP BY 1),
+      |tot AS MATERIALIZED (
       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS t1,
       |    CAST(GREATEST(len(ws) - 1, 0) AS BIGINT) AS t2
       |  FROM docs),
-      |o1 AS (
-      |  SELECT p.a, p.b, CAST(SUM(LEAST(ua.c, ub.c)) AS BIGINT) AS ov
-      |  FROM pairs p
-      |  JOIN uni ua ON ua.doc_id = p.a
-      |  JOIN uni ub ON ub.doc_id = p.b AND ub.g = ua.g
-      |  GROUP BY 1, 2),
-      |o2 AS (
-      |  SELECT p.a, p.b, CAST(SUM(LEAST(ba.c, bb.c)) AS BIGINT) AS ov
-      |  FROM pairs p
-      |  JOIN bi ba ON ba.doc_id = p.a
-      |  JOIN bi bb ON bb.doc_id = p.b AND bb.g = ba.g
-      |  GROUP BY 1, 2),
+      |toa AS (
+      |  SELECT ex.source, t.t1 AS t1a, t.t2 AS t2a
+      |  FROM tot t JOIN ex ON ex.a = t.doc_id),
       |per AS (
-      |  SELECT p.source,
-      |    COALESCE(o1.ov, 0) * 1000000 // GREATEST(ta.t1, 1) AS r1r,
+      |  SELECT d.source,
+      |    COALESCE(o1.ov, 0) * 1000000 // GREATEST(toa.t1a, 1) AS r1r,
       |    COALESCE(o1.ov, 0) * 1000000 // GREATEST(tb.t1, 1) AS r1p,
-      |    COALESCE(o2.ov, 0) * 1000000 // GREATEST(ta.t2, 1) AS r2r,
+      |    COALESCE(o2.ov, 0) * 1000000 // GREATEST(toa.t2a, 1) AS r2r,
       |    COALESCE(o2.ov, 0) * 1000000 // GREATEST(tb.t2, 1) AS r2p
-      |  FROM pairs p
-      |  LEFT JOIN o1 ON o1.a = p.a AND o1.b = p.b
-      |  LEFT JOIN o2 ON o2.a = p.a AND o2.b = p.b
-      |  JOIN tot ta ON ta.doc_id = p.a
-      |  JOIN tot tb ON tb.doc_id = p.b)
+      |  FROM docs d
+      |  JOIN ex ON ex.source = d.source AND d.doc_id <> ex.a
+      |  LEFT JOIN o1 ON o1.b = d.doc_id
+      |  LEFT JOIN o2 ON o2.b = d.doc_id
+      |  JOIN toa ON toa.source = d.source
+      |  JOIN tot tb ON tb.doc_id = d.doc_id)
       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
       |  (SUM(r1r) // COUNT(*)) / 1e6 AS rouge1_recall,
       |  (SUM(r1p) // COUNT(*)) / 1e6 AS rouge1_precision,
@@ -235,8 +249,106 @@ object PhraseQueries {
        |LIMIT 15""".stripMargin
   }
 
+  /** DUNNING G² (log-likelihood-ratio) COLLOCATIONS — the
+    * significance-tested bigram association beside [[TextQueries]]'
+    * raw-PMI token_pmi: G² = 2·Σ O·ln(O/E) over the 2×2 contingency of
+    * (first word = x) × (second word = y) among all bigram events,
+    * which unlike PMI does not over-reward rare pairs (Dunning 1993).
+    * Carried in the floor-6dp ln-micros idiom over exact HUGEINT-class
+    * counts (the theil_decomp discipline): each cell contributes
+    * O·(lnm(O·N) − lnm(row·col)), truncations defined identically in
+    * both engines, so the top-20 ranking hashes exactly. Support
+    * threshold ≥5 keeps ln well-conditioned.
+    *
+    * Scale: one bigram explode + count (the corpus-scale stage), two
+    * margin rollups joined back on their word keys (co-partitioned),
+    * one broadcast total; scoring is per-row scalar math and the
+    * top-20 is orderBy+limit (TakeOrdered).
+    */
+  def ngramLlr(spark: SparkSession, dir: String): DataFrame = {
+    def lnm(e: String) =
+      s"CAST(FLOOR(LN(CAST($e AS DOUBLE)) * 1000000) AS BIGINT)"
+    val bi = Tables(spark, dir, "documents")
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(ws[i - 1] AS x, ws[i] AS y))"))
+        .as("b"))
+      .select(col("b.x").as("x"), col("b.y").as("y"))
+      .groupBy("x", "y")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    bi.count()
+    val r1 = bi.groupBy("x").agg(sum("c").as("rx"))
+    val c2 = bi.groupBy("y").agg(sum("c").as("cy"))
+    val tot = bi.agg(sum("c").as("nn"))
+    bi.filter(col("c") >= 5)
+      .join(r1, Seq("x")).join(c2, Seq("y"))
+      .crossJoin(broadcast(tot))
+      .withColumn("o12", expr("rx - c"))
+      .withColumn("o21", expr("cy - c"))
+      .withColumn("o22", expr("nn - rx - cy + c"))
+      .withColumn("g2m", expr(
+        s"""2 * (c * (${lnm("c * nn")} - ${lnm("rx * cy")})
+           + CASE WHEN o12 > 0 THEN
+               o12 * (${lnm("o12 * nn")} - ${lnm("rx * (nn - cy)")})
+             ELSE 0 END
+           + CASE WHEN o21 > 0 THEN
+               o21 * (${lnm("o21 * nn")} - ${lnm("(nn - rx) * cy")})
+             ELSE 0 END
+           + CASE WHEN o22 > 0 THEN
+               o22 * (${lnm("o22 * nn")} - ${lnm("(nn - rx) * (nn - cy)")})
+             ELSE 0 END)"""))
+      .orderBy(desc("g2m"), asc("x"), asc("y"))
+      .limit(20)
+      .select(concat_ws(" ", col("x"), col("y")).as("bigram"),
+        col("c").cast("long").as("n_xy"),
+        (col("g2m") / 1e6).as("g2"))
+  }
+
+  val ngramLlrSql: String = {
+    def lnm(e: String) =
+      s"CAST(FLOOR(LN(CAST($e AS DOUBLE)) * 1000000) AS BIGINT)"
+    s"""WITH bi AS (
+       |  SELECT b.x AS x, b.y AS y, CAST(COUNT(*) AS HUGEINT) AS c
+       |  FROM (
+       |    SELECT unnest(list_transform(range(1, len(ws)),
+       |      i -> {'x': ws[i], 'y': ws[i + 1]})) AS b
+       |    FROM (SELECT string_split(text, ' ') AS ws FROM documents)
+       |    WHERE len(ws) >= 2)
+       |  GROUP BY 1, 2),
+       |r1 AS (SELECT x, SUM(c) AS rx FROM bi GROUP BY x),
+       |c2 AS (SELECT y, SUM(c) AS cy FROM bi GROUP BY y),
+       |tot AS (SELECT SUM(c) AS nn FROM bi),
+       |cand AS (
+       |  SELECT bi.x, bi.y, bi.c, r1.rx, c2.cy, tot.nn,
+       |    r1.rx - bi.c AS o12, c2.cy - bi.c AS o21,
+       |    tot.nn - r1.rx - c2.cy + bi.c AS o22
+       |  FROM bi JOIN r1 USING (x) JOIN c2 USING (y) CROSS JOIN tot
+       |  WHERE bi.c >= 5),
+       |scored AS (
+       |  SELECT x, y, c,
+       |    2 * (c * (${lnm("c * nn")} - ${lnm("rx * cy")})
+       |      + CASE WHEN o12 > 0 THEN
+       |          o12 * (${lnm("o12 * nn")} - ${lnm("rx * (nn - cy)")})
+       |        ELSE 0 END
+       |      + CASE WHEN o21 > 0 THEN
+       |          o21 * (${lnm("o21 * nn")} - ${lnm("(nn - rx) * cy")})
+       |        ELSE 0 END
+       |      + CASE WHEN o22 > 0 THEN
+       |          o22 * (${lnm("o22 * nn")} - ${lnm("(nn - rx) * (nn - cy)")})
+       |        ELSE 0 END) AS g2m
+       |  FROM cand)
+       |SELECT x || ' ' || y AS bigram, CAST(c AS BIGINT) AS n_xy,
+       |  g2m / 1e6 AS g2
+       |FROM scored
+       |ORDER BY g2m DESC, x, y
+       |LIMIT 20""".stripMargin
+  }
+
   def all: Seq[(String, ((SparkSession, String) => DataFrame, String))] =
     Seq(
       "rouge_pairs" -> ((rougePairs _, rougePairsSql)),
-      "rake_keywords" -> ((rakeKeywords _, rakeKeywordsSql)))
+      "rake_keywords" -> ((rakeKeywords _, rakeKeywordsSql)),
+      "ngram_llr" -> ((ngramLlr _, ngramLlrSql)))
 }

@@ -558,6 +558,89 @@ object StatsQueries {
       |FROM phi
       |ORDER BY channel""".stripMargin
 
+  /** DIFFERENCE-IN-DIFFERENCES — the quasi-experimental effect
+    * estimate beside [[attributionShapley]]'s observational credit
+    * split: treatment cohort = nation-0 customers, intervention date
+    * 1998-06-01, outcome = mean order value. DiD = (ȳ_T,post −
+    * ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre), the parallel-trends estimate of
+    * the treatment effect. Exact throughout: the corpus aggregates to
+    * the 2×2 (treated × post) cell grid of counts and cent sums; each
+    * cell mean is cents·10⁴ div n micros (defined truncation), the DiD
+    * is integer subtraction of those micros.
+    *
+    * Scale: one co-partitioned orders↔customer join, one aggregation
+    * to 4 cells; everything after is literal-bounded.
+    */
+  def diffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        Seq("o_custkey"))
+      .select((col("c_nationkey") === 0).as("treated"),
+        (to_date(col("o_orderdate")) >= lit("1998-06-01")).as("post"),
+        floor(dec(col("o_totalprice")) * 100).cast("decimal(38,0)")
+          .as("cents"))
+      .groupBy("treated", "post")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("cents").as("s"))
+      .withColumn("m", expr("s * 10000 div n"))
+    cells.agg(
+      sum(expr("CASE WHEN treated AND post THEN n ELSE 0 END"))
+        .cast("long").as("n_treat_post"),
+      sum(expr("CASE WHEN treated AND NOT post THEN n ELSE 0 END"))
+        .cast("long").as("n_treat_pre"),
+      sum(expr("CASE WHEN NOT treated AND post THEN n ELSE 0 END"))
+        .cast("long").as("n_ctrl_post"),
+      sum(expr("CASE WHEN NOT treated AND NOT post THEN n ELSE 0 END"))
+        .cast("long").as("n_ctrl_pre"),
+      sum(expr("CASE WHEN treated AND post THEN m ELSE 0 END")).as("mtp"),
+      sum(expr("CASE WHEN treated AND NOT post THEN m ELSE 0 END"))
+        .as("mtq"),
+      sum(expr("CASE WHEN NOT treated AND post THEN m ELSE 0 END"))
+        .as("mcp"),
+      sum(expr("CASE WHEN NOT treated AND NOT post THEN m ELSE 0 END"))
+        .as("mcq"))
+      .select(col("n_treat_pre"), col("n_treat_post"),
+        col("n_ctrl_pre"), col("n_ctrl_post"),
+        (col("mtq") / 1e6).as("mean_treat_pre"),
+        (col("mtp") / 1e6).as("mean_treat_post"),
+        (col("mcq") / 1e6).as("mean_ctrl_pre"),
+        (col("mcp") / 1e6).as("mean_ctrl_post"),
+        (expr("(mtp - mtq) - (mcp - mcq)") / 1e6).as("did"))
+  }
+
+  val diffInDiffSql: String =
+    """WITH cells AS (
+      |  SELECT c.c_nationkey = 0 AS treated,
+      |    CAST(o.o_orderdate AS DATE) >= DATE '1998-06-01' AS post,
+      |    CAST(COUNT(*) AS HUGEINT) AS n,
+      |    SUM(CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,4)) * 100)
+      |      AS HUGEINT)) AS s
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1, 2),
+      |m AS (SELECT treated, post, n, s * 10000 // n AS m FROM cells),
+      |agg AS (
+      |  SELECT
+      |    SUM(CASE WHEN treated AND post THEN n ELSE 0 END) AS n_treat_post,
+      |    SUM(CASE WHEN treated AND NOT post THEN n ELSE 0 END) AS n_treat_pre,
+      |    SUM(CASE WHEN NOT treated AND post THEN n ELSE 0 END) AS n_ctrl_post,
+      |    SUM(CASE WHEN NOT treated AND NOT post THEN n ELSE 0 END) AS n_ctrl_pre,
+      |    SUM(CASE WHEN treated AND post THEN m ELSE 0 END) AS mtp,
+      |    SUM(CASE WHEN treated AND NOT post THEN m ELSE 0 END) AS mtq,
+      |    SUM(CASE WHEN NOT treated AND post THEN m ELSE 0 END) AS mcp,
+      |    SUM(CASE WHEN NOT treated AND NOT post THEN m ELSE 0 END) AS mcq
+      |  FROM m)
+      |SELECT CAST(n_treat_pre AS BIGINT) AS n_treat_pre,
+      |  CAST(n_treat_post AS BIGINT) AS n_treat_post,
+      |  CAST(n_ctrl_pre AS BIGINT) AS n_ctrl_pre,
+      |  CAST(n_ctrl_post AS BIGINT) AS n_ctrl_post,
+      |  mtq / 1e6 AS mean_treat_pre,
+      |  mtp / 1e6 AS mean_treat_post,
+      |  mcq / 1e6 AS mean_ctrl_pre,
+      |  mcp / 1e6 AS mean_ctrl_post,
+      |  ((mtp - mtq) - (mcp - mcq)) / 1e6 AS did
+      |FROM agg""".stripMargin
+
   def all: Seq[(String, ((SparkSession, String) => DataFrame, String))] =
     Seq(
       "kendall_tau" -> ((kendallTau _, kendallTauSql)),
@@ -565,5 +648,6 @@ object StatsQueries {
       "kruskal_wallis" -> ((kruskalWallis _, kruskalWallisSql)),
       "logrank_test" -> ((logrankTest _, logrankTestSql)),
       "attribution_shapley" ->
-        ((attributionShapley _, attributionShapleySql)))
+        ((attributionShapley _, attributionShapleySql)),
+      "diff_in_diff" -> ((diffInDiff _, diffInDiffSql)))
 }

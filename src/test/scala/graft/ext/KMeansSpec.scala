@@ -83,4 +83,46 @@ class KMeansSpec extends SparkSpec {
     val b = collectAssign(KMeans.kmeansTrain(spark, "/root/testdata/sf0.001"))
     assert(a == b)
   }
+
+  test("silhouette_kmeans == independent computation on sf0.001") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val vecs = graft.Tables(spark, sf, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    val q = vecs.map { case (id, v) =>
+      (id, v.map(x => math.floor(x.toDouble * 1000000.0).toLong)) }
+    var cents: Seq[(Long, Seq[Double])] = q.filter(_._1 < KMeans.K)
+      .sortBy(_._1).map { case (id, qv) => (id, qv.map(_.toDouble)) }
+    def dists(qv: Seq[Long]): Seq[(Double, Long)] =
+      cents.map { case (cell, m) =>
+        (qv.zip(m).foldLeft(0.0) { case (acc, (x, y)) =>
+          acc + (x - y) * (x - y) }, cell) }
+    for (_ <- 1 until KMeans.Iters) {
+      val byCell = q.groupBy(t => dists(t._2).min._2)
+      cents = cents.map { case (cell, prev) =>
+        byCell.get(cell) match {
+          case Some(rows) =>
+            val n = rows.size
+            (cell, rows.head._2.indices
+              .map(i => rows.map(_._2(i)).sum.toDouble / n))
+          case None => (cell, prev)
+        }
+      }
+    }
+    val per = q.map { case (_, qv) =>
+      val ds = dists(qv).sorted
+      val aD = math.sqrt(ds(0)._1); val bD = math.sqrt(ds(1)._1)
+      val s = if (math.max(aD, bD) > 0) (bD - aD) / math.max(aD, bD) else 0.0
+      (ds(0)._2, math.floor(s * 1000000.0).toLong)
+    }
+    val want = per.groupBy(_._1).map { case (cell, xs) =>
+      (cell, xs.size.toLong, (xs.map(_._2).sum / xs.size) / 1e6)
+    }.toSeq.sortBy(_._1)
+    val got = KMeans.silhouetteKmeans(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got == want, s"silhouette mismatch: got $got want $want")
+    assert(got.forall(r => r._3 >= -1.0 && r._3 <= 1.0))
+  }
 }

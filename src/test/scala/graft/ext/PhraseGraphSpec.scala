@@ -56,6 +56,37 @@ class PhraseGraphSpec extends SparkSpec {
     assert(got == Seq(("red dog fox", 1L, 8.0), ("red dog", 1L, 5.0)))
   }
 
+  test("ngram_llr == brute-force Dunning G2 on sf0.001") {
+    import spark.implicits._
+    def lnm(x: Double): Long = math.floor(math.log(x) * 1000000.0).toLong
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").as[String].collect()
+    val bigrams = texts.flatMap { t =>
+      val ws = t.split(" ", -1)
+      if (ws.length >= 2) ws.sliding(2).map(p => (p(0), p(1))).toSeq
+      else Seq.empty
+    }
+    val c = bigrams.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val rx = bigrams.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val cy = bigrams.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val nn = bigrams.length.toLong
+    def term(o: Long, rowcol: Double): Long =
+      if (o > 0) o * (lnm(o.toDouble * nn) - lnm(rowcol)) else 0L
+    val scored = c.toSeq.collect { case ((x, y), cxy) if cxy >= 5 =>
+      val r = rx(x); val cc = cy(y)
+      val g2m = 2 * (term(cxy, r.toDouble * cc)
+        + term(r - cxy, r.toDouble * (nn - cc))
+        + term(cc - cxy, (nn - r).toDouble * cc)
+        + term(nn - r - cc + cxy, (nn - r).toDouble * (nn - cc)))
+      (s"$x $y", cxy, g2m)
+    }
+    val want = scored.sortBy(t => (-t._3, t._1)).take(20)
+      .map(t => (t._1, t._2, t._3 / 1e6))
+    val got = PhraseQueries.ngramLlr(spark, sf)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == want, s"g2 mismatch:\n got $got\nwant $want")
+  }
+
   test("k_truss profile == independent in-memory peel on sf0.001") {
     import spark.implicits._
     // rebuild the strongest-2000 backbone exactly as the query does

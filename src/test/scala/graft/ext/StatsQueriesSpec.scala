@@ -113,6 +113,23 @@ class StatsQueriesSpec extends SparkSpec {
     assert(got._5 == wantChi2)
   }
 
+  test("diff_in_diff: hand 2x2 grid estimates the treatment effect exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("did").toString
+    Seq((1L, 0L), (2L, 1L)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // treated (nation 0): 10.00 pre → 30.00 post; control: 20.00 → 25.00
+    // DiD = (30 − 10) − (25 − 20) = 15
+    Seq((1L, "1997-01-01", 10.00), (1L, "1999-01-01", 30.00),
+      (2L, "1997-01-01", 20.00), (2L, "1999-01-01", 25.00))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = StatsQueries.diffInDiff(spark, dir)
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double, Double)]
+      .head()
+    assert(got == ((1L, 1L, 1L, 1L, 10.0, 30.0, 20.0, 25.0, 15.0)))
+  }
+
   test("attribution_shapley == independent coalition enumeration on sf0.001") {
     import spark.implicits._
     // independent journey→mask reduction, then brute Shapley over the
