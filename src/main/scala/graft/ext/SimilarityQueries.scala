@@ -185,6 +185,77 @@ object SimilarityQueries {
       |WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** NDCG@10 of the brute-force cosine retrieval with LABEL-MATCH
+    * relevance — the graded-ranking evaluation beside
+    * [[annRecallReport]]'s set recall: a retrieved neighbor is relevant
+    * iff it carries the query vector's `label`, DCG discounts positions
+    * by 1/log₂(i+1), and the readout normalizes against the perfect
+    * 10-hit list. Cross-engine float contract: the ten position
+    * discounts are FIXED LITERAL micros (⌊10⁶/log₂(i+1)⌋ — no runtime
+    * log anywhere), DCG is an exact integer sum of them, and NDCG is
+    * one exact ppm division by the literal IDCG (4 543 554).
+    *
+    * Scale: identical to [[knnBrute]] — the bounded query panel
+    * broadcasts, ranking is a per-query-partitioned window; the
+    * discount/NDCG math is per-row scalar. (Production recall/NDCG
+    * sweeps would rank via the IVF path; the brute ranking is the
+    * ground truth this metric is DEFINED against.)
+    */
+  def annLabelNdcg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = vecs(spark, dir)
+    val q = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), asc("vec_id"))
+    base.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosineExpr("qv", "v"), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .withColumn("rel",
+        when(col("label") === col("qlabel"), 1L).otherwise(0L))
+      .withColumn("disc", expr(
+        """CASE rank WHEN 1 THEN 1000000 WHEN 2 THEN 630929
+           WHEN 3 THEN 500000 WHEN 4 THEN 430676 WHEN 5 THEN 386852
+           WHEN 6 THEN 356207 WHEN 7 THEN 333333 WHEN 8 THEN 315464
+           WHEN 9 THEN 301029 ELSE 289064 END"""))
+      .groupBy("query_id", "qlabel")
+      .agg(sum(expr("rel * disc")).as("dcg_units"),
+        sum("rel").as("n_relevant_top10"))
+      .select(col("query_id"), col("qlabel").as("label"),
+        col("n_relevant_top10"),
+        (expr("dcg_units * 1000000 div 4543554") / 1e6).as("ndcg10"))
+      .orderBy("query_id")
+  }
+
+  val annLabelNdcgSql: String =
+    """WITH e AS (SELECT vec_id, label,
+      |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+      |  FROM e WHERE vec_id < 5),
+      |ranked AS (
+      |  SELECT query_id, qlabel, vec_id, label,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY ROUND(list_cosine_similarity(qv, v), 6) DESC,
+      |        vec_id) AS rank
+      |  FROM e CROSS JOIN q WHERE e.vec_id != q.query_id),
+      |scored AS (
+      |  SELECT query_id, qlabel,
+      |    CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
+      |    CASE rank WHEN 1 THEN 1000000 WHEN 2 THEN 630929
+      |      WHEN 3 THEN 500000 WHEN 4 THEN 430676 WHEN 5 THEN 386852
+      |      WHEN 6 THEN 356207 WHEN 7 THEN 333333 WHEN 8 THEN 315464
+      |      WHEN 9 THEN 301029 ELSE 289064 END AS disc
+      |  FROM ranked WHERE rank <= 10)
+      |SELECT query_id, qlabel AS label,
+      |  CAST(SUM(rel) AS BIGINT) AS n_relevant_top10,
+      |  (CAST(SUM(rel * disc) AS BIGINT) * 1000000 // 4543554) / 1e6
+      |    AS ndcg10
+      |FROM scored
+      |GROUP BY query_id, qlabel
+      |ORDER BY query_id""".stripMargin
+
   /** IVF-style ANN: assign every vector to its nearest of 16 fixed
     * centroids (vec_id < 16), then for each query (vec_id < 5) probe the
     * 2 nearest cells and rank top-5 within them.
@@ -1731,6 +1802,7 @@ object SimilarityQueries {
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "mmr_diversify" -> ((mmrDiversify _, mmrDiversifySql)),
     "knn_brute" -> ((knnBrute _, knnBruteSql)),
+    "ann_label_ndcg" -> ((annLabelNdcg _, annLabelNdcgSql)),
     "hard_negatives" -> ((hardNegatives _, hardNegativesSql)),
     "embed_norm_audit" -> ((embedNormAudit _, embedNormAuditSql)),
     "embed_centroids" -> ((embedCentroids _, embedCentroidsSql)),

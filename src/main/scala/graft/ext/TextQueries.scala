@@ -941,6 +941,120 @@ object TextQueries {
                 div (2 * 2 * np * nn) / 1e6""").as("auc"))
   }
 
+  /** LIFT / CUMULATIVE-GAINS CURVE for the [[qualityClassifier]] model —
+    * the deployment-side readout beside [[classifierAuc]]'s ranking
+    * quality: "if we keep only the top q% of documents by classifier
+    * score, what fraction of the English corpus do we capture, and at
+    * what precision?" Computed on the SAME bounded score histogram as
+    * the AUC (6dp integer-micros logits, ≤ 2·10⁶+1 distinct values at
+    * any corpus size) — never a global sort of documents. Cut-offs are
+    * TIE-SAFE: for each quota ⌈n·q⌉ the selection is the largest
+    * score-DESC prefix of WHOLE score groups that fits the quota (a tie
+    * group is never split, so the readout is deterministic and
+    * identical in both engines); precision/recall/lift are exact ppm
+    * divisions.
+    */
+  def liftCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = 4096
+    val scored = Tables(spark, dir, "documents")
+      .withColumn("words", expr("filter(split(lower(text), ' +'), w -> w != '')"))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("logit_millis", expr(
+        s"""aggregate(transform(words, w ->
+           |  cast(conv(substring(md5(concat('w:', cast(
+           |    cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint) % $B
+           |  AS string))), 1, 15), 16, 10) AS bigint) % 2001 - 1000),
+           |  0L, (acc, x) -> acc + x)""".stripMargin))
+      .select(
+        expr("""CASE WHEN logit_millis >= 0
+                THEN (2 * logit_millis * 1000000 + n_words * 1000)
+                       div (2 * n_words * 1000)
+                ELSE -((2 * -logit_millis * 1000000 + n_words * 1000)
+                       div (2 * n_words * 1000)) END""").as("score_micros"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    val wdesc = Window.orderBy(desc("score_micros"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = scored.groupBy("score_micros")
+      .agg(count(lit(1)).as("c"), sum("pos").as("p"))
+      .withColumn("cumc", sum("c").over(wdesc))
+      .withColumn("cump", sum("p").over(wdesc))
+    val tot = hist.agg(sum("c").as("n"), sum("p").as("npos"))
+    val quotas = spark.range(1).select(explode(expr(
+      "array(1L, 5L, 10L, 25L, 50L)")).as("pct"))
+      .crossJoin(broadcast(tot))
+      .withColumn("quota", expr("greatest(n * pct div 100, 1)"))
+    quotas
+      .join(hist, col("cumc") <= col("quota"), "left")
+      .groupBy("pct", "quota", "n", "npos")
+      .agg(coalesce(max("cumc"), lit(0L)).as("n_selected"),
+        coalesce(max("cump"), lit(0L)).as("n_pos_selected"))
+      .select(col("pct"), col("quota"), col("n_selected"),
+        col("n_pos_selected"),
+        (expr("n_pos_selected * 1000000 div greatest(n_selected, 1)")
+          / 1e6).as("precision"),
+        (expr("n_pos_selected * 1000000 div greatest(npos, 1)") / 1e6)
+          .as("recall"),
+        (expr("""n_pos_selected * n * 1000000
+                 div greatest(n_selected * npos, 1)""") / 1e6).as("lift"))
+      .orderBy("pct")
+  }
+
+  val liftCurveSql: String = {
+    val B = 4096
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split(lower(text), ' '), w -> w != '') AS words
+       |  FROM documents),
+       |s AS (
+       |  SELECT
+       |    CAST(len(words) AS BIGINT) AS n_words,
+       |    CAST(COALESCE(list_sum(list_transform(words, w ->
+       |      CAST(('0x' || substr(md5('w:' || CAST(
+       |        CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % $B
+       |      AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000)), 0) AS BIGINT)
+       |      AS logit_millis,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+       |  FROM d),
+       |sc AS (
+       |  SELECT CASE WHEN logit_millis >= 0
+       |    THEN (2 * logit_millis * 1000000 + n_words * 1000)
+       |           // (2 * n_words * 1000)
+       |    ELSE -((2 * -logit_millis * 1000000 + n_words * 1000)
+       |           // (2 * n_words * 1000)) END AS score_micros, pos
+       |  FROM s),
+       |hist AS (
+       |  SELECT score_micros, CAST(COUNT(*) AS BIGINT) AS c,
+       |    CAST(SUM(pos) AS BIGINT) AS p
+       |  FROM sc GROUP BY 1),
+       |cum AS (
+       |  SELECT score_micros, c, p,
+       |    SUM(c) OVER (ORDER BY score_micros DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+       |    SUM(p) OVER (ORDER BY score_micros DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cump
+       |  FROM hist),
+       |tot AS (SELECT SUM(c) AS n, SUM(p) AS npos FROM hist),
+       |quotas AS (
+       |  SELECT pct, GREATEST(n * pct // 100, 1) AS quota, n, npos
+       |  FROM (SELECT unnest([1, 5, 10, 25, 50]) AS pct) CROSS JOIN tot)
+       |SELECT CAST(q.pct AS BIGINT) AS pct,
+       |  CAST(q.quota AS BIGINT) AS quota,
+       |  CAST(COALESCE(MAX(cum.cumc), 0) AS BIGINT) AS n_selected,
+       |  CAST(COALESCE(MAX(cum.cump), 0) AS BIGINT) AS n_pos_selected,
+       |  (COALESCE(MAX(cum.cump), 0) * 1000000
+       |    // GREATEST(COALESCE(MAX(cum.cumc), 0), 1)) / 1e6 AS precision,
+       |  (COALESCE(MAX(cum.cump), 0) * 1000000
+       |    // GREATEST(q.npos, 1)) / 1e6 AS recall,
+       |  (COALESCE(MAX(cum.cump), 0) * q.n * 1000000
+       |    // GREATEST(COALESCE(MAX(cum.cumc), 0) * q.npos, 1)) / 1e6
+       |    AS lift
+       |FROM quotas q
+       |LEFT JOIN cum ON cum.cumc <= q.quota
+       |GROUP BY q.pct, q.quota, q.n, q.npos
+       |ORDER BY pct""".stripMargin
+  }
+
   /** TOP COLLOCATIONS by POINTWISE MUTUAL INFORMATION — which word
     * pairs co-occur in documents far beyond chance: the association
     * signal under phrase mining and tokenizer-merge heuristics, next
@@ -2798,6 +2912,7 @@ object TextQueries {
     "tokenizer_compare" -> ((tokenizerCompare _, tokenizerCompareSql)),
     "quality_classifier" -> ((qualityClassifier _, qualityClassifierSql)),
     "classifier_auc" -> ((classifierAuc _, classifierAucSql)),
+    "lift_curve" -> ((liftCurve _, liftCurveSql)),
     "classifier_calibration" ->
       ((classifierCalibration _, classifierCalibrationSql)),
     "nb_lang_classify" -> ((nbLangClassify _, nbLangClassifySql)),

@@ -397,6 +397,7 @@ class PlanAuditSpec extends SparkSpec {
     "survival_km" -> Set("t"),                   // distinct gap days ≤ timespan
     "wilcoxon_signed" -> Set("ad"),              // distinct |daily diff| ≤ days
     "window_rank_stats" -> Set("revenue", "n_name"), // 25-nation aggregate
+    "lift_curve" -> Set("score_micros"),         // ≤2·10⁶+1 micros grid
     "spearman_corr" -> Set("_pid"),              // DistRank offsets ×2
     "kruskal_wallis" -> Set("_pid"),             // DistRank offsets
     "logrank_test" -> Set("t"))                  // distinct gap days ≤ timespan

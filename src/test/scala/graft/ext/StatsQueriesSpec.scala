@@ -130,6 +130,56 @@ class StatsQueriesSpec extends SparkSpec {
     assert(got == ((1L, 1L, 1L, 1L, 10.0, 30.0, 20.0, 25.0, 15.0)))
   }
 
+  test("ann_label_ndcg == brute-force NDCG on sf0.001") {
+    import spark.implicits._
+    val discs = Array(1000000L, 630929L, 500000L, 430676L, 386852L,
+      356207L, 333333L, 315464L, 301029L, 289064L)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label", "embedding")
+      .as[(Long, String, Seq[Float])].collect()
+      .map { case (id, l, v) => (id, l, v.map(_.toDouble).toArray) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = vecs.filter(_._1 < 5).sortBy(_._1).map { case (qid, ql, qv) =>
+      val top = vecs.filter(_._1 != qid)
+        .map { case (id, l, v) => (id, l, cos(qv, v)) }
+        .sortBy { case (id, _, c) => (-c, id) }.take(10)
+      val dcg = top.zipWithIndex.map { case ((_, l, _), i) =>
+        if (l == ql) discs(i) else 0L }.sum
+      (qid, ql, top.count(_._2 == ql).toLong, (dcg * 1000000L / 4543554L) / 1e6)
+    }.toSeq
+    val got = SimilarityQueries.annLabelNdcg(spark, sf)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(got == want, s"ndcg mismatch:\n got $got\nwant $want")
+  }
+
+  test("lift_curve invariants on sf0.001") {
+    import spark.implicits._
+    val rows = graft.ext.TextQueries.liftCurve(spark, sf)
+      .as[(Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq.sortBy(_._1)
+    assert(rows.map(_._1) == Seq(1L, 5L, 10L, 25L, 50L))
+    for ((pct, quota, nSel, nPos, prec, recall, lift) <- rows) {
+      assert(nSel <= quota, s"pct $pct selected $nSel over quota $quota")
+      assert(nPos <= nSel)
+      assert(prec >= 0.0 && prec <= 1.0)
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(lift >= 0.0)
+    }
+    // selection and capture are monotone in the quota
+    assert(rows.map(_._3) == rows.map(_._3).sorted)
+    assert(rows.map(_._4) == rows.map(_._4).sorted)
+    // a whole-group-prefix cut never leaves the quota more than one
+    // tie-group short: the 50% cut must select something
+    assert(rows.last._3 > 0)
+  }
+
   test("attribution_shapley == independent coalition enumeration on sf0.001") {
     import spark.implicits._
     // independent journey→mask reduction, then brute Shapley over the
