@@ -641,6 +641,210 @@ object StatsQueries {
       |  ((mtp - mtq) - (mcp - mcq)) / 1e6 AS did
       |FROM agg""".stripMargin
 
+  /** GRANGER CAUSALITY (lag-1) — do yesterday's VIEWS help predict
+    * today's PURCHASES beyond what yesterday's purchases already say?
+    * The inferential completion of [[graft.ext.EventQueries]]'s
+    * events_xcorr (which reports the lagged correlation but not whether
+    * it adds predictive power): F-test of y_t ~ y_{t−1} against
+    * y_t ~ y_{t−1} + x_{t−1} over the gap-filled daily calendar.
+    * Closed-form OLS via centered cross-moments — C11 = n·S11 − S1²
+    * etc. — which are EXACT DECIMAL(38) integer aggregates of daily
+    * counts; n·RSS_r = Cyy − Cy1²/C11 and the 2-regressor
+    * n·RSS_u = Cyy − (Cy1²C22 + Cy2²C11 − 2·Cy1Cy2C12)/(C11C22 − C12²)
+    * are assembled in doubles from those exact integers with identical
+    * expression trees (the n·RSS scaling cancels in F), rounded at 6dp.
+    * significant_05 uses the F(1,∞) = χ²(1) critical value 3.841459
+    * (exact for the day counts any production span yields).
+    *
+    * Scale: one corpus aggregation to the daily grid; the calendar
+    * completion and the lag are a bounded sequence explode + a
+    * shifted-date self-join (no window, no sort); moments are one
+    * aggregation over calendar-bounded rows.
+    */
+  def grangerDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .select(to_date(col("ts")).as("d"), col("event_type"))
+      .groupBy("d")
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+        .as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+    val span = daily.agg(min("d").as("d0"), max("d").as("d1"))
+    val grid = span
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+      .join(daily, Seq("d"), "left")
+      .select(col("d"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    grid.count()
+    val m = grid.select(col("d"), col("y"))
+      .join(grid.select(date_add(col("d"), 1).as("d"),
+        col("y").as("y1"), col("x").as("x1")), Seq("d"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("y").cast("decimal(38,0)").as("sy"),
+        sum("y1").cast("decimal(38,0)").as("s1"),
+        sum("x1").cast("decimal(38,0)").as("s2"),
+        sum(expr("y * y")).cast("decimal(38,0)").as("syy"),
+        sum(expr("y1 * y1")).cast("decimal(38,0)").as("s11"),
+        sum(expr("x1 * x1")).cast("decimal(38,0)").as("s22"),
+        sum(expr("y * y1")).cast("decimal(38,0)").as("sy1"),
+        sum(expr("y * x1")).cast("decimal(38,0)").as("sy2"),
+        sum(expr("y1 * x1")).cast("decimal(38,0)").as("s12"))
+      .select(col("n"),
+        expr("n * syy - sy * sy").as("cyy"),
+        expr("n * s11 - s1 * s1").as("c11"),
+        expr("n * s22 - s2 * s2").as("c22"),
+        expr("n * sy1 - sy * s1").as("cy1"),
+        expr("n * sy2 - sy * s2").as("cy2"),
+        expr("n * s12 - s1 * s2").as("c12"))
+    m.select(col("n").cast("long").as("n_days"),
+      expr("""CASE WHEN CAST(c11 AS DOUBLE) * CAST(c22 AS DOUBLE)
+                - CAST(c12 AS DOUBLE) * CAST(c12 AS DOUBLE) > 0
+              THEN ROUND((CAST(cy1 AS DOUBLE) * CAST(c22 AS DOUBLE)
+                - CAST(cy2 AS DOUBLE) * CAST(c12 AS DOUBLE))
+                / (CAST(c11 AS DOUBLE) * CAST(c22 AS DOUBLE)
+                - CAST(c12 AS DOUBLE) * CAST(c12 AS DOUBLE)), 6)
+              END""").as("coef_y_lag"),
+      expr("""CASE WHEN CAST(c11 AS DOUBLE) * CAST(c22 AS DOUBLE)
+                - CAST(c12 AS DOUBLE) * CAST(c12 AS DOUBLE) > 0
+              THEN ROUND((CAST(cy2 AS DOUBLE) * CAST(c11 AS DOUBLE)
+                - CAST(cy1 AS DOUBLE) * CAST(c12 AS DOUBLE))
+                / (CAST(c11 AS DOUBLE) * CAST(c22 AS DOUBLE)
+                - CAST(c12 AS DOUBLE) * CAST(c12 AS DOUBLE)), 6)
+              END""").as("coef_x_lag"),
+      expr("""CASE WHEN c11 > 0 AND n > 3
+                AND CAST(c11 AS DOUBLE) * CAST(c22 AS DOUBLE)
+                  - CAST(c12 AS DOUBLE) * CAST(c12 AS DOUBLE) > 0
+                AND CAST(cyy AS DOUBLE)
+                  - (CAST(cy1 AS DOUBLE) * CAST(cy1 AS DOUBLE)
+                      * CAST(c22 AS DOUBLE)
+                    + CAST(cy2 AS DOUBLE) * CAST(cy2 AS DOUBLE)
+                      * CAST(c11 AS DOUBLE)
+                    - 2 * CAST(cy1 AS DOUBLE) * CAST(cy2 AS DOUBLE)
+                      * CAST(c12 AS DOUBLE))
+                    / (CAST(c11 AS DOUBLE) * CAST(c22 AS DOUBLE)
+                      - CAST(c12 AS DOUBLE) * CAST(c12 AS DOUBLE)) > 0
+              THEN ROUND(
+                ((CAST(cyy AS DOUBLE)
+                    - CAST(cy1 AS DOUBLE) * CAST(cy1 AS DOUBLE)
+                      / CAST(c11 AS DOUBLE))
+                 - (CAST(cyy AS DOUBLE)
+                    - (CAST(cy1 AS DOUBLE) * CAST(cy1 AS DOUBLE)
+                        * CAST(c22 AS DOUBLE)
+                      + CAST(cy2 AS DOUBLE) * CAST(cy2 AS DOUBLE)
+                        * CAST(c11 AS DOUBLE)
+                      - 2 * CAST(cy1 AS DOUBLE) * CAST(cy2 AS DOUBLE)
+                        * CAST(c12 AS DOUBLE))
+                      / (CAST(c11 AS DOUBLE) * CAST(c22 AS DOUBLE)
+                        - CAST(c12 AS DOUBLE) * CAST(c12 AS DOUBLE))))
+                * (CAST(n AS DOUBLE) - 3)
+                / (CAST(cyy AS DOUBLE)
+                    - (CAST(cy1 AS DOUBLE) * CAST(cy1 AS DOUBLE)
+                        * CAST(c22 AS DOUBLE)
+                      + CAST(cy2 AS DOUBLE) * CAST(cy2 AS DOUBLE)
+                        * CAST(c11 AS DOUBLE)
+                      - 2 * CAST(cy1 AS DOUBLE) * CAST(cy2 AS DOUBLE)
+                        * CAST(c12 AS DOUBLE))
+                      / (CAST(c11 AS DOUBLE) * CAST(c22 AS DOUBLE)
+                        - CAST(c12 AS DOUBLE) * CAST(c12 AS DOUBLE))), 6)
+              END""").as("f_stat"))
+      .withColumn("granger_05",
+        expr("CASE WHEN f_stat IS NOT NULL THEN f_stat > 3.841459 END"))
+  }
+
+  val grangerDailySql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d,
+      |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+      |cal AS (
+      |  SELECT CAST(gs.d AS DATE) AS d FROM span,
+      |  LATERAL (SELECT unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |                    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS d) gs),
+      |grid AS (
+      |  SELECT c.d, COALESCE(daily.x, 0) AS x, COALESCE(daily.y, 0) AS y
+      |  FROM cal c LEFT JOIN daily USING (d)),
+      |pairs AS (
+      |  SELECT g.y, h.y AS y1, h.x AS x1
+      |  FROM grid g JOIN grid h ON g.d = h.d + 1),
+      |s AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(y) AS HUGEINT) AS sy, CAST(SUM(y1) AS HUGEINT) AS s1,
+      |    CAST(SUM(x1) AS HUGEINT) AS s2,
+      |    CAST(SUM(y * y) AS HUGEINT) AS syy,
+      |    CAST(SUM(y1 * y1) AS HUGEINT) AS s11,
+      |    CAST(SUM(x1 * x1) AS HUGEINT) AS s22,
+      |    CAST(SUM(y * y1) AS HUGEINT) AS sy1,
+      |    CAST(SUM(y * x1) AS HUGEINT) AS sy2,
+      |    CAST(SUM(y1 * x1) AS HUGEINT) AS s12
+      |  FROM pairs),
+      |c AS (
+      |  SELECT n, n * syy - sy * sy AS cyy, n * s11 - s1 * s1 AS c11,
+      |    n * s22 - s2 * s2 AS c22, n * sy1 - sy * s1 AS cy1,
+      |    n * sy2 - sy * s2 AS cy2, n * s12 - s1 * s2 AS c12
+      |  FROM s),
+      |f AS (
+      |  SELECT CAST(n AS BIGINT) AS n_days,
+      |    CASE WHEN CAST(c11 AS DOUBLE) * CAST(c22 AS DOUBLE)
+      |        - CAST(c12 AS DOUBLE) * CAST(c12 AS DOUBLE) > 0
+      |    THEN ROUND((CAST(cy1 AS DOUBLE) * CAST(c22 AS DOUBLE)
+      |        - CAST(cy2 AS DOUBLE) * CAST(c12 AS DOUBLE))
+      |        / (CAST(c11 AS DOUBLE) * CAST(c22 AS DOUBLE)
+      |        - CAST(c12 AS DOUBLE) * CAST(c12 AS DOUBLE)), 6)
+      |    END AS coef_y_lag,
+      |    CASE WHEN CAST(c11 AS DOUBLE) * CAST(c22 AS DOUBLE)
+      |        - CAST(c12 AS DOUBLE) * CAST(c12 AS DOUBLE) > 0
+      |    THEN ROUND((CAST(cy2 AS DOUBLE) * CAST(c11 AS DOUBLE)
+      |        - CAST(cy1 AS DOUBLE) * CAST(c12 AS DOUBLE))
+      |        / (CAST(c11 AS DOUBLE) * CAST(c22 AS DOUBLE)
+      |        - CAST(c12 AS DOUBLE) * CAST(c12 AS DOUBLE)), 6)
+      |    END AS coef_x_lag,
+      |    CASE WHEN c11 > 0 AND n > 3
+      |      AND CAST(c11 AS DOUBLE) * CAST(c22 AS DOUBLE)
+      |        - CAST(c12 AS DOUBLE) * CAST(c12 AS DOUBLE) > 0
+      |      AND CAST(cyy AS DOUBLE)
+      |        - (CAST(cy1 AS DOUBLE) * CAST(cy1 AS DOUBLE)
+      |            * CAST(c22 AS DOUBLE)
+      |          + CAST(cy2 AS DOUBLE) * CAST(cy2 AS DOUBLE)
+      |            * CAST(c11 AS DOUBLE)
+      |          - 2 * CAST(cy1 AS DOUBLE) * CAST(cy2 AS DOUBLE)
+      |            * CAST(c12 AS DOUBLE))
+      |          / (CAST(c11 AS DOUBLE) * CAST(c22 AS DOUBLE)
+      |            - CAST(c12 AS DOUBLE) * CAST(c12 AS DOUBLE)) > 0
+      |    THEN ROUND(
+      |      ((CAST(cyy AS DOUBLE)
+      |          - CAST(cy1 AS DOUBLE) * CAST(cy1 AS DOUBLE)
+      |            / CAST(c11 AS DOUBLE))
+      |       - (CAST(cyy AS DOUBLE)
+      |          - (CAST(cy1 AS DOUBLE) * CAST(cy1 AS DOUBLE)
+      |              * CAST(c22 AS DOUBLE)
+      |            + CAST(cy2 AS DOUBLE) * CAST(cy2 AS DOUBLE)
+      |              * CAST(c11 AS DOUBLE)
+      |            - 2 * CAST(cy1 AS DOUBLE) * CAST(cy2 AS DOUBLE)
+      |              * CAST(c12 AS DOUBLE))
+      |            / (CAST(c11 AS DOUBLE) * CAST(c22 AS DOUBLE)
+      |              - CAST(c12 AS DOUBLE) * CAST(c12 AS DOUBLE))))
+      |      * (CAST(n AS DOUBLE) - 3)
+      |      / (CAST(cyy AS DOUBLE)
+      |          - (CAST(cy1 AS DOUBLE) * CAST(cy1 AS DOUBLE)
+      |              * CAST(c22 AS DOUBLE)
+      |            + CAST(cy2 AS DOUBLE) * CAST(cy2 AS DOUBLE)
+      |              * CAST(c11 AS DOUBLE)
+      |            - 2 * CAST(cy1 AS DOUBLE) * CAST(cy2 AS DOUBLE)
+      |              * CAST(c12 AS DOUBLE))
+      |            / (CAST(c11 AS DOUBLE) * CAST(c22 AS DOUBLE)
+      |              - CAST(c12 AS DOUBLE) * CAST(c12 AS DOUBLE))), 6)
+      |    END AS f_stat
+      |  FROM c)
+      |SELECT n_days, coef_y_lag, coef_x_lag, f_stat,
+      |  CASE WHEN f_stat IS NOT NULL THEN f_stat > 3.841459 END
+      |    AS granger_05
+      |FROM f""".stripMargin
+
   def all: Seq[(String, ((SparkSession, String) => DataFrame, String))] =
     Seq(
       "kendall_tau" -> ((kendallTau _, kendallTauSql)),
@@ -649,5 +853,6 @@ object StatsQueries {
       "logrank_test" -> ((logrankTest _, logrankTestSql)),
       "attribution_shapley" ->
         ((attributionShapley _, attributionShapleySql)),
-      "diff_in_diff" -> ((diffInDiff _, diffInDiffSql)))
+      "diff_in_diff" -> ((diffInDiff _, diffInDiffSql)),
+      "granger_daily" -> ((grangerDaily _, grangerDailySql)))
 }

@@ -130,6 +130,51 @@ class StatsQueriesSpec extends SparkSpec {
     assert(got == ((1L, 1L, 1L, 1L, 10.0, 30.0, 20.0, 25.0, 15.0)))
   }
 
+  test("granger_daily: lag-1 predictive series is detected exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("granger").toString
+    // purchases track yesterday's views plus a small alternating
+    // residual (an EXACT copy makes RSS_u = 0 and F infinite — both
+    // engines correctly return NULL there, so the spec needs noise)
+    val x = Seq(3, 1, 4, 1, 5, 9, 2, 6, 5, 3)
+    val y = 2 +: x.init.zipWithIndex.map { case (v, i) => v + ((i + 1) % 2) }
+    val rows = (0 until 10).flatMap { t =>
+      val day = f"1995-01-${t + 1}%02d 00:00:00"
+      Seq.fill(x(t))(("view", day)) ++ Seq.fill(y(t))(("purchase", day))
+    }.zipWithIndex.map { case ((et, day), i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(day), i.toLong, et) }
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // brute-force the same closed-form OLS F on the 9 lag pairs
+    val pairs = (1 until 10).map(t => (y(t).toLong, y(t - 1).toLong, x(t - 1).toLong))
+    val n = pairs.size.toLong
+    def s(f: ((Long, Long, Long)) => Long): Long = pairs.map(f).sum
+    val (sy, s1, s2) = (s(_._1), s(_._2), s(_._3))
+    val (syy, s11, s22) = (s(p => p._1 * p._1), s(p => p._2 * p._2),
+      s(p => p._3 * p._3))
+    val (sy1, sy2, s12) = (s(p => p._1 * p._2), s(p => p._1 * p._3),
+      s(p => p._2 * p._3))
+    val (cyy, c11, c22) = ((n * syy - sy * sy).toDouble,
+      (n * s11 - s1 * s1).toDouble, (n * s22 - s2 * s2).toDouble)
+    val (cy1, cy2, c12) = ((n * sy1 - sy * s1).toDouble,
+      (n * sy2 - sy * s2).toDouble, (n * s12 - s1 * s2).toDouble)
+    val det = c11 * c22 - c12 * c12
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rssR = cyy - cy1 * cy1 / c11
+    val rssU = cyy - (cy1 * cy1 * c22 + cy2 * cy2 * c11
+      - 2 * cy1 * cy2 * c12) / det
+    val want = (n, r6((cy1 * c22 - cy2 * c12) / det),
+      r6((cy2 * c11 - cy1 * c12) / det),
+      r6((rssR - rssU) * (n - 3) / rssU))
+    val got = StatsQueries.grangerDaily(spark, dir)
+      .as[(Long, Double, Double, Double, Boolean)].head()
+    assert((got._1, got._2, got._3, got._4) == want,
+      s"granger mismatch: got $got want $want")
+    assert(got._5, "perfect lag-1 predictor must be significant")
+    assert(math.abs(got._3 - 1.0) < 0.2, "x-lag coefficient should be near 1")
+  }
+
   test("ann_label_ndcg == brute-force NDCG on sf0.001") {
     import spark.implicits._
     val discs = Array(1000000L, 630929L, 500000L, 430676L, 386852L,
