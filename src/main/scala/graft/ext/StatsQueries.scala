@@ -227,18 +227,20 @@ object StatsQueries {
     * priority) carrying the group mean rank beside the shared H/dof.
     */
   def kruskalWallis(spark: SparkSession, dir: String): DataFrame = {
-    val cells = Tables(spark, dir, "orders")
+    // no outer persist: the cells aggregate is one cheap orders scan
+    // (recomputed once for the group join), and the pooled sweep's
+    // heavy range exchange is already persisted INSIDE globalCumSum —
+    // an extra persist+count here just adds two scheduling barriers
+    // (measured 3.1 s → the mannwhitney-class ~1 s without them)
+    val vals = Tables(spark, dir, "orders")
       .select(floor(dec(col("o_totalprice")) * 100).cast("long").as("v"),
         col("o_orderpriority").as("g"))
-      .groupBy("v", "g")
+    val cells = vals.groupBy("v", "g")
       .agg(count(lit(1)).cast("decimal(38,0)").as("n"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    cells.count()
     val pool = DistRank.globalCumSum(
-      cells.groupBy("v").agg(sum("n").as("t")),
+      vals.groupBy("v").agg(count(lit(1)).cast("decimal(38,0)").as("t")),
       "t", "cum", "tot", Seq(col("v")))
       .withColumn("ar2", expr("2 * cum - t + 1"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val ties = pool.agg(sum(expr("t * t * t - t")).as("tie3"))
     val grp = cells.join(pool.select("v", "ar2"), Seq("v"))
       .groupBy("g")
