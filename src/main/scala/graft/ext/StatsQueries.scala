@@ -80,10 +80,13 @@ object StatsQueries {
       .select(
         col("nn").cast("long").as("n"),
         // exact ppm of the n(n−1) ordered-pair space (2C of it is
-        // concordant: each unordered pair appears once in C)
-        (expr("2 * c * 1000000 div (nn * (nn - 1))") / 1e6)
+        // concordant: each unordered pair appears once in C); the
+        // greatest() keeps a 0/1-row corpus at share 0 instead of a
+        // division by zero — Spark's div would NULL quietly but
+        // DuckDB's // ERRORS, a cross-engine divergence
+        (expr("2 * c * 1000000 div greatest(nn * (nn - 1), 1)") / 1e6)
           .as("concordant_share"),
-        (expr("2 * dd * 1000000 div (nn * (nn - 1))") / 1e6)
+        (expr("2 * dd * 1000000 div greatest(nn * (nn - 1), 1)") / 1e6)
           .as("discordant_share"),
         expr("""CASE WHEN nn > 1
                   AND nn * (nn - 1) - tx2 > 0
@@ -112,8 +115,10 @@ object StatsQueries {
       |  (SELECT SUM(n) AS t FROM cells GROUP BY d)),
       |tot AS (SELECT SUM(n) AS nn FROM cells)
       |SELECT CAST(nn AS BIGINT) AS n,
-      |  (2 * c * 1000000 // (nn * (nn - 1))) / 1e6 AS concordant_share,
-      |  (2 * dd * 1000000 // (nn * (nn - 1))) / 1e6 AS discordant_share,
+      |  (2 * c * 1000000 // GREATEST(nn * (nn - 1), 1)) / 1e6
+      |    AS concordant_share,
+      |  (2 * dd * 1000000 // GREATEST(nn * (nn - 1), 1)) / 1e6
+      |    AS discordant_share,
       |  CASE WHEN nn > 1
       |    AND nn * (nn - 1) - tx2 > 0
       |    AND nn * (nn - 1) - ty2 > 0 THEN
@@ -510,7 +515,11 @@ object StatsQueries {
         col("total").as("n_journeys"),
         col("phi6").as("phi_sixths"),
         round(col("phi6") / 6.0, 6).as("phi"),
-        (expr("phi6 * 1000000 div (6 * total)") / 1e6).as("share"))
+        // greatest(): an eventless corpus has total = 0 — DuckDB's //
+        // errors on zero where Spark's div NULLs; share 0 is the
+        // defined degenerate readout
+        (expr("phi6 * 1000000 div greatest(6 * total, 1)") / 1e6)
+          .as("share"))
       .orderBy("channel")
   }
 
@@ -555,7 +564,8 @@ object StatsQueries {
       |  (SELECT v FROM v WHERE s = 7) AS n_journeys,
       |  CAST(phi6 AS BIGINT) AS phi_sixths,
       |  ROUND(phi6 / 6.0, 6) AS phi,
-      |  (phi6 * 1000000 // (6 * (SELECT v FROM v WHERE s = 7))) / 1e6
+      |  (phi6 * 1000000
+      |    // GREATEST(6 * (SELECT v FROM v WHERE s = 7), 1)) / 1e6
       |    AS share
       |FROM phi
       |ORDER BY channel""".stripMargin

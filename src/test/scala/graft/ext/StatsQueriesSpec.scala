@@ -130,6 +130,21 @@ class StatsQueriesSpec extends SparkSpec {
     assert(got == ((1L, 1L, 1L, 1L, 10.0, 30.0, 20.0, 25.0, 15.0)))
   }
 
+  test("attribution_shapley: zero-journey corpus degrades to zero shares") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("shap0").toString
+    // views only — no purchase ever converts, so the coalition lattice
+    // is all-zero and every division must hit its greatest() guard
+    Seq((1L, java.sql.Timestamp.valueOf("1995-01-01 00:00:00"), 1L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = StatsQueries.attributionShapley(spark, dir)
+      .select("channel", "n_journeys", "phi_sixths", "share")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("click", 0L, 0L, 0.0), ("signup", 0L, 0L, 0.0),
+      ("view", 0L, 0L, 0.0)))
+  }
+
   test("granger_daily: lag-1 predictive series is detected exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("granger").toString
