@@ -320,6 +320,28 @@ class PlanAuditSpec extends SparkSpec {
                                // means a rank stage lost its persist and
                                // its range exchange runs twice
 
+    "kendall_tau" -> 1,        // ONE persisted contingency grid; the
+                               // self-join, margins, and total all read
+                               // the cache — more means the grid agg
+                               // re-entered the plan
+    "kruskal_wallis" -> 3,     // orders scanned twice (cells + pooled
+                               // histogram, deliberately unpersisted —
+                               // cheaper than the persist barriers) +
+                               // DistRank's cached range-stamped sweep
+    "rouge_pairs" -> 3,        // persisted docs + the two persisted gram
+                               // tables; exemplar projections and
+                               // overlap joins all read the caches
+    "k_truss" -> 0,            // backbone + every peel round fold off
+                               // localCheckpoint leaves — a
+                               // LogicalRelation here means the corpus
+                               // co-supply agg re-entered the output plan
+    "spearman_corr" -> 3,      // persisted per-customer aggregate + the
+                               // two DistRank cached sweeps (one per
+                               // rank dimension)
+    "ngram_llr" -> 1,          // ONE persisted bigram-count table read
+                               // by candidates, both margins, and the
+                               // total
+
     "ann_index_search" -> 3    // probed index segment + the query-side
                                // embeddings scan + that same probe subtree
                                // AGAIN inside the dynamic-partition-pruning
