@@ -174,6 +174,67 @@ object DedupQueries {
       |  AND a.doc_id < b.doc_id
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** DEDUP-QUALITY EVALUATION — candidate precision/recall of the LSH
+    * banding against EXACT-duplicate ground truth (identical text →
+    * identical md5): the dedup sibling of
+    * [[SimilarityQueries.annRecallReport]]. Recall measures what the
+    * pipeline's own guards cost — a dropped capped bucket or a <3-word
+    * doc outside the shingle pipeline turns an exact-dup pair into a
+    * miss, which is exactly the number an operator running the 64-cap
+    * at 100 TB needs to watch; precision measures banding selectivity
+    * (an exact-dup candidate is trivially correct; the rest are
+    * near-dup candidates scored 0 here by construction).
+    *
+    * Scale: truth-pair COUNTS come off the md5 group sizes
+    * (Σ g(g−1)/2 — no truth pair is ever materialized); the candidate
+    * side is the shared capped banding (never all-pairs); the hit test
+    * is two doc_id equi-joins on the candidate stream.
+    */
+  def dedupEval(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = Tables(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val truth = hashes.groupBy("h")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("g"))
+      .agg(sum(expr("g * (g - 1) div 2").cast("decimal(38,0)"))
+        .as("n_truth"))
+    minhashPairsCore(spark, dir)
+      .join(hashes.select(col("doc_id").as("doc_a"), col("h").as("ha")),
+        Seq("doc_a"))
+      .join(hashes.select(col("doc_id").as("doc_b"), col("h").as("hb")),
+        Seq("doc_b"))
+      .agg(count(lit(1)).as("n_pred"),
+        sum(when(col("ha") === col("hb"), 1L).otherwise(0L)).as("n_hit"))
+      .crossJoin(broadcast(truth))
+      .select(col("n_pred"), col("n_hit"),
+        col("n_truth").cast("long").as("n_truth"),
+        (expr("n_hit * 1000000 div greatest(n_pred, 1)") / 1e6)
+          .as("precision"),
+        (expr("n_hit * 1000000 div greatest(n_truth, 1)") / 1e6)
+          .as("recall"))
+  }
+
+  val dedupEvalSql: String =
+    s"""WITH $minhashSqlCtes,
+      |pred AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN banded b ON a.band = b.band
+      |    AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      |h AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |tt AS (
+      |  SELECT CAST(SUM(g * (g - 1) // 2) AS HUGEINT) AS n_truth
+      |  FROM (SELECT CAST(COUNT(*) AS HUGEINT) AS g FROM h GROUP BY h)),
+      |hits AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pred,
+      |    CAST(SUM(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_hit
+      |  FROM pred
+      |  JOIN h ha ON ha.doc_id = pred.doc_a
+      |  JOIN h hb ON hb.doc_id = pred.doc_b)
+      |SELECT n_pred, n_hit, CAST(n_truth AS BIGINT) AS n_truth,
+      |  (n_hit * 1000000 // GREATEST(n_pred, 1)) / 1e6 AS precision,
+      |  (n_hit * 1000000 // GREATEST(n_truth, 1)) / 1e6 AS recall
+      |FROM hits CROSS JOIN tt""".stripMargin
+
   /** FELLEGI–SUNTER record-linkage scoring (JASA 1969) — the
     * probabilistic-ER decision model over the LSH-blocked candidate
     * pairs: each pair gets an AGREEMENT PATTERN over five comparison
@@ -1697,6 +1758,7 @@ object DedupQueries {
     "dedup_clusters_incremental" -> ((dedupClustersIncremental _, dedupClustersSql)),
     "dedup_exact" -> ((dedupExact _, dedupExactSql)),
     "minhash_pairs" -> ((minhashPairs _, minhashPairsSql)),
+    "dedup_eval" -> ((dedupEval _, dedupEvalSql)),
     "fs_linkage" -> ((fsLinkage _, fsLinkageSql)),
     "dedup_cross_source" -> ((dedupCrossSource _, dedupCrossSourceSql)),
     "dedup_clusters" -> ((dedupClusters _, dedupClustersSql)),

@@ -37,4 +37,32 @@ class DedupClustersSpec extends SparkSpec {
     assert(clusters.count() == inPairs.count())
     clusters.unpersist()
   }
+
+  test("dedup_eval: planted exact duplicates score recall 1.0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dedupeval").toString
+    // three identical long docs (3 truth pairs) + one distinct doc;
+    // identical texts have identical signatures, so LSH must surface
+    // every truth pair → recall exactly 1.0
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    Seq((0L, "s", dup), (1L, "s", dup), (2L, "s", dup),
+      (3L, "s", "completely different words populate this other document"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DedupQueries.dedupEval(spark, dir)
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(got._3 == 3L, s"want 3 truth pairs, got $got")
+    assert(got._2 == 3L, s"want all 3 truth pairs as hits, got $got")
+    assert(got._5 == 1.0)
+    assert(got._1 >= got._2 && got._4 > 0.0 && got._4 <= 1.0)
+  }
+
+  test("dedup_eval invariants on sf0.001") {
+    import spark.implicits._
+    val got = DedupQueries.dedupEval(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(got._2 <= got._1 && got._2 <= got._3)
+    assert(got._4 >= 0.0 && got._4 <= 1.0 && got._5 >= 0.0 && got._5 <= 1.0)
+    assert(got._1 > 0)
+  }
 }
