@@ -1055,6 +1055,89 @@ object TextQueries {
        |ORDER BY pct""".stripMargin
   }
 
+  /** CONFUSION MATRIX at the [[qualityClassifier]] decision threshold
+    * (logit > 0, the model's own `keep` flag) against the `lang='en'`
+    * ground truth — the THRESHOLDED eval completing the classifier
+    * readout set ([[classifierAuc]] ranks, [[liftCurve]] sweeps
+    * quotas; this scores the single operating point a filter actually
+    * deploys). tp/fp/fn/tn are one conditional aggregate over the
+    * scored corpus; precision/recall/F1 are exact ppm (F1 as
+    * 2tp·10⁶ div (2tp+fp+fn)); MCC is the one double —
+    * (tp·tn − fp·fn)/√((tp+fp)(tp+fn)(tn+fp)(tn+fn)) with the √
+    * factors multiplied in DOUBLE (the product clears 2⁶³ long before
+    * the counts do), zero-denominator guarded identically in both
+    * engines.
+    */
+  def confusionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val B = 4096
+    Tables(spark, dir, "documents")
+      .withColumn("words", expr("filter(split(lower(text), ' +'), w -> w != '')"))
+      .withColumn("logit_millis", expr(
+        s"""aggregate(transform(words, w ->
+           |  cast(conv(substring(md5(concat('w:', cast(
+           |    cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint) % $B
+           |  AS string))), 1, 15), 16, 10) AS bigint) % 2001 - 1000),
+           |  0L, (acc, x) -> acc + x)""".stripMargin))
+      .select((col("logit_millis") > 0).as("pred"),
+        (col("lang") === "en").as("pos"))
+      .agg(
+        sum(expr("CASE WHEN pred AND pos THEN 1 ELSE 0 END")).as("tp"),
+        sum(expr("CASE WHEN pred AND NOT pos THEN 1 ELSE 0 END")).as("fp"),
+        sum(expr("CASE WHEN NOT pred AND pos THEN 1 ELSE 0 END")).as("fn"),
+        sum(expr("CASE WHEN NOT pred AND NOT pos THEN 1 ELSE 0 END")).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        (expr("tp * 1000000 div greatest(tp + fp, 1)") / 1e6)
+          .as("precision"),
+        (expr("tp * 1000000 div greatest(tp + fn, 1)") / 1e6)
+          .as("recall"),
+        (expr("2 * tp * 1000000 div greatest(2 * tp + fp + fn, 1)") / 1e6)
+          .as("f1"),
+        expr("""CASE WHEN (tp + fp) > 0 AND (tp + fn) > 0
+                  AND (tn + fp) > 0 AND (tn + fn) > 0 THEN
+                ROUND((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+                     - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+                  / SQRT(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                       * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)),
+                  6)
+                END""").as("mcc"))
+  }
+
+  val confusionMatrixSql: String = {
+    val B = 4096
+    s"""WITH d AS (
+       |  SELECT lang,
+       |    list_filter(string_split(lower(text), ' '), w -> w != '') AS words
+       |  FROM documents),
+       |s AS (
+       |  SELECT
+       |    CAST(COALESCE(list_sum(list_transform(words, w ->
+       |      CAST(('0x' || substr(md5('w:' || CAST(
+       |        CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % $B
+       |      AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000)), 0) AS BIGINT)
+       |      > 0 AS pred,
+       |    lang = 'en' AS pos
+       |  FROM d),
+       |m AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN pred AND pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(SUM(CASE WHEN pred AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN NOT pred AND pos THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |    CAST(SUM(CASE WHEN NOT pred AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM s)
+       |SELECT tp, fp, fn, tn,
+       |  (tp * 1000000 // GREATEST(tp + fp, 1)) / 1e6 AS precision,
+       |  (tp * 1000000 // GREATEST(tp + fn, 1)) / 1e6 AS recall,
+       |  (2 * tp * 1000000 // GREATEST(2 * tp + fp + fn, 1)) / 1e6 AS f1,
+       |  CASE WHEN (tp + fp) > 0 AND (tp + fn) > 0
+       |    AND (tn + fp) > 0 AND (tn + fn) > 0 THEN
+       |  ROUND((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+       |       - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+       |    / SQRT(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+       |         * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 6)
+       |  END AS mcc
+       |FROM m""".stripMargin
+  }
+
   /** TOP COLLOCATIONS by POINTWISE MUTUAL INFORMATION — which word
     * pairs co-occur in documents far beyond chance: the association
     * signal under phrase mining and tokenizer-merge heuristics, next
@@ -2913,6 +2996,7 @@ object TextQueries {
     "quality_classifier" -> ((qualityClassifier _, qualityClassifierSql)),
     "classifier_auc" -> ((classifierAuc _, classifierAucSql)),
     "lift_curve" -> ((liftCurve _, liftCurveSql)),
+    "confusion_matrix" -> ((confusionMatrix _, confusionMatrixSql)),
     "classifier_calibration" ->
       ((classifierCalibration _, classifierCalibrationSql)),
     "nb_lang_classify" -> ((nbLangClassify _, nbLangClassifySql)),

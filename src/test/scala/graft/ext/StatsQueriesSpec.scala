@@ -219,6 +219,28 @@ class StatsQueriesSpec extends SparkSpec {
     assert(got == want, s"ndcg mismatch:\n got $got\nwant $want")
   }
 
+  test("confusion_matrix agrees with quality_classifier's keep flags") {
+    import spark.implicits._
+    // independent path: join the registered classifier's per-doc keep
+    // flags with the lang truth and count the four cells directly
+    val keeps = TextQueries.qualityClassifier(spark, sf)
+      .select(col("doc_id"), col("keep"))
+    val truth = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), (col("lang") === "en").as("pos"))
+    val cells = keeps.join(truth, Seq("doc_id"))
+      .select("keep", "pos").as[(Boolean, Boolean)].collect()
+    val tp = cells.count(c => c._1 && c._2).toLong
+    val fp = cells.count(c => c._1 && !c._2).toLong
+    val fn = cells.count(c => !c._1 && c._2).toLong
+    val tn = cells.count(c => !c._1 && !c._2).toLong
+    val got = TextQueries.confusionMatrix(spark, sf)
+      .select("tp", "fp", "fn", "tn", "f1")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert((got._1, got._2, got._3, got._4) == ((tp, fp, fn, tn)))
+    assert(got._5 == (2 * tp * 1000000L / math.max(2 * tp + fp + fn, 1L)) / 1e6)
+    assert(tp + fp + fn + tn == cells.length)
+  }
+
   test("lift_curve invariants on sf0.001") {
     import spark.implicits._
     val rows = graft.ext.TextQueries.liftCurve(spark, sf)
