@@ -346,9 +346,92 @@ object PhraseQueries {
        |LIMIT 20""".stripMargin
   }
 
+  /** JENSEN–SHANNON DIVERGENCE of every source's unigram distribution
+    * against the corpus distribution — the information-theoretic
+    * sibling of drift_psi's binned index: symmetric, bounded [0, ln 2],
+    * and defined even where one side has zero mass (where KL alone
+    * blows up). Exact-integer carried: with p = cp/Np, q = cq/Nq and
+    * m = (p+q)/2, the log ratios are ln of INTEGER ratios —
+    * p/m = 2·cp·Nq / (cp·Nq + cq·Np) — so each term is
+    * count · (lnm(2·count·N_other) − lnm(cp·Nq + cq·Np)) in the
+    * floor-6dp ln-micros idiom, summed exactly and divided once per
+    * side (defined truncation). A source whose distribution equals the
+    * corpus's scores EXACTLY 0 (every ratio is ln 1 = 0 before any
+    * truncation).
+    *
+    * Scale: one token explode + (source, word) count (the corpus
+    * stage); the margin grid is vocabulary × sources (sources a
+    * bounded category set broadcast onto the vocabulary rollup —
+    * Heaps-sublinear rows); scoring is per-row scalar math and the
+    * output is one row per source.
+    */
+  def jsdSources(spark: SparkSession, dir: String): DataFrame = {
+    def lnm(e: String) =
+      s"CAST(FLOOR(LN(CAST($e AS DOUBLE)) * 1000000) AS BIGINT)"
+    val cp = Tables(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("cp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cp.count()
+    val np = cp.groupBy("source").agg(sum("cp").as("np"))
+    val cq = cp.groupBy("w").agg(sum("cp").as("cq"))
+    val nq = cp.agg(sum("cp").as("nqv"))
+    cq.crossJoin(broadcast(np))
+      .join(cp, Seq("source", "w"), "left")
+      .withColumn("cp0", coalesce(col("cp"), lit(0).cast("decimal(38,0)")))
+      .crossJoin(broadcast(nq))
+      .withColumn("tp", expr(
+        s"""CASE WHEN cp0 > 0 THEN
+             cp0 * (${lnm("2 * cp0 * nqv")} - ${lnm("cp0 * nqv + cq * np")})
+           ELSE 0 END"""))
+      .withColumn("tq", expr(
+        s"cq * (${lnm("2 * cq * np")} - ${lnm("cp0 * nqv + cq * np")})"))
+      .groupBy("source", "np", "nqv")
+      .agg(sum("tp").as("sp"), sum("tq").as("sq"),
+        sum(expr("CASE WHEN cp0 > 0 THEN 1 ELSE 0 END")).as("vocab"))
+      .select(col("source"), col("np").cast("long").as("n_tokens"),
+        col("vocab").cast("long").as("n_vocab"),
+        (expr("(sp div np + sq div nqv) div 2") / 1e6).as("jsd"))
+      .orderBy("source")
+  }
+
+  val jsdSourcesSql: String = {
+    def lnm(e: String) =
+      s"CAST(FLOOR(LN(CAST($e AS DOUBLE)) * 1000000) AS BIGINT)"
+    s"""WITH cp AS MATERIALIZED (
+       |  SELECT source, w, CAST(COUNT(*) AS HUGEINT) AS cp FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS w
+       |    FROM documents)
+       |  GROUP BY 1, 2),
+       |np AS (SELECT source, SUM(cp) AS np FROM cp GROUP BY 1),
+       |cq AS (SELECT w, SUM(cp) AS cq FROM cp GROUP BY 1),
+       |nq AS (SELECT SUM(cp) AS nqv FROM cp),
+       |g AS (
+       |  SELECT np.source, np.np, cq.cq, nq.nqv,
+       |    COALESCE(cp.cp, 0) AS cp0
+       |  FROM cq CROSS JOIN np CROSS JOIN nq
+       |  LEFT JOIN cp ON cp.source = np.source AND cp.w = cq.w),
+       |t AS (
+       |  SELECT source, np, nqv,
+       |    CASE WHEN cp0 > 0 THEN
+       |      cp0 * (${lnm("2 * cp0 * nqv")} - ${lnm("cp0 * nqv + cq * np")})
+       |    ELSE 0 END AS tp,
+       |    cq * (${lnm("2 * cq * np")} - ${lnm("cp0 * nqv + cq * np")})
+       |      AS tq,
+       |    CASE WHEN cp0 > 0 THEN 1 ELSE 0 END AS invocab
+       |  FROM g)
+       |SELECT source, CAST(np AS BIGINT) AS n_tokens,
+       |  CAST(SUM(invocab) AS BIGINT) AS n_vocab,
+       |  ((SUM(tp) // np + SUM(tq) // nqv) // 2) / 1e6 AS jsd
+       |FROM t GROUP BY source, np, nqv
+       |ORDER BY source""".stripMargin
+  }
+
   def all: Seq[(String, ((SparkSession, String) => DataFrame, String))] =
     Seq(
       "rouge_pairs" -> ((rougePairs _, rougePairsSql)),
       "rake_keywords" -> ((rakeKeywords _, rakeKeywordsSql)),
-      "ngram_llr" -> ((ngramLlr _, ngramLlrSql)))
+      "ngram_llr" -> ((ngramLlr _, ngramLlrSql)),
+      "jsd_sources" -> ((jsdSources _, jsdSourcesSql)))
 }
