@@ -61,7 +61,8 @@ class ClosureExtractor(
     loadTable: String => DataFrame,
     policy: TraversalPolicy = TraversalPolicy(),
     configQueries: Seq[ConfigQuery] = Nil,
-    runQuery: String => DataFrame = null) {
+    runQuery: String => DataFrame = null,
+    fastPathBudget: Long = ClosureExtractor.FastPathBudget) {
 
   /** Runs the closure from a seed DataFrame (rows of `seedTable`).
     * Returns table name → DataFrame of all rows in the closed subgraph.
@@ -161,6 +162,263 @@ class ClosureExtractor(
       preSeen: Map[String, DataFrame] = Map.empty): Map[String, DataFrame] =
     runAllWithSizes(seeds, preSeen)._1
 
+  /** Driver-local BFS fast path for SMALL closures — the dominant
+    * production shape at 100 TB: a point extract (one customer's cone,
+    * one order's lineage) touches a few thousand keys of a petabyte
+    * corpus, and the right plan probes each table once per (edge,
+    * iteration) with the key set pushed into the scan as an In filter
+    * (parquet row-group/dictionary pruning applies), not a broadcast-
+    * join fixpoint whose per-iteration scheduling barriers dwarf the
+    * data. Returns None — leaving the distributed BFS to run, untouched
+    * — the moment ANY collect would exceed `fastPathBudget` rows or a
+    * shape needs a composite-pk re-probe; large closures therefore
+    * always get the shuffling plan. Semantics are EXACTLY
+    * [[runAllWithSizes]]'s (FastPathParitySpec pins local ==
+    * distributed across random graphs, policies, preSeen, and config
+    * queries):
+    *
+    *  - frontier KEYS drive reverse-key expansion — a phantom key (an
+    *    FK value with no parent row) still probes its children, as the
+    *    distributed key-set join does; frontier ROWS (the table's
+    *    actual rows for those keys, duplicate-pk rows included) drive
+    *    forward-FK and config-attr expansion, matching the semi-join's
+    *    row multiset;
+    *  - a probe filtered on a pk COLUMN already returns the complete
+    *    row set for every key it discovers (duplicate-pk siblings
+    *    share the filter value); any other filter column re-probes the
+    *    fresh keys by pk so a duplicate-pk sibling the filter missed
+    *    still expands — a composite-pk table needing such a re-probe
+    *    aborts to the distributed path;
+    *  - REFIRE: preSeen keys (minus current seeds) fire allowlisted
+    *    reverse keys and config queries once at depth 0, exactly like
+    *    the distributed incremental step.
+    */
+  private def tryRunAllLocal(seeds: Seq[(String, DataFrame)],
+      preSeen: Map[String, DataFrame]):
+      Option[(Map[String, DataFrame], Map[String, Long])] = {
+    import scala.collection.mutable
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    val spark = seeds.headOption.map(_._2.sparkSession).getOrElse(return None)
+    val t0 = System.nanoTime()
+    var budget = fastPathBudget
+    def abort(why: String): Nothing =
+      throw new ClosureExtractor.FastPathAbort(why)
+    // the ONE driver materialization of this path: limit-guarded — the
+    // plan ships at most budget+1 rows, and one row past the remaining
+    // budget aborts to the distributed BFS (StaticAuditSpec pin)
+    def take(df: DataFrame): Array[Row] = {
+      val rows = df.limit(math.min(budget + 1, Int.MaxValue.toLong).toInt).collect()
+      if (rows.length > budget) abort("row budget")
+      budget -= rows.length
+      rows
+    }
+    // expansion columns per table: pk + forward-FK child cols + config attrs
+    val neededMemo = mutable.Map.empty[String, Seq[String]]
+    def needed(t: String): Seq[String] = neededMemo.getOrElseUpdate(t,
+      (catalog.pkOf(t) ++ catalog.foreignKeysOf(t).map(_.childCol) ++
+        configQueries.filter(_.sourceTable == t)
+          .flatMap(cq => ClosureExtractor.attrsOf(cq.template))).distinct)
+    val idxMemo = mutable.Map.empty[String, Map[String, Int]]
+    def idxOf(t: String): Map[String, Int] =
+      idxMemo.getOrElseUpdate(t, needed(t).zipWithIndex.toMap)
+    val pkIdxMemo = mutable.Map.empty[String, Array[Int]]
+    def keyOf(t: String, row: Row): Seq[Any] = {
+      val idx = pkIdxMemo.getOrElseUpdate(t, catalog.pkOf(t).map(idxOf(t)).toArray)
+      idx.toIndexedSeq.map(row.get)
+    }
+    val pkSchema = mutable.Map.empty[String, StructType]
+    def recordSchema(t: String, df: DataFrame): Unit =
+      if (!pkSchema.contains(t))
+        pkSchema(t) = StructType(catalog.pkOf(t).map(c => df.schema(c)))
+    // probe t's expansion columns with the filter pushed into the scan
+    def probe(t: String, filterCol: String, values: Seq[Any]): Array[Row] =
+      if (values.isEmpty) Array.empty
+      else {
+        val df = loadTable(t).select(needed(t).map(col): _*)
+          .where(col(filterCol).isin(values: _*))
+        recordSchema(t, df)
+        take(df)
+      }
+    val seen = mutable.Map.empty[String, mutable.HashSet[Seq[Any]]]
+    val acc = mutable.Map.empty[String, mutable.ArrayBuffer[Seq[Any]]]
+    try {
+      // seed key sets, deduped driver-side (== the distributed
+      // union().distinct())
+      val seedKeys: Map[String, IndexedSeq[Seq[Any]]] =
+        seeds.groupBy(_._1).map { case (t, ss) =>
+          val pkCols = catalog.pkOf(t).map(col)
+          val ks = mutable.LinkedHashSet.empty[Seq[Any]]
+          ss.foreach { case (_, df) =>
+            val sel = df.select(pkCols: _*)
+            recordSchema(t, sel)
+            take(sel).foreach(r => ks += r.toSeq)
+          }
+          t -> ks.toIndexedSeq
+        }
+      val pre: Map[String, Set[Seq[Any]]] = preSeen.map { case (t, df) =>
+        val sel = df.select(catalog.pkOf(t).map(col): _*)
+        recordSchema(t, sel)
+        t -> take(sel).iterator.map(_.toSeq).toSet
+      }
+      // seen = seeds ∪ preSeen; acc starts from the delta seeds (every
+      // seed table appears in the result, possibly with zero fresh keys)
+      (seedKeys.keySet ++ pre.keySet).foreach { t =>
+        val s = mutable.HashSet.empty[Seq[Any]]
+        pre.get(t).foreach(s ++= _)
+        seedKeys.get(t).foreach { ks =>
+          acc(t) = mutable.ArrayBuffer(ks.filterNot(s.contains): _*)
+          s ++= ks
+        }
+        seen(t) = s
+      }
+      // complete row set for a key set: trivial when the expansion needs
+      // nothing beyond the pk; else one by-pk probe (single-col pk only)
+      def rowsFor(t: String, keys: Seq[Seq[Any]]): Array[Row] = {
+        val pk = catalog.pkOf(t)
+        if (needed(t) == pk) keys.iterator.map(Row.fromSeq).toArray
+        else if (pk.size == 1) probe(t, pk.head, keys.map(_.head).distinct)
+        else abort(s"composite-pk re-probe: $t")
+      }
+      var frontier: Map[String, (Seq[Seq[Any]], Array[Row])] =
+        seedKeys.collect { case (t, ks) if ks.nonEmpty =>
+          t -> ((ks: Seq[Seq[Any]], rowsFor(t, ks)))
+        }
+      var depth = 0
+      while (frontier.nonEmpty) {
+        val candKeys = mutable.Map.empty[String, mutable.LinkedHashSet[Seq[Any]]]
+        val candRows = mutable.Map.empty[String, mutable.ArrayBuffer[Row]]
+        val rowsComplete = mutable.Map.empty[String, Boolean]
+        def addCand(t: String, keys: IterableOnce[Seq[Any]], rows: Array[Row],
+            complete: Boolean): Unit = {
+          val ks = candKeys.getOrElseUpdate(t, mutable.LinkedHashSet.empty)
+          var any = false
+          keys.iterator.foreach { k => ks += k; any = true }
+          if (any || rows.nonEmpty) {
+            candRows.getOrElseUpdate(t, mutable.ArrayBuffer.empty) ++= rows
+            rowsComplete(t) = rowsComplete.getOrElse(t, true) && complete
+          }
+        }
+        def expandFksLocal(t: String, rows: Array[Row]): Unit = {
+          val idx = idxOf(t)
+          catalog.foreignKeysOf(t).foreach { fk =>
+            require(catalog.pkOf(fk.parentTable) == Seq(fk.parentCol),
+              s"FK ${fk.name} must reference the parent PK")
+            val i = idx(fk.childCol)
+            // pre-filter seen parents driver-side: an already-seen key
+            // neither re-probes nor re-enters (the distributed anti-join)
+            val vals = rows.iterator.map(_.get(i)).filter(_ != null)
+              .filterNot(v => seen.get(fk.parentTable).exists(_.contains(Seq(v))))
+              .toSeq.distinct
+            if (vals.nonEmpty) {
+              // candidate keys are the FK VALUES (a dangling FK is still
+              // a closure key, as in the distributed addKeys); rows are
+              // whatever the parent table actually holds for them — a
+              // by-pk probe, so the row set per key is complete
+              val rs = probe(fk.parentTable, fk.parentCol, vals)
+              addCand(fk.parentTable, vals.map(Seq(_)), rs, complete = true)
+            }
+          }
+        }
+        def expandRksLocal(t: String, keys: Seq[Seq[Any]], depth0: Boolean): Unit = {
+          val pkPos = catalog.pkOf(t).zipWithIndex.toMap
+          catalog.referenceKeysOf(t).filter(rk =>
+            (depth0 && !policy.omitsFor(t)) ||
+              policy.referenceKeyAllowlist.contains(rk.name))
+          .foreach { rk =>
+            val i = pkPos.getOrElse(rk.parentCol,
+              abort(s"rk parent col outside pk: ${rk.name}"))
+            val vals = keys.map(_(i)).distinct
+            val rs = probe(rk.childTable, rk.childCol, vals)
+            addCand(rk.childTable, rs.iterator.map(keyOf(rk.childTable, _)), rs,
+              complete = catalog.pkOf(rk.childTable).contains(rk.childCol))
+          }
+        }
+        def runConfigsLocal(t: String, attrRows: Array[Row]): Unit = {
+          val idx = idxOf(t)
+          configQueries.filter(_.sourceTable == t).foreach { cq =>
+            require(runQuery != null, "configQueries need a runQuery function")
+            val attrs = ClosureExtractor.attrsOf(cq.template)
+            val targetPk = catalog.pkOf(cq.targetTable)
+            val params: Array[Map[String, Any]] =
+              if (attrs.isEmpty) Array(Map.empty[String, Any])
+              else attrRows.iterator
+                .map(r => attrs.map(a => a -> r.get(idx(a))).toMap)
+                .toArray.distinct
+            ClosureExtractor.configSqls(cq, attrs, params).foreach { sql =>
+              val out = runQuery(sql).select(targetPk.map(col): _*)
+              recordSchema(cq.targetTable, out)
+              // keys come from the QUERY result (like the distributed
+              // addKeys — a key the table lacks still enters the
+              // closure); rows re-probe at frontier build
+              addCand(cq.targetTable, take(out).iterator.map(_.toSeq),
+                Array.empty, complete = false)
+            }
+          }
+        }
+        frontier.foreach { case (t, (keys, rows)) =>
+          expandFksLocal(t, rows)
+          expandRksLocal(t, keys, depth0 = depth == 0)
+          runConfigsLocal(t, rows)
+        }
+        // REFIRE (incremental runs): previously-exported keys re-probe
+        // ONLY the edges that stay active at depth>0 — where appended
+        // rows can attach to old keys — once, in the first iteration;
+        // keys that are also current seeds were fired by the frontier
+        // pass above
+        if (depth == 0) pre.foreach { case (t, preKs) =>
+          val probeKeys =
+            preKs.diff(seedKeys.getOrElse(t, IndexedSeq.empty).toSet).toSeq
+          expandRksLocal(t, probeKeys, depth0 = false)
+          if (configQueries.exists(_.sourceTable == t)) {
+            val needAttrs = configQueries.filter(_.sourceTable == t)
+              .exists(cq => ClosureExtractor.attrsOf(cq.template).nonEmpty)
+            val rs = if (needAttrs) rowsFor(t, probeKeys) else Array.empty[Row]
+            runConfigsLocal(t, rs)
+          }
+        }
+        // fresh keys → seen/acc/next frontier; frontier rows are the
+        // collected probe rows when complete for every fresh key, else
+        // one by-pk re-probe
+        val nextFrontier = mutable.Map.empty[String, (Seq[Seq[Any]], Array[Row])]
+        candKeys.foreach { case (t, ks) =>
+          val s = seen.getOrElseUpdate(t, mutable.HashSet.empty)
+          val fresh = ks.iterator.filterNot(s.contains).toVector
+          if (fresh.nonEmpty) {
+            s ++= fresh
+            acc.getOrElseUpdate(t, mutable.ArrayBuffer.empty) ++= fresh
+            val freshSet = fresh.toSet
+            val rows =
+              if (rowsComplete.getOrElse(t, true))
+                candRows.getOrElse(t, mutable.ArrayBuffer.empty)
+                  .filter(r => freshSet.contains(keyOf(t, r))).toArray
+              else rowsFor(t, fresh)
+            nextFrontier(t) = (fresh, rows)
+          }
+        }
+        frontier = nextFrontier.toMap
+        if (sys.env.contains("GRAFT_BFS_PROF"))
+          System.err.println(f"[bfs-local] depth=$depth elapsed=${(System.nanoTime() - t0) / 1e9}%.2fs frontier=${frontier.view.mapValues(_._1.size).toMap}")
+        depth += 1
+      }
+      val result: Map[String, DataFrame] = acc.iterator.map { case (t, ks) =>
+        val schema = pkSchema.getOrElse(t, abort(s"no schema for $t"))
+        val rows = new java.util.ArrayList[Row](ks.size)
+        ks.foreach(k => rows.add(Row.fromSeq(k)))
+        t -> spark.createDataFrame(rows, schema)
+      }.toMap
+      val sizes = acc.iterator.map { case (t, ks) => t -> ks.size.toLong }.toMap
+      if (sys.env.contains("GRAFT_BFS_PROF"))
+        System.err.println(f"[bfs-local] done elapsed=${(System.nanoTime() - t0) / 1e9}%.2fs sizes=$sizes budgetLeft=$budget")
+      Some((result, sizes))
+    } catch {
+      case a: ClosureExtractor.FastPathAbort =>
+        if (sys.env.contains("GRAFT_BFS_PROF"))
+          System.err.println(s"[bfs-local] fallback to distributed: ${a.why}")
+        None
+    }
+  }
+
   /** [[runAll]] plus each table's exact key count — free, because the
     * fixpoint's final checkpoint-forcing job is already a count.
     *
@@ -202,6 +460,13 @@ class ClosureExtractor(
     */
   def runAllWithSizes(seeds: Seq[(String, DataFrame)],
       preSeen: Map[String, DataFrame] = Map.empty): (Map[String, DataFrame], Map[String, Long]) = {
+    // SMALL-CLOSURE FAST PATH: when the whole traversal fits the local
+    // row budget, run it driver-side (tryRunAllLocal) — one pushed-down
+    // In-filter scan per (edge, iteration) instead of per-edge
+    // broadcast/checkpoint jobs with their AQE stage barriers. Falls
+    // back here untouched the moment any probe overflows the budget.
+    if (fastPathBudget > 0)
+      tryRunAllLocal(seeds, preSeen).foreach(r => return r)
     // Measured A/B at sf0.1: keeping AQE ON for the fixpoint wins — its
     // post-shuffle coalescing collapses the 32-partition iteration
     // shuffles to single tasks, which outweighs the extra stage-job
@@ -344,8 +609,7 @@ class ClosureExtractor(
         val pk = catalog.pkOf(table)
         configQueries.filter(_.sourceTable == table).foreach { cq =>
           require(runQuery != null, "configQueries need a runQuery function")
-          val attrs = raw"\{(\w+)\}".r.findAllMatchIn(cq.template)
-            .map(_.group(1)).toSeq.distinct
+          val attrs = ClosureExtractor.attrsOf(cq.template)
           val targetPk = catalog.pkOf(cq.targetTable)
           val params: Array[Map[String, Any]] =
             if (attrs.isEmpty) Array(Map.empty[String, Any])
@@ -355,34 +619,8 @@ class ClosureExtractor(
               .select(attrs.map(col): _*).distinct()
               .collect()
               .map(r => attrs.map(a => a -> r.getAs[Any](a)).toMap)
-          val eqTail = raw"(?is)^(.*\bWHERE\s+)(\w+)\s*=\s*\{(\w+)\}\s*$$".r
-          cq.template match {
-            case eqTail(prefix, colName, attr)
-                if attrs == Seq(attr) &&
-                  params.forall(_.get(attr).exists(v =>
-                    v.isInstanceOf[Number] || v.isInstanceOf[String])) =>
-              if (params.nonEmpty) {
-                // numbers render bare; strings single-quote with ''-escape
-                // AND backslash-escape: Spark SQL's default parser (what
-                // runQuery wires to) treats \ as an escape inside string
-                // literals, so a raw backslash would corrupt or unbalance
-                // the literal — either way ONE query per iteration, never
-                // one per row
-                val inList = params.map(_(attr)).distinct.map {
-                  case n: Number => n.toString
-                  case s: String =>
-                    "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
-                }.mkString(", ")
-                addKeys(cq.targetTable,
-                  runQuery(s"$prefix$colName IN ($inList)")
-                    .select(targetPk.map(col): _*))
-              }
-            case _ =>
-              params.foreach { row =>
-                val sql = graft.sqlparse.SeedQuery.substitute(cq.template, row)
-                addKeys(cq.targetTable,
-                  runQuery(sql).select(targetPk.map(col): _*))
-              }
+          ClosureExtractor.configSqls(cq, attrs, params).foreach { sql =>
+            addKeys(cq.targetTable, runQuery(sql).select(targetPk.map(col): _*))
           }
         }
       }
@@ -571,4 +809,64 @@ object ClosureExtractor {
   def forDir(spark: SparkSession, sfDir: String, catalog: Catalog = Catalog.tpch,
       policy: TraversalPolicy = TraversalPolicy()): ClosureExtractor =
     new ClosureExtractor(catalog, t => graft.Tables(spark, sfDir, t), policy)
+
+  /** Row budget for the driver-local BFS fast path (see
+    * [[ClosureExtractor.runAllWithSizes]]): the local traversal may
+    * collect at most this many key/edge tuples TOTAL across the whole
+    * run; one row more and it aborts to the distributed BFS, untouched.
+    * Calibrated well under [[graft.SparkUtil.BroadcastRowLimit]]: a key
+    * set this size is trivially broadcastable, so the local path never
+    * handles anything the distributed path wouldn't have broadcast
+    * anyway. 0 disables the fast path (specs use this to pin
+    * local == distributed).
+    */
+  val FastPathBudget: Long =
+    sys.env.get("GRAFT_CLOSURE_FAST_BUDGET").map(_.toLong).getOrElse(200000L)
+
+  /** `{attr}` placeholder names of a config-query template, in first-use
+    * order (J3, `/root/reference/etl/extractor.go:70-79`). */
+  def attrsOf(template: String): Seq[String] =
+    raw"\{(\w+)\}".r.findAllMatchIn(template).map(_.group(1)).toSeq.distinct
+
+  /** The SQL statements a config query expands to for a set of DISTINCT
+    * parameter tuples — shared by the distributed BFS and the local fast
+    * path so the two can never diverge on template semantics. The common
+    * `... WHERE col = {attr}` tail shape batches to ONE IN-list query
+    * (the reference runs it once per row, etl/extractor.go:70-79 — the
+    * surviving N+1 we refuse to copy); any other shape substitutes
+    * per tuple.
+    */
+  def configSqls(cq: ConfigQuery, attrs: Seq[String],
+      params: Array[Map[String, Any]]): Seq[String] = {
+    val eqTail = raw"(?is)^(.*\bWHERE\s+)(\w+)\s*=\s*\{(\w+)\}\s*$$".r
+    cq.template match {
+      case eqTail(prefix, colName, attr)
+          if attrs == Seq(attr) &&
+            params.forall(_.get(attr).exists(v =>
+              v.isInstanceOf[Number] || v.isInstanceOf[String])) =>
+        if (params.isEmpty) Nil
+        else {
+          // numbers render bare; strings single-quote with ''-escape AND
+          // backslash-escape: Spark SQL's default parser (what runQuery
+          // wires to) treats \ as an escape inside string literals, so a
+          // raw backslash would corrupt or unbalance the literal —
+          // either way ONE query per iteration, never one per row
+          val inList = params.map(_(attr)).distinct.map {
+            case n: Number => n.toString
+            case s: String =>
+              "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+          }.mkString(", ")
+          Seq(s"$prefix$colName IN ($inList)")
+        }
+      case _ =>
+        params.toSeq.map(row => graft.sqlparse.SeedQuery.substitute(cq.template, row))
+    }
+  }
+
+  /** Control-flow signal: the local fast path hit its row budget or an
+    * unsupported shape — fall back to the distributed BFS. Stackless:
+    * thrown on expected paths, never diagnostic.
+    */
+  private[closure] final class FastPathAbort(val why: String)
+    extends RuntimeException(why, null, false, false)
 }

@@ -36,6 +36,8 @@ class StaticAuditSpec extends AnyFunSuite {
   // bounded metadata:
   //   Main            — CLI presentation of already-aggregated results
   //   ClosureExtractor— frontier COUNTS + config-query parameter tuples
+  //                     + the fast-path limit-guarded take (aborts to
+  //                     the distributed BFS one row past fastPathBudget)
   //   AnnIndex        — probe shortlist (k×nprobe rows)
   //   DedupQueries    — bm25-feedback doc shortlist (≤10 ids)
   //   EventQueries    — calendar rollup + attribution transition matrix
@@ -52,7 +54,7 @@ class StaticAuditSpec extends AnyFunSuite {
   //   OlapQueries     — pivot value discovery (|statuses| strings)
   private val collectPins: Map[String, Int] = Map(
     "graft/Main.scala" -> 4,
-    "graft/closure/ClosureExtractor.scala" -> 2,
+    "graft/closure/ClosureExtractor.scala" -> 3,
     "graft/ext/AnnIndex.scala" -> 1,
     "graft/ext/DedupQueries.scala" -> 1,
     "graft/ext/EventQueries.scala" -> 4,
