@@ -478,7 +478,14 @@ object StreamingOps {
     * micro-batch. Each replay starts from a FRESH checkpoint, so the
     * partition count is free to differ from the session's batch
     * setting — state-store layout is pinned per checkpoint, not per
-    * session. The narrowed setting lives on an ISOLATED child session
+    * session. No-data micro-batches are disabled: their only effect is
+    * watermark-driven state EVICTION and append-mode flushing, and none
+    * of the four replays depends on either — the aggregations run in
+    * complete mode (every data batch re-emits the full aggregate) and
+    * the interval join is INNER (matches emit eagerly at the data batch
+    * that completes them; the trailing no-data batch emitted nothing
+    * and cost a full stream-stream join planning round — measured ~45%
+    * of the attribution replay's wall). The narrowed setting lives on an ISOLATED child session
     * (`newSession`: same SparkContext, cluster, and builder-time
     * options — timezone, nanosAsLong — but a fresh runtime SQLConf and
     * temp-view catalog), so the caller's session conf is never mutated
@@ -499,7 +506,8 @@ object StreamingOps {
         "spark.sql.legacy.parquet.nanosAsLong",
         "spark.sql.ansi.enabled")
       .foreach(k => spark.conf.getOption(k).foreach(s.conf.set(k, _)))
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     f(s)
   }
 
