@@ -74,6 +74,27 @@ object Bench {
     // sample, and min — the standard interference-free estimator —
     // discards it. A consistent regression shows in BOTH samples, so
     // min still reports it.
+    // HOST-DRIFT CANARY: a pinned 6-query block (diverse cheap plan
+    // shapes: scan-agg, projection, text agg, top-k window, json,
+    // running window) timed warm BEFORE the first pass and AFTER the
+    // last. The code under the canary never changes within a session,
+    // so canary_ratio = last/first is a pure host-speed signal: a
+    // suite total that moved together with the canary is drift, one
+    // that moved against a flat canary is a regression. r13's gate
+    // number moved 181→246→265 s across runs of an UNCHANGED tree;
+    // this puts the disambiguating number in the artifact itself.
+    def timedWarm(name: String): Double = {
+      val fn = SparkEntry.queries(name)
+      spark.catalog.clearCache()
+      try run(fn(spark, sfDir)) catch { case NonFatal(_) => () }
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try run(fn(spark, sfDir)) catch { case NonFatal(_) => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def canaryBlock(): Double =
+      CanaryQueries.filter(SparkEntry.queries.contains).map(timedWarm).sum
+    val canaryFirst = if (only.isEmpty) Some(canaryBlock()) else None
     val sweeps: Seq[Map[String, (Double, Option[String])]] =
       (1 to runs).map { _ =>
         queryList.map { case (name, fn) =>
@@ -88,13 +109,14 @@ object Bench {
           name -> (((System.nanoTime() - t0) / 1e9, err))
         }.toMap
       }
+    val canary = canaryFirst.map(first => (first, canaryBlock()))
     val results = queryList.map { case (name, _) =>
       val samples = sweeps.map(_(name))
       // any failed run fails the query — a flaky query must not hide
       // behind a clean min
       (name, samples.map(_._1).min, samples.flatMap(_._2).headOption)
     }
-    val json = renderJson(results, sfDir, runs)
+    val json = renderJson(results, sfDir, runs, canary)
     println(json)
     // The driver's round artifact keeps only a ~2000-char stdout TAIL —
     // at 260+ queries most per-query medians fall off it (r9 lost all
@@ -113,6 +135,14 @@ object Bench {
     spark.stop()
   }
 
+  /** The pinned drift-canary block: cheap, stable, shape-diverse
+    * registry queries. MUST stay fixed across rounds — the cross-round
+    * comparability of canary seconds is the whole point.
+    */
+  val CanaryQueries: Seq[String] = Seq(
+    "q1_agg", "scalar_funcs", "word_counts",
+    "topk_per_group", "json_extract", "window_running")
+
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2)
@@ -130,7 +160,7 @@ object Bench {
     * contains `..."metric":"total","value":N}` (BenchJsonSpec pins it).
     */
   def renderJson(results: Seq[(String, Double, Option[String])], sfDir: String,
-                 runs: Int = 1): String = {
+                 runs: Int = 1, canary: Option[(Double, Double)] = None): String = {
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
     // 3 dp: sub-millisecond digits are pure noise on a shared host, and
@@ -146,6 +176,12 @@ object Bench {
         results.collect { case (k, _, Some(m)) => s"\"" + k + "\":\"" + esc(m) + "\"" }
           .mkString(""","errors":{""", ",", "}")
       else ""
-    s"""{"queries":$qs$errsJson,"sf":"$sfDir","runs":$runs,"n_queries":${ok.size},"unit":"sec","metric":"total","value":${r3(total)}}"""
+    // canary lands in the TAIL region (after the per-query map) so the
+    // driver's truncated capture keeps it alongside the total
+    val canaryJson = canary.fold("") { case (first, last) =>
+      val ratio = if (first > 0) last / first else 1.0
+      s""","canary_first":${r3(first)},"canary_last":${r3(last)},"canary_ratio":${r3(ratio)}"""
+    }
+    s"""{"queries":$qs$errsJson,"sf":"$sfDir","runs":$runs$canaryJson,"n_queries":${ok.size},"unit":"sec","metric":"total","value":${r3(total)}}"""
   }
 }

@@ -44,6 +44,20 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(json.endsWith("}"))
   }
 
+  test("canary block renders in the tail region, ratio = last/first") {
+    val json = Bench.renderJson(
+      (1 to 150).map(i => (f"q$i%03d", 1.0, None)), "/sf", runs = 3,
+      canary = Some((2.0, 2.5)))
+    val tail = json.takeRight(200)
+    assert(tail.contains(""""canary_first":2.000"""))
+    assert(tail.contains(""""canary_last":2.500"""))
+    assert(tail.contains(""""canary_ratio":1.250"""))
+    // total still the LAST key
+    assert(json.takeRight(40).contains("\"value\":150.0"))
+    // canary-less render (filtered runs) omits the fields entirely
+    assert(!Bench.renderJson(Seq(("q", 1.0, None)), "/sf").contains("canary"))
+  }
+
   test("timings render at exactly 3 dp — the tail-budget contract") {
     val json = Bench.renderJson(Seq(
       ("a", 0.740762124, None), ("b", 10.043765014, None)), "/sf")
