@@ -174,6 +174,57 @@ object GraphQueries {
        |SELECT node, rank FROM fin ORDER BY rank DESC, node LIMIT 20""".stripMargin
   }
 
+  /** Per-part contributor cap for co-supply pair generation — the
+    * 64-cap discipline of minhash_pairs applied to the supply graph:
+    * pair fanout is quadratic in suppliers-per-part, so ONE promiscuous
+    * hub part on an unbounded corpus would dominate the whole job.
+    * Parts over the cap are dropped WHOLE (like over-cap LSH buckets):
+    * a part supplied by hundreds of suppliers contributes a
+    * near-complete clique of weight-1 noise edges — the least backbone
+    * signal per pair. Max observed fanout is 52 at sf0.1, so the cap is
+    * invisible at test scale and load-bearing at 100 TB. Mirrored
+    * exactly in the DuckDB oracles ([[coSupplyPairsSql]]).
+    */
+  private[ext] val CoSupplyPartCap = 256
+
+  /** Weighted co-supply edge list (u < v, w = shared-part count) — the
+    * shared corpus-side stage of [[triangles]], [[linkPrediction]],
+    * [[msfBackbone]], and [[kTruss]]. The [[CoSupplyPartCap]] skew
+    * guard is a semi-join against under-cap parts applied BEFORE the
+    * pair-generating self-join, so per-part fanout is bounded where it
+    * is born while the pair pipeline itself stays the whole-stage-
+    * codegen'd join (an in-group collect_list+explode form was measured
+    * ~50% slower here at sf0.1: ObjectHashAggregate plus per-pair
+    * struct allocation lose to the codegen'd join on this fanout).
+    * NOT persisted, on measurement (r7): caching the sp projection
+    * regressed triangles 4.5 s → 30+ s at sf0.1 — the InMemoryRelation
+    * starves AQE's runtime re-planning of the self-join.
+    */
+  private def coSupplyEdges(spark: SparkSession, dir: String): DataFrame = {
+    val sp = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+    val eligible = sp.groupBy("p").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= CoSupplyPartCap).select("p")
+    val spc = sp.join(eligible, Seq("p"), "left_semi")
+    spc.as("a").join(spc.as("b"), Seq("p"))
+      .filter(col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("u"), col("b.s").as("v"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Oracle-side mirror of [[coSupplyEdges]]: the same weighted pairs
+    * with the same whole-part cap, as a `FROM sp`-shaped subquery (the
+    * oracle keeps the readable self-join form; the cap join is what
+    * must match bit-for-bit).
+    */
+  private val coSupplyPairsSql: String =
+    s"""SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS w
+       |    FROM sp a
+       |    JOIN sp b ON a.p = b.p AND a.s < b.s
+       |    JOIN (SELECT p FROM sp GROUP BY p
+       |          HAVING COUNT(*) <= $CoSupplyPartCap) pc ON pc.p = a.p
+       |    GROUP BY 1, 2""".stripMargin
+
   /** EXACT TRIANGLE COUNTING over the supplier CO-SUPPLY BACKBONE
     * (suppliers adjacent iff they supply a common part — the bipartite
     * supply graph itself has no triangles), with per-supplier
@@ -186,8 +237,9 @@ object GraphQueries {
     *    ~1.7·10⁸ degenerate triangles), so the analyzed graph is the
     *    STRONGEST-M BACKBONE: the top 2000 edges by shared-part count
     *    (TakeOrdered with the (w DESC, u, v) total order — the
-    *    corpus-scale stage is only the pair-weight aggregation, linear
-    *    in distinct (part, supplier) co-occurrences);
+    *    corpus-scale stage is the capped [[coSupplyEdges]] pair-weight
+    *    aggregation, linear in distinct (part, supplier)
+    *    co-occurrences);
     *  - counting runs the DEGREE-ORDERED node-iterator — the form that
     *    survives skew: each edge is oriented from its (degree, id)-
     *    smaller endpoint, two out-edges of a node propose a wedge, and
@@ -199,17 +251,8 @@ object GraphQueries {
     *    DuckDB replay.
     */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
-    // NOT persisted, on measurement: caching this projection regressed
-    // the query 4.5 s → 30+ s at sf0.1 (the InMemoryRelation starves
-    // AQE's runtime re-planning of the self-join); two column-pruned
-    // scans of the fact table are the cheaper side of the trade here
-    val sp = Tables(spark, dir, "lineitem")
-      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
-    // strongest-M backbone of the weighted co-supply graph, u < v
-    val und = sp.as("a").join(sp.as("b"), Seq("p"))
-      .filter(col("a.s") < col("b.s"))
-      .groupBy(col("a.s").as("u"), col("b.s").as("v"))
-      .agg(count(lit(1)).as("w"))
+    // strongest-M backbone of the capped weighted co-supply graph, u < v
+    val und = coSupplyEdges(spark, dir)
       .orderBy(desc("w"), asc("u"), asc("v")).limit(2000)
       .select("u", "v")
     trianglesOn(und)
@@ -248,12 +291,10 @@ object GraphQueries {
   }
 
   val trianglesSql: String =
-    """WITH sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    s"""WITH sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
       |und AS (
       |  SELECT u, v FROM (
-      |    SELECT a.s AS u, b.s AS v, COUNT(*) AS w
-      |    FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
-      |    GROUP BY 1, 2)
+      |    $coSupplyPairsSql)
       |  ORDER BY w DESC, u, v LIMIT 2000),
       |deg AS (
       |  SELECT n, COUNT(*) AS d FROM (
@@ -771,12 +812,7 @@ object GraphQueries {
     * rather than divide by ln(1)=0.
     */
   def linkPrediction(spark: SparkSession, dir: String): DataFrame = {
-    val sp = Tables(spark, dir, "lineitem")
-      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
-    val und = sp.as("a").join(sp.as("b"), Seq("p"))
-      .filter(col("a.s") < col("b.s"))
-      .groupBy(col("a.s").as("u"), col("b.s").as("v"))
-      .agg(count(lit(1)).as("w"))
+    val und = coSupplyEdges(spark, dir)
       .orderBy(desc("w"), asc("u"), asc("v")).limit(2000)
       .select("u", "v")
       .localCheckpoint(true)
@@ -811,12 +847,10 @@ object GraphQueries {
   }
 
   val linkPredictionSql: String =
-    """WITH sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    s"""WITH sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
       |und AS (
       |  SELECT u, v FROM (
-      |    SELECT a.s AS u, b.s AS v, COUNT(*) AS w
-      |    FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
-      |    GROUP BY 1, 2)
+      |    $coSupplyPairsSql)
       |  ORDER BY w DESC, u, v LIMIT 2000),
       |adj AS (
       |  SELECT u AS z, v AS nb FROM und
@@ -954,12 +988,7 @@ object GraphQueries {
     */
   def msfBackbone(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sp = Tables(spark, dir, "lineitem")
-      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
-    val backbone = sp.as("a").join(sp.as("b"), Seq("p"))
-      .filter(col("a.s") < col("b.s"))
-      .groupBy(col("a.s").as("u"), col("b.s").as("v"))
-      .agg(count(lit(1)).as("w"))
+    val backbone = coSupplyEdges(spark, dir)
       .orderBy(desc("w"), asc("u"), asc("v")).limit(500)
     // ≤500 rows of literal-bounded metadata → driver Kruskal
     kruskalMsf(backbone.as[(Long, Long, Long)].collect().toSeq)
@@ -1030,9 +1059,7 @@ object GraphQueries {
        |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
        |backbone AS MATERIALIZED (
        |  SELECT u, v, w FROM (
-       |    SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS w
-       |    FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
-       |    GROUP BY 1, 2)
+       |    $coSupplyPairsSql)
        |  ORDER BY w DESC, u, v LIMIT 500),
        |nodes AS MATERIALIZED (
        |  SELECT DISTINCT u AS id FROM backbone
@@ -1068,15 +1095,10 @@ object GraphQueries {
     * discipline as [[triangles]]/[[msfBackbone]]; each round is two
     * bounded self-joins + one aggregate over a localCheckpointed
     * ≤2000-row frame (lineage cut per round). The corpus is scanned
-    * twice (the co-supply self-join), never per round.
+    * ONCE (the capped [[coSupplyEdges]] group-by), never per round.
     */
   def kTruss(spark: SparkSession, dir: String): DataFrame = {
-    val sp = Tables(spark, dir, "lineitem")
-      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
-    val e0 = sp.as("a").join(sp.as("b"), Seq("p"))
-      .filter(col("a.s") < col("b.s"))
-      .groupBy(col("a.s").as("u"), col("b.s").as("v"))
-      .agg(count(lit(1)).as("w"))
+    val e0 = coSupplyEdges(spark, dir)
       .orderBy(desc("w"), asc("u"), asc("v")).limit(2000)
       .select("u", "v").localCheckpoint()
     def peel(e: DataFrame): DataFrame = {
@@ -1125,9 +1147,7 @@ object GraphQueries {
        |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
        |e0 AS MATERIALIZED (
        |  SELECT u, v FROM (
-       |    SELECT a.s AS u, b.s AS v, COUNT(*) AS w
-       |    FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
-       |    GROUP BY 1, 2)
+       |    $coSupplyPairsSql)
        |  ORDER BY w DESC, u, v LIMIT 2000),
        |${(0 to 3).map(round).mkString(",\n")}
        |${(0 to 4).map(prof).mkString("\nUNION ALL\n")}
