@@ -590,6 +590,46 @@ object CoreQueries {
       |    WHERE NOT EXISTS (SELECT 1 FROM reg_p p WHERE p.r_regionkey = s.r_regionkey)
       |) ORDER BY table_name""".stripMargin
 
+  /** [[closureDelta]]'s PRODUCTION form under the gate — the
+    * `extractDeltaTo` shape (CLI `extract -delta`): the baseline is a
+    * real JSON artifact written ONCE per (JVM, dir) by the engine's
+    * export loop (standing in for the previous scheduled export), and
+    * the recurring run READS the baseline key sets from that artifact
+    * ([[graft.engine.Engine.deltaBaseline]]) before paying the single
+    * delta-frontier traversal. This puts the artifact read path itself
+    * under the hash gate — closure_delta's in-JVM key-set memo proves
+    * the traversal; this row proves the round-trip through the JSON
+    * artifact (schema-given read, manifest count gating, pk projection)
+    * lands on the same delta. Same oracle as closure_delta. The bench
+    * row ≈ closure_extract plus the baseline read + prune joins, the
+    * recurring production cost.
+    */
+  def closureDeltaArtifact(spark: SparkSession, dir: String): DataFrame = {
+    val config = graft.conf.ExtractConfig.fromJson(
+      """{"schema": [{"table_name": "customer",
+        |  "reference_keys": ["lineitem_orderkey_fkey"]}]}""".stripMargin)
+    val engine = new graft.engine.Engine(spark, graft.meta.Catalog.tpch,
+      t => Tables(spark, dir, t), config)
+    val prevDir = graft.SparkUtil.oncePerJvm("deltabase", dir) { out =>
+      engine.extractTo("SELECT * FROM customer WHERE c_custkey <= 5", out)
+      ()
+    }
+    val prevKeys = engine.deltaBaseline(prevDir)
+    val delta = engine.extractDelta(
+      "SELECT * FROM customer WHERE c_custkey <= 10", prevKeys)
+    (prevKeys.keySet ++ delta.keySet).toSeq.sorted
+      .map { t =>
+        delta.get(t) match {
+          case Some(df) => df.agg(count(lit(1)).as("n_rows"))
+            .select(lit(t).as("table_name"), col("n_rows"))
+          case None => spark.range(1)
+            .select(lit(t).as("table_name"), lit(0L).as("n_rows"))
+        }
+      }
+      .reduce(_.unionByName(_))
+      .orderBy("table_name")
+  }
+
   /** The deletion dual of [[closureExtract]] under the driver gate:
     * right-to-be-forgotten cone key counts for a seed customer set.
     * [[graft.closure.ForgetCascade]] follows ONLY reverse-key edges
@@ -895,6 +935,7 @@ object CoreQueries {
     "dedup_first_event" -> ((dedupFirstEvent _, dedupFirstEventSql)),
     "closure_extract" -> ((closureExtract _, closureExtractSql)),
     "forget_cone" -> ((forgetCone _, forgetConeSql)),
-    "closure_delta" -> ((closureDelta _, closureDeltaSql))
+    "closure_delta" -> ((closureDelta _, closureDeltaSql)),
+    "closure_delta_artifact" -> ((closureDeltaArtifact _, closureDeltaSql))
   )
 }
