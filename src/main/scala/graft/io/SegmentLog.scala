@@ -143,6 +143,23 @@ object SegmentLog {
     */
   def deleteRecursively(path: String): Unit = del(Paths.get(path))
 
+  /** Recursive file-copy of an artifact tree. Segment-log pointers are
+    * root-relative, so a copied tree is a valid index — this is how a
+    * per-run mutation (append/ingest) works on a private copy of a
+    * staged pristine index. Safe onto an existing (empty) dst root.
+    */
+  def copyRecursively(src: String, dst: String): Unit = {
+    val s = Paths.get(src)
+    val d = Paths.get(dst)
+    val w = java.nio.file.Files.walk(s)
+    try w.forEach { p =>
+      val t = d.resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    } finally w.close()
+  }
+
   private def del(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       if (Files.isDirectory(p)) {

@@ -534,8 +534,7 @@ object StreamingOps {
     // the ingest MUTATES the index (appends each batch), so each run
     // works on a file-copy of the pristine staged one — segment-log
     // pointers are root-relative, so a copied tree is a valid index
-    copyTree(java.nio.file.Paths.get(s"$staged/idx0"),
-      java.nio.file.Paths.get(idxDir))
+    graft.io.SegmentLog.copyRecursively(s"$staged/idx0", idxDir)
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
     withReplaySession(spark) { s =>
@@ -550,16 +549,6 @@ object StreamingOps {
         .localCheckpoint(true)
       finally graft.io.SegmentLog.deleteRecursively(tmp.toString)
     }
-  }
-
-  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
-    import java.nio.file.{Files, Path}
-    val s = Files.walk(src)
-    try s.forEach { p: Path =>
-      val t = dst.resolve(src.relativize(p))
-      if (Files.isDirectory(p)) Files.createDirectories(t)
-      else Files.copy(p, t)
-    } finally s.close()
   }
 
   /** Streaming MAINTENANCE of the materialized rollup
