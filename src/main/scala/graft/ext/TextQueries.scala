@@ -815,9 +815,9 @@ object TextQueries {
         // integer arithmetic is engine-independent by construction.
         expr("""CASE WHEN logit_millis >= 0
                 THEN (2 * logit_millis * 1000000 + n_words * 1000)
-                       div (2 * n_words * 1000)
+                       div greatest(2 * n_words * 1000, 1)
                 ELSE -((2 * -logit_millis * 1000000 + n_words * 1000)
-                       div (2 * n_words * 1000)) END / 1e6""").as("logit"),
+                       div greatest(2 * n_words * 1000, 1)) END / 1e6""").as("logit"),
         (col("logit_millis") > 0).as("keep"))
       .orderBy("doc_id")
   }
@@ -887,9 +887,9 @@ object TextQueries {
       |SELECT doc_id, n_words, logit_millis,
       |  CASE WHEN logit_millis >= 0
       |    THEN (2 * logit_millis * 1000000 + n_words * 1000)
-      |           // (2 * n_words * 1000)
+      |           // greatest(2 * n_words * 1000, 1)
       |    ELSE -((2 * -logit_millis * 1000000 + n_words * 1000)
-      |           // (2 * n_words * 1000)) END / 1e6 AS logit,
+      |           // greatest(2 * n_words * 1000, 1)) END / 1e6 AS logit,
       |  logit_millis > 0 AS keep
       |FROM s
       |ORDER BY doc_id""".stripMargin
@@ -924,9 +924,9 @@ object TextQueries {
       .select(
         expr("""CASE WHEN logit_millis >= 0
                 THEN (2 * logit_millis * 1000000 + n_words * 1000)
-                       div (2 * n_words * 1000)
+                       div greatest(2 * n_words * 1000, 1)
                 ELSE -((2 * -logit_millis * 1000000 + n_words * 1000)
-                       div (2 * n_words * 1000)) END""").as("score_micros"),
+                       div greatest(2 * n_words * 1000, 1)) END""").as("score_micros"),
         when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
     val hist = scored.groupBy("score_micros")
       .agg(count(lit(1)).as("c"), sum("pos").as("p"))
@@ -969,9 +969,9 @@ object TextQueries {
       .select(
         expr("""CASE WHEN logit_millis >= 0
                 THEN (2 * logit_millis * 1000000 + n_words * 1000)
-                       div (2 * n_words * 1000)
+                       div greatest(2 * n_words * 1000, 1)
                 ELSE -((2 * -logit_millis * 1000000 + n_words * 1000)
-                       div (2 * n_words * 1000)) END""").as("score_micros"),
+                       div greatest(2 * n_words * 1000, 1)) END""").as("score_micros"),
         when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
     val wdesc = Window.orderBy(desc("score_micros"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1019,9 +1019,9 @@ object TextQueries {
        |sc AS (
        |  SELECT CASE WHEN logit_millis >= 0
        |    THEN (2 * logit_millis * 1000000 + n_words * 1000)
-       |           // (2 * n_words * 1000)
+       |           // greatest(2 * n_words * 1000, 1)
        |    ELSE -((2 * -logit_millis * 1000000 + n_words * 1000)
-       |           // (2 * n_words * 1000)) END AS score_micros, pos
+       |           // greatest(2 * n_words * 1000, 1)) END AS score_micros, pos
        |  FROM s),
        |hist AS (
        |  SELECT score_micros, CAST(COUNT(*) AS BIGINT) AS c,
@@ -1776,9 +1776,9 @@ object TextQueries {
       .select(
         expr("""CASE WHEN logit_millis >= 0
                 THEN (2 * logit_millis * 1000000 + n_words * 1000)
-                       div (2 * n_words * 1000)
+                       div greatest(2 * n_words * 1000, 1)
                 ELSE -((2 * -logit_millis * 1000000 + n_words * 1000)
-                       div (2 * n_words * 1000)) END""").as("score_micros"),
+                       div greatest(2 * n_words * 1000, 1)) END""").as("score_micros"),
         when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
       .withColumn("bin",
         least(expr("(score_micros + 1000000) div 200000"), lit(9L)))
@@ -1811,9 +1811,9 @@ object TextQueries {
       |sc AS (
       |  SELECT CASE WHEN logit_millis >= 0
       |      THEN (2 * logit_millis * 1000000 + n_words * 1000)
-      |             // (2 * n_words * 1000)
+      |             // greatest(2 * n_words * 1000, 1)
       |      ELSE -((2 * -logit_millis * 1000000 + n_words * 1000)
-      |             // (2 * n_words * 1000)) END AS score_micros,
+      |             // greatest(2 * n_words * 1000, 1)) END AS score_micros,
       |    CAST(pos AS BIGINT) AS pos
       |  FROM s),
       |binned AS (
@@ -1852,9 +1852,9 @@ object TextQueries {
       |sc AS (
       |  SELECT CASE WHEN logit_millis >= 0
       |      THEN (2 * logit_millis * 1000000 + n_words * 1000)
-      |             // (2 * n_words * 1000)
+      |             // greatest(2 * n_words * 1000, 1)
       |      ELSE -((2 * -logit_millis * 1000000 + n_words * 1000)
-      |             // (2 * n_words * 1000)) END AS score_micros,
+      |             // greatest(2 * n_words * 1000, 1)) END AS score_micros,
       |    CAST(pos AS BIGINT) AS pos
       |  FROM s),
       |hist AS (
