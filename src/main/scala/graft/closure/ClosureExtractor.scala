@@ -201,16 +201,23 @@ class ClosureExtractor(
     import org.apache.spark.sql.types.StructType
     val spark = seeds.headOption.map(_._2.sparkSession).getOrElse(return None)
     val t0 = System.nanoTime()
-    var budget = fastPathBudget
+    // thread-safe remaining budget: probes within an iteration run
+    // CONCURRENTLY (independent scans of different tables — against a
+    // 100 TB lake each probe is a real-latency scan, and an iteration's
+    // wall should be its slowest probe, not their sum). The sum
+    // accounting stays exact under races: addAndGet going negative
+    // aborts, so the budget can never be silently exceeded.
+    val budget = new java.util.concurrent.atomic.AtomicLong(fastPathBudget)
     def abort(why: String): Nothing =
       throw new ClosureExtractor.FastPathAbort(why)
     // the ONE driver materialization of this path: limit-guarded — the
-    // plan ships at most budget+1 rows, and one row past the remaining
-    // budget aborts to the distributed BFS (StaticAuditSpec pin)
+    // plan ships at most remaining+1 rows, and one row past the
+    // remaining budget aborts to the distributed BFS (StaticAuditSpec
+    // pin)
     def take(df: DataFrame): Array[Row] = {
-      val rows = df.limit(math.min(budget + 1, Int.MaxValue.toLong).toInt).collect()
-      if (rows.length > budget) abort("row budget")
-      budget -= rows.length
+      val rows = df.limit(
+        math.min(budget.get() + 1, Int.MaxValue.toLong).toInt max 1).collect()
+      if (budget.addAndGet(-rows.length) < 0) abort("row budget")
       rows
     }
     // expansion columns per table: pk + forward-FK child cols + config attrs
@@ -231,15 +238,23 @@ class ClosureExtractor(
     def recordSchema(t: String, df: DataFrame): Unit =
       if (!pkSchema.contains(t))
         pkSchema(t) = StructType(catalog.pkOf(t).map(c => df.schema(c)))
-    // probe t's expansion columns with the filter pushed into the scan
+    // probe t's expansion columns with the filter pushed into the scan;
+    // the DataFrame is BUILT here (driver-thread Catalyst work, schema
+    // recording) — only the collect runs on the probe pool
+    def probeDf(t: String, filterCol: String, values: Seq[Any]): DataFrame = {
+      val df = loadTable(t).select(needed(t).map(col): _*)
+        .where(col(filterCol).isin(values: _*))
+      recordSchema(t, df)
+      df
+    }
     def probe(t: String, filterCol: String, values: Seq[Any]): Array[Row] =
-      if (values.isEmpty) Array.empty
-      else {
-        val df = loadTable(t).select(needed(t).map(col): _*)
-          .where(col(filterCol).isin(values: _*))
-        recordSchema(t, df)
-        take(df)
-      }
+      if (values.isEmpty) Array.empty else take(probeDf(t, filterCol, values))
+    // small pool for concurrent probe collects (the Engine.writeAll
+    // precedent: Spark's scheduler is thread-safe for concurrent job
+    // submission); torn down with the run
+    val probePool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val probeEc =
+      scala.concurrent.ExecutionContext.fromExecutorService(probePool)
     val seen = mutable.Map.empty[String, mutable.HashSet[Seq[Any]]]
     val acc = mutable.Map.empty[String, mutable.ArrayBuffer[Seq[Any]]]
     try {
@@ -289,6 +304,14 @@ class ClosureExtractor(
         val candKeys = mutable.Map.empty[String, mutable.LinkedHashSet[Seq[Any]]]
         val candRows = mutable.Map.empty[String, mutable.ArrayBuffer[Row]]
         val rowsComplete = mutable.Map.empty[String, Boolean]
+        // an iteration's probes are independent scans — scheduled here,
+        // collected on the pool, and FOLDED in scheduling order below,
+        // so candidate order (and everything downstream) is
+        // deterministic regardless of completion interleaving
+        val pending = mutable.ArrayBuffer.empty[
+          (scala.concurrent.Future[Array[Row]], Array[Row] => Unit)]
+        def schedule(df: DataFrame)(fold: Array[Row] => Unit): Unit =
+          pending += ((scala.concurrent.Future(take(df))(probeEc), fold))
         def addCand(t: String, keys: IterableOnce[Seq[Any]], rows: Array[Row],
             complete: Boolean): Unit = {
           val ks = candKeys.getOrElseUpdate(t, mutable.LinkedHashSet.empty)
@@ -310,14 +333,14 @@ class ClosureExtractor(
             val vals = rows.iterator.map(_.get(i)).filter(_ != null)
               .filterNot(v => seen.get(fk.parentTable).exists(_.contains(Seq(v))))
               .toSeq.distinct
-            if (vals.nonEmpty) {
+            if (vals.nonEmpty)
               // candidate keys are the FK VALUES (a dangling FK is still
               // a closure key, as in the distributed addKeys); rows are
               // whatever the parent table actually holds for them — a
               // by-pk probe, so the row set per key is complete
-              val rs = probe(fk.parentTable, fk.parentCol, vals)
-              addCand(fk.parentTable, vals.map(Seq(_)), rs, complete = true)
-            }
+              schedule(probeDf(fk.parentTable, fk.parentCol, vals)) { rs =>
+                addCand(fk.parentTable, vals.map(Seq(_)), rs, complete = true)
+              }
           }
         }
         def expandRksLocal(t: String, keys: Seq[Seq[Any]], depth0: Boolean): Unit = {
@@ -329,9 +352,11 @@ class ClosureExtractor(
             val i = pkPos.getOrElse(rk.parentCol,
               abort(s"rk parent col outside pk: ${rk.name}"))
             val vals = keys.map(_(i)).distinct
-            val rs = probe(rk.childTable, rk.childCol, vals)
-            addCand(rk.childTable, rs.iterator.map(keyOf(rk.childTable, _)), rs,
-              complete = catalog.pkOf(rk.childTable).contains(rk.childCol))
+            if (vals.nonEmpty)
+              schedule(probeDf(rk.childTable, rk.childCol, vals)) { rs =>
+                addCand(rk.childTable, rs.iterator.map(keyOf(rk.childTable, _)), rs,
+                  complete = catalog.pkOf(rk.childTable).contains(rk.childCol))
+              }
           }
         }
         def runConfigsLocal(t: String, attrRows: Array[Row]): Unit = {
@@ -351,8 +376,10 @@ class ClosureExtractor(
               // keys come from the QUERY result (like the distributed
               // addKeys — a key the table lacks still enters the
               // closure); rows re-probe at frontier build
-              addCand(cq.targetTable, take(out).iterator.map(_.toSeq),
-                Array.empty, complete = false)
+              schedule(out) { rs =>
+                addCand(cq.targetTable, rs.iterator.map(_.toSeq),
+                  Array.empty, complete = false)
+              }
             }
           }
         }
@@ -376,6 +403,11 @@ class ClosureExtractor(
             val rs = if (needAttrs) rowsFor(t, probeKeys) else Array.empty[Row]
             runConfigsLocal(t, rs)
           }
+        }
+        // await all probes in scheduling order and fold sequentially
+        pending.foreach { case (fut, fold) =>
+          fold(scala.concurrent.Await.result(fut,
+            scala.concurrent.duration.Duration.Inf))
         }
         // fresh keys → seen/acc/next frontier; frontier rows are the
         // collected probe rows when complete for every fresh key, else
@@ -416,7 +448,7 @@ class ClosureExtractor(
         if (sys.env.contains("GRAFT_BFS_PROF"))
           System.err.println(s"[bfs-local] fallback to distributed: ${a.why}")
         None
-    }
+    } finally probePool.shutdown()
   }
 
   /** [[runAll]] plus each table's exact key count — free, because the
