@@ -125,42 +125,101 @@ object DedupIndex {
     * persisted fingerprints — ONE column-pruned fp scan of the index,
     * distributed tree-aggregation build, sketch bytes staged as a fresh
     * `bloom-g<n>` through the Hadoop FileSystem API (object-store
-    * portable) and committed by manifest flip. Rebuilt rather than
-    * merged on append: two Bloom filters only merge when sized
-    * identically, and re-sizing to the grown corpus keeps the fp rate
-    * at the configured 1% instead of degrading as the index grows.
-    * Returns the indexed fingerprint count the sketch was sized for.
+    * portable) and committed by manifest flip.
+    *
+    * The sketch is sized for a CAPACITY — a power of two ≥ 2× the
+    * current fingerprint count (floor 4096, overridable for specs) —
+    * and the artifact records (capacity, count) in a 16-byte header
+    * before the filter bytes. Sizing to capacity instead of the exact
+    * count is what makes APPENDS mergeable ([[growBloom]]): a batch
+    * filter built with the same (capacity, fpp) parameters is
+    * bit-compatible, so per-batch maintenance is O(batch); the ≤1% fp
+    * rate holds while count ≤ capacity, and the overflow rebuild
+    * re-sizes to the grown corpus. Returns the indexed fingerprint
+    * count the sketch covers.
     */
-  def writeBloom(spark: SparkSession, dir: String): Long = {
-    val r = root(dir)
+  def writeBloom(spark: SparkSession, dir: String, capacity: Long = 0L): Long = {
     val st = state(dir)
     val fps = rows(spark, dir).select("fp")
     val n = fps.count()
-    val bf = fps.stat.bloomFilter("fp", math.max(n, 1L), 0.01)
+    val cap = if (capacity > 0) capacity
+      else java.lang.Long.highestOneBit(
+        math.max(math.max(2 * n, 4096L) * 2 - 1, 1L))
+    val bf = fps.stat.bloomFilter("fp", cap, 0.01)
+    commitBloom(spark, dir, st, bf, cap, n)
+    n
+  }
+
+  /** Fold NEW fingerprints into the committed sketch WITHOUT rescanning
+    * the index — the per-batch maintenance shape the streaming ingest
+    * needs (O(batch), not O(index-so-far) per micro-batch). The batch
+    * filter is built distributed with the sketch's own (capacity, fpp)
+    * parameters — bit-compatible by construction — and OR-merged on the
+    * driver. A fold that would push the count past capacity rebuilds
+    * instead ([[writeBloom]], re-sized), preserving the fp-rate
+    * guarantee. Returns the total covered count.
+    */
+  def growBloom(spark: SparkSession, dir: String, newFps: DataFrame,
+      newN: Long): Long = {
+    val st = state(dir)
+    if (!st.extras.contains("bloom")) return writeBloom(spark, dir)
+    val (cap, n, bf) = loadBloomMeta(spark, dir)
+    if (n + newN > cap) writeBloom(spark, dir)
+    else {
+      bf.mergeInPlace(newFps.stat.bloomFilter("fp", cap, 0.01))
+      commitBloom(spark, dir, state(dir), bf, cap, n + newN)
+      n + newN
+    }
+  }
+
+  /** [[growBloom]] over the LATEST live segment — the streaming-ingest
+    * convenience: [[ingest]] has just committed the batch as the
+    * newest segment, so its fp rows and footer count are exactly the
+    * fold input.
+    */
+  def growBloomLatest(spark: SparkSession, dir: String): Long = {
+    val st = state(dir)
+    val segPath = s"${root(dir)}/${st.segments.last}"
+    val fps = spark.read.parquet(segPath).select("fp")
+    growBloom(spark, dir, fps, spark.read.parquet(segPath).count())
+  }
+
+  private def commitBloom(spark: SparkSession, dir: String,
+      st: SegmentLog.State, bf: org.apache.spark.util.sketch.BloomFilter,
+      cap: Long, count: Long): Unit = {
+    val r = root(dir)
     val gen = SegmentLog.nextGen(Some(st))
     val name = SegmentLog.extraName("bloom", gen)
     val p = new org.apache.hadoop.fs.Path(s"$r/$name")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
-    try bf.writeTo(out) finally out.close()
+    try { out.writeLong(cap); out.writeLong(count); bf.writeTo(out) }
+    finally out.close()
     SegmentLog.commit(r,
       SegmentLog.State(gen, st.segments, st.extras + ("bloom" -> name)))
     SegmentLog.cleanup(r)
-    n
   }
 
   /** Load the committed sketch artifact (driver-side: the serialized
     * bits are the broadcast payload, ~1.2 MB per million fingerprints
     * at 1% fp).
     */
-  def loadBloom(spark: SparkSession, dir: String): org.apache.spark.util.sketch.BloomFilter = {
+  def loadBloom(spark: SparkSession, dir: String): org.apache.spark.util.sketch.BloomFilter =
+    loadBloomMeta(spark, dir)._3
+
+  /** The sketch plus its (capacity, covered count) header. */
+  def loadBloomMeta(spark: SparkSession, dir: String):
+      (Long, Long, org.apache.spark.util.sketch.BloomFilter) = {
     val st = state(dir)
     require(st.extras.contains("bloom"),
       s"no bloom sketch committed at ${root(dir)} — run writeBloom first")
     val p = new org.apache.hadoop.fs.Path(st.extraPath(root(dir), "bloom"))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val in = fs.open(p)
-    try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+    try {
+      val cap = in.readLong(); val n = in.readLong()
+      (cap, n, org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+    } finally in.close()
   }
 
   /** EXACT-rule pre-gate: flag each batch doc whose content fingerprint

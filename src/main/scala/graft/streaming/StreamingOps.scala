@@ -371,8 +371,10 @@ object StreamingOps {
     * algorithm as the oracle-gated `dedup_incremental`), (2) survivors
     * append to `outDir` as parquet, (3) the WHOLE batch folds into the
     * index (near-ANY-earlier: dropped docs still block future
-    * near-dups), (4) the Bloom pre-gate artifact is re-derived so the
-    * next batch's [[graft.ext.DedupIndex.prefilter]] sees it. Batches
+    * near-dups), (4) the batch's fingerprints FOLD into the Bloom
+    * pre-gate artifact (capacity-compatible merge, O(batch) — never an
+    * O(index) rebuild per micro-batch) so the next batch's
+    * [[graft.ext.DedupIndex.prefilter]] sees them. Batches
     * are processed serially by Structured Streaming, so index
     * append/rebuild is race-free; the corpus text is never rescanned —
     * recurring cost is the batch pipeline plus two index shuffles
@@ -391,9 +393,13 @@ object StreamingOps {
           // one-shot answer in every cap regime
           graft.ext.DedupIndex.ingest(spark, batch, indexDir)
             .write.mode("append").parquet(outDir)
-          graft.ext.DedupIndex.writeBloom(spark, indexDir)
+          // per-batch sketch maintenance is the O(batch) FOLD, not an
+          // O(index) rebuild: the ingest just committed the batch as
+          // the newest segment, and growBloom OR-merges a capacity-
+          // compatible batch filter (rebuild only on capacity overflow)
+          graft.ext.DedupIndex.growBloomLatest(spark, indexDir)
         }
-        () // foreachBatch wants Unit; writeBloom returns a count
+        () // foreachBatch wants Unit; growBloom returns a count
       }
       .start()
 

@@ -68,6 +68,45 @@ class BloomDedupSpec extends SparkSpec {
     }
   }
 
+  test("growBloom folds a batch without index rescan; overflow rebuilds") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("idxgrow").toString
+    try {
+      val corpus = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"))
+        .toDF("doc_id", "text")
+      DedupIndex.build(corpus, dir)
+      // tiny explicit capacity so the overflow path is reachable
+      assert(DedupIndex.writeBloom(spark, dir, capacity = 4L) == 2L)
+      val (cap0, n0, _) = DedupIndex.loadBloomMeta(spark, dir)
+      assert(cap0 == 4L && n0 == 2L)
+      // fold one batch (2 docs): fits capacity → O(batch) merge
+      val b1 = Seq((10L, "iota kappa lambda mu"), (11L, "nu xi omicron pi"))
+        .toDF("doc_id", "text")
+      DedupIndex.append(b1, dir)
+      assert(DedupIndex.growBloomLatest(spark, dir) == 4L)
+      val (cap1, n1, bf1) = DedupIndex.loadBloomMeta(spark, dir)
+      assert(cap1 == 4L && n1 == 4L)
+      // merged sketch sees BOTH old and folded fingerprints (no false
+      // negatives — the pre-gate's one-sided-error contract)
+      val fps = DedupIndex.rows(spark, dir).select("fp").collect()
+        .map(_.getString(0))
+      assert(fps.length == 4 && fps.forall(bf1.mightContainString))
+      // next fold overflows the 4-capacity → transparent rebuild at the
+      // auto capacity, still covering everything
+      val b2 = Seq((20L, "rho sigma tau upsilon")).toDF("doc_id", "text")
+      DedupIndex.append(b2, dir)
+      assert(DedupIndex.growBloomLatest(spark, dir) == 5L)
+      val (cap2, n2, bf2) = DedupIndex.loadBloomMeta(spark, dir)
+      assert(cap2 >= 4096L && n2 == 5L, s"cap=$cap2 n=$n2")
+      val fps2 = DedupIndex.rows(spark, dir).select("fp").collect()
+        .map(_.getString(0))
+      assert(fps2.length == 5 && fps2.forall(bf2.mightContainString))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("BloomMightContain supports long keys and nulls") {
     import spark.implicits._
     val bf = (1L to 500L).toDF("k").stat.bloomFilter("k", 500, 0.01)
