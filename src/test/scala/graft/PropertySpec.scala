@@ -236,15 +236,24 @@ class PropertySpec extends SparkSpec {
         "t1" -> seedIds0.drop(2).intersect(g.data("t1").keySet)
       ).filter(_._2.nonEmpty)
       if (seeds.nonEmpty) {
-        val got = new ClosureExtractor(cat, dfs(_), policy)
+        // BOTH execution regimes against the model: the default budget
+        // runs the driver-local fast path, budget 0 forces the
+        // distributed BFS — random graphs keep each pinned to the same
+        // 25-line reference semantics
+        def run(budget: Long) = new ClosureExtractor(cat, dfs(_), policy,
+            fastPathBudget = budget)
           .extractAll(seeds.toSeq.map { case (t, ids) =>
             t -> dfs(t).filter(col("id").isin(ids.toSeq: _*)) })
           .map { case (t, df) =>
             t -> df.select("id").collect().map(_.getLong(0)).toSet }
           .filter(_._2.nonEmpty)
         val want = modelClosure(g, seeds, policy).filter(_._2.nonEmpty)
+        val got = run(ClosureExtractor.FastPathBudget)
         assert(got == want,
-          s"mismatch: edges=${g.edges} seeds=$seeds policy=$policy\n got=$got\nwant=$want")
+          s"fast mismatch: edges=${g.edges} seeds=$seeds policy=$policy\n got=$got\nwant=$want")
+        val dist = run(0L)
+        assert(dist == want,
+          s"distributed mismatch: edges=${g.edges} seeds=$seeds policy=$policy\n got=$dist\nwant=$want")
       }
     }
   }
@@ -369,13 +378,18 @@ class PropertySpec extends SparkSpec {
         val prevModel = modelClosure(g, Map("t0" -> prevIds), policy)
         val preSeen = prevModel.map { case (t, ids) =>
           t -> ids.toSeq.toDF("id") }
-        val got = new ClosureExtractor(cat, dfs(_), policy)
+        // both regimes: fast path (default budget) and distributed
+        // (budget 0) must each land on full-minus-prev with preSeen
+        // pruning and the REFIRE step engaged
+        def run(budget: Long) = new ClosureExtractor(cat, dfs(_), policy,
+            fastPathBudget = budget)
           .extractAll(
             Seq("t0" -> dfs("t0").filter(col("id").isin(seedIds.toSeq: _*))),
             preSeen)
           .map { case (t, df) =>
             t -> df.select("id").collect().map(_.getLong(0)).toSet }
           .filter(_._2.nonEmpty)
+        val got = run(ClosureExtractor.FastPathBudget)
         val full = modelClosure(g, Map("t0" -> seedIds), policy)
         val want = full.map { case (t, ids) =>
           t -> (ids -- prevModel.getOrElse(t, Set.empty))
@@ -383,6 +397,10 @@ class PropertySpec extends SparkSpec {
         assert(got == want,
           s"incremental != full minus prev: edges=${g.edges} seeds=$seedIds " +
             s"prev=$prevIds policy=$policy\n got=$got\nwant=$want\nprev=$prevModel")
+        val dist = run(0L)
+        assert(dist == want,
+          s"distributed incremental != full minus prev: edges=${g.edges} " +
+            s"seeds=$seedIds prev=$prevIds policy=$policy\n got=$dist\nwant=$want")
         if (full.exists { case (t, ids) =>
             ids.intersect(prevModel.getOrElse(t, Set.empty)).nonEmpty }) pruned += 1
       }
