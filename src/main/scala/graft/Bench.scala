@@ -12,7 +12,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver's round artifact keeps only a ~2000-char
+    // stdout TAIL, and at WARN the pinned global-window queries emit enough
+    // `WindowExec: No Partition Defined` lines per pass to crowd every byte
+    // of diagnostic JSON out of a partial/killed run's tail (r14's rc=124
+    // tail was 100% WindowExec spam). The JSON lines below are the only
+    // stdout this process should produce.
+    spark.sparkContext.setLogLevel("ERROR")
     // warmup absorbs JVM/codegen/parquet-footer startup cost so the
     // recorded per-query numbers approximate steady state: one scan-agg
     // query, plus the closure at the smallest sf (the BFS compiles many
@@ -38,18 +44,21 @@ object Bench {
     // driver sets no filter and measures the full suite
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    // n runs per query, MEDIAN recorded: single-shot timings on a busy
-    // host showed ≥2× per-query swings round-over-round that were pure
-    // scheduling noise (r5 recorded minhash_pairs at 6.9 s; median-of-3
-    // on the same code is 1.5 s). The median of 3 is robust to one bad
-    // run and keeps the full 81-query suite under ~5 min.
-    // floored at 1: runs=0 would make median() index an empty sequence and
-    // abort the whole suite with an opaque IndexOutOfBounds
-    // default 3 separated passes (min-of-3): with 2, one stalled pass
-    // leaves a single sample and a transient host stall reads as a
-    // regression; 3 keeps two independent samples through any one stall
+    // n separated passes per query, MIN recorded: single-shot timings on a
+    // busy host showed ≥2× per-query swings round-over-round that were pure
+    // scheduling noise (r5 recorded minhash_pairs at 6.9 s; re-measured
+    // warm it is 1.5 s on the same code).
+    // floored at 1: runs=0 would make min() throw on an empty sequence and
+    // abort the whole suite.
+    // DEFAULT 2 (was 3 through r14): at 310 queries the 3-pass suite's
+    // wall cost outgrew the driver's ~3600 s budget (r14's run was killed
+    // at the hour mark with no JSON). Min-of-2 still discards one stalled
+    // pass, and the canary block now answers the drift-vs-regression
+    // question the third pass used to buy. Recorded numbers stay
+    // comparable with the 142 s r1 baseline: every recorded sample is
+    // still a WARM min.
     val runs = math.max(1,
-      sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3))
+      sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(2))
     val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // Two properties the recorded number must have, and how each is won:
@@ -62,15 +71,20 @@ object Bench {
     // uniform ~2.2× (word_counts 0.15→0.43 s with zero code diff) —
     // incomparable with the warm-recorded baseline the gate is set
     // against. Warmth must be re-established per query, right before
-    // its timed run; that is what the old back-to-back median did
-    // implicitly (run 1 cold, runs 2–3 warm, median ≈ warm).
+    // its timed run. WALL-BUDGET EXCEPTION (r15): in passes ≥2, a query
+    // whose best earlier-pass sample is already < WarmSkipSecs runs
+    // timed-only. Pass 1 always produced one warm sample for it, so the
+    // recorded MIN is warm regardless of how cold the later sample runs;
+    // the ~200-query sub-second tail is half the suite's executions but
+    // ~15% of its seconds, so this halves tail wall cost at zero
+    // recorded-number risk.
     //
-    // STALL-ROBUST — the suite runs as `runs` (default 3) SEPARATED
-    // full passes, and the recorded value is the MIN of a query's warm
-    // samples across passes. Back-to-back samples share any transient
-    // host stall: r10 recorded corr_matrix at 25.8 s on all three
+    // STALL-ROBUST — the suite runs as `runs` SEPARATED full passes,
+    // and the recorded value is the MIN of a query's warm samples
+    // across passes. Back-to-back samples share any transient host
+    // stall: r10 recorded corr_matrix at 25.8 s on all three
     // consecutive runs, and the identical code re-benched at 1.44 s in
-    // r11. With passes ~7 min apart a stall lands in at most one
+    // r11. With passes minutes apart a stall lands in at most one
     // sample, and min — the standard interference-free estimator —
     // discards it. A consistent regression shows in BOTH samples, so
     // min still reports it.
@@ -83,43 +97,83 @@ object Bench {
     // that moved against a flat canary is a regression. r13's gate
     // number moved 181→246→265 s across runs of an UNCHANGED tree;
     // this puts the disambiguating number in the artifact itself.
-    def timedWarm(name: String): Double = {
+    val WarmSkipSecs = 0.5
+    def timedWarm(name: String): Option[Double] = {
       val fn = SparkEntry.queries(name)
       spark.catalog.clearCache()
       try run(fn(spark, sfDir)) catch { case NonFatal(_) => () }
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try run(fn(spark, sfDir)) catch { case NonFatal(_) => () }
-      (System.nanoTime() - t0) / 1e9
+      // a FAILED canary run must not contribute its near-zero elapsed
+      // time to the block sum — that silently deflates one side of
+      // canary_ratio and degrades the drift signal with no trace in the
+      // artifact. None here excludes the query from BOTH blocks (the
+      // ratio must compare identical work) and bumps canary_errors.
+      try { run(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case NonFatal(_) => None }
     }
-    def canaryBlock(): Double =
-      CanaryQueries.filter(SparkEntry.queries.contains).map(timedWarm).sum
-    val canaryFirst = if (only.isEmpty) Some(canaryBlock()) else None
-    val sweeps: Seq[Map[String, (Double, Option[String])]] =
-      (1 to runs).map { _ =>
-        queryList.map { case (name, fn) =>
-          // warmup and timed run each pay their own reads: no cached
-          // tables/views leak from one into the other
-          spark.catalog.clearCache()
+    def canaryBlock(): Map[String, Option[Double]] =
+      CanaryQueries.filter(SparkEntry.queries.contains)
+        .map(n => n -> timedWarm(n)).toMap
+    val canaryFirst: Option[Map[String, Option[Double]]] =
+      if (only.isEmpty) Some(canaryBlock()) else None
+    def mkCanary(first: Map[String, Option[Double]],
+                 last: Option[Map[String, Option[Double]]]): Canary = {
+      val firstOk = first.collect { case (k, Some(v)) => k -> v }
+      last match {
+        case None =>
+          Canary(firstOk.values.sum, None, first.size - firstOk.size)
+        case Some(l) =>
+          val lastOk = l.collect { case (k, Some(v)) => k -> v }
+          // the ratio must compare identical work: a query that failed
+          // in EITHER block is excluded from BOTH sums; canary_errors
+          // counts the failed runs themselves
+          val common = firstOk.keySet intersect lastOk.keySet
+          Canary(common.toSeq.map(firstOk).sum,
+                 Some(common.toSeq.map(lastOk).sum),
+                 (first.size - firstOk.size) + (l.size - lastOk.size))
+      }
+    }
+    def results(sweeps: Seq[Map[String, (Double, Option[String])]]) =
+      queryList.map { case (name, _) =>
+        val samples = sweeps.map(_(name))
+        // any failed run fails the query — a flaky query must not hide
+        // behind a clean min
+        (name, samples.map(_._1).min, samples.flatMap(_._2).headOption)
+      }
+    var sweeps = Seq.empty[Map[String, (Double, Option[String])]]
+    (1 to runs).foreach { pass =>
+      val bestSoFar: Map[String, Double] =
+        sweeps.flatten.groupMapReduce(_._1)(_._2._1)(math.min)
+      val sweep = queryList.map { case (name, fn) =>
+        val skipWarm = pass > 1 && bestSoFar.get(name).exists(_ < WarmSkipSecs)
+        // warmup and timed run each pay their own reads: no cached
+        // tables/views leak from one into the other
+        spark.catalog.clearCache()
+        if (!skipWarm) {
           try run(fn(spark, sfDir)) catch { case NonFatal(_) => () }
           spark.catalog.clearCache()
-          val t0 = System.nanoTime()
-          val err = try { run(fn(spark, sfDir)); None }
-                    catch { case NonFatal(e) => Some(e.toString.takeWhile(_ != '\n').take(200)) }
-          name -> (((System.nanoTime() - t0) / 1e9, err))
-        }.toMap
-      }
-    val canary = canaryFirst.map(first => (first, canaryBlock()))
-    val results = queryList.map { case (name, _) =>
-      val samples = sweeps.map(_(name))
-      // any failed run fails the query — a flaky query must not hide
-      // behind a clean min
-      (name, samples.map(_._1).min, samples.flatMap(_._2).headOption)
+        }
+        val t0 = System.nanoTime()
+        val err = try { run(fn(spark, sfDir)); None }
+                  catch { case NonFatal(e) => Some(e.toString.takeWhile(_ != '\n').take(200)) }
+        name -> (((System.nanoTime() - t0) / 1e9, err))
+      }.toMap
+      sweeps :+= sweep
+      // checkpoint: a killed run must still leave a parseable number in
+      // the driver's stdout tail (r14's kill left only log spam). One
+      // full JSON line per completed pass, flagged "partial" so the
+      // driver/judge can't mistake it for the certified total; the real
+      // final line below is always printed last.
+      if (pass < runs)
+        println(renderJson(results(sweeps), sfDir, runs,
+          canaryFirst.map(mkCanary(_, None)), partialPass = Some(pass)))
     }
-    val json = renderJson(results, sfDir, runs, canary)
+    val canary = canaryFirst.map(first => mkCanary(first, Some(canaryBlock())))
+    val json = renderJson(results(sweeps), sfDir, runs, canary)
     println(json)
     // The driver's round artifact keeps only a ~2000-char stdout TAIL —
-    // at 260+ queries most per-query medians fall off it (r9 lost all
+    // at 260+ queries most per-query entries fall off it (r9 lost all
     // entries before 'r'). The repo-local copy is the durable record:
     // committed per round, it keeps round-over-round per-query
     // comparison possible from git history alone. Best-effort — a
@@ -143,6 +197,12 @@ object Bench {
     "q1_agg", "scalar_funcs", "word_counts",
     "topk_per_group", "json_extract", "window_running")
 
+  /** Canary summary: block-sum before the first pass, optionally after
+    * the last, and how many canary runs errored (errored queries are
+    * excluded from BOTH sums so the ratio compares identical work).
+    */
+  final case class Canary(first: Double, last: Option[Double], errors: Int)
+
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2)
@@ -158,9 +218,12 @@ object Bench {
     * entries a leading `"value"` gets truncated out of the certified
     * file. The headline total therefore comes LAST — the tail always
     * contains `..."metric":"total","value":N}` (BenchJsonSpec pins it).
+    * Mid-run checkpoint lines carry `"partial":true,"pass":k` in the
+    * same tail region for the same reason.
     */
   def renderJson(results: Seq[(String, Double, Option[String])], sfDir: String,
-                 runs: Int = 1, canary: Option[(Double, Double)] = None): String = {
+                 runs: Int = 1, canary: Option[Canary] = None,
+                 partialPass: Option[Int] = None): String = {
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
     // 3 dp: sub-millisecond digits are pure noise on a shared host, and
@@ -178,10 +241,16 @@ object Bench {
       else ""
     // canary lands in the TAIL region (after the per-query map) so the
     // driver's truncated capture keeps it alongside the total
-    val canaryJson = canary.fold("") { case (first, last) =>
-      val ratio = if (first > 0) last / first else 1.0
-      s""","canary_first":${r3(first)},"canary_last":${r3(last)},"canary_ratio":${r3(ratio)}"""
+    val canaryJson = canary.fold("") { c =>
+      val lastPart = c.last.fold("") { l =>
+        val ratio = if (c.first > 0) l / c.first else 1.0
+        s""","canary_last":${r3(l)},"canary_ratio":${r3(ratio)}"""
+      }
+      val errPart = if (c.errors > 0) s""","canary_errors":${c.errors}""" else ""
+      s""","canary_first":${r3(c.first)}$lastPart$errPart"""
     }
-    s"""{"queries":$qs$errsJson,"sf":"$sfDir","runs":$runs$canaryJson,"n_queries":${ok.size},"unit":"sec","metric":"total","value":${r3(total)}}"""
+    val partialJson =
+      partialPass.fold("")(p => s""","partial":true,"pass":$p""")
+    s"""{"queries":$qs$errsJson,"sf":"$sfDir","runs":$runs$canaryJson$partialJson,"n_queries":${ok.size},"unit":"sec","metric":"total","value":${r3(total)}}"""
   }
 }

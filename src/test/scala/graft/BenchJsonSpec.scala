@@ -47,15 +47,44 @@ class BenchJsonSpec extends AnyFunSuite {
   test("canary block renders in the tail region, ratio = last/first") {
     val json = Bench.renderJson(
       (1 to 150).map(i => (f"q$i%03d", 1.0, None)), "/sf", runs = 3,
-      canary = Some((2.0, 2.5)))
+      canary = Some(Bench.Canary(2.0, Some(2.5), 0)))
     val tail = json.takeRight(200)
     assert(tail.contains(""""canary_first":2.000"""))
     assert(tail.contains(""""canary_last":2.500"""))
     assert(tail.contains(""""canary_ratio":1.250"""))
+    // zero errors → no canary_errors key (tail budget)
+    assert(!json.contains("canary_errors"))
     // total still the LAST key
     assert(json.takeRight(40).contains("\"value\":150.0"))
     // canary-less render (filtered runs) omits the fields entirely
     assert(!Bench.renderJson(Seq(("q", 1.0, None)), "/sf").contains("canary"))
+  }
+
+  test("a failed canary run surfaces as canary_errors, not a deflated sum") {
+    val json = Bench.renderJson(Seq(("q", 1.0, None)), "/sf", runs = 2,
+      canary = Some(Bench.Canary(1.8, Some(2.1), 1)))
+    assert(json.contains(""""canary_errors":1"""))
+    assert(json.contains(""""canary_first":1.800"""))
+    // first-block-only canary (checkpoint line) renders without last/ratio
+    val ckpt = Bench.renderJson(Seq(("q", 1.0, None)), "/sf", runs = 2,
+      canary = Some(Bench.Canary(1.8, None, 0)))
+    assert(ckpt.contains(""""canary_first":1.800"""))
+    assert(!ckpt.contains("canary_last") && !ckpt.contains("canary_ratio"))
+  }
+
+  test("mid-run checkpoint line carries partial+pass in the tail, total last") {
+    // a killed bench must leave a parseable per-pass line in the driver's
+    // ~2000-char stdout tail (r14's kill left only log spam, no number)
+    val json = Bench.renderJson(
+      (1 to 150).map(i => (f"q$i%03d", 1.0, None)), "/sf", runs = 2,
+      canary = Some(Bench.Canary(2.0, None, 0)), partialPass = Some(1))
+    val tail = json.takeRight(160)
+    assert(tail.contains(""""partial":true"""))
+    assert(tail.contains(""""pass":1"""))
+    assert(json.takeRight(60).contains("\"metric\":\"total\""))
+    assert(json.takeRight(40).contains("\"value\":150.0"))
+    // the certified final line never carries the flag
+    assert(!Bench.renderJson(Seq(("q", 1.0, None)), "/sf").contains("partial"))
   }
 
   test("timings render at exactly 3 dp — the tail-budget contract") {
