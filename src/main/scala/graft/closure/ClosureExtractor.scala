@@ -251,10 +251,15 @@ class ClosureExtractor(
       if (values.isEmpty) Array.empty else take(probeDf(t, filterCol, values))
     // small pool for concurrent probe collects (the Engine.writeAll
     // precedent: Spark's scheduler is thread-safe for concurrent job
-    // submission); torn down with the run
+    // submission); torn down with the run. Every probe job runs under a
+    // run-unique job group with interruptOnCancel so an abort can KILL
+    // in-flight probes — a plain shutdown() would let them run to
+    // completion and compete for cores with the distributed fallback
+    // BFS that starts immediately after the abort.
     val probePool = java.util.concurrent.Executors.newFixedThreadPool(4)
     val probeEc =
       scala.concurrent.ExecutionContext.fromExecutorService(probePool)
+    val probeGroup = s"graft-closure-fastpath-${java.util.UUID.randomUUID()}"
     val seen = mutable.Map.empty[String, mutable.HashSet[Seq[Any]]]
     val acc = mutable.Map.empty[String, mutable.ArrayBuffer[Seq[Any]]]
     try {
@@ -311,7 +316,14 @@ class ClosureExtractor(
         val pending = mutable.ArrayBuffer.empty[
           (scala.concurrent.Future[Array[Row]], Array[Row] => Unit)]
         def schedule(df: DataFrame)(fold: Array[Row] => Unit): Unit =
-          pending += ((scala.concurrent.Future(take(df))(probeEc), fold))
+          pending += ((scala.concurrent.Future {
+            // job group is thread-local: (re)set it on the pool thread
+            // per task so cancelJobGroup(probeGroup) reaches every
+            // probe's Spark job, and interrupts its collect thread
+            spark.sparkContext.setJobGroup(probeGroup,
+              "closure fast-path probe", interruptOnCancel = true)
+            take(df)
+          }(probeEc), fold))
         def addCand(t: String, keys: IterableOnce[Seq[Any]], rows: Array[Row],
             complete: Boolean): Unit = {
           val ks = candKeys.getOrElseUpdate(t, mutable.LinkedHashSet.empty)
@@ -404,10 +416,17 @@ class ClosureExtractor(
             runConfigsLocal(t, rs)
           }
         }
-        // await all probes in scheduling order and fold sequentially
+        // await all probes in scheduling order and fold sequentially.
+        // BOUNDED await: a probe hung inside Spark (straggling scan,
+        // wedged source) must not block the driver forever — past the
+        // bound we abort, and the abort path cancels the job group so
+        // the hung job dies instead of riding on. The bound is far
+        // above any sane probe at fast-path scale (≤200k rows total).
         pending.foreach { case (fut, fold) =>
-          fold(scala.concurrent.Await.result(fut,
-            scala.concurrent.duration.Duration.Inf))
+          fold(try scala.concurrent.Await.result(fut,
+              ClosureExtractor.ProbeAwaitMax)
+            catch { case _: java.util.concurrent.TimeoutException =>
+              abort("probe await timeout") })
         }
         // fresh keys → seen/acc/next frontier; frontier rows are the
         // collected probe rows when complete for every fresh key, else
@@ -448,7 +467,16 @@ class ClosureExtractor(
         if (sys.env.contains("GRAFT_BFS_PROF"))
           System.err.println(s"[bfs-local] fallback to distributed: ${a.why}")
         None
-    } finally probePool.shutdown()
+    } finally {
+      // kill, don't drain: on an abort the in-flight probes' Spark jobs
+      // would otherwise run to completion and compete for cores with
+      // the distributed fallback BFS. cancelJobGroup interrupts their
+      // collects (interruptOnCancel above); shutdownNow interrupts pool
+      // threads still waiting to submit. On a normal exit every probe
+      // was already awaited, so both calls are no-ops.
+      spark.sparkContext.cancelJobGroup(probeGroup)
+      probePool.shutdownNow()
+    }
   }
 
   /** [[runAll]] plus each table's exact key count — free, because the
@@ -853,7 +881,23 @@ object ClosureExtractor {
     * local == distributed).
     */
   val FastPathBudget: Long =
-    sys.env.get("GRAFT_CLOSURE_FAST_BUDGET").map(_.toLong).getOrElse(200000L)
+    sys.env.get("GRAFT_CLOSURE_FAST_BUDGET").map { s =>
+      // a bare .toLong here would surface a typo'd env value as an
+      // ExceptionInInitializerError far from the setting; fail with the
+      // variable named instead
+      try s.trim.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"GRAFT_CLOSURE_FAST_BUDGET must be an integer row budget, got '$s'")
+      }
+    }.getOrElse(200000L)
+
+  /** Upper bound on any single fast-path probe await — see the bounded
+    * await in [[tryRunAllLocal]]. Generous by construction: the whole
+    * fast path is capped at [[FastPathBudget]] rows.
+    */
+  val ProbeAwaitMax: scala.concurrent.duration.FiniteDuration =
+    scala.concurrent.duration.Duration(15, java.util.concurrent.TimeUnit.MINUTES)
 
   /** `{attr}` placeholder names of a config-query template, in first-use
     * order (J3, `/root/reference/etl/extractor.go:70-79`). */
