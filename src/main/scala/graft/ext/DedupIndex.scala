@@ -156,15 +156,41 @@ object DedupIndex {
     * filter is built distributed with the sketch's own (capacity, fpp)
     * parameters — bit-compatible by construction — and OR-merged on the
     * driver. A fold that would push the count past capacity rebuilds
-    * instead ([[writeBloom]], re-sized), preserving the fp-rate
-    * guarantee. Returns the total covered count.
+    * at a larger capacity AND merges the batch in, preserving both the
+    * fp-rate guarantee and the no-false-negative contract. Contract:
+    * commit the batch as a segment BEFORE folding (as
+    * [[growBloomLatest]] does) for an exact covered count; folding
+    * first still never drops bits, but the overflow rebuild's count
+    * header will lag by that one batch until the next rebuild. Returns
+    * the total covered count.
     */
   def growBloom(spark: SparkSession, dir: String, newFps: DataFrame,
       newN: Long): Long = {
     val st = state(dir)
     if (!st.extras.contains("bloom")) return writeBloom(spark, dir)
     val (cap, n, bf) = loadBloomMeta(spark, dir)
-    if (n + newN > cap) writeBloom(spark, dir)
+    if (n + newN > cap) {
+      // overflow: re-size AND keep the batch, regardless of whether the
+      // caller has committed it as a segment yet. A plain writeBloom here
+      // rebuilds from committed rows only, so a fold-before-append caller
+      // would silently lose newFps from the sketch — false NEGATIVES,
+      // breaking the one-sided-error contract [[prefilter]] depends on.
+      // Rebuild from the committed index, then OR-merge the batch filter:
+      // bitwise-idempotent if the batch was already committed (the rescan
+      // covered it — the [[growBloomLatest]] order), additive if not. The
+      // recorded count is the committed rescan count — exact for the
+      // documented commit-then-fold order; a contract-violating
+      // fold-before-append caller undercounts by at most its one batch,
+      // well inside the ≥2× capacity slack, and never loses bits.
+      val fps = rows(spark, dir).select("fp")
+      val covered = fps.count()
+      val newCap = java.lang.Long.highestOneBit(
+        math.max(math.max(2 * math.max(covered, n + newN), 4096L) * 2 - 1, 1L))
+      val rebuilt = fps.stat.bloomFilter("fp", newCap, 0.01)
+      rebuilt.mergeInPlace(newFps.stat.bloomFilter("fp", newCap, 0.01))
+      commitBloom(spark, dir, state(dir), rebuilt, newCap, covered)
+      covered
+    }
     else {
       bf.mergeInPlace(newFps.stat.bloomFilter("fp", cap, 0.01))
       commitBloom(spark, dir, state(dir), bf, cap, n + newN)
@@ -193,7 +219,7 @@ object DedupIndex {
     val p = new org.apache.hadoop.fs.Path(s"$r/$name")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
-    try { out.writeLong(cap); out.writeLong(count); bf.writeTo(out) }
+    try { out.writeLong(BloomMagic); out.writeLong(cap); out.writeLong(count); bf.writeTo(out) }
     finally out.close()
     SegmentLog.commit(r,
       SegmentLog.State(gen, st.segments, st.extras + ("bloom" -> name)))
@@ -217,10 +243,27 @@ object DedupIndex {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val in = fs.open(p)
     try {
+      val magic = in.readLong()
+      // a legacy (pre-header or headerless) artifact would otherwise
+      // misparse its first 16 bytes as (cap, count) and die inside
+      // BloomFilter.readFrom with an opaque version error; the magic
+      // check turns that into an actionable message. A legacy file's
+      // first long is a power-of-two capacity (or Spark's small
+      // version int in a long's high bytes) — never the magic.
+      require(magic == BloomMagic,
+        s"bloom sketch at $p is not in the current format " +
+        s"(magic=0x${magic.toHexString}, want 0x${BloomMagic.toHexString}) — " +
+        "legacy or corrupt artifact; rerun writeBloom to rebuild it")
       val cap = in.readLong(); val n = in.readLong()
       (cap, n, org.apache.spark.util.sketch.BloomFilter.readFrom(in))
     } finally in.close()
   }
+
+  /** Format tag for the bloom artifact: "GRAFTBL" + version byte 0x01.
+    * Written before the (capacity, count) header so a reader can tell a
+    * current artifact from a legacy/corrupt one instead of misparsing.
+    */
+  val BloomMagic: Long = 0x47524146_54424C01L
 
   /** EXACT-rule pre-gate: flag each batch doc whose content fingerprint
     * the index has probably seen, as a pure projection through the
@@ -284,7 +327,15 @@ object DedupIndex {
     * per-touched-bucket count on top of the dedupe scan; the re-check
     * pipeline runs only when a crossing actually strands candidates.
     */
-  def ingest(spark: SparkSession, batch: DataFrame, dir: String): DataFrame = {
+  def ingest(spark: SparkSession, batch: DataFrame, dir: String,
+      maintainBloom: Boolean = false): DataFrame = {
+    val prof = sys.env.contains("GRAFT_STREAM_PROF")
+    def lap[T](tag: String)(f: => T): T =
+      if (!prof) f else {
+        val t0 = System.nanoTime(); val res = f
+        System.err.println(f"[stream-prof]   ingest.$tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        res
+      }
     val r = root(dir)
     val st = state(dir)
     val gen = SegmentLog.nextGen(Some(st))
@@ -293,16 +344,28 @@ object DedupIndex {
     val idx = rows(spark, dir)
     // the batch's md5-per-shingle pipeline runs ONCE into a narrow
     // checkpoint; text rides along for the emit/pending rows
-    val b = DedupQueries.fpSig(batch)
+    val b = lap("fpSig-ckpt")(DedupQueries.fpSig(batch)
       .join(batch.select("doc_id", "text"), Seq("doc_id"))
       .select("doc_id", "text", "fp", "sig")
-      .localCheckpoint(false)
-    val (survivors, nearOnly) = DedupQueries.dedupIncrementalParts(
+      .localCheckpoint(false))
+    val unioned =
       idx.select(col("doc_id"), lit(true).as("is_old"), col("fp"), col("sig"))
         .unionByName(b.select(col("doc_id"), lit(false).as("is_old"),
-          col("fp"), col("sig"))))
-    b.select("doc_id", "fp", "sig").withColumn("seed", lit(false))
-      .write.mode("overwrite").parquet(s"$r/$seg")
+          col("fp"), col("sig")))
+    // ONE band-explode + (band,bucket) shuffle of idx∪batch feeds BOTH
+    // the near rule and the cap-crossing check below — the crossing
+    // check used to pay its own full bandsOf(idx) scan per batch, an
+    // O(index) term the ingest contract forbids. Checkpoint only when
+    // the crossing check will actually read it a second time.
+    val mayCross = st.extras.contains("pending")
+    val buckets = lap("parts-build") {
+      val raw = DedupQueries.bucketMembers(unioned)
+      if (mayCross) raw.localCheckpoint(false) else raw
+    }
+    val (survivors, nearOnly) = DedupQueries.dedupIncrementalParts(
+      unioned, DedupQueries.nearDroppedFromBuckets(buckets))
+    lap("seg-write")(b.select("doc_id", "fp", "sig").withColumn("seed", lit(false))
+      .write.mode("overwrite").parquet(s"$r/$seg"))
     val pendingOld = st.extras.get("pending")
       .map(_ => spark.read.parquet(st.extraPath(r, "pending")))
       .getOrElse(spark.createDataFrame(
@@ -310,22 +373,30 @@ object DedupIndex {
     def bandsOf(df: DataFrame) = DedupQueries.bandedKeys(
       df.filter(col("sig").isNotNull).select("doc_id", "sig"))
     val resurrected: DataFrame =
-      if (st.extras.contains("pending") && !pendingOld.isEmpty) {
-        val batchBands = bandsOf(b).localCheckpoint(false)
-        val crossed = bandsOf(idx)
-          .join(batchBands.select("band", "bucket").distinct(),
-            Seq("band", "bucket"), "left_semi")
-          .groupBy("band", "bucket").agg(count(lit(1)).as("oc"))
-          .join(batchBands.groupBy("band", "bucket").agg(count(lit(1)).as("nc")),
-            Seq("band", "bucket"))
-          .filter(col("oc").between(2, 64) && col("oc") + col("nc") > 64)
+      if (mayCross && !lap("pending-isEmpty")(pendingOld.isEmpty)) {
+        // a bucket "crossed" iff its index-side population was cap-legal
+        // ([2,64]) and the batch pushed the union past the cap; tot > 64
+        // with oc ≤ 64 implies the batch touched it, so no separate
+        // touched-bucket semi-join is needed
+        val crossed = lap("crossed")(buckets
+          .select(col("band"), col("bucket"),
+            expr("size(filter(ds, m -> m.is_old))").as("oc"),
+            size(col("ds")).as("tot"))
+          .filter(col("oc").between(2, 64) && col("tot") > 64)
           .select("band", "bucket")
-        val candidates = pendingOld.join(
+          .localCheckpoint(false))
+        // steady state (no bucket crossed — the designed regime) exits
+        // here for the cost of one count over the shared bucket frame;
+        // the pending-candidate pipeline below runs only when a crossing
+        // can actually strand candidates
+        if (lap("crossed-isEmpty")(crossed.isEmpty)) pendingOld.limit(0)
+        else {
+        val candidates = lap("cands")(pendingOld.join(
             bandsOf(pendingOld).join(crossed, Seq("band", "bucket"), "left_semi")
               .select("doc_id").distinct(),
             Seq("doc_id"), "left_semi")
-          .localCheckpoint(false)
-        if (candidates.isEmpty) candidates
+          .localCheckpoint(false))
+        if (lap("cands-isEmpty")(candidates.isEmpty)) candidates
         else {
           val newIdx = idx.unionByName(
             b.select("doc_id", "fp", "sig").withColumn("seed", lit(false)))
@@ -342,20 +413,32 @@ object DedupIndex {
           candidates.join(DedupQueries.nearDroppedIds(reFrame),
             Seq("doc_id"), "left_anti")
         }
+        }
       } else pendingOld.limit(0)
     // eager: the emit rows read the OLD pending file, which the commit
     // below supersedes and cleanup deletes
-    val emitted = b.join(survivors, Seq("doc_id"), "left_semi")
+    val emitted = lap("emit-ckpt")(b.join(survivors, Seq("doc_id"), "left_semi")
       .select("doc_id", "text")
       .unionByName(resurrected.select("doc_id", "text"))
-      .localCheckpoint(true)
-    pendingOld.join(resurrected.select("doc_id"), Seq("doc_id"), "left_anti")
-      .unionByName(b.join(nearOnly, Seq("doc_id"), "left_semi"))
-      .select("doc_id", "text", "fp", "sig")
-      .write.mode("overwrite").parquet(s"$r/$pen")
-    SegmentLog.commit(r, SegmentLog.State(gen, st.segments :+ seg,
-      st.extras + ("pending" -> pen)))
-    SegmentLog.cleanup(r)
+      .localCheckpoint(true))
+    lap("pending-write")(
+      pendingOld.join(resurrected.select("doc_id"), Seq("doc_id"), "left_anti")
+        .unionByName(b.join(nearOnly, Seq("doc_id"), "left_semi"))
+        .select("doc_id", "text", "fp", "sig")
+        .write.mode("overwrite").parquet(s"$r/$pen"))
+    lap("commit+cleanup") {
+      SegmentLog.commit(r, SegmentLog.State(gen, st.segments :+ seg,
+        st.extras + ("pending" -> pen)))
+      SegmentLog.cleanup(r)
+    }
+    // per-batch sketch maintenance, folded in HERE so the fingerprints
+    // come from the already-checkpointed batch frame instead of a
+    // re-read of the just-written segment (growBloomLatest's shape);
+    // runs after the commit above, so the commit-then-fold contract
+    // growBloom documents holds
+    if (maintainBloom)
+      lap("grow-bloom")(growBloom(spark, dir, b.select("fp"), b.count()))
+    if (mayCross) graft.SparkUtil.release(buckets)
     graft.SparkUtil.release(b)
     emitted
   }

@@ -1302,13 +1302,22 @@ object DedupQueries {
     * the bucket and keep the doc, so the near-only-dropped set is
     * exactly the resurrection candidate pool the ingest path persists.
     */
-  private[ext] def dedupIncrementalParts(docs: DataFrame): (DataFrame, DataFrame) = {
+  private[ext] def dedupIncrementalParts(docs: DataFrame): (DataFrame, DataFrame) =
+    dedupIncrementalParts(docs, nearDroppedIds(docs))
+
+  /** [[dedupIncrementalParts]] with the near-dropped id set supplied by
+    * the caller — [[DedupIndex.ingest]] derives it from a SHARED banded
+    * bucket frame ([[bucketMembers]]) that its cap-crossing check also
+    * reads, so the index's sig column is band-exploded and shuffled once
+    * per batch instead of once per consumer.
+    */
+  private[ext] def dedupIncrementalParts(docs: DataFrame,
+      near: DataFrame): (DataFrame, DataFrame) = {
     // exact rule, one fp shuffle: per fingerprint, does an old doc
     // carry it, and which new doc is first?
     val fpKeep = docs.groupBy("fp").agg(
       max(when(col("is_old"), 1).otherwise(0)).as("fp_has_old"),
       min(when(!col("is_old"), col("doc_id"))).as("fp_first_new"))
-    val near = nearDroppedIds(docs)
     // both returned frames read these subtrees; lazy checkpoints keep a
     // two-consumer caller (ingest) from running the banded pipeline and
     // the fp aggregate twice, and cost nothing when only one side is
@@ -1332,6 +1341,16 @@ object DedupQueries {
     * checkpointed (every caller consumes it at least twice).
     */
   private[ext] def nearDroppedIds(docs: DataFrame): DataFrame =
+    nearDroppedFromBuckets(bucketMembers(docs))
+
+  /** The (band, bucket) → gathered-members frame the near rule and the
+    * ingest cap-crossing check both read: one band-explode + one
+    * (band, bucket) shuffle over any (doc_id, is_old, sig) frame. NOT
+    * checkpointed here — a single-consumer caller (the registered
+    * one-shot query) streams through it; [[DedupIndex.ingest]]
+    * checkpoints it only when its crossing check will read it twice.
+    */
+  private[ext] def bucketMembers(docs: DataFrame): DataFrame =
     docs.filter(col("sig").isNotNull)
       .select(
         col("doc_id"), col("is_old"), col("sig"),
@@ -1339,6 +1358,9 @@ object DedupQueries {
           "b -> struct(b AS band, concat(cast(sig[b*2] AS string), '|', cast(sig[b*2+1] AS string)) AS bucket))")).as("bb"))
       .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .agg(expr("collect_list(struct(doc_id, is_old, sig))").as("ds"))
+
+  private[ext] def nearDroppedFromBuckets(buckets: DataFrame): DataFrame =
+    buckets
       .filter(size(col("ds")).between(2, 64))
       .select(explode(expr(
         """transform(

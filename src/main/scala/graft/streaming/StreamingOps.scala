@@ -384,22 +384,29 @@ object StreamingOps {
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val prof = sys.env.contains("GRAFT_STREAM_PROF")
+        def lap[T](tag: String)(f: => T): T =
+          if (!prof) f else {
+            val t0 = System.nanoTime(); val r = f
+            System.err.println(f"[stream-prof] b$bid $tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
+            r
+          }
+        if (!lap("isEmpty")(batch.isEmpty)) {
           val spark = batch.sparkSession
           // cap-consistent step: survivors of THIS batch plus docs a
           // bucket crossing the ≤64 cap just resurrected (see
           // DedupIndex.ingest) — the accumulated sink equals the
-          // one-shot answer in every cap regime
-          graft.ext.DedupIndex.ingest(spark, batch, indexDir)
-            .write.mode("append").parquet(outDir)
-          // per-batch sketch maintenance is the O(batch) FOLD, not an
-          // O(index) rebuild: the ingest just committed the batch as
-          // the newest segment, and growBloom OR-merges a capacity-
-          // compatible batch filter (rebuild only on capacity overflow)
-          graft.ext.DedupIndex.growBloomLatest(spark, indexDir)
+          // one-shot answer in every cap regime. maintainBloom folds the
+          // batch's fingerprints into the Bloom pre-gate inside the same
+          // call (O(batch) OR-merge off the batch frame ingest already
+          // checkpointed — never an O(index) rebuild per micro-batch)
+          // so the next batch's prefilter sees them.
+          val emitted = lap("ingest")(graft.ext.DedupIndex.ingest(
+            spark, batch, indexDir, maintainBloom = true))
+          lap("sink-write")(emitted.write.mode("append").parquet(outDir))
         }
-        () // foreachBatch wants Unit; growBloom returns a count
+        () // foreachBatch wants Unit
       }
       .start()
 
@@ -537,22 +544,35 @@ object StreamingOps {
     }
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-ingest-")
     val (idxDir, outDir, ckpt) = (s"$tmp/index", s"$tmp/out", s"$tmp/ckpt")
+    val prof = sys.env.contains("GRAFT_STREAM_PROF")
+    def lap[T](tag: String)(f: => T): T =
+      if (!prof) f else {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(f"[stream-prof] $tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        r
+      }
     // the ingest MUTATES the index (appends each batch), so each run
     // works on a file-copy of the pristine staged one — segment-log
     // pointers are root-relative, so a copied tree is a valid index
-    graft.io.SegmentLog.copyRecursively(s"$staged/idx0", idxDir)
+    lap("copy-index")(
+      graft.io.SegmentLog.copyRecursively(s"$staged/idx0", idxDir))
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
     withReplaySession(spark) { s =>
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$staged/in")
       val q = dedupIngestStream(stream, idxDir, outDir, ckpt)
-      try q.processAllAvailable() finally q.stop()
+      try lap("stream")(q.processAllAvailable()) finally {
+        if (prof) q.recentProgress.foreach(p => System.err.println(
+          s"[stream-prof] batch=${p.batchId} durationMs=${p.durationMs}"))
+        q.stop()
+      }
       // eager checkpoint of the (tiny) survivor ids, then drop the
       // per-run tree — repeated bench/verify invocations must not leak
       // an index copy + checkpoint dir per run
-      try s.read.parquet(outDir).select("doc_id").orderBy("doc_id")
-        .localCheckpoint(true)
+      try lap("final-read")(
+        s.read.parquet(outDir).select("doc_id").orderBy("doc_id")
+          .localCheckpoint(true))
       finally graft.io.SegmentLog.deleteRecursively(tmp.toString)
     }
   }

@@ -107,6 +107,68 @@ class BloomDedupSpec extends SparkSpec {
     }
   }
 
+  test("growBloom overflow keeps an UNCOMMITTED batch's bits (no false negatives)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("idxgrowpre").toString
+    try {
+      val corpus = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"))
+        .toDF("doc_id", "text")
+      DedupIndex.build(corpus, dir)
+      assert(DedupIndex.writeBloom(spark, dir, capacity = 4L) == 2L)
+      // fold-BEFORE-append call order: the batch is not a segment yet and
+      // the fold overflows the 4-capacity. The rebuild must still carry
+      // the batch's fingerprints — a committed-rows-only rebuild would
+      // reintroduce false negatives and break prefilter's contract.
+      val batch = Seq((10L, "iota kappa lambda mu"), (11L, "nu xi omicron pi"),
+        (12L, "rho sigma tau upsilon")).toDF("doc_id", "text")
+      val batchFps = DedupQueries.fpSig(batch).select("fp").collect()
+        .map(_.getString(0))
+      DedupIndex.growBloom(spark, dir, DedupQueries.fpSig(batch).select("fp"), 3L)
+      val (cap, n, bf) = DedupIndex.loadBloomMeta(spark, dir)
+      assert(cap >= 4096L, s"overflow must re-size, cap=$cap")
+      assert(n == 2L, "count header = committed rescan count (batch uncommitted)")
+      assert(batchFps.forall(bf.mightContainString),
+        "uncommitted batch fps must be in the rebuilt sketch")
+      val oldFps = DedupIndex.rows(spark, dir).select("fp").collect()
+        .map(_.getString(0))
+      assert(oldFps.forall(bf.mightContainString))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  test("legacy headerless bloom artifact fails with an actionable message") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("idxlegacy").toString
+    try {
+      val corpus = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+      DedupIndex.build(corpus, dir)
+      DedupIndex.writeBloom(spark, dir)
+      // overwrite the committed artifact with the pre-r15 layout:
+      // (cap, count) longs then filter bytes, NO magic — a reader
+      // misparsing this used to die deep inside BloomFilter.readFrom
+      val bloomFile = new java.io.File(s"$dir/dedup_index").listFiles()
+        .filter(_.getName.startsWith("bloom-g")).maxBy(_.getName)
+      val bf = (1L to 10L).toDF("k").stat.bloomFilter("k", 16L, 0.01)
+      val out = new java.io.DataOutputStream(
+        new java.io.FileOutputStream(bloomFile))
+      try { out.writeLong(16L); out.writeLong(10L); bf.writeTo(out) }
+      finally out.close()
+      // drop the Hadoop local-FS checksum sidecar — it describes the
+      // replaced bytes and would fail the read before the format check
+      new java.io.File(bloomFile.getParentFile, s".${bloomFile.getName}.crc").delete()
+      val e = intercept[IllegalArgumentException] {
+        DedupIndex.loadBloomMeta(spark, dir)
+      }
+      assert(e.getMessage.contains("writeBloom"),
+        s"message must name the fix, got: ${e.getMessage}")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("BloomMightContain supports long keys and nulls") {
     import spark.implicits._
     val bf = (1L to 500L).toDF("k").stat.bloomFilter("k", 500, 0.01)
