@@ -57,8 +57,17 @@ object Bench {
     // question the third pass used to buy. Recorded numbers stay
     // comparable with the 142 s r1 baseline: every recorded sample is
     // still a WARM min.
+    // parse hardened like GRAFT_CLOSURE_FAST_BUDGET: a typo'd value must
+    // name the variable, not abort after the warmups with a bare
+    // NumberFormatException
     val runs = math.max(1,
-      sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(2))
+      sys.env.get("SPARK_GRAFT_BENCH_RUNS").map { s =>
+        try s.trim.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"SPARK_GRAFT_BENCH_RUNS must be an integer pass count, got '$s'")
+        }
+      }.getOrElse(2))
     val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // Two properties the recorded number must have, and how each is won:

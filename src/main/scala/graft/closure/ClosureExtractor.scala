@@ -470,12 +470,15 @@ class ClosureExtractor(
     } finally {
       // kill, don't drain: on an abort the in-flight probes' Spark jobs
       // would otherwise run to completion and compete for cores with
-      // the distributed fallback BFS. cancelJobGroup interrupts their
-      // collects (interruptOnCancel above); shutdownNow interrupts pool
-      // threads still waiting to submit. On a normal exit every probe
-      // was already awaited, so both calls are no-ops.
-      spark.sparkContext.cancelJobGroup(probeGroup)
+      // the distributed fallback BFS. Order matters: shutdownNow FIRST
+      // stops queued pool tasks from starting (a task dequeued after a
+      // cancel would submit a fresh, uncancelled job into the group),
+      // THEN cancelJobGroup kills the jobs already submitted
+      // (interruptOnCancel above interrupts their collect threads). On
+      // a normal exit every probe was already awaited, so both are
+      // no-ops.
       probePool.shutdownNow()
+      spark.sparkContext.cancelJobGroup(probeGroup)
     }
   }
 

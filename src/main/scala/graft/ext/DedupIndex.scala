@@ -329,13 +329,8 @@ object DedupIndex {
     */
   def ingest(spark: SparkSession, batch: DataFrame, dir: String,
       maintainBloom: Boolean = false): DataFrame = {
-    val prof = sys.env.contains("GRAFT_STREAM_PROF")
     def lap[T](tag: String)(f: => T): T =
-      if (!prof) f else {
-        val t0 = System.nanoTime(); val res = f
-        System.err.println(f"[stream-prof]   ingest.$tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
-        res
-      }
+      graft.SparkUtil.lap("  ingest.", tag)(f)
     val r = root(dir)
     val st = state(dir)
     val gen = SegmentLog.nextGen(Some(st))
@@ -344,10 +339,19 @@ object DedupIndex {
     val idx = rows(spark, dir)
     // the batch's md5-per-shingle pipeline runs ONCE into a narrow
     // checkpoint; text rides along for the emit/pending rows
-    val b = lap("fpSig-ckpt")(DedupQueries.fpSig(batch)
+    val b = lap("fpSig-plan")(DedupQueries.fpSig(batch)
       .join(batch.select("doc_id", "text"), Seq("doc_id"))
       .select("doc_id", "text", "fp", "sig")
       .localCheckpoint(false))
+    val pendingOld = st.extras.get("pending")
+      .map(_ => spark.read.parquet(st.extraPath(r, "pending")))
+      .getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), b.schema))
+    // resolved BEFORE the bucket frame is built: the crossing check only
+    // ever runs with a non-empty pending set, so this single small-read
+    // count decides whether that second consumer exists at all
+    val mayCross = st.extras.contains("pending") &&
+      !lap("pending-isEmpty")(pendingOld.isEmpty)
     val unioned =
       idx.select(col("doc_id"), lit(true).as("is_old"), col("fp"), col("sig"))
         .unionByName(b.select(col("doc_id"), lit(false).as("is_old"),
@@ -355,10 +359,12 @@ object DedupIndex {
     // ONE band-explode + (band,bucket) shuffle of idx∪batch feeds BOTH
     // the near rule and the cap-crossing check below — the crossing
     // check used to pay its own full bandsOf(idx) scan per batch, an
-    // O(index) term the ingest contract forbids. Checkpoint only when
-    // the crossing check will actually read it a second time.
-    val mayCross = st.extras.contains("pending")
-    val buckets = lap("parts-build") {
+    // O(index) term the ingest contract forbids. Checkpointed (i.e.
+    // materialized rather than streamed through) only when the crossing
+    // check will actually read it a second time — with an empty pending
+    // set the near rule stays the single consumer and no per-batch
+    // bucket materialization is paid.
+    val buckets = lap("parts-plan") {
       val raw = DedupQueries.bucketMembers(unioned)
       if (mayCross) raw.localCheckpoint(false) else raw
     }
@@ -366,14 +372,10 @@ object DedupIndex {
       unioned, DedupQueries.nearDroppedFromBuckets(buckets))
     lap("seg-write")(b.select("doc_id", "fp", "sig").withColumn("seed", lit(false))
       .write.mode("overwrite").parquet(s"$r/$seg"))
-    val pendingOld = st.extras.get("pending")
-      .map(_ => spark.read.parquet(st.extraPath(r, "pending")))
-      .getOrElse(spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), b.schema))
     def bandsOf(df: DataFrame) = DedupQueries.bandedKeys(
       df.filter(col("sig").isNotNull).select("doc_id", "sig"))
     val resurrected: DataFrame =
-      if (mayCross && !lap("pending-isEmpty")(pendingOld.isEmpty)) {
+      if (mayCross) {
         // a bucket "crossed" iff its index-side population was cap-legal
         // ([2,64]) and the batch pushed the union past the cap; tot > 64
         // with oc ≤ 64 implies the batch touched it, so no separate

@@ -385,13 +385,8 @@ object StreamingOps {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        val prof = sys.env.contains("GRAFT_STREAM_PROF")
         def lap[T](tag: String)(f: => T): T =
-          if (!prof) f else {
-            val t0 = System.nanoTime(); val r = f
-            System.err.println(f"[stream-prof] b$bid $tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
-            r
-          }
+          graft.SparkUtil.lap(s"b$bid ", tag)(f)
         if (!lap("isEmpty")(batch.isEmpty)) {
           val spark = batch.sparkSession
           // cap-consistent step: survivors of THIS batch plus docs a
@@ -545,12 +540,7 @@ object StreamingOps {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-ingest-")
     val (idxDir, outDir, ckpt) = (s"$tmp/index", s"$tmp/out", s"$tmp/ckpt")
     val prof = sys.env.contains("GRAFT_STREAM_PROF")
-    def lap[T](tag: String)(f: => T): T =
-      if (!prof) f else {
-        val t0 = System.nanoTime(); val r = f
-        System.err.println(f"[stream-prof] $tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
-        r
-      }
+    def lap[T](tag: String)(f: => T): T = graft.SparkUtil.lap("", tag)(f)
     // the ingest MUTATES the index (appends each batch), so each run
     // works on a file-copy of the pristine staged one — segment-log
     // pointers are root-relative, so a copied tree is a valid index
