@@ -76,9 +76,8 @@ object CurationQueries {
     def shingles(df: DataFrame) = df
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(transform(sequence(1, size(words) - 4),
-             i -> md5(concat_ws(' ', slice(words, i, 5)))))""")).as("sh"))
+      .select(col("doc_id"), explode(
+        graft.functions.ShingleHashes.shingle_hashes(col("words"), 5, distinct = true)).as("sh"))
     val docs = Tables(spark, dir, "documents")
     val eval5 = shingles(docs.filter(col("doc_id") < 10)).select("sh").distinct()
     shingles(docs.filter(col("doc_id") >= 10))
@@ -92,7 +91,7 @@ object CurationQueries {
     """WITH sh AS (
       |  SELECT doc_id,
       |    unnest(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 3),
-      |      i -> md5(array_to_string(string_split(text, ' ')[i:i+4], ' '))))) AS sh
+      |      i -> CAST(('0x' || substr(md5(array_to_string(string_split(text, ' ')[i:i+4], ' ')), 1, 15)) AS BIGINT)))) AS sh
       |  FROM documents
       |  WHERE len(string_split(text, ' ')) >= 5),
       |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10)
@@ -771,6 +770,7 @@ object CurationQueries {
     * on doubles.
     */
   def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Md5Prefix60.register(spark)
     val feats = Tables(spark, dir, "documents")
       .withColumn("ws", expr("filter(split(lower(text), ' +'), w -> w != '')"))
       .select(col("doc_id"), col("lang"), explode(expr(
@@ -779,8 +779,7 @@ object CurationQueries {
            |    THEN transform(sequence(0, size(ws) - 2),
            |                   i -> concat(ws[i], ' ', ws[i + 1]))
            |    ELSE array() END),
-           |  f -> cast(conv(substring(md5(f), 1, 15), 16, 10) AS bigint)
-           |         % $DsirBuckets)""".stripMargin)).as("b"))
+           |  f -> md5h60(f) % $DsirBuckets)""".stripMargin)).as("b"))
     // persisted: the B-row model feeds BOTH the totals scalar and the
     // λ table — without the cache the corpus model pass plans twice
     // (PlanAuditSpec pins dsir_select at 2 scans)
@@ -1119,9 +1118,8 @@ object CurationQueries {
     val fs = Tables(spark, dir, "documents")
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 5)
-      .select(col("source"), explode(expr(
-        """array_distinct(transform(sequence(1, size(words) - 4),
-             i -> md5(concat_ws(' ', slice(words, i, 5)))))""")).as("sh"))
+      .select(col("source"), explode(
+        graft.functions.ShingleHashes.shingle_hashes(col("words"), 5, distinct = true)).as("sh"))
       .distinct()
     val a = fs.select(col("sh"), col("source").as("source_a"))
     val b = fs.select(col("sh"), col("source").as("source_b"))
@@ -1136,7 +1134,7 @@ object CurationQueries {
     """WITH fs AS (
       |  SELECT DISTINCT source,
       |    unnest(list_distinct(list_transform(range(1, len(ws) - 3),
-      |      i -> md5(array_to_string(ws[i:i+4], ' '))))) AS sh
+      |      i -> CAST(('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 15)) AS BIGINT)))) AS sh
       |  FROM (SELECT source, string_split(text, ' ') AS ws FROM documents)
       |  WHERE len(ws) >= 5)
       |SELECT a.source AS source_a, b.source AS source_b,

@@ -82,15 +82,21 @@ object DedupQueries {
     * signature stage: the parquet scan is 1–2 partitions and the
     * md5-per-shingle projection is the hot loop.
     */
-  private[ext] def sigsOf(raw: DataFrame): DataFrame = raw
-    .repartition(col("doc_id"))
-    .withColumn("words", split(col("text"), " "))
-    .filter(size(col("words")) >= 3)
-    .withColumn("hs", expr(
-      """transform(sequence(1, size(words) - 2),
-           i -> cast(conv(substring(md5(concat_ws(' ', slice(words, i, 3))), 1, 15), 16, 10) AS bigint) % 2147483647)"""))
-    .withColumn("sig", expr(s"array(${(0 until K).map(sigExpr).mkString(", ")})"))
-    .select("doc_id", "sig")
+  private[ext] def sigsOf(raw: DataFrame): DataFrame = {
+    // native ShingleHashes: one pass over the word array per doc (the
+    // HOF form paid an interpreted lambda + slice + concat + md5 hex
+    // render PER SHINGLE); the DuckDB oracle keeps the spelled-out
+    // idiom — bit-equal by Md5FnSpec/ShingleSpec
+    raw
+      .repartition(col("doc_id"))
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .withColumn("hs", transform(
+        graft.functions.ShingleHashes.shingle_hashes(col("words"), 3),
+        h => h % 2147483647L))
+      .withColumn("sig", expr(s"array(${(0 until K).map(sigExpr).mkString(", ")})"))
+      .select("doc_id", "sig")
+  }
 
   /** (doc_id, band, bucket) LSH keys of a signature frame — the row
     * layout [[ClusterIndex]] persists (4 rows/doc, two longs rendered
@@ -655,9 +661,8 @@ object DedupQueries {
     // release it via clearCache after the query.
     val docs = Tables(spark, dir, "documents")
       .repartition(col("doc_id"))
-      .select(col("doc_id"), expr(
-        """array_distinct(transform(split(text, ' '),
-             w -> cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint)))""").as("w"))
+      .select(col("doc_id"), graft.functions.ShingleHashes.shingle_hashes(
+        split(col("text"), " "), 1, distinct = true).as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.count()
     val sketch = docs
@@ -908,9 +913,9 @@ object DedupQueries {
       .repartition(col("doc_id"))
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(transform(sequence(1, size(words) - 4),
-             i -> md5(concat_ws(' ', slice(words, i, 5)))))""")).as("sh"))
+      .select(col("doc_id"), explode(
+        graft.functions.ShingleHashes.shingle_hashes(col("words"), 5,
+          distinct = true)).as("sh"))
       .withColumn("nd", count(lit(1)).over(Window.partitionBy("sh")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
@@ -926,7 +931,7 @@ object DedupQueries {
     """WITH sh AS (
       |  SELECT doc_id,
       |    unnest(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 3),
-      |      i -> md5(array_to_string(string_split(text, ' ')[i:i+4], ' '))))) AS sh
+      |      i -> CAST(('0x' || substr(md5(array_to_string(string_split(text, ' ')[i:i+4], ' ')), 1, 15)) AS BIGINT)))) AS sh
       |  FROM documents
       |  WHERE len(string_split(text, ' ')) >= 5),
       |d AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY sh) AS nd FROM sh)
@@ -981,12 +986,10 @@ object DedupQueries {
       .repartition(col("doc_id"))
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(words) - 4),
-             i -> named_struct('pos', cast(i AS bigint),
-                               'h', md5(concat_ws(' ', slice(words, i, 5)))))"""))
-        .as("w"))
-      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+      .select(col("doc_id"), posexplode(
+        graft.functions.ShingleHashes.shingle_hashes(col("words"), 5)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("h"))
     val dup = pos
       .withColumn("c", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("c") >= 2)
@@ -1009,7 +1012,7 @@ object DedupQueries {
       |    SELECT doc_id,
       |      unnest(list_transform(range(1, len(ws) - 3),
       |        i -> struct_pack(pos := CAST(i AS BIGINT),
-      |               h := md5(array_to_string(ws[i:i+4], ' '))))) AS u
+      |               h := CAST(('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 15)) AS BIGINT)))) AS u
       |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
       |    WHERE len(ws) >= 5)),
       |dup AS (
@@ -1065,12 +1068,10 @@ object DedupQueries {
         size(col("words")).cast("long").as("n"))
       .localCheckpoint(false)
     val pos = docs.filter(col("n") >= 5)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, cast(n AS int) - 4),
-             i -> named_struct('pos', cast(i AS bigint),
-                               'h', md5(concat_ws(' ', slice(words, i, 5)))))"""))
-        .as("w"))
-      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+      .select(col("doc_id"), posexplode(
+        graft.functions.ShingleHashes.shingle_hashes(col("words"), 5)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("h"))
     val dup = pos
       .withColumn("c", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("c") >= 2).select("doc_id", "pos", "h")
@@ -1110,7 +1111,7 @@ object DedupQueries {
       |    SELECT doc_id,
       |      unnest(list_transform(range(1, len(ws) - 3),
       |        i -> struct_pack(pos := CAST(i AS BIGINT),
-      |               h := md5(array_to_string(ws[i:i+4], ' '))))) AS u
+      |               h := CAST(('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 15)) AS BIGINT)))) AS u
       |    FROM docs WHERE n >= 5)),
       |dup AS (
       |  SELECT doc_id, pos, h FROM (
@@ -1174,19 +1175,16 @@ object DedupQueries {
   /** (doc_id, chunk) rows of the content-defined carving — shared by
     * [[cdcChunks]] and CdcSpec's shift-resistance pin. */
   private[ext] def cdcCarve(docs: DataFrame): DataFrame = {
-    val w = 8
-    val mod = 64
+    // cut positions: window END positions whose window-hash ≡ 0 (mod 64),
+    // interior only; the doc end always closes the final chunk. The
+    // native CdcEnds expression is bit-equal to the HOF form the DuckDB
+    // oracle runs (filter(sequence(w, len), i -> i < len AND
+    // conv(substring(md5(substring(text, i-w+1, w)), 1, 15), 16, 10)
+    // % mod = 0) || [len]) at ~5× the throughput — the HOF paid an
+    // interpreted lambda + hex render + string conv per CHARACTER
+    // position (CdcSpec pins expression == HOF on random strings).
     docs
-      .withColumn("len", length(col("text")).cast("int"))
-      // cut positions: window END positions whose window-hash ≡ 0 (mod 64),
-      // interior only; the doc end always closes the final chunk
-      .withColumn("ends", expr(
-        s"""concat(
-           |  filter(sequence($w, len),
-           |    i -> i < len AND
-           |      cast(conv(substring(md5(substring(text, i - $w + 1, $w)), 1, 15),
-           |                16, 10) AS bigint) % $mod = 0),
-           |  array(len))""".stripMargin))
+      .withColumn("ends", graft.functions.CdcEnds.cdc_ends(col("text")))
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, size(ends) - 1),
           |  j -> substring(text,
@@ -1258,16 +1256,20 @@ object DedupQueries {
     * row is filtered before banding so short docs cannot collide into a
     * "null bucket".
     */
-  private[ext] def fpSig(docs: DataFrame): DataFrame =
+  private[ext] def fpSig(docs: DataFrame): DataFrame = {
+    // native ShingleHashes per doc (oracle keeps the spelled-out md5
+    // idiom — bit-equal by Md5FnSpec/ShingleSpec); a pure Column
+    // expression, so streaming-child-session callers need no registry
     docs
       .withColumn("fp", contentFp(col("text")))
       .withColumn("words", split(col("text"), " "))
-      .withColumn("hs", when(size(col("words")) >= 3, expr(
-        """transform(sequence(1, size(words) - 2),
-             i -> cast(conv(substring(md5(concat_ws(' ', slice(words, i, 3))), 1, 15), 16, 10) AS bigint) % 2147483647)""")))
+      .withColumn("hs", when(size(col("words")) >= 3, transform(
+        graft.functions.ShingleHashes.shingle_hashes(col("words"), 3),
+        h => h % 2147483647L)))
       .withColumn("sig", when(col("hs").isNotNull,
         expr(s"array(${(0 until K).map(sigExpr).mkString(", ")})")))
       .select(col("doc_id"), col("fp"), col("sig"))
+  }
 
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     // ONE documents scan feeds all three consumers (exact rule, near
@@ -1597,13 +1599,14 @@ object DedupQueries {
     * the 100 TB shape.
     */
   def fuzzyDupPairsLsh(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Md5Prefix60.register(spark)
     val names = Tables(spark, dir, "part")
       .groupBy(col("p_name")).agg(count(lit(1)).as("n_rows"))
       .filter(length(col("p_name")) >= 3)
       .repartition(col("p_name"))
       .withColumn("hs", expr(
         s"""transform(sequence(1, length(p_name) - 2),
-             i -> cast(conv(substring(md5(substring(p_name, i, 3)), 1, 15), 16, 10) AS bigint) % $P)"""))
+             i -> md5h60(substring(p_name, i, 3)) % $P)"""))
       .withColumn("sig", expr(s"array(${(0 until K).map(sigExpr).mkString(", ")})"))
       .select("p_name", "n_rows", "sig")
     names.select(col("p_name"), col("n_rows"),
@@ -1679,9 +1682,9 @@ object DedupQueries {
     val sh = Tables(spark, dir, "documents")
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(transform(sequence(1, size(words) - 4),
-             i -> md5(concat_ws(' ', slice(words, i, 5)))))""")).as("sh"))
+      .select(col("doc_id"), explode(
+        graft.functions.ShingleHashes.shingle_hashes(col("words"), 5,
+          distinct = true)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val capped = sh
@@ -1709,7 +1712,7 @@ object DedupQueries {
       |  SELECT doc_id,
       |    unnest(list_distinct(list_transform(
       |      range(1, len(string_split(text, ' ')) - 3),
-      |      i -> md5(array_to_string(string_split(text, ' ')[i:i+4], ' ')))))
+      |      i -> CAST(('0x' || substr(md5(array_to_string(string_split(text, ' ')[i:i+4], ' ')), 1, 15)) AS BIGINT))))
       |      AS sh
       |  FROM documents
       |  WHERE len(string_split(text, ' ')) >= 5),

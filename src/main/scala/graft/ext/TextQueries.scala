@@ -444,12 +444,15 @@ object TextQueries {
     * corpus size.
     */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    // 60-bit long shingle keys (native ShingleHashes), not 32-hex md5
+    // strings: same digest on both engines so any collision merges
+    // identically in Spark and the oracle, the per-position interpreted
+    // lambda is gone, and the (sh) shuffle key shrinks 32+ bytes → 8
     val shingles = Tables(spark, dir, "documents")
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(transform(sequence(1, size(words) - 2),
-             i -> md5(concat_ws(' ', slice(words, i, 3)))))""")).as("sh"))
+      .select(col("doc_id"), explode(
+        graft.functions.ShingleHashes.shingle_hashes(col("words"), 3, distinct = true)).as("sh"))
     val firstOwner = shingles.groupBy("sh").agg(min("doc_id").as("first_doc"))
     shingles.join(firstOwner, Seq("sh"))
       .groupBy("doc_id")
@@ -465,7 +468,8 @@ object TextQueries {
     """WITH sh AS (
       |  SELECT doc_id,
       |    unnest(list_distinct(list_transform(range(1, len(ws) - 1),
-      |      i -> md5(array_to_string(ws[i:i+2], ' '))))) AS sh
+      |      i -> CAST(('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15))
+      |             AS BIGINT)))) AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
       |  WHERE len(ws) >= 3),
       |fo AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh)
@@ -795,17 +799,31 @@ object TextQueries {
     * the only float op is the final single division, so engines can't
     * drift in fold order. `keep` thresholds the integer sum.
     */
+  /** The hashed-feature logit body shared by the whole classifier
+    * family (quality_classifier, classifier_auc, lift_curve,
+    * confusion_matrix, classifier_calibration — it was copy-pasted five
+    * times before r15): per token, weight = md5-hash of the token's
+    * hash bucket mapped to integer millis in [-1000, 1000], summed
+    * exactly as BIGINT in token order. Built with the NATIVE
+    * [[graft.functions.Md5Prefix60]] (two digests per token, no
+    * hex/conv string churn — the interpreted idiom paid ~4 string ops
+    * per token); the DuckDB oracles keep the spelled-out idiom, which
+    * is bit-equal (Md5FnSpec pins it).
+    */
+  private def hashedLogitMillis(B: Int): org.apache.spark.sql.Column = {
+    import graft.functions.Md5Prefix60.md5h60
+    aggregate(
+      transform(col("words"), w =>
+        md5h60(concat(lit("w:"), (md5h60(w) % B).cast("string"))) % 2001 - 1000),
+      lit(0L), (acc, x) => acc + x)
+  }
+
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     val B = 4096
     Tables(spark, dir, "documents")
       .withColumn("words", expr("filter(split(lower(text), ' +'), w -> w != '')"))
       .withColumn("n_words", size(col("words")).cast("long"))
-      .withColumn("logit_millis", expr(
-        s"""aggregate(transform(words, w ->
-           |  cast(conv(substring(md5(concat('w:', cast(
-           |    cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint) % $B
-           |  AS string))), 1, 15), 16, 10) AS bigint) % 2001 - 1000),
-           |  0L, (acc, x) -> acc + x)""".stripMargin))
+      .withColumn("logit_millis", hashedLogitMillis(B))
       .select(col("doc_id"), col("n_words"), col("logit_millis"),
         // 6dp rounding done in EXACT integer micros, not on the double
         // quotient: round(p/q, 6) ties exactly when q is 2-5-smooth
@@ -846,10 +864,16 @@ object TextQueries {
       .withColumn("wt", array(weights.toIndexedSeq.map(lit(_)): _*))
       .withColumn("words", expr("filter(split(lower(text), ' +'), w -> w != '')"))
       .withColumn("n_words", size(col("words")).cast("long"))
-      .withColumn("logit_sum", expr(
-        s"""aggregate(transform(words, w ->
-           |  wt[cast(cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint) % $B AS int)]),
-           |  0D, (acc, x) -> acc + x)""".stripMargin))
+      .withColumn("logit_sum", {
+        // native md5h60 per token (QualityWeightsSpec pins this path
+        // against the oracle-gated hashed query, which uses the same
+        // hash); get() is the 0-based subscript `wt[i]` was
+        import graft.functions.Md5Prefix60.md5h60
+        aggregate(
+          transform(col("words"), w =>
+            get(col("wt"), (md5h60(w) % B).cast("int"))),
+          lit(0d), (acc, x) => acc + x)
+      })
       .select(col("doc_id"), col("n_words"), col("logit_sum"),
         round(col("logit_sum") / col("n_words"), 6).as("logit"),
         (col("logit_sum") > 0).as("keep"))
@@ -915,12 +939,7 @@ object TextQueries {
     val scored = Tables(spark, dir, "documents")
       .withColumn("words", expr("filter(split(lower(text), ' +'), w -> w != '')"))
       .withColumn("n_words", size(col("words")).cast("long"))
-      .withColumn("logit_millis", expr(
-        s"""aggregate(transform(words, w ->
-           |  cast(conv(substring(md5(concat('w:', cast(
-           |    cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint) % $B
-           |  AS string))), 1, 15), 16, 10) AS bigint) % 2001 - 1000),
-           |  0L, (acc, x) -> acc + x)""".stripMargin))
+      .withColumn("logit_millis", hashedLogitMillis(B))
       .select(
         expr("""CASE WHEN logit_millis >= 0
                 THEN (2 * logit_millis * 1000000 + n_words * 1000)
@@ -960,12 +979,7 @@ object TextQueries {
     val scored = Tables(spark, dir, "documents")
       .withColumn("words", expr("filter(split(lower(text), ' +'), w -> w != '')"))
       .withColumn("n_words", size(col("words")).cast("long"))
-      .withColumn("logit_millis", expr(
-        s"""aggregate(transform(words, w ->
-           |  cast(conv(substring(md5(concat('w:', cast(
-           |    cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint) % $B
-           |  AS string))), 1, 15), 16, 10) AS bigint) % 2001 - 1000),
-           |  0L, (acc, x) -> acc + x)""".stripMargin))
+      .withColumn("logit_millis", hashedLogitMillis(B))
       .select(
         expr("""CASE WHEN logit_millis >= 0
                 THEN (2 * logit_millis * 1000000 + n_words * 1000)
@@ -1072,12 +1086,7 @@ object TextQueries {
     val B = 4096
     Tables(spark, dir, "documents")
       .withColumn("words", expr("filter(split(lower(text), ' +'), w -> w != '')"))
-      .withColumn("logit_millis", expr(
-        s"""aggregate(transform(words, w ->
-           |  cast(conv(substring(md5(concat('w:', cast(
-           |    cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint) % $B
-           |  AS string))), 1, 15), 16, 10) AS bigint) % 2001 - 1000),
-           |  0L, (acc, x) -> acc + x)""".stripMargin))
+      .withColumn("logit_millis", hashedLogitMillis(B))
       .select((col("logit_millis") > 0).as("pred"),
         (col("lang") === "en").as("pos"))
       .agg(
@@ -1767,12 +1776,7 @@ object TextQueries {
     Tables(spark, dir, "documents")
       .withColumn("words", expr("filter(split(lower(text), ' +'), w -> w != '')"))
       .withColumn("n_words", size(col("words")).cast("long"))
-      .withColumn("logit_millis", expr(
-        s"""aggregate(transform(words, w ->
-           |  cast(conv(substring(md5(concat('w:', cast(
-           |    cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint) % $B
-           |  AS string))), 1, 15), 16, 10) AS bigint) % 2001 - 1000),
-           |  0L, (acc, x) -> acc + x)""".stripMargin))
+      .withColumn("logit_millis", hashedLogitMillis(B))
       .select(
         expr("""CASE WHEN logit_millis >= 0
                 THEN (2 * logit_millis * 1000000 + n_words * 1000)

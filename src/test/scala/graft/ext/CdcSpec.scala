@@ -39,6 +39,38 @@ class CdcSpec extends SparkSpec {
     assert(shift.head == "Z" + orig.head)
   }
 
+  test("native CdcEnds == HOF formulation on random/edge strings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdefgh \n.,!"
+    val cases = Seq("", "a", "short", " " * 20, "é" * 30 + "abcdefgh" * 10,
+      "日本語テキスト " * 12) ++
+      (1 to 40).map(_ => (0 until (1 + rnd.nextInt(400)))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString) ++
+      // real corpus text — the operator's own boundary density
+      graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+        .orderBy("doc_id").select("text").limit(10)
+        .collect().map(_.getString(0)).toSeq
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .withColumn("len", length(col("text")).cast("int"))
+      .withColumn("native", graft.functions.CdcEnds.cdc_ends(col("text")))
+      .withColumn("hof", expr(
+        """concat(
+          |  filter(sequence(8, len),
+          |    i -> i < len AND
+          |      cast(conv(substring(md5(substring(text, i - 7, 8)), 1, 15),
+          |                16, 10) AS bigint) % 64 = 0),
+          |  array(len))""".stripMargin))
+    val rows = df.select("doc_id", "native", "hof").collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"doc ${r.getLong(0)}: native ${r.getSeq[Int](1)} != hof ${r.getSeq[Int](2)}")
+    }
+    // at least one interior cut somewhere, or the parity check is vacuous
+    assert(rows.exists(_.getSeq[Int](1).size > 1), "no interior cuts in fixtures")
+  }
+
   test("fixed-offset chunking loses re-alignment on the same edit (contrast)") {
     val text = ('a' to 'z').mkString * 20
     def fixed(s: String) = s.grouped(64).toVector
