@@ -157,18 +157,26 @@ object DedupIndex {
     * parameters — bit-compatible by construction — and OR-merged on the
     * driver. A fold that would push the count past capacity rebuilds
     * at a larger capacity AND merges the batch in, preserving both the
-    * fp-rate guarantee and the no-false-negative contract. Contract:
-    * commit the batch as a segment BEFORE folding (as
-    * [[growBloomLatest]] does) for an exact covered count; folding
-    * first still never drops bits, but the overflow rebuild's count
-    * header will lag by that one batch until the next rebuild. Returns
-    * the total covered count.
+    * fp-rate guarantee and the no-false-negative contract. Works for
+    * both call orders: commit-then-fold (as [[growBloomLatest]] does)
+    * and fold-before-commit — the overflow rebuild's count header is
+    * `max(committed rescan, old count + batch)`, so it never
+    * understates sketch contents whichever order the caller used.
+    * Returns the recorded covered count.
     */
   def growBloom(spark: SparkSession, dir: String, newFps: DataFrame,
       newN: Long): Long = {
     val st = state(dir)
     if (!st.extras.contains("bloom")) return writeBloom(spark, dir)
-    val (cap, n, bf) = loadBloomMeta(spark, dir)
+    // legacy/corrupt artifact: the index ROWS are authoritative, so
+    // recover instead of failing the whole ingest on a pre-header bloom
+    // file — (0, 0, null) routes into the overflow rebuild below, which
+    // rebuilds from the committed rows AND OR-merges the batch filter,
+    // so the no-false-negative contract holds through recovery for both
+    // commit-then-fold and fold-before-commit callers
+    val meta = loadBloomMetaRecovering(spark, dir)
+    val (cap, n, bf) = meta
+      .getOrElse((0L, 0L, null: org.apache.spark.util.sketch.BloomFilter))
     if (n + newN > cap) {
       // overflow: re-size AND keep the batch, regardless of whether the
       // caller has committed it as a segment yet. A plain writeBloom here
@@ -188,8 +196,18 @@ object DedupIndex {
         math.max(math.max(2 * math.max(covered, n + newN), 4096L) * 2 - 1, 1L))
       val rebuilt = fps.stat.bloomFilter("fp", newCap, 0.01)
       rebuilt.mergeInPlace(newFps.stat.bloomFilter("fp", newCap, 0.01))
-      commitBloom(spark, dir, state(dir), rebuilt, newCap, covered)
-      covered
+      // count header = max(covered, n + newN): for a fold-before-commit
+      // caller the batch's bits WERE merged in but its rows aren't in
+      // `covered` yet — recording bare `covered` would undercount sketch
+      // contents and fire the next overflow guard one batch late, eroding
+      // the ≤1% fp-rate margin near capacity. On legacy RECOVERY the old
+      // header is unknown (n = 0), so count covered + newN outright —
+      // possibly one batch high for a commit-then-fold caller, which only
+      // brings the next resize forward (the safe side of the guarantee)
+      val counted =
+        if (meta.isEmpty) covered + newN else math.max(covered, n + newN)
+      commitBloom(spark, dir, state(dir), rebuilt, newCap, counted)
+      counted
     }
     else {
       bf.mergeInPlace(newFps.stat.bloomFilter("fp", cap, 0.01))
@@ -228,10 +246,29 @@ object DedupIndex {
 
   /** Load the committed sketch artifact (driver-side: the serialized
     * bits are the broadcast payload, ~1.2 MB per million fingerprints
-    * at 1% fp).
+    * at 1% fp). A legacy/corrupt artifact is rebuilt in place from the
+    * committed fingerprint rows (they are authoritative) rather than
+    * hard-failing the read path on a format bump.
     */
   def loadBloom(spark: SparkSession, dir: String): org.apache.spark.util.sketch.BloomFilter =
-    loadBloomMeta(spark, dir)._3
+    loadBloomMetaRecovering(spark, dir) match {
+      case Some((_, _, bf)) => bf
+      case None => writeBloom(spark, dir); loadBloomMeta(spark, dir)._3
+    }
+
+  /** [[loadBloomMeta]] that reports an unreadable (legacy-format or
+    * corrupt) artifact as None instead of throwing, so maintenance
+    * paths can rebuild from the authoritative index rows. A MISSING
+    * artifact still throws — that's a caller-order bug
+    * ([[writeBloom]] never ran), not a format migration.
+    */
+  private def loadBloomMetaRecovering(spark: SparkSession, dir: String):
+      Option[(Long, Long, org.apache.spark.util.sketch.BloomFilter)] = {
+    require(state(dir).extras.contains("bloom"),
+      s"no bloom sketch committed at ${root(dir)} — run writeBloom first")
+    try Some(loadBloomMeta(spark, dir))
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** The sketch plus its (capacity, covered count) header. */
   def loadBloomMeta(spark: SparkSession, dir: String):

@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.nio.charset.StandardCharsets
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -96,15 +94,30 @@ object CdcEnds {
       }
       out.add(len)
     } else {
-      // code-point windows — matches Spark substring/length semantics
-      val s = text.toString
-      val cps = s.codePoints().toArray
-      val len = cps.length
+      // code-point windows — matches Spark substring/length semantics.
+      // `bytes` is ALREADY the UTF-8 encoding, so a window's bytes are a
+      // slice of it: one pass records each code point's start offset
+      // (UTF-8 sequence starts = bytes without the 10xxxxxx continuation
+      // tag), then every window hashes in place — no per-position String
+      // or byte-array allocation (the first form re-encoded each window
+      // and lost most of the ASCII path's win on CJK-heavy text).
+      val nBytes = bytes.length
+      var cpCount = 0
+      var b = 0
+      while (b < nBytes) { if ((bytes(b) & 0xc0) != 0x80) cpCount += 1; b += 1 }
+      val offs = new Array[Int](cpCount + 1)
+      var ci = 0
+      b = 0
+      while (b < nBytes) {
+        if ((bytes(b) & 0xc0) != 0x80) { offs(ci) = b; ci += 1 }
+        b += 1
+      }
+      offs(cpCount) = nBytes
+      val len = cpCount
       var i = w
       while (i < len) {
-        val win = new String(cps, i - w, w)
-        val wb = win.getBytes(StandardCharsets.UTF_8)
-        if (h60(md, wb, 0, wb.length) % mod == 0) out.add(i)
+        val st = offs(i - w)
+        if (h60(md, bytes, st, offs(i) - st) % mod == 0) out.add(i)
         i += 1
       }
       out.add(len)

@@ -23,7 +23,11 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * Inputs shorter than n words yield an empty array (the callers'
   * `size(words) >= n` filters make this unreachable, but the
   * expression must not throw). Null elements cannot occur in
-  * `split()` output, the only producer feeding it.
+  * `split()` output, the current only producer — but the declared
+  * input type (`array<string>` with nullable elements) admits them,
+  * so they are DEFINED rather than NPE: a null element contributes
+  * nothing to its windows' joined strings, exactly `concat_ws`'s
+  * null-skipping in the reference HOF form above.
   *
   * The DuckDB oracles keep the spelled-out md5 idiom; Md5FnSpec +
   * ShingleSpec pin value equality against the HOF form.
@@ -65,10 +69,15 @@ object ShingleHashes {
   def compute(words: ArrayData, n: Int, distinct: Boolean): GenericArrayData = {
     val len = words.numElements()
     if (len < n) return new GenericArrayData(new Array[Any](0))
-    // pre-fetch the word bytes once (each word is hashed into n windows)
+    // pre-fetch the word bytes once (each word is hashed into n windows);
+    // a null element stays null here and is skipped when joining — the
+    // concat_ws semantics of the HOF form this expression replaces
     val wb = new Array[Array[Byte]](len)
     var i = 0
-    while (i < len) { wb(i) = words.getUTF8String(i).getBytes; i += 1 }
+    while (i < len) {
+      wb(i) = if (words.isNullAt(i)) null else words.getUTF8String(i).getBytes
+      i += 1
+    }
     val md = digests.get()
     val out = new Array[Any](len - n + 1)
     val seen = if (distinct) new java.util.HashSet[java.lang.Long]() else null
@@ -77,9 +86,14 @@ object ShingleHashes {
     while (s <= len - n) {
       md.reset()
       var k = 0
+      var joined = 0
       while (k < n) {
-        if (k > 0) md.update(' '.toByte)
-        md.update(wb(s + k))
+        val b = wb(s + k)
+        if (b != null) {
+          if (joined > 0) md.update(' '.toByte)
+          md.update(b)
+          joined += 1
+        }
         k += 1
       }
       val d = md.digest()

@@ -96,6 +96,22 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(!json.contains("0.740762124"))
   }
 
+  test("BENCH_LOCAL write is opt-in: full suite AND the env flag") {
+    // the driver's own full-suite gate run executes unfiltered in the
+    // repo dir — at r15 it silently replaced the committed min-of-N
+    // record. Only an explicit SPARK_GRAFT_BENCH_LOCAL=1 full run may
+    // touch the committed file.
+    val flagOn = Map("SPARK_GRAFT_BENCH_LOCAL" -> "1")
+    assert(Bench.shouldWriteLocal(fullSuite = true, flagOn.get))
+    // driver-style run: full suite, no flag → no write
+    assert(!Bench.shouldWriteLocal(fullSuite = true, Map.empty[String, String].get))
+    // filtered iteration run never writes, flag or not
+    assert(!Bench.shouldWriteLocal(fullSuite = false, flagOn.get))
+    // only the literal "1" opts in
+    assert(!Bench.shouldWriteLocal(fullSuite = true,
+      Map("SPARK_GRAFT_BENCH_LOCAL" -> "true").get))
+  }
+
   test("rendered line is parseable JSON (driver ingests it verbatim)") {
     // minimal structural check without a JSON lib: balanced braces and the
     // escape rules keep quotes paired

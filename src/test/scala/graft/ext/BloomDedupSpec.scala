@@ -126,7 +126,11 @@ class BloomDedupSpec extends SparkSpec {
       DedupIndex.growBloom(spark, dir, DedupQueries.fpSig(batch).select("fp"), 3L)
       val (cap, n, bf) = DedupIndex.loadBloomMeta(spark, dir)
       assert(cap >= 4096L, s"overflow must re-size, cap=$cap")
-      assert(n == 2L, "count header = committed rescan count (batch uncommitted)")
+      // count header = max(committed rescan, old count + batch): the
+      // batch's bits WERE merged in, so a bare rescan count (2) would
+      // understate sketch contents and fire the next overflow guard one
+      // batch late, eroding the fp-rate margin near capacity
+      assert(n == 5L, s"count header must cover the merged batch, got $n")
       assert(batchFps.forall(bf.mightContainString),
         "uncommitted batch fps must be in the rebuilt sketch")
       val oldFps = DedupIndex.rows(spark, dir).select("fp").collect()
@@ -163,6 +167,49 @@ class BloomDedupSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("writeBloom"),
         s"message must name the fix, got: ${e.getMessage}")
+      // maintenance/read paths RECOVER instead of hard-failing: the index
+      // rows are authoritative, so prefilter rebuilds the sketch in place…
+      val flags = DedupIndex.prefilter(spark,
+          Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text"), dir)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(flags(1L), "rebuilt sketch must flag the indexed doc")
+      val (_, nRec, _) = DedupIndex.loadBloomMeta(spark, dir)
+      assert(nRec == 1L, "recovery must commit a current-format artifact")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  test("growBloom recovers from a legacy artifact without losing batch bits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("idxlegacygrow").toString
+    try {
+      val corpus = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+      DedupIndex.build(corpus, dir)
+      DedupIndex.writeBloom(spark, dir)
+      // corrupt the artifact into the pre-header layout
+      val bloomFile = new java.io.File(s"$dir/dedup_index").listFiles()
+        .filter(_.getName.startsWith("bloom-g")).maxBy(_.getName)
+      val bf0 = (1L to 10L).toDF("k").stat.bloomFilter("k", 16L, 0.01)
+      val out = new java.io.DataOutputStream(
+        new java.io.FileOutputStream(bloomFile))
+      try { out.writeLong(16L); out.writeLong(10L); bf0.writeTo(out) }
+      finally out.close()
+      new java.io.File(bloomFile.getParentFile, s".${bloomFile.getName}.crc").delete()
+      // a fold against the unreadable artifact must rebuild from the
+      // committed rows AND OR-merge the (uncommitted) batch — the
+      // no-false-negative contract holds straight through recovery
+      val batch = Seq((10L, "iota kappa lambda mu")).toDF("doc_id", "text")
+      val batchFps = DedupQueries.fpSig(batch).select("fp").collect()
+        .map(_.getString(0))
+      DedupIndex.growBloom(spark, dir, DedupQueries.fpSig(batch).select("fp"), 1L)
+      val (_, n, bf) = DedupIndex.loadBloomMeta(spark, dir)
+      assert(n == 2L, s"recovered header must count rows + merged batch, got $n")
+      val all = DedupIndex.rows(spark, dir).select("fp").collect()
+        .map(_.getString(0)) ++ batchFps
+      assert(all.forall(bf.mightContainString),
+        "recovered sketch must cover committed rows AND the folded batch")
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()

@@ -44,7 +44,10 @@ class CdcSpec extends SparkSpec {
     val rnd = new scala.util.Random(42)
     val alpha = "abcdefgh \n.,!"
     val cases = Seq("", "a", "short", " " * 20, "é" * 30 + "abcdefgh" * 10,
-      "日本語テキスト " * 12) ++
+      "日本語テキスト " * 12,
+      // supplementary plane: 4-byte UTF-8, surrogate PAIRS in Java chars —
+      // windows must count code points, not chars (offset-table path)
+      "😀ab😁c " * 15) ++
       (1 to 40).map(_ => (0 until (1 + rnd.nextInt(400)))
         .map(_ => alpha(rnd.nextInt(alpha.length))).mkString) ++
       // real corpus text — the operator's own boundary density

@@ -35,6 +35,26 @@ class ShingleSpec extends SparkSpec {
     }
   }
 
+  test("null ELEMENTS are skipped like concat_ws — no NPE") {
+    import spark.implicits._
+    Md5Prefix60.register(spark)
+    // split() never yields null elements, but the declared input type
+    // (array<string> nullable-element) admits them from other callers:
+    // the contract is concat_ws's null-skipping, pinned against the HOF
+    val df = Seq(
+        (1L, Seq[String]("a", null, "b", "c")),
+        (2L, Seq[String](null, null)),
+        (3L, Seq[String]("x", null)))
+      .toDF("id", "words")
+      .withColumn("nat", ShingleHashes.shingle_hashes(col("words"), 2))
+      .withColumn("hof", expr(
+        """transform(sequence(1, size(words) - 1),
+             i -> md5h60(concat_ws(' ', slice(words, i, 2))))"""))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3), s"id=${r.getLong(0)}")
+    }
+  }
+
   test("null in, null out; real corpus parity at n=3") {
     import spark.implicits._
     Md5Prefix60.register(spark)
