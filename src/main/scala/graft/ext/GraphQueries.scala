@@ -49,7 +49,13 @@ object GraphQueries {
     * symmetrized before ranking (see [[pageRank]] for the semantics).
     */
   private[ext] def pageRankOn(e0: DataFrame): DataFrame = {
+    // the symmetrized edge list feeds deg, ed AND (through deg) the
+    // initial rank table — checkpoint it once so the corpus-side
+    // distinct runs a single time instead of once per consumer subplan
+    // (one materialization of a reused intermediate, the same budget
+    // persist() would pay, minus the repeated upstream scans)
     val e = e0.unionByName(e0.select(col("t").as("s"), col("s").as("t")))
+      .localCheckpoint(true)
     val deg = e.groupBy("s").agg(count(lit(1)).as("deg"))
     val ed = e.join(deg, "s").repartition(col("s")).persist()
     try {
@@ -121,29 +127,38 @@ object GraphQueries {
     * GraphQueriesSpec can pin it against a reference loop.
     */
   private[ext] def pprOn(e0: DataFrame, seeds: DataFrame): DataFrame = {
+    // same single-materialization discipline as [[pageRankOn]]: e feeds
+    // deg, ed and (through deg) the teleport table
     val e = e0.unionByName(e0.select(col("t").as("s"), col("s").as("t")))
+      .localCheckpoint(true)
     val deg = e.groupBy("s").agg(count(lit(1)).as("deg"))
-    val ed = e.join(deg, "s").repartition(col("s")).persist()
     val tele = deg.select(col("s").as("node"))
       .join(seeds.withColumn("is_seed", lit(true)), Seq("node"), "left")
       .select(col("node"),
         when(col("is_seed"), lit(RankScale)).otherwise(lit(0L)).as("tp"))
-      .repartition(col("node")).persist()
+      .localCheckpoint(true) // node-sized; feeds init AND the edge build
+    // the teleport mass rides the EDGE table (tp of the TARGET, constant
+    // per t, folded back out with max() in the round aggregate), so each
+    // round is ONE join + ONE map-side-combined aggregate — the exact
+    // [[pageRankOn]] step shape. The first form joined tele AFTER the
+    // aggregation, re-shuffling the rank table a second time per round —
+    // a whole extra exchange per iteration for a value that never changes.
+    val ed = e.join(deg, "s")
+      .join(tele.select(col("node").as("t"), col("tp")), Seq("t"))
+      .repartition(col("s")).persist()
     try {
       val init = tele.select(col("node"), col("tp").as("rank"))
       val ranks = (1 to Iters).foldLeft(init) { (r, _) =>
         ed.join(r.withColumnRenamed("node", "s"), "s")
-          .select(col("t"), expr("rank div deg").as("contrib"))
-          .groupBy("t").agg(sum("contrib").as("csum"))
-          .select(col("t").as("node"), col("csum"))
-          .join(tele, Seq("node"))
-          .select(col("node"),
-            expr("(15 * tp + 85 * csum) div 100").as("rank"))
+          .select(col("t"), col("tp"), expr("rank div deg").as("contrib"))
+          .groupBy("t")
+          .agg(expr("(15 * max(tp) + 85 * sum(contrib)) div 100").as("rank"))
+          .select(col("t").as("node"), col("rank"))
       }
       ranks.filter(col("rank") > 0)
         .orderBy(desc("rank"), asc("node")).limit(20)
         .localCheckpoint()
-    } finally { ed.unpersist(); tele.unpersist() }
+    } finally ed.unpersist()
   }
 
   private def pprIterSql(i: Int): String =
@@ -251,10 +266,18 @@ object GraphQueries {
     *    DuckDB replay.
     */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
-    // strongest-M backbone of the capped weighted co-supply graph, u < v
+    // strongest-M backbone of the capped weighted co-supply graph, u < v.
+    // EAGERLY checkpointed ([[linkPrediction]]'s discipline): the
+    // backbone is bounded metadata (≤2000 rows) but its PLAN carries the
+    // whole corpus-side aggregation, and [[trianglesOn]] references its
+    // input from four consumers — un-checkpointed, the backbone subplan
+    // repeats per consumer (a ~960-node physical plan; TakeOrdered is
+    // not an exchange, so runtime stage reuse cannot dedupe past it) and
+    // the corpus stage re-executes each time (measured 4.5 → ~2 s).
     val und = coSupplyEdges(spark, dir)
       .orderBy(desc("w"), asc("u"), asc("v")).limit(2000)
       .select("u", "v")
+      .localCheckpoint(true)
     trianglesOn(und)
       .withColumnRenamed("node", "supplier")
       .orderBy(desc("n_triangles"), asc("supplier")).limit(10)
@@ -268,7 +291,10 @@ object GraphQueries {
   private[ext] def trianglesOn(und: DataFrame): DataFrame = {
     val deg = und.select(col("u").as("n")).unionAll(und.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
-    // orient from (deg, id)-smaller to larger
+    // orient from (deg, id)-smaller to larger. Checkpointed: the wedge
+    // join and the closing semi-join reference this frame FOUR times —
+    // same size bound as its input (≤ the backbone edge count), so the
+    // cut is plan width, not data
     val oriented = und
       .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
@@ -279,6 +305,7 @@ object GraphQueries {
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("b"))
+      .localCheckpoint(true)
     val wedges = oriented.select(col("a"), col("b").as("x"))
       .join(oriented.select(col("a"), col("b").as("y")), Seq("a"))
       .filter(col("x") < col("y"))
@@ -571,9 +598,14 @@ object GraphQueries {
       .select((col("l_partkey").cast("long") * 2).as("s"),
         (col("l_suppkey").cast("long") * 2 + 1).as("t"))
       .distinct()
+    // e feeds the degree aggregate AND the assortativity edge join;
+    // deg feeds bins plus BOTH sides of that join — checkpoint each once
+    // (the old persist() left the degree aggregate re-derived per
+    // consumer and the cache entry dangling past the query's lifetime)
     val e = e0.unionByName(e0.select(col("t").as("s"), col("s").as("t")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val deg = e.groupBy("s").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     val bins = deg
       .withColumn("b", (length(bin(col("deg"))) - 1).cast("long"))
       .groupBy("b")
@@ -1092,35 +1124,57 @@ object GraphQueries {
     *
     * Scale: the backbone is LIMIT-bounded (2000 edges) after one
     * corpus-side co-supply aggregation — the same bounded-subgraph
-    * discipline as [[triangles]]/[[msfBackbone]]; each round is two
-    * bounded self-joins + one aggregate over a localCheckpointed
-    * ≤2000-row frame (lineage cut per round). The corpus is scanned
-    * ONCE (the capped [[coSupplyEdges]] group-by), never per round.
+    * discipline as [[triangles]]/[[msfBackbone]]. The peel itself runs
+    * DRIVER-SIDE over those ≤2000 rows ([[msfBackbone]]'s
+    * bounded-metadata argument: only the literal-capped backbone ever
+    * leaves the cluster; the corpus-side stage stays fully
+    * distributed). A first form ran the peel as four checkpointed
+    * DataFrame join rounds — ~12 barrier stages over KB-scale frames,
+    * ~3 s of pure scheduling at sf0.1 for work the driver does in
+    * microseconds; at a larger cap the round shape to return to is
+    * that join form (each round two bounded self-joins + one
+    * aggregate), exactly as msf_backbone documents Borůvka.
     */
   def kTruss(spark: SparkSession, dir: String): DataFrame = {
-    val e0 = coSupplyEdges(spark, dir)
+    import spark.implicits._
+    val backbone = coSupplyEdges(spark, dir)
       .orderBy(desc("w"), asc("u"), asc("v")).limit(2000)
-      .select("u", "v").localCheckpoint()
-    def peel(e: DataFrame): DataFrame = {
-      val adj = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      val supp = e
-        .join(adj.select(col("u").as("su"), col("v").as("x")),
-          col("u") === col("su"))
-        .join(adj.select(col("u").as("sv"), col("v").as("x2")),
-          col("v") === col("sv") && col("x") === col("x2"))
-        .groupBy("u", "v").agg(count(lit(1)).as("sup"))
-      e.join(supp.filter(col("sup") >= 2).select("u", "v"),
-        Seq("u", "v"), "left_semi").localCheckpoint()
+      .select("u", "v").as[(Long, Long)].collect().toIndexedSeq
+    kTrussProfile(backbone).toDF("round", "n_edges", "n_nodes")
+      .orderBy("round")
+  }
+
+  /** The synchronous peel core over an undirected edge list (u < v, no
+    * duplicates): per-round (round, n_edges, n_nodes) for 4 rounds of
+    * "recompute support |N(u) ∩ N(v)| on the surviving subgraph, drop
+    * edges with support < 2". Extracted so PhraseGraphSpec pins it
+    * against an independent replica.
+    */
+  private[ext] def kTrussProfile(es0: IndexedSeq[(Long, Long)])
+      : Seq[(Long, Long, Long)] = {
+    def prof(i: Int, es: IndexedSeq[(Long, Long)]): (Long, Long, Long) = {
+      val nodes = new scala.collection.mutable.HashSet[Long]
+      es.foreach { case (u, v) => nodes += u; nodes += v }
+      (i.toLong, es.size.toLong, nodes.size.toLong)
     }
-    val rounds = (1 to 4).scanLeft(e0)((e, _) => peel(e)).zipWithIndex
-    rounds.map { case (e, i) =>
-      e.agg(count(lit(1)).cast("long").as("n_edges"))
-        .crossJoin(
-          e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
-            .distinct().agg(count(lit(1)).cast("long").as("n_nodes")))
-        .select(lit(i).cast("long").as("round"), col("n_edges"),
-          col("n_nodes"))
-    }.reduce(_.unionAll(_)).orderBy("round")
+    var es = es0
+    val out = Seq.newBuilder[(Long, Long, Long)]
+    out += prof(0, es)
+    for (r <- 1 to 4) {
+      val adj = new scala.collection.mutable.HashMap[
+        Long, scala.collection.mutable.HashSet[Long]]
+      es.foreach { case (u, v) =>
+        adj.getOrElseUpdate(u, new scala.collection.mutable.HashSet) += v
+        adj.getOrElseUpdate(v, new scala.collection.mutable.HashSet) += u
+      }
+      es = es.filter { case (u, v) =>
+        val (a, b) =
+          if (adj(u).size <= adj(v).size) (adj(u), adj(v)) else (adj(v), adj(u))
+        a.count(b.contains) >= 2
+      }
+      out += prof(r, es)
+    }
+    out.result()
   }
 
   val kTrussSql: String = {

@@ -42,8 +42,9 @@ class StaticAuditSpec extends AnyFunSuite {
   //   DedupQueries    — bm25-feedback doc shortlist (≤10 ids)
   //   EventQueries    — calendar rollup + attribution transition matrix
   //                     + burst-DP daily rollup (calendar-bounded)
-  //   GraphQueries    — the ≤500-row literal backbone for the driver
-  //                     Kruskal (msf_backbone)
+  //   GraphQueries    — the literal-capped backbones for the driver
+  //                     Kruskal (msf_backbone, ≤500 rows) and the
+  //                     driver k-truss peel (k_truss, ≤2000 rows)
   //   KMeans          — k centroid sums per round (k = literal)
   //   SearchIndex     — query-term postings shortlist
   //   SimilarityQueries — centroids/codebooks/probe sets (literals)
@@ -58,7 +59,7 @@ class StaticAuditSpec extends AnyFunSuite {
     "graft/ext/AnnIndex.scala" -> 1,
     "graft/ext/DedupQueries.scala" -> 1,
     "graft/ext/EventQueries.scala" -> 4,
-    "graft/ext/GraphQueries.scala" -> 1,
+    "graft/ext/GraphQueries.scala" -> 2,
     "graft/ext/KMeans.scala" -> 2,
     "graft/ext/SearchIndex.scala" -> 1,
     "graft/ext/SimilarityQueries.scala" -> 6,
