@@ -44,38 +44,46 @@ object PhraseQueries {
   def rougePairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    docs.count()
+      .localCheckpoint(true)
     val ex = docs.groupBy("source").agg(min("doc_id").as("a"))
-    // each gram table feeds BOTH its exemplar projection and the
-    // overlap join — persist so the explode+aggregate runs once
-    val uni = docs.select(col("doc_id"), col("source"),
-      explode(col("ws")).as("g"))
-      .groupBy("doc_id", "source", "g").agg(count(lit(1)).as("c"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val bi = docs.filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), col("source"), explode(expr(
-        "transform(sequence(1, size(ws) - 1), i -> concat(ws[i - 1], ' ', ws[i]))"))
-        .as("g"))
-      .groupBy("doc_id", "source", "g").agg(count(lit(1)).as("c"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // bounded exemplar-gram tables: one doc per source
-    def exGrams(grams: DataFrame): DataFrame =
-      grams.join(ex, grams("doc_id") === ex("a") &&
-        grams("source") === ex("source"))
-        .select(grams("source"), col("g"), col("c").as("ce"))
-    def overlap(grams: DataFrame, out: String): DataFrame =
-      grams.join(broadcast(exGrams(grams)), Seq("source", "g"))
+    // Grams are keyed by their 60-bit md5 prefix ([[graft.functions
+    // .ShingleHashes]], the r15 native-hasher discipline): the joined
+    // window hashes natively inside codegen (the bigram HOF form paid
+    // an interpreted lambda + concat per position), and the
+    // per-(doc, gram) aggregates + the (source, gram) overlap join
+    // shuffle 8-byte longs instead of gram strings. The DuckDB oracle
+    // mirrors the identical digest, so any 60-bit collision merges the
+    // same clipped counts on both engines.
+    def grams(base: DataFrame, n: Int): DataFrame =
+      base.select(col("doc_id"), col("source"),
+        explode(graft.functions.ShingleHashes.shingle_hashes(col("ws"), n)).as("g"))
+        .groupBy("doc_id", "source", "g").agg(count(lit(1)).as("c"))
+    // bounded exemplar-gram tables built from the EXEMPLAR DOCS (one per
+    // source), not from the corpus gram table — so the corpus-wide
+    // explode+aggregate has exactly ONE consumer per n and streams
+    // straight into its overlap join, instead of being persisted to
+    // serve a second (tiny) projection (the persist serialized two
+    // corpus-scale gram tables per run for a KB-sized benefit)
+    val exDocs = docs.as("d").join(broadcast(ex.as("x")),
+        col("d.doc_id") === col("x.a") && col("d.source") === col("x.source"))
+      .select(col("d.doc_id"), col("d.source"), col("d.ws"))
+    def overlap(n: Int, out: String): DataFrame = {
+      val base = if (n == 1) docs else docs.filter(size(col("ws")) >= n)
+      grams(base, n)
+        .join(broadcast(grams(exDocs, n)
+          .select(col("source"), col("g"), col("c").as("ce"))),
+          Seq("source", "g"))
         .groupBy(col("doc_id").as("b"))
         .agg(sum(least(col("c"), col("ce"))).as(out))
+    }
     val tot = docs.select(col("doc_id"),
       size(col("ws")).cast("long").as("t1"),
       greatest(size(col("ws")) - 1, lit(0)).cast("long").as("t2"))
     docs.select(col("doc_id").as("b"), col("source"))
       .join(broadcast(ex), Seq("source"))
       .filter(col("b") =!= col("a"))
-      .join(overlap(uni, "ov1"), Seq("b"), "left")
-      .join(overlap(bi, "ov2"), Seq("b"), "left")
+      .join(overlap(1, "ov1"), Seq("b"), "left")
+      .join(overlap(2, "ov2"), Seq("b"), "left")
       .join(broadcast(tot.join(ex, tot("doc_id") === ex("a"))
         .select(col("source"), col("t1").as("t1a"), col("t2").as("t2a"))),
         Seq("source"))
@@ -104,13 +112,17 @@ object PhraseQueries {
       |ex AS MATERIALIZED (
       |  SELECT source, MIN(doc_id) AS a FROM docs GROUP BY source),
       |uni AS MATERIALIZED (
-      |  SELECT doc_id, source, g, CAST(COUNT(*) AS BIGINT) AS c FROM (
-      |    SELECT doc_id, source, unnest(ws) AS g FROM docs)
+      |  SELECT doc_id, source,
+      |    CAST(('0x' || substr(md5(g0), 1, 15)) AS BIGINT) AS g,
+      |    CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |    SELECT doc_id, source, unnest(ws) AS g0 FROM docs)
       |  GROUP BY 1, 2, 3),
       |bi AS MATERIALIZED (
-      |  SELECT doc_id, source, g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |  SELECT doc_id, source,
+      |    CAST(('0x' || substr(md5(g0), 1, 15)) AS BIGINT) AS g,
+      |    CAST(COUNT(*) AS BIGINT) AS c FROM (
       |    SELECT doc_id, source, unnest(list_transform(range(1, len(ws)),
-      |      i -> ws[i] || ' ' || ws[i + 1])) AS g
+      |      i -> ws[i] || ' ' || ws[i + 1])) AS g0
       |    FROM docs WHERE len(ws) >= 2) GROUP BY 1, 2, 3),
       |exu AS MATERIALIZED (
       |  SELECT u.source, u.g, u.c AS ce

@@ -1229,10 +1229,16 @@ object OlapQueries {
     */
   def marketBasket(spark: SparkSession, dir: String): DataFrame = {
     val part = Tables(spark, dir, "part").select("p_partkey", "p_brand")
+    // ONE corpus shuffle: repartition on basket FIRST — HashPartitioning
+    // (basket) satisfies the distinct's (basket, item) clustering AND
+    // both sides of the basket-keyed self-join below, so the distinct
+    // runs exchange-free and the pair join reuses the cached partitioning
+    // instead of re-exchanging both sides (3 corpus shuffles → 1)
     val ob = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      .repartition(col("basket"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = ob.agg(countDistinct(col("basket")).as("n_baskets"))
