@@ -51,7 +51,8 @@ class StaticAuditSpec extends AnyFunSuite {
   //   TextQueries     — merge tables / vocab shortlists (capped)
   //   ArtifactDiff    — per-table diff COUNTS
   //   JsonTableIO     — manifest rows (one per table)
-  //   CoreQueries     — closure_delta baseline KEY SETS (seed-bounded)
+  //   CoreQueries     — closure_delta + closure_delta_artifact baseline
+  //                     KEY SETS (seed-bounded memos)
   //   OlapQueries     — pivot value discovery (|statuses| strings)
   private val collectPins: Map[String, Int] = Map(
     "graft/Main.scala" -> 4,
@@ -66,7 +67,7 @@ class StaticAuditSpec extends AnyFunSuite {
     "graft/ext/TextQueries.scala" -> 5,
     "graft/io/ArtifactDiff.scala" -> 1,
     "graft/io/JsonTableIO.scala" -> 1,
-    "graft/queries/CoreQueries.scala" -> 1,
+    "graft/queries/CoreQueries.scala" -> 2,
     "graft/queries/OlapQueries.scala" -> 1)
 
   test("every driver-side .collect() site is pinned and reviewed") {
