@@ -1229,11 +1229,17 @@ object OlapQueries {
     */
   def marketBasket(spark: SparkSession, dir: String): DataFrame = {
     val part = Tables(spark, dir, "part").select("p_partkey", "p_brand")
-    // ONE corpus shuffle: repartition on basket FIRST — HashPartitioning
-    // (basket) satisfies the distinct's (basket, item) clustering AND
-    // both sides of the basket-keyed self-join below, so the distinct
-    // runs exchange-free and the pair join reuses the cached partitioning
-    // instead of re-exchanging both sides (3 corpus shuffles → 1)
+    // Repartition on basket FIRST: HashPartitioning(basket) satisfies
+    // the distinct's (basket, item) clustering, so the dedup runs as a
+    // single post-shuffle aggregate (no separate partial/final tower
+    // over its own (basket, item) exchange). NOTE the self-join sides
+    // still plan ENSURE_REQUIREMENTS exchanges over the cache: a lazy
+    // cached AdaptiveSparkPlan reports Unknown partitioning
+    // (plans/r16/market_basket_after.txt exchanges 15/20), and
+    // force-materializing the cache first so the join goes
+    // exchange-free re-measured SLOWER (2.64 → 4.60 s min-of-3: the
+    // blocking build + cache-wide sorts cost more than the two
+    // post-dedup exchanges save at this scale) — the exchanges stay.
     val ob = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
