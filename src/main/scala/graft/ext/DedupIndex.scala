@@ -373,17 +373,17 @@ object DedupIndex {
     val gen = SegmentLog.nextGen(Some(st))
     val seg = SegmentLog.segName(gen)
     val pen = SegmentLog.extraName("pending", gen)
-    val idx = rows(spark, dir)
+    val idx = lap("idx-plan")(rows(spark, dir))
     // the batch's md5-per-shingle pipeline runs ONCE into a narrow
     // checkpoint; text rides along for the emit/pending rows
     val b = lap("fpSig-plan")(DedupQueries.fpSig(batch)
       .join(batch.select("doc_id", "text"), Seq("doc_id"))
       .select("doc_id", "text", "fp", "sig")
       .localCheckpoint(false))
-    val pendingOld = st.extras.get("pending")
+    val pendingOld = lap("pending-plan")(st.extras.get("pending")
       .map(_ => spark.read.parquet(st.extraPath(r, "pending")))
       .getOrElse(spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), b.schema))
+        new java.util.ArrayList[org.apache.spark.sql.Row](), b.schema)))
     // resolved BEFORE the bucket frame is built: the crossing check only
     // ever runs with a non-empty pending set, so this single small-read
     // count decides whether that second consumer exists at all
@@ -405,8 +405,9 @@ object DedupIndex {
       val raw = DedupQueries.bucketMembers(unioned)
       if (mayCross) raw.localCheckpoint(false) else raw
     }
-    val (survivors, nearOnly) = DedupQueries.dedupIncrementalParts(
-      unioned, DedupQueries.nearDroppedFromBuckets(buckets))
+    val (survivors, nearOnly) = lap("core-plan")(
+      DedupQueries.dedupIncrementalParts(
+        unioned, DedupQueries.nearDroppedFromBuckets(buckets)))
     lap("seg-write")(b.select("doc_id", "fp", "sig").withColumn("seed", lit(false))
       .write.mode("overwrite").parquet(s"$r/$seg"))
     def bandsOf(df: DataFrame) = DedupQueries.bandedKeys(
