@@ -109,6 +109,9 @@ object Bench {
     val WarmSkipSecs = 0.5
     def timedWarm(name: String): Option[Double] = {
       val fn = SparkEntry.queries(name)
+      // guide §1.5: label jobs so a UI/event-log reader can map
+      // stages back to queries (thread-local; zero cost otherwise)
+      spark.sparkContext.setJobDescription(s"canary:$name")
       spark.catalog.clearCache()
       try run(fn(spark, sfDir)) catch { case NonFatal(_) => () }
       spark.catalog.clearCache()
@@ -160,6 +163,7 @@ object Bench {
         sweeps.flatten.collect { case (n, (t, None)) => (n, t) }
           .groupMapReduce(_._1)(_._2)(math.min)
       val sweep = queryList.map { case (name, fn) =>
+        spark.sparkContext.setJobDescription(s"bench:$name")
         val skipWarm = pass > 1 && bestSoFar.get(name).exists(_ < WarmSkipSecs)
         // warmup and timed run each pay their own reads: no cached
         // tables/views leak from one into the other
