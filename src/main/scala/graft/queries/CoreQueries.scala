@@ -601,19 +601,16 @@ object CoreQueries {
     * the traversal; this row proves the round-trip through the JSON
     * artifact (schema-given read, manifest count gating, pk projection)
     * lands on the same delta. Same oracle as closure_delta. The bench
-    * row ≈ closure_extract plus the prune joins — the artifact read
-    * itself is staged once per (JVM, dir) and replayed from
-    * seed-bounded local key tuples on repeat executions (see the memo
-    * note in the body), so the recorded min is the recurring
-    * traversal cost.
+    * row ≈ closure_extract plus the baseline read + prune joins — the
+    * full recurring production cost. EVERY execution re-reads the
+    * baseline key sets from the JSON artifact (the r16 per-JVM memo of
+    * the parsed key sets made the bench min measure delta traversal
+    * only — bench-shape caching, removed per the r16 verdict); the
+    * read is kept cheap honestly instead: the 8 per-table
+    * schema-given envelope scans are seed-bounded (5 customers'
+    * closure) and their collects overlap on a small driver pool, so
+    * the artifact round-trip costs one small-job latency, not eight.
     */
-  /** Per-(JVM, artifact-dir) memo of the parsed baseline key sets —
-    * see the staging note inside [[closureDeltaArtifact]].
-    */
-  private val artifactBaselineMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, Map[String, (org.apache.spark.sql.types.StructType,
-      Array[org.apache.spark.sql.Row])]]()
-
   def closureDeltaArtifact(spark: SparkSession, dir: String): DataFrame = {
     val config = graft.conf.ExtractConfig.fromJson(
       """{"schema": [{"table_name": "customer",
@@ -624,19 +621,25 @@ object CoreQueries {
       engine.extractTo("SELECT * FROM customer WHERE c_custkey <= 5", out)
       ()
     }
-    // staged base (the closure_delta memo discipline applied to the
-    // ARTIFACT read): the baseline key sets are parsed from the JSON
-    // artifact ONCE per (JVM, dir) — the first execution exercises the
-    // full read path (schema-given JSON scan, manifest count gating, pk
-    // projection) under the hash gate, and repeated executions (the
-    // bench's min-of-N) pay only the recurring delta traversal. The
-    // memo holds the SEED-bounded key tuples (5 customers' closure),
-    // never corpus rows, and artifact generations are immutable once
-    // committed, so it cannot go stale within a JVM.
-    val prevLocal = artifactBaselineMemo.computeIfAbsent(prevDir, _ =>
-      engine.deltaBaseline(prevDir).map { case (t, df) =>
-        t -> (df.schema, df.collect())
-      })
+    // the artifact read runs inside EVERY timed execution — listing,
+    // manifest count gating, and the 8 schema-given envelope scans are
+    // the recurring production cost this row declares. The per-table
+    // key-set collects (SEED-bounded: 5 customers' closure, never
+    // corpus rows) are independent single-task jobs, so they run
+    // overlapped from a small driver pool (guide §2.6) and land as
+    // LocalRelations that broadcast for free in the prune joins.
+    val prevLocal: Map[String, (org.apache.spark.sql.types.StructType,
+        Array[org.apache.spark.sql.Row])] = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(
+        Future.traverse(engine.deltaBaseline(prevDir).toSeq) { case (t, df) =>
+          Future(t -> (df.schema, df.collect()))
+        }, Duration.Inf).toMap
+      finally pool.shutdown()
+    }
     val prevKeys: Map[String, org.apache.spark.sql.DataFrame] =
       prevLocal.map { case (t, (schema, rows)) =>
         t -> spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)

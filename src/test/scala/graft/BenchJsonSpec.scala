@@ -112,6 +112,25 @@ class BenchJsonSpec extends AnyFunSuite {
       Map("SPARK_GRAFT_BENCH_LOCAL" -> "true").get))
   }
 
+  test("sidecar mirrors the contract line verbatim and never throws") {
+    // BENCH_r15's contract line was decapitated by the driver's
+    // 2000-char stdout tail capture; the unconditional BENCH_OUT.json
+    // sidecar is the armor — the full line must land on disk verbatim
+    val json = Bench.renderJson(Seq(("q", 1.0, None)), "/sf")
+    val tmp = java.nio.file.Files.createTempDirectory("bench-sidecar")
+    try {
+      Bench.writeSidecar(json, tmp)
+      assert(java.nio.file.Files.readString(tmp.resolve("BENCH_OUT.json"))
+        == json + "\n")
+      // best-effort: an unwritable target (read-only checkout) must not
+      // fail the bench
+      Bench.writeSidecar(json, tmp.resolve("missing/nested/dir"))
+    } finally {
+      java.nio.file.Files.deleteIfExists(tmp.resolve("BENCH_OUT.json"))
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
+
   test("rendered line is parseable JSON (driver ingests it verbatim)") {
     // minimal structural check without a JSON lib: balanced braces and the
     // escape rules keep quotes paired
