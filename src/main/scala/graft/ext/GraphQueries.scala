@@ -771,25 +771,33 @@ object GraphQueries {
       var auth: DataFrame = null
       for (_ <- 1 to HitsRounds) {
         // per side: the raw-score aggregate feeds both the 1-row max
-        // and the renormalized projection inside ONE checkpoint job —
-        // the broadcast subquery duplicates the (persisted-edge) join,
-        // which measures CHEAPER here than splitting the round into
-        // extra blocking checkpoint+collect driver round-trips (a
-        // driver-scalar variant re-measured +0.8 s on this exact shape)
+        // and the renormalized projection inside ONE checkpoint job.
+        // persist() makes the two consumers share ONE physical tower:
+        // the broadcast-max subquery executes first (broadcasts are
+        // prepared before the main stages submit), materializing the
+        // node-scale aggregate into the cache, and the renormalized
+        // projection then reads the cached rows instead of re-running
+        // the edge join + aggregate (guide §2.4: two consumers of one
+        // subtree share one computation). Unpersisted right after the
+        // eager checkpoint — nothing leaks past the round. (A
+        // driver-scalar variant with collect round-trips re-measured
+        // +0.8 s in r16; this form keeps the single-job round shape.)
         val a0 = e.join(hub, Seq("p"))
-          .groupBy("s").agg(sum("h").as("a"))
+          .groupBy("s").agg(sum("h").as("a")).persist()
         val amax = a0.agg(max("a").as("mx"))
         auth = a0.crossJoin(broadcast(amax))
           .select(col("s"),
             expr("(cast(a AS decimal(38,0)) * 1000000) div mx").as("a"))
           .localCheckpoint(true)
+        a0.unpersist()
         val h0 = e.join(auth, Seq("s"))
-          .groupBy("p").agg(sum("a").as("h"))
+          .groupBy("p").agg(sum("a").as("h")).persist()
         val hmax = h0.agg(max("h").as("mx"))
         hub = h0.crossJoin(broadcast(hmax))
           .select(col("p"),
             expr("(cast(h AS decimal(38,0)) * 1000000) div mx").as("h"))
           .localCheckpoint(true)
+        h0.unpersist()
       }
       val topH = hub.select(lit("hub").as("role"), col("p").as("node"),
           (col("h") / 1e6).as("score"))
