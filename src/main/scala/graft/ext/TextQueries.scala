@@ -625,15 +625,27 @@ object TextQueries {
     val tok = docs.select(col("doc_id"),
         size(split(col("text"), " ")).as("dl"),
         explode(split(col("text"), " ")).as("word"))
-    val nDocs = docs.count()
-    val dfs = tok.select("doc_id", "word").distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
-    val expansion = tok
+    // candidate terms first: words of the ≤10 feedback docs, minus the
+    // seed terms. df is only ever read for THESE words (the expansion
+    // join is inner), so the corpus-wide (doc_id, word) distinct below
+    // is semi-joined down to candidate words before it shuffles —
+    // guide §2.3 (shuffle fewer bytes): the distinct moves the
+    // candidate-matching token stream, not the whole corpus vocabulary.
+    val cand = tok
       .filter(col("doc_id").isin(fb: _*))
       .filter(!col("word").isin(bm25Terms: _*) && col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("wt"))
+    val dfs = tok.select("doc_id", "word")
+      .join(broadcast(cand.select("word")), Seq("word"), "left_semi")
+      .distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    // corpus size rides as a broadcast scalar instead of a separate
+    // blocking driver count() job (one fewer barrier per execution)
+    val nDocsDf = docs.agg(count(lit(1)).as("nd"))
+    val expansion = cand
       .join(dfs, Seq("word"))
-      .filter(col("df") * 10 <= lit(nDocs) * 9)
+      .crossJoin(broadcast(nDocsDf))
+      .filter(col("df") * 10 <= col("nd") * 9)
       .orderBy(desc("wt"), asc("word")).limit(5)
       .select("word").collect().map(_.getString(0)).toSeq
     val weights: Seq[(String, Double)] =
