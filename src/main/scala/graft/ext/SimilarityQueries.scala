@@ -806,19 +806,27 @@ object SimilarityQueries {
       .select(col("vec_id"), col("cell"), col("e.s").as("s"), col("e.xs").as("xs"))
       .withColumn("code", bestCode)
       .select(col("vec_id"), col("cell"), col("s"), col("code"))
-    val probes = base.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"),
+    // probes × LUT in ONE projection chain over ONE query-side scan:
+    // the old form scanned the (filter-pushed) query rows twice —
+    // once for the probe cells, once for the per-subspace code
+    // distances — and joined the two inside the broadcast build. The
+    // probe-cell explode and the subspace/code explodes compose
+    // row-wise (|Q|·nprobe·m·k rows either way, identical columns and
+    // d2 arithmetic), so chaining the generators yields the exact same
+    // broadcast relation from one scan with no join (guide §2.4:
+    // remove the exchange/join outright).
+    val probeLut = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v"),
         explode(topProbeCells(spark, cents, col("v"), nprobe)).as("cell"))
-    val lut = base.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), explode(subspaces("v", "qs")).as("e"))
-      .select(col("query_id"), col("e.s").as("s"), col("e.qs").as("qs"))
-      .select(col("query_id"), col("s"),
+      .select(col("query_id"), col("cell"), explode(subspaces("v", "qs")).as("e"))
+      .select(col("query_id"), col("cell"), col("e.s").as("s"),
+        col("e.qs").as("qs"))
+      .select(col("query_id"), col("cell"), col("s"),
         explode(transform(element_at(cbLit, col("s") + 1), c =>
           struct(c.getField("_1").as("code"),
                  l2c(col("qs"), c.getField("_2")).as("d2")))).as("cd"))
-      .select(col("query_id"), col("s"), col("cd.code").as("code"),
-        col("cd.d2").as("d2"))
-    val probeLut = probes.join(lut, Seq("query_id"))
+      .select(col("query_id"), col("cell"), col("s"),
+        col("cd.code").as("code"), col("cd.d2").as("d2"))
     codes.join(broadcast(probeLut), Seq("cell", "s", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"), col("cell"))
