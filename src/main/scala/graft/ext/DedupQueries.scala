@@ -94,7 +94,7 @@ object DedupQueries {
       .withColumn("hs", transform(
         graft.functions.ShingleHashes.shingle_hashes(col("words"), 3),
         h => h % 2147483647L))
-      .withColumn("sig", expr(s"array(${(0 until K).map(sigExpr).mkString(", ")})"))
+      .withColumn("sig", graft.functions.MinhashSig.minhash_sig(col("hs"), K))
       .select("doc_id", "sig")
   }
 
@@ -667,7 +667,7 @@ object DedupQueries {
     docs.count()
     val sketch = docs
       .withColumn("hs", expr(s"transform(w, h -> h % $P)"))
-      .withColumn("sig", expr(s"array(${(0 until K).map(sigExpr).mkString(", ")})"))
+      .withColumn("sig", graft.functions.MinhashSig.minhash_sig(col("hs"), K))
     val banded = sketch.select(col("doc_id"),
       explode(expr(s"transform(sequence(0, ${K / 2 - 1}), " +
         "b -> struct(b AS band, concat(cast(sig[b*2] AS string), '|', cast(sig[b*2+1] AS string)) AS bucket))")).as("bb"))
@@ -1267,7 +1267,7 @@ object DedupQueries {
         graft.functions.ShingleHashes.shingle_hashes(col("words"), 3),
         h => h % 2147483647L)))
       .withColumn("sig", when(col("hs").isNotNull,
-        expr(s"array(${(0 until K).map(sigExpr).mkString(", ")})")))
+        graft.functions.MinhashSig.minhash_sig(col("hs"), K)))
       .select(col("doc_id"), col("fp"), col("sig"))
   }
 
@@ -1607,7 +1607,7 @@ object DedupQueries {
       .withColumn("hs", expr(
         s"""transform(sequence(1, length(p_name) - 2),
              i -> md5h60(substring(p_name, i, 3)) % $P)"""))
-      .withColumn("sig", expr(s"array(${(0 until K).map(sigExpr).mkString(", ")})"))
+      .withColumn("sig", graft.functions.MinhashSig.minhash_sig(col("hs"), K))
       .select("p_name", "n_rows", "sig")
     names.select(col("p_name"), col("n_rows"),
         explode(expr(s"transform(sequence(0, ${K - 1}), " +
