@@ -516,6 +516,16 @@ object StreamingOps {
       .foreach(k => spark.conf.getOption(k).foreach(s.conf.set(k, _)))
     s.conf.set("spark.sql.shuffle.partitions", "2")
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // AQE re-plans every exchange at runtime to coalesce/re-balance
+    // partitions — pure driver latency here, paid per micro-batch,
+    // with nothing to buy: the replay pins 2 shuffle partitions over
+    // KB-scale per-key state, so there is nothing to coalesce and no
+    // skew to split. Results are partition-layout-invariant (exact
+    // decimal partials, hash-gate sorts), so this changes wall time
+    // only. A production ingest with large, variable batches keeps
+    // AQE on — the setting is per-pipeline (this isolated child
+    // session), never the caller's.
+    s.conf.set("spark.sql.adaptive.enabled", "false")
     f(s)
   }
 
