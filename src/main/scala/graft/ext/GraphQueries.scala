@@ -388,7 +388,7 @@ object GraphQueries {
     */
   private[ext] def bfsHopsOn(e0: DataFrame, seeds: DataFrame,
       maxHops: Int): DataFrame = {
-    val e = e0.repartition(col("s")).persist()
+    val e = e0.repartition(col("s")).localCheckpoint(true)
     try {
       var seen = seeds.select(col("node"), lit(0).as("hop"))
         .distinct().localCheckpoint(true)
@@ -405,7 +405,7 @@ object GraphQueries {
         frontier = next
       }
       seen
-    } finally e.unpersist()
+    } finally graft.SparkUtil.release(e)
   }
 
   val bfsHopsSql: String =
@@ -463,7 +463,7 @@ object GraphQueries {
     * replica on random graphs.
     */
   private[ext] def lpaOn(e0: DataFrame, rounds: Int): DataFrame = {
-    val e = e0.repartition(col("s")).persist()
+    val e = e0.repartition(col("s")).localCheckpoint(true)
     try {
       val init = e.select(col("s").as("node")).distinct()
         .select(col("node"), col("node").as("label"))
@@ -480,7 +480,7 @@ object GraphQueries {
       // A long-horizon LPA (tens of rounds) would checkpoint every ~5
       // rounds to bound the plan — at LpaRounds=2 that's pure overhead.
       fin.localCheckpoint(true)
-    } finally e.unpersist()
+    } finally graft.SparkUtil.release(e)
   }
 
   private def lpaRoundSql(i: Int): String =
