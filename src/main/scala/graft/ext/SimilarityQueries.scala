@@ -574,9 +574,12 @@ object SimilarityQueries {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1)
     val cbLit = typedLit((0 until m).map(s =>
       cbRows.map { case (code, v) => (code, v.slice(s * sub, (s + 1) * sub)) }))
-    val l2c = (a: Column, b: Column) => round(
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, d) => acc + d), 6)
+    // native fused loop (graft.functions.SqL2): bitwise-equal to the
+    // aggregate(zip_with(...)) fold it replaces (SqL2Spec), minus the
+    // per-element interpreted lambda calls and the materialized
+    // squared-difference array; round(.., 6) readout unchanged
+    val l2c = (a: Column, b: Column) =>
+      round(graft.functions.SqL2.sq_l2(a, b), 6)
     // SCORE FIRST, fold second (same rationale as annIvf's scoredCents):
     // HOF lambdas get no common-subexpression elimination, so embedding
     // l2c in both the condition and the result struct would run the
@@ -786,9 +789,12 @@ object SimilarityQueries {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1)
     val cbLit = typedLit((0 until m).map(s =>
       cents.take(kCodes).map { case (code, v) => (code, v.slice(s * sub, (s + 1) * sub)) }))
-    val l2c = (a: Column, b: Column) => round(
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, d) => acc + d), 6)
+    // native fused loop (graft.functions.SqL2): bitwise-equal to the
+    // aggregate(zip_with(...)) fold it replaces (SqL2Spec), minus the
+    // per-element interpreted lambda calls and the materialized
+    // squared-difference array; round(.., 6) readout unchanged
+    val l2c = (a: Column, b: Column) =>
+      round(graft.functions.SqL2.sq_l2(a, b), 6)
     def subspaces(vcol: String, out: String) = expr(
       s"transform(sequence(0, ${m - 1}), s -> struct(s AS s, slice($vcol, s * $sub + 1, $sub) AS $out))")
     val scoredCodes = transform(element_at(cbLit, col("s") + 1), c =>
