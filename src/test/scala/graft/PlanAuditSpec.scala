@@ -31,12 +31,13 @@ class PlanAuditSpec extends SparkSpec {
                            // the centroid literal, never a join
     "pq_topk" -> 2,        // corpus + query side; encode fold over the
                            // codebook literal, ADC via broadcast LUT
-    "ann_ivf_pq" -> 3,     // ONE corpus pass computing cell + codes
-                           // together, plus the two filter-pushed tiny
-                           // query-side scans (probe list + LUT); the
-                           // composition must NOT add a corpus re-scan
-                           // over pq_topk's shape
-    "ann_rerank" -> 5,     // the ann_ivf_pq subtree (3) + the exact
+    "ann_ivf_pq" -> 2,     // ONE corpus pass computing cell + codes
+                           // together, plus ONE filter-pushed tiny
+                           // query-side scan (probes x LUT chained off
+                           // a single scan since r17); the composition
+                           // must NOT add a corpus re-scan over
+                           // pq_topk's shape
+    "ann_rerank" -> 4,     // the ann_ivf_pq subtree (2) + the exact
                            // re-rank stage's candidate-fetch scan + the
                            // query-vector scan; the re-rank must join a
                            // BROADCAST shortlist, never re-derive stage
